@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, QueryPack, Tables}
+
+/** Core relational operator inventory (SURVEY.md §2) re-expressed on the
+  * driver testdata tables. Each entry maps a reference operator family to
+  * its Spark-native form:
+  *
+  *  - P1/P2 projections, P4 equality filter, P5 null-safe theta filter
+  *    (`spotify_eps.py:165,170,187` — the pandas NaN!=x trap, see SURVEY §2.2)
+  *  - J1 left equi-join + J2 join-totality validation (`spotify_eps.py:185-189`)
+  *  - W1 rank-by-position, W2 rank-move = lag() (`spotify_eps.py:75-80`)
+  *  - U1/U2 union-all and schema-drift union-by-name (`spotify_eps_dag.py:54`)
+  *  - F1-F7 scalar functions (prefix strip, date format, json access)
+  *  - A1/A2 aggregation analogs (`spotify_eps.py:171,91`)
+  *
+  * Determinism rules for oracle parity (DuckDB vs Spark):
+  *  - monetary/quantity sums go through DECIMAL so addition is exact and
+  *    order-insensitive (double sums differ in low bits across engines);
+  *  - per-row double arithmetic is fine (IEEE-identical in both engines);
+  *  - every window orderBy carries a unique tie-break column;
+  *  - every query output is totally ordered (EliminateSorts drops the sort
+  *    under count-only benchmarks, so this costs nothing in Bench).
+  */
+object CoreQueries extends QueryPack {
+
+  // ---------------------------------------------------------------- q01
+  // A2-style full aggregation (hash agg with partial/map-side combine;
+  // the shuffle moves only grouped partials — scales to 100 TB).
+  private val q01 = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).as("sum_base_price"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  // ---------------------------------------------------------------- q02
+  // P1 projection + P4/P5-style predicate; filter + pruning reach the
+  // parquet scan (PushedFilters). Per-row double arithmetic only.
+  private val q02 = Q(
+    "q02_filter_project",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter(
+          $"l_shipdate" >= lit("2000-01-01").cast("timestamp") &&
+          $"l_shipdate" <  lit("2001-01-01").cast("timestamp") &&
+          $"l_discount" > 0.02 && $"l_quantity" < 25.0)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice * (1.0 - l_discount) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate <  TIMESTAMP '2001-01-01'
+        AND l_discount > 0.02 AND l_quantity < 25.0
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
+  // ---------------------------------------------------------------- q03
+  // J1: the flagship left equi-join (chart ⟕ episode shape,
+  // spotify_eps.py:185). customer is the small dim → broadcast hash
+  // join, no shuffle of the fact side; at 100 TB the dim stays
+  // broadcastable while orders scales out.
+  private val q03 = Q(
+    "q03_join_enrich",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"), "left")
+        .select($"o_orderkey", $"o_totalprice", $"c_name", $"c_mktsegment")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey
+    """))
+
+  // ---------------------------------------------------------------- q04
+  // J2 + P5: join-totality validation with NULL-SAFE inequality.
+  // pandas `NaN != x` is True, so unmatched left-join rows violate;
+  // Spark's `=!=` returns null there (silently passing) — the faithful
+  // translation is the negated null-safe equality `<=>`
+  // (SURVEY §2.2 P5, spotify_eps.py:187-189).
+  private val q04 = Q(
+    "q04_join_validate",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"), "left")
+        .filter(!($"o_custkey" <=> $"c_custkey"))
+        .agg(count(lit(1)).as("violations"))
+    },
+    Some("""
+      SELECT COUNT(*) AS violations
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      WHERE o_custkey IS DISTINCT FROM c_custkey
+    """))
+
+  // ---------------------------------------------------------------- q05
+  // W1 + top-k: rank within group, keep k (the chart's "top-200 per
+  // region", SURVEY §2.6). row_number over a unique tie-break.
+  private val q05 = Q(
+    "q05_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"value".desc, $"event_id".asc)
+      Tables.events(s, dir)
+        .select($"event_type", $"event_id", $"value")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .orderBy($"event_type", $"rnk")
+    },
+    Some("""
+      SELECT event_type, event_id, value, rnk FROM (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id ASC) AS rnk
+        FROM events)
+      WHERE rnk <= 5
+      ORDER BY event_type, rnk
+    """))
+
+  // ---------------------------------------------------------------- q06
+  // W2: chartRankMove recomputation — lag() + CASE
+  // (spotify_eps.py:80; SURVEY §2.5 W2).
+  private val q06 = Q(
+    "q06_rank_move",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("move",
+          when($"prev_value".isNull, "NEW")
+            .when($"value" > $"prev_value", "UP")
+            .when($"value" < $"prev_value", "DOWN")
+            .otherwise("UNCHANGED"))
+        .select($"user_id", $"event_id", $"move")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CASE WHEN prev_value IS NULL THEN 'NEW'
+                  WHEN value > prev_value THEN 'UP'
+                  WHEN value < prev_value THEN 'DOWN'
+                  ELSE 'UNCHANGED' END AS move
+      FROM (
+        SELECT user_id, event_id, value,
+               LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS prev_value
+        FROM events)
+      ORDER BY user_id, event_id
+    """))
+
+  // ---------------------------------------------------------------- q07
+  // U2: schema-drift-tolerant union by name with missing-column
+  // null-fill (pandas concat alignment, spotify_eps_dag.py:54).
+  private val q07 = Q(
+    "q07_union_by_name",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val older = orders.filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_totalprice")
+      val newer = orders.filter($"o_orderstatus" === "O")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      older.unionByName(newer, allowMissingColumns = true)
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_orderkey
+    """))
+
+  // ---------------------------------------------------------------- q08
+  // DISTINCT (set op family, SURVEY §2.7) — map-side partial distinct
+  // then shuffle on the group keys only.
+  private val q08 = Q(
+    "q08_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "customer")
+        .select($"c_mktsegment", $"c_nationkey")
+        .distinct()
+        .orderBy($"c_mktsegment", $"c_nationkey")
+    },
+    Some("""
+      SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      ORDER BY c_mktsegment, c_nationkey
+    """))
+
+  // ---------------------------------------------------------------- q09
+  // F1-F4: scalar string/date functions — prefix strip via regexp
+  // (spotify_eps.py:81-82), date→string format (F4), concat (F7).
+  private val q09 = Q(
+    "q09_scalar_funcs",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          regexp_replace($"o_orderpriority", "^[0-9]+-", "").as("prio_label"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("od_str"),
+          concat_ws("#", $"o_orderstatus",
+            $"o_orderkey".cast("string")).as("status_key"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             REGEXP_REPLACE(o_orderpriority, '^[0-9]+-', '') AS prio_label,
+             STRFTIME(o_orderdate, '%Y-%m-%d') AS od_str,
+             CONCAT_WS('#', o_orderstatus, CAST(o_orderkey AS VARCHAR)) AS status_key
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
+  // ---------------------------------------------------------------- q10
+  // F6: JSON field access (nested episode JSON flatten analog,
+  // spotify_eps.py:131-156) + aggregation over the extracted value.
+  private val q10 = Q(
+    "q10_json_extract_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k_val"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k_val").as("sum_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  // ---------------------------------------------------------------- q11
+  // Star join: fact ⋈ snowflaked dims with explicit broadcasts of the
+  // tiny dims (region/nation); revenue rollup per region+nation.
+  private val q11 = Q(
+    "q11_star_join_agg",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val nation = Tables(s, dir, "nation")
+      val region = Tables(s, dir, "region")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          sum($"o_totalprice".cast("decimal(18,2)")).as("total_revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name
+    """))
+
+  // ---------------------------------------------------------------- q12
+  // Event-time tumbling window (batch form of the streaming op,
+  // SURVEY §2.10): 1-hour buckets per event type.
+  private val q12 = Q(
+    "q12_time_bucket_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value".cast("decimal(14,2)")).as("sum_value"))
+        .select($"w.start".as("bucket_start"), $"event_type", $"n", $"sum_value")
+        .orderBy($"bucket_start", $"event_type")
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(14,2))) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket_start, event_type
+    """))
+
+  // ---------------------------------------------------------------- q13
+  // Semi/anti joins (EXISTS / NOT EXISTS) — free from Catalyst but part
+  // of the complete operator surface (SURVEY §2.3 note).
+  private val q13 = Q(
+    "q13_semi_anti",
+    (s, dir) => {
+      import s.implicits._
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      val withBig = customer
+        .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+        .select($"c_custkey").withColumn("has_big_order", lit(true))
+      val withoutBig = customer
+        .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .select($"c_custkey").withColumn("has_big_order", lit(false))
+      withBig.unionByName(withoutBig).orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, TRUE AS has_big_order FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      UNION ALL
+      SELECT c_custkey, FALSE AS has_big_order FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      ORDER BY c_custkey
+    """))
+
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13)
+}
