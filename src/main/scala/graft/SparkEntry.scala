@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    graft.queries.CoreQueries)
+    graft.queries.CoreQueries,
+    graft.queries.PodcastQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: left-enrich the fact side with the dim, validate

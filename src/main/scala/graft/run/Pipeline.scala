@@ -1,0 +1,53 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{ChartOps, EnrichOps, EpisodeOps, UnionOps}
+
+/** End-to-end daily pipeline (SURVEY.md §3.1 restated Spark-first).
+  *
+  * bronze (raw per-date chart snapshots) → silver (enriched daily) →
+  * gold (consolidated). The logical date is always injected — never
+  * `current_date()` — matching the reference's own backfill design
+  * (`spotify_eps_backfill_dag.py:19`): any date reprocesses idempotently
+  * via dynamic partition overwrite.
+  *
+  * One Spark job, no intermediate materialization except the required
+  * sinks; the enrich validation rides the silver write action via
+  * `Dataset.observe` (zero extra scans).
+  */
+object Pipeline {
+
+  final case class Layout(bronzeDir: String, silverDir: String, goldDir: String)
+
+  /** Ingest → validate → silver snapshot for one logical date.
+    * `chartPayloads`/`episodePayloads`: (date, region, payload) /
+    * (payload) rows from the ingest boundary (driver fetch or fixture).
+    * Returns the enriched frame (already persisted).
+    */
+  def runDaily(
+      spark: SparkSession,
+      chartPayloads: DataFrame,
+      episodePayloads: DataFrame,
+      layout: Layout): DataFrame = {
+    val chart = ChartOps.parsePayloads(chartPayloads)
+    UnionOps.writeDailySnapshot(chart, layout.bronzeDir)
+
+    val episodes = EpisodeOps.flatten(EpisodeOps.parsePayloads(episodePayloads))
+    val (enriched, obs) = EnrichOps.enrichObserved(
+      spark.read.parquet(layout.bronzeDir), episodes)
+    UnionOps.writeDailySnapshot(enriched, layout.silverDir)
+    EnrichOps.assertNoViolations(obs) // reference raises ValueError (spotify_eps.py:189)
+    enriched
+  }
+
+  /** Gold rebuild: union every silver snapshot (drift-tolerant) →
+    * consolidated CSV. Kept for parity with the reference's daily full
+    * re-read (`spotify_eps_dag.py:45-60`); incremental append to a
+    * date-partitioned gold table is the at-scale path.
+    */
+  def rebuildGold(spark: SparkSession, layout: Layout): DataFrame = {
+    val all = UnionOps.readSnapshots(spark, layout.silverDir)
+    UnionOps.writeGoldCsv(all, layout.goldDir)
+    all
+  }
+}
