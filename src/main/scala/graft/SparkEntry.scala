@@ -12,7 +12,9 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     graft.queries.CoreQueries,
-    graft.queries.PodcastQueries)
+    graft.queries.PodcastQueries,
+    graft.queries.DedupQueries,
+    graft.queries.SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: left-enrich the fact side with the dim, validate

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines
+  * (BASELINE.json north star; SURVEY.md §7.5).
+  *
+  * Four tiers, all shuffle-lean by construction:
+  *  - exact: hash-groupBy on a normalized fingerprint. One shuffle on the
+  *    16-byte digest, never on the document body.
+  *  - MinHash + LSH: shingle → H independent minhashes → B banded
+  *    signatures → candidates join only within equal band buckets. The
+  *    O(n²) pair space never materializes; the join key is a 16-byte
+  *    digest so skew is bounded by true duplicate-cluster size.
+  *  - SimHash: 32-bit signature via per-bit majority vote; banded into
+  *    4 × 8-bit keys for candidate generation, Hamming-verified.
+  *  - n-gram Jaccard: exact verification on candidate pairs (or, small
+  *    scale, on all pairs sharing a shingle).
+  *
+  * Everything is built from codegen'd built-ins (md5 / transform / slice /
+  * aggregate) — no UDFs — and every hash is derived from md5 so a SQL
+  * oracle can reproduce results bit-for-bit.
+  */
+object Dedup {
+
+  /** Canonical text normalization: lowercase, collapse whitespace. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Content fingerprint (rolling-hash stand-in): md5 of the normalized
+    * text. Grouping on the digest keeps shuffle rows small. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Whitespace tokenization after normalization. */
+  def words(text: Column): Column = split(normalize(text), " ")
+
+  /** Word k-shingles as an array column: positions i → join of
+    * words[i, i+k). Empty array when the document is shorter than k. */
+  def wordShingles(wordsCol: Column, k: Int): Column =
+    when(size(wordsCol) >= k,
+      transform(
+        sequence(lit(0), size(wordsCol) - k),
+        i => array_join(slice(wordsCol, i + lit(1), lit(k)), " ")))
+      .otherwise(array())
+
+  /** Exact dedup: group by fingerprint, keep the smallest id.
+    * Output: (text_hash, keep_id, n_copies). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(fingerprint(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs for a document frame. Set `dedup =
+    * false` for consumers insensitive to duplicates (min-aggregation) —
+    * it drops a whole shuffle. */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, dedup: Boolean = true): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(words(col(textCol)), k)).as("sh"))
+    if (dedup) exploded.distinct() else exploded
+  }
+
+  /** MinHash signatures: H independent hash functions, each the
+    * lexicographic min over the document's shingles of md5(seed:shingle).
+    * (min of a uniform hash = a valid minwise permutation; string min of
+    * the hex digest is engine-portable.) One shuffle: groupBy(doc_id)
+    * with partial min aggregation map-side. */
+  def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(h =>
+      min(md5(concat(lit(s"$h:"), col("sh")))).as(s"h$h"))
+    shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: rows of (doc_id, band, sig) where sig is the digest of
+    * `rowsPerBand` consecutive minhashes. Docs agreeing on any band
+    * become candidates. */
+  def lshBands(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(h => col(s"h$h"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs from banded signatures: equi-join on (band, sig) —
+    * the only shuffle is on the band digest, so the pair space is the
+    * sum of squares of bucket sizes, not n². */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup candidates end-to-end. Shingles are NOT
+    * deduplicated first — min() is multiset-insensitive, so the distinct
+    * shuffle would be pure waste. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2): DataFrame =
+    lshCandidatePairs(lshBands(
+      minhashSignatures(
+        explodedShingles(docs, idCol, textCol, shingleK, dedup = false),
+        numHashes),
+      numHashes, rowsPerBand))
+
+  /** 32-bit SimHash over a distinct feature set (doc_id, sh): per
+    * feature, a 32-bit hash from the md5 prefix; per bit, majority vote
+    * (+1/-1) across the document's features; signature packs the winning
+    * bits. Features should be shingles, not unigrams — on a shared
+    * vocabulary, unigram signatures collapse (all docs look alike).
+    * expr-built so shift amounts can be columns (the Scala
+    * shiftleft/shiftright helpers take only literal amounts) while
+    * staying fully codegen'd. */
+  def simhash32(features: DataFrame): DataFrame = {
+    // 32 conditional-sum aggregates instead of a 32× row explosion:
+    // one pass, one shuffle, identical per-bit majority votes.
+    val votes = (0 until 32).map(j =>
+      sum(expr(s"CASE WHEN shiftright(wh, $j) & 1 = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$j"))
+    val pack = (0 until 32)
+      .map(j => expr(s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .reduce(_ + _)
+    features
+      .withColumn("wh", expr("CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), pack.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 32-bit signature into four 8-bit
+    * keys (pigeonhole: Hamming ≤ 6 pairs in 32 bits could still miss all
+    * four bands only if >6 bits differ — with ≤ maxHamming ≤ 7, any pair
+    * within threshold shares ≥1 exact band when differences concentrate;
+    * standard LSH-for-Hamming recall/precision tradeoff), then verify
+    * with bit_count(xor). */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("bandval", expr("shiftright(simhash, k * 8) & 255"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.k") === col("b.k") && col("a.bandval") === col("b.bandval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact shingle-Jaccard verification restricted to candidate pairs —
+    * the scale path: the shingle join explodes quadratically on a shared
+    * vocabulary when run corpus-wide, but is linear in |candidates| here.
+    * Compose with [[minhashLsh]]: LSH proposes, exact Jaccard verifies. */
+  def ngramJaccardForPairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, k)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = pairs
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+    * shared/(|A|+|B|-shared); join on the shingle, then one groupBy per
+    * pair. At scale, run on LSH candidates instead of all sharing pairs
+    * (compose with [[minhashLsh]]). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minJaccard: Double): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, k)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val shared = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+  }
+}

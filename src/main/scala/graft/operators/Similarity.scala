@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §7.5; BASELINE.json north star).
+  *
+  * Two tiers:
+  *  - brute force: exact top-k for a bounded query set. O(|Q|·n) cosine
+  *    evaluations; the n side streams (broadcast the query set), so it
+  *    scales out but not down in cost — the correctness baseline.
+  *  - random-hyperplane LSH, L tables × b sign-bits each: candidates
+  *    share a bucket in ANY table (multi-table OR-construction — on
+  *    near-random vectors a single wide hash has ~0 recall), then exact
+  *    cosine rerank inside the bucket. The bucket join replaces the
+  *    cross join, which is what survives 100 TB.
+  *
+  * Determinism: hyperplane coefficients derive from md5 (portable), and
+  * projections are summed in EXACT integer arithmetic — embeddings are
+  * quantized to 1e-6 (floor(x·10⁶), bigint) and multiplied by integer
+  * coefficients, so the bucket of a vector is identical in any engine
+  * regardless of summation order (a double-sum sign near 0 would not be).
+  *
+  * Norms are computed ONCE per vector ([[withNorm]]) — cosine inside the
+  * pair loop is a single dot product plus one multiply, not three dots.
+  */
+object Similarity {
+
+  /** (id, vec, nrm) with nrm = sqrt(Σ x²) precomputed per vector. */
+  def withNorm(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol), asDouble(col(vecCol)).as(vecCol),
+      sqrt(norm2(asDouble(col(vecCol)))).as("nrm"))
+
+  /** Deterministic hyperplane coefficients: (table t, plane j, dim d) →
+    * integer in [-2³¹, 2³¹). L·b·dims rows — broadcast, never recomputed
+    * per vector. */
+  def hyperplanes(spark: SparkSession, numTables: Int, planesPerTable: Int,
+      dims: Int): DataFrame =
+    spark.range(numTables).toDF("t")
+      .crossJoin(spark.range(planesPerTable).toDF("j"))
+      .crossJoin(spark.range(dims).toDF("d"))
+      .withColumn("r_int",
+        expr("CAST(conv(substring(md5(concat(t, '_', j, '_', d)), 1, 8), 16, 10) AS BIGINT)" +
+          " - 2147483648"))
+
+  /** LSH bucket per (vector, table): packed sign bits of the integer
+    * projections. Output: (vid, t, bucket). */
+  def lshBuckets(embeddings: DataFrame, idCol: String, vecCol: String,
+      numTables: Int, planesPerTable: Int, dims: Int): DataFrame = {
+    val planes = hyperplanes(embeddings.sparkSession, numTables, planesPerTable, dims)
+    embeddings
+      .select(col(idCol).as("vid"), posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
+      .withColumn("x_int", floor(col("x") * lit(1000000.0)).cast("long"))
+      .join(broadcast(planes), "d")
+      .groupBy(col("vid"), col("t"), col("j"))
+      .agg(sum(col("r_int") * col("x_int")).as("proj"))
+      .withColumn("bit", expr("CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("vid"), col("t"))
+      .agg(sum(expr("shiftleft(bit, j)")).as("bucket"))
+  }
+
+  /** Exact brute-force top-k: every query vector against the full set.
+    * Rank on raw cosine (bit-identical across engines) with id tie-break. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val base = withNorm(embeddings, idCol, vecCol)
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    val n = base
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
+  /** Multi-table LSH candidate id pairs for a query subset: distinct
+    * (q_id, n_id) sharing a bucket in any table. */
+  def lshCandidates(buckets: DataFrame, queryIds: DataFrame): DataFrame = {
+    val qb = buckets.join(queryIds, buckets("vid") === queryIds("qid"))
+      .select(col("qid"), col("t").as("qt"), col("bucket").as("qbucket"))
+    buckets.join(broadcast(qb),
+        col("t") === col("qt") && col("bucket") === col("qbucket") &&
+          col("vid") =!= col("qid"))
+      .select(col("qid").as("q_id"), col("vid").as("n_id"))
+      .distinct()
+  }
+
+  /** LSH-bucketed approximate top-k: candidates from [[lshCandidates]],
+    * exact cosine rerank. Under-filled buckets yield fewer than k
+    * neighbors — the standard ANN recall tradeoff. */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numTables: Int, planesPerTable: Int, dims: Int): DataFrame = {
+    val buckets = lshBuckets(embeddings, idCol, vecCol, numTables, planesPerTable, dims)
+    val cands = lshCandidates(buckets,
+      queries.select(col(idCol).as("qid")))
+    val base = withNorm(embeddings, idCol, vecCol)
+    val q = base.select(col(idCol).as("qi"), col(vecCol).as("q_vec"),
+      col("nrm").as("q_nrm"))
+    val n = base.select(col(idCol).as("ni"), col(vecCol).as("n_vec"),
+      col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cands
+      .join(broadcast(q), col("q_id") === col("qi"))
+      .join(n, col("n_id") === col("ni"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup tier 5): all pairs with
+    * cosine ≥ threshold. Brute force here — the exact baseline; at scale
+    * compose with [[lshBuckets]] to restrict to same-bucket pairs. */
+  def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val base = withNorm(embeddings, idCol, vecCol)
+    val a = base.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("nrm").as("nrm_a"))
+    val b = base.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("nrm").as("nrm_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

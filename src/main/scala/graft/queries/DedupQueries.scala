@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryPack, Tables}
+import graft.operators.Dedup
+
+/** Dedup operator family on the `documents` table (SURVEY §7.5), each
+  * driven through graft.operators.Dedup and reproduced bit-for-bit by a
+  * DuckDB oracle (all hashing is md5-derived for engine portability).
+  *
+  * Shared oracle preamble: normalized word arrays
+  *   string_split(regexp_replace(lower(trim(text)), '\s+', ' '), ' ')
+  * mirrors Dedup.words (Spark split on the collapsed single space).
+  */
+object DedupQueries extends QueryPack {
+
+  private val normWordsSql =
+    raw"string_split(regexp_replace(lower(trim(text)), '\s+', ' '), ' ')"
+
+  // ---------------------------------------------------------------- q16
+  private val q16 = Q(
+    "q16_dedup_exact",
+    (s, dir) => {
+      Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("text_hash"))
+    },
+    Some(raw"""
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ')) AS text_hash,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY text_hash
+    """))
+
+  // ---------------------------------------------------------------- q17
+  // MinHash(6) + LSH(3 bands × 2 rows) candidate pairs over word
+  // 3-shingles. The lexicographic min of md5(seed:shingle) is the
+  // minwise hash — portable across engines as a plain string min.
+  private val q17 = Q(
+    "q17_dedup_minhash_lsh",
+    (s, dir) => {
+      Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numHashes = 6, rowsPerBand = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
+               MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3,
+               MIN(md5('4:' || s)) AS h4, MIN(md5('5:' || s)) AS h5
+        FROM sh GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      ORDER BY doc_a, doc_b
+    """))
+
+  // ---------------------------------------------------------------- q18
+  // 32-bit SimHash signatures over word 3-shingle features + banded
+  // Hamming-≤5 near-dup pairs. (Unigram features collapse on a shared
+  // vocabulary — shingles keep the signature discriminative.)
+  private val q18 = Q(
+    "q18_dedup_simhash",
+    (s, dir) => {
+      Dedup.simhashPairs(
+          Dedup.simhash32(
+            Dedup.explodedShingles(Tables(s, dir, "documents"), "doc_id", "text", 3)),
+          maxHamming = 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      shingles AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      wh AS (
+        SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS wh FROM shingles),
+      bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM wh, UNNEST(generate_series(0, 31)) AS t(j)
+        GROUP BY doc_id, j),
+      sig AS (
+        SELECT doc_id,
+               SUM((CASE WHEN s > 0 THEN 1::BIGINT ELSE 0::BIGINT END) << j) AS simhash
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
+        FROM sig, UNNEST(generate_series(0, 3)) AS t(k))
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM banded a JOIN banded b
+          ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
+      WHERE hamming <= 5
+      ORDER BY doc_a, doc_b
+    """))
+
+  // ---------------------------------------------------------------- q19
+  // The production near-dup composition: MinHash-LSH proposes candidate
+  // pairs, exact 3-shingle Jaccard verifies them. Corpus-wide shingle
+  // joins explode quadratically on a shared vocabulary (measured 34 s at
+  // sf0.1 vs ~1 s composed); this is linear in |candidates|.
+  private val q19 = Q(
+    "q19_dedup_ngram_jaccard",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.ngramJaccardForPairs(docs,
+          Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleK = 3, numHashes = 6, rowsPerBand = 2),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
+               MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3,
+               MIN(md5('4:' || s)) AS h4, MIN(md5('5:' || s)) AS h5
+        FROM sh GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      shr AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared,
+             ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+      FROM shr
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      ORDER BY doc_a, doc_b
+    """))
+
+  def all: Seq[Q] = Seq(q16, q17, q18, q19)
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryPack, Tables}
+import graft.operators.Similarity
+
+/** Similarity-search family on the `embeddings` table (SURVEY §7.5).
+  * Cosines compare EXACTLY against DuckDB: the Spark zip_with/aggregate
+  * fold and DuckDB's list_dot_product both do left-to-right IEEE double
+  * accumulation (verified bitwise), and both sides use the identical
+  * norm-precomputed formula dot/(nrm_a·nrm_b) with nrm = sqrt(Σx²).
+  * LSH buckets use exact integer arithmetic so the sign of a projection
+  * can never differ between engines.
+  */
+object SimilarityQueries extends QueryPack {
+
+  /** Per-vector norm CTE shared by the oracles. */
+  private val normsSql = """
+      nrm AS (
+        SELECT vec_id,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings)"""
+
+  private val cosSql =
+    """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       (na.nrm * nb.nrm)"""
+
+  // ---------------------------------------------------------------- q20
+  // Exact brute-force cosine top-5 for query vectors vec_id < 10.
+  private val q20 = Q(
+    "q20_ann_bruteforce",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH $normsSql
+      SELECT q_id, n_id, cos, rnk FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosSql AS cos,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY $cosSql DESC, b.vec_id ASC) AS rnk
+        FROM embeddings a
+        JOIN nrm na ON na.vec_id = a.vec_id
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+        JOIN nrm nb ON nb.vec_id = b.vec_id
+        WHERE a.vec_id < 10)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // ---------------------------------------------------------------- q21
+  // Multi-table LSH approximate top-5: 2 tables × 4 sign-bit planes
+  // (OR-construction — one wide 8-bit hash has ~0 recall on near-random
+  // vectors), integer-exact bucketing, cosine rerank within buckets.
+  private val q21 = Q(
+    "q21_ann_lsh",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5,
+          numTables = 2, planesPerTable = 4, dims = 64)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH planes AS (
+        SELECT t, j, d,
+               ('0x' || substr(md5(t || '_' || j || '_' || d), 1, 8))::BIGINT
+                 - 2147483648 AS r_int
+        FROM UNNEST(generate_series(0, 1)) t0(t),
+             UNNEST(generate_series(0, 3)) t1(j),
+             UNNEST(generate_series(0, 63)) t2(d)),
+      vx AS (
+        SELECT vec_id, d - 1 AS d,
+               CAST(floor(embedding[d]::DOUBLE * 1000000.0) AS BIGINT) AS x_int
+        FROM embeddings, UNNEST(generate_series(1, 64)) t(d)),
+      proj AS (
+        SELECT vec_id, t, j, SUM(r_int * x_int) AS proj
+        FROM vx JOIN planes USING (d) GROUP BY vec_id, t, j),
+      bucket AS (
+        SELECT vec_id, t,
+               SUM((CASE WHEN proj >= 0 THEN 1::BIGINT ELSE 0::BIGINT END) << j) AS bucket
+        FROM proj GROUP BY vec_id, t),
+      cand AS (
+        SELECT DISTINCT qa.vec_id AS q_id, nb.vec_id AS n_id
+        FROM bucket qa JOIN bucket nb
+          ON qa.t = nb.t AND qa.bucket = nb.bucket AND qa.vec_id <> nb.vec_id
+        WHERE qa.vec_id < 10),
+      $normsSql
+      SELECT q_id, n_id, cos, rnk FROM (
+        SELECT c.q_id, c.n_id, $cosSql AS cos,
+               ROW_NUMBER() OVER (PARTITION BY c.q_id
+                 ORDER BY $cosSql DESC, c.n_id ASC) AS rnk
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.q_id
+        JOIN nrm na ON na.vec_id = c.q_id
+        JOIN embeddings b ON b.vec_id = c.n_id
+        JOIN nrm nb ON nb.vec_id = c.n_id)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // ---------------------------------------------------------------- q22
+  // Embedding-cosine near-dup pairs, cos ≥ 0.4 (exact baseline).
+  private val q22 = Q(
+    "q22_embedding_near_dup",
+    (s, dir) => {
+      Similarity.nearDupPairs(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", minCos = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      WITH $normsSql
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
+        FROM embeddings a
+        JOIN nrm na ON na.vec_id = a.vec_id
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        JOIN nrm nb ON nb.vec_id = b.vec_id)
+      WHERE cos >= 0.4
+      ORDER BY id_a, id_b
+    """))
+
+  def all: Seq[Q] = Seq(q20, q21, q22)
+}
