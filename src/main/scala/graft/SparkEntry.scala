@@ -14,7 +14,10 @@ object SparkEntry {
     graft.queries.CoreQueries,
     graft.queries.PodcastQueries,
     graft.queries.DedupQueries,
-    graft.queries.SimilarityQueries)
+    graft.queries.SimilarityQueries,
+    graft.queries.TextQueries,
+    graft.queries.MultimodalQueries,
+    graft.queries.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: left-enrich the fact side with the dim, validate

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY.md §7.5):
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All pure column expressions over codegen'd built-ins — they run inside
+  * whole-stage codegen, shuffle nothing, and are reproducible in ANSI SQL
+  * for the oracle gate. Counting tricks use length-difference arithmetic
+  * (`len(t) - len(replace(t, x, ''))`) so no explode is ever needed in
+  * the per-document hot path.
+  */
+object TextAnalysis {
+
+  /** Small stopword profiles for the n-gram/stopword language heuristic.
+    * Deliberately tiny and hardcoded: the operator's job is deterministic
+    * scoring, not linguistic coverage. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "por", "para"))
+
+  private def padded(text: Column): Column =
+    concat(lit(" "), Dedup.normalize(text), lit(" "))
+
+  /** Non-overlapping occurrence count of ` word ` in the padded
+    * normalized text, via length arithmetic (no explode, no UDF). */
+  def occurrences(text: Column, word: String): Column = {
+    val token = s" $word "
+    ((length(padded(text)) -
+      length(replace(padded(text), lit(token), lit(" ")))) /
+      lit(word.length + 1)).cast("long")
+  }
+
+  /** Total stopword hits for one language profile. */
+  def stopwordScore(text: Column, lang: String): Column =
+    stopwords(lang).map(occurrences(text, _)).reduce(_ + _)
+
+  /** Predicted language: argmax of the profile scores, ties broken by
+    * profile order (en > de > fr > es); 'und' when nothing hits. */
+  def predictedLanguage(scores: Map[String, Column]): Column = {
+    val ordered = Seq("en", "de", "fr", "es")
+    val best = greatest(ordered.map(scores): _*)
+    ordered.foldRight(lit("und")) { (l, acc) =>
+      when(scores(l) === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count (reference-faithful split on `\s+`). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish token estimate: ceil(non-space chars / 4) — the standard
+    * chars-per-token heuristic, exact integer arithmetic. */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(regexp_replace(text, "\\s", "")) / lit(4.0)).cast("long")
+
+  private def countMatching(text: Column, charClassRegex: String): Column =
+    length(regexp_replace(text, charClassRegex, "")).cast("long")
+
+  /** Character-class counts (kept to explicit ASCII classes so Java and
+    * RE2 regex dialects agree). */
+  def punctCount(text: Column): Column = countMatching(text, "[^.,!?;:]")
+  def digitCount(text: Column): Column = countMatching(text, "[^0-9]")
+  def upperCount(text: Column): Column = countMatching(text, "[^A-Z]")
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation/digit
+    * noise, reasonable stopword density. Weights are the operator's
+    * contract (documented, deterministic), not a tuned model. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val tokens = tokenCount(text).cast("double")
+    val stop = stopwordScore(text, "en").cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(n, lit(1.0))
+    val digitRatio = digitCount(text).cast("double") / greatest(n, lit(1.0))
+    val stopRatio = stop / greatest(tokens, lit(1.0))
+    round(
+      lit(0.4) * lenScore +
+        lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) +
+        lit(0.2) * (lit(1.0) - least(digitRatio * 10.0, lit(1.0))) +
+        lit(0.2) * least(stopRatio * 5.0, lit(1.0)),
+      6)
+  }
+
+  /** 32-bit numeric fingerprint from the md5 content digest. */
+  def fingerprint32(text: Column): Column =
+    conv(substring(Dedup.fingerprint(text), 1, 8), 16, 10).cast("long")
+}

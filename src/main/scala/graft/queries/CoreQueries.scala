@@ -244,7 +244,7 @@ object CoreQueries extends QueryPack {
     },
     Some("""
       SELECT o_orderkey,
-             REGEXP_REPLACE(o_orderpriority, '^[0-9]+-', '') AS prio_label,
+             REGEXP_REPLACE(o_orderpriority, '^[0-9]+-', '', 'g') AS prio_label,
              STRFTIME(o_orderdate, '%Y-%m-%d') AS od_str,
              CONCAT_WS('#', o_orderstatus, CAST(o_orderkey AS VARCHAR)) AS status_key
       FROM orders

@@ -9,13 +9,13 @@ import graft.operators.Dedup
   * DuckDB oracle (all hashing is md5-derived for engine portability).
   *
   * Shared oracle preamble: normalized word arrays
-  *   string_split(regexp_replace(lower(trim(text)), '\s+', ' '), ' ')
+  *   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
   * mirrors Dedup.words (Spark split on the collapsed single space).
   */
 object DedupQueries extends QueryPack {
 
   private val normWordsSql =
-    raw"string_split(regexp_replace(lower(trim(text)), '\s+', ' '), ' ')"
+    raw"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
 
   // ---------------------------------------------------------------- q16
   private val q16 = Q(
@@ -25,7 +25,7 @@ object DedupQueries extends QueryPack {
         .orderBy(col("text_hash"))
     },
     Some(raw"""
-      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ')) AS text_hash,
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
              MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents
       GROUP BY 1

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryPack, Tables}
+import graft.operators.TextAnalysis
+
+/** Text-analysis family on the `documents` table (SURVEY §7.5):
+  * language-ID, quality scoring, token statistics, fingerprinting.
+  * Counting is length-difference arithmetic in both engines, so results
+  * match exactly (DuckDB regexp_replace carries the 'g' flag — Spark's
+  * is global by default).
+  */
+object TextQueries extends QueryPack {
+
+  /** ` w ` occurrence count over the padded normalized text, SQL form. */
+  private def occSql(w: String): String = {
+    val norm = raw"' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' '"
+    s"CAST((length($norm) - length(replace($norm, ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
+  }
+
+  private def scoreSql(lang: String): String =
+    TextAnalysis.stopwords(lang).map(occSql).mkString("(", " + ", ")")
+
+  // ---------------------------------------------------------------- q23
+  // Stopword-profile language ID. On this synthetic corpus the text is
+  // English-ish word salad regardless of the `lang` label, so the
+  // heuristic's job here is determinism, not label recovery.
+  private val q23 = Q(
+    "q23_lang_id",
+    (s, dir) => {
+      val scores = TextAnalysis.stopwords.keys.map(l =>
+        l -> TextAnalysis.stopwordScore(col("text"), l)).toMap
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          scores("en").as("s_en"), scores("de").as("s_de"),
+          scores("fr").as("s_fr"), scores("es").as("s_es"),
+          TextAnalysis.predictedLanguage(scores).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id, s_en, s_de, s_fr, s_es,
+             CASE WHEN s_en = best AND best > 0 THEN 'en'
+                  WHEN s_de = best AND best > 0 THEN 'de'
+                  WHEN s_fr = best AND best > 0 THEN 'fr'
+                  WHEN s_es = best AND best > 0 THEN 'es'
+                  ELSE 'und' END AS pred_lang
+      FROM (
+        SELECT doc_id, s_en, s_de, s_fr, s_es,
+               greatest(s_en, s_de, s_fr, s_es) AS best
+        FROM (
+          SELECT doc_id,
+                 ${scoreSql("en")} AS s_en, ${scoreSql("de")} AS s_de,
+                 ${scoreSql("fr")} AS s_fr, ${scoreSql("es")} AS s_es
+          FROM documents))
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------- q24
+  // Composite quality score: length, punctuation/digit noise, stopword
+  // density — the contract is the documented weight formula.
+  private val q24 = Q(
+    "q24_quality_score",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      SELECT doc_id, n_chars, n_tokens, n_punct,
+             ROUND(
+               0.4 * least(n_chars / 500.0, 1.0)
+             + 0.2 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10.0, 1.0))
+             + 0.2 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 10.0, 1.0))
+             + 0.2 * least((s_en / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0),
+               6) AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               ${scoreSql("en")} AS s_en
+        FROM documents)
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------- q25
+  // Corpus token statistics per source: whitespace tokens, BPE-ish
+  // estimate, distinct vocabulary (the only op here that shuffles, and
+  // it shuffles (source, word) pairs — not documents).
+  private val q25 = Q(
+    "q25_token_stats",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val perDoc = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+        sum(TextAnalysis.bpeTokenEstimate(col("text"))).as("sum_bpe_tokens"))
+      val vocab = docs
+        .select(col("source"),
+          explode(graft.operators.Dedup.words(col("text"))).as("w"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("w")).as("n_distinct_words"))
+      perDoc.join(vocab, "source").orderBy(col("source"))
+    },
+    Some(raw"""
+      WITH perdoc AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
+               SUM(CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4.0) AS BIGINT)) AS sum_bpe_tokens
+        FROM documents GROUP BY source),
+      vocab AS (
+        SELECT source, COUNT(DISTINCT w) AS n_distinct_words
+        FROM (SELECT source,
+                UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+              FROM documents)
+        GROUP BY source)
+      SELECT source, n_docs, sum_tokens, sum_bpe_tokens, n_distinct_words
+      FROM perdoc JOIN vocab USING (source)
+      ORDER BY source
+    """))
+
+  // ---------------------------------------------------------------- q26
+  // Document fingerprinting: md5 content digest + 32-bit numeric form.
+  private val q26 = Q(
+    "q26_fingerprint",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Dedup.fingerprint(col("text")).as("fp"),
+          TextAnalysis.fingerprint32(col("text")).as("fp32"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8))::BIGINT AS fp32
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q26)
+}

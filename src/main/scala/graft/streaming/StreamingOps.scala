@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger, GroupState}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10): the reference is
+  * batch-only (daily full re-read, `spotify_eps_dag.py:45-54`); these
+  * ops are its streaming-native restatement — a file-source stream over
+  * the snapshot directory with event-time windows + watermark replaces
+  * the O(history) daily union, and keyed state replaces per-run rescans.
+  */
+object StreamingOps {
+
+  /** events.parquet schema with ts as raw nanos (read via nanosAsLong —
+    * Spark cannot read TIMESTAMP(NANOS) parquet natively). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming hourly windowed aggregation with a 1-hour watermark,
+    * drained synchronously with Trigger.AvailableNow into a memory sink
+    * (complete mode, so every window is emitted for the batch-parity
+    * check). Returns the materialized result table. */
+  def hourlyAggAvailableNow(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file-stream source wants a DIRECTORY to monitor (it roots
+    // partition inference there); expose the single events file through
+    // a scratch dir via symlink. In production this is the snapshot
+    // directory itself (SURVEY §2.10: the grow-only union U2 becomes a
+    // file-source stream over it).
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+    val agg = stream
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionState(sessionSeq: Long, lastTs: Long)
+  final case class SessionAssign(user_id: Long, event_id: Long, session_seq: Long)
+
+  /** Gap-based sessionization with keyed state
+    * (`flatMapGroupsWithState`): a new session starts when the gap to
+    * the previous event exceeds `gapMicros`. Works on a stream (state
+    * carries across micro-batches) and on a batch Dataset (single
+    * invocation per key) — the batch path is what the oracle checks;
+    * see also CoreQueries' window-function formulation. */
+  def sessionize(events: Dataset[Ev], gapMicros: Long): Dataset[SessionAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val isNew = st.lastTs == Long.MinValue || e.ts_us - st.lastTs > gapMicros
+            st = SessionState(if (isNew) st.sessionSeq + 1 else st.sessionSeq, e.ts_us)
+            SessionAssign(userId, e.event_id, st.sessionSeq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog again and again"),
+      (2L, "  the   QUICK brown fox JUMPS over the lazy dog again and again "),
+      (3L, "a completely different document about spark query engines here"),
+      (4L, "The quick brown fox jumps over the lazy dog again and once more"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup collapses case/whitespace variants") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getLong(2) == 2).get
+    assert(dup.getLong(1) == 1L) // keep_id = min(1, 2)
+  }
+
+  test("minhash-LSH proposes the near-dup pair, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical after normalization
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard verification: identical docs = 1.0, overlap in (0,1)") {
+    val cand = {
+      val s = spark
+      import s.implicits._
+      Seq((1L, 2L), (1L, 4L), (1L, 3L)).toDF("doc_a", "doc_b")
+    }
+    val j = Dedup.ngramJaccardForPairs(docs, cand, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) > 0.4 && j((1L, 4L)) < 1.0)
+    assert(!j.contains((1L, 3L))) // zero shared shingles -> no row
+  }
+
+  test("simhash: normalized-identical docs have Hamming distance 0") {
+    val sigs = Dedup.simhash32(
+      Dedup.explodedShingles(docs, "doc_id", "text", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // near 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks the obvious neighbor first") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rnk").collect()
+    assert(top.head.getLong(1) == 1L) // nearest
+    assert(top.head.getDouble(2) > 0.99)
+    assert(top.last.getLong(1) == 3L) // opposite vector ranks last
+  }
+
+  test("identical vectors share every LSH bucket") {
+    val s = spark
+    import s.implicits._
+    val dup = Seq((0L, Array(0.3f, -0.2f, 0.9f, 0.1f)),
+      (1L, Array(0.3f, -0.2f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(dup, "vec_id", "embedding",
+        numTables = 2, planesPerTable = 4, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(b((0L, 0L)) == b((1L, 0L)) && b((0L, 1L)) == b((1L, 1L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  test("occurrence counting and language prediction") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog sat in the garden of the house"),
+      (2L, "der hund und die katze das ist nicht der fall und das war es"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val scores = TextAnalysis.stopwords.keys.map(l =>
+      l -> TextAnalysis.stopwordScore(col("text"), l)).toMap
+    val out = df.select(col("doc_id"),
+        TextAnalysis.predictedLanguage(scores).as("pred"),
+        TextAnalysis.occurrences(col("text"), "the").as("n_the"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("en", 4L))
+    assert(out(2L)._1 == "de")
+    assert(out(3L)._1 == "und")
+  }
+
+  test("quality score stays in [0,1]; token counts are exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "one two  three"), (2L, ""), (3L, "12345 67890!!!"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("bpe"),
+        TextAnalysis.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3L) // 11 non-space chars -> ceil(11/4)=3
+    assert(out(2L)._1 == 0L)
+    out.values.foreach { case (_, _, q) => assert(q >= 0.0 && q <= 1.0) }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("stub decoder computes byte statistics partition-wise") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abc 123 XYZ")).toDF("doc_id", "text")
+    val f = Multimodal.extractFeatures(spark, df, "doc_id", "text").head()
+    assert(f.n_bytes == 11L && f.n_lower == 3L && f.n_space == 2L &&
+      f.n_digit == 3L)
+    assert(f.byte_sum_mod == "abc 123 XYZ".getBytes("UTF-8")
+      .map(_ & 0xff).map(_.toLong).sum % 997)
+  }
+
+  test("frame sampling slices the payload into fixed-size frames") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "0123456789")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.withPayload(df, "doc_id", "text"), "doc_id",
+        frameSize = 4, stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 3)
+    assert(new String(frames(0).getAs[Array[Byte]]("frame")) == "0123")
+    assert(new String(frames(2).getAs[Array[Byte]]("frame")) == "89")
+    assert(frames.map(_.getLong(2)).sum == 10L)
+  }
+}
+
+class StreamingOpsSpec extends SparkSpec {
+  import graft.streaming.StreamingOps
+
+  test("gap sessionization opens a new session after the gap") {
+    val s = spark
+    import s.implicits._
+    val gap = 1800L * 1000000L
+    val evs = Seq(
+      StreamingOps.Ev(7L, 1L, 0L),
+      StreamingOps.Ev(7L, 2L, gap),          // within gap (== not >)
+      StreamingOps.Ev(7L, 3L, 3 * gap),      // new session
+      StreamingOps.Ev(8L, 4L, 0L)).toDS()
+    val out = StreamingOps.sessionize(evs, gap)
+      .collect().map(a => a.event_id -> a.session_seq).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 2L && out(4L) == 1L)
+  }
+
+  test("streaming hourly agg equals the batch aggregation (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.hourlyAggAvailableNow(spark, dir, "spec_sink")
+      .orderBy("bucket_start", "event_type").collect()
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("bucket_start", "event_type").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+}
