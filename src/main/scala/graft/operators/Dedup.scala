@@ -62,15 +62,24 @@ object Dedup {
     if (dedup) exploded.distinct() else exploded
   }
 
-  /** MinHash signatures: H independent hash functions, each the
-    * lexicographic min over the document's shingles of md5(seed:shingle).
-    * (min of a uniform hash = a valid minwise permutation; string min of
-    * the hex digest is engine-portable.) One shuffle: groupBy(doc_id)
-    * with partial min aggregation map-side. */
+  /** MinHash signatures: H independent hash functions, each the min over
+    * the document's shingles of a 60-bit integer from md5(seed:shingle)
+    * (min of a uniform hash = a valid minwise permutation; numeric min of
+    * the fixed-width hex prefix ≡ its lexicographic min). NUMERIC, not
+    * string, deliberately: min(string) falls back to SortAggregate
+    * (immutable varlen buffer), while min(bigint) stays in the
+    * HashAggregate fast path with map-side partial min — one shuffle,
+    * no sorts. */
   def minhashSignatures(shingled: DataFrame, numHashes: Int): DataFrame = {
+    // Kirsch-Mitzenmacher: ONE md5 per shingle, split into two 60-bit
+    // halves h1,h2; hash_i = (h1 + i·h2) mod 2^60 is a valid independent
+    // family — 6× fewer digest computations than md5-per-seed.
+    val hashed = shingled.select(col("doc_id"),
+      expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("kh1"),
+      expr("CAST(conv(substring(md5(sh), 17, 15), 16, 10) AS BIGINT)").as("kh2"))
     val aggs = (0 until numHashes).map(h =>
-      min(md5(concat(lit(s"$h:"), col("sh")))).as(s"h$h"))
-    shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min(expr(s"(kh1 + $h * kh2) % 1152921504606846976")).as(s"h$h"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: rows of (doc_id, band, sig) where sig is the digest of
@@ -80,7 +89,7 @@ object Dedup {
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(h => col(s"h$h"))
-      struct(lit(b).as("band"), md5(concat(cols: _*)).as("sig"))
+      struct(lit(b).as("band"), md5(concat_ws(":", cols: _*)).as("sig"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))

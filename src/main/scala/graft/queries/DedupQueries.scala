@@ -52,14 +52,20 @@ object DedupQueries extends QueryPack {
         WHERE len(w) >= 3),
       sig AS (
         SELECT doc_id,
-               MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
-               MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3,
-               MIN(md5('4:' || s)) AS h4, MIN(md5('5:' || s)) AS h5
-        FROM sh GROUP BY doc_id),
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
       band AS (
-        SELECT doc_id, 0 AS band, md5(h0 || h1) AS sig FROM sig
-        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig)
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM band a JOIN band b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -133,14 +139,20 @@ object DedupQueries extends QueryPack {
         WHERE len(w) >= 3),
       sig AS (
         SELECT doc_id,
-               MIN(md5('0:' || s)) AS h0, MIN(md5('1:' || s)) AS h1,
-               MIN(md5('2:' || s)) AS h2, MIN(md5('3:' || s)) AS h3,
-               MIN(md5('4:' || s)) AS h4, MIN(md5('5:' || s)) AS h5
-        FROM sh GROUP BY doc_id),
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
       band AS (
-        SELECT doc_id, 0 AS band, md5(h0 || h1) AS sig FROM sig
-        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig),
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM band a JOIN band b
