@@ -15,8 +15,20 @@ object VectorFunctions {
     * float error, and float→double widening is exact. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ as a left-to-right double fold. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ via the native fused [[graft.functions.VectorDot]]
+    * expression — single codegen'd loop, no per-row intermediate array
+    * (the zip_with/aggregate form allocates one per pair). Identical
+    * left-to-right fold, so results are bit-equal to [[dotComposed]]. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(VectorDot(
+      Bridge.expression(asDouble(a)),
+      Bridge.expression(asDouble(b))))
+  }
+
+  /** The pure-built-in fold — kept as the reference implementation the
+    * native expression is verified against. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm2(a: Column): Column = dot(a, a)

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression
+  * conversion (the supported pattern for third-party native
+  * expressions: live in the `org.apache.spark.sql` namespace, same as
+  * every Spark extension library does for the classic API).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native expression as a SQL temp function on an ALREADY
+    * RUNNING session (builder `.withExtensions` only applies at session
+    * creation — `getOrCreate` on a live JVM silently skips it). */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String, builder: Seq[Expression] => Expression): Unit =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}
