@@ -358,6 +358,36 @@ object CoreQueries extends QueryPack {
       ORDER BY c_custkey
     """))
 
+  // ---------------------------------------------------------------- q31
+  // Multi-level aggregation: ROLLUP with grouping indicators (SURVEY
+  // §2.4 — absent from the reference, supplied by Catalyst). Note the
+  // null-ordering trap: Spark sorts NULLS FIRST ascending by default,
+  // DuckDB NULLS LAST — the oracle pins NULLS FIRST explicitly.
+  private val q31 = Q(
+    "q31_rollup_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"),
+          grouping($"o_orderstatus").as("g_status"),
+          grouping($"o_orderpriority").as("g_prio"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+             CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13)
+    q11, q12, q13, q31)
 }

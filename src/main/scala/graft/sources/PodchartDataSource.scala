@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the chart ingest boundary (SURVEY.md §2.1
+  * S1): `spark.read.format("podchart").load(dir)`.
+  *
+  * The reference fetches one JSON chart payload per (region, date) from
+  * a REST API (`spotify_eps.py:37-49`). This connector models exactly
+  * that boundary: each file `chart_<region>_<date>.json` (A1-shaped JSON
+  * array) becomes ONE raw payload row `(date, region, payload)`, read in
+  * its own input partition (22 regions → 22 parallel "fetches"). Parsing
+  * stays in the engine — compose with `ChartOps.parsePayloads`, which
+  * turns array order into rank via posexplode. An online variant would
+  * swap the file read in [[PodchartReader]] for the HTTP GET; everything
+  * else (planning, partitioning, schema) is unchanged.
+  */
+class PodchartDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "podchart"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PodchartDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PodchartTable(properties.get("path"))
+}
+
+object PodchartDataSource {
+  /** Raw ingest rows: payload is the unparsed chart JSON array. */
+  val schema: StructType = StructType(Seq(
+    StructField("date", StringType),
+    StructField("region", StringType),
+    StructField("payload", StringType)))
+
+  private[sources] val FilePattern = """chart_([a-zA-Z]+)_(\d{4}-\d{2}-\d{2})\.json""".r
+}
+
+class PodchartTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"podchart($path)"
+  override def schema(): StructType = PodchartDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PodchartScanBuilder(Option(options.get("path")).getOrElse(path))
+}
+
+class PodchartScanBuilder(path: String) extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = PodchartDataSource.schema
+  override def toBatch: Batch = this
+
+  /** One partition per chart file = one "fetch" per (region, date),
+    * exactly the reference's per-region request parallelism. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => PodchartDataSource.FilePattern.matches(f.getName))
+      .sortBy(_.getName)
+    files.map(f => PodchartPartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PodchartReaderFactory
+}
+
+case class PodchartPartition(file: String) extends InputPartition
+
+class PodchartReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PodchartReader(partition.asInstanceOf[PodchartPartition].file)
+}
+
+class PodchartReader(file: String) extends PartitionReader[InternalRow] {
+  private var consumed = false
+
+  override def next(): Boolean = !consumed
+
+  override def get(): InternalRow = {
+    consumed = true
+    val name = new java.io.File(file).getName
+    val (region, date) = name match {
+      case PodchartDataSource.FilePattern(r, d) => (r, d)
+      case _ => ("unknown", "1970-01-01")
+    }
+    val payload = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    InternalRow(
+      UTF8String.fromString(date),
+      UTF8String.fromString(region),
+      UTF8String.fromString(payload))
+  }
+
+  override def close(): Unit = ()
+}
