@@ -388,6 +388,36 @@ object CoreQueries extends QueryPack {
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """))
 
+  // ---------------------------------------------------------------- q32
+  // Salted two-phase aggregation: identical result to a plain GROUP BY
+  // (the oracle IS the plain GROUP BY), different shuffle layout — the
+  // hot l_returnflag keys spread over 8 reducers in phase 1. The skew
+  // tool for when AQE's runtime splitting isn't available/enough.
+  private val q32 = Q(
+    "q32_salted_agg",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Salting.saltedAgg(
+          Tables(s, dir, "lineitem")
+            .withColumn("qty_dec", $"l_quantity".cast("decimal(18,2)")),
+          keys = Seq("l_returnflag"),
+          discriminator = $"l_orderkey",
+          numSalts = 8,
+          ("sum", "qty_dec", "sum_qty"),
+          ("count", "", "n"),
+          ("max", "l_extendedprice", "max_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             COUNT(*) AS n,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q31)
+    q11, q12, q13, q31, q32)
 }

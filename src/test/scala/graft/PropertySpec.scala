@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{ChartOps, EnrichOps}
+import graft.operators.{Dedup, Salting}
+
+/** Property-based invariants (SURVEY §5.2): rank density, validation
+  * totality, union monotonicity, salted-agg equivalence, Jaccard bounds.
+  * Small generated inputs (Spark jobs per case are expensive) with fixed
+  * minSuccessful to keep the suite fast but meaningful.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampling from a ScalaCheck Gen (scalatestplus is not
+    * in the offline dependency cache, so we drive Gen directly). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(12), Seed(42L + i)))
+
+  private def forAllSampled[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit = {
+    val cases = samples(g, n)
+    assert(cases.nonEmpty)
+    cases.foreach(body)
+  }
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val entryGen: Gen[(String, String)] = for {
+    id <- Gen.listOfN(10, Gen.alphaNumChar).map(_.mkString)
+    name <- word
+  } yield (id, name)
+
+  private def payloadJson(entries: Seq[(String, String)]): String =
+    entries.map { case (id, name) =>
+      s"""{"episodeUri": "spotify:episode:$id", "showUri": "spotify:show:$id",
+          "episodeName": "$name", "chartRankMove": "NEW"}"""
+    }.mkString("[", ",", "]")
+
+  test("rank is always a dense 1..n per region, prefixes always stripped") {
+    forAllSampled(Gen.nonEmptyListOf(entryGen)) { entries =>
+      val chart = ChartOps.parsePayloads(
+        payloadDf(Seq(("2024-10-22", "us", payloadJson(entries)))))
+      val ranks = chart.select("rank").collect().map(_.getInt(0)).sorted
+      assert(ranks.toSeq == (1 to entries.length))
+      assert(chart.filter(col("episodeUri").startsWith("spotify:")).isEmpty)
+    }
+  }
+
+  test("enrich validation: complete dim passes with exact row count; any missing id throws") {
+    forAllSampled(Gen.nonEmptyListOf(entryGen).map(_.distinctBy(_._1))) { entries =>
+      val chart = ChartOps.parsePayloads(
+        payloadDf(Seq(("2024-10-22", "us", payloadJson(entries)))))
+      val s = spark
+      import s.implicits._
+      val dim = entries.toDF("id", "name")
+      val out = EnrichOps.enrichValidated(chart, dim)
+      assert(out.count() == entries.length)
+      if (entries.length > 1) {
+        val missing = dim.filter(col("id") =!= entries.head._1)
+        intercept[EnrichOps.JoinValidationException] {
+          EnrichOps.enrichValidated(chart, missing)
+        }
+      }
+    }
+  }
+
+  test("salted aggregation ≡ plain aggregation for any salt count") {
+    forAllSampled(Gen.choose(1, 16), n = 3) { numSalts =>
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn("qty_dec", col("l_quantity").cast("decimal(18,2)"))
+      val salted = Salting.saltedAgg(li, Seq("l_returnflag"),
+          col("l_orderkey"), numSalts,
+          ("sum", "qty_dec", "s"), ("count", "", "n"))
+        .orderBy("l_returnflag").collect()
+      val plain = li.groupBy("l_returnflag")
+        .agg(sum(col("qty_dec")).as("s"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag").collect()
+      assert(salted.map(r => (r.getString(0), r.getDecimal(1).toString, r.getLong(2))).toSeq ==
+        plain.map(r => (r.getString(0), r.getDecimal(1).toString, r.getLong(2))).toSeq)
+    }
+  }
+
+  test("jaccard on any doc pair is within (0, 1] and symmetric in construction") {
+    forAllSampled(Gen.listOfN(6, Gen.nonEmptyListOf(word).map(_.mkString(" "))), n = 3) { texts =>
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ids = texts.indices.map(_.toLong)
+      val pairs = (for (a <- ids; b <- ids if a < b) yield (a, b))
+        .toDF("doc_a", "doc_b")
+      val j = Dedup.ngramJaccardForPairs(docs, pairs, "doc_id", "text", 2)
+        .collect()
+      j.foreach { r =>
+        val v = r.getDouble(3)
+        assert(v > 0.0 && v <= 1.0)
+        assert(r.getLong(0) < r.getLong(1))
+      }
+    }
+  }
+}
