@@ -145,5 +145,24 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q26)
+  // ---------------------------------------------------------------- q33
+  // Approximate distinct counting (HLL++) per source — the sketch path
+  // a 100 TB vocabulary census actually uses (exact countDistinct in q25
+  // is the small-scale baseline). No oracle: HLL estimates are not
+  // engine-portable, so this intentionally takes the driver's weaker
+  // rows-only check; the spec bounds the estimate against the exact
+  // count instead.
+  private val q33 = Q(
+    "q33_approx_distinct",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.operators.Dedup.words(col("text"))).as("w"))
+        .groupBy(col("source"))
+        .agg(approx_count_distinct(col("w"), rsd = 0.02).as("approx_words"))
+        .orderBy(col("source"))
+    },
+    None)
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33)
 }

@@ -60,6 +60,34 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Incremental gold build: a file-source STREAM over the silver
+    * snapshot directory with an append sink + checkpoint. Each
+    * AvailableNow drain processes only files not yet recorded in the
+    * checkpoint — this replaces the reference's O(entire-history) daily
+    * re-read of every snapshot (`spotify_eps_dag.py:45-54`, SURVEY §4's
+    * scaling cliff) with O(new data) per run. Returns rows appended this
+    * run. */
+  def incrementalGold(spark: SparkSession, silverDir: String,
+      goldDir: String, checkpointDir: String, schema: StructType): Long = {
+    val before = java.nio.file.Files.exists(java.nio.file.Paths.get(goldDir)) match {
+      case true => spark.read.parquet(goldDir).count()
+      case false => 0L
+    }
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(silverDir)
+      .writeStream
+      .format("parquet")
+      .option("path", goldDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(goldDir).count() - before
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessionSeq: Long, lastTs: Long)
   final case class SessionAssign(user_id: Long, event_id: Long, session_seq: Long)

@@ -178,3 +178,20 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 }
+
+class ApproxDistinctSpec extends graft.SparkSpec {
+  test("HLL estimate within rsd bounds of the exact vocabulary count") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = docs.select(col("source"),
+      explode(graft.operators.Dedup.words(col("text"))).as("w"))
+    val joined = words.groupBy("source")
+      .agg(approx_count_distinct(col("w"), rsd = 0.02).as("approx"),
+        countDistinct(col("w")).as("exact"))
+      .collect()
+    joined.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.1, s"source=${r.getString(0)} a=$a e=$e")
+    }
+  }
+}
