@@ -418,6 +418,53 @@ object CoreQueries extends QueryPack {
       ORDER BY l_returnflag
     """))
 
+  // ---------------------------------------------------------------- q35
+  // Set operations (SURVEY §2.7: absent from the reference, Catalyst
+  // built-ins): segments holding customers both with and without open
+  // orders (INTERSECT), and nations present in customers but absent
+  // from suppliers (EXCEPT).
+  private val q35 = Q(
+    "q35_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      val customer = Tables(s, dir, "customer")
+      val supplier = Tables(s, dir, "supplier")
+      val orders = Tables(s, dir, "orders")
+      val withOpen = customer
+        .join(orders.filter($"o_orderstatus" === "O"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_mktsegment")
+      val withoutOpen = customer
+        .join(orders.filter($"o_orderstatus" === "O"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_mktsegment")
+      val bothKinds = withOpen.intersect(withoutOpen)
+        .withColumn("kind", lit("segment_both"))
+        .withColumnRenamed("c_mktsegment", "val")
+      val custNations = customer.select($"c_nationkey".cast("string").as("val"))
+      val suppNations = supplier.select($"s_nationkey".cast("string").as("val"))
+      val custOnly = custNations.except(suppNations)
+        .withColumn("kind", lit("nation_cust_only"))
+      bothKinds.unionByName(custOnly).orderBy($"kind", $"val")
+    },
+    Some("""
+      SELECT val, kind FROM (
+        SELECT c_mktsegment AS val, 'segment_both' AS kind FROM (
+          SELECT c_mktsegment FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+          INTERSECT
+          SELECT c_mktsegment FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderstatus = 'O'))
+        UNION ALL
+        SELECT val, 'nation_cust_only' AS kind FROM (
+          SELECT CAST(c_nationkey AS VARCHAR) AS val FROM customer
+          EXCEPT
+          SELECT CAST(s_nationkey AS VARCHAR) FROM supplier))
+      ORDER BY kind, val
+    """))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q31, q32)
+    q11, q12, q13, q31, q32, q35)
 }
