@@ -15,14 +15,19 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // min of two runs per query: run-to-run variance on a shared box is
-    // ±2x; the min is the steady-state cost of the plan.
+    // ±2x; the min is the steady-state cost of the plan. A failed run
+    // counts as +inf so a fast failure can never beat a slow success;
+    // both runs failing reports -1 (the pre-existing failure marker).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => Double.PositiveInfinity }
       }
-      name -> math.min(once(), once())
+      val best = math.min(once(), once())
+      name -> (if (best.isInfinity) -1.0 else best)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

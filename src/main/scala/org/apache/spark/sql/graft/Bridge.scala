@@ -13,6 +13,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Bucketing metadata for a catalog table: (numBuckets, bucketColumns),
+    * None when the table is not bucketed. */
+  def bucketSpec(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[(Int, Seq[String])] =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .map(b => (b.numBuckets, b.bucketColumnNames))
+
   /** Register a native expression as a SQL temp function on an ALREADY
     * RUNNING session (builder `.withExtensions` only applies at session
     * creation — `getOrCreate` on a live JVM silently skips it). */

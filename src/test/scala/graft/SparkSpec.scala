@@ -10,8 +10,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.warehouse.dir", SparkSpec.warehouseDir)
     .getOrCreate()
 
   def resource(name: String): String =
@@ -27,4 +26,12 @@ trait SparkSpec extends AnyFunSuite {
     import s.implicits._
     rows.toDF("date", "region", "payload")
   }
+}
+
+object SparkSpec {
+  /** One warehouse per JVM: the builder conf only takes effect for the
+    * suite that creates the session first — per-suite temp dirs would
+    * leak and mislead (getOrCreate ignores configs on a live session). */
+  lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_wh").toString
 }
