@@ -20,6 +20,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a stale result from an earlier round must not inherit a pass:
+        // remove any previous output for this query
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(dir)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

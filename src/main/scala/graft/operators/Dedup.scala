@@ -85,6 +85,12 @@ object Dedup {
     // Kirsch-Mitzenmacher: ONE md5 per shingle, split into two 60-bit
     // halves h1,h2; hash_i = (h1 + i·h2) mod 2^60 is a valid independent
     // family — 6× fewer digest computations than md5-per-seed.
+    // kh1 + i·kh2 must stay within Long (ANSI mode makes overflow a
+    // runtime error; non-ANSI wrap would diverge from the oracle):
+    // (1+i)·2^60 ≤ 2^63 ⇒ i ≤ 7.
+    require(numHashes <= 7,
+      s"numHashes=$numHashes would overflow the 60-bit KM combination; " +
+        "use ≤ 7 per md5, or derive further families from seeded digests")
     val hashed = shingled.select(col("doc_id"),
       expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("kh1"),
       expr("CAST(conv(substring(md5(sh), 17, 15), 16, 10) AS BIGINT)").as("kh2"))

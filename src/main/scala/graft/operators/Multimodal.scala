@@ -74,10 +74,14 @@ object Multimodal {
       frameSize: Int, stride: Int): DataFrame =
     withPayloadDf
       .select(col(idCol), col("n_bytes"),
+        // empty payload → empty array → posexplode drops the row (a
+        // clamped sequence bound would emit one phantom 0-byte frame)
         posexplode(expr(
-          s"""transform(
-                sequence(0, CAST(greatest(ceil(n_bytes / $frameSize.0) - 1, 0) AS INT)),
-                i -> substring(payload, i * $frameSize + 1, $frameSize))"""))
+          s"""CASE WHEN n_bytes = 0 THEN array()
+              ELSE transform(
+                sequence(0, CAST(ceil(n_bytes / $frameSize.0) - 1 AS INT)),
+                i -> substring(payload, i * $frameSize + 1, $frameSize))
+              END"""))
           .as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % stride === 0)
       .select(col(idCol), col("frame_idx"),

@@ -54,6 +54,13 @@ object Salting {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, discriminator: Column, numSalts: Int,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit numSalts copies of every unmatched
+    // small-side row (it is replicated before the join) — only
+    // big-side-preserving join types are equivalence-safe.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin does not preserve '$joinType' semantics: the small side " +
+        "is replicated per salt, so unmatched small rows would duplicate")
     val saltedBig = big.withColumn("__salt", salt(discriminator, numSalts))
     val replicatedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(numSalts - 1))))

@@ -23,21 +23,19 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "est", "dans", "pour"),
     "es" -> Seq("el", "los", "las", "es", "por", "para"))
 
-  private def padded(text: Column): Column =
-    concat(lit(" "), Dedup.normalize(text), lit(" "))
+  /** Exact occurrence count of `word` in a normalized word ARRAY.
+    * (An earlier replace-and-measure-length version undercounted
+    * immediately repeated words — "the the" counted 1 — because the
+    * non-overlapping replace consumes the shared boundary space.)
+    * Pass a BOUND words column (`Dedup.words(text)` selected first),
+    * not an inline split — see [[Dedup.wordShingles]] on per-element
+    * re-evaluation in higher-order functions. */
+  def wordCount(wordsCol: Column, word: String): Column =
+    size(filter(wordsCol, w => w === lit(word))).cast("long")
 
-  /** Non-overlapping occurrence count of ` word ` in the padded
-    * normalized text, via length arithmetic (no explode, no UDF). */
-  def occurrences(text: Column, word: String): Column = {
-    val token = s" $word "
-    ((length(padded(text)) -
-      length(replace(padded(text), lit(token), lit(" ")))) /
-      lit(word.length + 1)).cast("long")
-  }
-
-  /** Total stopword hits for one language profile. */
-  def stopwordScore(text: Column, lang: String): Column =
-    stopwords(lang).map(occurrences(text, _)).reduce(_ + _)
+  /** Total stopword hits for one language profile over a words array. */
+  def stopwordScore(wordsCol: Column, lang: String): Column =
+    stopwords(lang).map(wordCount(wordsCol, _)).reduce(_ + _)
 
   /** Predicted language: argmax of the profile scores, ties broken by
     * profile order (en > de > fr > es); 'und' when nothing hits. */
@@ -70,11 +68,12 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: long-enough, low punctuation/digit
     * noise, reasonable stopword density. Weights are the operator's
-    * contract (documented, deterministic), not a tuned model. */
-  def qualityScore(text: Column): Column = {
+    * contract (documented, deterministic), not a tuned model.
+    * `wordsCol` must be the bound normalized words array. */
+  def qualityScore(text: Column, wordsCol: Column): Column = {
     val n = length(text).cast("double")
     val tokens = tokenCount(text).cast("double")
-    val stop = stopwordScore(text, "en").cast("double")
+    val stop = stopwordScore(wordsCol, "en").cast("double")
     val lenScore = least(n / lit(500.0), lit(1.0))
     val punctRatio = punctCount(text).cast("double") / greatest(n, lit(1.0))
     val digitRatio = digitCount(text).cast("double") / greatest(n, lit(1.0))

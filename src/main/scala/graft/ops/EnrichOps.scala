@@ -48,7 +48,11 @@ object EnrichOps {
 
   /** J2 zero-extra-scan variant: piggybacks the violation count on the
     * caller's own action via `Dataset.observe` (SURVEY §2.3 J2). Call
-    * [[assertNoViolations]] after the first action on the result. */
+    * [[assertNoViolations]] after the first action on the result.
+    * CAUTION: if that action is a WRITE, the bad rows are already
+    * persisted when the assert fires — use [[enrichValidated]] when the
+    * sink must stay clean (the pipeline does), and this variant when the
+    * action is side-effect-free or the sink is disposable. */
   def enrichObserved(chart: DataFrame, episodes: DataFrame): (DataFrame, Observation) = {
     val obs = Observation("join_check")
     val joined = enrich(chart, episodes)

@@ -12,14 +12,17 @@ import graft.operators.TextAnalysis
   */
 object TextQueries extends QueryPack {
 
-  /** ` w ` occurrence count over the padded normalized text, SQL form. */
-  private def occSql(w: String): String = {
-    val norm = raw"' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' '"
-    s"CAST((length($norm) - length(replace($norm, ' $w ', ' '))) / ${w.length + 1} AS BIGINT)"
-  }
+  /** Exact stopword count over the bound word array `w`, SQL form
+    * (mirrors TextAnalysis.wordCount: array filter, not substring
+    * arithmetic — substring counting undercounts adjacent repeats). */
+  private def occSql(word: String): String =
+    s"CAST(len(list_filter(w, x -> x = '$word')) AS BIGINT)"
 
   private def scoreSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(occSql).mkString("(", " + ", ")")
+
+  private val wordsSql =
+    raw"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
 
   // ---------------------------------------------------------------- q23
   // Stopword-profile language ID. On this synthetic corpus the text is
@@ -28,9 +31,12 @@ object TextQueries extends QueryPack {
   private val q23 = Q(
     "q23_lang_id",
     (s, dir) => {
+      val withWords = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Dedup.words(col("text")).as("__w"))
       val scores = TextAnalysis.stopwords.keys.map(l =>
-        l -> TextAnalysis.stopwordScore(col("text"), l)).toMap
-      Tables(s, dir, "documents")
+        l -> TextAnalysis.stopwordScore(col("__w"), l)).toMap
+      withWords
         .select(col("doc_id"),
           scores("en").as("s_en"), scores("de").as("s_de"),
           scores("fr").as("s_fr"), scores("es").as("s_es"),
@@ -51,7 +57,7 @@ object TextQueries extends QueryPack {
           SELECT doc_id,
                  ${scoreSql("en")} AS s_en, ${scoreSql("de")} AS s_de,
                  ${scoreSql("fr")} AS s_fr, ${scoreSql("es")} AS s_es
-          FROM documents))
+          FROM (SELECT doc_id, $wordsSql AS w FROM documents)))
       ORDER BY doc_id
     """))
 
@@ -62,11 +68,13 @@ object TextQueries extends QueryPack {
     "q24_quality_score",
     (s, dir) => {
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.operators.Dedup.words(col("text")).as("__w"))
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.punctCount(col("text")).as("n_punct"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
+          TextAnalysis.qualityScore(col("text"), col("__w")).as("quality"))
         .orderBy(col("doc_id"))
     },
     Some(raw"""
@@ -85,7 +93,7 @@ object TextQueries extends QueryPack {
                CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
                CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
                ${scoreSql("en")} AS s_en
-        FROM documents)
+        FROM (SELECT doc_id, text, $wordsSql AS w FROM documents))
       ORDER BY doc_id
     """))
 

@@ -25,9 +25,11 @@ object Backfill {
       episodes: DataFrame, layout: Pipeline.Layout): DataFrame = {
     val chart = spark.read.parquet(layout.bronzeDir)
       .filter(col("date") === lit(date)) // partition pruning
-    val (enriched, obs) = EnrichOps.enrichObserved(chart, episodes)
+    // validate BEFORE overwriting the partition — a failed check must
+    // leave the existing silver data intact (reference raises before
+    // upload, spotify_eps.py:189)
+    val enriched = EnrichOps.enrichValidated(chart, episodes)
     UnionOps.writeDailySnapshot(enriched, layout.silverDir)
-    EnrichOps.assertNoViolations(obs)
     enriched
   }
 

@@ -33,10 +33,17 @@ object Pipeline {
     UnionOps.writeDailySnapshot(chart, layout.bronzeDir)
 
     val episodes = EpisodeOps.flatten(EpisodeOps.parsePayloads(episodePayloads))
-    val (enriched, obs) = EnrichOps.enrichObserved(
-      spark.read.parquet(layout.bronzeDir), episodes)
+    // Enrich the JUST-PARSED dates only — never the whole bronze
+    // directory (historical dates would re-join against today's episode
+    // dim: O(history) work, and any retired episode id would fail
+    // validation and overwrite good history). Re-enriching old dates is
+    // Backfill's job, one pruned partition at a time.
+    // Validation is EAGER (extra broadcast-side pass) and must precede
+    // the write: the reference raises before uploading
+    // (spotify_eps.py:189); validate-on-write would first replace the
+    // silver partition with null-enriched rows.
+    val enriched = EnrichOps.enrichValidated(chart, episodes)
     UnionOps.writeDailySnapshot(enriched, layout.silverDir)
-    EnrichOps.assertNoViolations(obs) // reference raises ValueError (spotify_eps.py:189)
     enriched
   }
 

@@ -69,10 +69,12 @@ object StreamingOps {
     * run. */
   def incrementalGold(spark: SparkSession, silverDir: String,
       goldDir: String, checkpointDir: String, schema: StructType): Long = {
-    val before = java.nio.file.Files.exists(java.nio.file.Paths.get(goldDir)) match {
-      case true => spark.read.parquet(goldDir).count()
-      case false => 0L
-    }
+    // goldDir may exist with no committed parquet (a prior run died
+    // between sink-dir creation and the first commit) — a bare read
+    // would throw UNABLE_TO_INFER_SCHEMA and block recovery forever.
+    def goldCount(): Long =
+      scala.util.Try(spark.read.parquet(goldDir).count()).getOrElse(0L)
+    val before = goldCount()
     val q = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "*.parquet")
@@ -85,7 +87,7 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(goldDir).count() - before
+    goldCount() - before
   }
 
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)

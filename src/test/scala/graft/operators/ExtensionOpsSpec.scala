@@ -91,16 +91,20 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq(
       (1L, "the cat and the dog sat in the garden of the house"),
       (2L, "der hund und die katze das ist nicht der fall und das war es"),
-      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+      (3L, "xyzzy plugh"),
+      (4L, "the the the")) // adjacent repeats must each count
+      .toDF("doc_id", "text")
+      .withColumn("__w", Dedup.words(col("text")))
     val scores = TextAnalysis.stopwords.keys.map(l =>
-      l -> TextAnalysis.stopwordScore(col("text"), l)).toMap
+      l -> TextAnalysis.stopwordScore(col("__w"), l)).toMap
     val out = df.select(col("doc_id"),
         TextAnalysis.predictedLanguage(scores).as("pred"),
-        TextAnalysis.occurrences(col("text"), "the").as("n_the"))
+        TextAnalysis.wordCount(col("__w"), "the").as("n_the"))
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out(1L) == ("en", 4L))
     assert(out(2L)._1 == "de")
     assert(out(3L)._1 == "und")
+    assert(out(4L) == ("en", 3L)) // the replace-based version counted 2
   }
 
   test("quality score stays in [0,1]; token counts are exact") {
@@ -108,10 +112,11 @@ class TextAnalysisSpec extends SparkSpec {
     import s.implicits._
     val df = Seq((1L, "one two  three"), (2L, ""), (3L, "12345 67890!!!"))
       .toDF("doc_id", "text")
+      .withColumn("__w", Dedup.words(col("text")))
     val out = df.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n"),
         TextAnalysis.bpeTokenEstimate(col("text")).as("bpe"),
-        TextAnalysis.qualityScore(col("text")).as("q")).collect()
+        TextAnalysis.qualityScore(col("text"), col("__w")).as("q")).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(out(1L)._1 == 3L && out(1L)._2 == 3L) // 11 non-space chars -> ceil(11/4)=3
     assert(out(2L)._1 == 0L)
