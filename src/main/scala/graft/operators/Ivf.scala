@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path next to [[Similarity]]'s LSH: partition the vector space with a
+  * small k-means codebook, then search only the `nprobe` clusters
+  * nearest to the query. At 100 TB the cluster id becomes the partition
+  * key: candidates co-locate, the cross join never materializes.
+  *
+  * Engine-exact determinism (so a SQL oracle reproduces it bit-for-bit):
+  *  - vectors are quantized to integral doubles (floor(x·10⁶)) — sums of
+  *    integers below 2⁵³ are EXACT in IEEE double, so groupBy sums are
+  *    order-independent and centroid means are identical in any engine;
+  *  - distances use the expanded form |q|² − 2q·c + |c|² with ordered
+  *    dot-product folds (bit-equal to DuckDB's list_dot_product);
+  *  - every argmin carries a centroid-id tie-break;
+  *  - initialization is the k smallest vec_ids (deterministic, not
+  *    kmeans++ — this is a codebook demo, not a quality benchmark).
+  */
+object Ivf {
+
+  /** Integral-double quantization: exact in both engines. */
+  def quantize(vec: Column): Column =
+    transform(VectorFunctions.asDouble(vec), x => floor(x * lit(1000000.0)))
+
+  private def dist2(q: Column, c: Column): Column =
+    VectorFunctions.dot(q, q) - lit(2.0) * VectorFunctions.dot(q, c) +
+      VectorFunctions.dot(c, c)
+
+  /** (vec_id, qvec) quantized vectors. */
+  def quantized(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qvec"))
+
+  /** Assign every vector to its nearest centroid (cid tie-break).
+    * centroids: (cid, cent). Output: (vec_id, qvec, cid, d2). */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("qvec"), col("cent")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Mean of assigned vectors per centroid, element-wise. Exact integer
+    * sums (order-free) divided by counts. Clusters that lose every
+    * vector drop out (standard k-means behavior; k can shrink). */
+  def recompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("qvec")).as(Seq("d", "x")))
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("v", col("s") / col("n"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("d"), col("v")))).as("dv"))
+      .select(col("cid"), expr("transform(dv, p -> p.v)").as("cent"))
+
+  /** Lloyd iterations from the deterministic seed codebook. */
+  def centroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int): DataFrame = {
+    val vectors = quantized(embeddings, idCol, vecCol)
+    var cents = vectors.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qvec").as("cent"))
+    for (_ <- 0 until iterations)
+      cents = recompute(assign(vectors, cents))
+    cents
+  }
+
+  /** IVF top-k: probe the `nprobe` clusters nearest each query, exact
+    * cosine rerank inside them (norm-precomputed, same formula as
+    * [[Similarity]]). Under-filled probes return fewer than k — the
+    * recall/nprobe tradeoff that defines IVF. */
+  def topK(embeddings: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int, iterations: Int,
+      nprobe: Int): DataFrame = {
+    val cents = centroids(embeddings, idCol, vecCol, numCentroids, iterations)
+    val vectors = quantized(embeddings, idCol, vecCol)
+    val assigned = assign(vectors, cents).select(col("vec_id"), col("cid"))
+
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val probes = quantized(queries, idCol, vecCol)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("qvec"), col("cent")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+
+    val base = Similarity.withNorm(embeddings, idCol, vecCol)
+    val q = base.select(col(idCol).as("qi"), col(vecCol).as("q_vec"),
+      col("nrm").as("q_nrm"))
+    val n = base.select(col(idCol).as("ni"), col(vecCol).as("n_vec"),
+      col("nrm").as("n_nrm"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    probes
+      .join(assigned, "cid")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+      .join(broadcast(q), col("q_id") === col("qi"))
+      .join(n, col("n_id") === col("ni"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("q_vec"), col("n_vec")) /
+          (col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+}

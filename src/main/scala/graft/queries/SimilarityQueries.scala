@@ -122,5 +122,105 @@ object SimilarityQueries extends QueryPack {
       ORDER BY id_a, id_b
     """))
 
-  def all: Seq[Q] = Seq(q20, q21, q22)
+  // ---------------------------------------------------------------- q36
+  // IVF ANN: deterministic 8-centroid k-means codebook (2 Lloyd
+  // iterations over integer-exact quantized vectors — integral-double
+  // sums are order-free, so centroids are engine-identical), then
+  // nprobe=2 cluster search + cosine rerank. The oracle unrolls both
+  // iterations as CTE stages.
+  private val q36 = Q(
+    "q36_ann_ivf",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Ivf.topK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5,
+          numCentroids = 8, iterations = 2, nprobe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, c0 c))
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM a1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      a2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, c1 c))
+        WHERE rn = 1),
+      c2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM a2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      assigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, c2 c))
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, c2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN assigned a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      $normsSql
+      SELECT q_id, n_id, cos, rnk FROM (
+        SELECT c.q_id, c.n_id, $cosSql AS cos,
+               ROW_NUMBER() OVER (PARTITION BY c.q_id
+                 ORDER BY $cosSql DESC, c.n_id ASC) AS rnk
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.q_id
+        JOIN nrm na ON na.vec_id = c.q_id
+        JOIN embeddings b ON b.vec_id = c.n_id
+        JOIN nrm nb ON nb.vec_id = c.n_id)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  def all: Seq[Q] = Seq(q20, q21, q22, q36)
 }

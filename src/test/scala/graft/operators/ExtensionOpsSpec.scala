@@ -200,3 +200,24 @@ class ApproxDistinctSpec extends graft.SparkSpec {
     }
   }
 }
+
+class IvfSpec extends graft.SparkSpec {
+  test("IVF: every vector lands in exactly one cluster; probes respect nprobe") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Ivf.centroids(e, "vec_id", "embedding", k = 8, iterations = 2)
+    assert(cents.count() <= 8 && cents.count() > 1)
+    val assigned = Ivf.assign(Ivf.quantized(e, "vec_id", "embedding"), cents)
+    assert(assigned.count() == e.count()) // total, single assignment
+    val top = Ivf.topK(e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, numCentroids = 8, iterations = 2, nprobe = 8)
+    // probing ALL clusters = brute force: top-1 must match exact search
+    val bf = Similarity.bruteForceTopK(e,
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "vec_id", "embedding", k = 5)
+    val t1 = top.filter(org.apache.spark.sql.functions.col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b1 = bf.filter(org.apache.spark.sql.functions.col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t1 == b1)
+  }
+}
