@@ -17,6 +17,13 @@ object DedupQueries extends QueryPack {
   private val normWordsSql =
     raw"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
 
+  /** English stopword score over the bound word array `w` — identical
+    * expression to TextQueries' scoreSql("en") / TextAnalysis. */
+  private val scoreSqlEn: String =
+    graft.operators.TextAnalysis.stopwords("en")
+      .map(word => s"CAST(len(list_filter(w, x -> x = '$word')) AS BIGINT)")
+      .mkString("(", " + ", ")")
+
   // ---------------------------------------------------------------- q16
   private val q16 = Q(
     "q16_dedup_exact",
@@ -239,5 +246,90 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34)
+  // ---------------------------------------------------------------- q37
+  // The full curation composition (CorpusPipeline): exact dedup →
+  // LSH-proposed + Jaccard-verified near-dup removal → quality gate →
+  // token accounting, as ONE declarative plan reproduced end-to-end by
+  // the oracle.
+  private val q37 = Q(
+    "q37_corpus_curate",
+    (s, dir) => {
+      graft.operators.CorpusPipeline.curate(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.5, minQuality = 0.3)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      ex AS (SELECT d.* FROM documents d JOIN exact_keep USING (doc_id)),
+      norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM ex),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      shr AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY 1, 2),
+      losers AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM shr
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.5),
+      surv AS (
+        SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+      feats AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               ${scoreSqlEn} AS s_en,
+               CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4.0) AS BIGINT) AS n_bpe_tokens,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM (SELECT doc_id, text, $normWordsSql AS w FROM surv))
+      SELECT doc_id, quality, n_tokens, n_bpe_tokens, fp FROM (
+        SELECT doc_id,
+               ROUND(
+                 0.4 * least(n_chars / 500.0, 1.0)
+               + 0.2 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * least((s_en / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0),
+                 6) AS quality,
+               n_tokens, n_bpe_tokens, fp
+        FROM feats)
+      WHERE quality >= 0.3
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37)
 }
