@@ -26,8 +26,14 @@ object PipelineDemo {
     def res(p: String): String = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fixtureDir/$p")))
 
-    val chart = Seq(("2024-10-22", "us", res("chart_us.json")))
-      .toDF("date", "region", "payload")
+    // Ingest through the DataSource V2 connector (one payload row per
+    // chart_<region>_<date>.json, one partition per "fetch"), exactly
+    // as production would: the raw fixture is staged into a scratch
+    // ingest dir first.
+    val ingestDir = java.nio.file.Files.createTempDirectory("podchart_ingest")
+    java.nio.file.Files.writeString(
+      ingestDir.resolve("chart_us_2024-10-22.json"), res("chart_us.json"))
+    val chart = spark.read.format("podchart").load(ingestDir.toString)
     val eps = Seq(("2024-10-22", "us", res("episodes_us.json")))
       .toDF("date", "region", "payload")
     val layout = Pipeline.Layout(
