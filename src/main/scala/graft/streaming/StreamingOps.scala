@@ -90,6 +90,17 @@ object StreamingOps {
     goldCount() - before
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same content
+    * fingerprint, with state bounded by the event-time watermark (state
+    * for fingerprints older than the delay is evicted — the streaming
+    * form of Dedup.exact, and the ingestion-side guard a 100 TB corpus
+    * stream needs so replays don't re-admit duplicates). Batch callers
+    * get plain dropDuplicates semantics. */
+  def dedupStream(df: DataFrame, fingerprintCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessionSeq: Long, lastTs: Long)
   final case class SessionAssign(user_id: Long, event_id: Long, session_seq: Long)

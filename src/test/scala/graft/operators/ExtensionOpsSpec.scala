@@ -221,3 +221,30 @@ class IvfSpec extends graft.SparkSpec {
     assert(t1 == b1)
   }
 }
+
+class StreamDedupSpec extends graft.SparkSpec {
+  test("watermarked streaming dedup drops in-window re-deliveries") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("sdedup")
+    // two deliveries of fp "a" within the window, one of "b"
+    Seq(("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:10:00"),
+        ("b", "2024-01-01 00:20:00"))
+      .toDF("fp", "ts_s")
+      .select(col("fp"), col("ts_s").cast("timestamp").as("ts"))
+      .coalesce(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema("fp STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.StreamingOps
+      .dedupStream(stream, "fp", "ts", "1 hour")
+      .writeStream.format("memory").queryName("sdedup_sink")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("sdedup_sink").collect()
+    assert(out.length == 2) // "a" deduplicated, "b" kept
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+}
