@@ -63,5 +63,41 @@ object StreamingQueries extends QueryPack {
       ORDER BY bucket_start, event_type
     """))
 
-  def all: Seq[Q] = Seq(q29, q30)
+  // ---------------------------------------------------------------- q38
+  // As-of join (log-enrichment shape): each error event picks up the
+  // most recent click value at-or-before it, per user — composed as one
+  // union+window pass (operators.AsOfJoin), no range join, one shuffle.
+  private val q38 = Q(
+    "q38_asof_join",
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsOfJoin.asOf(errors, clicks,
+          keyCol = "user_id", tsCol = "ts", valueCol = "value",
+          tieCol = "event_id")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, ts, event_id, value, asof_value, asof_ts FROM (
+        SELECT user_id, ts, event_id, value, side,
+               last_value(rv IGNORE NULLS) OVER w AS asof_value,
+               last_value(rts IGNORE NULLS) OVER w AS asof_ts
+        FROM (
+          SELECT user_id, ts, event_id, value, 1 AS side,
+                 CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS TIMESTAMP) AS rts
+          FROM events WHERE event_type = 'error'
+          UNION ALL
+          SELECT user_id, ts, event_id, NULL, 0, value, ts
+          FROM events WHERE event_type = 'click')
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts ASC, side ASC, event_id ASC
+                     ROWS UNBOUNDED PRECEDING))
+      WHERE side = 1
+      ORDER BY user_id, event_id
+    """))
+
+  def all: Seq[Q] = Seq(q29, q30, q38)
 }

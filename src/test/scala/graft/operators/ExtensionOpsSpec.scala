@@ -248,3 +248,24 @@ class StreamDedupSpec extends graft.SparkSpec {
     assert(out.map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
   }
 }
+
+class AsOfJoinSpec extends graft.SparkSpec {
+  test("as-of join: inclusive at equal ts, null before any right row") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    def df(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("user_id", "ts_us", "event_id", "value")
+        .select($"user_id", timestamp_micros($"ts_us").as("ts"), $"event_id", $"value")
+    val left = df(Seq((1L, 100L, 10L, 0.0), (1L, 200L, 11L, 0.0),
+      (1L, 50L, 12L, 0.0), (2L, 100L, 13L, 0.0)))
+    val right = df(Seq((1L, 100L, 1L, 7.5), (1L, 150L, 2L, 9.9)))
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out(10L) == Some(7.5))  // equal ts -> inclusive match
+    assert(out(11L) == Some(9.9))  // latest prior
+    assert(out(12L) == None)       // before any right row
+    assert(out(13L) == None)       // other key sees nothing
+  }
+}
