@@ -37,18 +37,24 @@ object CoreQueries extends QueryPack {
       Tables(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity".cast("decimal(18,2)")).as("sum_qty"),
-          sum($"l_extendedprice".cast("decimal(18,2)")).as("sum_base_price"),
+          // SUM output types are PINNED on both engines: DuckDB widens
+          // SUM(DECIMAL(18,2)) to DECIMAL(38,2), Spark to DECIMAL(28,2) —
+          // the driver's hash is type-sensitive, so the final column must
+          // carry one explicit type in the Spark plan AND the oracle.
+          sum($"l_quantity".cast("decimal(18,2)"))
+            .cast("decimal(28,2)").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)"))
+            .cast("decimal(28,2)").as("sum_base_price"),
           sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("decimal(28,4)").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
              COUNT(*) AS count_order
       FROM lineitem
       GROUP BY l_returnflag, l_linestatus
@@ -143,7 +149,7 @@ object CoreQueries extends QueryPack {
         .orderBy($"event_type", $"rnk")
     },
     Some("""
-      SELECT event_type, event_id, value, rnk FROM (
+      SELECT event_type, event_id, value, CAST(rnk AS INTEGER) AS rnk FROM (
         SELECT event_type, event_id, value,
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY value DESC, event_id ASC) AS rnk
@@ -262,12 +268,13 @@ object CoreQueries extends QueryPack {
         .select($"event_type",
           get_json_object($"props", "$.k").cast("long").as("k_val"))
         .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), sum($"k_val").as("sum_k"))
+        .agg(count(lit(1)).as("n"),
+          sum($"k_val").cast("long").as("sum_k"))
         .orderBy($"event_type")
     },
     Some("""
       SELECT event_type, COUNT(*) AS n,
-             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       FROM events
       GROUP BY event_type
       ORDER BY event_type
@@ -290,13 +297,14 @@ object CoreQueries extends QueryPack {
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy($"r_name", $"n_name")
         .agg(
-          sum($"o_totalprice".cast("decimal(18,2)")).as("total_revenue"),
+          sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("decimal(28,2)").as("total_revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy($"r_name", $"n_name")
     },
     Some("""
       SELECT r_name, n_name,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_revenue,
              COUNT(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey
@@ -317,14 +325,15 @@ object CoreQueries extends QueryPack {
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(
           count(lit(1)).as("n"),
-          sum($"value".cast("decimal(14,2)")).as("sum_value"))
+          sum($"value".cast("decimal(14,2)"))
+            .cast("decimal(28,2)").as("sum_value"))
         .select($"w.start".as("bucket_start"), $"event_type", $"n", $"sum_value")
         .orderBy($"bucket_start", $"event_type")
     },
     Some("""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
              COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(14,2))) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY bucket_start, event_type
@@ -371,7 +380,8 @@ object CoreQueries extends QueryPack {
         .rollup($"o_orderstatus", $"o_orderpriority")
         .agg(
           count(lit(1)).as("n"),
-          sum($"o_totalprice".cast("decimal(18,2)")).as("revenue"),
+          sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("decimal(28,2)").as("revenue"),
           grouping($"o_orderstatus").as("g_status"),
           grouping($"o_orderpriority").as("g_prio"))
         .orderBy($"o_orderstatus".asc_nulls_first,
@@ -380,7 +390,7 @@ object CoreQueries extends QueryPack {
     Some("""
       SELECT o_orderstatus, o_orderpriority,
              COUNT(*) AS n,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue,
              CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
              CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
       FROM orders
@@ -406,11 +416,16 @@ object CoreQueries extends QueryPack {
           ("sum", "qty_dec", "sum_qty"),
           ("count", "", "n"),
           ("max", "l_extendedprice", "max_price"))
+        // the two-phase re-sum widens DECIMAL(28,2)→(38,2); pin the
+        // output type so it matches the oracle's pinned DECIMAL(28,2)
+        .select($"l_returnflag",
+          $"sum_qty".cast("decimal(28,2)").as("sum_qty"),
+          $"n", $"max_price")
         .orderBy($"l_returnflag")
     },
     Some("""
       SELECT l_returnflag,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
              COUNT(*) AS n,
              MAX(l_extendedprice) AS max_price
       FROM lineitem

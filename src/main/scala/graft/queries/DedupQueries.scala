@@ -113,7 +113,7 @@ object DedupQueries extends QueryPack {
       banded AS (
         SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
         FROM sig, UNNEST(generate_series(0, 3)) AS t(k))
-      SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM banded a JOIN banded b

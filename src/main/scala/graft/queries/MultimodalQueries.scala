@@ -49,7 +49,7 @@ object MultimodalQueries extends QueryPack {
              CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower,
              CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
-             list_sum(list_transform(string_split(text, ''), x -> unicode(x))) % 997 AS byte_sum_mod
+             CAST(COALESCE(list_sum(list_transform(string_split(text, ''), x -> unicode(x))), 0) % 997 AS BIGINT) AS byte_sum_mod
       FROM documents
       ORDER BY doc_id
     """))

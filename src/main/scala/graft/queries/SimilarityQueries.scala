@@ -37,7 +37,7 @@ object SimilarityQueries extends QueryPack {
     },
     Some(s"""
       WITH $normsSql
-      SELECT q_id, n_id, cos, rnk FROM (
+      SELECT q_id, n_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
         SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosSql AS cos,
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
                  ORDER BY $cosSql DESC, b.vec_id ASC) AS rnk
@@ -88,7 +88,7 @@ object SimilarityQueries extends QueryPack {
           ON qa.t = nb.t AND qa.bucket = nb.bucket AND qa.vec_id <> nb.vec_id
         WHERE qa.vec_id < 10),
       $normsSql
-      SELECT q_id, n_id, cos, rnk FROM (
+      SELECT q_id, n_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
         SELECT c.q_id, c.n_id, $cosSql AS cos,
                ROW_NUMBER() OVER (PARTITION BY c.q_id
                  ORDER BY $cosSql DESC, c.n_id ASC) AS rnk
@@ -209,7 +209,7 @@ object SimilarityQueries extends QueryPack {
         FROM probes p JOIN assigned a
           ON a.cid = p.cid AND a.vec_id <> p.q_id),
       $normsSql
-      SELECT q_id, n_id, cos, rnk FROM (
+      SELECT q_id, n_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
         SELECT c.q_id, c.n_id, $cosSql AS cos,
                ROW_NUMBER() OVER (PARTITION BY c.q_id
                  ORDER BY $cosSql DESC, c.n_id ASC) AS rnk

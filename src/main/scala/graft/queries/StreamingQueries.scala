@@ -30,8 +30,8 @@ object StreamingQueries extends QueryPack {
     },
     Some("""
       SELECT user_id, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM (
         SELECT user_id, event_id, ts,
                CASE WHEN prev_ts IS NULL
@@ -57,7 +57,7 @@ object StreamingQueries extends QueryPack {
     Some("""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
              COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(14,2))) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY bucket_start, event_type

@@ -105,10 +105,13 @@ object TextQueries extends QueryPack {
     "q25_token_stats",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // final SUM columns pinned to BIGINT on both engines (DuckDB's
+      // SUM(BIGINT) widens to HUGEINT and the driver hash is type-strict)
       val perDoc = docs.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
-        sum(TextAnalysis.bpeTokenEstimate(col("text"))).as("sum_bpe_tokens"))
+        sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("sum_tokens"),
+        sum(TextAnalysis.bpeTokenEstimate(col("text"))).cast("long")
+          .as("sum_bpe_tokens"))
       val vocab = docs
         .select(col("source"),
           explode(graft.operators.Dedup.words(col("text"))).as("w"))
@@ -119,9 +122,9 @@ object TextQueries extends QueryPack {
     Some(raw"""
       WITH perdoc AS (
         SELECT source, COUNT(*) AS n_docs,
-               SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
-               SUM(CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4.0) AS BIGINT)) AS sum_bpe_tokens
+               CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
+               CAST(SUM(CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4.0) AS BIGINT)) AS BIGINT) AS sum_bpe_tokens
         FROM documents GROUP BY source),
       vocab AS (
         SELECT source, COUNT(DISTINCT w) AS n_distinct_words

@@ -47,7 +47,10 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(14,2)")).as("sum_value"))
+        // pinned output type: the driver's oracle hash is type-strict
+        // (DuckDB widens SUM(DECIMAL) differently than Spark)
+        sum(col("value").cast("decimal(14,2)"))
+          .cast("decimal(28,2)").as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
     val q = agg.writeStream
