@@ -39,9 +39,13 @@ object Similarity {
     * per vector. */
   def hyperplanes(spark: SparkSession, numTables: Int, planesPerTable: Int,
       dims: Int): DataFrame =
-    spark.range(numTables).toDF("t")
-      .crossJoin(spark.range(planesPerTable).toDF("j"))
-      .crossJoin(spark.range(dims).toDF("d"))
+    // one flat range decomposed arithmetically (not range³ cross joins:
+    // those plan as BroadcastNestedLoopJoin and pollute plan audits)
+    spark.range(numTables.toLong * planesPerTable * dims)
+      .select(
+        (col("id") / (planesPerTable * dims)).cast("long").as("t"),
+        ((col("id") / dims) % planesPerTable).cast("long").as("j"),
+        (col("id") % dims).as("d"))
       .withColumn("r_int",
         expr("CAST(conv(substring(md5(concat(t, '_', j, '_', d)), 1, 8), 16, 10) AS BIGINT)" +
           " - 2147483648"))
@@ -120,9 +124,50 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (dedup tier 5): all pairs with
-    * cosine ≥ threshold. Brute force here — the exact baseline; at scale
-    * compose with [[lshBuckets]] to restrict to same-bucket pairs. */
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed (dedup tier 5,
+    * the 100 TB form): candidate pairs are vectors sharing a bucket in
+    * ANY of `numTables` sign-hash tables, then exact cosine rerank +
+    * threshold. Pair space is Σ bucketSize² per (table, bucket) — never
+    * n² — and every join is a hash join on (t, bucket) or id: no
+    * CartesianProduct anywhere in the plan.
+    *
+    * Parameter shape: recall for pairs at cosine c is
+    * 1-(1-p^b)^L with p = 1-θ(c)/π — SHORT hashes × MANY tables for
+    * moderate thresholds (b=4, L=8 ≈ 0.78 at c≈0.43), LONGER hashes
+    * (b=16+) once the threshold is a true near-dup (c ≥ 0.9), which is
+    * also what shrinks buckets — and pair cost — as n grows. */
+  def nearDupPairsBucketed(embeddings: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, numTables: Int, planesPerTable: Int,
+      dims: Int): DataFrame = {
+    val buckets = lshBuckets(embeddings, idCol, vecCol, numTables,
+      planesPerTable, dims)
+    val lhs = buckets.select(col("vid").as("id_a"), col("t"), col("bucket"))
+    val rhs = buckets.select(col("vid").as("id_b"), col("t").as("t_b"),
+      col("bucket").as("bucket_b"))
+    val cands = lhs.join(rhs,
+        col("t") === col("t_b") && col("bucket") === col("bucket_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val base = withNorm(embeddings, idCol, vecCol)
+    val a = base.select(col(idCol).as("ia"), col(vecCol).as("vec_a"),
+      col("nrm").as("nrm_a"))
+    val b = base.select(col(idCol).as("ib"), col(vecCol).as("vec_b"),
+      col("nrm").as("nrm_b"))
+    cands
+      .join(a, col("id_a") === col("ia"))
+      .join(b, col("id_b") === col("ib"))
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, brute force: all pairs with
+    * cosine ≥ threshold. The EXACT small-scale baseline that the
+    * bucketed form's recall is measured against in specs — O(n²), so it
+    * is deliberately NOT the registered query; use
+    * [[nearDupPairsBucketed]] at scale. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
     val base = withNorm(embeddings, idCol, vecCol)

@@ -25,6 +25,29 @@ object SimilarityQueries extends QueryPack {
     """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
        (na.nrm * nb.nrm)"""
 
+  /** LSH bucket CTE chain (planes→vx→proj→bucket), the SQL twin of
+    * Similarity.lshBuckets: integer-exact projections so the bucket of a
+    * vector can never differ between engines. */
+  private def bucketsSql(numTables: Int, planesPerTable: Int, dims: Int): String = s"""
+      planes AS (
+        SELECT t, j, d,
+               ('0x' || substr(md5(t || '_' || j || '_' || d), 1, 8))::BIGINT
+                 - 2147483648 AS r_int
+        FROM UNNEST(generate_series(0, ${numTables - 1})) t0(t),
+             UNNEST(generate_series(0, ${planesPerTable - 1})) t1(j),
+             UNNEST(generate_series(0, ${dims - 1})) t2(d)),
+      vx AS (
+        SELECT vec_id, d - 1 AS d,
+               CAST(floor(embedding[d]::DOUBLE * 1000000.0) AS BIGINT) AS x_int
+        FROM embeddings, UNNEST(generate_series(1, $dims)) t(d)),
+      proj AS (
+        SELECT vec_id, t, j, SUM(r_int * x_int) AS proj
+        FROM vx JOIN planes USING (d) GROUP BY vec_id, t, j),
+      bucket AS (
+        SELECT vec_id, t,
+               SUM((CASE WHEN proj >= 0 THEN 1::BIGINT ELSE 0::BIGINT END) << j) AS bucket
+        FROM proj GROUP BY vec_id, t)"""
+
   // ---------------------------------------------------------------- q20
   // Exact brute-force cosine top-5 for query vectors vec_id < 10.
   private val q20 = Q(
@@ -64,24 +87,7 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"), col("rnk"))
     },
     Some(s"""
-      WITH planes AS (
-        SELECT t, j, d,
-               ('0x' || substr(md5(t || '_' || j || '_' || d), 1, 8))::BIGINT
-                 - 2147483648 AS r_int
-        FROM UNNEST(generate_series(0, 1)) t0(t),
-             UNNEST(generate_series(0, 3)) t1(j),
-             UNNEST(generate_series(0, 63)) t2(d)),
-      vx AS (
-        SELECT vec_id, d - 1 AS d,
-               CAST(floor(embedding[d]::DOUBLE * 1000000.0) AS BIGINT) AS x_int
-        FROM embeddings, UNNEST(generate_series(1, 64)) t(d)),
-      proj AS (
-        SELECT vec_id, t, j, SUM(r_int * x_int) AS proj
-        FROM vx JOIN planes USING (d) GROUP BY vec_id, t, j),
-      bucket AS (
-        SELECT vec_id, t,
-               SUM((CASE WHEN proj >= 0 THEN 1::BIGINT ELSE 0::BIGINT END) << j) AS bucket
-        FROM proj GROUP BY vec_id, t),
+      WITH ${bucketsSql(2, 4, 64)},
       cand AS (
         SELECT DISTINCT qa.vec_id AS q_id, nb.vec_id AS n_id
         FROM bucket qa JOIN bucket nb
@@ -102,22 +108,36 @@ object SimilarityQueries extends QueryPack {
     """))
 
   // ---------------------------------------------------------------- q22
-  // Embedding-cosine near-dup pairs, cos ≥ 0.4 (exact baseline).
+  // Embedding-cosine near-dup pairs, cos ≥ 0.4 — the LSH-BUCKETED form
+  // (candidates share a sign-hash bucket in any of 8 tables, exact
+  // cosine rerank). This is the registered query precisely because it is
+  // the plan that survives 100 TB: pair space is Σ bucket² per
+  // (t, bucket), not n², and the plan contains no CartesianProduct (the
+  // SimilaritySpec asserts that). The O(n²) exact baseline
+  // (Similarity.nearDupPairs) stays spec-only, where it also measures
+  // this query's recall.
   private val q22 = Q(
     "q22_embedding_near_dup",
     (s, dir) => {
-      Similarity.nearDupPairs(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", minCos = 0.4)
+      Similarity.nearDupPairsBucketed(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", minCos = 0.4,
+          numTables = 8, planesPerTable = 4, dims = 64)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""
-      WITH $normsSql
+      WITH ${bucketsSql(8, 4, 64)},
+      cand AS (
+        SELECT DISTINCT qa.vec_id AS id_a, nb.vec_id AS id_b
+        FROM bucket qa JOIN bucket nb
+          ON qa.t = nb.t AND qa.bucket = nb.bucket AND qa.vec_id < nb.vec_id),
+      $normsSql
       SELECT id_a, id_b, cos FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
-        FROM embeddings a
-        JOIN nrm na ON na.vec_id = a.vec_id
-        JOIN embeddings b ON a.vec_id < b.vec_id
-        JOIN nrm nb ON nb.vec_id = b.vec_id)
+        SELECT c.id_a, c.id_b, $cosSql AS cos
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN nrm na ON na.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+        JOIN nrm nb ON nb.vec_id = c.id_b)
       WHERE cos >= 0.4
       ORDER BY id_a, id_b
     """))

@@ -82,6 +82,22 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(b((0L, 0L)) == b((1L, 0L)) && b((0L, 1L)) == b((1L, 1L)))
   }
+
+  test("bucketed near-dup: subset of exact, recall >= 0.6, no cartesian") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.nearDupPairsBucketed(e, "vec_id", "embedding",
+      0.4, numTables = 8, planesPerTable = 4, dims = 64)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed near-dup must not plan an all-pairs join:\n$plan")
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact)) // exact rerank -> precision 1.0
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall (${got.size}/${exact.size})")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
