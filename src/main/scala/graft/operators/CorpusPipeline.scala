@@ -25,10 +25,9 @@ object CorpusPipeline {
     val exactSurvivors = docs.join(exactKeep, idCol)
 
     // near-duplicates among exact survivors: drop the larger id of
-    // every verified pair
-    val nearLosers = Dedup.ngramJaccardForPairs(exactSurvivors,
-        Dedup.minhashLsh(exactSurvivors, idCol, textCol),
-        idCol, textCol, k = 3)
+    // every verified pair (proposeVerify builds the shingle frame once
+    // and shares it between the LSH propose and the Jaccard verify)
+    val nearLosers = Dedup.proposeVerify(exactSurvivors, idCol, textCol)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_b").as(idCol)).distinct()
     val nearSurvivors = exactSurvivors.join(nearLosers, Seq(idCol), "left_anti")

@@ -182,13 +182,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** LSH-propose + exact-Jaccard-verify with the shingle frame built
+    * ONCE: the distinct (doc_id, shingle) frame is persisted and feeds
+    * BOTH the minhash signatures (min over a set ≡ min over the multiset,
+    * so signatures are identical to the non-dedup path) and the Jaccard
+    * verification. Without this the propose and verify branches each
+    * rebuilt the normalize→split→shingle→explode tree — q34 was the
+    * slowest query in the r1 bench purely from that recompute. */
+  def proposeVerify(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = lshCandidatePairs(lshBands(
+      minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
+    ngramJaccardOnShingles(sh, pairs)
+  }
+
   /** Exact shingle-Jaccard verification restricted to candidate pairs —
     * the scale path: the shingle join explodes quadratically on a shared
     * vocabulary when run corpus-wide, but is linear in |candidates| here.
-    * Compose with [[minhashLsh]]: LSH proposes, exact Jaccard verifies. */
+    * Compose with [[minhashLsh]]: LSH proposes, exact Jaccard verifies —
+    * or use [[proposeVerify]], which also shares the shingle frame. */
   def ngramJaccardForPairs(docs: DataFrame, pairs: DataFrame,
-      idCol: String, textCol: String, k: Int): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, k)
+      idCol: String, textCol: String, k: Int): DataFrame =
+    ngramJaccardOnShingles(explodedShingles(docs, idCol, textCol, k), pairs)
+
+  /** Jaccard verification over a PREBUILT distinct (doc_id, sh) frame —
+    * lets callers share one shingle frame across propose and verify. */
+  def ngramJaccardOnShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = pairs
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))

@@ -130,11 +130,8 @@ object DedupQueries extends QueryPack {
   private val q19 = Q(
     "q19_dedup_ngram_jaccard",
     (s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      Dedup.ngramJaccardForPairs(docs,
-          Dedup.minhashLsh(docs, "doc_id", "text",
-            shingleK = 3, numHashes = 6, rowsPerBand = 2),
-          "doc_id", "text", k = 3)
+      Dedup.proposeVerify(Tables(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numHashes = 6, rowsPerBand = 2)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(raw"""
@@ -189,10 +186,8 @@ object DedupQueries extends QueryPack {
     "q34_dedup_apply",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val verified = Dedup.ngramJaccardForPairs(docs,
-          Dedup.minhashLsh(docs, "doc_id", "text",
-            shingleK = 3, numHashes = 6, rowsPerBand = 2),
-          "doc_id", "text", k = 3)
+      val verified = Dedup.proposeVerify(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 6, rowsPerBand = 2)
         .filter(col("jaccard") >= 0.5)
       val losers = verified.select(col("doc_b").as("doc_id")).distinct()
       docs.join(losers, Seq("doc_id"), "left_anti")
