@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries,
     graft.queries.TextQueries,
     graft.queries.MultimodalQueries,
-    graft.queries.StreamingQueries)
+    graft.queries.StreamingQueries,
+    graft.queries.SinkQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: left-enrich the fact side with the dim, validate
