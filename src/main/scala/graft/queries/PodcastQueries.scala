@@ -105,5 +105,36 @@ object PodcastQueries extends QueryPack {
       ORDER BY region, "rank"
     """))
 
-  def all: Seq[Q] = Seq(q14, q15)
+  // ---------------------------------------------------------------- q40
+  // S2 end-to-end: the 50-per-call batched point-lookup. Ids stream
+  // through BatchedLookup.fetchPayloads (mapPartitions chunking — the
+  // reference's driver loop, spotify_eps.py:115-118, distributed), the
+  // fixture service answers each batch with a /v1/episodes-shaped
+  // payload, and the REAL parse path (EpisodeOps.parsePayloads)
+  // flattens it. The oracle recomputes the service's pure per-id fields
+  // directly, so equality proves no id is dropped, duplicated, or
+  // mis-parsed anywhere in the chunk/fetch/parse loop.
+  private val q40 = Q(
+    "q40_batched_lookup",
+    (s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 7 === 0)
+        .select($"o_orderkey".as("id"))
+      val payloads = graft.ops.BatchedLookup.fetchPayloads(
+        ids, "id", batchSize = 50,
+        graft.ops.BatchedLookup.fixtureEpisodeService)
+      graft.ops.EpisodeOps.parsePayloads(payloads)
+        .select($"id", $"name", $"duration_ms")
+        .orderBy($"id")
+    },
+    Some("""
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             'ep-' || CAST(o_orderkey AS VARCHAR) AS name,
+             o_orderkey % 100000 AS duration_ms
+      FROM orders WHERE o_orderkey % 7 = 0
+      ORDER BY id
+    """))
+
+  def all: Seq[Q] = Seq(q14, q15, q40)
 }

@@ -156,3 +156,38 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.rebuildGold(spark, layout).count() == 3)
   }
 }
+
+class BatchedLookupSpec extends SparkSpec {
+
+  /** Lookup that records how many ids each call received, inside the
+    * payload itself — lets assertions run distributed, no accumulators. */
+  private val countingService: Seq[String] => String = ids =>
+    ids.map(id => s"""{"id":"$id","name":"n${ids.size}","duration_ms":0}""")
+      .mkString("""{"episodes":[""", ",", "]}")
+
+  test("chunks of <= batchSize; every id exactly once (S2)") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 120L).toDF("id").repartition(1)
+    val out = EpisodeOps.parsePayloads(
+        BatchedLookup.fetchPayloads(ids, "id", 50, countingService))
+      .select(col("id"), col("name")).collect()
+    // 120 ids in one partition -> calls of 50, 50, 20
+    assert(out.length == 120)
+    assert(out.map(_.getString(0)).toSet == (1L to 120L).map(_.toString).toSet)
+    val sizes = out.map(_.getString(1).drop(1).toInt)
+    assert(sizes.max <= 50)
+    assert(sizes.count(_ == 50) == 100 && sizes.count(_ == 20) == 20)
+  }
+
+  test("multi-partition: chunking is per-partition, ids still total") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 101L).toDF("id").repartition(4)
+    val out = EpisodeOps.parsePayloads(
+        BatchedLookup.fetchPayloads(ids, "id", 50, countingService))
+      .collect()
+    assert(out.length == 101)
+    assert(out.map(_.getString(0)).toSet == (1L to 101L).map(_.toString).toSet)
+  }
+}
