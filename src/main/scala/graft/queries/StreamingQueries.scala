@@ -14,8 +14,10 @@ import graft.streaming.StreamingOps
 object StreamingQueries extends QueryPack {
 
   // ---------------------------------------------------------------- q29
-  // Keyed-state sessionization (30-min gap), verified against the pure
-  // window-function formulation in SQL.
+  // Gap sessionization (30-min). The BATCH entry point is the window
+  // plan (sessionizeBatch) — lag + running sum, no per-group buffering,
+  // hot keys spill instead of OOM. The keyed-state streaming form
+  // (sessionize) is asserted equal in SessionizeParitySpec.
   private val q29 = Q(
     "q29_sessionize",
     (s, dir) => {
@@ -24,8 +26,7 @@ object StreamingQueries extends QueryPack {
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("ts_us"))
         .as[StreamingOps.Ev]
-      StreamingOps.sessionize(evs, gapMicros = 1800L * 1000000L)
-        .toDF()
+      StreamingOps.sessionizeBatch(evs, gapMicros = 1800L * 1000000L)
         .orderBy(col("user_id"), col("event_id"))
     },
     Some("""

@@ -108,12 +108,35 @@ object StreamingOps {
   final case class SessionState(sessionSeq: Long, lastTs: Long)
   final case class SessionAssign(user_id: Long, event_id: Long, session_seq: Long)
 
-  /** Gap-based sessionization with keyed state
+  /** BATCH gap sessionization as the pure window-function plan: lag to
+    * detect gap starts, running sum to number sessions. This is the
+    * right batch formulation — the window sort streams through each
+    * partition with spill support, so a hot user key cannot OOM an
+    * executor the way a buffered `rows.toSeq` group would at 100 TB.
+    * Semantics identical to [[sessionize]] (SessionizeParitySpec
+    * asserts it); the streaming form remains `flatMapGroupsWithState`,
+    * where the micro-batch bounds group size and state must carry
+    * across batches. */
+  def sessionizeBatch(events: Dataset[Ev], gapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    events.toDF()
+      .withColumn("__prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("__is_new",
+        when(col("__prev").isNull ||
+          col("ts_us") - col("__prev") > gapMicros, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("__is_new")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+  }
+
+  /** STREAMING gap sessionization with keyed state
     * (`flatMapGroupsWithState`): a new session starts when the gap to
-    * the previous event exceeds `gapMicros`. Works on a stream (state
-    * carries across micro-batches) and on a batch Dataset (single
-    * invocation per key) — the batch path is what the oracle checks;
-    * see also CoreQueries' window-function formulation. */
+    * the previous event exceeds `gapMicros`. State carries across
+    * micro-batches, whose size bounds the per-key buffer; for batch
+    * data use [[sessionizeBatch]] (window plan, no group buffering). */
   def sessionize(events: Dataset[Ev], gapMicros: Long): Dataset[SessionAssign] = {
     import events.sparkSession.implicits._
     events

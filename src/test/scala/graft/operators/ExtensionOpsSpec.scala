@@ -184,6 +184,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 2L && out(4L) == 1L)
   }
 
+  test("batch window sessionization == keyed-state sessionization (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[StreamingOps.Ev]
+    val gap = 1800L * 1000000L
+    val viaWindow = StreamingOps.sessionizeBatch(evs, gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaState = StreamingOps.sessionize(evs, gap)
+      .collect().map(a => (a.user_id, a.event_id) -> a.session_seq).toMap
+    assert(viaWindow == viaState)
+  }
+
   test("streaming hourly agg equals the batch aggregation (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingOps.hourlyAggAvailableNow(spark, dir, "spec_sink")
