@@ -83,6 +83,20 @@ class SimilaritySpec extends SparkSpec {
     assert(b((0L, 0L)) == b((1L, 0L)) && b((0L, 1L)) == b((1L, 1L)))
   }
 
+  test("multi-probe LSH top-5 recall >= 0.6 vs exact baseline") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("q_id", "n_id"))
+    val approx = pairs(Similarity.lshTopK(e, q, "vec_id", "embedding", 5,
+        numTables = 6, planesPerTable = 6, dims = 64, multiProbe = true)
+      .select("q_id", "n_id"))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 $recall")
+  }
+
   test("bucketed near-dup: subset of exact, recall >= 0.6, no cartesian") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
