@@ -57,4 +57,35 @@ object Pipeline {
     UnionOps.writeGoldCsv(all, layout.goldDir)
     all
   }
+
+  /** [[runDaily]] under the reference DAG's execution guarantees
+    * (Runner: retries ×2, single-writer lock, ALL_DONE cleanup). Safe
+    * to retry because both sinks are idempotent dynamic-partition
+    * overwrites — a failure mid-write is repaired by the next attempt
+    * rewriting the same logical date. */
+  def runDailyResilient(
+      spark: SparkSession,
+      chartPayloads: DataFrame,
+      episodePayloads: DataFrame,
+      layout: Layout,
+      retries: Int = 2,
+      delayMillis: Long = 60000L,
+      sleeper: Long => Unit = Thread.sleep): DataFrame =
+    Runner.resilient(s"${layout.silverDir}.lock", retries, delayMillis,
+        sleeper) {
+      runDaily(spark, chartPayloads, episodePayloads, layout)
+    } {
+      // ALL_DONE: drop Spark's staging leftovers from a died write so a
+      // mergeSchema scan of silver never trips on partial temp dirs
+      val silver = new java.io.File(layout.silverDir)
+      Option(silver.listFiles()).foreach(_.filter(f =>
+          f.getName.startsWith("_temporary") || f.getName.startsWith(".spark-staging"))
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm))
+            x.delete(): Unit
+          }
+          rm(f)
+        })
+    }
 }
