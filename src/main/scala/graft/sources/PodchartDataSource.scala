@@ -62,13 +62,24 @@ class PodchartScanBuilder(path: String) extends ScanBuilder with Scan with Batch
   override def toBatch: Batch = this
 
   /** One partition per chart file = one "fetch" per (region, date),
-    * exactly the reference's per-region request parallelism. */
+    * exactly the reference's per-region request parallelism. Listing
+    * goes through Hadoop's FileSystem so non-local URIs (hdfs://,
+    * s3a://) resolve like any other Spark source, and a missing or
+    * non-directory path FAILS FAST instead of silently planning zero
+    * partitions (an empty DataFrame would read as "no charts today"). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => PodchartDataSource.FilePattern.matches(f.getName))
-      .sortBy(_.getName)
-    files.map(f => PodchartPartition(f.getAbsolutePath): InputPartition)
+    val hadoopConf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"podchart path does not exist: $path")
+    if (!fs.getFileStatus(p).isDirectory)
+      throw new IllegalArgumentException(s"podchart path is not a directory: $path")
+    fs.listStatus(p)
+      .filter(s => PodchartDataSource.FilePattern.matches(s.getPath.getName))
+      .sortBy(_.getPath.getName)
+      .map(s => PodchartPartition(s.getPath.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -89,14 +100,20 @@ class PodchartReader(file: String) extends PartitionReader[InternalRow] {
 
   override def get(): InternalRow = {
     consumed = true
-    val name = new java.io.File(file).getName
+    val p = new org.apache.hadoop.fs.Path(file)
+    val name = p.getName
     val (region, date) = name match {
       case PodchartDataSource.FilePattern(r, d) => (r, d)
       case _ => ("unknown", "1970-01-01")
     }
-    val payload = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
-      java.nio.charset.StandardCharsets.UTF_8)
+    // executor-side read through the same FileSystem abstraction the
+    // planner listed with, so any Spark-supported URI scheme works
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val payload = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
     InternalRow(
       UTF8String.fromString(date),
       UTF8String.fromString(region),

@@ -27,6 +27,18 @@ class PodchartSourceSpec extends SparkSpec {
     assert(raw.rdd.getNumPartitions == 2) // one partition per "fetch"
   }
 
+  test("missing or non-directory path fails fast, not empty-DataFrame") {
+    val missing = intercept[Exception] {
+      spark.read.format("podchart").load("/nonexistent/charts").collect()
+    }
+    assert(missing.getMessage.contains("does not exist"))
+    val file = s"$fixtureDir/chart_us_2024-10-22.json"
+    val notDir = intercept[Exception] {
+      spark.read.format("podchart").load(file).collect()
+    }
+    assert(notDir.getMessage.contains("not a directory"))
+  }
+
   test("composes with ChartOps.parsePayloads into the bronze table") {
     val chart = ChartOps.parsePayloads(
       spark.read.format("podchart").load(fixtureDir))
