@@ -24,6 +24,25 @@ object EpisodeOps {
       .filter(col("e").isNotNull && col("e.id").isNotNull)
       .select(col("e.*"))
 
+  /** Precision-aware `release_date` parse (SURVEY §7.4.2; the raw pair
+    * is `spotify_eps.py:144-145`): the API's date STRING has granularity
+    * `day`/`month`/`year` recorded in a sibling column, so an
+    * unconditional `to_date` would mis-parse or reject two-thirds of the
+    * values. Policy (documented, not guessed): the raw string column is
+    * kept verbatim; `<dateCol>_parsed` is a true DATE anchored at the
+    * interval start — full date at `day`, first-of-month at `month`,
+    * Jan 1 at `year` — and NULL for unknown precisions or malformed
+    * strings (`try_to_date`, so ANSI mode cannot throw on API garbage). */
+  def withReleaseDate(df: DataFrame, dateCol: String = "release_date",
+      precisionCol: String = "release_date_precision"): DataFrame =
+    df.withColumn(s"${dateCol}_parsed",
+      when(col(precisionCol) === "day",
+        expr(s"try_to_date(`$dateCol`, 'yyyy-MM-dd')"))
+        .when(col(precisionCol) === "month",
+          expr(s"try_to_date(concat(`$dateCol`, '-01'), 'yyyy-MM-dd')"))
+        .when(col(precisionCol) === "year",
+          expr(s"try_to_date(concat(`$dateCol`, '-01-01'), 'yyyy-MM-dd')")))
+
   /** P2: flatten the nested `show` struct to the reference's literal
     * dotted column names (`show.name` etc. — backtick-escaped, they are
     * NOT struct accesses in the output schema). */

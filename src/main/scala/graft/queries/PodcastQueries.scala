@@ -136,5 +136,46 @@ object PodcastQueries extends QueryPack {
       ORDER BY id
     """))
 
-  def all: Seq[Q] = Seq(q14, q15, q40)
+  // ---------------------------------------------------------------- q41
+  // Precision-aware release_date parse (SURVEY §7.4.2): date strings of
+  // three granularities (+ one deliberately malformed slice) derive a
+  // true DATE anchored at the interval start, NULL on garbage — the
+  // derived-column policy the reference leaves implicit in its string
+  // pair (spotify_eps.py:144-145).
+  private val q41 = Q(
+    "q41_release_date_parse",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir, "orders").select(
+        $"o_orderkey".as("id"),
+        when($"o_orderkey" % 17 === 0, lit("not-a-date"))
+          .when($"o_orderkey" % 3 === 0, date_format($"o_orderdate", "yyyy-MM-dd"))
+          .when($"o_orderkey" % 3 === 1, date_format($"o_orderdate", "yyyy-MM"))
+          .otherwise(date_format($"o_orderdate", "yyyy")).as("release_date"),
+        when($"o_orderkey" % 3 === 0, "day")
+          .when($"o_orderkey" % 3 === 1, "month")
+          .otherwise("year").as("release_date_precision"))
+      graft.ops.EpisodeOps.withReleaseDate(src).orderBy($"id")
+    },
+    Some("""
+      SELECT id, release_date, release_date_precision,
+             CASE release_date_precision
+               WHEN 'day'   THEN CAST(try_strptime(release_date, '%Y-%m-%d') AS DATE)
+               WHEN 'month' THEN CAST(try_strptime(release_date || '-01', '%Y-%m-%d') AS DATE)
+               WHEN 'year'  THEN CAST(try_strptime(release_date || '-01-01', '%Y-%m-%d') AS DATE)
+             END AS release_date_parsed
+      FROM (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 17 = 0 THEN 'not-a-date'
+                    WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                    WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m')
+                    ELSE strftime(o_orderdate, '%Y') END AS release_date,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'day'
+                    WHEN o_orderkey % 3 = 1 THEN 'month'
+                    ELSE 'year' END AS release_date_precision
+        FROM orders)
+      ORDER BY id
+    """))
+
+  def all: Seq[Q] = Seq(q14, q15, q40, q41)
 }

@@ -191,3 +191,25 @@ class BatchedLookupSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet == (1L to 101L).map(_.toString).toSet)
   }
 }
+
+class ReleaseDateSpec extends SparkSpec {
+  test("precision-aware parse: day/month/year anchor, garbage -> null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("2024-03-15", "day"),
+      ("2024-03", "month"),
+      ("2024", "year"),
+      ("not-a-date", "day"),
+      ("2024-03-15", "minute")) // unknown precision
+      .toDF("release_date", "release_date_precision")
+    val out = EpisodeOps.withReleaseDate(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getDate(2)).map(_.toString)).toMap
+    assert(out(("2024-03-15", "day")) == Some("2024-03-15"))
+    assert(out(("2024-03", "month")) == Some("2024-03-01"))
+    assert(out(("2024", "year")) == Some("2024-01-01"))
+    assert(out(("not-a-date", "day")) == None)   // ANSI-safe: null, not throw
+    assert(out(("2024-03-15", "minute")) == None) // undocumented precision
+  }
+}
