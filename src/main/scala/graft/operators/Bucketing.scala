@@ -26,14 +26,17 @@ object Bucketing {
     * bucket (tasks×buckets small files) and multi-file buckets forfeit
     * the sortBy guarantee. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      numBuckets: Int): Unit =
-    df.repartition(numBuckets, col(key))
+      numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.repartition(numBuckets, col(key))
       .write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+    // explicit path → external table (files live there, metadata in the
+    // catalog); default → managed under spark.sql.warehouse.dir
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key. Validates that both
     * sides really are bucketed on the join key with equal bucket counts

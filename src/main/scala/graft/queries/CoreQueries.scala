@@ -398,6 +398,72 @@ object CoreQueries extends QueryPack {
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """))
 
+  // ---------------------------------------------------------------- q42
+  // CUBE: all four grouping sets over (segment, nation) in one pass —
+  // completes the multi-level aggregation family next to q31's ROLLUP.
+  // Output rows are unique across sets (no data nulls in the keys), so
+  // the key ordering is total; SUM output + grouping flags pinned.
+  private val q42 = Q(
+    "q42_cube_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "customer")
+        .cube($"c_mktsegment", $"c_nationkey")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"c_acctbal".cast("decimal(18,2)"))
+            .cast("decimal(28,2)").as("sum_bal"),
+          grouping($"c_mktsegment").as("g_seg"),
+          grouping($"c_nationkey").as("g_nat"))
+        .orderBy($"c_mktsegment".asc_nulls_first, $"c_nationkey".asc_nulls_first)
+    },
+    Some("""
+      SELECT c_mktsegment, c_nationkey,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal,
+             CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_seg,
+             CAST(GROUPING(c_nationkey) AS TINYINT) AS g_nat
+      FROM customer
+      GROUP BY CUBE(c_mktsegment, c_nationkey)
+      ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
+    """))
+
+  // ---------------------------------------------------------------- q43
+  // Bucketed co-located join under the gate: both sides written
+  // bucketed+sorted on the join key (shuffle paid once at write), then
+  // joined with ZERO shuffle Exchange on the join itself (BucketingSpec
+  // asserts the plan; this query proves result equivalence to the plain
+  // join). The 100 TB pattern for recurring fact-to-fact joins where
+  // neither side broadcasts.
+  private val q43 = Q(
+    "q43_bucketed_join",
+    (s, dir) => {
+      import s.implicits._
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_buckets").toString
+      graft.operators.Bucketing.writeBucketed(
+        Tables(s, dir, "orders"), "q43_orders_b", "o_custkey", 8,
+        Some(s"$scratch/orders_b"))
+      graft.operators.Bucketing.writeBucketed(
+        Tables(s, dir, "customer"), "q43_customer_b", "c_custkey", 8,
+        Some(s"$scratch/customer_b"))
+      graft.operators.Bucketing.joinBucketed(s,
+          "q43_orders_b", "q43_customer_b", "o_custkey", "c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("decimal(28,2)").as("revenue"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """))
+
   // ---------------------------------------------------------------- q32
   // Salted two-phase aggregation: identical result to a plain GROUP BY
   // (the oracle IS the plain GROUP BY), different shuffle layout — the
@@ -481,5 +547,5 @@ object CoreQueries extends QueryPack {
     """))
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q31, q32, q35)
+    q11, q12, q13, q31, q32, q35, q42, q43)
 }
