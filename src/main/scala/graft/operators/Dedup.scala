@@ -116,8 +116,12 @@ object Dedup {
     * the only shuffle is on the band digest, so the pair space is the
     * sum of squares of bucket sizes, not n². */
   def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.as("a")
-    val b = bands.as("b")
+    // persist: self-join attribute renames defeat ReuseExchange — the
+    // shingle→minhash→band pipeline would otherwise run once per side
+    val shared = bands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = shared.as("a")
+    val b = shared.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -171,6 +175,9 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("bandval", expr("shiftright(simhash, k * 8) & 255"))
+      // persist: the 32-aggregate signature pass must not run per side
+      // of the band self-join (renames defeat ReuseExchange)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

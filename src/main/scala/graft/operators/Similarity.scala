@@ -129,7 +129,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       numTables: Int, planesPerTable: Int, dims: Int,
       multiProbe: Boolean = false): DataFrame = {
-    val buckets = lshBuckets(embeddings, idCol, vecCol, numTables, planesPerTable, dims)
+    // persist: the bucket frame feeds both the query side and the full
+    // side of the candidate join (renames defeat ReuseExchange)
+    val buckets = lshBuckets(embeddings, idCol, vecCol, numTables,
+        planesPerTable, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qids = queries.select(col(idCol).as("qid"))
     val cands =
       if (multiProbe) lshCandidatesMultiProbe(buckets, qids, planesPerTable)
@@ -166,8 +170,11 @@ object Similarity {
   def nearDupPairsBucketed(embeddings: DataFrame, idCol: String,
       vecCol: String, minCos: Double, numTables: Int, planesPerTable: Int,
       dims: Int): DataFrame = {
+    // persist: the self-join's attribute renames defeat ReuseExchange,
+    // so without it the whole projection pipeline runs once PER SIDE
     val buckets = lshBuckets(embeddings, idCol, vecCol, numTables,
-      planesPerTable, dims)
+        planesPerTable, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lhs = buckets.select(col("vid").as("id_a"), col("t"), col("bucket"))
     val rhs = buckets.select(col("vid").as("id_b"), col("t").as("t_b"),
       col("bucket").as("bucket_b"))
