@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset assembly operators a training-data pipeline runs after
+  * curation (SURVEY §7.5 extension family): deterministic splits and
+  * context-window packing. Everything is a pure column expression —
+  * no sampling RNG, no driver state — so results are identical across
+  * engines, re-runs, and partitionings (the property that makes a
+  * 100 TB split auditable: membership is a function of the KEY, not of
+  * execution order).
+  */
+object Sampling {
+
+  /** Deterministic split bucket in [0, 100) from the md5 of the id —
+    * stable under re-partitioning, appends, and engine choice (the
+    * standard alternative to `randomSplit`, whose assignment depends on
+    * partition layout and seed plumbing). */
+  def splitBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(100L))
+
+  /** Label rows train/val/test by hash bucket: [0, valPct) → val,
+    * [valPct, valPct+testPct) → test, rest → train. */
+  def withSplit(df: DataFrame, idCol: String, valPct: Int,
+      testPct: Int): DataFrame = {
+    val b = splitBucket(col(idCol))
+    df.withColumn("split",
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
+  /** Context-window packing, concatenation-order form: documents are
+    * laid end-to-end in `orderCol` order and the token stream is cut at
+    * fixed `contextLen` boundaries — exactly how pretraining data is
+    * chunked into training sequences. Emits per document its token span
+    * [tok_start, tok_end) in the stream and the first/last chunk it
+    * lands in (a document may straddle chunks; chunk_last - chunk_first
+    * is its straddle count). One window pass — the running sum streams
+    * per partition; at corpus scale partition by shard and pack within
+    * shards. */
+  def packContexts(df: DataFrame, orderCol: String, tokensCol: String,
+      contextLen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // integer DIV, not floor(double /): token offsets are exact longs
+    df.withColumn("tok_end", sum(col(tokensCol)).over(w).cast("long"))
+      .withColumn("tok_start", (col("tok_end") - col(tokensCol)).cast("long"))
+      .withColumn("chunk_first", expr(s"tok_start DIV $contextLen"))
+      .withColumn("chunk_last",
+        when(col(tokensCol) === 0, expr(s"tok_start DIV $contextLen"))
+          .otherwise(expr(s"(tok_end - 1) DIV $contextLen")))
+  }
+}

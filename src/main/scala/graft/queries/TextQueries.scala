@@ -175,5 +175,62 @@ object TextQueries extends QueryPack {
     },
     None)
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33)
+  // ---------------------------------------------------------------- q44
+  // Deterministic train/val/test split: membership is a pure function
+  // of the id's md5 (5% val, 5% test) — stable under re-partitioning,
+  // appends, and engine choice, unlike randomSplit whose assignment
+  // depends on partition layout. The property that makes a 100 TB
+  // split auditable.
+  private val q44 = Q(
+    "q44_train_split",
+    (s, dir) => {
+      graft.operators.Sampling.withSplit(
+          Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", valPct = 5, testPct = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, source,
+             CASE WHEN b < 5 THEN 'val'
+                  WHEN b < 10 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        FROM documents)
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------- q45
+  // Context-window packing: documents laid end-to-end in doc_id order,
+  // token stream cut at 512-token boundaries — each document's span and
+  // the chunks it straddles, via one running-sum window pass.
+  private val q45 = Q(
+    "q45_context_pack",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sampling.packContexts(docs, "doc_id", "n_tokens", 512)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      SELECT doc_id, n_tokens,
+             CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+             CAST(tok_end AS BIGINT) AS tok_end,
+             CAST((tok_end - n_tokens) // 512 AS BIGINT) AS chunk_first,
+             CAST(CASE WHEN n_tokens = 0 THEN (tok_end - n_tokens) // 512
+                  ELSE (tok_end - 1) // 512 END AS BIGINT) AS chunk_last
+      FROM (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS tok_end
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          FROM documents))
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45)
 }

@@ -314,3 +314,42 @@ class AsOfJoinSpec extends graft.SparkSpec {
     assert(out(13L) == None)       // other key sees nothing
   }
 }
+
+class SamplingSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("split is deterministic under repartitioning; proportions sane") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 2000L).toDF("doc_id")
+    val a = Sampling.withSplit(ids, "doc_id", 5, 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.withSplit(ids.repartition(7), "doc_id", 5, 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // partition layout cannot move a row between splits
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("val") > 50 && n("val") < 150)   // ~5% of 2000
+    assert(n("test") > 50 && n("test") < 150)
+    assert(n("train") > 1700)
+  }
+
+  test("context packing: spans tile the token stream, straddle is consistent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 0L), (4L, 1100L), (5L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packContexts(docs, "doc_id", "n_tokens", 512)
+      .orderBy("doc_id").collect()
+    // spans tile: each start = previous end
+    val spans = out.map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+    assert(spans.head._1 == 0L)
+    spans.sliding(2).foreach { case Array((_, e), (s2, _)) => assert(e == s2) }
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("chunk_first"), r.getAs[Long]("chunk_last"))).toMap
+    assert(byId(1L) == (0L, 0L))   // [0,300) inside chunk 0
+    assert(byId(2L) == (0L, 1L))   // [300,600) straddles the 512 cut
+    assert(byId(3L) == (1L, 1L))   // empty doc anchors at its offset
+    assert(byId(4L) == (1L, 3L))   // [600,1700) spans chunks 1..3
+    assert(byId(5L) == (3L, 3L))
+  }
+}
