@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide physical-plan audit: no registered query may plan an
+  * unbounded all-pairs join. CartesianProduct and
+  * BroadcastNestedLoopJoin are the two shapes that stop scaling at
+  * 100 TB. Two audited exceptions, both cross joins whose build side is
+  * a broadcast of CONSTANT size (cost linear in n, not n²):
+  * q20's brute-force baseline (n × the bounded query set) and q36's
+  * IVF assignment (n × the ≤ numCentroids codebook).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val boundedCrossJoinAllowed =
+    Set("q20_ann_bruteforce", "q36_ann_ivf")
+
+  test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if boundedCrossJoinAllowed(name) => None
+      // q30 drives a streaming query (plan only exists once started);
+      // its aggregation is q12's plan, which IS audited
+      case (name, _) if name == "q30_stream_hourly" => None
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded all-pairs joins in: ${offenders.mkString(", ")}")
+  }
+}
