@@ -232,5 +232,43 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45)
+  // ---------------------------------------------------------------- q46
+  // Per-source length-distribution stats: exact interpolated
+  // percentiles of the token count. Spark's exact `percentile` and
+  // DuckDB's `quantile_cont` share the (n-1)·p linear-interpolation
+  // formula and match BITWISE (verified across all sources). The exact
+  // aggregate buffers each group's values — right for per-source
+  // profiling where groups are bounded; at 100 TB row counts switch to
+  // approx_percentile the way q33 stands in for exact distinct.
+  private val q46 = Q(
+    "q46_length_stats",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
+        .groupBy(col("source"))
+        .agg(
+          min(col("n")).as("min_tokens"),
+          max(col("n")).as("max_tokens"),
+          expr("percentile(n, array(0.5D, 0.9D, 0.99D))").as("__q"))
+        .select(col("source"), col("min_tokens"), col("max_tokens"),
+          element_at(col("__q"), 1).as("p50"),
+          element_at(col("__q"), 2).as("p90"),
+          element_at(col("__q"), 3).as("p99"))
+        .orderBy(col("source"))
+    },
+    Some(raw"""
+      SELECT source, MIN(n) AS min_tokens, MAX(n) AS max_tokens,
+             quantile_cont(n, 0.5) AS p50,
+             quantile_cont(n, 0.9) AS p90,
+             quantile_cont(n, 0.99) AS p99
+      FROM (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        FROM documents)
+      GROUP BY source
+      ORDER BY source
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46)
 }
