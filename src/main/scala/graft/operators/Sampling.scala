@@ -32,6 +32,27 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Deterministic stratified sample: the `perStratum` hash-smallest
+    * rows of each stratum — an unbiased fixed-size per-group subset
+    * (md5 order is independent of any data column) that is REPRODUCIBLE
+    * across runs and engines, unlike `sampleBy`'s RNG draw. The window
+    * top-k plan prunes with WindowGroupLimit, so each stratum streams —
+    * the eval-set construction shape for a 100 TB corpus. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      perStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashOrder(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perStratum)
+      .drop("__rk")
+  }
+
+  /** 60-bit md5 prefix as the hash sort key; the caller's id tie-break
+    * makes the order total even on the (astronomically rare) collision. */
+  private def hashOrder(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Context-window packing, concatenation-order form: documents are
     * laid end-to-end in `orderCol` order and the token stream is cut at
     * fixed `contextLen` boundaries — exactly how pretraining data is

@@ -499,6 +499,30 @@ object CoreQueries extends QueryPack {
       ORDER BY l_returnflag
     """))
 
+  // ---------------------------------------------------------------- q48
+  // Salted skew-JOIN under the gate: the small side replicated per salt,
+  // the big side salted deterministically — one hot customer key spreads
+  // over 8 tasks. Result ≡ the plain left join (the oracle IS that
+  // join); only the shuffle layout differs, same contract as q32.
+  private val q48 = Q(
+    "q48_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Salting.saltedJoin(
+          big = Tables(s, dir, "orders"),
+          small = Tables(s, dir, "customer"),
+          bigKey = "o_custkey", smallKey = "c_custkey",
+          discriminator = $"o_orderkey", numSalts = 8,
+          joinType = "left")
+        .select($"o_orderkey", $"o_totalprice", $"c_name", $"c_mktsegment")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey
+    """))
+
   // ---------------------------------------------------------------- q35
   // Set operations (SURVEY §2.7: absent from the reference, Catalyst
   // built-ins): segments holding customers both with and without open
@@ -547,5 +571,5 @@ object CoreQueries extends QueryPack {
     """))
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q31, q32, q35, q42, q43)
+    q11, q12, q13, q31, q32, q35, q42, q43, q48)
 }

@@ -270,5 +270,28 @@ object TextQueries extends QueryPack {
       ORDER BY source
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46)
+  // ---------------------------------------------------------------- q47
+  // Deterministic stratified sample: the 10 hash-smallest docs per
+  // source — reproducible across runs/engines (sampleBy's RNG is not),
+  // pruned by WindowGroupLimit like any top-k.
+  private val q47 = Q(
+    "q47_stratified_sample",
+    (s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+          Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", perStratum = 10)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                          doc_id ASC) AS rk
+        FROM documents)
+      WHERE rk <= 10
+      ORDER BY source, doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47)
 }
