@@ -100,5 +100,27 @@ object StreamingQueries extends QueryPack {
       ORDER BY user_id, event_id
     """))
 
-  def all: Seq[Q] = Seq(q29, q30, q38)
+  // ---------------------------------------------------------------- q49
+  // Stream-stream interval join (errors ⋈ same-user clicks within the
+  // preceding hour), drained with AvailableNow — watermarks on both
+  // sides + a two-sided time bound keep state finite; inner joins emit
+  // on match, so the drain equals the batch interval join the oracle
+  // computes.
+  private val q49 = Q(
+    "q49_stream_stream_join",
+    (s, dir) => {
+      StreamingOps.clickErrorJoinAvailableNow(s, dir, "q49_ssj_sink")
+        .orderBy(col("user_id"), col("err_id"), col("click_id"))
+    },
+    Some("""
+      SELECT e.user_id, e.event_id AS err_id, e.ts AS err_ts,
+             c.event_id AS click_id, c.value AS click_value
+      FROM events e JOIN events c
+        ON e.user_id = c.user_id
+       AND e.event_type = 'error' AND c.event_type = 'click'
+       AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+      ORDER BY e.user_id, err_id, click_id
+    """))
+
+  def all: Seq[Q] = Seq(q29, q30, q38, q49)
 }

@@ -63,6 +63,51 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-stream INTERVAL join drained synchronously: each error
+    * event picks up every click by the same user in the preceding hour.
+    * Both sides carry event-time watermarks and the join condition
+    * bounds both times, so state is evicted as the watermark advances —
+    * the unbounded-state trap of naive stream joins is structurally
+    * avoided. Inner joins emit on match (the watermark only gates state
+    * cleanup), so an AvailableNow drain yields exactly the batch
+    * result — which is what the oracle checks. */
+  def clickErrorJoinAvailableNow(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ssj")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def side(): DataFrame = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val errors = side()
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val clicks = side()
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = errors.join(clicks,
+      expr("""user_id = c_user_id AND
+              click_ts >= err_ts - INTERVAL 1 HOUR AND
+              click_ts <= err_ts"""))
+      .select(col("user_id"), col("err_id"), col("err_ts"),
+        col("click_id"), col("click_value"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Incremental gold build: a file-source STREAM over the silver
     * snapshot directory with an append sink + checkpoint. Each
     * AvailableNow drain processes only files not yet recorded in the
