@@ -326,5 +326,70 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37)
+  // ---------------------------------------------------------------- q51
+  // Char-level edit-distance verification on LSH candidates: the
+  // third verification tier next to shingle-Jaccard (q19) and Hamming
+  // (q18) — Levenshtein on the normalized text, linear in |candidates|,
+  // relative distance = dist / max(len). Both engines implement exact
+  // Wagner-Fischer, so the integers match.
+  private val q51 = Q(
+    "q51_dedup_levenshtein",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 6, rowsPerBand = 2)
+      val norm = docs.select(col("doc_id"),
+        Dedup.normalize(col("text")).as("norm"))
+      pairs
+        .join(norm.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("norm", "norm_a"), "doc_a")
+        .join(norm.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("norm", "norm_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("norm_a"), col("norm_b")).as("edit_dist"),
+          round(levenshtein(col("norm_a"), col("norm_b")).cast("double") /
+            greatest(length(col("norm_a")), length(col("norm_b"))), 6)
+            .as("rel_dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(levenshtein(na.nt, nb.nt) AS INTEGER) AS edit_dist,
+             ROUND(CAST(levenshtein(na.nt, nb.nt) AS DOUBLE) /
+                   greatest(length(na.nt), length(nb.nt)), 6) AS rel_dist
+      FROM cand
+      JOIN norm na ON na.doc_id = doc_a
+      JOIN norm nb ON nb.doc_id = doc_b
+      ORDER BY doc_a, doc_b
+    """))
+
+  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51)
 }

@@ -293,5 +293,33 @@ object TextQueries extends QueryPack {
       ORDER BY source, doc_id
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47)
+  // ---------------------------------------------------------------- q50
+  // PIVOT: per-source corpus composition as one row per source with a
+  // count column per language. The pivot VALUES are explicit — at scale
+  // an inferred pivot triggers an extra distinct pass AND makes the
+  // output schema data-dependent; pinning them keeps the plan a single
+  // aggregation and the schema stable. Oracle = portable conditional
+  // aggregation (the relational meaning of PIVOT).
+  private val q50 = Q(
+    "q50_pivot_lang",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("en", "de", "fr", "es"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source,
+             COUNT(*) FILTER (lang = 'en') AS en,
+             COUNT(*) FILTER (lang = 'de') AS de,
+             COUNT(*) FILTER (lang = 'fr') AS fr,
+             COUNT(*) FILTER (lang = 'es') AS es
+      FROM documents
+      GROUP BY source
+      ORDER BY source
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50)
 }
