@@ -570,6 +570,65 @@ object CoreQueries extends QueryPack {
       ORDER BY kind, val
     """))
 
+  // ---------------------------------------------------------------- q52
+  // UNPIVOT (melt): wide per-status order metrics back to long
+  // (metric, value) rows — the inverse reshape of q50's pivot. The
+  // oracle is the portable stacked-UNION form.
+  private val q52 = Q(
+    "q52_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct($"o_custkey").as("n_customers"))
+        .unpivot(
+          ids = Array(col("o_orderstatus")),
+          values = Array(col("n_orders"), col("n_customers")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy($"o_orderstatus", $"metric")
+    },
+    Some("""
+      SELECT o_orderstatus, 'n_orders' AS metric, COUNT(*) AS value
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT o_orderstatus, 'n_customers', COUNT(DISTINCT o_custkey)
+      FROM orders GROUP BY o_orderstatus
+      ORDER BY o_orderstatus, metric
+    """))
+
+  // ---------------------------------------------------------------- q53
+  // Event-time RANGE window frame: per user, the running 1-hour sum of
+  // event values — a true time-range frame (rangeBetween over
+  // epoch-micros), not a row-count approximation. Decimal per-row cast
+  // keeps the frame sum exact in both engines.
+  private val q53 = Q(
+    "q53_time_range_window",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_us")
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          $"value".cast("decimal(14,2)").as("v"))
+        .withColumn("hour_sum",
+          sum($"v").over(w).cast("decimal(28,2)"))
+        .select($"user_id", $"event_id", $"hour_sum")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS DECIMAL(28,2)) AS hour_sum
+      FROM events
+      ORDER BY user_id, event_id
+    """))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q31, q32, q35, q42, q43, q48)
+    q11, q12, q13, q31, q32, q35, q42, q43, q48, q52, q53)
 }
