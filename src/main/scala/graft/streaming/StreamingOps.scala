@@ -98,13 +98,22 @@ object StreamingOps {
               click_ts <= err_ts"""))
       .select(col("user_id"), col("err_id"), col("err_ts"),
         col("click_id"), col("click_value"))
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // A stateful query captures shuffle.partitions at start and keeps
+    // one state store per partition PER SIDE per micro-batch — at 32
+    // partitions the store setup dominates a small drain. Run the
+    // stream at 8 state partitions (a real deployment sizes this to
+    // state volume, not to CPU count), restore the session conf after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(queryName)
   }
 
