@@ -50,20 +50,36 @@ object Similarity {
         expr("CAST(conv(substring(md5(concat(t, '_', j, '_', d)), 1, 8), 16, 10) AS BIGINT)" +
           " - 2147483648"))
 
+  /** Driver-side plane coefficients, value-identical to [[hyperplanes]]
+    * (and the oracle bucket CTE): first 8 md5 hex chars of "t_j_d",
+    * minus 2³¹. L·b·dims longs — a few KB, shipped to executors as a
+    * codegen reference object. */
+  def planeCoefs(numTables: Int, planesPerTable: Int, dims: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (t <- 0 until numTables; j <- 0 until planesPerTable; d <- 0 until dims)
+      yield {
+        val hex = md.digest(s"${t}_${j}_${d}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) - 2147483648L
+      }
+  }
+
   /** LSH bucket per (vector, table): packed sign bits of the integer
-    * projections. Output: (vid, t, bucket). */
+    * projections, via the native [[graft.functions.LshProject]]
+    * expression — a ZERO-shuffle map-side projection (the previous
+    * posexplode → broadcast-join → two-agg form shuffled twice and
+    * materialized n·dims·L·b rows). Output: (vid, t, bucket),
+    * bit-identical to the SQL-twin bucket CTE. */
   def lshBuckets(embeddings: DataFrame, idCol: String, vecCol: String,
       numTables: Int, planesPerTable: Int, dims: Int): DataFrame = {
-    val planes = hyperplanes(embeddings.sparkSession, numTables, planesPerTable, dims)
+    import org.apache.spark.sql.graft.Bridge
+    val buckets = Bridge.column(graft.functions.LshProject(
+      Bridge.expression(asDouble(col(vecCol))),
+      planeCoefs(numTables, planesPerTable, dims),
+      numTables, planesPerTable, dims))
     embeddings
-      .select(col(idCol).as("vid"), posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
-      .withColumn("x_int", floor(col("x") * lit(1000000.0)).cast("long"))
-      .join(broadcast(planes), "d")
-      .groupBy(col("vid"), col("t"), col("j"))
-      .agg(sum(col("r_int") * col("x_int")).as("proj"))
-      .withColumn("bit", expr("CASE WHEN proj >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy(col("vid"), col("t"))
-      .agg(sum(expr("shiftleft(bit, j)")).as("bucket"))
+      .select(col(idCol).as("vid"), posexplode(buckets).as(Seq("t", "bucket")))
+      .select(col("vid"), col("t").cast("long").as("t"), col("bucket"))
   }
 
   /** Exact brute-force top-k: every query vector against the full set.
