@@ -83,6 +83,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted join ≡ plain join for any salt count (left + inner)") {
+    forAllSampled(Gen.choose(1, 12), n = 3) { numSalts =>
+      val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      Seq("left", "inner").foreach { jt =>
+        val salted = Salting.saltedJoin(orders, customer, "o_custkey",
+            "c_custkey", col("o_orderkey"), numSalts, jt)
+          .select("o_orderkey", "c_name")
+          .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted
+        val plain = orders.join(customer,
+            orders("o_custkey") === customer("c_custkey"), jt)
+          .select("o_orderkey", "c_name")
+          .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sorted
+        assert(salted.toSeq == plain.toSeq, s"joinType=$jt salts=$numSalts")
+      }
+    }
+  }
+
+  test("split membership is total, stable, and respects percentages") {
+    forAllSampled(Gen.choose(1, 30), n = 3) { valPct =>
+      val s = spark
+      import s.implicits._
+      val ids = (1L to 500L).toDF("id")
+      val out = graft.operators.Sampling.withSplit(ids, "id", valPct, 10)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(out.length == 500) // total: every row labeled
+      assert(out.forall { case (_, sp) => Set("train", "val", "test")(sp) })
+      // membership depends only on the id, never on which subset ran
+      val half = graft.operators.Sampling
+        .withSplit(ids.filter(col("id") <= 250), "id", valPct, 10)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.filter(_._1 <= 250).foreach { case (id, sp) =>
+        assert(half(id) == sp)
+      }
+    }
+  }
+
+  test("context packing tiles any token sequence without gaps") {
+    forAllSampled(Gen.listOfN(20, Gen.choose(0L, 700L)), n = 3) { tokens =>
+      val s = spark
+      import s.implicits._
+      val docs = tokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tokens")
+      val out = graft.operators.Sampling
+        .packContexts(docs, "doc_id", "n_tokens", 256)
+        .orderBy("doc_id").collect()
+      var expectStart = 0L
+      out.foreach { r =>
+        assert(r.getAs[Long]("tok_start") == expectStart) // gap-free tiling
+        expectStart = r.getAs[Long]("tok_end")
+        val (cf, cl) = (r.getAs[Long]("chunk_first"), r.getAs[Long]("chunk_last"))
+        assert(cf <= cl)
+        // a doc straddles exactly the chunks its span overlaps
+        assert(cf == r.getAs[Long]("tok_start") / 256)
+      }
+      assert(expectStart == tokens.sum)
+    }
+  }
+
   test("jaccard on any doc pair is within (0, 1] and symmetric in construction") {
     forAllSampled(Gen.listOfN(6, Gen.nonEmptyListOf(word).map(_.mkString(" "))), n = 3) { texts =>
       val s = spark
