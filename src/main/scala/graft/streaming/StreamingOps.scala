@@ -147,6 +147,36 @@ object StreamingOps {
     goldCount() - before
   }
 
+  /** Streaming gold with PARTITION-UPSERT semantics: `foreachBatch`
+    * writes each micro-batch with dynamic partition overwrite, so a
+    * replayed or restated partition REPLACES its previous contents
+    * instead of appending duplicates — the streaming form of the
+    * reference's `replace=True` upload, and the idempotence story when
+    * the source can re-deliver a date. Contrast [[incrementalGold]]
+    * (pure append: cheapest when the source never restates). Returns
+    * the gold row count after the drain. */
+  def goldUpsertStream(spark: SparkSession, silverDir: String,
+      goldDir: String, checkpointDir: String, schema: StructType,
+      partitionCol: String): Long = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(silverDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(goldDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    scala.util.Try(spark.read.parquet(goldDir).count()).getOrElse(0L)
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same content
     * fingerprint, with state bounded by the event-time watermark (state
     * for fingerprints older than the delay is evicted — the streaming

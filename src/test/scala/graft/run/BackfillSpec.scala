@@ -72,4 +72,42 @@ class BackfillSpec extends SparkSpec {
     val gold = spark.read.parquet(s"$base/gold")
     assert(gold.count() == 3)
   }
+
+  test("gold upsert stream replaces a restated partition, appends new ones") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    val base = tmpDir("upsert")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/silver"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("date",
+        org.apache.spark.sql.types.StringType)))
+
+    def addFlat(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("upsnap")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/out")
+      val part = new java.io.File(s"$scratch/out").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$base/silver/$name"))
+    }
+
+    addFlat(Seq((1L, "d1"), (2L, "d1")).toDF("k", "date"), "a.parquet")
+    val n1 = StreamingOps.goldUpsertStream(spark, s"$base/silver",
+      s"$base/gold", s"$base/ckpt", schema, "date")
+    assert(n1 == 2L)
+
+    // restate d1 (different rows, same partition) + add d2
+    addFlat(Seq((9L, "d1")).toDF("k", "date"), "b.parquet")
+    addFlat(Seq((3L, "d2")).toDF("k", "date"), "c.parquet")
+    val n2 = StreamingOps.goldUpsertStream(spark, s"$base/silver",
+      s"$base/gold", s"$base/ckpt", schema, "date")
+    assert(n2 == 2L) // d1 REPLACED (1 row), d2 appended (1 row)
+    val gold = spark.read.parquet(s"$base/gold")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gold == Set((9L, "d1"), (3L, "d2")))
+  }
 }
