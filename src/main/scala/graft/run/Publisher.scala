@@ -53,6 +53,50 @@ object Publisher {
     path
   }
 
+  /** Stage the consolidated CSV for publishing: the FIRST `.csv` found
+    * under `goldDir` (recursively — Spark sinks write part files in a
+    * subdir) is copied into `stagingDir` under the canonical
+    * `fileName`. No CSV → exception, mirroring the reference's
+    * FileNotFoundError (`kaggle_update_dag.py:27-47`: list prefix, take
+    * first CSV, download as top_podcasts.csv). */
+  def stageGoldCsv(goldDir: String, stagingDir: String,
+      fileName: String): String = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val csv = walk(new File(goldDir)).filter(_.getName.endsWith(".csv"))
+      .sortBy(_.getPath).headOption
+      .getOrElse(sys.error(s"no CSV files found under $goldDir"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stagingDir))
+    val dest = java.nio.file.Paths.get(s"$stagingDir/$fileName")
+    java.nio.file.Files.copy(csv.toPath, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.toString
+  }
+
+  /** The whole update-DAG post-step: stage the gold CSV into a fresh
+    * temp dir, publish a new version from it, and remove the staging
+    * dir whether publish succeeded or not (the reference's ALL_DONE
+    * cleanup task). */
+  def publishFromGold(goldDir: String, datasetId: String, title: String,
+      runDate: String, fileName: String = "top_podcasts.csv",
+      runCommand: Seq[String] => Int = processRunner): Unit = {
+    val staging =
+      java.nio.file.Files.createTempDirectory("graft_publish").toString
+    try {
+      stageGoldCsv(goldDir, staging, fileName)
+      publish(staging, datasetId, title, newVersion = true, runDate,
+        runCommand)
+      ()
+    } finally {
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new File(staging))
+    }
+  }
+
   /** Default runner: actually execute the CLI (production path). */
   def processRunner(cmd: Seq[String]): Int =
     new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()

@@ -60,6 +60,36 @@ class PublisherSpec extends SparkSpec {
     assert(e.getMessage.contains("exit 1"))
   }
 
+  test("stage + publish from gold: canonical name, cleanup on failure, no CSV fails") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("pubstage")
+    graft.ops.UnionOps.writeGoldCsv(Seq((1L, "x")).toDF("k", "v"), s"$dir/gold")
+    var staged = Seq.empty[String]
+    Publisher.publishFromGold(s"$dir/gold", "u/d", "t", "2026-08-12",
+      runCommand = cmd => {
+        val stagingDir = cmd(cmd.indexOf("-p") + 1)
+        staged = new java.io.File(stagingDir).listFiles().map(_.getName).toSeq
+        0
+      })
+    assert(staged.contains("top_podcasts.zip")) // canonical name, zipped
+    assert(staged.contains("dataset-metadata.json"))
+    // failure still cleans the staging dir (ALL_DONE) and propagates
+    var failedStaging = ""
+    intercept[RuntimeException] {
+      Publisher.publishFromGold(s"$dir/gold", "u/d", "t", "2026-08-12",
+        runCommand = cmd => { failedStaging = cmd(cmd.indexOf("-p") + 1); 1 })
+    }
+    assert(!new java.io.File(failedStaging).exists())
+    // empty gold dir -> the reference's FileNotFoundError analog
+    val empty = tmpDir("pubempty")
+    val e = intercept[RuntimeException] {
+      Publisher.publishFromGold(empty, "u/d", "t", "2026-08-12",
+        runCommand = _ => 0)
+    }
+    assert(e.getMessage.contains("no CSV files"))
+  }
+
   test("the gold CSV the pipeline writes is publishable as-is") {
     val s = spark
     import s.implicits._
