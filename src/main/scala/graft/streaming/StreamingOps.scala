@@ -53,13 +53,19 @@ object StreamingOps {
           .cast("decimal(28,2)").as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful queries capture shuffle.partitions at start as the state
+    // partition count; 8 stores, not one per CPU, for a bounded drain
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(queryName)
   }
 
