@@ -60,15 +60,21 @@ object Ivf {
       .agg(array_sort(collect_list(struct(col("d"), col("v")))).as("dv"))
       .select(col("cid"), expr("transform(dv, p -> p.v)").as("cent"))
 
-  /** Lloyd iterations from the deterministic seed codebook. */
+  /** Lloyd iterations from the deterministic seed codebook. The
+    * quantized vectors are persisted for the loop (each iteration's
+    * lineage would otherwise re-quantize from the scan, compounding per
+    * iteration), and the FINAL codebook is persisted because topK reads
+    * it twice (probe selection + base assignment) — without that, every
+    * consumer re-runs the whole k-means chain. */
   def centroids(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int): DataFrame = {
     val vectors = quantized(embeddings, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = vectors.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qvec").as("cent"))
     for (_ <- 0 until iterations)
       cents = recompute(assign(vectors, cents))
-    cents
+    cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** IVF top-k: probe the `nprobe` clusters nearest each query, exact
