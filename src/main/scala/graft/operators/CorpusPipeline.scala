@@ -19,9 +19,13 @@ object CorpusPipeline {
     * their curation features. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, minQuality: Double = 0.3): DataFrame = {
-    // exact duplicates: keep the smallest id per content fingerprint
+    // exact duplicates: keep the smallest id per content fingerprint.
+    // The keep set is persisted: exactSurvivors feeds BOTH the near-dup
+    // branch and the final anti-join, and each use would re-run the
+    // fingerprint groupBy over the corpus otherwise.
     val exactKeep = Dedup.exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactSurvivors = docs.join(exactKeep, idCol)
 
     // near-duplicates among exact survivors: drop the larger id of
