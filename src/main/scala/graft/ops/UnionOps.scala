@@ -37,6 +37,24 @@ object UnionOps {
       .mode(SaveMode.Overwrite)
       .parquet(tableDir)
 
+  /** Scale-disciplined parquet sink: range-partition on the sort key so
+    * output files are BOTH bounded in size (`maxRecordsPerFile` splits
+    * oversized partitions) and internally sorted — parquet min/max
+    * stats then prune row groups on read for range predicates over the
+    * key. The 100 TB alternative to `coalesce(1)`-style sinks: file
+    * count scales with data, never with task count (no tasks×partitions
+    * small-file explosion), and no single-task bottleneck. */
+  def writeSized(df: DataFrame, path: String, sortCol: String,
+      maxRecordsPerFile: Long, numRanges: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numRanges, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** K2: consolidated CSV (`spotify_eps_dag.py:58-60`). `coalesce(1)`
     * reproduces the reference's single-file contract for Kaggle; at
     * 100 TB one would drop the coalesce and publish a sharded dataset

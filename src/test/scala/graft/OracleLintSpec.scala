@@ -1,0 +1,34 @@
+package graft
+
+/** Lint the driver contract itself: the correctness gate sorts columns
+  * BY NAME before hashing, so a Spark output column that the oracle
+  * spells differently (a missing `AS sum_qty`, a renamed aggregate)
+  * fails the hash even when every value matches — historically the #1
+  * way a green query went red. This spec runs every registered query at
+  * sf0.001 and asserts each output column name appears verbatim in its
+  * oracle SQL.
+  */
+class OracleLintSpec extends SparkSpec {
+
+  test("every Spark output column is named in its oracle SQL") {
+    val dir = "/root/testdata/sf0.001"
+    val oracles = SparkEntry.oracleSql
+    val problems = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        oracles.get(name).toSeq.flatMap { sql =>
+          val lower = sql.toLowerCase
+          fn(spark, dir).schema.fieldNames.toSeq
+            .filterNot(c => lower.contains(c.toLowerCase))
+            .map(c => s"$name: column `$c` not mentioned in oracle")
+        }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
+  test("every query has an oracle or is a documented rows-only exception") {
+    val rowsOnlyByDesign = Set("q33_approx_distinct") // HLL not portable
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+}

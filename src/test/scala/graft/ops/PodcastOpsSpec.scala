@@ -133,6 +133,25 @@ class UnionOpsSpec extends SparkSpec {
     assert(all.count() == 2)
     assert(all.columns.toSet.intersect(Set("v1", "v2")).size == 2)
   }
+
+  test("writeSized bounds file size and keeps files internally sorted") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("sized")
+    val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("k", "v")
+    UnionOps.writeSized(df, s"$dir/out", "k",
+      maxRecordsPerFile = 2000L, numRanges = 2)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 5) // 10k rows / 2k cap
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getPath).select("k")
+        .collect().map(_.getLong(0))
+      assert(rows.length <= 2000, s"${f.getName}: ${rows.length} rows")
+      assert(rows.toSeq == rows.sorted.toSeq) // min/max-prunable
+    }
+    assert(spark.read.parquet(s"$dir/out").count() == 10000)
+  }
 }
 
 class PipelineSpec extends SparkSpec {
