@@ -129,15 +129,33 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup candidates end-to-end. Shingles are NOT
-    * deduplicated first — min() is multiset-insensitive, so the distinct
-    * shuffle would be pure waste. */
+  /** MinHash signatures computed MAP-SIDE via the native
+    * [[graft.functions.MinHashSig]] expression — zero shuffle (the
+    * column form explodes and shuffles every shingle into a
+    * groupBy-min). Docs shorter than the shingle width drop out, same
+    * as the exploded form. Output schema matches
+    * [[minhashSignatures]]: (doc_id, h0..h{n-1}). */
+  def minhashSignaturesNative(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val withSh = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .select(col("doc_id"), wordShingles(col("__w"), shingleK).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", Bridge.column(graft.functions.MinHashSig(
+        Bridge.expression(col("__sh")), numHashes)))
+    withSh.select(col("doc_id") +:
+      (0 until numHashes).map(h =>
+        element_at(col("__sig"), h + 1).as(s"h$h")): _*)
+  }
+
+  /** MinHash-LSH near-dup candidates end-to-end: map-side signatures,
+    * band explode, bucket self-join — the only shuffles left are the
+    * band join and the candidate distinct. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2): DataFrame =
     lshCandidatePairs(lshBands(
-      minhashSignatures(
-        explodedShingles(docs, idCol, textCol, shingleK, dedup = false),
-        numHashes),
+      minhashSignaturesNative(docs, idCol, textCol, shingleK, numHashes),
       numHashes, rowsPerBand))
 
   /** 32-bit SimHash over a distinct feature set (doc_id, sh): per
@@ -189,19 +207,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** LSH-propose + exact-Jaccard-verify with the shingle frame built
-    * ONCE: the distinct (doc_id, shingle) frame is persisted and feeds
-    * BOTH the minhash signatures (min over a set ≡ min over the multiset,
-    * so signatures are identical to the non-dedup path) and the Jaccard
-    * verification. Without this the propose and verify branches each
-    * rebuilt the normalize→split→shingle→explode tree — q34 was the
-    * slowest query in the r1 bench purely from that recompute. */
+  /** LSH-propose + exact-Jaccard-verify, candidate-restricted: the
+    * propose side computes signatures MAP-SIDE (native MinHashSig — no
+    * shingle shuffle at all), and the exploded shingle frame needed for
+    * Jaccard is built only for docs that appear in a candidate pair
+    * (semi-join first, then persist: the frame feeds both sides of the
+    * pair join). At corpus scale this shuffles the shingles of the few
+    * proposed docs instead of the whole corpus — the difference between
+    * O(candidates) and O(corpus) for the verification stage. */
   def proposeVerify(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, shingleK)
+    val pairs = minhashLsh(docs, idCol, textCol, shingleK, numHashes,
+        rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidatePairs(lshBands(
-      minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
+    val candDocs = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol)))
+      .distinct()
+    val sh = explodedShingles(
+        docs.join(candDocs, Seq(idCol), "left_semi"),
+        idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ngramJaccardOnShingles(sh, pairs)
   }
 
