@@ -183,6 +183,20 @@ object Dedup {
       .select(col("doc_id"), pack.as("simhash"))
   }
 
+  /** Map-side SimHash signatures via the native
+    * [[graft.functions.SimHash32]] expression — zero shuffle, identical
+    * signatures to [[simhash32]] over the deduplicated feature frame
+    * (the expression dedupes shingle strings in-row). */
+  def simhash32Native(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .select(col("doc_id"), wordShingles(col("__w"), shingleK).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"), Bridge.column(graft.functions.SimHash32(
+        Bridge.expression(col("__sh")))).as("simhash"))
+  }
+
   /** SimHash near-dup pairs: band the 32-bit signature into four 8-bit
     * keys (pigeonhole: Hamming ≤ 6 pairs in 32 bits could still miss all
     * four bands only if >6 bits differ — with ≤ maxHamming ≤ 7, any pair

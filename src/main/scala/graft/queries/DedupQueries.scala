@@ -87,8 +87,8 @@ object DedupQueries extends QueryPack {
     "q18_dedup_simhash",
     (s, dir) => {
       Dedup.simhashPairs(
-          Dedup.simhash32(
-            Dedup.explodedShingles(Tables(s, dir, "documents"), "doc_id", "text", 3)),
+          Dedup.simhash32Native(Tables(s, dir, "documents"),
+            "doc_id", "text", shingleK = 3),
           maxHamming = 5)
         .orderBy(col("doc_a"), col("doc_b"))
     },

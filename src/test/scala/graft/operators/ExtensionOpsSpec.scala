@@ -49,6 +49,21 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }
+
+  test("native in-row signatures equal the aggregate forms") {
+    val viaAgg = Dedup.simhash32(
+      Dedup.explodedShingles(docs, "doc_id", "text", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = Dedup.simhash32Native(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+    val minAgg = Dedup.minhashSignatures(
+      Dedup.explodedShingles(docs, "doc_id", "text", 3), numHashes = 6)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getLong)).toMap
+    val minExpr = Dedup.minhashSignaturesNative(docs, "doc_id", "text", 3, 6)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getLong)).toMap
+    assert(minExpr == minAgg)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
