@@ -154,7 +154,9 @@ object Similarity {
     val cands =
       if (multiProbe) lshCandidatesMultiProbe(buckets, qids, planesPerTable)
       else lshCandidates(buckets, qids)
+    // the norm frame feeds both rerank sides (renames defeat ReuseExchange)
     val base = withNorm(embeddings, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = base.select(col(idCol).as("qi"), col(vecCol).as("q_vec"),
       col("nrm").as("q_nrm"))
     val n = base.select(col(idCol).as("ni"), col(vecCol).as("n_vec"),
@@ -199,7 +201,9 @@ object Similarity {
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // the norm frame feeds both rerank sides (renames defeat ReuseExchange)
     val base = withNorm(embeddings, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col(idCol).as("ia"), col(vecCol).as("vec_a"),
       col("nrm").as("nrm_a"))
     val b = base.select(col(idCol).as("ib"), col(vecCol).as("vec_b"),
