@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot comparison + completeness ops — the regression-check side
+  * of a snapshot pipeline (the reference re-publishes gold daily with
+  * no way to answer "what changed?" or "which days are missing?";
+  * both are one-plan questions on Spark).
+  */
+object DiffOps {
+
+  /** Row-level diff of two snapshots on a key: FULL OUTER join, each
+    * row classified added / removed / changed / unchanged. The compare
+    * uses null-safe equality per column, so a value moving to/from NULL
+    * counts as changed (a naive `=!=` would silently call it
+    * unchanged). Shuffles once on the key — at scale pre-bucket both
+    * snapshots on the key (Bucketing) and the join co-locates. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    // presence markers, not key-null checks: after the coalescing
+    // usingColumns join, referencing a side's key column is ambiguous
+    val al = compareCols.foldLeft(
+      a.select((keyCols ++ compareCols).map(col): _*))(
+      (df, c) => df.withColumnRenamed(c, s"${c}_a"))
+      .withColumn("__in_a", lit(true))
+    val bl = compareCols.foldLeft(
+      b.select((keyCols ++ compareCols).map(col): _*))(
+      (df, c) => df.withColumnRenamed(c, s"${c}_b"))
+      .withColumn("__in_b", lit(true))
+    val same: Column = compareCols
+      .map(c => col(s"${c}_a") <=> col(s"${c}_b"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    // usingColumns full join coalesces the key columns
+    al.join(bl, keyCols, "full_outer")
+      .withColumn("diff_status",
+        when(col("__in_b").isNull, "removed")
+          .when(col("__in_a").isNull, "added")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .drop("__in_a", "__in_b")
+  }
+
+  /** Missing members of a dense date spine: which days between `from`
+    * and `to` (inclusive) have NO row in `df.dateCol`. The spine is a
+    * generated sequence (no driver loop), the probe one anti-join. */
+  def dateGaps(df: DataFrame, dateCol: String, from: String,
+      to: String): DataFrame = {
+    val spark = df.sparkSession
+    val spine = spark.range(1)
+      .select(explode(sequence(
+        lit(from).cast("date"), lit(to).cast("date"),
+        expr("INTERVAL 1 DAY"))).as("missing_date"))
+    spine.join(
+      df.select(col(dateCol).cast("date").as("missing_date")).distinct(),
+      Seq("missing_date"), "left_anti")
+  }
+}

@@ -65,5 +65,65 @@ object SinkQueries extends QueryPack {
       ORDER BY date, o_orderkey
     """))
 
-  def all: Seq[Q] = Seq(q39)
+  // ---------------------------------------------------------------- q54
+  // Snapshot diff: full-outer change classification between two
+  // snapshot versions (added / removed / changed / unchanged, null-safe
+  // per-column compare) — the "what changed since yesterday's gold"
+  // question the reference cannot answer.
+  private val q54 = Q(
+    "q54_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val dayA = orders.filter($"o_orderkey" % 4 =!= 0)
+        .select($"o_orderkey", $"o_totalprice")
+      val dayB = orders.filter($"o_orderkey" % 3 =!= 0)
+        .select($"o_orderkey",
+          ($"o_totalprice" + when($"o_orderkey" % 5 === 0, 1.0).otherwise(0.0))
+            .as("o_totalprice"))
+      graft.ops.DiffOps.snapshotDiff(dayA, dayB,
+          keyCols = Seq("o_orderkey"), compareCols = Seq("o_totalprice"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      WITH a AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0),
+      b AS (
+        SELECT o_orderkey,
+               o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0)
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_totalprice AS o_totalprice_a,
+             b.o_totalprice AS o_totalprice_b,
+             CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice THEN 'unchanged'
+                  ELSE 'changed' END AS diff_status
+      FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+      ORDER BY o_orderkey
+    """))
+
+  // ---------------------------------------------------------------- q55
+  // Date-spine completeness: which calendar days in the window have no
+  // order — generated sequence spine, one anti-join probe (the holes a
+  // backfill run must fill; no driver loop).
+  private val q55 = Q(
+    "q55_date_gaps",
+    (s, dir) => {
+      graft.ops.DiffOps.dateGaps(
+          Tables(s, dir, "orders"), "o_orderdate",
+          from = "2001-07-01", to = "2001-08-31")
+        .orderBy(col("missing_date"))
+    },
+    Some("""
+      SELECT missing_date FROM (
+        SELECT CAST(UNNEST(generate_series(
+          DATE '2001-07-01', DATE '2001-08-31', INTERVAL 1 DAY)) AS DATE)
+          AS missing_date)
+      WHERE missing_date NOT IN (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders)
+      ORDER BY missing_date
+    """))
+
+  def all: Seq[Q] = Seq(q39, q54, q55)
 }
