@@ -53,6 +53,26 @@ object Sampling {
   private def hashOrder(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Token-budget subset: take documents in deterministic hash order
+    * until the running token total reaches `budgetTokens` — the "give
+    * me a reproducible N-token dataset" selection. Hash order makes the
+    * subset unbiased AND stable across runs/engines; the budget check
+    * is `cum - tokens < budget`, so the document that CROSSES the
+    * budget line is included (the subset always reaches the budget
+    * when enough data exists). One window pass; at corpus scale
+    * partition the window by shard and give each shard its budget
+    * share. */
+  def tokenBudgetSubset(df: DataFrame, idCol: String, tokensCol: String,
+      budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(hashOrder(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w).cast("long"))
+      .filter(col("__cum") - col(tokensCol) < budgetTokens)
+      .drop("__cum")
+  }
+
   /** Context-window packing, concatenation-order form: documents are
     * laid end-to-end in `orderCol` order and the token stream is cut at
     * fixed `contextLen` boundaries — exactly how pretraining data is

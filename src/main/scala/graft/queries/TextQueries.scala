@@ -321,5 +321,73 @@ object TextQueries extends QueryPack {
       ORDER BY source
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50)
+  // ---------------------------------------------------------------- q56
+  // Percentile outlier trimming: keep documents whose token count lies
+  // within the per-source [p05, p95] band — the curation step that
+  // drops truncated fragments and concatenation blobs. Per-source
+  // stats broadcast back onto the corpus (20 rows, never a shuffle of
+  // the documents).
+  private val q56 = Q(
+    "q56_length_trim",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n"))
+      val stats = toks.groupBy(col("source"))
+        .agg(expr("percentile(n, array(0.05D, 0.95D))").as("__q"))
+        .select(col("source"),
+          element_at(col("__q"), 1).as("lo"),
+          element_at(col("__q"), 2).as("hi"))
+      toks.join(broadcast(stats), "source")
+        .filter(col("n") >= col("lo") && col("n") <= col("hi"))
+        .select(col("doc_id"), col("source"), col("n"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        FROM documents),
+      s AS (
+        SELECT source, quantile_cont(n, 0.05) AS lo, quantile_cont(n, 0.95) AS hi
+        FROM t GROUP BY source)
+      SELECT doc_id, source, n
+      FROM t JOIN s USING (source)
+      WHERE n >= lo AND n <= hi
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------- q57
+  // Token-budget subset: documents in deterministic md5 order until the
+  // running total reaches 10k tokens (the crossing document included) —
+  // a reproducible "N-token dataset" cut, stable across engines and
+  // partitionings.
+  private val q57 = Q(
+    "q57_token_budget",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetSubset(toks, "doc_id", "n_tokens",
+          budgetTokens = 10000L)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                          doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          FROM documents))
+      WHERE cum - n_tokens < 10000
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
+    q56, q57)
 }
