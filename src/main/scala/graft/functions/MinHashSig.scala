@@ -48,6 +48,18 @@ case class MinHashSig(child: Expression, numHashes: Int)
 object MinHashSig {
   private val Mod = 1152921504606846976L // 2^60
 
+  // one digest per executor thread — getInstance per row is a registry
+  // lookup + allocation on the hot path
+  private val digestTL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private[functions] def md5(): java.security.MessageDigest = {
+    val md = digestTL.get()
+    md.reset()
+    md
+  }
+
   private def be64(b: Array[Byte], off: Int): Long = {
     var v = 0L
     var i = 0
@@ -57,7 +69,7 @@ object MinHashSig {
 
   /** Static so generated code can call it without a reference object. */
   def compute(shingles: ArrayData, numHashes: Int): ArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5()
     val out = Array.fill(numHashes)(Long.MaxValue)
     val n = shingles.numElements()
     var i = 0

@@ -38,7 +38,7 @@ object SimHash32 {
     * aggregates a deduplicated (doc, shingle) frame — a repeated
     * shingle must not vote twice). */
   def compute(shingles: ArrayData): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MinHashSig.md5() // shared thread-local digest
     // dedupe on the shingle STRING, like the column form's distinct
     // (keying on the 32-bit hash would merge colliding shingles that
     // the column form counts as two votes)
