@@ -348,6 +348,17 @@ class SamplingSpec extends graft.SparkSpec {
     assert(n("train") > 1700)
   }
 
+  test("stratified sample plan prunes with WindowGroupLimit") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1000L).map(i => (i, s"s${i % 5}")).toDF("id", "stratum")
+    val sampled = Sampling.stratifiedSample(df, "stratum", "id", 10)
+    assert(sampled.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "rank<=k filter should push the group limit below the sort")
+    assert(sampled.count() == 50)
+  }
+
   test("context packing: spans tile the token stream, straddle is consistent") {
     val s = spark
     import s.implicits._
