@@ -523,6 +523,28 @@ object CoreQueries extends QueryPack {
       ORDER BY o_orderkey
     """))
 
+  // ---------------------------------------------------------------- q58
+  // GLOBAL top-k: orderBy + limit plans TakeOrderedAndProject — each
+  // partition keeps a k-heap and the driver merges k-sized results, so
+  // the full sort never happens (O(n log k) per partition, not
+  // O(n log n) + shuffle). The global complement of q05's per-group
+  // top-k; unique tie-break keeps it deterministic.
+  private val q58 = Q(
+    "q58_global_topk",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 100
+    """))
+
   // ---------------------------------------------------------------- q35
   // Set operations (SURVEY §2.7: absent from the reference, Catalyst
   // built-ins): segments holding customers both with and without open
@@ -630,5 +652,5 @@ object CoreQueries extends QueryPack {
     """))
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q31, q32, q35, q42, q43, q48, q52, q53)
+    q11, q12, q13, q31, q32, q35, q42, q43, q48, q52, q53, q58)
 }
