@@ -21,12 +21,17 @@ object Bench {
     // counts as +inf so a fast failure can never beat a slow success;
     // both runs failing reports -1 (the pre-existing failure marker).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // each run is cache-scoped and the catalog is wiped after it, so a
+      // query pays for exactly the caches it creates — no query reaps a
+      // predecessor's persisted frames and none leaks into the next
+      // (r2 judge: q19 paid q34's materialization, q34 ran ~free)
       def once(): Double = {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          graft.util.CacheScope.withScope { fn(spark, sfDir).count() }
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => Double.PositiveInfinity }
+        finally spark.catalog.clearCache()
       }
       val best = math.min(once(), once())
       name -> (if (best.isInfinity) -1.0 else best)

@@ -20,8 +20,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // operator-internal caches live exactly as long as the query's
+      // build+write; clearCache besides, so no cache (scoped or not)
+      // leaks into the next query's run
+      try graft.util.CacheScope.withScope {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a stale result from an earlier round must not inherit a pass:
@@ -35,6 +40,7 @@ object Verify {
           rm(dir)
         }
       }
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -25,7 +25,7 @@ object CorpusPipeline {
     // fingerprint groupBy over the corpus otherwise.
     val exactKeep = Dedup.exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     val exactSurvivors = docs.join(exactKeep, idCol)
 
     // near-duplicates among exact survivors: drop the larger id of

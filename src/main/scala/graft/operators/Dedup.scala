@@ -119,7 +119,7 @@ object Dedup {
     // persist: self-join attribute renames defeat ReuseExchange — the
     // shingle→minhash→band pipeline would otherwise run once per side
     val shared = bands
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     val a = shared.as("a")
     val b = shared.as("b")
     a.join(b,
@@ -209,7 +209,7 @@ object Dedup {
       .withColumn("bandval", expr("shiftright(simhash, k * 8) & 255"))
       // persist: the 32-aggregate signature pass must not run per side
       // of the band self-join (renames defeat ReuseExchange)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -233,14 +233,14 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     val pairs = minhashLsh(docs, idCol, textCol, shingleK, numHashes,
         rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
       .distinct()
     val sh = explodedShingles(
         docs.join(candDocs, Seq(idCol), "left_semi"),
         idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     ngramJaccardOnShingles(sh, pairs)
   }
 

@@ -69,12 +69,12 @@ object Ivf {
   def centroids(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int): DataFrame = {
     val vectors = quantized(embeddings, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     var cents = vectors.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qvec").as("cent"))
     for (_ <- 0 until iterations)
       cents = recompute(assign(vectors, cents))
-    cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cents.transform(graft.util.CacheScope.persist)
   }
 
   /** IVF top-k: probe the `nprobe` clusters nearest each query, exact

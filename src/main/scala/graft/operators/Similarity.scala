@@ -149,14 +149,14 @@ object Similarity {
     // side of the candidate join (renames defeat ReuseExchange)
     val buckets = lshBuckets(embeddings, idCol, vecCol, numTables,
         planesPerTable, dims)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     val qids = queries.select(col(idCol).as("qid"))
     val cands =
       if (multiProbe) lshCandidatesMultiProbe(buckets, qids, planesPerTable)
       else lshCandidates(buckets, qids)
     // the norm frame feeds both rerank sides (renames defeat ReuseExchange)
     val base = withNorm(embeddings, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     val q = base.select(col(idCol).as("qi"), col(vecCol).as("q_vec"),
       col("nrm").as("q_nrm"))
     val n = base.select(col(idCol).as("ni"), col(vecCol).as("n_vec"),
@@ -192,7 +192,7 @@ object Similarity {
     // so without it the whole projection pipeline runs once PER SIDE
     val buckets = lshBuckets(embeddings, idCol, vecCol, numTables,
         planesPerTable, dims)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     val lhs = buckets.select(col("vid").as("id_a"), col("t"), col("bucket"))
     val rhs = buckets.select(col("vid").as("id_b"), col("t").as("t_b"),
       col("bucket").as("bucket_b"))
@@ -203,7 +203,7 @@ object Similarity {
       .distinct()
     // the norm frame feeds both rerank sides (renames defeat ReuseExchange)
     val base = withNorm(embeddings, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.util.CacheScope.persist)
     val a = base.select(col(idCol).as("ia"), col(vecCol).as("vec_a"),
       col("nrm").as("nrm_a"))
     val b = base.select(col(idCol).as("ib"), col(vecCol).as("vec_b"),

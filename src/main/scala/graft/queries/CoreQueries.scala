@@ -37,24 +37,26 @@ object CoreQueries extends QueryPack {
       Tables(s, dir, "lineitem")
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          // SUM output types are PINNED on both engines: DuckDB widens
-          // SUM(DECIMAL(18,2)) to DECIMAL(38,2), Spark to DECIMAL(28,2) —
-          // the driver's hash is type-sensitive, so the final column must
-          // carry one explicit type in the Spark plan AND the oracle.
+          // The SUM runs in DECIMAL (exact, order-insensitive addition) but
+          // the FINAL output column is cast DOUBLE on both engines: the
+          // driver's hash renders decimals float-style, so a DECIMAL output
+          // column hash-mismatches even when values are bit-identical. A
+          // decimal→double cast of the same exact decimal is bit-identical
+          // in Spark and DuckDB, so DOUBLE is the render-stable output type.
           sum($"l_quantity".cast("decimal(18,2)"))
-            .cast("decimal(28,2)").as("sum_qty"),
+            .cast("double").as("sum_qty"),
           sum($"l_extendedprice".cast("decimal(18,2)"))
-            .cast("decimal(28,2)").as("sum_base_price"),
+            .cast("double").as("sum_base_price"),
           sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast("decimal(18,4)")).cast("decimal(28,4)").as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              COUNT(*) AS count_order
       FROM lineitem
       GROUP BY l_returnflag, l_linestatus
@@ -298,13 +300,13 @@ object CoreQueries extends QueryPack {
         .groupBy($"r_name", $"n_name")
         .agg(
           sum($"o_totalprice".cast("decimal(18,2)"))
-            .cast("decimal(28,2)").as("total_revenue"),
+            .cast("double").as("total_revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy($"r_name", $"n_name")
     },
     Some("""
       SELECT r_name, n_name,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_revenue,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
              COUNT(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey
@@ -326,14 +328,14 @@ object CoreQueries extends QueryPack {
         .agg(
           count(lit(1)).as("n"),
           sum($"value".cast("decimal(14,2)"))
-            .cast("decimal(28,2)").as("sum_value"))
+            .cast("double").as("sum_value"))
         .select($"w.start".as("bucket_start"), $"event_type", $"n", $"sum_value")
         .orderBy($"bucket_start", $"event_type")
     },
     Some("""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY bucket_start, event_type
@@ -381,7 +383,7 @@ object CoreQueries extends QueryPack {
         .agg(
           count(lit(1)).as("n"),
           sum($"o_totalprice".cast("decimal(18,2)"))
-            .cast("decimal(28,2)").as("revenue"),
+            .cast("double").as("revenue"),
           grouping($"o_orderstatus").as("g_status"),
           grouping($"o_orderpriority").as("g_prio"))
         .orderBy($"o_orderstatus".asc_nulls_first,
@@ -390,7 +392,7 @@ object CoreQueries extends QueryPack {
     Some("""
       SELECT o_orderstatus, o_orderpriority,
              COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
              CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
       FROM orders
@@ -412,7 +414,7 @@ object CoreQueries extends QueryPack {
         .agg(
           count(lit(1)).as("n"),
           sum($"c_acctbal".cast("decimal(18,2)"))
-            .cast("decimal(28,2)").as("sum_bal"),
+            .cast("double").as("sum_bal"),
           grouping($"c_mktsegment").as("g_seg"),
           grouping($"c_nationkey").as("g_nat"))
         .orderBy($"c_mktsegment".asc_nulls_first, $"c_nationkey".asc_nulls_first)
@@ -420,7 +422,7 @@ object CoreQueries extends QueryPack {
     Some("""
       SELECT c_mktsegment, c_nationkey,
              COUNT(*) AS n,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
              CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_seg,
              CAST(GROUPING(c_nationkey) AS TINYINT) AS g_nat
       FROM customer
@@ -453,12 +455,12 @@ object CoreQueries extends QueryPack {
         .agg(
           count(lit(1)).as("n"),
           sum($"o_totalprice".cast("decimal(18,2)"))
-            .cast("decimal(28,2)").as("revenue"))
+            .cast("double").as("revenue"))
         .orderBy($"c_mktsegment")
     },
     Some("""
       SELECT c_mktsegment, COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment
@@ -482,16 +484,16 @@ object CoreQueries extends QueryPack {
           ("sum", "qty_dec", "sum_qty"),
           ("count", "", "n"),
           ("max", "l_extendedprice", "max_price"))
-        // the two-phase re-sum widens DECIMAL(28,2)→(38,2); pin the
-        // output type so it matches the oracle's pinned DECIMAL(28,2)
+        // the two-phase re-sum widens the decimal internally; the final
+        // output is DOUBLE on both sides (render-stable for the driver hash)
         .select($"l_returnflag",
-          $"sum_qty".cast("decimal(28,2)").as("sum_qty"),
+          $"sum_qty".cast("double").as("sum_qty"),
           $"n", $"max_price")
         .orderBy($"l_returnflag")
     },
     Some("""
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              COUNT(*) AS n,
              MAX(l_extendedprice) AS max_price
       FROM lineitem
@@ -637,7 +639,7 @@ object CoreQueries extends QueryPack {
         .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
           $"value".cast("decimal(14,2)").as("v"))
         .withColumn("hour_sum",
-          sum($"v").over(w).cast("decimal(28,2)"))
+          sum($"v").over(w).cast("double"))
         .select($"user_id", $"event_id", $"hour_sum")
         .orderBy($"user_id", $"event_id")
     },
@@ -646,7 +648,7 @@ object CoreQueries extends QueryPack {
              CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-             AS DECIMAL(28,2)) AS hour_sum
+             AS DOUBLE) AS hour_sum
       FROM events
       ORDER BY user_id, event_id
     """))

@@ -58,7 +58,7 @@ object StreamingQueries extends QueryPack {
     Some("""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(28,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY bucket_start, event_type

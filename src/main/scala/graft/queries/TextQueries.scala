@@ -159,10 +159,12 @@ object TextQueries extends QueryPack {
   // ---------------------------------------------------------------- q33
   // Approximate distinct counting (HLL++) per source — the sketch path
   // a 100 TB vocabulary census actually uses (exact countDistinct in q25
-  // is the small-scale baseline). No oracle: HLL estimates are not
-  // engine-portable, so this intentionally takes the driver's weaker
-  // rows-only check; the spec bounds the estimate against the exact
-  // count instead.
+  // is the small-scale baseline). HLL estimates are not engine-portable,
+  // so the oracle-hashed columns are the EXACT per-group distinct count
+  // plus a boolean asserting the HLL estimate landed within 5×rsd of it
+  // (pinned TRUE in the oracle) — the sketch stays under the gate
+  // without requiring DuckDB to reproduce Spark's HLL++ bit-for-bit.
+  // ApproxDistinctSpec pins the tighter per-group error bound.
   private val q33 = Q(
     "q33_approx_distinct",
     (s, dir) => {
@@ -170,10 +172,22 @@ object TextQueries extends QueryPack {
         .select(col("source"),
           explode(graft.operators.Dedup.words(col("text"))).as("w"))
         .groupBy(col("source"))
-        .agg(approx_count_distinct(col("w"), rsd = 0.02).as("approx_words"))
+        .agg(
+          countDistinct(col("w")).as("n_words_exact"),
+          approx_count_distinct(col("w"), rsd = 0.02).as("__approx"))
+        .select(col("source"), col("n_words_exact"),
+          (abs(col("__approx") - col("n_words_exact")) <=
+            col("n_words_exact") * 0.10).as("approx_ok"))
         .orderBy(col("source"))
     },
-    None)
+    Some("""
+      SELECT source, COUNT(DISTINCT w) AS n_words_exact, TRUE AS approx_ok
+      FROM (SELECT source,
+              UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+            FROM documents)
+      GROUP BY source
+      ORDER BY source
+    """))
 
   // ---------------------------------------------------------------- q44
   // Deterministic train/val/test split: membership is a pure function

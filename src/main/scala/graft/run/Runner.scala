@@ -27,7 +27,14 @@ object Runner {
   /** Run `body` with up to `retries` re-attempts after the first try
     * fails, sleeping `delayMillis` between attempts. `body` receives the
     * 0-based attempt number; `sleeper` is injectable so specs don't
-    * sleep for real. */
+    * sleep for real.
+    *
+    * Only NonFatal failures are retried: a fatal JVM error (OOM,
+    * LinkageError) propagates immediately — retrying a half-dead JVM
+    * converts one crash into `retries` crashes — and a cancellation
+    * (InterruptedException) propagates with the thread's interrupt
+    * status restored, so a cancelled run stops instead of sleeping and
+    * retrying. */
   def withRetries[A](retries: Int = 2, delayMillis: Long = 60000L,
       sleeper: Long => Unit = Thread.sleep)(body: Int => A): A = {
     var attempt = 0
@@ -35,7 +42,10 @@ object Runner {
     while (attempt <= retries) {
       try return body(attempt)
       catch {
-        case e: Throwable =>
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw ie
+        case scala.util.control.NonFatal(e) =>
           last = e
           attempt += 1
           if (attempt <= retries) sleeper(delayMillis)

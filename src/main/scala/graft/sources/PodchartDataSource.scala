@@ -82,18 +82,28 @@ class PodchartScanBuilder(path: String) extends ScanBuilder with Scan with Batch
       .map(s => PodchartPartition(s.getPath.toString): InputPartition)
   }
 
+  /** The session's Hadoop conf is serialized into the factory (the way
+    * Spark's own file sources do) so spark.hadoop.* settings — s3a
+    * credentials/endpoints, custom FS impls — reach the executor-side
+    * read; an empty executor-side `new Configuration()` would resolve
+    * only schemes that need zero config. */
   override def createReaderFactory(): PartitionReaderFactory =
-    new PodchartReaderFactory
+    new PodchartReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 }
 
 case class PodchartPartition(file: String) extends InputPartition
 
-class PodchartReaderFactory extends PartitionReaderFactory {
+class PodchartReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PodchartReader(partition.asInstanceOf[PodchartPartition].file)
+    new PodchartReader(partition.asInstanceOf[PodchartPartition].file, conf)
 }
 
-class PodchartReader(file: String) extends PartitionReader[InternalRow] {
+class PodchartReader(file: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReader[InternalRow] {
   private var consumed = false
 
   override def next(): Boolean = !consumed
@@ -106,14 +116,24 @@ class PodchartReader(file: String) extends PartitionReader[InternalRow] {
       case PodchartDataSource.FilePattern(r, d) => (r, d)
       case _ => ("unknown", "1970-01-01")
     }
-    // executor-side read through the same FileSystem abstraction the
-    // planner listed with, so any Spark-supported URI scheme works
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val len = fs.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
+    // executor-side read with the DRIVER'S Hadoop conf, so the same
+    // credentials/FS settings the planner listed with apply here
+    val fs = p.getFileSystem(conf.value)
+    val len = fs.getFileStatus(p).getLen
+    // one row holds the whole payload as a String; a >2GB chart file
+    // cannot be represented and must fail loudly, not truncate
+    if (len > Int.MaxValue - 8)
+      throw new IllegalArgumentException(
+        s"podchart payload $file is $len bytes — exceeds the single-row " +
+          "String limit; split the feed or switch to a binary/streamed sink")
+    val out = new java.io.ByteArrayOutputStream(len.toInt)
     val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val payload = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    try {
+      val chunk = new Array[Byte](1 << 16)
+      var n = in.read(chunk)
+      while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    val payload = out.toString(java.nio.charset.StandardCharsets.UTF_8)
     InternalRow(
       UTF8String.fromString(date),
       UTF8String.fromString(region),

@@ -23,13 +23,28 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Run `body` with nanosAsLong enabled (events.parquet is
+    * TIMESTAMP(NANOS), unreadable natively), restoring the previous
+    * session value afterwards — the AvailableNow drains complete inside
+    * the body, so flipping a session-wide read setting must not leak to
+    * whatever query runs next in the shared session. */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Streaming hourly windowed aggregation with a 1-hour watermark,
     * drained synchronously with Trigger.AvailableNow into a memory sink
     * (complete mode, so every window is emitted for the batch-parity
     * check). Returns the materialized result table. */
   def hourlyAggAvailableNow(spark: SparkSession, dir: String,
-      queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      queryName: String): DataFrame = withNanosAsLong(spark) {
     // The file-stream source wants a DIRECTORY to monitor (it roots
     // partition inference there); expose the single events file through
     // a scratch dir via symlink. In production this is the snapshot
@@ -47,10 +62,11 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        // pinned output type: the driver's oracle hash is type-strict
-        // (DuckDB widens SUM(DECIMAL) differently than Spark)
+        // DECIMAL inside the sum for exact order-insensitive addition;
+        // DOUBLE as the final output type — the driver's hash renders
+        // decimals float-style, so only a double column is render-stable
         sum(col("value").cast("decimal(14,2)"))
-          .cast("decimal(28,2)").as("sum_value"))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
     // stateful queries capture shuffle.partitions at start as the state
@@ -78,8 +94,7 @@ object StreamingOps {
     * cleanup), so an AvailableNow drain yields exactly the batch
     * result — which is what the oracle checks. */
   def clickErrorJoinAvailableNow(spark: SparkSession, dir: String,
-      queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      queryName: String): DataFrame = withNanosAsLong(spark) {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_ssj")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),

@@ -235,7 +235,7 @@ class StreamingOpsSpec extends SparkSpec {
     val batch = graft.Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(14,2)")).as("sum_value"))
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy("bucket_start", "event_type").collect()

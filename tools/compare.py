@@ -9,6 +9,7 @@ the same sf dir and compares values strictly.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
+import decimal
 import json
 import math
 import sys
@@ -19,19 +20,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
+def norm(v, float_decimals):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{v!r}"
+    # The driver's hash renders DECIMAL values float-style on ONE side
+    # ("153735.0") and scale-exact on the other ("153735.00"), so a
+    # DECIMAL output column hash-fails whenever any value has a trailing
+    # zero at its scale — even with bit-identical values (judge r2 root
+    # cause, 8 queries). Reproduce the asymmetry: float-render decimals
+    # on the spark side, scale-exact on the oracle side. A decimal column
+    # then fails here exactly when the driver would fail it (and passes
+    # only by q43-style luck). Registered queries must not emit DECIMAL
+    # outputs at all — OracleLintSpec enforces that; this keeps the
+    # mirror honest if one slips through.
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v)!r}" if float_decimals else str(v)
     if isinstance(v, list):
-        return "[" + ",".join(norm(x) for x in v) + "]"
+        return "[" + ",".join(norm(x, float_decimals) for x in v) + "]"
     return str(v)
 
 
-def frame_key(rows, cols):
+def frame_key(rows, cols, float_decimals):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out = [tuple(norm(r[i], float_decimals) for i in order) for r in rows]
     out.sort()
     return out
 
@@ -71,7 +84,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: dtypes differ {type_diff}")
             n_fail += 1
             continue
-        a, b = frame_key(spark_rows, spark_cols), frame_key(duck_rows, duck_cols)
+        a = frame_key(spark_rows, spark_cols, float_decimals=True)
+        b = frame_key(duck_rows, duck_cols, float_decimals=False)
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
             n_fail += 1
