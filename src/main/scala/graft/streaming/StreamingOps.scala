@@ -10,6 +10,18 @@ import org.apache.spark.sql.types._
   * ops are its streaming-native restatement — a file-source stream over
   * the snapshot directory with event-time windows + watermark replaces
   * the O(history) daily union, and keyed state replaces per-run rescans.
+  *
+  * == Gate harness vs production sink ==
+  * The two `*AvailableNow` drains ([[hourlyAggAvailableNow]],
+  * [[clickErrorJoinAvailableNow]]) write to a `format("memory")` sink —
+  * driver-side accumulation — because the correctness gate needs the
+  * whole finite result materialized for a hash comparison against the
+  * batch oracle, and the drained sf0.1 result is a few thousand rows.
+  * That is a TEST HARNESS shape, not the design: the production path is
+  * the distributed-sink form — [[incrementalGold]] (parquet sink,
+  * partitioned, O(new data) per trigger) and [[goldUpsertStream]]
+  * (`foreachBatch` partition upsert). Never use a memory sink on an
+  * unbounded stream or a result that doesn't fit on the driver.
   */
 object StreamingOps {
 
