@@ -141,25 +141,48 @@ object Similarity {
     * (or [[lshCandidatesMultiProbe]] when `multiProbe`), exact cosine
     * rerank. Under-filled buckets yield fewer than k neighbors — the
     * standard ANN recall tradeoff. */
+  /** One map-side pass over the vectors computing id, double vector,
+    * norm AND all L bucket hashes — every downstream consumer (bucket
+    * joins, rerank sides) derives from this single persisted frame, so
+    * the source is scanned once and only one cache is materialized.
+    * Schema: (vid, __vec, nrm, __b) with __b the per-table bucket array. */
+  private def fusedBase(embeddings: DataFrame, idCol: String, vecCol: String,
+      numTables: Int, planesPerTable: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    embeddings.select(
+        col(idCol).as("vid"),
+        asDouble(col(vecCol)).as("__vec"),
+        sqrt(norm2(asDouble(col(vecCol)))).as("nrm"),
+        Bridge.column(graft.functions.LshProject(
+          Bridge.expression(asDouble(col(vecCol))),
+          planeCoefs(numTables, planesPerTable, dims),
+          numTables, planesPerTable, dims)).as("__b"))
+      .transform(graft.util.CacheScope.persist)
+  }
+
+  /** (vid, t, bucket) exploded from [[fusedBase]] — same shape as
+    * [[lshBuckets]] but reading the cached fused frame. */
+  private def fusedBuckets(base: DataFrame): DataFrame =
+    base.select(col("vid"), posexplode(col("__b")).as(Seq("t", "bucket")))
+      .select(col("vid"), col("t").cast("long").as("t"), col("bucket"))
+
   def lshTopK(embeddings: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numTables: Int, planesPerTable: Int, dims: Int,
       multiProbe: Boolean = false): DataFrame = {
-    // persist: the bucket frame feeds both the query side and the full
-    // side of the candidate join (renames defeat ReuseExchange)
-    val buckets = lshBuckets(embeddings, idCol, vecCol, numTables,
-        planesPerTable, dims)
-      .transform(graft.util.CacheScope.persist)
+    // single scan + single cache: buckets for the candidate join and
+    // norms for the rerank both come from the fused frame (the previous
+    // two-persist form materialized the source twice)
+    val base = fusedBase(embeddings, idCol, vecCol, numTables,
+      planesPerTable, dims)
+    val buckets = fusedBuckets(base)
     val qids = queries.select(col(idCol).as("qid"))
     val cands =
       if (multiProbe) lshCandidatesMultiProbe(buckets, qids, planesPerTable)
       else lshCandidates(buckets, qids)
-    // the norm frame feeds both rerank sides (renames defeat ReuseExchange)
-    val base = withNorm(embeddings, idCol, vecCol)
-      .transform(graft.util.CacheScope.persist)
-    val q = base.select(col(idCol).as("qi"), col(vecCol).as("q_vec"),
+    val q = base.select(col("vid").as("qi"), col("__vec").as("q_vec"),
       col("nrm").as("q_nrm"))
-    val n = base.select(col(idCol).as("ni"), col(vecCol).as("n_vec"),
+    val n = base.select(col("vid").as("ni"), col("__vec").as("n_vec"),
       col("nrm").as("n_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
@@ -188,11 +211,13 @@ object Similarity {
   def nearDupPairsBucketed(embeddings: DataFrame, idCol: String,
       vecCol: String, minCos: Double, numTables: Int, planesPerTable: Int,
       dims: Int): DataFrame = {
-    // persist: the self-join's attribute renames defeat ReuseExchange,
-    // so without it the whole projection pipeline runs once PER SIDE
-    val buckets = lshBuckets(embeddings, idCol, vecCol, numTables,
-        planesPerTable, dims)
-      .transform(graft.util.CacheScope.persist)
+    // single scan + single cache (see fusedBase): the bucket self-join's
+    // two sides AND the two rerank sides all read the fused frame —
+    // attribute renames defeat ReuseExchange, so without the cache the
+    // whole projection pipeline would run once per side
+    val base = fusedBase(embeddings, idCol, vecCol, numTables,
+      planesPerTable, dims)
+    val buckets = fusedBuckets(base)
     val lhs = buckets.select(col("vid").as("id_a"), col("t"), col("bucket"))
     val rhs = buckets.select(col("vid").as("id_b"), col("t").as("t_b"),
       col("bucket").as("bucket_b"))
@@ -201,12 +226,9 @@ object Similarity {
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // the norm frame feeds both rerank sides (renames defeat ReuseExchange)
-    val base = withNorm(embeddings, idCol, vecCol)
-      .transform(graft.util.CacheScope.persist)
-    val a = base.select(col(idCol).as("ia"), col(vecCol).as("vec_a"),
+    val a = base.select(col("vid").as("ia"), col("__vec").as("vec_a"),
       col("nrm").as("nrm_a"))
-    val b = base.select(col(idCol).as("ib"), col(vecCol).as("vec_b"),
+    val b = base.select(col("vid").as("ib"), col("__vec").as("vec_b"),
       col("nrm").as("nrm_b"))
     cands
       .join(a, col("id_a") === col("ia"))
