@@ -89,4 +89,63 @@ object TextAnalysis {
   /** 32-bit numeric fingerprint from the md5 content digest. */
   def fingerprint32(text: Column): Column =
     conv(substring(Dedup.fingerprint(text), 1, 8), 16, 10).cast("long")
+
+  // ------------------------------------------------------- repetition
+
+  /** Highest multiplicity of any single word in the words array,
+    * computed IN-ROW (zero shuffle): the max run length in the sorted
+    * array equals the max per-word count. An `aggregate` fold with a
+    * (prev, run, best) struct state — the only non-lambda argument is
+    * the bound array itself, evaluated once. */
+  def maxWordMultiplicity(wordsCol: Column): Column =
+    aggregate(
+      array_sort(wordsCol),
+      struct(
+        lit(null).cast("string").as("prev"),
+        lit(0L).as("run"),
+        lit(0L).as("best")),
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+
+  /** Gopher-style repetition flags over a bound words array: duplicate
+    * word fraction and most-frequent-word fraction, all in-row — the
+    * shuffle-free complement to the exploded vocabulary census (q25). */
+  def repetitionStats(wordsCol: Column): (Column, Column, Column, Column) = {
+    val nWords = size(wordsCol).cast("long")
+    val nDistinct = size(array_distinct(wordsCol)).cast("long")
+    val dupFrac = lit(1.0) -
+      nDistinct.cast("double") / greatest(nWords, lit(1L)).cast("double")
+    val topFrac = maxWordMultiplicity(wordsCol).cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    (nWords, nDistinct, dupFrac, topFrac)
+  }
+
+  // ------------------------------------------------------- PII scrub
+
+  /** Explicit ASCII-only patterns so the Java (Spark) and RE2 (DuckDB)
+    * regex dialects match match-for-match. */
+  val EmailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+  val UrlRegex = "https?://[^ \\t\\n]+"
+  val NumRunRegex = "[0-9][0-9][0-9]+"
+
+  /** Number of regex matches in the ORIGINAL text (counted before any
+    * scrubbing so overlapping patterns don't hide each other). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redacted text: emails, then URLs, then 3+ digit runs replaced by
+    * typed placeholder tokens — order matters (an email scrub must not
+    * leave digits for the number scrub to re-hit differently than the
+    * oracle's identical chain). */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRegex, "<EMAIL>"),
+        UrlRegex, "<URL>"),
+      NumRunRegex, "<NUM>")
 }

@@ -391,5 +391,72 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b
     """))
 
-  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51)
+  // ---------------------------------------------------------------- q59
+  // BOUNDED edit-distance verification: same LSH-candidate tier as q51
+  // but through Spark's 3-arg levenshtein(l, r, threshold) — the banded
+  // early-exit algorithm (UTF8String.levenshteinDistance walks only the
+  // ±threshold diagonal and bails as soon as the band minimum exceeds
+  // it). At 100 TB candidate volume that is the standard trick: a true
+  // near-dup costs O(threshold·len) instead of O(len²), and a far pair
+  // exits almost immediately. Returns -1 beyond the threshold; the
+  // oracle reproduces that contract with a CASE over the full distance.
+  private val q59 = Q(
+    "q59_dedup_levenshtein_bounded",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 6, rowsPerBand = 2)
+      val norm = docs.select(col("doc_id"),
+        Dedup.normalize(col("text")).as("norm"))
+      pairs
+        .join(norm.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("norm", "norm_a"), "doc_a")
+        .join(norm.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("norm", "norm_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("norm_a"), col("norm_b"), 40).as("bounded_dist"),
+          (levenshtein(col("norm_a"), col("norm_b"), 40) >= 0).as("is_dup"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(CASE WHEN levenshtein(na.nt, nb.nt) <= 40
+                       THEN levenshtein(na.nt, nb.nt) ELSE -1 END
+                  AS INTEGER) AS bounded_dist,
+             levenshtein(na.nt, nb.nt) <= 40 AS is_dup
+      FROM cand
+      JOIN norm na ON na.doc_id = doc_a
+      JOIN norm nb ON nb.doc_id = doc_b
+      ORDER BY doc_a, doc_b
+    """))
+
+  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59)
 }

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryPack, Tables}
+import graft.operators.{Chunking, Mixture, TextAnalysis}
+
+/** Training-data pipeline reshapes beyond the curation core: context
+  * chunking, repetition flags, PII scrubbing, domain-mixture weights,
+  * and the ranking-window function family. All per-row or single-shuffle
+  * plans; every query has a bit-exact DuckDB twin.
+  */
+object PipelineQueries extends QueryPack {
+
+  private val normWordsSql =
+    raw"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+
+  // ---------------------------------------------------------------- q60
+  // Context-window chunking: 64-token windows, stride 48 (16-token
+  // overlap). Pure per-row reshape — sequence/posexplode/slice — so the
+  // plan is scan-parallel with zero shuffle; the gate projects the
+  // chunk's md5 so result rows stay small.
+  private val q60 = Q(
+    "q60_chunk_overlap",
+    (s, dir) => {
+      Chunking.chunkByTokens(Tables(s, dir, "documents"),
+          "doc_id", "text", chunkTokens = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      chunks AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+               w[CAST(i*48+1 AS BIGINT) : CAST(least(i*48+64, len(w)) AS BIGINT)] AS cw
+        FROM norm, UNNEST(generate_series(0,
+          CAST(greatest(ceil((len(w)-64)/48.0), 0) AS BIGINT))) AS t(i)
+        WHERE len(w) >= 1)
+      SELECT doc_id, chunk_idx,
+             CAST(len(cw) AS INTEGER) AS n_chunk_tokens,
+             md5(array_to_string(cw, ' ')) AS chunk_fp
+      FROM chunks
+      ORDER BY doc_id, chunk_idx
+    """))
+
+  // ---------------------------------------------------------------- q61
+  // Gopher-style repetition flags, all IN-ROW (zero shuffle): duplicate
+  // word fraction and top-word fraction from array_distinct + a sorted
+  // max-run fold — the shuffle-free complement of the exploded census
+  // (q25). The oracle computes the identical quantities by exploding,
+  // proving the in-row fold ≡ the group-by multiplicities.
+  private val q61 = Q(
+    "q61_repetition_flags",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Dedup.words(col("text")).as("__w"))
+      val (nWords, nDistinct, dupFrac, topFrac) =
+        TextAnalysis.repetitionStats(col("__w"))
+      docs.select(
+          col("doc_id"),
+          nWords.as("n_words"),
+          nDistinct.as("n_distinct_words"),
+          dupFrac.as("dup_word_frac"),
+          topFrac.as("top_word_frac"),
+          (topFrac > 0.2).as("flag_repetitive"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      counts AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(w) AS word FROM norm)
+        GROUP BY doc_id, word),
+      stats AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+               CAST(MAX(c) AS BIGINT) AS top_count
+        FROM counts GROUP BY doc_id)
+      SELECT doc_id, n_words, n_distinct_words,
+             1.0 - (CAST(n_distinct_words AS DOUBLE) /
+                    CAST(greatest(n_words, 1) AS DOUBLE)) AS dup_word_frac,
+             CAST(top_count AS DOUBLE) /
+               CAST(greatest(n_words, 1) AS DOUBLE) AS top_word_frac,
+             (CAST(top_count AS DOUBLE) /
+               CAST(greatest(n_words, 1) AS DOUBLE)) > 0.2 AS flag_repetitive
+      FROM stats
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------- q62
+  // PII scrub: emails → <EMAIL>, URLs → <URL>, 3+-digit runs → <NUM>,
+  // with per-class match counts taken on the ORIGINAL text. Patterns are
+  // shared constants interpolated into the oracle so both engines run
+  // the identical regex (ASCII-only, Java/RE2-dialect-neutral).
+  private val q62 = Q(
+    "q62_pii_scrub",
+    (s, dir) => {
+      val t = col("text")
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.piiCount(t, TextAnalysis.EmailRegex).as("n_email"),
+          TextAnalysis.piiCount(t, TextAnalysis.UrlRegex).as("n_url"),
+          TextAnalysis.piiCount(t, TextAnalysis.NumRunRegex).as("n_num"),
+          md5(TextAnalysis.piiScrub(t)).as("scrub_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRegex}')) AS INTEGER) AS n_email,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.UrlRegex}')) AS INTEGER) AS n_url,
+             CAST(len(regexp_extract_all(text, '${TextAnalysis.NumRunRegex}')) AS INTEGER) AS n_num,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '${TextAnalysis.EmailRegex}', '<EMAIL>', 'g'),
+               '${TextAnalysis.UrlRegex}', '<URL>', 'g'),
+               '${TextAnalysis.NumRunRegex}', '<NUM>', 'g')) AS scrub_fp
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------- q63
+  // Domain-mixture weights toward a uniform target: one corpus-wide
+  // hash aggregation, then window arithmetic over the few grouped rows
+  // (single-reducer window is deliberate — groups stay small at any SF).
+  private val q63 = Q(
+    "q63_mixture_weights",
+    (s, dir) => {
+      Mixture.uniformMixtureWeights(Tables(s, dir, "documents"), "source")
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+      SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) /
+               CAST(SUM(n_docs) OVER () AS DOUBLE) AS actual_frac,
+             (1.0 / CAST(COUNT(*) OVER () AS DOUBLE)) /
+               (CAST(n_docs AS DOUBLE) /
+                CAST(SUM(n_docs) OVER () AS DOUBLE)) AS weight
+      FROM s
+      ORDER BY source
+    """))
+
+  // ---------------------------------------------------------------- q64
+  // Ranking-window family: ntile / percent_rank / cume_dist / lead /
+  // first_value in one pass per segment — completes the window operator
+  // surface next to q05 (row_number), q06 (lag) and q53 (range frame).
+  // Unique tie-break (custkey) keeps cume_dist deterministic.
+  private val q64 = Q(
+    "q64_window_family",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables(s, dir, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          lead(col("c_custkey"), 1).over(w).as("next_custkey"),
+          first_value(col("c_custkey")).over(w).as("top_custkey"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("""
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+             PERCENT_RANK() OVER w AS pct_rank,
+             CUME_DIST() OVER w AS cume,
+             LEAD(c_custkey, 1) OVER w AS next_custkey,
+             FIRST_VALUE(c_custkey) OVER w AS top_custkey
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC)
+      ORDER BY c_mktsegment, c_custkey
+    """))
+
+  def all: Seq[Q] = Seq(q60, q61, q62, q63, q64)
+}

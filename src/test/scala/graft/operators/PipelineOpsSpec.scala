@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the pipeline reshapes: chunking invariants, in-row
+  * repetition stats vs the exploded ground truth, PII scrubbing on
+  * crafted cases, mixture-weight algebra, and the bounded-levenshtein
+  * contract vs the clamped full distance. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val out = Chunking.chunkByTokens(docsDf(Seq((1L, text))),
+        "doc_id", "text", chunkTokens = 64, stride = 48)
+      .orderBy("chunk_idx").collect()
+    // starts at 0, 48, 96 for 150 tokens: sizes 64, 64, 54
+    assert(out.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2))
+    assert(out.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(64, 64, 54))
+    val chunks = out.map(_.getAs[String]("chunk_text").split(" ").toSeq)
+    // overlap: the last 16 tokens of chunk c are the first 16 of c+1
+    assert(chunks(0).takeRight(16) == chunks(1).take(16))
+    assert(chunks(1).takeRight(16) == chunks(2).take(16))
+    // coverage: union of chunk tokens at stride offsets == the document
+    assert(chunks(0) ++ chunks(1).drop(16) ++ chunks(2).drop(16) ==
+      (1 to 150).map(i => s"w$i").toSeq)
+  }
+
+  test("chunking: short and empty documents") {
+    val out = Chunking.chunkByTokens(
+        docsDf(Seq((1L, "only three words"), (2L, ""))),
+        "doc_id", "text", chunkTokens = 64, stride = 48)
+      .collect()
+    // doc 2 normalizes to a single empty word -> one (degenerate) chunk,
+    // matching the whitespace-split convention used across the engine
+    assert(out.count(_.getLong(0) == 1L) == 1)
+    val c1 = out.find(_.getLong(0) == 1L).get
+    assert(c1.getAs[String]("chunk_text") == "only three words")
+    assert(c1.getAs[Int]("n_chunk_tokens") == 3)
+  }
+
+  test("in-row repetition stats equal the exploded ground truth (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), Dedup.words(col("text")).as("__w"))
+    val (n, d, _, _) = TextAnalysis.repetitionStats(col("__w"))
+    val inRow = docs.select(col("doc_id"), n.as("n"), d.as("d"),
+      TextAnalysis.maxWordMultiplicity(col("__w")).as("top"))
+    val truth = docs
+      .select(col("doc_id"), explode(col("__w")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("d"), max("c").as("top"))
+    assert(inRow.exceptAll(truth).isEmpty && truth.exceptAll(inRow).isEmpty)
+  }
+
+  test("maxWordMultiplicity on crafted arrays") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("a", "a", "b")),
+      (2L, Seq("x")),
+      (3L, Seq("b", "a", "b", "a", "b"))).toDF("id", "w")
+    val got = df.select(col("id"),
+        TextAnalysis.maxWordMultiplicity(col("w")).as("m"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(2L, 1L, 3L))
+  }
+
+  test("PII scrub redacts emails, urls, digit runs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "mail me at jane.doe+x@corp.example.com or call 555 1234567",
+      "see https://example.com/a?b=1 and http://x.io",
+      "no pii here").toDF("text")
+    val out = df.select(
+        TextAnalysis.piiCount(col("text"), TextAnalysis.EmailRegex).as("e"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.UrlRegex).as("u"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.NumRunRegex).as("n"),
+        TextAnalysis.piiScrub(col("text")).as("scrubbed"))
+      .collect()
+    assert(out(0).getAs[Int]("e") == 1 && out(0).getAs[Int]("n") == 2)
+    assert(out(0).getAs[String]("scrubbed") ==
+      "mail me at <EMAIL> or call <NUM> <NUM>")
+    assert(out(1).getAs[Int]("u") == 2)
+    assert(out(1).getAs[String]("scrubbed") == "see <URL> and <URL>")
+    assert(out(2).getAs[String]("scrubbed") == "no pii here")
+  }
+
+  test("uniform mixture weights: actual_frac sums to 1, weight*actual = target") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Mixture.uniformMixtureWeights(docs, "source").collect()
+    val target = 1.0 / rows.length
+    assert(math.abs(rows.map(_.getAs[Double]("actual_frac")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") *
+        r.getAs[Double]("actual_frac") - target) < 1e-9)
+    }
+  }
+
+  test("bounded levenshtein == clamped full distance on LSH candidates (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+    val norm = docs.select(col("doc_id"), Dedup.normalize(col("text")).as("nt"))
+    val joined = pairs
+      .join(norm.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nt", "na"), "doc_a")
+      .join(norm.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nt", "nb"), "doc_b")
+    val bad = joined.select(
+        levenshtein(col("na"), col("nb"), 40).as("bounded"),
+        when(levenshtein(col("na"), col("nb")) <= 40,
+          levenshtein(col("na"), col("nb"))).otherwise(-1).as("clamped"))
+      .filter(col("bounded") =!= col("clamped"))
+    assert(bad.isEmpty)
+  }
+}
