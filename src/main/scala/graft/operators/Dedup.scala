@@ -276,6 +276,79 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
   }
 
+  /** Incremental exact dedup of a NEW batch against corpus history:
+    * the history side is a 16-byte FINGERPRINT table (never the bodies),
+    * so the daily cost is O(new) — one left-semi-shaped join of the new
+    * batch's fingerprints against the known set, plus the intra-batch
+    * exact grouping. At 100 TB the fingerprint table is itself bucketed
+    * on the digest so the join co-locates without a shuffle of history.
+    * Output: one row per new doc — (doc_id, fp, dup_of_history,
+    * intra_keep) where intra_keep marks the smallest-id copy within the
+    * new batch. */
+  def incrementalExact(newDocs: DataFrame, knownFps: DataFrame,
+      idCol: String, textCol: String, fpCol: String): DataFrame = {
+    val withFp = newDocs.select(col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("fp"))
+    val known = knownFps.select(col(fpCol).as("fp")).distinct()
+      .withColumn("__known", lit(true))
+    val intraKeep = withFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("__keep_id"))
+    withFp
+      .join(known, Seq("fp"), "left")
+      .join(intraKeep, Seq("fp"))
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("__known"), lit(false)).as("dup_of_history"),
+        (col("doc_id") === col("__keep_id")).as("intra_keep"))
+  }
+
+  /** Duplicate-CLUSTER assignment from candidate pairs: connected
+    * components by iterative min-label propagation — each round every
+    * node takes the min label over itself and its neighbors; converged
+    * when no label changes. Dedup graphs are near-cliques (every member
+    * pairs with most others), so the diameter — and the round count —
+    * is tiny; each round is one distributed join + group-min, and the
+    * driver touches only the convergence counter. For adversarially
+    * long chains the alternating large-star/small-star contraction
+    * bounds rounds at O(log²n); not needed for dup graphs.
+    * Output: (doc_id, cluster_id, cluster_size) for every doc in a
+    * pair, cluster_id = smallest doc_id reachable. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .transform(graft.util.CacheScope.persist)
+    // Each round references `labels` twice (join side + union side), so
+    // without truncation the logical plan DOUBLES per iteration — by
+    // round ~8 plan stringification alone OOMs. localCheckpoint
+    // materializes the round's labels and CUTS the lineage, the standard
+    // shape for iterative Spark algorithms (on a cluster with flaky
+    // executors, prefer reliable checkpoint() to a checkpoint dir).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = labels
+        .join(edges, labels("id") === edges("src"))
+        .select(col("dst").as("id"), col("lbl"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = propagated.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .limit(1).count()
+      labels = propagated
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * shared/(|A|+|B|-shared); join on the shingle, then one groupBy per
     * pair. At scale, run on LSH candidates instead of all sharing pairs

@@ -458,5 +458,93 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b
     """))
 
-  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59)
+  // ---------------------------------------------------------------- q65
+  // Incremental dedup of a new batch against corpus history — the
+  // O(new) daily form (the reference re-reads ALL history daily; this
+  // joins the new batch against a 16-byte fingerprint table instead).
+  // History/new split by doc_id parity stands in for yesterday/today.
+  private val q65 = Q(
+    "q65_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 2 === 0)
+      val newBatch = docs.filter(col("doc_id") % 2 === 1)
+      val knownFps = history.select(Dedup.fingerprint(col("text")).as("fp"))
+      Dedup.incrementalExact(newBatch, knownFps, "doc_id", "text", "fp")
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH hist AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 2 = 0),
+      new AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 2 = 1),
+      keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM new GROUP BY fp)
+      SELECT n.doc_id, n.fp,
+             (h.fp IS NOT NULL) AS dup_of_history,
+             n.doc_id = k.keep_id AS intra_keep
+      FROM new n LEFT JOIN hist h ON n.fp = h.fp JOIN keep k ON n.fp = k.fp
+      ORDER BY n.doc_id
+    """))
+
+  // ---------------------------------------------------------------- q66
+  // Duplicate-CLUSTER assignment: connected components over the LSH
+  // candidate pairs by min-label propagation (Dedup.dupClusters) — the
+  // step that turns pairwise near-dups into keep-one-per-cluster
+  // decisions. The oracle computes the same closure with a recursive
+  // CTE, proving the iterative distributed form reaches the fixpoint.
+  private val q66 = Q(
+    "q66_dup_clusters",
+    (s, dir) => {
+      Dedup.dupClusters(
+          Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
+            shingleK = 3, numHashes = 6, rowsPerBand = 2))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH RECURSIVE norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL SELECT doc_b, doc_a FROM cand),
+      reach AS (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+      sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM labels
+        GROUP BY cluster_id)
+      SELECT id AS doc_id, cluster_id, cluster_size
+      FROM labels JOIN sizes USING (cluster_id)
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66)
 }

@@ -104,6 +104,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup flags history dups and intra-batch copies") {
+    val s = spark
+    import s.implicits._
+    val newDocs = Seq(
+      (10L, "alpha beta"), (11L, "fresh text"), (12L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val known = Seq(Tuple1("alpha beta"), Tuple1("old text")).toDF("t")
+      .select(Dedup.fingerprint(col("t")).as("fp"))
+    val out = Dedup.incrementalExact(newDocs, known, "doc_id", "text", "fp")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0),
+      r.getAs[Boolean]("dup_of_history"), r.getAs[Boolean]("intra_keep")))
+      .toSeq == Seq((10L, true, true), (11L, false, true), (12L, true, false)))
+  }
+
+  test("dupClusters finds components: chain, clique edge, singleton pair") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (needs >1 propagation round), pair 7-9
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (9L, 7L, 2L)))
+  }
+
+  test("dupClusters converges on a long chain (diameter > 2)") {
+    val s = spark
+    import s.implicits._
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).collect()
+    assert(out.length == 9 && out.forall(_.getLong(1) == 1L) &&
+      out.forall(_.getLong(2) == 9L))
+  }
+
   test("bounded levenshtein == clamped full distance on LSH candidates (sf0.001)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
