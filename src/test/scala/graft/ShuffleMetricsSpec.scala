@@ -1,0 +1,106 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** Runtime shuffle-volume guards: the scale claims in SURVEY §8 are
+  * properties of how much data MOVES, not of the plan string (a cached
+  * pipeline prints its subtree once per consumer, so static Exchange
+  * counts overstate composed queries). A listener sums shuffle-write
+  * RECORDS across stages; the assertions are semantic bounds — e.g. the
+  * propose stage must shuffle orders of magnitude fewer rows than the
+  * corpus shingle count, which is exactly the regression that
+  * resurfaces if map-side signatures or candidate-restricted
+  * verification break.
+  */
+class ShuffleMetricsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Total shuffle records written while running `body` (polls until
+    * the async listener bus goes quiet). */
+  private def shuffleRecords(body: => Unit): Long = {
+    val acc = new AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        acc.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) { // three quiet 100ms polls = bus drained
+        Thread.sleep(100)
+        val now = acc.get
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get
+  }
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("global top-k and running-total plans shuffle ZERO records") {
+    val topk = shuffleRecords {
+      SparkEntry.queries("q58_global_topk")(spark, dir).count(); ()
+    }
+    assert(topk == 0L, s"q58 TakeOrderedAndProject must not shuffle: $topk")
+  }
+
+  test("exact dedup shuffles digests, bounded by the doc count") {
+    val n = docs.count()
+    val recs = shuffleRecords {
+      operators.Dedup.exact(docs, "doc_id", "text").count(); ()
+    }
+    // map-side partial agg: each partition emits at most its distinct
+    // fingerprints; the AQE result-collection row is noise
+    assert(recs <= n + 16,
+      s"exact dedup shuffled $recs records for $n docs — partial agg lost?")
+  }
+
+  test("native minhash propose shuffles bands, not shingles") {
+    val shingleCount = operators.Dedup
+      .explodedShingles(docs, "doc_id", "text", 3).count()
+    val recs = shuffleRecords {
+      operators.Dedup.minhashLsh(docs, "doc_id", "text").count(); ()
+    }
+    // 3 band rows per doc + candidate pairs; the broken form shuffles
+    // every (doc, shingle) pair into a groupBy-min
+    assert(recs < shingleCount / 2,
+      s"propose shuffled $recs records vs $shingleCount corpus shingles — " +
+        "map-side signatures regressed?")
+  }
+
+  test("propose/verify shuffles candidate shingles, not corpus shingles") {
+    val shingleCount = operators.Dedup
+      .explodedShingles(docs, "doc_id", "text", 3).count()
+    val recs = shuffleRecords {
+      graft.util.CacheScope.withScope {
+        operators.Dedup.proposeVerify(docs, "doc_id", "text").count()
+      }; ()
+    }
+    // verify explodes shingles ONLY for docs in a candidate pair (a
+    // few % of the corpus); corpus-wide explode would exceed this many
+    // times over
+    assert(recs < 2 * shingleCount,
+      s"propose/verify shuffled $recs records vs $shingleCount corpus " +
+        "shingles — candidate restriction regressed?")
+  }
+
+  test("repetition flags shuffle only the output rows (in-row stats)") {
+    val n = docs.count()
+    val recs = shuffleRecords {
+      SparkEntry.queries("q61_repetition_flags")(spark, dir).count(); ()
+    }
+    // one ordering shuffle of the per-doc rows; the exploded form moves
+    // every (doc, word) pair
+    assert(recs <= n + 16,
+      s"q61 shuffled $recs records for $n docs — in-row fold regressed?")
+  }
+}
