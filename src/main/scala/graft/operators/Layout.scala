@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan pruning at scale: Z-order (Morton)
+  * clustering interleaves the bits of two keys so that range-partitioned,
+  * internally-sorted files are simultaneously clustered on BOTH
+  * dimensions — parquet min/max stats then prune files for predicates on
+  * either key, where single-key sorting prunes only its own. The
+  * standard lakehouse trick for the "filter by customer AND by date"
+  * workload on a 100 TB fact table.
+  *
+  * The z-value is pure bit arithmetic over codegen'd built-ins (16
+  * shift/mask terms per dimension — no UDF), identical in any engine.
+  */
+object Layout {
+
+  /** Bits per dimension; two 16-bit dims pack into a 32-bit z-value. */
+  val ZBits = 16
+
+  /** Morton interleave of the low [[ZBits]] bits of x (even positions)
+    * and y (odd positions). Inputs are masked, so callers quantize to
+    * 16-bit range themselves (e.g. `pmod(key, 65536)` or a bucketed
+    * day number). */
+  def zValue(x: Column, y: Column): Column = {
+    val xm = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val ym = y.cast("long").bitwiseAND(lit(0xFFFFL))
+    (0 until ZBits).map { j =>
+      val xbit = shiftright(xm, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j))
+      val ybit = shiftright(ym, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))
+      xbit + ybit
+    }.reduce(_ + _)
+  }
+
+  /** The identical arithmetic as ANSI SQL, for oracle twins:
+    * Σ_j ((x>>j)&1)·2^{2j} + ((y>>j)&1)·2^{2j+1} over masked inputs. */
+  def zValueSql(x: String, y: String): String = {
+    val terms = (0 until ZBits).flatMap { j =>
+      Seq(s"((($x & 65535) >> $j) & 1) * ${1L << (2 * j)}",
+        s"((($y & 65535) >> $j) & 1) * ${1L << (2 * j + 1)}")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Write `df` clustered by the z-value of (xCol, yCol):
+    * repartitionByRange on the z-value (range partitioner = contiguous
+    * z-runs per file) + sortWithinPartitions (tight per-file min/max on
+    * both source keys). Files get bounded spans in BOTH dimensions. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int, path: String): Unit = {
+    df.withColumn("__z", zValue(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -178,5 +178,85 @@ object PipelineQueries extends QueryPack {
       ORDER BY c_mktsegment, c_custkey
     """))
 
-  def all: Seq[Q] = Seq(q60, q61, q62, q63, q64)
+  // ---------------------------------------------------------------- q67
+  // Z-order (Morton) clustering key: bit-interleave of (custkey, order
+  // day) — the layout that lets range-partitioned files prune on EITHER
+  // dimension (Layout.writeZOrdered is the sink side; LayoutSpec proves
+  // the per-file two-dimensional span bound). Pure bit arithmetic,
+  // identical in both engines.
+  private val q67 = Q(
+    "q67_zorder_key",
+    (s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("2000-01-01").cast("date"))
+            .as("day_nr"))
+        .withColumn("zval",
+          graft.operators.Layout.zValue(col("o_custkey"), col("day_nr")))
+        .select(col("o_orderkey"), col("zval"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""
+      SELECT o_orderkey,
+             ${graft.operators.Layout.zValueSql("o_custkey",
+               "date_diff('day', DATE '2000-01-01', o_orderdate)")} AS zval
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
+  // ---------------------------------------------------------------- q68
+  // TF-IDF keywords per source: tf over (source, word), document
+  // frequency over sources, idf = ln(n_sources/df), top-5 terms per
+  // source. The corpus-distinct-source count fans back in as a ONE-row
+  // broadcast cross join — an audited PlanAuditSpec exception (build
+  // side is constant-size, cost linear in vocab; same class as q20/q36).
+  private val q68 = Q(
+    "q68_tfidf_keywords",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val words = docs.select(col("source"),
+        explode(graft.operators.Dedup.words(col("text"))).as("word"))
+      val tf = words.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
+      val nsrc = docs.select(col("source")).distinct()
+        .agg(count(lit(1)).as("nsrc"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("word").asc)
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(nsrc))
+        .withColumn("score",
+          round(col("tf").cast("double") *
+            log(col("nsrc").cast("double") / col("df").cast("double")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("word"), col("tf"), col("df"),
+          col("score"), col("rnk"))
+        .orderBy(col("source"), col("rnk"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT source,
+               UNNEST(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+        FROM documents),
+      tf AS (SELECT source, word, COUNT(*) AS tf FROM words GROUP BY source, word),
+      dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      n AS (SELECT COUNT(DISTINCT source) AS nsrc FROM documents),
+      scored AS (
+        SELECT source, word, tf, df,
+               ROUND(CAST(tf AS DOUBLE) *
+                 ln(CAST(nsrc AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+      ranked AS (
+        SELECT source, word, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY score DESC, word ASC) AS rnk
+        FROM scored)
+      SELECT source, word, tf, df, score, CAST(rnk AS INTEGER) AS rnk
+      FROM ranked WHERE rnk <= 5
+      ORDER BY source, rnk
+    """))
+
+  def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68)
 }

@@ -5,15 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Suite-wide physical-plan audit: no registered query may plan an
   * unbounded all-pairs join. CartesianProduct and
   * BroadcastNestedLoopJoin are the two shapes that stop scaling at
-  * 100 TB. Two audited exceptions, both cross joins whose build side is
-  * a broadcast of CONSTANT size (cost linear in n, not n²):
-  * q20's brute-force baseline (n × the bounded query set) and q36's
-  * IVF assignment (n × the ≤ numCentroids codebook).
+  * 100 TB. Three audited exceptions, all cross joins whose build side
+  * is a broadcast of CONSTANT size (cost linear in n, not n²):
+  * q20's brute-force baseline (n × the bounded query set), q36's
+  * IVF assignment (n × the ≤ numCentroids codebook), and q68's
+  * corpus-constant fan-in (vocab × the ONE-row distinct-source count —
+  * a literal-key equi-join constant-folds to this same shape).
   */
 class PlanAuditSpec extends SparkSpec {
 
   private val boundedCrossJoinAllowed =
-    Set("q20_ann_bruteforce", "q36_ann_ivf")
+    Set("q20_ann_bruteforce", "q36_ann_ivf", "q68_tfidf_keywords")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+
+  test("zValue is a bijective Morton interleave") {
+    val s = spark
+    import s.implicits._
+    val pts = for (x <- 0 until 32; y <- 0 until 32) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .collect()
+    // reference de-interleave on the driver
+    def deinterleave(z: Long): (Int, Int) = {
+      var (x, y) = (0, 0)
+      for (j <- 0 until Layout.ZBits) {
+        x |= (((z >> (2 * j)) & 1L) << j).toInt
+        y |= (((z >> (2 * j + 1)) & 1L) << j).toInt
+      }
+      (x, y)
+    }
+    got.foreach { r =>
+      assert(deinterleave(r.getLong(2)) == (r.getInt(0), r.getInt(1)))
+    }
+    assert(got.map(_.getLong(2)).distinct.length == pts.length)
+  }
+
+  test("z-ordered files bound BOTH dimensions; single-key sort does not") {
+    val s = spark
+    import s.implicits._
+    // uniform 256x256 grid: single-key sort gives each file the full
+    // y-range; z-order confines each file to a quadrant-ish box
+    val grid = for (x <- 0 until 256; y <- 0 until 256) yield (x, y)
+    val df = grid.toDF("x", "y")
+    val zdir = tmpDir("zorder")
+    Layout.writeZOrdered(df, "x", "y", numFiles = 16, path = zdir)
+    // pruning semantics, as a min/max-stats reader would evaluate them:
+    // which files could contain rows in a 32-wide band on each dim?
+    // (a few z-runs straddle quadrant boundaries and go wide — that is
+    // inherent to the curve — so the claim is about file COUNTS pruned,
+    // not a universal per-file span bound)
+    def retained(dirPath: String, dim: String, lo: Int, hi: Int): Int =
+      spark.read.parquet(dirPath)
+        .withColumn("file", input_file_name())
+        .groupBy("file").agg(min(dim).as("mn"), max(dim).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count().toInt
+    val zFiles = spark.read.parquet(zdir)
+      .select(input_file_name()).distinct().count().toInt
+    assert(zFiles == 16)
+    val zX = retained(zdir, "x", 96, 103)
+    val zY = retained(zdir, "y", 96, 103)
+    assert(zX <= 8 && zY <= 8,
+      s"z-order retained $zX/$zFiles files on an x-band, $zY on a y-band" +
+        " — expected a minority on BOTH dims")
+    // contrast: the same data sorted by x alone — perfect on x, but a
+    // y-band predicate retains EVERY file
+    val xdir = tmpDir("xsort")
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(xdir)
+    assert(retained(xdir, "x", 96, 103) <= 4)
+    assert(retained(xdir, "y", 96, 103) == 16,
+      "x-sorted layout unexpectedly bounded y — test premise broken")
+  }
+}
