@@ -17,6 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  private val Mod60 = 1152921504606846976L // 2^60
+
+  /** Deterministic downsample toward the uniform mixture: each doc is
+    * kept iff its md5-derived uniform draw falls under the source's
+    * keep fraction min(1, weight) — upsampling (weight > 1) is a
+    * repetition decision left to the training loader; here it clamps
+    * to keep-all. Membership is a pure function of the id (same
+    * contract as the train/val/test split): partition-layout-invariant,
+    * append-stable, reproducible in any engine. The per-source fraction
+    * frame is tiny and broadcasts. */
+  def downsampleToMixture(docs: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    val fracs = uniformMixtureWeights(docs, sourceCol)
+      .select(col("source").as("__src"),
+        least(lit(1.0), col("weight")).as("__frac"))
+    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double")
+    docs
+      .join(broadcast(fracs), col(sourceCol) === col("__src"))
+      .filter(draw < col("__frac") * lit(Mod60.toDouble))
+      .select(col(idCol), col(sourceCol))
+  }
+
   /** Per-source mixture row: (source, n_docs, actual_frac, weight) with
     * weight = target_frac / actual_frac for a UNIFORM target across the
     * sources present. Double division over exact integer counts — the

@@ -258,5 +258,68 @@ object PipelineQueries extends QueryPack {
       ORDER BY source, rnk
     """))
 
-  def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68)
+  // ---------------------------------------------------------------- q69
+  // Deterministic mixture downsample: q63's weights applied — keep a
+  // doc iff its md5 uniform draw < min(1, weight). Membership is a pure
+  // function of the id (append-stable, layout-invariant), so any engine
+  // reproduces the exact subset; the oracle does.
+  private val q69 = Q(
+    "q69_mixture_downsample",
+    (s, dir) => {
+      Mixture.downsampleToMixture(Tables(s, dir, "documents"),
+          "doc_id", "source")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      w AS (
+        SELECT source,
+               least(1.0,
+                 (1.0 / CAST(COUNT(*) OVER () AS DOUBLE)) /
+                 (CAST(n_docs AS DOUBLE) /
+                  CAST(SUM(n_docs) OVER () AS DOUBLE))) AS frac
+        FROM s)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN w USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+            < frac * 1152921504606846976.0
+      ORDER BY d.doc_id
+    """))
+
+  // ---------------------------------------------------------------- q70
+  // approx_percentile under the gate: q46's exact percentiles are the
+  // small-scale baseline; the sketch (Greenwald-Khanna, bounded memory)
+  // is what a 100 TB profile actually runs. Like q33's HLL, the sketch
+  // value is not engine-portable, so the hashed columns are the exact
+  // p50 plus a pinned-TRUE flag that the sketch landed within a fifth
+  // of the exact p10–p90 spread.
+  private val q70 = Q(
+    "q70_approx_percentile",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n"))
+      toks.groupBy(col("source"))
+        .agg(
+          expr("percentile(n, array(0.1D, 0.5D, 0.9D))").as("__ex"),
+          expr("approx_percentile(n, 0.5D, 1000)").as("__ap"))
+        .select(col("source"),
+          element_at(col("__ex"), 2).as("p50_exact"),
+          (abs(col("__ap") - element_at(col("__ex"), 2)) <=
+            (element_at(col("__ex"), 3) - element_at(col("__ex"), 1)) * 0.2 +
+              lit(1e-9)).as("approx_ok"))
+        .orderBy(col("source"))
+    },
+    Some(raw"""
+      SELECT source, quantile_cont(n, 0.5) AS p50_exact, TRUE AS approx_ok
+      FROM (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        FROM documents)
+      GROUP BY source
+      ORDER BY source
+    """))
+
+  def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70)
 }
