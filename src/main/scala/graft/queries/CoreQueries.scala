@@ -653,6 +653,40 @@ object CoreQueries extends QueryPack {
       ORDER BY user_id, event_id
     """))
 
+  // ---------------------------------------------------------------- q71
+  // Explicit GROUPING SETS — per-status and per-priority totals in ONE
+  // aggregation pass (no self-union re-scan), completing the
+  // multi-level family next to q31's ROLLUP and q42's CUBE. Keys that
+  // are null "because not in this set" are disambiguated by the
+  // grouping() flags, as in q31/q42.
+  private val q71 = Q(
+    "q71_grouping_sets",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("revenue"),
+          grouping($"o_orderstatus").as("g_status"),
+          grouping($"o_orderpriority").as("g_prio"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q31, q32, q35, q42, q43, q48, q52, q53, q58)
+    q11, q12, q13, q31, q32, q35, q42, q43, q48, q52, q53, q58, q71)
 }
