@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level boilerplate removal (the CCNet/C4 idea: content that
+  * repeats across a large fraction of documents is template noise, not
+  * signal). This corpus has no line structure, so the unit is the WORD:
+  * any word present in more than `thrNum/thrDen` of all documents is
+  * boilerplate vocabulary and is scrubbed from every document.
+  *
+  * Scale design: the document-frequency table is vocabulary-sized
+  * (tiny next to the corpus) and the boilerplate list is folded to ONE
+  * row; both fan back onto the corpus as constant-size broadcast
+  * builds (the q68/q20/q36 audited-exception class — cost linear in
+  * corpus, zero corpus-side shuffle). The corpus text is scanned twice
+  * (once to count, once to scrub) and shuffled never; the only
+  * exchange is the vocabulary-sized document-frequency aggregation,
+  * which map-side combines to ≤ |vocab| rows per partition.
+  */
+object Curation {
+
+  /** Document frequency per word: (word, df) where df counts DISTINCT
+    * documents containing the word (array_distinct before explode —
+    * in-row, so a word repeated within one doc still counts once and
+    * the exploded row count is bounded by |vocab| per doc). */
+  def wordDocFrequency(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(Dedup.words(col(textCol)))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+
+  /** Scrub words with df/ndocs > thrNum/thrDen from every document
+    * (integer cross-multiplication — no float threshold to diverge
+    * between engines). Output per document: doc_id, n_before, n_after,
+    * clean_text (space-rejoined surviving words, original order). */
+  def scrubBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      thrNum: Int, thrDen: Int): DataFrame = {
+    val dfreq = wordDocFrequency(docs, idCol, textCol)
+    val total = docs.agg(count(lit(1)).as("ndocs"))
+    val boiler = dfreq.crossJoin(broadcast(total))
+      .filter(col("df") * thrDen > col("ndocs") * thrNum)
+      .agg(sort_array(collect_list(col("word"))).as("bw"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        Dedup.words(col(textCol)).as("__w"))
+      .crossJoin(broadcast(boiler))
+      .select(col("doc_id"), col("__w"),
+        filter(col("__w"), x => not(array_contains(col("bw"), x)))
+          .as("__kept"))
+      .select(col("doc_id"),
+        size(col("__w")).cast("bigint").as("n_before"),
+        size(col("__kept")).cast("bigint").as("n_after"),
+        array_join(col("__kept"), " ").as("clean_text"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** Scalar int8 embedding quantization — the storage/compute path for
+  * vector search at 100 TB: a 64-dim float vector (256 B) becomes 64
+  * signed bytes (64 B) plus one scale, and the inner loop of every
+  * distance computation becomes integer multiply-adds (exact, SIMD-able,
+  * and — for this engine's purposes — bit-identical in ANY engine,
+  * because integer sums have no floating-point rounding to diverge on).
+  *
+  * Per-vector symmetric scheme: scale = max|x|; code_i =
+  * floor(x_i/scale·127 + 0.5) ∈ [-127, 127]. The quantized cosine
+  * dot(qa,qb)/(|qa|·|qb|) needs NO dequantization — the per-vector
+  * scales cancel, so ranking by quantized cosine is scale-free.
+  */
+object Quantize {
+
+  /** max|x| of the (double-cast) vector — the symmetric scale. */
+  def maxAbs(vec: Column): Column =
+    array_max(transform(VectorFunctions.asDouble(vec), x => abs(x)))
+
+  /** Signed-int8 codes as an array<bigint> (bigint so downstream dot
+    * products stay in one integer type; the VALUES are within ±127).
+    * floor(x+0.5) rather than round(): identical halfway behavior in
+    * every engine, no HALF_UP-vs-HALF_EVEN trap. Zero vectors map to
+    * zero codes (scale guard). */
+  def int8Codes(vec: Column): Column = {
+    val v = VectorFunctions.asDouble(vec)
+    val scale = maxAbs(vec)
+    when(scale > 0.0,
+      transform(v, x =>
+        floor(x / scale * lit(127.0) + lit(0.5)).cast("long")))
+      .otherwise(transform(v, _ => lit(0L)))
+  }
+
+  /** Exact integer dot product of two code arrays (left-to-right fold,
+    * though order is immaterial for integers). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** (id, codes, qnrm): codes plus the integer-exact norm
+    * sqrt(dot(codes, codes)). */
+  def withCodes(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    embeddings
+      .select(col(idCol), int8Codes(col(vecCol)).as("codes"))
+      .select(col(idCol), col("codes"),
+        sqrt(intDot(col("codes"), col("codes")).cast("double")).as("qnrm"))
+
+  /** Brute-force top-k under the QUANTIZED cosine for a bounded query
+    * set — the q20 baseline re-run in int8 space (same audited
+    * constant-broadcast build: the query set). Output:
+    * (q_id, n_id, qcos, rnk). */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val base = withCodes(embeddings, idCol, vecCol)
+    val q = withCodes(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("codes").as("q_codes"),
+        col("qnrm").as("q_qnrm"))
+    val n = base.select(col(idCol).as("n_id"), col("codes").as("n_codes"),
+      col("qnrm").as("n_qnrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("n_id").asc)
+    n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("qcos",
+        intDot(col("q_codes"), col("n_codes")).cast("double") /
+          (col("q_qnrm") * col("n_qnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("qcos"), col("rnk"))
+  }
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, QueryPack, Tables}
+import graft.operators.{Curation, Decontam, Quantize, SemDedup}
+
+/** Round-3 curation additions (SURVEY §7.5 extensions): benchmark
+  * decontamination, corpus-level boilerplate scrubbing, token-length
+  * histogram profiling, int8-quantized vector search, and semantic
+  * (embedding-cluster) deduplication. Shared dialect rules as the rest
+  * of the suite: md5-portable hashing, integer cross-multiplication for
+  * thresholds, no DecimalType outputs, every computed column aliased
+  * identically on both sides.
+  */
+object CurationQueries extends QueryPack {
+
+  private val normWordsSql =
+    raw"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+
+  // ---------------------------------------------------------------- q72
+  // Benchmark decontamination: docs sharing any word 3-gram with the
+  // held-out "benchmark" slice (doc_id % 25 = 0 — the k=13 industry rule
+  // scaled to this 31-word vocabulary). Benchmark shingles broadcast;
+  // the corpus side's only exchange is the per-doc hit count.
+  private val q72 = Q(
+    "q72_decontaminate",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Decontam.contaminationReport(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+      hits AS (
+        SELECT c.doc_id, COUNT(*) AS hit_ngrams
+        FROM sh c JOIN bench USING (s)
+        WHERE c.doc_id % 25 <> 0
+        GROUP BY 1)
+      SELECT d.doc_id,
+             COALESCE(h.hit_ngrams, 0) AS hit_ngrams,
+             COALESCE(h.hit_ngrams, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 25 <> 0
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------- q73
+  // Corpus-level boilerplate scrub: words present in > 78% of documents
+  // (39/50 integer cross-multiplication) are template vocabulary;
+  // strip them from every document. Two constant-size broadcast fans
+  // (the 1-row total and the 1-row boilerplate array) — audited
+  // PlanAuditSpec exceptions, q68's class.
+  private val q73 = Q(
+    "q73_boilerplate_scrub",
+    (s, dir) => {
+      Curation.scrubBoilerplate(Tables(s, dir, "documents"),
+          "doc_id", "text", thrNum = 39, thrDen = 50)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      dfreq AS (
+        SELECT word, COUNT(*) AS df
+        FROM (SELECT doc_id, UNNEST(list_distinct(w)) AS word FROM norm)
+        GROUP BY 1),
+      n AS (SELECT COUNT(*) AS ndocs FROM documents),
+      bw AS (
+        SELECT COALESCE(list(word ORDER BY word), []) AS bl
+        FROM dfreq CROSS JOIN n
+        WHERE df * 50 > ndocs * 39)
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_before,
+             CAST(len(kept) AS BIGINT) AS n_after,
+             COALESCE(array_to_string(kept, ' '), '') AS clean_text
+      FROM (
+        SELECT doc_id, w,
+               list_filter(w, x -> NOT list_contains(bl, x)) AS kept
+        FROM norm CROSS JOIN bw)
+      ORDER BY doc_id
+    """))
+
+  // ---------------------------------------------------------------- q74
+  // Token-length histogram: fixed-width 16-token bins (integer DIV —
+  // no inferred bucket boundaries to diverge) plus the running
+  // cumulative document count. The window runs over the BIN table
+  // (constant-size), never the corpus.
+  private val q74 = Q(
+    "q74_token_histogram",
+    (s, dir) => {
+      val w = Window.orderBy(col("bin_lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(graft.operators.TextAnalysis.tokenCount(col("text")).as("tok"))
+        .select(expr("tok DIV 16 * 16").as("bin_lo"))
+        .groupBy(col("bin_lo"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("cum_docs", sum(col("n_docs")).over(w))
+        .orderBy(col("bin_lo"))
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS tok
+        FROM documents),
+      bins AS (
+        SELECT (tok // 16) * 16 AS bin_lo, COUNT(*) AS n_docs
+        FROM toks GROUP BY 1)
+      SELECT bin_lo, n_docs,
+             CAST(SUM(n_docs) OVER (ORDER BY bin_lo
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs
+      FROM bins
+      ORDER BY bin_lo
+    """))
+
+  // ---------------------------------------------------------------- q75
+  // Int8-quantized brute-force top-5 for the q20 query set: integer
+  // dot products are EXACT (no summation-order divergence), so the
+  // quantized cosine is bit-identical across engines by construction.
+  // QuantizeSpec pins recall vs the exact float baseline.
+  private val q75 = Q(
+    "q75_ann_int8",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Quantize.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some("""
+      WITH qv AS (
+        SELECT vec_id,
+               CASE WHEN mx > 0
+                 THEN list_transform(v, x -> CAST(floor(x / mx * 127.0 + 0.5) AS BIGINT))
+                 ELSE list_transform(v, x -> 0::BIGINT) END AS codes
+        FROM (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+          FROM embeddings)),
+      nq AS (
+        SELECT vec_id, codes,
+               sqrt(CAST(list_dot_product(codes, codes) AS DOUBLE)) AS qnrm
+        FROM qv)
+      SELECT q_id, n_id, qcos, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               CAST(list_dot_product(a.codes, b.codes) AS DOUBLE)
+                 / (a.qnrm * b.qnrm) AS qcos,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY CAST(list_dot_product(a.codes, b.codes) AS DOUBLE)
+                            / (a.qnrm * b.qnrm) DESC,
+                          b.vec_id ASC) AS rnk
+        FROM nq a JOIN nq b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // ---------------------------------------------------------------- q76
+  // Semantic dedup (SemDedup): q36's deterministic 8-centroid/2-iter
+  // k-means, one representative per cluster (nearest the centroid),
+  // members with cos ≥ 0.4 to their representative dropped. The oracle
+  // unrolls the identical codebook CTE chain as q36.
+  private val q76 = Q(
+    "q76_semantic_dedup",
+    (s, dir) => {
+      SemDedup.verdicts(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding",
+          numCentroids = 8, iterations = 2, tau = 0.4)
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, c0 c))
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM a1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      a2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, c1 c))
+        WHERE rn = 1),
+      c2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM a2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      assigned AS (
+        SELECT vec_id, cid, d2 FROM (
+          SELECT vec_id, cid, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, c2 c))
+        WHERE rn = 1),
+      reps AS (
+        SELECT cid, vec_id AS rep_id FROM (
+          SELECT cid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY cid
+                   ORDER BY d2 ASC, vec_id ASC) AS rn
+          FROM assigned)
+        WHERE rn = 1),
+      nrm AS (
+        SELECT vec_id,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings)
+      SELECT s.vec_id, s.cid,
+             s.vec_id = r.rep_id AS is_rep,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (na.nrm * nb.nrm) AS cos,
+             (s.vec_id <> r.rep_id AND
+              list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (na.nrm * nb.nrm) >= 0.4) AS dropped
+      FROM assigned s
+      JOIN reps r USING (cid)
+      JOIN embeddings a ON a.vec_id = s.vec_id
+      JOIN nrm na ON na.vec_id = s.vec_id
+      JOIN embeddings b ON b.vec_id = r.rep_id
+      JOIN nrm nb ON nb.vec_id = r.rep_id
+      ORDER BY s.vec_id
+    """))
+
+  def all: Seq[Q] = Seq(q72, q73, q74, q75, q76)
+}

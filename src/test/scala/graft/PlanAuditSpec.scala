@@ -8,14 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * 100 TB. Three audited exceptions, all cross joins whose build side
   * is a broadcast of CONSTANT size (cost linear in n, not n²):
   * q20's brute-force baseline (n × the bounded query set), q36's
-  * IVF assignment (n × the ≤ numCentroids codebook), and q68's
+  * IVF assignment (n × the ≤ numCentroids codebook), q68's
   * corpus-constant fan-in (vocab × the ONE-row distinct-source count —
-  * a literal-key equi-join constant-folds to this same shape).
+  * a literal-key equi-join constant-folds to this same shape), q73's
+  * two corpus-constant fans (the 1-row total and the 1-row boilerplate
+  * vocabulary array), q75's int8 re-run of the q20 baseline (n × the
+  * bounded query set), and q76's k-means machinery (n × the ≤
+  * numCentroids codebook, q36's class).
   */
 class PlanAuditSpec extends SparkSpec {
 
   private val boundedCrossJoinAllowed =
-    Set("q20_ann_bruteforce", "q36_ann_ivf", "q68_tfidf_keywords")
+    Set("q20_ann_bruteforce", "q36_ann_ivf", "q68_tfidf_keywords",
+      "q73_boilerplate_scrub", "q75_ann_int8", "q76_semantic_dedup")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"

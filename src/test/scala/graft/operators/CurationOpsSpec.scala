@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-3 curation operators: decontamination, boilerplate scrub,
+  * int8 quantization, semantic dedup. Synthetic frames pin the
+  * semantics; the sf0.001 testdata pins recall against the exact
+  * float baseline. */
+class CurationOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------------ Decontam
+
+  test("contamination flags exactly the docs sharing a benchmark 3-gram") {
+    val bench = docs(100L -> "alpha beta gamma delta")
+    val corpus = docs(
+      1L -> "x y alpha beta gamma z", // shares "alpha beta gamma"
+      2L -> "alpha beta epsilon zeta", // bigram overlap only — clean
+      3L -> "totally unrelated words here")
+    val r = Decontam.contaminationReport(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq ===
+      Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("contamination counts DISTINCT matched shingles, not occurrences") {
+    val bench = docs(100L -> "a b c d")
+    // "a b c" appears twice in the doc — still one distinct shingle hit;
+    // "b c d" also present → 2 distinct hits
+    val corpus = docs(1L -> "a b c a b c d")
+    val r = Decontam.contaminationReport(corpus, bench, "doc_id", "text", 3)
+      .collect()
+    assert(r.head.getLong(1) === 2L)
+  }
+
+  // ------------------------------------------------------------ Curation
+
+  test("boilerplate scrub removes high-DF words, keeps rare ones, preserves order") {
+    // "common" in 3/3 docs (df 100%), every other word rarer
+    val d = docs(
+      1L -> "common rare1 common",
+      2L -> "common rare2",
+      3L -> "rare3 common")
+    val r = Curation.scrubBoilerplate(d, "doc_id", "text", thrNum = 9, thrDen = 10)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getString(3)).toSeq === Seq("rare1", "rare2", "rare3"))
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ===
+      Seq((3L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("scrub with no boilerplate words is the identity on words") {
+    val d = docs(1L -> "a b", 2L -> "c d")
+    val r = Curation.scrubBoilerplate(d, "doc_id", "text", 9, 10)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getString(3)).toSeq === Seq("a b", "c d"))
+  }
+
+  // ------------------------------------------------------------ Quantize
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("int8 codes are bounded by ±127 and preserve the max component") {
+    val codes = emb.select(Quantize.int8Codes(col("embedding")).as("c"))
+      .select(explode(col("c")).as("v"))
+      .agg(min("v"), max("v")).collect().head
+    assert(codes.getLong(0) >= -127L && codes.getLong(1) <= 127L)
+    // at least one component per vector hits ±127 (the scale definition)
+    val hit = emb.select(Quantize.int8Codes(col("embedding")).as("c"))
+      .select(array_max(expr("transform(c, x -> abs(x))")).as("m"))
+      .filter(col("m") =!= 127L).count()
+    assert(hit === 0L)
+  }
+
+  test("quantized top-5 recall vs exact float top-5 is ≥ 0.8") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Quantize.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall")
+  }
+
+  // ------------------------------------------------------------ SemDedup
+
+  test("semantic dedup: one rep per cluster, reps never dropped, drops respect tau") {
+    val v = SemDedup.verdicts(emb, "vec_id", "embedding",
+      numCentroids = 8, iterations = 2, tau = 0.4).collect()
+    assert(v.length === emb.count())
+    val byCluster = v.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_.getBoolean(2)) === 1, s"cluster $cid rep count")
+    }
+    v.foreach { r =>
+      val (isRep, cos, dropped) =
+        (r.getBoolean(2), r.getDouble(3), r.getBoolean(4))
+      if (isRep) assert(!dropped)
+      if (dropped) assert(cos >= 0.4)
+      if (!isRep && cos >= 0.4) assert(dropped)
+    }
+  }
+}
