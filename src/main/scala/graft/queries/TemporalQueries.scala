@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryPack, Tables}
+import graft.operators.RangeJoin
+
+/** Round-3 temporal additions on `events`: bucketed range join
+  * (interval containment without a BNLJ), sliding event-time windows
+  * (q12 is tumbling-only), and the built-in `session_window` batch
+  * aggregation (the declarative twin of q29's lag/cumsum plan). All
+  * SUM outputs follow the suite rule: DECIMAL internally, DOUBLE out.
+  */
+object TemporalQueries extends QueryPack {
+
+  // ---------------------------------------------------------------- q77
+  // Range join: nightly 02:00-04:00 maintenance windows (one per day,
+  // generated — the q55 date-spine idiom) matched to the events whose
+  // timestamp they contain. Day-bucketed equi-join + residual range
+  // predicate → BroadcastHashJoin, never BroadcastNestedLoopJoin
+  // (PlanAuditSpec holds without an exception).
+  private val q77 = Q(
+    "q77_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val wins = s.range(30)
+        .select((expr("timestamp'2024-01-01 02:00:00'") +
+          expr("make_interval(0, 0, 0, CAST(id AS INT), 0, 0, 0)"))
+          .as("win_start"))
+        .withColumn("win_end", expr("win_start + INTERVAL 2 HOURS"))
+      RangeJoin.containmentJoin(Tables.events(s, dir), "ts",
+          wins, "win_start", "win_end", bucketMicros = 86400L * 1000000L)
+        .groupBy($"win_start")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(14,2)"))
+            .cast("double").as("sum_value"))
+        .orderBy($"win_start")
+    },
+    Some("""
+      WITH wins AS (
+        SELECT ws AS win_start, ws + INTERVAL 2 HOUR AS win_end
+        FROM UNNEST(generate_series(TIMESTAMP '2024-01-01 02:00:00',
+                                    TIMESTAMP '2024-01-30 02:00:00',
+                                    INTERVAL 1 DAY)) t(ws))
+      SELECT win_start, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN wins w
+        ON e.ts >= w.win_start AND e.ts < w.win_end
+      GROUP BY win_start
+      ORDER BY win_start
+    """))
+
+  // ---------------------------------------------------------------- q78
+  // Sliding event-time windows: 2-hour windows every hour — each event
+  // lands in exactly two windows (Spark explodes map-side; no
+  // per-window re-scan). Completes the window family: tumbling q12,
+  // session q29/q79, range frame q53.
+  private val q78 = Q(
+    "q78_sliding_window",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(14,2)"))
+            .cast("double").as("sum_value"))
+        .select($"w.start".as("win_start"), $"n_events", $"sum_value")
+        .orderBy($"win_start")
+    },
+    Some("""
+      SELECT win_start, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      FROM (
+        SELECT value, UNNEST([
+          time_bucket(INTERVAL '1 hour', ts),
+          time_bucket(INTERVAL '1 hour', ts) - INTERVAL 1 HOUR]) AS win_start
+        FROM events)
+      GROUP BY win_start
+      ORDER BY win_start
+    """))
+
+  // ---------------------------------------------------------------- q79
+  // Built-in session_window (30-min gap) batch aggregation — the
+  // declarative sibling of q29's manual lag/cumsum sessionization.
+  // Spark merges an event into a session iff it starts STRICTLY before
+  // session_end (= last ts + gap); the oracle's is_new uses >= gap
+  // accordingly. Session end is last event + gap by definition.
+  private val q79 = Q(
+    "q79_session_window",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"w.start".as("session_start"),
+          $"w.end".as("session_end"), $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS seq
+        FROM (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN prev_ts IS NULL
+                           OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM (
+            SELECT user_id, event_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS prev_ts
+            FROM events)))
+      GROUP BY user_id, seq
+      ORDER BY user_id, session_start
+    """))
+
+  def all: Seq[Q] = Seq(q77, q78, q79)
+}
