@@ -88,6 +88,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"int8 recall $recall")
   }
 
+  test("sign bits pack to 32-bit halves; hamming(a,a) = 0; rescore recall ≥ 0.8") {
+    val bits = Quantize.withSignBits(emb, "vec_id", "embedding")
+    val bounds = bits.agg(min("b0"), max("b0"), min("b1"), max("b1")).collect().head
+    (0 until 4).foreach { i =>
+      assert(bounds.getLong(i) >= 0L && bounds.getLong(i) < (1L << 32))
+    }
+    val selfHam = bits.select(
+      Quantize.hamming(col("b0"), col("b1"), col("b0"), col("b1")).as("h"))
+      .filter(col("h") =!= 0).count()
+    assert(selfHam === 0L)
+
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rescored = Quantize.hammingRescoreTopK(emb, q, "vec_id", "embedding", 5, 100)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect rescored).size.toDouble / exact.size
+    assert(recall >= 0.8, s"binary-rescore recall $recall")
+  }
+
+  // ------------------------------------------------------------ Profile
+
+  test("column profile counts nulls, distincts, and min/max in one pass") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("k", "v")
+    val p = Profile.profile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(p("k") === ((4L, 1L, 2L, "1", "2")))
+    assert(p("v") === ((4L, 1L, 2L, "a", "b")))
+  }
+
   // ------------------------------------------------------------ SemDedup
 
   test("semantic dedup: one rep per cluster, reps never dropped, drops respect tau") {
