@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.SinkQueries,
     graft.queries.PipelineQueries,
     graft.queries.CurationQueries,
-    graft.queries.TemporalQueries)
+    graft.queries.TemporalQueries,
+    graft.queries.SketchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: left-enrich the fact side with the dim, validate

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryPack, Tables}
+import graft.operators.Sketch
+
+/** Portable-sketch family: unlike HLL (q33/q70, gate-checked via an
+  * exact twin + bounds flag), these sketches are pure md5 arithmetic,
+  * so the DuckDB oracle reproduces the SKETCH itself bit-for-bit —
+  * estimate values included, not just a tolerance check.
+  */
+object SketchQueries extends QueryPack {
+
+  private def hashSql(c: String) =
+    s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT"
+
+  // ---------------------------------------------------------------- q82
+  // KMV distinct-count sketch: distinct customers per order priority
+  // from the 64 smallest member hashes. The shuffle carries distinct
+  // (group, hash) pairs pruned to k per group (WindowGroupLimit); the
+  // estimate (k-1)·2⁶⁰/h_k is plain double division — engine-identical.
+  private val q82 = Q(
+    "q82_kmv_distinct",
+    (s, dir) => {
+      Sketch.kmvDistinct(Tables(s, dir, "orders"),
+          "o_orderpriority", "o_custkey", k = 64)
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT DISTINCT o_orderpriority, ${hashSql("o_custkey")} AS h
+        FROM orders),
+      pruned AS (
+        SELECT o_orderpriority, h FROM (
+          SELECT o_orderpriority, h,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY h ASC) AS r
+          FROM hashed)
+        WHERE r <= 64),
+      sketch AS (
+        SELECT o_orderpriority, COUNT(*) AS n_sketch, MAX(h) AS kth_hash
+        FROM pruned GROUP BY o_orderpriority),
+      exact AS (
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY o_orderpriority)
+      SELECT s.o_orderpriority, s.n_sketch, s.kth_hash,
+             CASE WHEN s.n_sketch < 64 THEN CAST(s.n_sketch AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / CAST(s.kth_hash AS DOUBLE)
+             END AS kmv_estimate,
+             e.exact_distinct,
+             abs(CASE WHEN s.n_sketch < 64 THEN CAST(s.n_sketch AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / CAST(s.kth_hash AS DOUBLE)
+                 END - CAST(e.exact_distinct AS DOUBLE))
+               < CAST(e.exact_distinct AS DOUBLE) * 0.5 AS within_50pct
+      FROM sketch s JOIN exact e USING (o_orderpriority)
+      ORDER BY o_orderpriority
+    """))
+
+  // ---------------------------------------------------------------- q83
+  // Priority sampling: 100 documents, inclusion ∝ n_chars, NO RNG —
+  // priority = w·2⁶⁰/(h+1) from the row's own md5 hash. Deterministic
+  // and append-stable like q44/q69's membership rules, but
+  // weight-proportional; division-only (no ln/pow whose last-ulp
+  // behavior differs across math libraries).
+  private val q83 = Q(
+    "q83_priority_sample",
+    (s, dir) => {
+      Sketch.prioritySample(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", n = 100)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      SELECT doc_id, source, n_chars, pri, CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT doc_id, source, n_chars, pri,
+               ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id ASC) AS rnk
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 CAST(n_chars AS DOUBLE) * 1152921504606846976.0 /
+                   CAST(${hashSql("doc_id")} + 1 AS DOUBLE) AS pri
+          FROM documents))
+      WHERE rnk <= 100
+      ORDER BY rnk
+    """))
+
+  def all: Seq[Q] = Seq(q82, q83)
+}

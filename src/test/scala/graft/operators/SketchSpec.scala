@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Portable sketches: KMV distinct estimation and RNG-free priority
+  * sampling. */
+class SketchSpec extends SparkSpec {
+
+  private lazy val orders =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("KMV: sketch size = min(k, exact); estimates within 50% on real data") {
+    val r = Sketch.kmvDistinct(orders, "o_orderpriority", "o_custkey", 64)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nSketch, exact) = (row.getLong(1), row.getLong(4))
+      assert(nSketch === math.min(64L, exact))
+      assert(row.getBoolean(5), s"estimate out of bounds: $row")
+    }
+  }
+
+  test("KMV: a group smaller than k estimates exactly") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 3L)).toDF("grp", "v")
+    val row = Sketch.kmvDistinct(tiny, "grp", "v", 64).collect().head
+    assert(row.getLong(1) === 3L)
+    assert(row.getDouble(3) === 3.0)
+    assert(row.getLong(4) === 3L)
+  }
+
+  test("priority sample: deterministic, scale-invariant in weights, ranked 1..n") {
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    val a = Sketch.prioritySample(base, "doc_id", "n_chars", 50)
+      .select("doc_id", "rnk").collect()
+    assert(a.map(_.getInt(1)).sorted.toSeq === (1 to 50))
+    val b = Sketch.prioritySample(base, "doc_id", "n_chars", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.map(_.getLong(0)).toSet === b)
+    // multiplying every weight by a constant scales every priority by
+    // the same constant: identical sample
+    val scaled = Sketch.prioritySample(
+        base.withColumn("n_chars", col("n_chars") * 7),
+        "doc_id", "n_chars", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scaled === b)
+  }
+
+  test("priority sample over-represents heavy rows") {
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    val corpusAvg = base.agg(avg("n_chars")).collect().head.getDouble(0)
+    val sampleAvg = Sketch.prioritySample(base, "doc_id", "n_chars", 100)
+      .agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(sampleAvg > corpusAvg,
+      s"sample avg $sampleAvg ≤ corpus avg $corpusAvg")
+  }
+
+  test("priority sample plans TakeOrderedAndProject, not a corpus-wide window") {
+    val plan = Sketch.prioritySample(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
