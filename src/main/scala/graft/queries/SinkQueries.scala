@@ -125,5 +125,72 @@ object SinkQueries extends QueryPack {
       ORDER BY missing_date
     """))
 
-  def all: Seq[Q] = Seq(q39, q54, q55)
+  // ---------------------------------------------------------------- q84
+  // JSON-lines sink/source roundtrip with a NESTED payload struct:
+  // click events serialize (payload object, epoch-micros timestamp —
+  // the default JSON timestampFormat drops sub-millisecond precision,
+  // so timestamps travel as integers), read back under an explicit
+  // schema, flatten. Doubles survive bitwise (Jackson shortest
+  // round-trip rendering on write, exact parse on read). The oracle
+  // computes the same frame straight from parquet: equality proves the
+  // JSON loop lossless.
+  private val q84 = Q(
+    "q84_json_roundtrip",
+    (s, dir) => {
+      val clicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          struct(col("event_type"), col("value")).as("payload"),
+          unix_micros(col("ts")).as("ts_us"))
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_json").toString
+      clicks.write.mode("overwrite").json(scratch)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, " +
+          "payload STRUCT<event_type: STRING, value: DOUBLE>, ts_us BIGINT")
+        .json(scratch)
+        .select(col("event_id"), col("user_id"),
+          col("payload.event_type").as("event_type"),
+          col("payload.value").as("value"), col("ts_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+      ORDER BY event_id
+    """))
+
+  // ---------------------------------------------------------------- q85
+  // ORC sink/source roundtrip: urgent orders written columnar-ORC,
+  // read back with a filter that reaches the ORC reader as a pushed
+  // predicate (searchArgument), aggregated. Completes the format
+  // matrix: parquet (everywhere), CSV (q39), JSON (q84), ORC (here).
+  private val q85 = Q(
+    "q85_orc_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_orc").toString
+      Tables(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .write.mode("overwrite").orc(scratch)
+      s.read.orc(scratch)
+        .filter($"o_totalprice" > 100000.0)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_total"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000.0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """))
+
+  def all: Seq[Q] = Seq(q39, q54, q55, q84, q85)
 }

@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedCrossJoinAllowed =
     Set("q20_ann_bruteforce", "q36_ann_ivf", "q68_tfidf_keywords",
       "q73_boilerplate_scrub", "q75_ann_int8", "q76_semantic_dedup",
-      "q80_ann_binary_rescore")
+      "q80_ann_binary_rescore", "q81_column_profile")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"
