@@ -1,20 +1,83 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorDot
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{LshProject, MinHashSig, SimHash32, VectorDot}
 
-/** Session extensions: registers the engine's native expressions for SQL
-  * use. Wire with
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.GraftExtensions`.
+/** SparkSessionExtensions entry point: makes the library's native
+  * Catalyst expressions first-class SQL functions and installs the
+  * bounded-levenshtein optimizer rewrite. Production wiring:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * after which `SELECT vec_dot(a, b)`, `minhash_sig(words, k, h)`,
+  * `simhash32(words, k)`, `lsh_project(vec, L, b, dims)` work in plain
+  * SQL, and `levenshtein(a, b) <= t` predicates run the banded
+  * early-exit algorithm (see [[graft.plans.BoundedLevenshteinRule]]).
+  *
+  * [[register]] applies the same pieces to an ALREADY-RUNNING session
+  * (runtime FunctionRegistry + experimental.extraOptimizations) — the
+  * path the specs exercise, since a shared test session cannot be
+  * rebuilt with extension configs.
+  *
+  * NOTE: none of the gate queries depend on this — the driver may run
+  * them in its own session with no extensions installed (SURVEY §7
+  * driver-contract rule), so SQL-function ergonomics stay strictly
+  * additive.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+  }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  // 2-arg ctor: the richer ctors validate usage/extended formatting
+  // (must embed _FUNC_, Examples sections) — noise for library functions
+  private def info(name: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  /** (identifier, info, builder) triples for every native expression:
+    * vec_dot(a, b); minhash_sig(words, k, numHashes);
+    * simhash32(words, k); lsh_project(vec, L, b, dims). */
+  def functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"), info("vec_dot"),
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+    (FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es(0),
+        intLit(es(1), "shingleK"), intLit(es(2), "numHashes"))),
+    (FunctionIdentifier("simhash32"), info("simhash32"),
+      (es: Seq[Expression]) => SimHash32(es(0), intLit(es(1), "shingleK"))),
+    (FunctionIdentifier("lsh_project"), info("lsh_project"),
+      (es: Seq[Expression]) => {
+        val (l, b, d) = (intLit(es(1), "numTables"),
+          intLit(es(2), "planesPerTable"), intLit(es(3), "dims"))
+        LshProject(es(0), graft.operators.Similarity.planeCoefs(l, b, d), l, b, d)
+      }))
+
+  /** Install functions + the optimizer rule on a live session. */
+  def register(spark: SparkSession): Unit = {
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, inf, builder)
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.BoundedLevenshteinRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.BoundedLevenshteinRule
+    }
   }
 }
