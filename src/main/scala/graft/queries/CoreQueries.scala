@@ -687,6 +687,45 @@ object CoreQueries extends QueryPack {
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """))
 
+  // ---------------------------------------------------------------- q87
+  // The spark.sql SURFACE: the same engine tables queried as ANSI SQL
+  // over temp views (region→nation→customer→orders star, three joins,
+  // grouped revenue). Catalyst plans SQL text and the DataFrame API
+  // identically — this registers the textual path under the gate so a
+  // SQL-first user of the library is covered, not just assumed.
+  private val q87 = Q(
+    "q87_sql_surface",
+    (s, dir) => {
+      Tables(s, dir, "region").createOrReplaceTempView("v_region")
+      Tables(s, dir, "nation").createOrReplaceTempView("v_nation")
+      Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT r.r_name, n.n_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY r.r_name, n.n_name
+        ORDER BY r.r_name, n.n_name
+      """)
+    },
+    Some("""
+      SELECT r.r_name, n.n_name, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY r.r_name, n.n_name
+      ORDER BY r.r_name, n.n_name
+    """))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q31, q32, q35, q42, q43, q48, q52, q53, q58, q71)
+    q11, q12, q13, q31, q32, q35, q42, q43, q48, q52, q53, q58, q71, q87)
 }

@@ -122,5 +122,25 @@ object StreamingQueries extends QueryPack {
       ORDER BY e.user_id, err_id, click_id
     """))
 
-  def all: Seq[Q] = Seq(q29, q30, q38, q49)
+  // ---------------------------------------------------------------- q86
+  // Stream-static enrich: the reference's chart×episode join with the
+  // fact side streaming — static nation dim broadcast into each
+  // micro-batch (no state, no dim shuffle), complete-mode aggregate,
+  // AvailableNow drain ≡ the batch join+agg the oracle computes.
+  private val q86 = Q(
+    "q86_stream_static_enrich",
+    (s, dir) => {
+      StreamingOps.streamStaticEnrichAvailableNow(s, dir,
+          "q86_stream_static_sink")
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n.n_name, COUNT(*) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      FROM events e LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      GROUP BY n.n_name
+      ORDER BY n.n_name
+    """))
+
+  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86)
 }

@@ -150,6 +150,43 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-STATIC enrich + aggregate (the reference's own shape with a
+    * streaming fact side: chart stream × episode dim): the static dim
+    * is broadcast into every micro-batch — no state, no dim shuffle,
+    * re-resolved per batch so a dim refresh is picked up at the next
+    * trigger. Complete-mode aggregate, drained with AvailableNow ≡ the
+    * batch join+agg, which is what the oracle checks. */
+  def streamStaticEnrichAvailableNow(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = withNanosAsLong(spark) {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sse")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val dim = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("n_key", col("user_id") % 25)
+      .join(broadcast(dim), col("n_key") === col("n_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)"))
+          .cast("double").as("sum_value"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = enriched.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(queryName)
+  }
+
   /** Incremental gold build: a file-source STREAM over the silver
     * snapshot directory with an append sink + checkpoint. Each
     * AvailableNow drain processes only files not yet recorded in the
