@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: benchmark sets are tiny (thousands of eval documents)
   * next to a 100 TB corpus, so the benchmark's distinct shingle set is
-  * BROADCAST and the corpus side never shuffles its shingles: explode →
-  * broadcast hash join (map-side) → per-doc count whose only exchange
-  * is keyed by doc id and combiner-reduced to ≤ one row per document.
-  * The corpus text itself is touched exactly once, map-side.
+  * BROADCAST and the corpus side never shuffles its full shingle
+  * stream: explode → broadcast hash join (map-side filter) — only the
+  * MATCHED (doc, shingle) pairs shuffle (distinct + per-doc count),
+  * a tiny fraction of the corpus. The corpus text itself is touched
+  * exactly once, map-side.
   */
 object Decontam {
 
@@ -25,11 +26,18 @@ object Decontam {
     */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int): DataFrame = {
-    val corpusSh = Dedup.explodedShingles(corpus, idCol, textCol, k)
+    // dedup = false, then distinct AFTER the broadcast filter: the
+    // corpus-wide shingle distinct would shuffle every shingle of the
+    // corpus; filtering first means the only shuffled rows are actual
+    // benchmark matches (a tiny fraction), deduped to distinct
+    // (doc, shingle) so repeats inside one doc still count once.
+    val corpusSh = Dedup.explodedShingles(corpus, idCol, textCol, k,
+      dedup = false)
     val benchSh = Dedup.explodedShingles(benchmark, idCol, textCol, k)
       .select(col("sh")).distinct()
     val hits = corpusSh
       .join(broadcast(benchSh), "sh")
+      .distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("hit_ngrams"))
     corpus.select(col(idCol).as("doc_id"))

@@ -102,11 +102,15 @@ object Quantize {
       .filter(col("r") <= m)
       .select(col("q_id"), col("n_id"))
 
-    val base = Similarity.withNorm(embeddings, idCol, vecCol)
-    val qv = base.select(col(idCol).as("qi"), col(vecCol).as("q_vec"),
-      col("nrm").as("q_nrm"))
-    val nv = base.select(col(idCol).as("ni"), col(vecCol).as("n_vec"),
-      col("nrm").as("n_nrm"))
+    // query-side vectors come from the BOUNDED query frame (broadcast
+    // build = |Q| rows, never the corpus); the candidate side joins its
+    // own vector by id — one keyed shuffle
+    val qv = Similarity.withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("qi"), col(vecCol).as("q_vec"),
+        col("nrm").as("q_nrm"))
+    val nv = Similarity.withNorm(embeddings, idCol, vecCol)
+      .select(col(idCol).as("ni"), col(vecCol).as("n_vec"),
+        col("nrm").as("n_nrm"))
     val wCos = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     cand
