@@ -36,16 +36,21 @@ object Ivf {
     embeddings.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qvec"))
 
   /** Assign every vector to its nearest centroid (cid tie-break).
-    * centroids: (cid, cent). Output: (vec_id, qvec, cid, d2). */
-  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cid").asc)
+    * centroids: (cid, cent). Output: (vec_id, qvec, cid, d2).
+    *
+    * The argmin is a `min(struct(d2, cid, qvec))` aggregation — struct
+    * ordering is lexicographic by field, so (d2 asc, cid asc) is
+    * exactly the tie-broken nearest — rather than a per-vector
+    * row_number window: the aggregate partial-combines map-side, so
+    * the exchange carries n rows, not the n·k expanded assignment
+    * (the window form shuffles all n·k before sorting). */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids))
       .withColumn("d2", dist2(col("qvec"), col("cent")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"), col("qvec"))).as("__m"))
+      .select(col("vec_id"), col("__m.qvec").as("qvec"),
+        col("__m.cid").as("cid"), col("__m.d2").as("d2"))
 
   /** Mean of assigned vectors per centroid, element-wise. Exact integer
     * sums (order-free) divided by counts. Clusters that lose every
