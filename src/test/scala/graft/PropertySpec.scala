@@ -160,4 +160,29 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("decontamination ≡ brute-force shingle intersection on random corpora") {
+    val textGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    forAllSampled(Gen.listOfN(10, textGen), n = 3) { texts =>
+      val s = spark
+      import s.implicits._
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (bench, corpus) = docs.partition(_._1 % 3 == 0)
+      val benchSh = bench.flatMap(d => shingles(d._2)).toSet
+      val expected = corpus.map { case (id, t) =>
+        id -> (shingles(t) intersect benchSh).size.toLong
+      }.toMap
+      val got = graft.operators.Decontam.contaminationReport(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          "doc_id", "text", k = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+      got.foreach { case (id, hits) =>
+        assert((hits > 0) === (expected(id) > 0))
+      }
+    }
+  }
 }
