@@ -103,4 +103,42 @@ class ShuffleMetricsSpec extends SparkSpec {
     assert(recs <= n + 16,
       s"q61 shuffled $recs records for $n docs — in-row fold regressed?")
   }
+
+  test("decontamination shuffles matched pairs + report rows, not corpus shingles") {
+    val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+    val shingleCount = operators.Dedup
+      .explodedShingles(corpus, "doc_id", "text", 3, dedup = false).count()
+    val hits = operators.Decontam
+      .contaminationReport(corpus, bench, "doc_id", "text", 3)
+      .agg(sum(col("hit_ngrams"))).collect().head.getLong(0)
+    val n = corpus.count()
+    val recs = shuffleRecords {
+      operators.Decontam
+        .contaminationReport(corpus, bench, "doc_id", "text", 3).count(); ()
+    }
+    // distinct matched pairs (≈2× for the two-stage distinct+count) +
+    // the per-doc report join; the pre-fix form shuffled EVERY corpus
+    // shingle through a corpus-wide distinct
+    val bound = 3 * hits + 4 * n + 64
+    assert(recs <= bound && recs < shingleCount,
+      s"decontam shuffled $recs records (bound $bound, " +
+        s"$shingleCount corpus shingles) — broadcast-filter-first regressed?")
+  }
+
+  test("KMV sketch shuffles distinct members, pruned toward k per group") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val totalRows = orders.count()
+    val distinctPairs = orders
+      .select(col("o_orderpriority"), col("o_custkey")).distinct().count()
+    val recs = shuffleRecords {
+      operators.Sketch
+        .kmvDistinct(orders, "o_orderpriority", "o_custkey", 64).count(); ()
+    }
+    // distinct (group, hash) pairs (+ the exact-count twin's distinct
+    // pass + small aggregates) — never the raw row stream twice over
+    assert(recs <= 3 * distinctPairs + 64 && recs < 2 * totalRows,
+      s"KMV shuffled $recs records ($distinctPairs distinct pairs, " +
+        s"$totalRows rows) — distinct-before-rank regressed?")
+  }
 }
