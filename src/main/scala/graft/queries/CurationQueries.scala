@@ -347,5 +347,44 @@ object CurationQueries extends QueryPack {
       }.mkString(" UNION ALL ") + " ORDER BY col_name"
     })
 
-  def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81)
+  // ---------------------------------------------------------------- q88
+  // Duplicated-span (ExactSubstr) report: maximal word spans whose
+  // 8-grams occur more than once corpus-wide — substring-level dedup
+  // where the document-level tiers (q16-q19) see nothing. The exchange
+  // is inherently O(corpus 8-grams) but each row is a 16-byte digest +
+  // position, never text (SpanDedup scaladoc).
+  private val q88 = Q(
+    "q88_duplicated_spans",
+    (s, dir) => {
+      graft.operators.SpanDedup.duplicatedSpans(
+          Tables(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some {
+      val gram = (1 to 8).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+      raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT doc_id, i - 1 AS pos, md5($gram) AS h
+        FROM norm, UNNEST(generate_series(1, len(w) - 7)) t(i)
+        WHERE len(w) >= 8),
+      dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+      flagged AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+      isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY pos ASC) AS g
+        FROM flagged)
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_words,
+             COUNT(*) AS n_grams
+      FROM isl
+      GROUP BY doc_id, g
+      ORDER BY doc_id, span_start
+    """
+    })
+
+  def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88)
 }

@@ -108,6 +108,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"binary-rescore recall $recall")
   }
 
+  // ------------------------------------------------------------ SpanDedup
+
+  test("duplicated spans: a shared 10-word run yields one maximal span in each doc") {
+    // shared run of 10 words → 3 overlapping 8-grams → ONE span of 10
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> s"a1 a2 a3 $shared b1 b2",     // span at word offset 3
+      2L -> s"$shared c1 c2 c3 c4 c5",     // span at word offset 0
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9")  // unique 8-grams — no span
+    val r = SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq((1L, 3L, 10L, 3L), (2L, 0L, 10L, 3L)))
+  }
+
+  test("duplicated spans: disjoint repeats stay separate islands") {
+    val g1 = (1 to 8).map(i => s"p$i").mkString(" ")
+    val g2 = (1 to 8).map(i => s"q$i").mkString(" ")
+    val d = docs(
+      1L -> s"$g1 x1 x2 x3 $g2",
+      2L -> s"$g2 y1 y2 y3 $g1")
+    val r = SpanDedup.duplicatedSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1L, 0L, 8L), (1L, 11L, 8L),
+      (2L, 0L, 8L), (2L, 11L, 8L)))
+  }
+
   // ------------------------------------------------------------ Profile
 
   test("column profile counts nulls, distincts, and min/max in one pass") {
