@@ -20,7 +20,17 @@ object Bench {
     // ±2x; the min is the steady-state cost of the plan. A failed run
     // counts as +inf so a fast failure can never beat a slow success;
     // both runs failing reports -1 (the pre-existing failure marker).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q37,q76 benches a comma-separated prefix subset
+    // (local iteration aid; the driver never sets it, so its runs are
+    // always the full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(prefixes) =>
+        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each run is cache-scoped and the catalog is wiped after it, so a
       // query pays for exactly the caches it creates — no query reaps a
       // predecessor's persisted frames and none leaks into the next
@@ -36,12 +46,19 @@ object Bench {
       val best = math.min(once(), once())
       name -> (if (best.isInfinity) -1.0 else best)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-query seconds at ms precision: the per-query map for 88+
+    // queries at full double precision overflows the ~2KB stdout tail
+    // the driver snapshots, and the truncation cut the HEAD of the line
+    // — where "value" used to live — out of BENCH_r03.json entirely
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // failed queries (-1 marker) must not SUBTRACT from the headline
     // total — exclude them (they stay visible per-query as -1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "value" LAST: the driver keeps the tail of stdout, so when the
+    // queries map is longer than the snapshot window the headline total
+    // survives the truncation (it did not in round 3)
+    println(f"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":$total%.3f}""")
     spark.stop()
   }
 }
