@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{LshProject, MinHashSig, SimHash32, VectorDot}
+import graft.functions.{KmvSketchAgg, LshProject, MinHashSig, SimHash32, VectorDot}
 
 /** SparkSessionExtensions entry point: makes the library's native
   * Catalyst expressions first-class SQL functions and installs the
@@ -60,6 +60,11 @@ object GraftExtensions {
         intLit(es(1), "shingleK"), intLit(es(2), "numHashes"))),
     (FunctionIdentifier("simhash32"), info("simhash32"),
       (es: Seq[Expression]) => SimHash32(es(0), intLit(es(1), "shingleK"))),
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry in its AggregateExpression during resolution, so the
+    // builder returns the function itself (same as Spark's built-ins)
+    (FunctionIdentifier("kmv_sketch"), info("kmv_sketch"),
+      (es: Seq[Expression]) => KmvSketchAgg(es(0), intLit(es(1), "k"))),
     (FunctionIdentifier("lsh_project"), info("lsh_project"),
       (es: Seq[Expression]) => {
         val (l, b, d) = (intLit(es(1), "numTables"),

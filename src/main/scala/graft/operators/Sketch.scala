@@ -57,6 +57,39 @@ object Sketch {
           col("exact_distinct").cast("double") * 0.5)
   }
 
+  /** [[kmvDistinct]] rebuilt on the native [[graft.functions.KmvSketchAgg]]
+    * aggregate: same output, structurally cheaper plan. The composed
+    * form shuffles every distinct (group, hash) pair twice (DISTINCT
+    * agg + per-group window sort); here the sketch partial-merges
+    * map-side, so the exchange carries at most k longs per (task,
+    * group) — O(tasks·groups·k) shuffle volume independent of member
+    * cardinality (KmvAggSpec measures the gap with a listener). The
+    * exact count_distinct twin stays for the accuracy column, as in
+    * the composed form. */
+  def kmvDistinctNative(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val agg = Bridge.column(
+      graft.functions.KmvSketchAgg(
+        Bridge.expression(hash60(col(valueCol))), k).toAggregateExpression())
+    val sketch = df
+      .groupBy(col(groupCol))
+      .agg(agg.as("kmv"))
+      .select(col(groupCol),
+        size(col("kmv")).cast("long").as("n_sketch"),
+        element_at(col("kmv"), -1).as("kth_hash"))
+      .withColumn("kmv_estimate",
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("kth_hash").cast("double")))
+    val exact = df.groupBy(col(groupCol))
+      .agg(count_distinct(col(valueCol)).as("exact_distinct"))
+    sketch.join(exact, groupCol)
+      .withColumn("within_50pct",
+        abs(col("kmv_estimate") - col("exact_distinct").cast("double")) <
+          col("exact_distinct").cast("double") * 0.5)
+  }
+
   /** Priority sample of n rows, inclusion probability ∝ weight.
     * Output: input columns + (pri, rnk). The global top-n runs as
     * TakeOrderedAndProject (per-partition heaps, no full sort, no

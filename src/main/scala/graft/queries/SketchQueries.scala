@@ -84,5 +84,48 @@ object SketchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
-  def all: Seq[Q] = Seq(q82, q83)
+  // ---------------------------------------------------------------- q89
+  // KMV via the NATIVE aggregate (graft.functions.KmvSketchAgg):
+  // distinct suppliers per return flag on lineitem — the largest table,
+  // where the composed form's shuffle-every-distinct-pair cost shows.
+  // The sketch partial-merges map-side (≤k longs per task·group reach
+  // the exchange); same estimator, same oracle shape as q82.
+  private val q89 = Q(
+    "q89_kmv_native_agg",
+    (s, dir) => {
+      Sketch.kmvDistinctNative(Tables(s, dir, "lineitem"),
+          "l_returnflag", "l_suppkey", k = 64)
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT DISTINCT l_returnflag, ${hashSql("l_suppkey")} AS h
+        FROM lineitem),
+      pruned AS (
+        SELECT l_returnflag, h FROM (
+          SELECT l_returnflag, h,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY h ASC) AS r
+          FROM hashed)
+        WHERE r <= 64),
+      sketch AS (
+        SELECT l_returnflag, COUNT(*) AS n_sketch, MAX(h) AS kth_hash
+        FROM pruned GROUP BY l_returnflag),
+      exact AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS exact_distinct
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT s.l_returnflag, s.n_sketch, s.kth_hash,
+             CASE WHEN s.n_sketch < 64 THEN CAST(s.n_sketch AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0 / CAST(s.kth_hash AS DOUBLE)
+             END AS kmv_estimate,
+             e.exact_distinct,
+             abs(CASE WHEN s.n_sketch < 64 THEN CAST(s.n_sketch AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / CAST(s.kth_hash AS DOUBLE)
+                 END - CAST(e.exact_distinct AS DOUBLE))
+               < CAST(e.exact_distinct AS DOUBLE) * 0.5 AS within_50pct
+      FROM sketch s JOIN exact e USING (l_returnflag)
+      ORDER BY l_returnflag
+    """))
+
+  def all: Seq[Q] = Seq(q82, q83, q89)
 }
