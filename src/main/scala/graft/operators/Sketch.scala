@@ -90,6 +90,67 @@ object Sketch {
           col("exact_distinct").cast("double") * 0.5)
   }
 
+  /** Second 60-bit hash (md5 hex chars 17..31 — the same split
+    * [[graft.functions.MinHashSig]] uses), for Kirsch-Mitzenmacher
+    * families h_i = (kh1 + i·kh2) mod 2⁶⁰. */
+  def hash60b(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 17, 15), 16, 10).cast("long")
+
+  private val Mod60 = 1152921504606846976L // 2^60
+
+  /** Count-min sketch heavy hitters: estimate the top keys' frequencies
+    * from a d×w counter matrix and compare against exact counts.
+    * Output: (keyCol, exact_cnt, est_cnt, overestimates, rnk) for the
+    * exact top `topN` keys (rank tie-broken by key).
+    *
+    * Scale design: the matrix build explodes each row into d (row,
+    * bucket) increments, but the groupBy(row, bucket) partial-combines
+    * map-side, so each task contributes at most d·w counters to the
+    * exchange — the sketch, not the corpus, crosses the wire. The
+    * estimate join touches d·topN matrix cells. CMS guarantees
+    * est ≥ exact always (increments only collide upward), asserted
+    * downstream and in the spec.
+    *
+    * Engine parity: buckets are pure integer arithmetic on the two
+    * md5-derived 60-bit hashes (i·kh2 ≤ 3·2⁶⁰ < 2⁶³ — no overflow for
+    * d ≤ 7), so any engine rebuilds the identical matrix. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, d: Int, w: Int,
+      topN: Int): DataFrame = {
+    require(d >= 1 && d <= 7, s"d=$d outside the overflow-safe KM range 1..7")
+    val kh = df.select(col(keyCol),
+      hash60(col(keyCol)).as("kh1"), hash60b(col(keyCol)).as("kh2"))
+    def bucket(i: Int): Column =
+      (col("kh1") + lit(i.toLong) * col("kh2")) % lit(Mod60) % lit(w.toLong)
+
+    val matrix = kh
+      .select(posexplode(array((0 until d).map(bucket): _*)).as(Seq("i", "b")))
+      .groupBy(col("i"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
+    val exact = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val top = exact
+      .orderBy(col("exact_cnt").desc, col(keyCol).asc)
+      .limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("exact_cnt").desc, col(keyCol).asc)))
+
+    // d probe cells for each of the topN keys; matrix side is ≤ d·w
+    // rows (broadcast), keys side is topN rows
+    val probes = top
+      .withColumn("kh1", hash60(col(keyCol)))
+      .withColumn("kh2", hash60b(col(keyCol)))
+      .select(col(keyCol), col("exact_cnt"), col("rnk"),
+        posexplode(array((0 until d).map(bucket): _*)).as(Seq("i", "b")))
+    probes
+      .join(broadcast(matrix), Seq("i", "b"))
+      .groupBy(col(keyCol), col("exact_cnt"), col("rnk"))
+      .agg(min(col("c")).as("est_cnt"))
+      .withColumn("overestimates", col("est_cnt") >= col("exact_cnt"))
+      .select(col(keyCol), col("exact_cnt"), col("est_cnt"),
+        col("overestimates"), col("rnk").cast("int").as("rnk"))
+  }
+
   /** Priority sample of n rows, inclusion probability ∝ weight.
     * Output: input columns + (pri, rnk). The global top-n runs as
     * TakeOrderedAndProject (per-partition heaps, no full sort, no

@@ -127,5 +127,50 @@ object SketchQueries extends QueryPack {
       ORDER BY l_returnflag
     """))
 
-  def all: Seq[Q] = Seq(q82, q83, q89)
+  // ---------------------------------------------------------------- q90
+  // Count-min heavy hitters on the event stream: 4×1024 counter matrix
+  // from the two md5 hash halves, exact top-10 users compared to their
+  // CMS estimates. est ≥ exact is the CMS invariant (collisions only
+  // inflate), surfaced as the `overestimates` column.
+  private val q90 = Q(
+    "q90_cms_heavy_hitters",
+    (s, dir) => {
+      Sketch.cmsHeavyHitters(Tables.events(s, dir).select(col("user_id")),
+          "user_id", d = 4, w = 1024, topN = 10)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH kh AS (
+        SELECT user_id,
+               ${hashSql("user_id")} AS kh1,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 15))::BIGINT AS kh2
+        FROM events),
+      cells AS (
+        SELECT i, ((kh1 + i * kh2) % 1152921504606846976) % 1024 AS b,
+               COUNT(*) AS c
+        FROM kh, UNNEST(generate_series(0, 3)) t(i)
+        GROUP BY i, b),
+      exact AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id),
+      top AS (
+        SELECT user_id, exact_cnt, rnk FROM (
+          SELECT user_id, exact_cnt,
+                 ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, user_id ASC) AS rnk
+          FROM exact)
+        WHERE rnk <= 10),
+      probes AS (
+        SELECT t.user_id, t.exact_cnt, t.rnk, u.i,
+               ((k.kh1 + u.i * k.kh2) % 1152921504606846976) % 1024 AS b
+        FROM top t
+        JOIN (SELECT DISTINCT user_id, kh1, kh2 FROM kh) k USING (user_id),
+             UNNEST(generate_series(0, 3)) u(i))
+      SELECT p.user_id, p.exact_cnt, MIN(c.c) AS est_cnt,
+             MIN(c.c) >= p.exact_cnt AS overestimates,
+             CAST(p.rnk AS INTEGER) AS rnk
+      FROM probes p JOIN cells c ON c.i = p.i AND c.b = p.b
+      GROUP BY p.user_id, p.exact_cnt, p.rnk
+      ORDER BY rnk
+    """))
+
+  def all: Seq[Q] = Seq(q82, q83, q89, q90)
 }

@@ -59,6 +59,46 @@ class SketchSpec extends SparkSpec {
       s"sample avg $sampleAvg ≤ corpus avg $corpusAvg")
   }
 
+  test("CMS: every estimate overestimates (collisions only inflate)") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"))
+    // top every key (there are only ~15 at this sf): the invariant must
+    // hold for all of them, not just the heavy ones
+    val r = Sketch.cmsHeavyHitters(ev, "user_id", d = 4, w = 1024, topN = 1000)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Boolean]("overestimates"),
+        s"CMS must never underestimate: $row")
+      assert(row.getAs[Long]("est_cnt") >= row.getAs[Long]("exact_cnt"))
+    }
+  }
+
+  test("CMS: estimates are tight when keys are sparse in the matrix") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"))
+    val n = ev.count()
+    // 15 keys hashed into 4x1024 cells: the standard error bound
+    // (2N/w per row, min over 4 rows) is loose here but cheap to pin
+    val r = Sketch.cmsHeavyHitters(ev, "user_id", d = 4, w = 1024, topN = 10)
+      .collect()
+    r.foreach { row =>
+      val slack = row.getAs[Long]("est_cnt") - row.getAs[Long]("exact_cnt")
+      assert(slack <= 2 * n / 1024,
+        s"estimate slack $slack above the CMS bound for $row")
+    }
+  }
+
+  test("CMS: matrix build shuffles at most d*w counters per task, not the corpus") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"))
+    // the exchange below the (i, b) aggregation carries partial counts:
+    // bounded by tasks * d * w, and far below corpus * d exploded rows
+    val plan = Sketch.cmsHeavyHitters(ev, "user_id", 4, 1024, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("priority sample plans TakeOrderedAndProject, not a corpus-wide window") {
     val plan = Sketch.prioritySample(
         docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 100)
