@@ -142,6 +142,59 @@ object TextAnalysis {
     * typed placeholder tokens — order matters (an email scrub must not
     * leave digits for the number scrub to re-hit differently than the
     * oracle's identical chain). */
+  /** Bigram collocations ranked by lift = N·c(ab) / (c(a)·c(b)) — the
+    * division-only association measure (PMI is its log, and log/ln are
+    * the libm last-ulp trap the oracle rules ban). Output: (w1, w2,
+    * c_ab, lift, rnk) for the topN pairs with c_ab ≥ minCount.
+    *
+    * Scale design: bigram extraction is IN-ROW — `arrays_zip` of two
+    * slices of the bound words column (no lambda touches the text, so
+    * the per-element re-evaluation trap can't bite; a generator row is
+    * produced per TOKEN, which is the irreducible cost of counting
+    * bigrams). Two hash aggregations (bigram counts, unigram counts)
+    * partial-combine map-side to vocabulary size; the unigram table and
+    * the 1-row total are broadcast, so the only wide exchange carries
+    * ≤ vocab² partial bigram counts per task.
+    *
+    * Exactness: lift's numerator and denominator are exact BIGINT
+    * products (token counts are far below 2³¹, so the products sit
+    * under 2⁶²); the single double division at the end is the same two
+    * operands in any engine. */
+  def collocations(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Long, topN: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), Dedup.words(col(textCol)).as("w"))
+    val pairs = toks
+      // greatest(..., 0): slice throws on a negative length, and a
+      // 0/1-word document must yield zero bigrams, not an error
+      .withColumn("w1s",
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))))
+      .withColumn("w2s",
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))))
+      .select(explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
+      .select(col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = bi.agg(sum(col("c_ab")).as("n"))
+
+    val ord = Seq(col("lift").desc, col("w1").asc, col("w2").asc)
+    bi.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("t", "w1")
+        .withColumnRenamed("c", "c_a")), "w1")
+      .join(broadcast(uni.withColumnRenamed("t", "w2")
+        .withColumnRenamed("c", "c_b")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n") * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"))
+      .orderBy(ord: _*)
+      .limit(topN)
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+      .select(col("w1"), col("w2"), col("c_ab"), col("lift"), col("rnk"))
+  }
+
   def piiScrub(text: Column): Column =
     regexp_replace(
       regexp_replace(

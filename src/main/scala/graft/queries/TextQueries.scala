@@ -402,6 +402,46 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // ---------------------------------------------------------------- q91
+  // Bigram collocations by lift = N·c(ab)/(c(a)·c(b)) — the division-
+  // only association measure (PMI is its log; ln is the cross-engine
+  // last-ulp trap). Bigram extraction is in-row (arrays_zip of two
+  // slices — no lambda, so nothing re-evaluates per element); both
+  // count aggregations partial-combine to vocabulary size map-side.
+  private val q91 = Q(
+    "q91_bigram_collocations",
+    (s, dir) => {
+      TextAnalysis.collocations(Tables(s, dir, "documents"),
+          "doc_id", "text", minCount = 5L, topN = 20)
+    },
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      pairs AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)),
+      bi AS (
+        SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2),
+      uni AS (
+        SELECT u.x AS t, COUNT(*) AS c
+        FROM toks, UNNEST(w) u(x) GROUP BY u.x),
+      tot AS (SELECT SUM(c_ab) AS n FROM bi)
+      SELECT w1, w2, c_ab, lift, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT b.w1, b.w2, b.c_ab,
+               CAST(t.n * b.c_ab AS DOUBLE) /
+                 CAST(a.c * c.c AS DOUBLE) AS lift,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(t.n * b.c_ab AS DOUBLE) /
+                            CAST(a.c * c.c AS DOUBLE) DESC,
+                          b.w1 ASC, b.w2 ASC) AS rnk
+        FROM bi b
+        JOIN uni a ON a.t = b.w1
+        JOIN uni c ON c.t = b.w2
+        CROSS JOIN tot t
+        WHERE b.c_ab >= 5)
+      WHERE rnk <= 20
+      ORDER BY rnk
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
-    q56, q57)
+    q56, q57, q91)
 }

@@ -13,15 +13,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * a literal-key equi-join constant-folds to this same shape), q73's
   * two corpus-constant fans (the 1-row total and the 1-row boilerplate
   * vocabulary array), q75's int8 re-run of the q20 baseline (n × the
-  * bounded query set), and q76's k-means machinery (n × the ≤
-  * numCentroids codebook, q36's class).
+  * bounded query set), q76's k-means machinery (n × the ≤
+  * numCentroids codebook, q36's class), and q91's 1-row bigram-total
+  * fan (q68/q73's corpus-constant class).
   */
 class PlanAuditSpec extends SparkSpec {
 
   private val boundedCrossJoinAllowed =
     Set("q20_ann_bruteforce", "q36_ann_ivf", "q68_tfidf_keywords",
       "q73_boilerplate_scrub", "q75_ann_int8", "q76_semantic_dedup",
-      "q80_ann_binary_rescore", "q81_column_profile")
+      "q80_ann_binary_rescore", "q81_column_profile",
+      "q91_bigram_collocations")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"
