@@ -44,6 +44,38 @@ object DiffOps {
   /** Missing members of a dense date spine: which days between `from`
     * and `to` (inclusive) have NO row in `df.dateCol`. The spine is a
     * generated sequence (no driver loop), the probe one anti-join. */
+  /** SCD2 (slowly-changing-dimension type 2) history build from an
+    * event log: collapse consecutive equal values of `attrCol` per
+    * entity into validity intervals (valid_from inclusive, valid_to
+    * exclusive = next change, NULL while current).
+    *
+    * One shuffle: both windows partition by the entity, so Catalyst
+    * plans a single Exchange + Sort reused by the lag (change
+    * detection) and the lead (interval close). `orderCols` must make
+    * the per-entity order total — pass a unique tiebreaker (event id)
+    * or concurrent equal timestamps make the history nondeterministic.
+    * At 100 TB this is the standard event-log → dimension-table
+    * compaction: output size is O(changes), not O(events). */
+  def scd2Intervals(events: DataFrame, entityCol: String, attrCol: String,
+      tsCol: String, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    val changes = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(wOrd))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .select(col(entityCol), col(attrCol), col(tsCol).as("valid_from"),
+        // two changes inside one timestamp tick still need a total
+        // order for the interval close — reuse the caller's tiebreaker
+        col(orderCols.last).as("__tb"))
+    val wIv = Window.partitionBy(col(entityCol))
+      .orderBy(col("valid_from").asc, col("__tb").asc)
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wIv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__tb")
+  }
+
   def dateGaps(df: DataFrame, dateCol: String, from: String,
       to: String): DataFrame = {
     val spark = df.sparkSession

@@ -119,5 +119,48 @@ object TemporalQueries extends QueryPack {
       ORDER BY user_id, session_start
     """))
 
-  def all: Seq[Q] = Seq(q77, q78, q79)
+  // ---------------------------------------------------------------- q94
+  // SCD2 dimension history from the event log: per user, consecutive
+  // equal event_types collapse into validity intervals (valid_from
+  // inclusive, valid_to = next change, NULL while current). One
+  // entity-keyed shuffle serves both windows; output is O(changes),
+  // not O(events) — the standard log→dimension compaction.
+  private val q94 = Q(
+    "q94_scd2_intervals",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      graft.ops.DiffOps.scd2Intervals(e, "user_id", "event_type",
+          "ts_us", Seq("ts_us", "event_id"))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events),
+      chg AS (
+        SELECT user_id, event_type, ts_us,
+               LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+               event_id
+        FROM e),
+      runs AS (
+        SELECT user_id, event_type, ts_us AS valid_from_us, event_id
+        FROM chg WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, valid_from_us,
+             LEAD(valid_from_us) OVER (
+               PARTITION BY user_id
+               ORDER BY valid_from_us, event_id) AS valid_to_us,
+             LEAD(valid_from_us) OVER (
+               PARTITION BY user_id
+               ORDER BY valid_from_us, event_id) IS NULL AS is_current
+      FROM runs
+      ORDER BY user_id, valid_from_us
+    """))
+
+  def all: Seq[Q] = Seq(q77, q78, q79, q94)
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Scd2Spec extends SparkSpec {
+
+  test("scd2: consecutive runs collapse into intervals") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, "A", 10L, 100L), (1L, "A", 20L, 101L), (1L, "B", 30L, 102L),
+      (1L, "B", 40L, 103L), (1L, "A", 50L, 104L),
+      (2L, "X", 10L, 200L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val out = DiffOps.scd2Intervals(log, "user_id", "event_type", "ts_us",
+        Seq("ts_us", "event_id"))
+      .orderBy("user_id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(50L), false),
+      (1L, "A", 50L, None, true),
+      (2L, "X", 10L, None, true)))
+  }
+
+  test("scd2 on real events: intervals tile, one current row per user") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val rows = DiffOps.scd2Intervals(e, "user_id", "event_type", "ts_us",
+        Seq("ts_us", "event_id"))
+      .orderBy("user_id", "valid_from").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, hist) =>
+      // exactly one open interval, and each close matches the next open
+      assert(hist.count(_.getBoolean(4)) == 1)
+      hist.sliding(2).foreach {
+        case Array(a, b) => assert(a.get(3) == b.get(2))
+        case _ =>
+      }
+      // no zero-length or inverted intervals
+      hist.init.foreach(r =>
+        assert(r.get(3).asInstanceOf[Long] > r.getLong(2)))
+    }
+    // compaction: strictly fewer interval rows than events
+    assert(rows.length < e.count())
+  }
+
+  test("scd2 plans one entity shuffle for both windows") {
+    val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val plan = DiffOps.scd2Intervals(e, "user_id", "event_type", "ts_us",
+        Seq("ts_us", "event_id"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single entity shuffle:\n$plan")
+  }
+}
