@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.CurationQueries,
     graft.queries.TemporalQueries,
     graft.queries.SketchQueries,
-    graft.queries.SearchQueries)
+    graft.queries.SearchQueries,
+    graft.queries.GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's heart: left-enrich the fact side with the dim, validate

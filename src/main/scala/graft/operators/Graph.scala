@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on entity graphs mined from the fact
+  * tables. Complements [[Dedup]]'s min-label propagation (connected
+  * components, q66) with PageRank-style importance scoring.
+  *
+  * INTEGER-EXACT fixed point: ranks are BIGINT multiples of 1e-12
+  * (`Fp` = 10¹²), every step is integer multiply + `DIV` (never `/` —
+  * Spark's slash on BIGINT is DOUBLE division, and a correctly-rounded
+  * double quotient can truncate to a different integer than exact
+  * floor division near boundaries), so the result is bit-identical in
+  * any engine — double-based PageRank sums incoming contributions in
+  * shuffle order, which no two engines (or two runs) agree on. The
+  * deliberate cost is floor truncation: total rank mass decays by
+  * < nodes·iterations ulps, irrelevant for ranking.
+  *
+  * Scale design: per iteration, contributions flow edge-wise via ONE
+  * hash join of the rank table (O(nodes)) against the edge list
+  * (O(edges), pre-distinct'd and persisted) followed by ONE
+  * partial-combining sum on the destination. Ranks are
+  * localCheckpoint'd each round — the lineage would otherwise double
+  * per iteration (the q66 discipline).
+  */
+object Graph {
+
+  val Fp = 1000000000000L // 10^12 fixed-point scale
+
+  /** Undirected bipartite edge list (both directions) from a fact
+    * table: nodes encode as 2·key (left side) and 2·key+1 (right). */
+  def bipartiteEdges(facts: DataFrame, leftKey: String,
+      rightKey: String): DataFrame = {
+    val pairs = facts
+      .select((col(leftKey) * 2).as("l"), (col(rightKey) * 2 + 1).as("r"))
+      .distinct()
+    pairs.select(col("l").as("src"), col("r").as("dst"))
+      .unionAll(pairs.select(col("r").as("src"), col("l").as("dst")))
+  }
+
+  /** PageRank with damping `dampPct`/100 for `iterations` rounds over a
+    * directed edge list (src, dst). Every node must have out-degree ≥ 1
+    * (always true for undirected edge lists). Output: (node, rank_fp)
+    * with Σ rank_fp ≈ Fp (floor-truncation deficit only). */
+  def pageRank(edges: DataFrame, iterations: Int,
+      dampPct: Int = 85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .transform(graft.util.CacheScope.persist)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+      .transform(graft.util.CacheScope.persist)
+    val nNodes = deg.count() // materializes the persisted edges + degrees
+    // driver-side exact integer floors — literals in the plan, and the
+    // oracle recomputes the same (100-d)·Fp // (100·n) and Fp // n
+    val base = (100L - dampPct) * Fp / (100L * nNodes)
+    val r0 = Fp / nNodes
+
+    var ranks = deg.select(col("node"), lit(r0).as("rank_fp"))
+    for (_ <- 0 until iterations) {
+      val contribs = ranks
+        .join(deg, "node")
+        .select(col("node"), expr("rank_fp DIV deg").as("contrib"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_sum"))
+      // undirected graphs have in-degree ≥ 1 everywhere; the left join
+      // + coalesce(0) keeps directed graphs with rank sinks correct too
+      ranks = deg.select(col("node"))
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampPct * coalesce(in_sum, 0L)) DIV 100"))
+            .as("rank_fp"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

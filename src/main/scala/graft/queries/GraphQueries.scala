@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryPack, Tables}
+import graft.operators.Graph
+
+/** Graph-analytics family: iterative PageRank over the part–supplier
+  * bipartite graph mined from lineitem. Integer fixed-point arithmetic
+  * end to end (BIGINT `DIV`, never double division), so three unrolled
+  * CTE iterations in DuckDB reproduce the Spark loop bit-for-bit —
+  * same discipline as q36/q76's integer-exact k-means.
+  */
+object GraphQueries extends QueryPack {
+
+  // ---------------------------------------------------------------- q95
+  // 3-iteration PageRank, top 20 nodes. Suppliers (high degree) should
+  // dominate parts — the ranking itself is the regression check.
+  private val q95 = Q(
+    "q95_pagerank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = Graph.bipartiteEdges(Tables(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey")
+      val ord = Seq(col("rank_fp").desc, col("node").asc)
+      Graph.pageRank(edges, iterations = 3)
+        .orderBy(ord: _*)
+        .limit(20)
+        .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+        .select(
+          when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+            .as("node_type"),
+          expr("node DIV 2").as("key"),
+          col("rank_fp"), col("rnk"))
+        .orderBy(col("rnk"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT l_partkey * 2 AS l, l_suppkey * 2 + 1 AS r
+        FROM lineitem),
+      edges AS (
+        SELECT l AS src, r AS dst FROM pairs
+        UNION ALL
+        SELECT r AS src, l AS dst FROM pairs),
+      deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+      meta AS (SELECT COUNT(*) AS n FROM deg),
+      r0 AS (
+        SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank_fp
+        FROM deg, meta),
+      i1 AS (
+        SELECT d.node,
+               CAST((15 * 1000000000000) // (100 * m.n)
+                    + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS rank_fp
+        FROM deg d CROSS JOIN meta m
+        LEFT JOIN (
+          SELECT e.dst, SUM(r.rank_fp // dd.deg) AS in_sum
+          FROM r0 r
+          JOIN deg dd ON dd.node = r.node
+          JOIN edges e ON e.src = r.node
+          GROUP BY e.dst) s ON s.dst = d.node),
+      i2 AS (
+        SELECT d.node,
+               CAST((15 * 1000000000000) // (100 * m.n)
+                    + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS rank_fp
+        FROM deg d CROSS JOIN meta m
+        LEFT JOIN (
+          SELECT e.dst, SUM(r.rank_fp // dd.deg) AS in_sum
+          FROM i1 r
+          JOIN deg dd ON dd.node = r.node
+          JOIN edges e ON e.src = r.node
+          GROUP BY e.dst) s ON s.dst = d.node),
+      i3 AS (
+        SELECT d.node,
+               CAST((15 * 1000000000000) // (100 * m.n)
+                    + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS rank_fp
+        FROM deg d CROSS JOIN meta m
+        LEFT JOIN (
+          SELECT e.dst, SUM(r.rank_fp // dd.deg) AS in_sum
+          FROM i2 r
+          JOIN deg dd ON dd.node = r.node
+          JOIN edges e ON e.src = r.node
+          GROUP BY e.dst) s ON s.dst = d.node)
+      SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+             node // 2 AS key, rank_fp, CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT node, rank_fp,
+               ROW_NUMBER() OVER (ORDER BY rank_fp DESC, node ASC) AS rnk
+        FROM i3)
+      WHERE rnk <= 20
+      ORDER BY rnk
+    """))
+
+  def all: Seq[Q] = Seq(q95)
+}

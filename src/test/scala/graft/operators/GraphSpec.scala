@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  private def lineitem =
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  test("pagerank: symmetric two-node graph ranks equally") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) == ranks(1L))
+    // two symmetric nodes keep their initial half share (minus floors)
+    assert(math.abs(ranks(0L) - Graph.Fp / 2) <= 2)
+  }
+
+  test("pagerank: rank mass is conserved up to floor truncation") {
+    val edges = Graph.bipartiteEdges(lineitem, "l_partkey", "l_suppkey")
+    val ranks = Graph.pageRank(edges, iterations = 3)
+    val total = ranks.agg(sum("rank_fp")).collect().head.getLong(0)
+    assert(total <= Graph.Fp)
+    // the DIV floors lose up to deg-1 per node's outflow per round —
+    // still parts-per-million of Fp; anything above 0.01% is a real
+    // conservation bug, not truncation
+    assert(total >= Graph.Fp - Graph.Fp / 10000,
+      s"rank mass $total decayed more than floor truncation allows")
+  }
+
+  test("pagerank: high-degree suppliers outrank parts") {
+    val edges = Graph.bipartiteEdges(lineitem, "l_partkey", "l_suppkey")
+    val top = Graph.pageRank(edges, iterations = 3)
+      .orderBy(col("rank_fp").desc, col("node").asc)
+      .limit(10).collect()
+    // suppliers are odd-encoded and have ~100x the part degree
+    top.foreach(r => assert(r.getLong(0) % 2 == 1,
+      s"expected suppliers on top, got node ${r.getLong(0)}"))
+  }
+
+  test("pagerank: invariant to input partitioning (integer-exact)") {
+    val edges = Graph.bipartiteEdges(lineitem, "l_partkey", "l_suppkey")
+    val a = Graph.pageRank(edges, iterations = 2)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(edges.repartition(7), iterations = 2)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+}
