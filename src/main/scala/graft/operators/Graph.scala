@@ -46,11 +46,15 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int,
       dampPct: Int = 85): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-      .transform(graft.util.CacheScope.persist)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
       .transform(graft.util.CacheScope.persist)
-    val nNodes = deg.count() // materializes the persisted edges + degrees
+    // degree rides the edge list: one persisted (src, dst, deg) frame
+    // makes each iteration a single join + sum instead of two joins
+    val eDeg = e.join(deg, e("src") === deg("node"))
+      .select(col("src"), col("dst"), col("deg"))
+      .transform(graft.util.CacheScope.persist)
+    val nNodes = deg.count() // materializes the persisted degree table
     // driver-side exact integer floors — literals in the plan, and the
     // oracle recomputes the same (100-d)·Fp // (100·n) and Fp // n
     val base = (100L - dampPct) * Fp / (100L * nNodes)
@@ -59,11 +63,9 @@ object Graph {
     var ranks = deg.select(col("node"), lit(r0).as("rank_fp"))
     for (_ <- 0 until iterations) {
       val contribs = ranks
-        .join(deg, "node")
-        .select(col("node"), expr("rank_fp DIV deg").as("contrib"))
-        .join(e, col("node") === col("src"))
+        .join(eDeg, col("node") === col("src"))
         .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("in_sum"))
+        .agg(sum(expr("rank_fp DIV deg")).as("in_sum"))
       // undirected graphs have in-degree ≥ 1 everywhere; the left join
       // + coalesce(0) keeps directed graphs with rank sinks correct too
       ranks = deg.select(col("node"))
