@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -83,6 +84,11 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.BoundedLevenshteinRule
+    }
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     }
   }
 }

@@ -47,4 +47,64 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__side", "__rv", "__rts")
   }
+
+  /** The CUSTOM-OPERATOR as-of join ([[graft.plans.AsOfJoinNode]] →
+    * [[graft.plans.AsOfJoinStrategy]] → BroadcastAsOfJoinExec): same
+    * inclusive at-or-before semantics as [[asOf]], but the right side
+    * is broadcast as per-key ts-sorted arrays and the left side is
+    * probed by binary search — ZERO shuffle, ZERO sort on the fact
+    * side, versus [[asOf]]'s one shuffle+sort of both sides. Use when
+    * the right side is dimension-sized (the BroadcastHashJoin
+    * condition); at 100 TB that is "attach the latest price/config
+    * snapshot to every event" without moving the events.
+    *
+    * `tsCol` must be BIGINT on both sides (epoch micros, the suite
+    * convention). Right (key, ts) ties collapse to max(value) BEFORE
+    * the build so the probe is deterministic. Output: left columns +
+    * (asof_ts, asof_value). */
+  def broadcastAsOf(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.LongType
+
+    val spark = leftDf.sparkSession
+    // live-session strategy install (idempotent; the node type matches
+    // nothing but itself, so other queries are untouched)
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+
+    // the top-level aliases are load-bearing: when both sides read the
+    // same relation, the analyzer's DeduplicateRelations re-aliases the
+    // duplicate scan's exprIds inside the right subtree — attributes
+    // captured from a bare aggregate output would go stale (observed:
+    // ATTRIBUTE_NOT_FOUND at execution). Alias OUTPUTS own their
+    // exprIds, so the node's right-referencing fields survive the
+    // rewrite.
+    val rightDedup = rightDf
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valueCol)).as(valueCol))
+      .select(col(keyCol).as("__asof_key"), col(tsCol).as("__asof_ts"),
+        col(valueCol).as("__asof_val"))
+    val lPlan = Bridge.analyzed(leftDf)
+    val rPlan = Bridge.analyzed(rightDedup)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name)}"))
+    val (lTs, rTs) = (attr(lPlan, tsCol), attr(rPlan, "__asof_ts"))
+    require(lTs.dataType == LongType && rTs.dataType == LongType,
+      s"broadcastAsOf needs BIGINT timestamps (epoch micros), got " +
+        s"${lTs.dataType.sql} / ${rTs.dataType.sql}")
+    val rVal = attr(rPlan, "__asof_val")
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, keyCol), lTs, attr(rPlan, "__asof_key"), rTs, rVal,
+      AttributeReference("asof_ts", LongType, nullable = true)(),
+      AttributeReference("asof_value", rVal.dataType, nullable = true)())
+    Bridge.ofRows(spark, node)
+  }
 }

@@ -142,5 +142,52 @@ object StreamingQueries extends QueryPack {
       ORDER BY n.n_name
     """))
 
-  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86)
+  // ---------------------------------------------------------------- q96
+  // q38's as-of join through the CUSTOM WHOLE-OPERATOR path:
+  // AsOfJoinNode (logical) → AsOfJoinStrategy (planner) →
+  // BroadcastAsOfJoinExec (physical). The right side broadcasts as
+  // per-key ts-sorted arrays; the fact side is probed by binary search
+  // with ZERO shuffle/sort (q38's composed form exchanges + sorts both
+  // sides). The operator installs its strategy on the live session at
+  // build time, so the driver's extension-free session still plans it.
+  // Timestamps ride as epoch micros (BIGINT), the suite convention.
+  private val q96 = Q(
+    "q96_asof_custom_operator",
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("value"))
+      graft.operators.AsOfJoin.broadcastAsOf(errors, clicks,
+          keyCol = "user_id", tsCol = "ts_us", valueCol = "value")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      WITH errors AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        FROM events WHERE event_type = 'error'),
+      clicks AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, epoch_us(ts))
+      SELECT user_id, ts_us, event_id, value, asof_ts, asof_value FROM (
+        SELECT user_id, ts_us, event_id, value, side,
+               last_value(rts IGNORE NULLS) OVER w AS asof_ts,
+               last_value(rv IGNORE NULLS) OVER w AS asof_value
+        FROM (
+          SELECT user_id, ts_us, event_id, value, 1 AS side,
+                 CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS rts
+          FROM errors
+          UNION ALL
+          SELECT user_id, ts_us, NULL, NULL, 0, value, ts_us FROM clicks)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts_us ASC, side ASC, event_id ASC
+                     ROWS UNBOUNDED PRECEDING))
+      WHERE side = 1
+      ORDER BY user_id, event_id
+    """))
+
+  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96)
 }

@@ -23,6 +23,21 @@ object Bridge {
       .bucketSpec
       .map(b => (b.numBuckets, b.bucketColumnNames))
 
+  /** Wrap an (already resolved) logical plan as a DataFrame — the
+    * entry point for custom logical nodes like
+    * [[graft.plans.AsOfJoinNode]]. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark), plan)
+
+  /** The analyzed logical plan of a DataFrame (for building custom
+    * nodes over existing frames). */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Register a native expression as a SQL temp function on an ALREADY
     * RUNNING session (builder `.withExtensions` only applies at session
     * creation — `getOrCreate` on a live JVM silently skips it). */
