@@ -162,5 +162,96 @@ object TemporalQueries extends QueryPack {
       ORDER BY user_id, valid_from_us
     """))
 
-  def all: Seq[Q] = Seq(q77, q78, q79, q94)
+  // ---------------------------------------------------------------- q97
+  // Funnel analysis: per user the earliest view → first click at-or-
+  // after it → first purchase at-or-after that, and the stage reached.
+  // Three conditional min-aggregations over the same user-keyed
+  // shuffle; timestamps ride as epoch micros. NULL propagates through
+  // later stages (no click ⇒ no purchase counted), so `stage` is the
+  // standard funnel metric.
+  private val q97 = Q(
+    "q97_funnel",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val views = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts_us")))
+          .as("view_ts"))
+      val clicks = views.join(e, "user_id")
+        .groupBy(col("user_id"), col("view_ts"))
+        .agg(min(when(col("event_type") === "click" &&
+          col("ts_us") >= col("view_ts"), col("ts_us"))).as("click_ts"))
+      val funnel = clicks.join(e, "user_id")
+        .groupBy(col("user_id"), col("view_ts"), col("click_ts"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts_us") >= col("click_ts"), col("ts_us"))).as("purchase_ts"))
+      funnel
+        .withColumn("stage",
+          when(col("purchase_ts").isNotNull, lit("purchase"))
+            .when(col("click_ts").isNotNull, lit("click"))
+            .when(col("view_ts").isNotNull, lit("view"))
+            .otherwise(lit("none")))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      v AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS view_ts
+        FROM e GROUP BY user_id),
+      c AS (
+        SELECT v.user_id, v.view_ts,
+               MIN(CASE WHEN e.event_type = 'click'
+                         AND e.ts_us >= v.view_ts THEN e.ts_us END) AS click_ts
+        FROM v JOIN e ON e.user_id = v.user_id
+        GROUP BY v.user_id, v.view_ts),
+      p AS (
+        SELECT c.user_id, c.view_ts, c.click_ts,
+               MIN(CASE WHEN e.event_type = 'purchase'
+                         AND e.ts_us >= c.click_ts THEN e.ts_us END) AS purchase_ts
+        FROM c JOIN e ON e.user_id = c.user_id
+        GROUP BY c.user_id, c.view_ts, c.click_ts)
+      SELECT user_id, view_ts, click_ts, purchase_ts,
+             CASE WHEN purchase_ts IS NOT NULL THEN 'purchase'
+                  WHEN click_ts IS NOT NULL THEN 'click'
+                  WHEN view_ts IS NOT NULL THEN 'view'
+                  ELSE 'none' END AS stage
+      FROM p
+      ORDER BY user_id
+    """))
+
+  // ---------------------------------------------------------------- q98
+  // Retention cohorts: users bucketed by their first active day, then
+  // distinct active users per (cohort_day, day_offset). Days are
+  // integer epoch-micros DIV 86400000000 — no timezone/date-cast trap,
+  // identical in any engine. Two user-keyed aggregations + one
+  // partial-combining count-distinct on the cohort grid.
+  private val q98 = Q(
+    "q98_retention_cohorts",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val cohorts = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      cohorts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+      SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+             COUNT(DISTINCT e.user_id) AS n_users
+      FROM e JOIN cohorts c ON c.user_id = e.user_id
+      GROUP BY c.cohort_day, e.day - c.cohort_day
+      ORDER BY cohort_day, day_offset
+    """))
+
+  def all: Seq[Q] = Seq(q77, q78, q79, q94, q97, q98)
 }
