@@ -726,6 +726,39 @@ object CoreQueries extends QueryPack {
       ORDER BY r.r_name, n.n_name
     """))
 
+  // --------------------------------------------------------------- q100
+  // Order-independent table checksum: per group, COUNT + BIT_XOR of a
+  // 60-bit row hash — the anti-entropy fingerprint for comparing a
+  // table across replicas/engines without sorting or moving rows (xor
+  // partial-combines map-side; the exchange carries one long per
+  // task·group). The timestamp hashes as epoch-millis INTEGER — string
+  // renderings of timestamps are not engine-portable, integers are.
+  private val q100 = Q(
+    "q100_table_checksum",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .select($"o_orderpriority",
+          graft.operators.Sketch.hash60(concat_ws("|",
+            $"o_orderkey", $"o_custkey", $"o_orderstatus",
+            unix_millis($"o_orderdate"))).as("h"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("checksum"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             BIT_XOR(('0x' || substr(md5(
+               o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+                 || '|' || epoch_ms(o_orderdate)), 1, 15))::BIGINT)
+               AS checksum
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q31, q32, q35, q42, q43, q48, q52, q53, q58, q71, q87)
+    q11, q12, q13, q31, q32, q35, q42, q43, q48, q52, q53, q58, q71, q87,
+    q100)
 }

@@ -189,5 +189,24 @@ object StreamingQueries extends QueryPack {
       ORDER BY user_id, event_id
     """))
 
-  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96)
+  // ---------------------------------------------------------------- q99
+  // Streaming dedup under the gate: the file source replays the whole
+  // events table twice (double symlink), keyed dropDuplicates reduces
+  // the doubled stream back to the base table. Duplicates are
+  // bit-identical, so the drain is order-insensitive and the oracle is
+  // plain SELECT over events. Production uses the watermark-bounded
+  // dropDuplicatesWithinWatermark (StreamingOpsSpec).
+  private val q99 = Q(
+    "q99_stream_dedup",
+    (s, dir) => {
+      StreamingOps.streamDedupAvailableNow(s, dir, "q99_dedup_sink")
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, value
+      FROM events
+      ORDER BY event_id
+    """))
+
+  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99)
 }

@@ -258,6 +258,44 @@ object StreamingOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Gate harness for streaming dedup ([[dedupStream]]'s family): the
+    * events file is symlinked TWICE into the monitored directory, so
+    * the source replays every record — the re-delivery scenario — and
+    * the keyed dropDuplicates must reduce the doubled stream back to
+    * the base table, which is exactly what the DuckDB oracle checks.
+    * All duplicates of a key are bit-identical rows here, so which
+    * arrival wins is immaterial and the drain is deterministic.
+    * (The production form is [[dedupStream]], whose watermark bounds
+    * state; this harness keeps full state for the finite drain.) */
+  def streamDedupAvailableNow(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = withNanosAsLong(spark) {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events_a.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events_b.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val deduped = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(queryName)
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessionSeq: Long, lastTs: Long)
   final case class SessionAssign(user_id: Long, event_id: Long, session_seq: Long)

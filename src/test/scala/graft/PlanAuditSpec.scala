@@ -29,11 +29,13 @@ class PlanAuditSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedCrossJoinAllowed(name) => None
-      // q30/q49/q86 drive streaming queries (evaluating them here would
-      // run the whole stream); their batch twins q12/q38/q03 ARE audited
+      // q30/q49/q86/q99 drive streaming queries (evaluating them here
+      // would run the whole stream); batch twins q12/q38/q03/q08 ARE
+      // audited
       case (name, _) if name == "q30_stream_hourly" ||
         name == "q49_stream_stream_join" ||
-        name == "q86_stream_static_enrich" => None
+        name == "q86_stream_static_enrich" ||
+        name == "q99_stream_dedup" => None
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct") ||
