@@ -70,11 +70,15 @@ object AsOfJoin {
 
     val spark = leftDf.sparkSession
     // live-session strategy install (idempotent; the node type matches
-    // nothing but itself, so other queries are untouched)
-    if (!spark.experimental.extraStrategies
-        .contains(graft.plans.AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // nothing but itself, so other queries are untouched). Synchronized:
+    // the read-modify-write would otherwise race with a concurrent
+    // builder on the same session (duplicate install / lost update).
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies
+          .contains(graft.plans.AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      }
     }
 
     // the top-level aliases are load-bearing: when both sides read the

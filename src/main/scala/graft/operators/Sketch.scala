@@ -77,7 +77,9 @@ object Sketch {
       .agg(agg.as("kmv"))
       .select(col(groupCol),
         size(col("kmv")).cast("long").as("n_sketch"),
-        element_at(col("kmv"), -1).as("kth_hash"))
+        // try_: an all-NULL group leaves an empty buffer, and ANSI
+        // element_at(-1) on an empty array throws instead of NULL
+        try_element_at(col("kmv"), lit(-1)).as("kth_hash"))
       .withColumn("kmv_estimate",
         when(col("n_sketch") < k, col("n_sketch").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /

@@ -138,10 +138,6 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
-  /** Redacted text: emails, then URLs, then 3+ digit runs replaced by
-    * typed placeholder tokens — order matters (an email scrub must not
-    * leave digits for the number scrub to re-hit differently than the
-    * oracle's identical chain). */
   /** Bigram collocations ranked by lift = N·c(ab) / (c(a)·c(b)) — the
     * division-only association measure (PMI is its log, and log/ln are
     * the libm last-ulp trap the oracle rules ban). Output: (w1, w2,
@@ -195,6 +191,10 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c_ab"), col("lift"), col("rnk"))
   }
 
+  /** Redacted text: emails, then URLs, then 3+ digit runs replaced by
+    * typed placeholder tokens — order matters (an email scrub must not
+    * leave digits for the number scrub to re-hit differently than the
+    * oracle's identical chain). */
   def piiScrub(text: Column): Column =
     regexp_replace(
       regexp_replace(

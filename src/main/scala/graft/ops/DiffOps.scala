@@ -41,9 +41,6 @@ object DiffOps {
       .drop("__in_a", "__in_b")
   }
 
-  /** Missing members of a dense date spine: which days between `from`
-    * and `to` (inclusive) have NO row in `df.dateCol`. The spine is a
-    * generated sequence (no driver loop), the probe one anti-join. */
   /** SCD2 (slowly-changing-dimension type 2) history build from an
     * event log: collapse consecutive equal values of `attrCol` per
     * entity into validity intervals (valid_from inclusive, valid_to
@@ -63,7 +60,13 @@ object DiffOps {
       .orderBy(orderCols.map(col): _*)
     val changes = events
       .withColumn("__prev", lag(col(attrCol), 1).over(wOrd))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("__rn", row_number().over(wOrd))
+      // null-safe: first row by row_number (not __prev.isNull, which
+      // conflates it with prev-value-was-NULL), change by !(a <=> b)
+      // so A->NULL and NULL->A both count as changes and NULL runs
+      // collapse like any other run
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+      .drop("__rn")
       .select(col(entityCol), col(attrCol), col(tsCol).as("valid_from"),
         // two changes inside one timestamp tick still need a total
         // order for the interval close — reuse the caller's tiebreaker
@@ -76,6 +79,9 @@ object DiffOps {
       .drop("__tb")
   }
 
+  /** Missing members of a dense date spine: which days between `from`
+    * and `to` (inclusive) have NO row in `df.dateCol`. The spine is a
+    * generated sequence (no driver loop), the probe one anti-join. */
   def dateGaps(df: DataFrame, dateCol: String, from: String,
       to: String): DataFrame = {
     val spark = df.sparkSession

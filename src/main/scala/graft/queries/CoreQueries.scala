@@ -741,7 +741,10 @@ object CoreQueries extends QueryPack {
         .select($"o_orderpriority",
           graft.operators.Sketch.hash60(concat_ws("|",
             $"o_orderkey", $"o_custkey", $"o_orderstatus",
-            unix_millis($"o_orderdate"))).as("h"))
+            // cast: the parquet type is NTZ (no UTC flag); with the
+            // session tz pinned UTC the cast reads naive-as-UTC, which
+            // is exactly DuckDB's epoch_ms on a naive timestamp
+            unix_millis($"o_orderdate".cast("timestamp")))).as("h"))
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("checksum"))

@@ -51,6 +51,24 @@ object StreamingOps {
     }
   }
 
+  /** Scratch directory exposing single files through symlinks, so the
+    * file-stream source (which monitors a DIRECTORY) can read them.
+    * Dir and links are registered for JVM-exit deletion (dir first, so
+    * deleteOnExit's reverse order removes links before the dir) —
+    * repeated harness invocations no longer accumulate dirs past the
+    * process lifetime. */
+  private def scratchDir(prefix: String,
+      links: (String, String)*): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    dir.toFile.deleteOnExit()
+    links.foreach { case (name, target) =>
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(name), java.nio.file.Paths.get(target))
+        .toFile.deleteOnExit()
+    }
+    dir
+  }
+
   /** Streaming hourly windowed aggregation with a 1-hour watermark,
     * drained synchronously with Trigger.AvailableNow into a memory sink
     * (complete mode, so every window is emitted for the batch-parity
@@ -62,10 +80,8 @@ object StreamingOps {
     // a scratch dir via symlink. In production this is the snapshot
     // directory itself (SURVEY §2.10: the grow-only union U2 becomes a
     // file-source stream over it).
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamDir = scratchDir("graft_stream",
+      "events.parquet" -> s"$dir/events.parquet")
     val stream = spark.readStream
       .schema(eventsSchema)
       .parquet(streamDir.toString)
@@ -107,10 +123,8 @@ object StreamingOps {
     * result — which is what the oracle checks. */
   def clickErrorJoinAvailableNow(spark: SparkSession, dir: String,
       queryName: String): DataFrame = withNanosAsLong(spark) {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_ssj")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamDir = scratchDir("graft_ssj",
+      "events.parquet" -> s"$dir/events.parquet")
     def side(): DataFrame = spark.readStream
       .schema(eventsSchema)
       .parquet(streamDir.toString)
@@ -158,10 +172,8 @@ object StreamingOps {
     * batch join+agg, which is what the oracle checks. */
   def streamStaticEnrichAvailableNow(spark: SparkSession, dir: String,
       queryName: String): DataFrame = withNanosAsLong(spark) {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_sse")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamDir = scratchDir("graft_sse",
+      "events.parquet" -> s"$dir/events.parquet")
     val dim = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey"), col("n_name"))
     val enriched = spark.readStream
@@ -269,13 +281,9 @@ object StreamingOps {
     * state; this harness keeps full state for the finite drain.) */
   def streamDedupAvailableNow(spark: SparkSession, dir: String,
       queryName: String): DataFrame = withNanosAsLong(spark) {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events_a.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events_b.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamDir = scratchDir("graft_dedup_stream",
+      "events_a.parquet" -> s"$dir/events.parquet",
+      "events_b.parquet" -> s"$dir/events.parquet")
     val deduped = spark.readStream
       .schema(eventsSchema)
       .parquet(streamDir.toString)
