@@ -29,14 +29,20 @@ object Graph {
   val Fp = 1000000000000L // 10^12 fixed-point scale
 
   /** Undirected bipartite edge list (both directions) from a fact
-    * table: nodes encode as 2·key (left side) and 2·key+1 (right). */
+    * table: nodes encode as 2·key (left side) and 2·key+1 (right).
+    * Both directions come from ONE generator pass over the distinct
+    * pairs — the union-of-two-projections form computes the distinct
+    * (a full fact-table shuffle) twice, because the differing
+    * projections defeat ReuseExchange. */
   def bipartiteEdges(facts: DataFrame, leftKey: String,
       rightKey: String): DataFrame = {
     val pairs = facts
       .select((col(leftKey) * 2).as("l"), (col(rightKey) * 2 + 1).as("r"))
       .distinct()
-    pairs.select(col("l").as("src"), col("r").as("dst"))
-      .unionAll(pairs.select(col("r").as("src"), col("l").as("dst")))
+    pairs.select(explode(array(
+        struct(col("l").as("src"), col("r").as("dst")),
+        struct(col("r").as("src"), col("l").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** PageRank with damping `dampPct`/100 for `iterations` rounds over a
@@ -45,12 +51,20 @@ object Graph {
     * with Σ rank_fp ≈ Fp (floor-truncation deficit only). */
   def pageRank(edges: DataFrame, iterations: Int,
       dampPct: Int = 85): DataFrame = {
+    // the raw edge list is read twice below (degree agg + the deg
+    // join); persist it so the upstream pipeline (typically a
+    // fact-table distinct) runs once, not once per consumer
     val e = edges.select(col("src"), col("dst"))
+      .transform(graft.util.CacheScope.persist)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
       .transform(graft.util.CacheScope.persist)
     // degree rides the edge list: one persisted (src, dst, deg) frame
-    // makes each iteration a single join + sum instead of two joins
+    // makes each iteration a single join + sum instead of two joins.
+    // repartition(src) BEFORE the persist: the cached partitioning is
+    // visible to Catalyst, so the per-iteration rank join exchanges
+    // only the O(nodes) rank table — the O(edges) side, the loop
+    // invariant, is never re-shuffled or re-sorted
     val eDeg = e.join(deg, e("src") === deg("node"))
       .select(col("src"), col("dst"), col("deg"))
       .transform(graft.util.CacheScope.persist)
@@ -61,7 +75,7 @@ object Graph {
     val r0 = Fp / nNodes
 
     var ranks = deg.select(col("node"), lit(r0).as("rank_fp"))
-    for (_ <- 0 until iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ranks
         .join(eDeg, col("node") === col("src"))
         .groupBy(col("dst"))
@@ -74,7 +88,11 @@ object Graph {
           (lit(base) +
             expr(s"($dampPct * coalesce(in_sum, 0L)) DIV 100"))
             .as("rank_fp"))
-        .localCheckpoint()
+      // truncate lineage every few rounds, not every round: each
+      // checkpoint is an extra eager job, and a 4-deep join chain is
+      // well within planner comfort — only unbounded growth (the q66
+      // lesson) needs cutting
+      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }
