@@ -46,19 +46,41 @@ object Bench {
       val best = math.min(once(), once())
       name -> (if (best.isInfinity) -1.0 else best)
     }
-    // per-query seconds at ms precision: the per-query map for 88+
-    // queries at full double precision overflows the ~2KB stdout tail
-    // the driver snapshots, and the truncation cut the HEAD of the line
-    // — where "value" used to live — out of BENCH_r03.json entirely
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // The driver snapshots only the LAST 2000 chars of stdout and parses
+    // the JSON line out of that window. Rounds 2-4 printed full query
+    // names (~2.3KB line) so the line's head was always cut off and
+    // BENCH_r{2,3,4}.json all recorded parsed:null. Fix: the one stdout
+    // line uses the short unique "qNN" prefix per query (registered
+    // names are qNN_description with distinct NN) and must stay under
+    // 1800 chars; the full-name per-query map goes to BENCH_DETAIL.json
+    // in the working directory for human/judge inspection.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
     // failed queries (-1 marker) must not SUBTRACT from the headline
     // total — exclude them (they stay visible per-query as -1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // "value" LAST: the driver keeps the tail of stdout, so when the
-    // queries map is longer than the snapshot window the headline total
-    // survives the truncation (it did not in round 3)
-    println(f"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":$total%.3f}""")
+    val sfTag = sfDir.split('/').last.stripPrefix("sf")
+    def render(decimals: Int): String = {
+      val qs = results
+        .map { case (k, v) => s""""${shortKey(k)}":${s"%.${decimals}f".format(v)}""" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","unit":"sec","sf":"$sfTag","queries":$qs,"value":$total%.3f}"""
+    }
+    val line = {
+      val l3 = render(3)
+      if (l3.length <= 1800) l3
+      else {
+        val l2 = render(2)
+        if (l2.length <= 1800) l2
+        else f"""{"metric":"total","unit":"sec","sf":"$sfTag","value":$total%.3f}"""
+      }
+    }
+    val detail = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$detail,"value":$total%.3f}%n"""
+        .getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -54,16 +54,27 @@ object Ivf {
 
   /** Mean of assigned vectors per centroid, element-wise. Exact integer
     * sums (order-free) divided by counts. Clusters that lose every
-    * vector drop out (standard k-means behavior; k can shrink). */
-  def recompute(assigned: DataFrame): DataFrame =
+    * vector drop out (standard k-means behavior; k can shrink).
+    *
+    * Uses the native [[graft.functions.VecSumAgg]] aggregate: the
+    * previous posexplode → groupBy(cid, d) → re-assemble form expanded
+    * n vectors into n·dim rows and shuffled that every Lloyd iteration;
+    * the aggregate folds whole arrays map-side, so the exchange carries
+    * one partial-sum array per (task, cluster) — shuffle volume
+    * independent of corpus size. */
+  def recompute(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    // quantize()'s floor emits ARRAY<BIGINT>; the aggregate folds
+    // doubles (exact for these integral magnitudes, < 2^53)
+    val vsum = Bridge.column(graft.functions.VecSumAgg(
+      Bridge.expression(col("qvec").cast("array<double>")))
+      .toAggregateExpression())
     assigned
-      .select(col("cid"), posexplode(col("qvec")).as(Seq("d", "x")))
-      .groupBy(col("cid"), col("d"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .withColumn("v", col("s") / col("n"))
       .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("d"), col("v")))).as("dv"))
-      .select(col("cid"), expr("transform(dv, p -> p.v)").as("cent"))
+      .agg(vsum.as("s"), count(lit(1)).as("n"))
+      .select(col("cid"),
+        transform(col("s"), x => x / col("n")).as("cent"))
+  }
 
   /** Lloyd iterations from the deterministic seed codebook. The
     * quantized vectors are persisted for the loop (each iteration's

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import graft.SparkSpec
+
+class VecSumAggSpec extends SparkSpec {
+
+  private def vsum = Bridge.column(
+    VecSumAgg(Bridge.expression(col("v"))).toAggregateExpression())
+
+  test("sums arrays element-wise, exactly, across many partitions") {
+    import spark.implicits._
+    // integral doubles: sums are exact regardless of fold order, so the
+    // result must be bit-identical however Spark partitions the input
+    val rows = (1 to 1000).map(i =>
+      ("g" + (i % 3), Array(i.toDouble, (2 * i).toDouble, 1.0)))
+    val df = rows.toDF("g", "v").repartition(13)
+    val got = df.groupBy("g").agg(vsum.as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues(vs =>
+      vs.map(_._2).transpose.map(_.sum).toSeq).toMap
+    assert(got == want)
+  }
+
+  test("null arrays are skipped; all-null group yields null") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(Array(1.0, 2.0))),
+      ("a", None),
+      ("b", None)).toDF("g", "v")
+    val got = df.groupBy("g").agg(vsum.as("s"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("a").isDefined)
+    assert(got("b").isEmpty)
+  }
+
+  test("dimension mismatch fails loudly instead of truncating") {
+    import spark.implicits._
+    val df = Seq(("a", Array(1.0)), ("a", Array(1.0, 2.0))).toDF("g", "v")
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(vsum.as("s")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("matches the posexplode-composed centroid sums on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select((col("vec_id") % 7).as("g"),
+        // quantize emits ARRAY<BIGINT> (floor); the aggregate takes doubles
+        graft.operators.Ivf.quantize(col("embedding"))
+          .cast("array<double>").as("v"))
+    val native = emb.groupBy("g").agg(vsum.as("s"))
+      .select(col("g"), posexplode(col("s")).as(Seq("d", "x")))
+    val composed = emb
+      .select(col("g"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("g", "d").agg(sum("x").as("x"))
+    assert(native.except(composed).count() == 0)
+    assert(composed.except(native).count() == 0)
+  }
+}
