@@ -14,8 +14,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session (codegen, parquet reader, shuffle machinery)
     // so the first measured query doesn't absorb ~4s of JVM startup.
+    // Touch EVERY input table once: footer reads, codec init, and FS
+    // metadata otherwise land on whichever query alphabetically reads
+    // the table first (q01 was paying lineitem's, q03 customer's).
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    graft.Tables.events(spark, sfDir).count()
     // min of two runs per query: run-to-run variance on a shared box is
     // ±2x; the min is the steady-state cost of the plan. A failed run
     // counts as +inf so a fast failure can never beat a slow success;

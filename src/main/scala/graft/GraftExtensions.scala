@@ -66,6 +66,8 @@ object GraftExtensions {
     // builder returns the function itself (same as Spark's built-ins)
     (FunctionIdentifier("kmv_sketch"), info("kmv_sketch"),
       (es: Seq[Expression]) => KmvSketchAgg(es(0), intLit(es(1), "k"))),
+    (FunctionIdentifier("vec_sum"), info("vec_sum"),
+      (es: Seq[Expression]) => graft.functions.VecSumAgg(es(0))),
     (FunctionIdentifier("lsh_project"), info("lsh_project"),
       (es: Seq[Expression]) => {
         val (l, b, d) = (intLit(es(1), "numTables"),

@@ -191,6 +191,65 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c_ab"), col("lift"), col("rnk"))
   }
 
+  /** Per-document bigram language-model cross-entropy — the CCNet-style
+    * statistical quality filter: train an MLE bigram model on the
+    * corpus itself, score each document by its average surprisal
+    * −(1/n)·Σ log₂ P(w₂|w₁) under that model. Fluent, corpus-typical
+    * text scores low; gibberish and boilerplate-with-rare-joins score
+    * high. `n_rare` (bigrams whose corpus count ≤ rareMax) is the
+    * integer-exact companion signal.
+    *
+    * Scale shape: unigram/bigram count tables are vocabulary-sized
+    * (sub-linear in corpus size) and partial-aggregate map-side; the
+    * per-document scoring join shuffles on (w1, w2) — no broadcast
+    * assumption, no collect. At 100 TB the count tables are the only
+    * state that grows with vocabulary, not corpus.
+    *
+    * Engine parity: the float entropy is NOT an oracle-hashed column
+    * (Σ log₂ is libm- and fold-order-dependent); the gate hashes the
+    * integer columns plus an `entropy_ok` range assertion, and
+    * TextAnalysisSpec pins the exact entropy on a hand corpus — the
+    * same split as q33's HLL (exact ints under the hash, the
+    * non-portable float behind a pinned bound).
+    *
+    * Output: (idCol, n_bigrams, n_distinct_bigrams, n_rare,
+    * entropy — double, drop before hashing, entropy_ok). Documents
+    * with < 2 words keep a row (zero bigrams, entropy 0).
+    */
+  def bigramLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, rareMax: Long): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), Dedup.words(col(textCol)).as("w"))
+    val pairs = toks
+      .withColumn("w1s",
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))))
+      .withColumn("w2s",
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))))
+      .select(col(idCol), explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
+      .select(col(idCol), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    // unigram counts as bigram-LHS occurrences (Σ_b c(a,b)), so
+    // P(w2|w1) = c(w1,w2)/c(w1,·) sums to 1 per w1 by construction
+    val uni = bi.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val scored = pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count_distinct(col("w1"), col("w2")).as("n_distinct_bigrams"),
+        sum(when(col("c_ab") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        avg(log2(col("c_a")) - log2(col("c_ab"))).as("entropy"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"),
+        (coalesce(col("entropy"), lit(0.0)) >= 0.0 &&
+          coalesce(col("entropy"), lit(0.0)) <= 40.0).as("entropy_ok"))
+  }
+
   /** Redacted text: emails, then URLs, then 3+ digit runs replaced by
     * typed placeholder tokens — order matters (an email scrub must not
     * leave digits for the number scrub to re-hit differently than the

@@ -192,5 +192,43 @@ object SinkQueries extends QueryPack {
       ORDER BY o_orderstatus
     """))
 
-  def all: Seq[Q] = Seq(q39, q54, q55, q84, q85)
+  // --------------------------------------------------------------- q102
+  // Partition-pruned scan: events written date-partitioned (the layout
+  // every 100 TB event table uses), read back with a date filter that
+  // must resolve AT PLANNING TIME to 3 of 30 partition directories —
+  // the scan never opens the other 27 files. The oracle computes the
+  // same aggregate from the raw table; LayoutSpec asserts the plan
+  // shape (PartitionFilters present, no pushed data filter needed, and
+  // the scan's partition count equals the selected days).
+  private val q102 = Q(
+    "q102_partition_prune",
+    (s, dir) => {
+      val events = Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_part")
+      scratch.toFile.deleteOnExit()
+      val tableDir = s"$scratch/events_by_day"
+      events.write.partitionBy("event_date").mode("overwrite")
+        .parquet(tableDir)
+      s.read.parquet(tableDir)
+        .filter(col("event_date").between("2024-01-05", "2024-01-07"))
+        .groupBy(col("event_date").cast("string").as("event_date"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("event_date"), col("event_type"))
+    },
+    Some("""
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '2024-01-05' AND '2024-01-07'
+      GROUP BY 1, 2
+      ORDER BY event_date, event_type
+    """))
+
+  def all: Seq[Q] = Seq(q39, q54, q55, q84, q85, q102)
 }

@@ -208,5 +208,32 @@ object StreamingQueries extends QueryPack {
       ORDER BY event_id
     """))
 
-  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99)
+  // --------------------------------------------------------------- q103
+  // Stream-stream LEFT OUTER interval join: unmatched errors surface
+  // with null click columns once the watermark closes their window
+  // (the final no-data micro-batch flushes them). The probe side is
+  // clipped 3 days before the data's end so every retained error's
+  // window is provably closed by the final watermark — inside the clip
+  // the drain is deterministic and equals the batch LEFT JOIN; q49
+  // stays the inner-join twin.
+  private val q103 = Q(
+    "q103_stream_outer_join",
+    (s, dir) => {
+      StreamingOps.clickErrorLeftJoinAvailableNow(s, dir,
+          "q103_ssjo_sink", endExclusive = "2024-01-28 00:00:00")
+        .orderBy(col("user_id"), col("err_id"), col("click_id"))
+    },
+    Some("""
+      SELECT e.user_id, e.event_id AS err_id, e.ts AS err_ts,
+             c.event_id AS click_id, c.value AS click_value
+      FROM events e LEFT JOIN events c
+        ON e.user_id = c.user_id
+       AND c.event_type = 'click'
+       AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+      WHERE e.event_type = 'error'
+        AND e.ts < TIMESTAMP '2024-01-28 00:00:00'
+      ORDER BY e.user_id, err_id, click_id
+    """))
+
+  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103)
 }

@@ -442,6 +442,47 @@ object TextQueries extends QueryPack {
       ORDER BY rnk
     """))
 
+  // --------------------------------------------------------------- q101
+  // Bigram-LM cross-entropy quality scoring (CCNet-style): train an MLE
+  // bigram model on the corpus, score each doc by average surprisal.
+  // The float entropy itself stays OUT of the hashed output (Σ log₂ is
+  // libm/fold-order territory — same reasoning as q91's lift-not-PMI
+  // and q33's HLL split); the gate hashes the exact integer companions
+  // (n_bigrams, distinct, corpus-rare count) plus a range assertion on
+  // the entropy, and TextAnalysisSpec pins the exact value on a hand
+  // corpus.
+  private val q101 = Q(
+    "q101_bigram_lm",
+    (s, dir) => {
+      TextAnalysis.bigramLm(Tables(s, dir, "documents"),
+          "doc_id", "text", rareMax = 2L)
+        .drop("entropy")
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      pairs AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)),
+      bi AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2),
+      scored AS (
+        SELECT p.doc_id,
+               COUNT(*) AS n_bigrams,
+               COUNT(DISTINCT (p.w1, p.w2)) AS n_distinct_bigrams,
+               CAST(SUM(CASE WHEN b.c_ab <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rare
+        FROM pairs p JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+        GROUP BY p.doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(s.n_distinct_bigrams, 0) AS BIGINT)
+               AS n_distinct_bigrams,
+             CAST(COALESCE(s.n_rare, 0) AS BIGINT) AS n_rare,
+             TRUE AS entropy_ok
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
-    q56, q57, q91)
+    q56, q57, q91, q101)
 }

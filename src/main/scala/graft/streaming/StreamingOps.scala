@@ -113,6 +113,65 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-stream LEFT OUTER interval join: like
+    * [[clickErrorJoinAvailableNow]] but errors with NO same-user click
+    * in the preceding hour still emit (null click columns). Outer rows
+    * are held in state until the watermark proves no future match can
+    * arrive, then flushed by the trailing no-data micro-batch — so
+    * emission of an unmatched row is only guaranteed once the global
+    * watermark has passed its join window. The probe side is therefore
+    * clipped to errors ending well before the data's final watermark
+    * (err_ts < endExclusive, with endExclusive ≥ 2 h before max ts):
+    * inside that region the drain is deterministic and equals the
+    * batch LEFT JOIN the oracle computes; at the boundary it would be
+    * a race against the final watermark, which is exactly the
+    * semantics a forever-running production stream never sees. */
+  def clickErrorLeftJoinAvailableNow(spark: SparkSession, dir: String,
+      queryName: String, endExclusive: String): DataFrame =
+    withNanosAsLong(spark) {
+    val streamDir = scratchDir("graft_ssjo",
+      "events.parquet" -> s"$dir/events.parquet")
+    def side(): DataFrame = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // the clip goes AFTER the watermark node: the EventTimeWatermark
+    // operator must see the UNCLIPPED error stream so late errors keep
+    // advancing the global watermark past every retained row's window
+    // (clipping first would cap this side's watermark at the clip and
+    // no outer state would ever close)
+    val errors = side()
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+      .filter(col("err_ts") < to_timestamp(lit(endExclusive)))
+    val clicks = side()
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = errors.join(clicks,
+      expr("""user_id = c_user_id AND
+              click_ts >= err_ts - INTERVAL 1 HOUR AND
+              click_ts <= err_ts"""),
+      "leftOuter")
+      .select(col("user_id"), col("err_id"), col("err_ts"),
+        col("click_id"), col("click_value"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(queryName)
+  }
+
   /** Stream-stream INTERVAL join drained synchronously: each error
     * event picks up every click by the same user in the preceding hour.
     * Both sides carry event-time watermarks and the join condition

@@ -45,6 +45,14 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().head.getSeq[Long](0)
       assert(buckets.length === 2)
       assert(buckets.forall(b => b >= 0 && b < 16))
+      // vec_sum: the aggregate surface, grouped element-wise sum
+      val sums = spark.sql(
+        """SELECT g, vec_sum(v) AS s FROM VALUES
+           (1, array(1.0d, 2.0d)), (1, array(10.0d, 20.0d)),
+           (2, array(5.0d, 6.0d)) AS t(g, v)
+           GROUP BY g ORDER BY g""").collect()
+      assert(sums(0).getSeq[Double](1) === Seq(11.0, 22.0))
+      assert(sums(1).getSeq[Double](1) === Seq(5.0, 6.0))
     }
   }
 

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
       case (name, _) if name == "q30_stream_hourly" ||
         name == "q49_stream_stream_join" ||
         name == "q86_stream_static_enrich" ||
-        name == "q99_stream_dedup" => None
+        name == "q99_stream_dedup" ||
+        name == "q103_stream_outer_join" => None
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct") ||

@@ -69,4 +69,29 @@ class LayoutSpec extends SparkSpec {
     assert(retained(xdir, "y", 96, 103) == 16,
       "x-sorted layout unexpectedly bounded y — test premise broken")
   }
+
+  test("date-partitioned write prunes to the selected partitions at plan time") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("prune")
+    (1 to 300).map(i => (i.toLong, f"2024-01-${i % 30 + 1}%02d"))
+      .toDF("id", "event_date")
+      .withColumn("event_date", to_date(col("event_date")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir)
+      .filter(col("event_date").between("2024-01-05", "2024-01-07"))
+    val scan = read.queryExecution.executedPlan.collectLeaves().head
+    val scanStr = scan.toString
+    // the date predicate must land in PartitionFilters (planning-time
+    // directory pruning), not in the row-level data filters
+    assert(scanStr.contains("PartitionFilters"), scanStr)
+    val partFilters = scanStr.split("PartitionFilters:")(1)
+    assert(partFilters.contains("event_date"), scanStr)
+    // and the selected file set is exactly the 3 matching directories
+    val files = read.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(f => (5 to 7).exists(d => f.contains(f"2024-01-$d%02d"))),
+      files.mkString("\n"))
+  }
 }
