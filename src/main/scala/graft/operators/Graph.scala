@@ -76,12 +76,22 @@ object Graph {
 
     var ranks = deg.select(col("node"), lit(r0).as("rank_fp"))
     for (i <- 1 to iterations) {
-      val contribs = ranks
+      // the rank table is O(nodes) — orders of magnitude below the
+      // edge list — so it broadcasts into the edge join: the O(edges)
+      // loop invariant is never exchanged OR sorted per iteration
+      // (the hash-join form re-sorted the cached edge frame every
+      // round under SMJ). On a graph whose rank table outgrows the
+      // broadcast threshold, drop the hint and this degrades to the
+      // shuffled hash join — same plan, same results.
+      val contribs = broadcast(ranks)
         .join(eDeg, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("rank_fp DIV deg")).as("in_sum"))
       // undirected graphs have in-degree ≥ 1 everywhere; the left join
-      // + coalesce(0) keeps directed graphs with rank sinks correct too
+      // + coalesce(0) keeps directed graphs with rank sinks correct too.
+      // contribs is NOT broadcast: it would force an eager broadcast
+      // job per iteration (measured slower), while the shuffled left
+      // join pipelines into the next round's broadcast build.
       ranks = deg.select(col("node"))
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),

@@ -258,4 +258,37 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Diversity-balanced subset selection: one LSH table of
+    * `planesPerTable` sign-bit planes partitions the embedding space
+    * into up to 2^planes regions; keep the `perBucket` hash-smallest
+    * ids per region. The embedding-space analog of
+    * [[Sampling.stratifiedSample]] — a quota per semantic region
+    * instead of per label — the balancing step a curation pipeline
+    * runs so dense clusters don't dominate the training mix.
+    *
+    * Scale shape: bucket assignment is one map-side native expression
+    * (no shuffle); the quota is a per-bucket row_number that
+    * WindowGroupLimit prunes before the sort, so the exchange carries
+    * O(buckets · perBucket) surviving rows plus the pruned remainder of
+    * each partition — never a corpus-wide sort. Deterministic: integer
+    * LSH projections + md5 hash order, so the same subset falls out of
+    * any engine or partitioning. */
+  def diversitySample(embeddings: DataFrame, idCol: String, vecCol: String,
+      planesPerTable: Int, dims: Int, perBucket: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val bucketed = embeddings.select(
+      col(idCol).as("vec_id"),
+      Bridge.column(graft.functions.LshProject(
+        Bridge.expression(asDouble(col(vecCol))),
+        planeCoefs(1, planesPerTable, dims), 1, planesPerTable, dims))
+        .getItem(0).as("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+        16, 10).cast("long").asc, col("vec_id").asc)
+    bucketed
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perBucket)
+      .select(col("vec_id"), col("bucket"), col("rnk"))
+  }
 }

@@ -219,13 +219,16 @@ object TextAnalysis {
   def bigramLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, rareMax: Long): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol), Dedup.words(col(textCol)).as("w"))
-    val pairs = toks
+    // pairs feeds the corpus model (bi -> uni) AND the per-doc scoring
+    // join; scope-persisted so the tokenize+explode runs once, not
+    // three times (rename chains defeat ReuseExchange here)
+    val pairs = graft.util.CacheScope.persist(toks
       .withColumn("w1s",
         slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))))
       .withColumn("w2s",
         slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))))
       .select(col(idCol), explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
-      .select(col(idCol), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+      .select(col(idCol), col("p.w1s").as("w1"), col("p.w2s").as("w2")))
     val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     // unigram counts as bigram-LHS occurrences (Σ_b c(a,b)), so
     // P(w2|w1) = c(w1,w2)/c(w1,·) sums to 1 per w1 by construction

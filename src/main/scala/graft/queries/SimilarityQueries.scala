@@ -248,5 +248,32 @@ object SimilarityQueries extends QueryPack {
       ORDER BY q_id, rnk
     """))
 
-  def all: Seq[Q] = Seq(q20, q21, q22, q36)
+  // --------------------------------------------------------------- q104
+  // Diversity-balanced subset: a quota of hash-smallest docs per LSH
+  // region of the embedding space (one 4-plane table → ≤16 regions) —
+  // stratified sampling with semantic strata. Bucket assignment is
+  // map-side (native lsh_project); the quota prunes via
+  // WindowGroupLimit, so nothing corpus-wide is ever sorted.
+  private val q104 = Q(
+    "q104_diversity_sample",
+    (s, dir) => {
+      Similarity.diversitySample(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", planesPerTable = 4, dims = 64,
+          perBucket = 10)
+        .orderBy(col("bucket"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${bucketsSql(1, 4, 64)}
+      SELECT vec_id, CAST(bucket AS BIGINT) AS bucket,
+             CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT vec_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                 ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                          vec_id ASC) AS rnk
+        FROM bucket WHERE t = 0)
+      WHERE rnk <= 10
+      ORDER BY bucket, rnk
+    """))
+
+  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104)
 }

@@ -127,6 +127,27 @@ class SimilaritySpec extends SparkSpec {
     val recall = got.size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall (${got.size}/${exact.size})")
   }
+
+  test("diversity sample: per-bucket quota, partition-invariant, no global sort") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sample = Similarity.diversitySample(e, "vec_id", "embedding",
+      planesPerTable = 4, dims = 64, perBucket = 10)
+    val rows = sample.collect()
+    val perBucket = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(perBucket.values.forall(_ <= 10), perBucket.toMap.toString)
+    assert(rows.map(_.getInt(2)).forall(r => r >= 1 && r <= 10))
+    // deterministic under re-partitioning: same subset from a 17-way
+    // repartitioned input
+    val again = Similarity.diversitySample(e.repartition(17), "vec_id",
+        "embedding", planesPerTable = 4, dims = 64, perBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again ==
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    // the quota must prune below the sort (WindowGroupLimit), never a
+    // corpus-wide ordering
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
