@@ -60,4 +60,59 @@ object Search {
       .limit(topN)
       .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
   }
+
+  /** BM25-ranked disjunctive search: documents matching ANY query term,
+    * ranked by Okapi BM25 (k1, b in centi-units so the parameters are
+    * integer-exact in any engine; idf is the Lucene
+    * ln(1 + (N − df + ½)/(df + ½)) form, non-negative for stopword-like
+    * terms). Scores are rounded to 6 decimals before ranking/hashing —
+    * the q68 discipline for ln-derived floats.
+    *
+    * Scale shape: tokens are filtered to the query terms BELOW the
+    * first exchange (the q93 discipline — O(hits) shuffle, never
+    * O(corpus tokens)); document length and its corpus average are
+    * one O(docs) aggregate with the average fanned back as a 1-row
+    * broadcast; df is a per-term count over the matching tf table.
+    * Nothing corpus-wide is sorted — the top-N is
+    * TakeOrderedAndProject. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topN: Int, k1Centi: Int = 120,
+      bCenti: Int = 75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    val withWords = docs
+      .select(col(idCol), Dedup.words(col(textCol)).as("w"))
+    val dl = withWords
+      .select(col(idCol), size(col("w")).cast("long").as("dl"))
+      .transform(graft.util.CacheScope.persist)
+    val nAvg = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = withWords
+      .select(col(idCol), explode(col("w")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val k1 = k1Centi / 100.0
+    val b = bCenti / 100.0
+    val ord = Seq(col("score").desc, col(idCol).asc)
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(nAvg))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("part",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("part")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(ord: _*)
+      .limit(topN)
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+      .select(col(idCol), col("score"), col("n_terms"), col("rnk"))
+  }
 }

@@ -70,5 +70,54 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
-  def all: Seq[Q] = Seq(q92, q93)
+  // --------------------------------------------------------------- q106
+  // BM25-ranked disjunctive search over three query terms — the
+  // standard relevance ranking next to q93's boolean AND. Token stream
+  // filters to query terms below the exchange (O(hits) shuffle);
+  // avgdl fans back as a 1-row broadcast; ln-derived scores rounded to
+  // 6 decimals before ranking/hashing (the q68 discipline).
+  private val q106 = Q(
+    "q106_bm25_search",
+    (s, dir) => {
+      Search.bm25Search(Tables(s, dir, "documents"),
+          "doc_id", "text", terms = Seq("spark", "vector", "hash"),
+          topN = 20)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM documents),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('spark', 'vector', 'hash')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      scored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score,
+               COUNT(*) AS n_terms
+        FROM parts GROUP BY doc_id)
+      SELECT doc_id, score, n_terms, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT doc_id, score, n_terms,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 20
+      ORDER BY rnk
+    """))
+
+  def all: Seq[Q] = Seq(q92, q93, q106)
 }

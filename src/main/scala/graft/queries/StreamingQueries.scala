@@ -235,5 +235,35 @@ object StreamingQueries extends QueryPack {
       ORDER BY e.user_id, err_id, click_id
     """))
 
-  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103)
+  // --------------------------------------------------------------- q105
+  // The flatMapGroupsWithState session state machine AS A STREAM under
+  // the gate: keyed state assigns gap sessions per user, append drain ≡
+  // the q29 window plan the oracle computes (same gap, same ordering).
+  // q29 gates the batch formulation; this gates the custom-state
+  // streaming one.
+  private val q105 = Q(
+    "q105_stream_sessionize",
+    (s, dir) => {
+      StreamingOps.sessionizeStreamAvailableNow(s, dir,
+          "q105_sess_sink", gapMicros = 1800L * 1000000L)
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM (
+          SELECT user_id, event_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_ts
+          FROM events))
+      ORDER BY user_id, event_id
+    """))
+
+  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103, q105)
 }

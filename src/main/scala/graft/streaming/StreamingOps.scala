@@ -363,6 +363,39 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** [[sessionize]] (the flatMapGroupsWithState form) driven as a real
+    * stream under the oracle gate: file source → keyed state machine →
+    * append drain. The single-file source arrives as one micro-batch,
+    * so every user's events reach the state function together and
+    * sorted — the drain equals [[sessionizeBatch]]'s window plan, which
+    * is what the oracle computes; cross-batch state carry is exercised
+    * separately in StreamingOpsSpec with a two-batch MemoryStream. */
+  def sessionizeStreamAvailableNow(spark: SparkSession, dir: String,
+      queryName: String, gapMicros: Long): DataFrame =
+    withNanosAsLong(spark) {
+    import spark.implicits._
+    val streamDir = scratchDir("graft_sess_stream",
+      "events.parquet" -> s"$dir/events.parquet")
+    val evs = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .as[Ev]
+    val assigned = sessionize(evs, gapMicros)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = assigned.toDF().writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(queryName)
+  }
+
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessionSeq: Long, lastTs: Long)
   final case class SessionAssign(user_id: Long, event_id: Long, session_seq: Long)

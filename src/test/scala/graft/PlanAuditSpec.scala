@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
         name == "q49_stream_stream_join" ||
         name == "q86_stream_static_enrich" ||
         name == "q99_stream_dedup" ||
-        name == "q103_stream_outer_join" => None
+        name == "q103_stream_outer_join" ||
+        name == "q105_stream_sessionize" => None
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct") ||

@@ -234,6 +234,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 2L && out(4L) == 1L)
   }
 
+  test("keyed state carries sessions across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val gap = 1800L * 1000000L
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingOps.Ev](42, spark, None)
+    val q = StreamingOps.sessionize(input.toDS(), gap).toDF()
+      .writeStream.format("memory").queryName("sess_xbatch")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamingOps.Ev(7L, 1L, 0L), StreamingOps.Ev(7L, 2L, gap))
+      q.processAllAvailable()
+      // batch 2: exactly one gap after batch 1's last event -> same
+      // session (== is not >); then a far event -> new session. Both
+      // verdicts REQUIRE the (sessionSeq, lastTs) state from batch 1.
+      input.addData(StreamingOps.Ev(7L, 3L, 2 * gap),
+        StreamingOps.Ev(7L, 4L, 5 * gap))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess_xbatch").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("batch window sessionization == keyed-state sessionization (sf0.001)") {
     val s = spark
     import s.implicits._

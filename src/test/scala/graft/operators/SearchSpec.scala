@@ -64,4 +64,29 @@ class SearchSpec extends SparkSpec {
     assert(filterIdx >= 0, plan)
     assert(plan.contains("Generate explode"), plan)
   }
+
+  test("bm25: hand-checked score, rare-term match outranks common-term match") {
+    val s = spark
+    import s.implicits._
+    // 4 docs, equal length 4: "rare" appears in 1 doc, "common" in 3.
+    // Doc 1 matches the rare term, docs 2-4 the common one — BM25 must
+    // rank doc 1 first on idf alone (tf and dl identical).
+    val docs = Seq(
+      (1L, "rare aaa bbb ccc"),
+      (2L, "common aaa bbb ccc"),
+      (3L, "common ddd eee fff"),
+      (4L, "common ggg hhh iii")).toDF("doc_id", "text")
+    val out = Search.bm25Search(docs, "doc_id", "text",
+      Seq("rare", "common"), topN = 10).orderBy("rnk").collect()
+    assert(out.length == 4)
+    assert(out.head.getLong(0) == 1L, out.mkString("\n"))
+    // exact value: idf = ln(1 + (4 - 1 + 0.5)/1.5), tf = 1, dl = avgdl
+    // -> part = idf * 2.2 / (1 + 1.2)
+    val expect = BigDecimal(math.log(1.0 + 3.5 / 1.5) * 2.2 / 2.2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.head.getDouble(1) - expect) < 1e-9, out.head)
+    // every score positive, ranks contiguous
+    assert(out.forall(_.getDouble(1) > 0))
+    assert(out.map(_.getInt(3)).toSeq == (1 to 4))
+  }
 }
