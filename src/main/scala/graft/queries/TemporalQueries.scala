@@ -253,5 +253,49 @@ object TemporalQueries extends QueryPack {
       ORDER BY cohort_day, day_offset
     """))
 
-  def all: Seq[Q] = Seq(q77, q78, q79, q94, q97, q98)
+  // --------------------------------------------------------------- q107
+  // Rolling active users: exact DAU and trailing-7-day WAU per day,
+  // plus the DAU/WAU stickiness ratio. The window is an EXPLODE (each
+  // (day, user) row fans to the 7 windows it belongs to), never a
+  // non-equi join — count-distinct then partial-combines on the
+  // (window_day) grid. Days are integer epoch-day arithmetic (the q98
+  // discipline); the single dau/wau division is bit-identical in any
+  // engine. Synthetic trailing windows past the data's last day drop
+  // out via the inner join with the observed-day DAU table.
+  private val q107 = Q(
+    "q107_rolling_actives",
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .distinct()
+        .transform(graft.util.CacheScope.persist)
+      val dau = du.groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau") / col("wau")).as("stickiness"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH du AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+      w AS (
+        SELECT du.day + o AS day, du.user_id
+        FROM du, UNNEST(generate_series(0, 6)) t(o)),
+      wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY day)
+      SELECT d.day, d.dau, w2.wau,
+             CAST(d.dau AS DOUBLE) / CAST(w2.wau AS DOUBLE) AS stickiness
+      FROM dau d JOIN wau w2 USING (day)
+      ORDER BY day
+    """))
+
+  def all: Seq[Q] = Seq(q77, q78, q79, q94, q97, q98, q107)
 }

@@ -14,8 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * two corpus-constant fans (the 1-row total and the 1-row boilerplate
   * vocabulary array), q75's int8 re-run of the q20 baseline (n × the
   * bounded query set), q76's k-means machinery (n × the ≤
-  * numCentroids codebook, q36's class), and q91's 1-row bigram-total
-  * fan (q68/q73's corpus-constant class).
+  * numCentroids codebook, q36's class), q91's 1-row bigram-total
+  * fan (q68/q73's corpus-constant class), and q106's 1-row
+  * (n_docs, avgdl) fan (same class).
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -23,7 +24,10 @@ class PlanAuditSpec extends SparkSpec {
     Set("q20_ann_bruteforce", "q36_ann_ivf", "q68_tfidf_keywords",
       "q73_boilerplate_scrub", "q75_ann_int8", "q76_semantic_dedup",
       "q80_ann_binary_rescore", "q81_column_profile",
-      "q91_bigram_collocations")
+      "q91_bigram_collocations",
+      // q106's 1-row (n_docs, avgdl) broadcast fan — q68/q91's
+      // corpus-constant class
+      "q106_bm25_search")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"

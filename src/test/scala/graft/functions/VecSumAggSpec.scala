@@ -44,6 +44,53 @@ class VecSumAggSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("native aggregate shuffles far fewer records than the posexplode form") {
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    def shuffled(body: => Unit): Long = {
+      val acc = new AtomicLong
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          acc.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        var prev = -1L
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val now = acc.get
+          if (now == prev) stable += 1 else { stable = 0; prev = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select((col("vec_id") % 7).as("g"),
+        graft.operators.Ivf.quantize(col("embedding"))
+          .cast("array<double>").as("v"))
+      .repartition(8)
+      .persist()
+    emb.count() // materialize: the repartition shuffle stays OUT of both measurements
+    try {
+      val native = shuffled {
+        emb.groupBy("g").agg(vsum.as("s")).count(): Unit
+      }
+      val composed = shuffled {
+        emb.select(col("g"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("g", "d").agg(sum("x")).count(): Unit
+      }
+      // native partial-merges whole arrays map-side: one array per
+      // (task, group) vs the exploded form's (task, group, dim) rows
+      assert(native * 10 <= composed,
+        s"native shuffled $native records vs composed $composed")
+    } finally { emb.unpersist(); () }
+  }
+
   test("matches the posexplode-composed centroid sums on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select((col("vec_id") % 7).as("g"),
