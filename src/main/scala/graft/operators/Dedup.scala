@@ -161,6 +161,46 @@ object Dedup {
       minhashSignaturesNative(docs, idCol, textCol, shingleK, numHashes),
       numHashes, rowsPerBand))
 
+  /** Incremental MinHash near-dup: flag NEW documents that near-match a
+    * HISTORICAL signature index — the near-dup sibling of
+    * [[incrementalExact]], and the shape a daily 100 TB ingest needs.
+    * The index carries (doc_id, h0..h{n-1}) ONLY — constant bytes per
+    * document, no text — and is never rescanned: per batch the cost is
+    * signature computation over the NEW docs (map-side native), one
+    * band join new×history, and a signature-component verify
+    * (`n_match`/numHashes is the standard unbiased Jaccard estimator),
+    * all without touching a byte of historical text.
+    *
+    * `historySigs` must have the [[minhashSignaturesNative]] schema
+    * (doc_id, h0..h{n-1}); `minMatches` of `numHashes` sets the
+    * estimated-Jaccard admission threshold. Output: (new_id, hist_id,
+    * n_match) for flagged pairs. */
+  def incrementalMinhash(historySigs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, numHashes: Int,
+      rowsPerBand: Int, minMatches: Int): DataFrame = {
+    val newSigs = minhashSignaturesNative(
+        newDocs, idCol, textCol, shingleK, numHashes)
+      .transform(graft.util.CacheScope.persist)
+    val hist = graft.util.CacheScope.persist(historySigs)
+    val hb = lshBands(hist, numHashes, rowsPerBand)
+      .select(col("doc_id").as("hist_id"), col("band"), col("sig"))
+    val nb = lshBands(newSigs, numHashes, rowsPerBand)
+      .select(col("doc_id").as("new_id"), col("band"), col("sig"))
+    val cand = nb.join(hb, Seq("band", "sig"))
+      .select(col("new_id"), col("hist_id")).distinct()
+    val h = hist.select(col("doc_id").as("hist_id") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val n = newSigs.select(col("doc_id").as("new_id") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val matchCount = (0 until numHashes)
+      .map(i => when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(h, "hist_id").join(n, "new_id")
+      .withColumn("n_match", matchCount)
+      .filter(col("n_match") >= minMatches)
+      .select(col("new_id"), col("hist_id"), col("n_match"))
+  }
+
   /** 32-bit SimHash over a distinct feature set (doc_id, sh): per
     * feature, a 32-bit hash from the md5 prefix; per bit, majority vote
     * (+1/-1) across the document's features; signature packs the winning

@@ -546,5 +546,72 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66)
+  // --------------------------------------------------------------- q108
+  // Incremental MinHash near-dup: even-id docs stand in for the stored
+  // signature index (constant bytes per doc, no text), odd-id docs are
+  // the arriving batch. New docs band-join the index, then verify by
+  // signature-component match count (n_match/6 estimates Jaccard) —
+  // the historical corpus is never rescanned. Near-dup sibling of
+  // q65's exact incremental dedup.
+  private val q108 = Q(
+    "q108_incremental_minhash",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val historySigs = graft.operators.Dedup.minhashSignaturesNative(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        shingleK = 3, numHashes = 6)
+      graft.operators.Dedup.incrementalMinhash(
+          historySigs, docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", shingleK = 3, numHashes = 6,
+          rowsPerBand = 2, minMatches = 3)
+        .orderBy(col("new_id"), col("hist_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
+      hist AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+      neu AS (SELECT * FROM sig WHERE doc_id % 2 <> 0),
+      hband AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM hist
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM hist
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM hist),
+      nband AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM neu
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM neu
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM neu),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+        FROM nband n JOIN hband h ON n.band = h.band AND n.sig = h.sig)
+      SELECT c.new_id, c.hist_id,
+             CAST((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT +
+                  (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT +
+                  (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT AS BIGINT)
+               AS n_match
+      FROM cand c
+      JOIN neu a ON a.doc_id = c.new_id
+      JOIN hist b ON b.doc_id = c.hist_id
+      WHERE (a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT +
+            (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT +
+            (a.h4 = b.h4)::INT + (a.h5 = b.h5)::INT >= 3
+      ORDER BY new_id, hist_id
+    """))
+
+  def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
+    q108)
 }

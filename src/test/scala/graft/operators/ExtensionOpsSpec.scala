@@ -29,6 +29,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("incremental minhash flags new-vs-history matches only, never new-vs-new") {
+    val s = spark
+    import s.implicits._
+    // history: doc 10; new batch: 11 (identical to 10), 13 (identical
+    // to 11 — a NEW×NEW pair that must NOT be flagged), 12 (unrelated)
+    val history = Seq(
+      (10L, "The quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val newBatch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (13L, "THE QUICK brown fox jumps over the lazy dog again and again"),
+      (12L, "a completely different document about spark query engines here"))
+      .toDF("doc_id", "text")
+    val histSigs = Dedup.minhashSignaturesNative(
+      history, "doc_id", "text", shingleK = 3, numHashes = 6)
+    val out = Dedup.incrementalMinhash(histSigs, newBatch, "doc_id", "text",
+        shingleK = 3, numHashes = 6, rowsPerBand = 2, minMatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // both normalized-identical new docs match history doc 10 with a
+    // full 6/6 signature; the unrelated doc and the new x new pair
+    // (11, 13) are absent
+    assert(out.toSet == Set((11L, 10L, 6L), (13L, 10L, 6L)), out.toSeq)
+  }
+
   test("jaccard verification: identical docs = 1.0, overlap in (0,1)") {
     val cand = {
       val s = spark
