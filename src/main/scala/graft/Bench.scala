@@ -80,12 +80,17 @@ object Bench {
         else f"""{"metric":"total","unit":"sec","sf":"$sfTag","value":$total%.3f}"""
       }
     }
-    val detail = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$detail,"value":$total%.3f}%n"""
-        .getBytes("UTF-8"))
+    // full-suite runs only: a SPARK_GRAFT_ONLY subset run is a local
+    // iteration aid and must not clobber the committed full-suite detail
+    if (only.isEmpty) {
+      val detail = results.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$detail,"value":$total%.3f}%n"""
+          .getBytes("UTF-8"))
+      ()
+    }
     println(line)
     spark.stop()
   }
