@@ -67,7 +67,12 @@ object GraftExtensions {
     (FunctionIdentifier("kmv_sketch"), info("kmv_sketch"),
       (es: Seq[Expression]) => KmvSketchAgg(es(0), intLit(es(1), "k"))),
     (FunctionIdentifier("vec_sum"), info("vec_sum"),
-      (es: Seq[Expression]) => graft.functions.VecSumAgg(es(0))),
+      (es: Seq[Expression]) => {
+        // es(0) alone would silently DROP extra arguments
+        require(es.length == 1,
+          s"vec_sum takes exactly 1 argument, got ${es.length}")
+        graft.functions.VecSumAgg(es.head)
+      }),
     (FunctionIdentifier("lsh_project"), info("lsh_project"),
       (es: Seq[Expression]) => {
         val (l, b, d) = (intLit(es(1), "numTables"),

@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * result is bit-identical across partitionings and engines. NULL
   * arrays are skipped; NULL elements count as 0. The first non-null
   * row fixes the dimension; a later mismatch is a data error and
-  * throws rather than silently truncating.
+  * throws rather than silently truncating. A ZERO-LENGTH input array
+  * also throws: the empty array is the buffer's "no rows yet" sentinel,
+  * so accepting it as data would let a dimension mismatch against it
+  * pass silently — and an empty vector in a sum is a data error anyway.
   */
 case class VecSumAgg(
     child: Expression,
@@ -57,6 +60,9 @@ case class VecSumAgg(
 
   private def fold(buffer: Array[Double], arr: ArrayData): Array[Double] = {
     val n = arr.numElements()
+    require(n > 0,
+      "vec_sum: zero-length input vector (empty array is the no-rows " +
+        "sentinel and cannot be summed)")
     val acc =
       if (buffer.length == 0) new Array[Double](n)
       else {

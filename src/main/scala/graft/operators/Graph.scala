@@ -50,7 +50,7 @@ object Graph {
     * (always true for undirected edge lists). Output: (node, rank_fp)
     * with Σ rank_fp ≈ Fp (floor-truncation deficit only). */
   def pageRank(edges: DataFrame, iterations: Int,
-      dampPct: Int = 85): DataFrame = {
+      dampPct: Int = 85, broadcastMaxNodes: Long = 4000000L): DataFrame = {
     // the raw edge list is read twice below (degree agg + the deg
     // join); persist it so the upstream pipeline (typically a
     // fact-table distinct) runs once, not once per consumer
@@ -74,16 +74,19 @@ object Graph {
     val base = (100L - dampPct) * Fp / (100L * nNodes)
     val r0 = Fp / nNodes
 
+    // the rank table is O(nodes) — orders of magnitude below the edge
+    // list — so when it provably fits (nNodes is known on the driver)
+    // it broadcasts into the edge join: the O(edges) loop invariant is
+    // never exchanged OR sorted per iteration (the hash-join form
+    // re-sorted the cached edge frame every round under SMJ). Above
+    // `broadcastMaxNodes` (~64 MB of (node, rank) rows at the default)
+    // the hint is omitted and the planner's shuffled hash join takes
+    // over — a runtime degrade, not a code edit.
+    val hintRanks: DataFrame => DataFrame =
+      if (nNodes <= broadcastMaxNodes) df => broadcast(df) else identity
     var ranks = deg.select(col("node"), lit(r0).as("rank_fp"))
     for (i <- 1 to iterations) {
-      // the rank table is O(nodes) — orders of magnitude below the
-      // edge list — so it broadcasts into the edge join: the O(edges)
-      // loop invariant is never exchanged OR sorted per iteration
-      // (the hash-join form re-sorted the cached edge frame every
-      // round under SMJ). On a graph whose rank table outgrows the
-      // broadcast threshold, drop the hint and this degrades to the
-      // shuffled hash join — same plan, same results.
-      val contribs = broadcast(ranks)
+      val contribs = hintRanks(ranks)
         .join(eDeg, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("rank_fp DIV deg")).as("in_sum"))

@@ -80,11 +80,14 @@ object Search {
       bCenti: Int = 75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty, "bm25Search needs at least one term")
+    // ONE persisted tokenized frame: dl and tf both derive from it, so
+    // the normalize+split corpus scan (the dominant map-side cost) runs
+    // once, not once per branch (the bigramLm discipline)
     val withWords = docs
       .select(col(idCol), Dedup.words(col(textCol)).as("w"))
+      .transform(graft.util.CacheScope.persist)
     val dl = withWords
       .select(col(idCol), size(col("w")).cast("long").as("dl"))
-      .transform(graft.util.CacheScope.persist)
     val nAvg = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = withWords

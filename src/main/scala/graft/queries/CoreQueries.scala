@@ -442,7 +442,7 @@ object CoreQueries extends QueryPack {
     (s, dir) => {
       import s.implicits._
       val scratch =
-        java.nio.file.Files.createTempDirectory("graft_buckets").toString
+        graft.util.Scratch.dir("graft_buckets").toString
       graft.operators.Bucketing.writeBucketed(
         Tables(s, dir, "orders"), "q43_orders_b", "o_custkey", 8,
         Some(s"$scratch/orders_b"))

@@ -33,8 +33,9 @@ object SinkQueries extends QueryPack {
           col("o_orderpriority"),
           split(col("o_orderpriority"), "-").as("prio_parts"),
           lit("2024-01-02").as("date"))
-      val scratch =
-        java.nio.file.Files.createTempDirectory("graft_sink").toString
+      // recursive-delete scratch (see q102 note): the silver/gold trees
+      // written below would otherwise outlive the process in /tmp
+      val scratch = graft.util.Scratch.dir("graft_sink").toString
       val tableDir = s"$scratch/silver"
       UnionOps.writeDailySnapshot(day1, tableDir)
       UnionOps.writeDailySnapshot(day2, tableDir) // dynamic overwrite: day 1 survives
@@ -143,7 +144,7 @@ object SinkQueries extends QueryPack {
           struct(col("event_type"), col("value")).as("payload"),
           unix_micros(col("ts")).as("ts_us"))
       val scratch =
-        java.nio.file.Files.createTempDirectory("graft_json").toString
+        graft.util.Scratch.dir("graft_json").toString
       clicks.write.mode("overwrite").json(scratch)
       s.read
         .schema("event_id BIGINT, user_id BIGINT, " +
@@ -170,7 +171,7 @@ object SinkQueries extends QueryPack {
     (s, dir) => {
       import s.implicits._
       val scratch =
-        java.nio.file.Files.createTempDirectory("graft_orc").toString
+        graft.util.Scratch.dir("graft_orc").toString
       Tables(s, dir, "orders")
         .filter($"o_orderpriority" === "1-URGENT")
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
@@ -205,9 +206,10 @@ object SinkQueries extends QueryPack {
     (s, dir) => {
       val events = Tables.events(s, dir)
         .withColumn("event_date", to_date(col("ts")))
-      val scratch =
-        java.nio.file.Files.createTempDirectory("graft_part")
-      scratch.toFile.deleteOnExit()
+      // Scratch.dir (not deleteOnExit): the partitioned write fills the
+      // dir, and File.delete() silently refuses non-empty directories —
+      // each invocation would leak a full events-table copy in /tmp
+      val scratch = graft.util.Scratch.dir("graft_part")
       val tableDir = s"$scratch/events_by_day"
       events.write.partitionBy("event_date").mode("overwrite")
         .parquet(tableDir)

@@ -35,6 +35,16 @@ class VecSumAggSpec extends SparkSpec {
     assert(got("b").isEmpty)
   }
 
+  test("zero-length input vector fails loudly (empty = no-rows sentinel)") {
+    import spark.implicits._
+    val df = Seq(("a", Array.empty[Double]), ("a", Array(1.0, 2.0)))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(vsum.as("s")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("dimension mismatch fails loudly instead of truncating") {
     import spark.implicits._
     val df = Seq(("a", Array(1.0)), ("a", Array(1.0, 2.0))).toDF("g", "v")
