@@ -297,5 +297,63 @@ object TemporalQueries extends QueryPack {
       ORDER BY day
     """))
 
-  def all: Seq[Q] = Seq(q77, q78, q79, q94, q97, q98, q107)
+  // --------------------------------------------------------------- q109
+  // Rate anomaly detection: flag hours whose event count spikes ≥ 3
+  // sample standard deviations above the trailing-24h mean — with the
+  // z-test done ENTIRELY in integer arithmetic. z > 3 with
+  // μ = Sx/c, σ² = (Sxx·c − Sx²)/c² rearranges to
+  //   (c·x − Sx)² · 1 > 9 · (c·Sxx − Sx²)   [one-sided: c·x > Sx]
+  // — counts are integers, so both sides are exact BIGINTs: no sqrt,
+  // no division, no libm, bit-identical in any engine (headroom: the
+  // squared term overflows BIGINT only past ~1.3e8 events/hour/type;
+  // beyond that, bucket finer or scale counts down first). The trailing
+  // frame is a rangeBetween over the HOURLY table (O(hours·types)
+  // rows), never the event stream; the hourly rollup itself
+  // partial-combines map-side. The ops-monitoring primitive next to
+  // q107's DAU/WAU.
+  private val q109 = Q(
+    "q109_rate_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rangeBetween(-24, -1)
+      hourly
+        .withColumn("sx", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("sxx", coalesce(sum(col("n") * col("n")).over(w), lit(0L)))
+        .withColumn("c", count(col("n")).over(w))
+        .withColumn("is_spike",
+          col("c") >= 12 && col("c") * col("n") > col("sx") &&
+            (col("c") * col("n") - col("sx")) *
+              (col("c") * col("n") - col("sx")) >
+              lit(9L) * (col("c") * col("sxx") - col("sx") * col("sx")))
+        .select(col("hour"), col("event_type"), col("n"), col("sx"),
+          col("c"), col("is_spike"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT hour, event_type, n,
+               CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS sx,
+               CAST(COALESCE(SUM(n * n) OVER w, 0) AS BIGINT) AS sxx,
+               COUNT(n) OVER w AS c
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT hour, event_type, n, sx, c,
+             (c >= 12 AND c * n > sx AND
+              (c * n - sx) * (c * n - sx) > 9 * (c * sxx - sx * sx))
+               AS is_spike
+      FROM stats
+      ORDER BY hour, event_type
+    """))
+
+  def all: Seq[Q] = Seq(q77, q78, q79, q94, q97, q98, q107, q109)
 }
