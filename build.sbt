@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON metric out of the last
+// ~2KB of stdout. Two sbt behaviors defeated that in rounds 1-5:
+// LoggedOutput prefixes every forked stdout line with "[info] ", and
+// the "[success] Total time" epilogue prints AFTER the metric line.
+// Pass forked run output through verbatim and drop the epilogue so the
+// metric line is the final, unprefixed stdout line.
+// scoped to run's runner (runMain shares it) — Test keeps sbt's logged
+// output so spec logs stay prefixed/foldable
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by commands, not tasks
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

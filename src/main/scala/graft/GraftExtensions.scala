@@ -66,6 +66,9 @@ object GraftExtensions {
     // builder returns the function itself (same as Spark's built-ins)
     (FunctionIdentifier("kmv_sketch"), info("kmv_sketch"),
       (es: Seq[Expression]) => KmvSketchAgg(es(0), intLit(es(1), "k"))),
+    (FunctionIdentifier("bounded_min_set"), info("bounded_min_set"),
+      (es: Seq[Expression]) =>
+        graft.functions.BoundedMinSetAgg(es(0), intLit(es(1), "k"))),
     (FunctionIdentifier("vec_sum"), info("vec_sum"),
       (es: Seq[Expression]) => {
         // es(0) alone would silently DROP extra arguments

@@ -50,7 +50,13 @@ object Graph {
     * (always true for undirected edge lists). Output: (node, rank_fp)
     * with Σ rank_fp ≈ Fp (floor-truncation deficit only). */
   def pageRank(edges: DataFrame, iterations: Int,
-      dampPct: Int = 85, broadcastMaxNodes: Long = 4000000L): DataFrame = {
+      dampPct: Int = 85, broadcastMaxNodes: Long = 1000000L): DataFrame = {
+    // broadcastMaxNodes sizing (r5 advice): the rank table broadcasts
+    // FRESH each iteration and old copies linger until GC, so the
+    // driver can briefly hold `iterations` copies at ~40 B/row live.
+    // The 1M default bounds that at a few hundred MB worst-case on a
+    // default driver; raise it only with driver memory to match
+    // (≈ iterations · nodes · 40 B transient).
     // the raw edge list is read twice below (degree agg + the deg
     // join); persist it so the upstream pipeline (typically a
     // fact-table distinct) runs once, not once per consumer
@@ -79,9 +85,10 @@ object Graph {
     // it broadcasts into the edge join: the O(edges) loop invariant is
     // never exchanged OR sorted per iteration (the hash-join form
     // re-sorted the cached edge frame every round under SMJ). Above
-    // `broadcastMaxNodes` (~64 MB of (node, rank) rows at the default)
-    // the hint is omitted and the planner's shuffled hash join takes
-    // over — a runtime degrade, not a code edit.
+    // `broadcastMaxNodes` (~16 MB of raw (node, rank) rows at the 1M
+    // default — see the sizing note above) the hint is omitted and the
+    // planner's shuffled hash join takes over — a runtime degrade, not
+    // a code edit.
     val hintRanks: DataFrame => DataFrame =
       if (nNodes <= broadcastMaxNodes) df => broadcast(df) else identity
     var ranks = deg.select(col("node"), lit(r0).as("rank_fp"))

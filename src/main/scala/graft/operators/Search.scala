@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * targeted subset extraction).
   *
   * Scale design: the index build is one explode + one aggregation —
-  * (token, doc) pairs partial-combine map-side, and the posting arrays
-  * are CAPPED (`maxPostings`) so no single row grows with corpus size;
-  * df/cf keep the full counts. Conjunctive search never materializes
+  * (token, doc) pairs partial-combine map-side, and the posting lists
+  * ride [[graft.functions.BoundedMinSetAgg]], whose aggregation BUFFER
+  * (not just the output row) is capped at `maxPostings`, so no
+  * aggregation state grows with corpus size — a stopword token costs
+  * O(maxPostings), never O(corpus docs); df/cf keep the full counts.
+  * Conjunctive search never materializes
   * posting lists at all: it filters the token stream to the query terms
   * BEFORE the shuffle (the decontamination discipline — only matching
   * rows cross the wire) and intersects via a groupBy counting distinct
@@ -24,16 +27,23 @@ object Search {
     * postings = the first `maxPostings` doc ids ascending. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       maxPostings: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val toks = docs
       .select(col(idCol), Dedup.words(col(textCol)).as("w"))
       .select(col(idCol), explode(col("w")).as("token"))
+    // NOT collect_set+slice: that caps the output row but the set buffer
+    // underneath still holds every distinct doc id of a hot token — the
+    // bounded aggregate keeps the k smallest ids in an O(k) buffer that
+    // partial-merges map-side (BoundedMinSetAggSpec pins both)
+    val postings = Bridge.column(
+      graft.functions.BoundedMinSetAgg(
+        Bridge.expression(col(idCol)), maxPostings).toAggregateExpression())
     toks
       .groupBy(col("token"))
       .agg(
         count(lit(1)).as("cf"),
         count_distinct(col(idCol)).as("df"),
-        slice(sort_array(collect_set(col(idCol))), 1, maxPostings)
-          .as("postings"))
+        postings.as("postings"))
       .select(col("token"), col("df"), col("cf"), col("postings"))
   }
 

@@ -16,8 +16,9 @@ object SearchQueries extends QueryPack {
   // ---------------------------------------------------------------- q92
   // Inverted index snapshot: per token document frequency, collection
   // frequency, and the first 20 postings (ascending doc ids), JSON-
-  // serialized — posting rows stay bounded regardless of corpus size
-  // (df/cf carry the full counts).
+  // serialized. Postings ride the native BoundedMinSetAgg, so the
+  // aggregation BUFFER — not just the output row — stays O(20) even
+  // for stopword tokens (df/cf carry the full counts).
   private val q92 = Q(
     "q92_inverted_index",
     (s, dir) => {

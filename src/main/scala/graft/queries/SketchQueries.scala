@@ -16,13 +16,16 @@ object SketchQueries extends QueryPack {
 
   // ---------------------------------------------------------------- q82
   // KMV distinct-count sketch: distinct customers per order priority
-  // from the 64 smallest member hashes. The shuffle carries distinct
-  // (group, hash) pairs pruned to k per group (WindowGroupLimit); the
-  // estimate (k-1)·2⁶⁰/h_k is plain double division — engine-identical.
+  // from the 64 smallest member hashes, on the NATIVE KmvSketchAgg path
+  // (the composed distinct+window+group form stays available as
+  // Sketch.kmvDistinct and is spec-pinned equivalent) — the sketch
+  // partial-merges map-side, ≤k longs per task·group reach the
+  // exchange; the estimate (k-1)·2⁶⁰/h_k is plain double division —
+  // engine-identical, so the oracle is unchanged.
   private val q82 = Q(
     "q82_kmv_distinct",
     (s, dir) => {
-      Sketch.kmvDistinct(Tables(s, dir, "orders"),
+      Sketch.kmvDistinctNative(Tables(s, dir, "orders"),
           "o_orderpriority", "o_custkey", k = 64)
         .orderBy(col("o_orderpriority"))
     },

@@ -299,7 +299,9 @@ object TemporalQueries extends QueryPack {
 
   // --------------------------------------------------------------- q109
   // Rate anomaly detection: flag hours whose event count spikes ≥ 3
-  // sample standard deviations above the trailing-24h mean — with the
+  // POPULATION standard deviations above the trailing-24h mean (σ² =
+  // Sxx/c − (Sx/c)², divide by c not c−1 — the window is the whole
+  // trailing frame, not a sample of it) — with the
   // z-test done ENTIRELY in integer arithmetic. z > 3 with
   // μ = Sx/c, σ² = (Sxx·c − Sx²)/c² rearranges to
   //   (c·x − Sx)² · 1 > 9 · (c·Sxx − Sx²)   [one-sided: c·x > Sx]

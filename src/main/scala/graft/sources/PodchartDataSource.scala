@@ -21,9 +21,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * array) becomes ONE raw payload row `(date, region, payload)`, read in
   * its own input partition (22 regions → 22 parallel "fetches"). Parsing
   * stays in the engine — compose with `ChartOps.parsePayloads`, which
-  * turns array order into rank via posexplode. An online variant would
-  * swap the file read in [[PodchartReader]] for the HTTP GET; everything
-  * else (planning, partitioning, schema) is unchanged.
+  * turns array order into rank via posexplode.
+  *
+  * ONLINE MODE (`http.url` option): the same plan shape with the file
+  * read swapped for the reference's HTTP GET — one partition per
+  * region, fetched executor-side:
+  * {{{
+  * spark.read.format("podchart")
+  *   .option("http.url", "https://chart.example.com/api/charts")
+  *   .option("http.chart", "top_episodes")   // default top_episodes
+  *   .option("http.regions", "us,gb,de")     // one partition per region
+  *   .option("http.date", "2026-08-13")      // the run's logical date
+  *   .option("http.referer", "https://chart.example.com/") // optional
+  *   .load()
+  * }}}
+  * matching `spotify_eps.py:37-49`: GET `{url}/{chart}?region={r}` with
+  * a Referer header; a non-2xx response throws (`raise_for_status`), so
+  * the task fails and Spark's task retry replays the fetch — the same
+  * retry seam the reference delegates to Airflow. The default (no
+  * `http.url`) stays the offline fixture-directory scan, which is what
+  * every gate query uses — the sandbox has no egress.
   */
 class PodchartDataSource extends TableProvider with DataSourceRegister {
 
@@ -45,6 +62,25 @@ object PodchartDataSource {
     StructField("payload", StringType)))
 
   private[sources] val FilePattern = """chart_([a-zA-Z]+)_(\d{4}-\d{2}-\d{2})\.json""".r
+
+  /** (url, chart, region, date, referer) per http-mode partition. */
+  private[sources] def httpPartitions(
+      opts: CaseInsensitiveStringMap): Array[InputPartition] = {
+    val url = opts.get("http.url").stripSuffix("/")
+    val chart = Option(opts.get("http.chart")).getOrElse("top_episodes")
+    val date = Option(opts.get("http.date")).getOrElse(
+      java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
+    val referer = Option(opts.get("http.referer"))
+    val regions = Option(opts.get("http.regions"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "podchart http mode needs http.regions (comma-separated), e.g. " +
+          "option(\"http.regions\", \"us,gb\")"))
+    regions.distinct.sorted
+      .map(r => HttpChartPartition(url, chart, r, date, referer): InputPartition)
+      .toArray
+  }
 }
 
 class PodchartTable(path: String) extends Table with SupportsRead {
@@ -53,21 +89,26 @@ class PodchartTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PodchartScanBuilder(Option(options.get("path")).getOrElse(path))
+    new PodchartScanBuilder(
+      Option(options.get("path")).getOrElse(path), options)
 }
 
-class PodchartScanBuilder(path: String) extends ScanBuilder with Scan with Batch {
+class PodchartScanBuilder(path: String, opts: CaseInsensitiveStringMap)
+  extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = PodchartDataSource.schema
   override def toBatch: Batch = this
 
   /** One partition per chart file = one "fetch" per (region, date),
-    * exactly the reference's per-region request parallelism. Listing
+    * exactly the reference's per-region request parallelism; in http
+    * mode, one partition per region straight from the options. Listing
     * goes through Hadoop's FileSystem so non-local URIs (hdfs://,
     * s3a://) resolve like any other Spark source, and a missing or
     * non-directory path FAILS FAST instead of silently planning zero
     * partitions (an empty DataFrame would read as "no charts today"). */
   override def planInputPartitions(): Array[InputPartition] = {
+    if (opts.containsKey("http.url"))
+      return PodchartDataSource.httpPartitions(opts)
     val hadoopConf = org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
@@ -94,11 +135,46 @@ class PodchartScanBuilder(path: String) extends ScanBuilder with Scan with Batch
 
 case class PodchartPartition(file: String) extends InputPartition
 
+/** One (region, date) fetch in http mode — the unit the reference
+  * retries. */
+case class HttpChartPartition(url: String, chart: String, region: String,
+    date: String, referer: Option[String]) extends InputPartition
+
 class PodchartReaderFactory(
     conf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PodchartReader(partition.asInstanceOf[PodchartPartition].file, conf)
+    partition match {
+      case h: HttpChartPartition => new PodchartHttpReader(h)
+      case f: PodchartPartition => new PodchartReader(f.file, conf)
+    }
+}
+
+/** Executor-side single-fetch reader: GET `{url}/{chart}?region={r}`
+  * with an optional Referer — `spotify_eps.py:37-49` — yielding one
+  * (date, region, payload) row. A non-2xx response or connect failure
+  * throws out of `get()`, failing the task; Spark's task retry
+  * (`spark.task.maxFailures`) replays JUST this region's fetch, which
+  * is the engine-native form of the reference's raise_for_status →
+  * Airflow-task-retry loop. */
+class PodchartHttpReader(p: HttpChartPartition)
+  extends PartitionReader[InternalRow] {
+  private var consumed = false
+
+  override def next(): Boolean = !consumed
+
+  override def get(): InternalRow = {
+    consumed = true
+    val url = s"${p.url}/${p.chart}?region=" +
+      java.net.URLEncoder.encode(p.region, "UTF-8")
+    val payload = HttpFetch.get(url, p.referer.map("Referer" -> _).toMap)
+    InternalRow(
+      UTF8String.fromString(p.date),
+      UTF8String.fromString(p.region),
+      UTF8String.fromString(payload))
+  }
+
+  override def close(): Unit = ()
 }
 
 class PodchartReader(file: String,

@@ -168,6 +168,26 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // Determinism guard (r5 advice): the drain equals the batch LEFT
+      // JOIN only if every retained outer row's window closed before
+      // the data ran out — i.e. the FINAL global watermark passed the
+      // clip. A too-late clip silently loses unmatched outer rows;
+      // fail loudly instead of returning a nondeterministic result.
+      // The watermark comes free from the query's own final progress —
+      // no validation scan.
+      val wmStr = Option(q.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .getOrElse(throw new IllegalStateException(
+          "left-outer drain reported no watermark; cannot prove the " +
+            "clip is deterministic"))
+      val wm = java.time.Instant.parse(wmStr)
+      val clip = java.time.LocalDateTime
+        .parse(endExclusive.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC) // session TZ is UTC
+      require(!wm.isBefore(clip),
+        s"endExclusive=$endExclusive is past the final watermark $wm: " +
+          "unmatched errors in [watermark, endExclusive) are still held " +
+          "in state and would be silently dropped — clip earlier")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(queryName)
   }

@@ -19,9 +19,12 @@ object Scratch {
         try {
           import scala.jdk.CollectionConverters._
           if (java.nio.file.Files.exists(root)) {
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount) // children before parents
-              .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            val st = java.nio.file.Files.walk(root)
+            try {
+              st.iterator().asScala.toSeq
+                .sortBy(-_.getNameCount) // children before parents
+                .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            } finally st.close() // walk holds a directory-stream handle
           }
         } catch { case _: Throwable => () } // best-effort at shutdown
       }

@@ -153,6 +153,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(p("v") === ((4L, 1L, 2L, "a", "b")))
   }
 
+  test("approx profile tracks the exact census within HLL tolerance") {
+    // the 100 TB mode: approx_count_distinct (rsd ≈ 2.3% at the default
+    // precision) replaces the COUNT(DISTINCT) expand; everything else —
+    // nulls, rows, min/max — must stay byte-identical to the exact form
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    def asMap(exact: Boolean) = Profile.profile(docs, cols, exact = exact)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))))
+      .toMap
+    val e = asMap(exact = true)
+    val a = asMap(exact = false)
+    cols.foreach { c =>
+      val (en, enn, end, emn, emx) = e(c)
+      val (an, ann, and, amn, amx) = a(c)
+      assert((en, enn, emn, emx) === ((an, ann, amn, amx)),
+        s"$c: non-distinct columns must not change in approx mode")
+      assert(math.abs(and - end) <= math.max(1L, (end * 0.2).toLong),
+        s"$c: approx distinct $and vs exact $end outside 20% envelope")
+    }
+  }
+
   // ------------------------------------------------------------ SemDedup
 
   test("semantic dedup: one rep per cluster, reps never dropped, drops respect tau") {

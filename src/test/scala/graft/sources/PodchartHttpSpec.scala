@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Drives the ONLINE ingest seams against an in-JVM stub HTTP server —
+  * the closest an egress-free sandbox gets to
+  * `spotify_eps.py:18-32,37-49,51-64`. Asserts the request shape the
+  * reference emits (path, region param, Referer, Basic-auth token
+  * exchange, ids/market batching) and the failure semantics
+  * (non-2xx → thrown → task failure), not just the happy payload.
+  */
+class PodchartHttpSpec extends SparkSpec {
+
+  private def withServer(test: (String, ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new ConcurrentLinkedQueue[String]()
+    def reply(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(UTF_8)
+      x.sendResponseHeaders(code, b.length.toLong)
+      x.getResponseBody.write(b)
+      x.close()
+    }
+    server.createContext("/api/charts/top_episodes", (x: HttpExchange) => {
+      val q = Option(x.getRequestURI.getQuery).getOrElse("")
+      val referer = Option(x.getRequestHeaders.getFirst("Referer")).getOrElse("")
+      seen.add(s"chart ${x.getRequestURI.getPath}?$q referer=$referer")
+      val region = q.stripPrefix("region=")
+      if (region == "boom") reply(x, 503, "upstream sad")
+      else reply(x, 200,
+        s"""[{"showName":"show-$region","episodeName":"ep1",""" +
+          s""""episodeUri":"spotify:episode:$region-1","rank":1}]""")
+    })
+    server.createContext("/token", (x: HttpExchange) => {
+      val auth = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      seen.add(s"token auth=$auth body=$body")
+      val expected = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("cid:sekrit".getBytes(UTF_8))
+      if (auth != expected || body != "grant_type=client_credentials")
+        reply(x, 401, """{"error":"invalid_client"}""")
+      else reply(x, 200, """{"access_token":"tok-123","token_type":"Bearer"}""")
+    })
+    server.createContext("/v1/episodes", (x: HttpExchange) => {
+      val auth = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      seen.add(s"episodes ${x.getRequestURI.getQuery} auth=$auth")
+      if (auth != "Bearer tok-123") reply(x, 401, """{"error":"no token"}""")
+      else reply(x, 200, """{"episodes":[]}""")
+    })
+    server.start()
+    try test(s"http://127.0.0.1:${server.getAddress.getPort}", seen)
+    finally server.stop(0)
+  }
+
+  test("http mode fetches one payload row per region with the reference's request shape") {
+    withServer { (base, seen) =>
+      val df = spark.read.format("podchart")
+        .option("http.url", s"$base/api/charts")
+        .option("http.regions", "us,gb,us") // dup collapses: one fetch per region
+        .option("http.date", "2026-08-13")
+        .option("http.referer", "https://charts.example/")
+        .load()
+      assert(df.rdd.getNumPartitions == 2, "one partition per distinct region")
+      // collect + sort locally: an orderBy directly on the source would
+      // range-sample it first = a SECOND fetch per region (which is why
+      // production pipelines land raw payloads in bronze before sorting)
+      val rows = df.collect().sortBy(_.getString(1))
+      assert(rows.map(_.getString(1)).toSeq == Seq("gb", "us"))
+      assert(rows.forall(_.getString(0) == "2026-08-13"))
+      assert(rows.forall(r => r.getString(2).contains(
+        s"""show-${r.getString(1)}""")))
+      import scala.jdk.CollectionConverters._
+      val chartReqs = seen.asScala.filter(_.startsWith("chart")).toSeq
+      assert(chartReqs.size == 2, s"exactly one fetch per region: $chartReqs")
+      assert(chartReqs.forall(_.contains("/api/charts/top_episodes?region=")))
+      assert(chartReqs.forall(_.endsWith("referer=https://charts.example/")))
+    }
+  }
+
+  test("http payloads flow into the engine-side chart parser unchanged") {
+    withServer { (base, _) =>
+      val raw = spark.read.format("podchart")
+        .option("http.url", s"$base/api/charts")
+        .option("http.regions", "us")
+        .option("http.date", "2026-08-13")
+        .load()
+      val parsed = graft.ops.ChartOps.parsePayloads(raw)
+      val r = parsed.collect()
+      assert(r.length == 1)
+      assert(parsed.columns.contains("rank"))
+    }
+  }
+
+  test("non-2xx fails the fetch task (raise_for_status semantics)") {
+    withServer { (base, _) =>
+      val df = spark.read.format("podchart")
+        .option("http.url", s"$base/api/charts")
+        .option("http.regions", "boom")
+        .option("http.date", "2026-08-13")
+        .load()
+      val e = intercept[org.apache.spark.SparkException] { df.collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(_.getMessage != null)
+        && chain(e).exists(c => c.getMessage.contains("HTTP 503")),
+        s"expected HTTP 503 in the failure chain, got: $e")
+    }
+  }
+
+  test("missing http.regions fails fast at planning, not with an empty frame") {
+    val e = intercept[Exception] {
+      spark.read.format("podchart")
+        .option("http.url", "http://127.0.0.1:1/api/charts")
+        .load().collect()
+    }
+    assert(e.getMessage.contains("http.regions"))
+  }
+
+  test("client-credentials flow exchanges Basic auth for the bearer token") {
+    withServer { (base, seen) =>
+      val creds = OAuthClientCredentials(s"$base/token", "cid", "sekrit")
+      assert(creds.fetchToken() == "tok-123")
+      val bad = OAuthClientCredentials(s"$base/token", "cid", "wrong")
+      intercept[java.io.IOException] { bad.fetchToken() }
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.count(_.startsWith("token")) == 2)
+    }
+  }
+
+  test("batched episode lookup sends ids+market with the exchanged bearer token") {
+    withServer { (base, seen) =>
+      val s = spark
+      import s.implicits._
+      val ids = Seq("11", "22", "33", "44", "55").toDF("episode_id")
+        .repartition(1) // one deterministic chunking for the assertion
+      val lookup = graft.ops.HttpLookup.episodeService(
+        s"$base/v1/episodes", "us",
+        OAuthClientCredentials(s"$base/token", "cid", "sekrit"))
+      val payloads = graft.ops.BatchedLookup
+        .fetchPayloads(ids, "episode_id", batchSize = 2, lookup)
+        .collect()
+      assert(payloads.length == 3) // ceil(5/2) calls, 50-id discipline at 2
+      import scala.jdk.CollectionConverters._
+      val eps = seen.asScala.filter(_.startsWith("episodes")).toSeq
+      assert(eps.size == 3)
+      assert(eps.forall(_.contains("market=us")))
+      assert(eps.forall(_.endsWith("auth=Bearer tok-123")))
+      // getQuery decodes %2C back to ',' — assert the decoded batch
+      assert(eps.exists(_.contains("ids=11,22")), s"batching shape: $eps")
+    }
+  }
+}
