@@ -101,6 +101,27 @@ object Publisher {
   def processRunner(cmd: Seq[String]): Int =
     new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
 
+  /** [[processRunner]] with `dir` prepended to the executable search
+    * path — the hook for vendored CLI installs, and what lets
+    * PublisherSpec put a recording fake `kaggle` on the path and drive
+    * the REAL subprocess route end-to-end (argv crosses an actual
+    * process boundary, exit codes propagate) with no network. The head
+    * of the command resolves against `dir` EXPLICITLY: the JVM's
+    * ProcessBuilder looks executables up with the parent's PATH, so
+    * merely editing the child environment's PATH would not redirect
+    * resolution. */
+  def processRunnerWithPath(dir: String): Seq[String] => Int = cmd => {
+    val local = new File(dir, cmd.head)
+    val resolved =
+      if (local.isFile && local.canExecute) local.getPath +: cmd.tail
+      else cmd
+    val pb = new ProcessBuilder(resolved: _*).inheritIO()
+    val env = pb.environment()
+    env.put("PATH",
+      dir + File.pathSeparator + Option(env.get("PATH")).getOrElse(""))
+    pb.start().waitFor()
+  }
+
   /** Full publish post-step: zip CSVs, write metadata, invoke the
     * publisher CLI — `create` for a new dataset, `version` (with the
     * reference's dated message and `-r zip`) for an update. `runDate`

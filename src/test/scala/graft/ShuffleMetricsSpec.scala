@@ -126,6 +126,65 @@ class ShuffleMetricsSpec extends SparkSpec {
         s"$shingleCount corpus shingles) — broadcast-filter-first regressed?")
   }
 
+  /** Total shuffle bytes written while running `body` (same drain
+    * discipline as [[shuffleRecords]]). */
+  private def shuffleBytes(body: => Unit): Long = {
+    val acc = new AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        acc.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = acc.get
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get
+  }
+
+  test("posting lists ship bounded partial states, not full doc-id sets") {
+    // the r5 scale-killer: collect_set+slice caps only the OUTPUT row —
+    // its partial states still carry every distinct doc id per token
+    // across the exchange. BoundedMinSetAgg's partials are O(k). Same
+    // grouping, same input, k far below the docs-per-token, so the
+    // byte gap on the wire IS the buffer-bound property, measured.
+    import org.apache.spark.sql.graft.Bridge
+    // sf0.01 deliberately: ~500 docs over ~31 tokens means hundreds of
+    // ids per (task, token) partial — at sf0.001 the sets are so small
+    // that codec framing hides the gap
+    val toks = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"),
+        explode(operators.Dedup.words(col("text"))).as("token"))
+      .transform(graft.util.CacheScope.persist)
+    toks.count() // materialize once so both measurements shuffle alike
+    // consume the postings column (sum of sizes) — a bare count() lets
+    // Catalyst prune the aggregate away and both plans shuffle only keys
+    val viaSet = shuffleBytes {
+      toks.groupBy("token")
+        .agg(slice(sort_array(collect_set(col("doc_id"))), 1, 5).as("p"))
+        .agg(sum(size(col("p")))).collect(); ()
+    }
+    val bounded = shuffleBytes {
+      val agg = Bridge.column(functions.BoundedMinSetAgg(
+        Bridge.expression(col("doc_id")), 5).toAggregateExpression())
+      toks.groupBy("token").agg(agg.as("p"))
+        .agg(sum(size(col("p")))).collect(); ()
+    }
+    spark.catalog.clearCache()
+    assert(bounded * 4 < viaSet,
+      s"bounded postings shuffled $bounded bytes vs collect_set's $viaSet " +
+        "— partial states are no longer capped?")
+  }
+
   test("KMV sketch shuffles distinct members, pruned toward k per group") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val totalRows = orders.count()

@@ -90,6 +90,67 @@ class PublisherSpec extends SparkSpec {
     assert(e.getMessage.contains("no CSV files"))
   }
 
+  // ------------------------------------------------- real CLI subprocess
+  // r5 advice: the recorder lambdas above never execute processRunner
+  // itself, so the one reference behavior left unexercised was the
+  // actual subprocess invocation. A fake `kaggle` on a prepended PATH
+  // records its argv byte-for-byte (NUL-delimited, so embedded spaces
+  // in "-m <date> Update" can't mask a quoting bug) and exits as told.
+
+  private def fakeKaggle(exitCode: Int): (String, java.io.File) = {
+    val binDir = tmpDir("fakebin")
+    val record = new java.io.File(binDir, "argv.bin")
+    val script = new java.io.File(binDir, "kaggle")
+    val body = "#!/bin/sh\n" +
+      s"""for a in "$$@"; do printf '%s\\0' "$$a" >> '${record.getPath}'; done\n""" +
+      s"exit $exitCode\n"
+    java.nio.file.Files.write(script.toPath, body.getBytes("UTF-8"))
+    script.setExecutable(true)
+    (binDir, record)
+  }
+
+  private def recordedArgv(record: java.io.File): Seq[String] = {
+    val raw = new String(java.nio.file.Files.readAllBytes(record.toPath), "UTF-8")
+    raw.split('\u0000').toSeq // NUL-delimited; trailing empties dropped
+  }
+
+  test("create: the real subprocess path invokes the CLI with the reference argv") {
+    val (binDir, record) = fakeKaggle(exitCode = 0)
+    val dir = tmpDir("pubcli")
+    writeCsv(dir, "gold.csv", "k\n1\n")
+    val cmd = Publisher.publish(dir, "u/d", "t", newVersion = false,
+      runDate = "2026-08-12",
+      runCommand = Publisher.processRunnerWithPath(binDir))
+    assert(cmd.head == "kaggle")
+    // kaggle.py:67 — `kaggle datasets create -p '<folder>'`
+    assert(recordedArgv(record) == Seq("datasets", "create", "-p", dir))
+  }
+
+  test("version: the real subprocess path carries the dated message and -r zip") {
+    val (binDir, record) = fakeKaggle(exitCode = 0)
+    val dir = tmpDir("pubcliv")
+    writeCsv(dir, "gold.csv", "k\n1\n")
+    Publisher.publish(dir, "u/d", "t", newVersion = true,
+      runDate = "2026-08-12",
+      runCommand = Publisher.processRunnerWithPath(binDir))
+    // kaggle.py:85-86 — `kaggle datasets version -p '<folder>'
+    //                    -m '<today> Update' -r zip`
+    assert(recordedArgv(record) == Seq("datasets", "version", "-p", dir,
+      "-m", "2026-08-12 Update", "-r", "zip"))
+  }
+
+  test("a failing CLI subprocess propagates its exit code into the failure") {
+    val (binDir, _) = fakeKaggle(exitCode = 3)
+    val dir = tmpDir("pubclifail")
+    writeCsv(dir, "gold.csv", "k\n1\n")
+    val e = intercept[RuntimeException] {
+      Publisher.publish(dir, "u/d", "t", newVersion = false,
+        runDate = "2026-08-12",
+        runCommand = Publisher.processRunnerWithPath(binDir))
+    }
+    assert(e.getMessage.contains("exit 3"))
+  }
+
   test("the gold CSV the pipeline writes is publishable as-is") {
     val s = spark
     import s.implicits._
