@@ -55,14 +55,34 @@ object Bench {
     // predecessor's persisted frames and none leaks into the next
     // (r2 judge: q19 paid q34's materialization, q34 ran ~free)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.graft.Bridge
+      val before = Bridge.tempViewNames(spark).toSet
       val t0 = System.nanoTime()
       try {
         graft.util.CacheScope.withScope { fn(spark, sfDir).count() }
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => Double.PositiveInfinity }
-      finally spark.catalog.clearCache()
+      finally {
+        spark.catalog.clearCache()
+        // temp views a query registered (memory-sink drains, SQL-surface
+        // views) pin their rows in the driver until replaced — drop them
+        // so each run's footprint dies with the run (driver-side catalog
+        // calls only; a listTables() Dataset action per query would cost
+        // seconds across the suite)
+        Bridge.tempViewNames(spark).filterNot(before)
+          .foreach { v => spark.catalog.dropTempView(v); () }
+      }
     }
-    def pass(): Seq[Double] = ordered.map { case (_, fn) => once(fn) }
+    // one full GC at each pass boundary — OUTSIDE any query timing:
+    // dead checkpoint blocks / replaced sinks / dropped caches bypass
+    // the CacheManager and wait for a GC; an 8 GB heap can otherwise
+    // coast long enough that garbage squats memory and some arbitrary
+    // mid-suite query absorbs the multi-second collection instead (the
+    // r5 q81–q86 cluster shape). Two alternatives were measured and
+    // rejected: a periodic TIMER GC lands inside query timings
+    // (~17% suite inflation) and an every-32-queries out-of-band GC
+    // bought nothing over the boundary GC.
+    def pass(): Seq[Double] = { System.gc(); ordered.map { case (_, fn) => once(fn) } }
     val (p1, p2) = (pass(), pass())
     val results = ordered.map(_._1).lazyZip(p1).lazyZip(p2).map {
       case (name, a, b) =>

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same single-JVM hygiene as Bench: reclaim dead checkpoint /
+      // memory-sink blocks without waiting for an organic full GC
+      .config("spark.cleaner.periodicGC.interval", "1min")
       // saveAsTable-based queries (bucketed joins) must never drop a
       // spark-warehouse dir into the repo cwd
       .config("spark.sql.warehouse.dir",

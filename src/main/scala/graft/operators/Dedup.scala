@@ -379,6 +379,11 @@ object Dedup {
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .filter(col("n.lbl") =!= col("o.lbl"))
         .limit(1).count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `labels` is reassigned, but only a driver GC would reclaim them
+      // (they bypass the CacheManager) — free them eagerly or a long
+      // single-JVM run accrues one dead label table per round
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(labels)
       labels = propagated
       converged = changed == 0
       iter += 1

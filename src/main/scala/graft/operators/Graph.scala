@@ -92,6 +92,7 @@ object Graph {
     val hintRanks: DataFrame => DataFrame =
       if (nNodes <= broadcastMaxNodes) df => broadcast(df) else identity
     var ranks = deg.select(col("node"), lit(r0).as("rank_fp"))
+    var lastCheckpoint: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contribs = hintRanks(ranks)
         .join(eDeg, col("node") === col("src"))
@@ -111,8 +112,18 @@ object Graph {
       // truncate lineage every few rounds, not every round: each
       // checkpoint is an extra eager job, and a 4-deep join chain is
       // well within planner comfort — only unbounded growth (the q66
-      // lesson) needs cutting
-      if (i % 4 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      // lesson) needs cutting. The SUPERSEDED checkpoint (4 rounds
+      // back, now dead lineage) is freed eagerly once the new one has
+      // materialized from it — its blocks bypass the CacheManager and
+      // would otherwise wait for a driver GC. The final checkpoint
+      // stays: the returned frame computes from it.
+      if (i % 4 == 0 && i < iterations) {
+        val cp = ranks.localCheckpoint() // eager: materializes first
+        lastCheckpoint.foreach(
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
+        lastCheckpoint = Some(cp)
+        ranks = cp
+      }
     }
     ranks
   }

@@ -38,6 +38,29 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Names of the session's local temp views — a driver-side catalog
+    * lookup. `spark.catalog.listTables()` answers the same question by
+    * running a whole Dataset action; polling that per bench query adds
+    * measurable seconds across a 100+-query suite. */
+  def tempViewNames(spark: org.apache.spark.sql.SparkSession): Seq[String] =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.catalog.listLocalTempViews("*")
+      .map(_.table)
+
+  /** Release the materialized blocks behind a `localCheckpoint`ed
+    * frame. `Dataset.unpersist` won't: checkpoint blocks live on the
+    * checkpointed RDD, not in the CacheManager, so a superseded
+    * iteration's checkpoint otherwise lingers until the driver GCs —
+    * across a 100+-query single-JVM run that is steady storage-memory
+    * growth and GC-burst latency for whatever runs later. No-op for
+    * frames that are not checkpoint-backed. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Register a native expression as a SQL temp function on an ALREADY
     * RUNNING session (builder `.withExtensions` only applies at session
     * creation — `getOrCreate` on a live JVM silently skips it). */
