@@ -50,4 +50,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unbounded all-pairs joins in: ${offenders.mkString(", ")}")
   }
+
+  test("q82 plans the native KMV aggregate, not the distinct+window chain") {
+    val plan = SparkEntry.queries("q82_kmv_distinct")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("kmv_sketch"),
+      "q82 must aggregate through KmvSketchAgg")
+    assert(plan.contains("ObjectHashAggregate"),
+      "the typed aggregate must ride the hash-agg fast path")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("row_number"),
+      "composed WindowGroupLimit chain resurfaced in q82")
+  }
+
+  test("q92 plans the bounded posting aggregate on the hash-agg path") {
+    val plan = SparkEntry.queries("q92_inverted_index")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_min_set"),
+      "q92 must build postings through BoundedMinSetAgg")
+    assert(!plan.contains("collect_set"),
+      "unbounded collect_set buffer resurfaced in q92")
+    assert(plan.contains("ObjectHashAggregate"),
+      "the typed aggregate must ride the hash-agg fast path")
+  }
 }
