@@ -65,10 +65,19 @@ object GraftExtensions {
     // registry in its AggregateExpression during resolution, so the
     // builder returns the function itself (same as Spark's built-ins)
     (FunctionIdentifier("kmv_sketch"), info("kmv_sketch"),
-      (es: Seq[Expression]) => KmvSketchAgg(es(0), intLit(es(1), "k"))),
+      (es: Seq[Expression]) => {
+        // indexing alone would silently DROP extra arguments (the
+        // vec_sum lesson below)
+        require(es.length == 2,
+          s"kmv_sketch takes exactly 2 arguments, got ${es.length}")
+        KmvSketchAgg(es(0), intLit(es(1), "k"))
+      }),
     (FunctionIdentifier("bounded_min_set"), info("bounded_min_set"),
-      (es: Seq[Expression]) =>
-        graft.functions.BoundedMinSetAgg(es(0), intLit(es(1), "k"))),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"bounded_min_set takes exactly 2 arguments, got ${es.length}")
+        graft.functions.BoundedMinSetAgg(es(0), intLit(es(1), "k"))
+      }),
     (FunctionIdentifier("vec_sum"), info("vec_sum"),
       (es: Seq[Expression]) => {
         // es(0) alone would silently DROP extra arguments

@@ -76,7 +76,12 @@ case class BoundedMinSetAgg(
       input: InternalRow): java.util.TreeSet[AnyRef] = {
     child.eval(input) match {
       case null => // nulls don't contribute postings
-      case s: UTF8String => add(buffer, s.clone()) // detach from the eval buffer
+      case s: UTF8String =>
+        // test acceptance BEFORE cloning: a full buffer of smaller ids
+        // (the stopword case) must not pay one byte-array copy per
+        // corpus row — clone only values that actually enter the set
+        if (buffer.size < k || lessThan(s, buffer.last()))
+          add(buffer, s.clone()) // detach from the reused eval buffer
       case v: AnyRef => add(buffer, v)
       case v => add(buffer, v.asInstanceOf[AnyRef]) // unreachable: eval boxes
     }

@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   * two 1-row results meet in a constant-size broadcast (audited
   * exception class) and unpivot driver-free via `stack`. At true
   * 100 TB you'd run `exact = false`: approx_count_distinct (HLL++,
-  * fixed-size registers, rsd ≈ 2.3% at precision 14) replaces the
+  * fixed-size registers, Spark's default rsd = 5%) replaces the
   * COUNT(DISTINCT) expand — one bounded buffer per column instead of a
   * grouping-set per column. Exact is the oracle-comparable form (q81);
-  * ProfileSpec pins the approx census within tolerance of it.
+  * the approx census is spec-pinned within tolerance of it.
   */
 object Profile {
 

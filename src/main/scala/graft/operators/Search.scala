@@ -34,10 +34,18 @@ object Search {
     // NOT collect_set+slice: that caps the output row but the set buffer
     // underneath still holds every distinct doc id of a hot token — the
     // bounded aggregate keeps the k smallest ids in an O(k) buffer that
-    // partial-merges map-side (BoundedMinSetAggSpec pins both)
-    val postings = Bridge.column(
-      graft.functions.BoundedMinSetAgg(
-        Bridge.expression(col(idCol)), maxPostings).toAggregateExpression())
+    // partial-merges map-side (BoundedMinSetAggSpec pins both). Other
+    // orderable id types fall back to the collect_set form: same
+    // output, but the buffer grows with df — cast ids to BIGINT or
+    // STRING to get the bounded path at corpus scale.
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val postings = toks.schema(idCol).dataType match {
+      case LongType | StringType =>
+        Bridge.column(graft.functions.BoundedMinSetAgg(
+          Bridge.expression(col(idCol)), maxPostings).toAggregateExpression())
+      case _ =>
+        slice(sort_array(collect_set(col(idCol))), 1, maxPostings)
+    }
     toks
       .groupBy(col("token"))
       .agg(

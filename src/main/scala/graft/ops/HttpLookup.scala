@@ -25,7 +25,17 @@ object HttpLookup {
       val url = endpoint + "?ids=" +
         java.net.URLEncoder.encode(ids.mkString(","), "UTF-8") +
         "&market=" + java.net.URLEncoder.encode(market, "UTF-8")
-      HttpFetch.get(url, tokenHeader(creds))
+      try HttpFetch.get(url, tokenHeader(creds))
+      catch {
+        // the cached token can outlive its TTL on a long job — a 401
+        // with a stale cache would otherwise fail EVERY task retry
+        // identically until the job aborts. Evict, re-exchange once,
+        // and retry the call; a second 401 is a genuine auth failure
+        // and propagates (task failure → task retry, as for any 4xx).
+        case e: java.io.IOException if e.getMessage.contains("HTTP 401") =>
+          tokens.remove(creds)
+          HttpFetch.get(url, tokenHeader(creds))
+      }
     }
 
   // per-executor-JVM token cache: the closure above references this

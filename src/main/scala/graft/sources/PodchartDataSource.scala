@@ -68,6 +68,11 @@ object PodchartDataSource {
       opts: CaseInsensitiveStringMap): Array[InputPartition] = {
     val url = opts.get("http.url").stripSuffix("/")
     val chart = Option(opts.get("http.chart")).getOrElse("top_episodes")
+    // the chart name lands RAW in the URL path — validate at planning
+    // time so a reserved character fails the query once, loudly, not
+    // identically on every executor task retry
+    require(chart.matches("[A-Za-z0-9_-]+"),
+      s"http.chart must be a bare chart slug ([A-Za-z0-9_-]+), got '$chart'")
     val date = Option(opts.get("http.date")).getOrElse(
       java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
     val referer = Option(opts.get("http.referer"))

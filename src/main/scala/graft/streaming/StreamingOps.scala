@@ -181,9 +181,14 @@ object StreamingOps {
           "left-outer drain reported no watermark; cannot prove the " +
             "clip is deterministic"))
       val wm = java.time.Instant.parse(wmStr)
+      // parse the clip in the SESSION time zone — the same zone
+      // to_timestamp used in the filter; hardcoding UTC would make the
+      // guard validate a different instant than the query clipped on
+      val sessionZone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone"))
       val clip = java.time.LocalDateTime
         .parse(endExclusive.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC) // session TZ is UTC
+        .atZone(sessionZone).toInstant
       require(!wm.isBefore(clip),
         s"endExclusive=$endExclusive is past the final watermark $wm: " +
           "unmatched errors in [watermark, endExclusive) are still held " +

@@ -19,14 +19,15 @@ class ShuffleMetricsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Total shuffle records written while running `body` (polls until
-    * the async listener bus goes quiet). */
-  private def shuffleRecords(body: => Unit): Long = {
+  /** Sum a shuffle-write metric across every stage completed while
+    * `body` runs (polls until the async listener bus goes quiet). */
+  private def shuffleMetric(
+      extract: org.apache.spark.executor.ShuffleWriteMetrics => Long)(
+      body: => Unit): Long = {
     val acc = new AtomicLong
     val listener = new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        acc.addAndGet(
-          s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        acc.addAndGet(extract(s.stageInfo.taskMetrics.shuffleWriteMetrics))
         ()
       }
     }
@@ -43,6 +44,12 @@ class ShuffleMetricsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
     acc.get
   }
+
+  private def shuffleRecords(body: => Unit): Long =
+    shuffleMetric(_.recordsWritten)(body)
+
+  private def shuffleBytes(body: => Unit): Long =
+    shuffleMetric(_.bytesWritten)(body)
 
   private def docs = spark.read.parquet(s"$dir/documents.parquet")
 
@@ -124,31 +131,6 @@ class ShuffleMetricsSpec extends SparkSpec {
     assert(recs <= bound && recs < shingleCount,
       s"decontam shuffled $recs records (bound $bound, " +
         s"$shingleCount corpus shingles) — broadcast-filter-first regressed?")
-  }
-
-  /** Total shuffle bytes written while running `body` (same drain
-    * discipline as [[shuffleRecords]]). */
-  private def shuffleBytes(body: => Unit): Long = {
-    val acc = new AtomicLong
-    val listener = new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        acc.addAndGet(
-          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      body
-      var prev = -1L
-      var stable = 0
-      while (stable < 3) {
-        Thread.sleep(100)
-        val now = acc.get
-        if (now == prev) stable += 1 else { stable = 0; prev = now }
-      }
-    } finally spark.sparkContext.removeSparkListener(listener)
-    acc.get
   }
 
   test("posting lists ship bounded partial states, not full doc-id sets") {

@@ -52,5 +52,17 @@ class StreamOuterJoinSpec extends SparkSpec {
     assert(byUser(1L).getDouble(4) == 1.5)
     assert(byUser(2L).isNullAt(3), "user 2 must emit an outer null row")
     assert(byUser(3L).isNullAt(3), "user 3's click is outside the hour")
+
+    // a clip the final watermark never reached must FAIL LOUDLY (r5
+    // advice): errors in [watermark, clip) still sit in join state, so
+    // returning quietly would silently drop their outer rows. Final
+    // watermark here = 10:00 late ticks − 1 h delay = 09:00; ask for
+    // 09:30 and the guard must reject the drain.
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps
+        .clickErrorLeftJoinAvailableNow(spark, dir, "souter_sink_bad",
+          endExclusive = "1970-01-01 09:30:00")
+    }
+    assert(e.getMessage.contains("watermark"), e.getMessage)
   }
 }

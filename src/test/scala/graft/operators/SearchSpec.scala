@@ -22,6 +22,22 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("inverted index: non-BIGINT ids keep working via the fallback path") {
+    // INT ids take the collect_set+slice fallback (documented:
+    // unbounded buffer — cast to BIGINT/STRING for the bounded path);
+    // results must match the native-path index modulo the id type
+    val intDocs = docs.withColumn("doc_id", col("doc_id").cast("int"))
+    val viaInt = Search.invertedIndex(intDocs, "doc_id", "text", maxPostings = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("cf"),
+          r.getSeq[Int](r.fieldIndex("postings")).map(_.toLong)))).toMap
+    val viaLong = Search.invertedIndex(docs, "doc_id", "text", maxPostings = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("cf"),
+          r.getSeq[Long](r.fieldIndex("postings"))))).toMap
+    assert(viaInt == viaLong)
+  }
+
   test("conjunctive search: every hit contains all terms") {
     val terms = Seq("spark", "vector")
     val hits = Search.conjunctiveSearch(docs, "doc_id", "text", terms, 1000)

@@ -132,6 +132,60 @@ class PodchartHttpSpec extends SparkSpec {
     }
   }
 
+  test("a 401 mid-job evicts the cached token, re-exchanges, and retries once") {
+    // stateful stub: every token exchange mints tok-N; the episodes
+    // endpoint only honors the LATEST minted token — so a consumer
+    // holding a cached earlier token gets 401 exactly like an expired
+    // bearer, and must refresh to proceed
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val minted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val calls = new ConcurrentLinkedQueue[String]()
+    def reply(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(UTF_8)
+      x.sendResponseHeaders(code, b.length.toLong)
+      x.getResponseBody.write(b)
+      x.close()
+    }
+    server.createContext("/token", (x: HttpExchange) => {
+      x.getRequestBody.readAllBytes()
+      reply(x, 200, s"""{"access_token":"tok-${minted.incrementAndGet()}"}""")
+    })
+    server.createContext("/v1/episodes", (x: HttpExchange) => {
+      val auth = Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      calls.add(auth)
+      if (auth == s"Bearer tok-${minted.get()}") reply(x, 200, """{"episodes":[]}""")
+      else reply(x, 401, """{"error":"expired"}""")
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val creds = OAuthClientCredentials(s"$base/token", "cid", "sekrit")
+      val lookup = graft.ops.HttpLookup.episodeService(
+        s"$base/v1/episodes", "us", creds)
+      assert(lookup(Seq("1")) == """{"episodes":[]}""") // caches tok-N
+      creds.fetchToken() // out-of-band exchange mints a newer token →
+      // the server now only honors it, "expiring" the cached one
+      // cached token is now stale → 401 → evict → re-exchange → succeed
+      assert(lookup(Seq("2")) == """{"episodes":[]}""")
+      import scala.jdk.CollectionConverters._
+      val seq = calls.asScala.toSeq
+      assert(seq.length == 3, s"expected ok, 401, refreshed-ok: $seq")
+      assert(seq(0) == seq(1), "retry must have been triggered by the stale token")
+      assert(seq(2) != seq(1), "the retried call must carry a fresh token")
+    } finally server.stop(0)
+  }
+
+  test("http.chart slug is validated at planning time") {
+    val e = intercept[Exception] {
+      spark.read.format("podchart")
+        .option("http.url", "http://127.0.0.1:1/api/charts")
+        .option("http.regions", "us")
+        .option("http.chart", "top episodes")
+        .load().collect()
+    }
+    assert(e.getMessage.contains("http.chart"), e.getMessage)
+  }
+
   test("batched episode lookup sends ids+market with the exchanged bearer token") {
     withServer { (base, seen) =>
       val s = spark
