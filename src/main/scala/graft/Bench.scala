@@ -126,6 +126,11 @@ object Bench {
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         f"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$detail,"value":$total%.3f}%n"""
           .getBytes("UTF-8"))
+      // the exact stdout metric line, also on disk — belt-and-braces
+      // for any consumer whose stdout capture window misses it
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LINE.json"),
+        (line + "\n").getBytes("UTF-8"))
       ()
     }
     // The metric line must be the LAST stdout line or the driver's

@@ -185,4 +185,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bounded_min_set ≡ slice(sort_array(collect_set)) for any longs/strings/k") {
+    import org.apache.spark.sql.graft.Bridge
+    val rowsGen: Gen[(List[Long], Int)] = for {
+      // duplicates and negatives on purpose; sizes straddle k
+      vs <- Gen.nonEmptyListOf(Gen.choose(-50L, 50L))
+      k <- Gen.choose(1, 12)
+    } yield (vs, k)
+    forAllSampled(rowsGen, n = 8) { case (vs, k) =>
+      val s = spark
+      import s.implicits._
+      // two groups with interleaved members, odd partitioning to force
+      // partial-state merges
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i % 2, v, s"s$v") }
+        .toDF("g", "v", "sv").repartition(5)
+      def bounded(c: String) = Bridge.column(
+        graft.functions.BoundedMinSetAgg(
+          Bridge.expression(col(c)), k).toAggregateExpression())
+      val got = df.groupBy("g").agg(
+        bounded("v").as("bl"), bounded("sv").as("bs"),
+        slice(sort_array(collect_set(col("v"))), 1, k).as("el"),
+        slice(sort_array(collect_set(col("sv"))), 1, k).as("es"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](3),
+          s"long mismatch for k=$k vs=$vs")
+        assert(r.getSeq[String](2) == r.getSeq[String](4),
+          s"string mismatch for k=$k vs=$vs")
+      }
+    }
+  }
 }
