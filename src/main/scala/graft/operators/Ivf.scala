@@ -86,11 +86,39 @@ object Ivf {
       k: Int, iterations: Int): DataFrame = {
     val vectors = quantized(embeddings, idCol, vecCol)
       .transform(graft.util.CacheScope.persist)
-    var cents = vectors.filter(col("vec_id") < k)
+    // the k SMALLEST ids actually present (TakeOrderedAndProject, no
+    // full sort) — `vec_id < k` is equivalent only for dense 0-based
+    // ids and silently under-seeds a filtered corpus (e.g. the
+    // incremental path's history slice)
+    var cents = vectors.orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cid"), col("qvec").as("cent"))
     for (_ <- 0 until iterations)
       cents = recompute(assign(vectors, cents))
     cents.transform(graft.util.CacheScope.persist)
+  }
+
+  /** Incremental index maintenance — the q65/q108 O(new) discipline
+    * extended to the ANN pillar: the codebook is trained on HISTORY
+    * only, and the day's new vectors are ASSIGNED to that fixed
+    * codebook in one broadcast-codebook pass over O(new) rows — no
+    * Lloyd re-iteration ever touches the accumulated corpus. Output
+    * per centroid: (cid, n_hist, n_new) — the occupancy census an
+    * index maintainer watches for drift (a centroid whose n_new share
+    * diverges from its n_hist share signals re-training). The codebook
+    * spine drives the join: a centroid that lost its history members
+    * in the final assignment still reports, zero-filled. */
+  def incrementalCounts(history: DataFrame, fresh: DataFrame,
+      idCol: String, vecCol: String, numCentroids: Int,
+      iterations: Int): DataFrame = {
+    val cents = centroids(history, idCol, vecCol, numCentroids, iterations)
+    def occupancy(df: DataFrame, as: String) =
+      assign(quantized(df, idCol, vecCol), cents)
+        .groupBy(col("cid")).agg(count(lit(1)).as(as))
+    cents.select(col("cid"))
+      .join(occupancy(history, "n_hist"), Seq("cid"), "left")
+      .join(occupancy(fresh, "n_new"), Seq("cid"), "left")
+      .na.fill(0L, Seq("n_hist", "n_new"))
+      .select(col("cid"), col("n_hist"), col("n_new"))
   }
 
   /** IVF top-k: probe the `nprobe` clusters nearest each query, exact

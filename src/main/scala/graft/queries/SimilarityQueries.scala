@@ -275,5 +275,99 @@ object SimilarityQueries extends QueryPack {
       ORDER BY bucket, rnk
     """))
 
-  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104)
+  // --------------------------------------------------------------- q110
+  // Incremental IVF maintenance: the codebook is trained on HISTORY
+  // only (vec_id % 5 <> 0, seeded by history's 8 smallest ids), and the
+  // "new day's" vectors (vec_id % 5 = 0) are ASSIGNED to that fixed
+  // codebook — one broadcast-codebook pass over O(new) rows, never a
+  // Lloyd re-iteration over the corpus. The q65/q108 incremental
+  // discipline extended to the ANN index; output = per-centroid
+  // occupancy census (drift monitor). Oracle unrolls the same
+  // integer-exact k-means as q36, restricted to the history slice.
+  private val q110 = Q(
+    "q110_incremental_ivf",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Ivf.incrementalCounts(
+          e.filter(col("vec_id") % 5 =!= 0),
+          e.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", numCentroids = 8, iterations = 2)
+        .orderBy(col("cid"))
+    },
+    Some(s"""
+      WITH vq AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      vh AS (SELECT * FROM vq WHERE vec_id % 5 <> 0),
+      vn AS (SELECT * FROM vq WHERE vec_id % 5 = 0),
+      c0 AS (
+        SELECT vec_id AS cid, qvec AS cent FROM vh
+        WHERE vec_id IN (SELECT vec_id FROM vh ORDER BY vec_id ASC LIMIT 8)),
+      a1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vh v, c0 c))
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM a1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      a2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vh v, c1 c))
+        WHERE rn = 1),
+      c2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM a2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      hist AS (
+        SELECT cid, COUNT(*) AS n FROM (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.qvec, v.qvec)
+                       - 2.0 * list_dot_product(v.qvec, c.cent)
+                       + list_dot_product(c.cent, c.cent) ASC, c.cid ASC) AS rn
+            FROM vh v, c2 c)
+          WHERE rn = 1)
+        GROUP BY cid),
+      neu AS (
+        SELECT cid, COUNT(*) AS n FROM (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.qvec, v.qvec)
+                       - 2.0 * list_dot_product(v.qvec, c.cent)
+                       + list_dot_product(c.cent, c.cent) ASC, c.cid ASC) AS rn
+            FROM vn v, c2 c)
+          WHERE rn = 1)
+        GROUP BY cid)
+      SELECT c2.cid, COALESCE(h.n, 0) AS n_hist, COALESCE(nu.n, 0) AS n_new
+      FROM c2
+      LEFT JOIN hist h USING (cid)
+      LEFT JOIN neu nu USING (cid)
+      ORDER BY c2.cid
+    """))
+
+  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110)
 }

@@ -27,7 +27,9 @@ class PlanAuditSpec extends SparkSpec {
       "q91_bigram_collocations",
       // q106's 1-row (n_docs, avgdl) broadcast fan — q68/q91's
       // corpus-constant class
-      "q106_bm25_search")
+      "q106_bm25_search",
+      // q110's ≤ numCentroids codebook fan — q36/q76's bounded class
+      "q110_incremental_ivf")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"

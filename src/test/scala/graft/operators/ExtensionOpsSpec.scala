@@ -349,6 +349,32 @@ class IvfSpec extends graft.SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t1 == b1)
   }
+
+  test("incremental IVF: occupancy is total on both slices, codebook from history only") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hist = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    val census = Ivf.incrementalCounts(hist, fresh, "vec_id", "embedding",
+      numCentroids = 8, iterations = 2).collect()
+    // every vector of BOTH slices is assigned exactly once
+    assert(census.map(_.getLong(1)).sum == hist.count())
+    assert(census.map(_.getLong(2)).sum == fresh.count())
+    // the codebook never saw the new batch: cids are history seeds'
+    // descendants — re-deriving centroids from history alone yields the
+    // same cid set (fixed-codebook property)
+    val histOnlyCids = Ivf.centroids(hist, "vec_id", "embedding", 8, 2)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(census.map(_.getLong(0)).toSet == histOnlyCids)
+    // seeding under id gaps: history excludes ids 0 and 5, so seeds
+    // must be the smallest PRESENT ids, not 0..7
+    assert(!histOnlyCids.contains(0L) && !histOnlyCids.contains(5L))
+    // partitioning invariance (integer-exact arithmetic end-to-end)
+    val repart = Ivf.incrementalCounts(hist.repartition(7),
+      fresh.repartition(3), "vec_id", "embedding", 8, 2).collect()
+    assert(census.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      == repart.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+  }
 }
 
 class StreamDedupSpec extends graft.SparkSpec {
