@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the codegen class cache is a 100-entry LRU by default — a
+      // 110-query suite evicts everything between passes, so every
+      // pass-2 sample pays janino recompilation + fresh JIT instead of
+      // measuring the steady state (which is what a warm production
+      // executor runs). Size it to hold the whole suite's generated
+      // classes. (static conf: must be set at session creation)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()

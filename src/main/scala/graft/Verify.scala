@@ -15,6 +15,9 @@ object Verify {
       // same single-JVM hygiene as Bench: reclaim dead checkpoint /
       // memory-sink blocks without waiting for an organic full GC
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // hold every query's generated classes (default LRU = 100
+      // entries — a 110-query run would churn regeneration)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       // saveAsTable-based queries (bucketed joins) must never drop a
       // spark-warehouse dir into the repo cwd
       .config("spark.sql.warehouse.dir",
