@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (SURVEY.md §7.5):
@@ -263,4 +263,32 @@ object TextAnalysis {
         regexp_replace(text, EmailRegex, "<EMAIL>"),
         UrlRegex, "<URL>"),
       NumRunRegex, "<NUM>")
+
+  /** Top-k most frequent tokens per group — per-language induced
+    * stopwords, the vocabulary census that seeds boilerplate scrubbing
+    * and mixture diagnostics. Output: (groupCol, token, cnt, rnk).
+    *
+    * Scale shape: the (group, token) counts partial-combine map-side
+    * (the exchange carries ≤ |vocab|·|groups| combined rows per task,
+    * not the token stream) and the per-group top-k prunes via
+    * WindowGroupLimit — nothing vocabulary-wide is globally sorted.
+    * When |vocab|·|groups| itself outgrows the aggregation state,
+    * swap the exact counts for [[Sketch.cmsHeavyHitters]] run per
+    * group — same output contract, sketch-bounded state. */
+  def topTokensPerGroup(docs: DataFrame, groupCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol),
+        explode(graft.operators.Dedup.words(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("token"), col("cnt"),
+        col("rnk").cast("int").as("rnk"))
+  }
 }

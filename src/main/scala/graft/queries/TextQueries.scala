@@ -483,6 +483,33 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q111
+  // Per-language top-10 tokens (grouped heavy hitters): the induced-
+  // stopword census that seeds q73's boilerplate scrub and per-mixture
+  // vocabulary diagnostics. (group, token) counts partial-combine
+  // map-side; the per-group top-k prunes via WindowGroupLimit — nothing
+  // vocabulary-wide is globally sorted. The sketch path for when
+  // vocab×groups outgrows exact state is Sketch.cmsHeavyHitters (q90).
+  private val q111 = Q(
+    "q111_top_tokens_per_lang",
+    (s, dir) => {
+      TextAnalysis.topTokensPerGroup(Tables(s, dir, "documents"),
+          "lang", "text", k = 10)
+        .orderBy(col("lang"), col("rnk"))
+    },
+    Some(s"""
+      SELECT lang, token, cnt, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT lang, token, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, token ASC) AS rnk
+        FROM (
+          SELECT lang, token, COUNT(*) AS cnt
+          FROM (SELECT lang, UNNEST($wordsSql) AS token FROM documents)
+          GROUP BY lang, token))
+      WHERE rnk <= 10
+      ORDER BY lang, rnk
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
-    q56, q57, q91, q101)
+    q56, q57, q91, q101, q111)
 }

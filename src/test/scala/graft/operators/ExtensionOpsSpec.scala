@@ -175,6 +175,24 @@ class SimilaritySpec extends SparkSpec {
 }
 
 class TextAnalysisSpec extends SparkSpec {
+  test("top tokens per group: dense ranks, non-increasing counts, exact on a crafted corpus") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("en", "a a a b b c"),
+      ("en", "b d"),
+      ("de", "x y x"))
+      .toDF("lang", "text")
+    val top = TextAnalysis.topTokensPerGroup(df, "lang", "text", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // en: a=3, b=3 → tie broken by token asc; de: x=2, y=1
+    assert(top.toSeq == Seq(
+      ("de", "x", 2L, 1), ("de", "y", 1L, 2),
+      ("en", "a", 3L, 1), ("en", "b", 3L, 2)))
+  }
+
   test("occurrence counting and language prediction") {
     val s = spark
     import s.implicits._
