@@ -79,6 +79,30 @@ object DiffOps {
       .drop("__tb")
   }
 
+  /** Point-in-time lookup against an SCD2 dimension: each fact row
+    * picks up the interval (from [[scd2Intervals]]'s output shape:
+    * entityCol, attr, valid_from, valid_to, is_current) that contains
+    * its timestamp — valid_from ≤ ts, and ts < valid_to or the
+    * interval is current. Intervals tile per entity without overlap,
+    * so at most one matches: the left join preserves the fact count
+    * exactly (facts before the entity's first interval get NULLs).
+    *
+    * Scale shape: an equi-join on the entity with the range condition
+    * as a post-filter — both sides co-partition on the entity key, the
+    * standard plan for PIT enrich (the dimension is O(changes) and
+    * often broadcastable besides; Catalyst picks broadcast when sizes
+    * allow). No interval explosion, no range cross join. */
+  def pitLookup(facts: DataFrame, intervals: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val dim = intervals.withColumnRenamed(entityCol, "__ent")
+    facts.join(dim,
+      facts(entityCol) === dim("__ent") &&
+        dim("valid_from") <= facts(tsCol) &&
+        (dim("valid_to").isNull || facts(tsCol) < dim("valid_to")),
+      "left")
+      .drop("__ent", "is_current")
+  }
+
   /** Missing members of a dense date spine: which days between `from`
     * and `to` (inclusive) have NO row in `df.dateCol`. The spine is a
     * generated sequence (no driver loop), the probe one anti-join. */

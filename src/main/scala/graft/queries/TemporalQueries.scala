@@ -162,6 +162,61 @@ object TemporalQueries extends QueryPack {
       ORDER BY user_id, valid_from_us
     """))
 
+  // --------------------------------------------------------------- q112
+  // Point-in-time enrichment (the warehouse-correctness join): every
+  // purchase picks up the user's state — the SCD2 interval built from
+  // the NON-purchase event history — valid at the purchase timestamp.
+  // Equi-join on the entity with the range predicate as post-filter
+  // (co-partitioned, no interval explosion); intervals tile without
+  // overlap so the left join preserves the fact count exactly.
+  private val q112 = Q(
+    "q112_pit_enrich",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val dim = graft.ops.DiffOps.scd2Intervals(
+          e.filter(col("event_type") =!= "purchase"),
+          "user_id", "event_type", "ts_us", Seq("ts_us", "event_id"))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      graft.ops.DiffOps.pitLookup(facts, dim, "user_id", "ts_us")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type").as("state"),
+          col("valid_from").as("state_since_us"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events),
+      chg AS (
+        SELECT user_id, event_type, ts_us,
+               LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+               event_id
+        FROM e WHERE event_type <> 'purchase'),
+      runs AS (
+        SELECT user_id, event_type, ts_us AS valid_from, event_id
+        FROM chg WHERE prev IS NULL OR prev <> event_type),
+      iv AS (
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (
+                 PARTITION BY user_id
+                 ORDER BY valid_from, event_id) AS valid_to
+        FROM runs),
+      p AS (
+        SELECT user_id, event_id, ts_us FROM e
+        WHERE event_type = 'purchase')
+      SELECT p.user_id, p.event_id, p.ts_us,
+             i.event_type AS state, i.valid_from AS state_since_us
+      FROM p LEFT JOIN iv i
+        ON i.user_id = p.user_id
+       AND i.valid_from <= p.ts_us
+       AND (i.valid_to IS NULL OR p.ts_us < i.valid_to)
+      ORDER BY p.user_id, p.ts_us, p.event_id
+    """))
+
   // ---------------------------------------------------------------- q97
   // Funnel analysis: per user the earliest view → first click at-or-
   // after it → first purchase at-or-after that, and the stage reached.
@@ -357,5 +412,5 @@ object TemporalQueries extends QueryPack {
       ORDER BY hour, event_type
     """))
 
-  def all: Seq[Q] = Seq(q77, q78, q79, q94, q97, q98, q107, q109)
+  def all: Seq[Q] = Seq(q77, q78, q79, q94, q97, q98, q107, q109, q112)
 }

@@ -49,6 +49,35 @@ class Scd2Spec extends SparkSpec {
     assert(rows.length < e.count())
   }
 
+  test("pit lookup: containing interval, pre-history null, boundary takes the new state") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, "A", 10L, 100L), (1L, "B", 30L, 101L), (1L, "A", 50L, 102L),
+      (2L, "X", 40L, 200L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val dim = DiffOps.scd2Intervals(log, "user_id", "event_type", "ts_us",
+      Seq("ts_us", "event_id"))
+    val facts = Seq(
+      (1L, 1000L, 5L),   // before any interval -> NULL state
+      (1L, 1001L, 10L),  // exactly at first valid_from -> A
+      (1L, 1002L, 30L),  // exactly at a change boundary -> the NEW state B
+      (1L, 1003L, 49L),  // mid second interval -> B
+      (1L, 1004L, 99L),  // in the open current interval -> A
+      (2L, 2000L, 41L),  // other entity -> X
+      (3L, 3000L, 10L))  // unknown entity -> NULL
+      .toDF("user_id", "event_id", "ts_us")
+    val out = DiffOps.pitLookup(facts, dim, "user_id", "ts_us")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(1), Option(r.getAs[String]("event_type"))))
+    assert(out.length == facts.count(), "fact count preserved (≤1 interval matches)")
+    assert(out.toSeq == Seq(
+      (1000L, None), (1001L, Some("A")), (1002L, Some("B")),
+      (1003L, Some("B")), (1004L, Some("A")),
+      (2000L, Some("X")), (3000L, None)))
+  }
+
   test("scd2 plans one entity shuffle for both windows") {
     val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"),
