@@ -52,6 +52,17 @@ object Ivf {
       .select(col("vec_id"), col("__m.qvec").as("qvec"),
         col("__m.cid").as("cid"), col("__m.d2").as("d2"))
 
+  /** [[assign]] for consumers that need only the cluster id: the
+    * argmin struct carries (d2, cid) — NOT the 64-element vector, which
+    * is ~20× the payload — through the exchange. Output: (vec_id, cid,
+    * d2). */
+  def assignIds(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("qvec"), col("cent")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("__m"))
+      .select(col("vec_id"), col("__m.cid").as("cid"), col("__m.d2").as("d2"))
+
   /** Mean of assigned vectors per centroid, element-wise. Exact integer
     * sums (order-free) divided by counts. Clusters that lose every
     * vector drop out (standard k-means behavior; k can shrink).
@@ -97,29 +108,36 @@ object Ivf {
     cents.transform(graft.util.CacheScope.persist)
   }
 
+  /** Occupancy census of `vectors` against a FIXED codebook: one
+    * broadcast-codebook pass, id-only argmin ([[assignIds]] — the
+    * vector never crosses the exchange). Output: (cid, countAs). */
+  def occupancy(codebook: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, countAs: String): DataFrame =
+    assignIds(quantized(vectors, idCol, vecCol), codebook)
+      .groupBy(col("cid")).agg(count(lit(1)).as(countAs))
+
   /** Incremental index maintenance — the q65/q108 O(new) discipline
-    * extended to the ANN pillar: the codebook is trained on HISTORY
-    * only, and the day's new vectors are ASSIGNED to that fixed
-    * codebook in one broadcast-codebook pass over O(new) rows — no
-    * Lloyd re-iteration ever touches the accumulated corpus. Output
-    * per centroid: (cid, n_hist, n_new) — the occupancy census an
-    * index maintainer watches for drift (a centroid whose n_new share
-    * diverges from its n_hist share signals re-training). The codebook
-    * spine drives the join: a centroid that lost its history members
-    * in the final assignment still reports, zero-filled. */
-  def incrementalCounts(history: DataFrame, fresh: DataFrame,
-      idCol: String, vecCol: String, numCentroids: Int,
-      iterations: Int): DataFrame = {
-    val cents = centroids(history, idCol, vecCol, numCentroids, iterations)
-    def occupancy(df: DataFrame, as: String) =
-      assign(quantized(df, idCol, vecCol), cents)
-        .groupBy(col("cid")).agg(count(lit(1)).as(as))
-    cents.select(col("cid"))
-      .join(occupancy(history, "n_hist"), Seq("cid"), "left")
-      .join(occupancy(fresh, "n_new"), Seq("cid"), "left")
+    * extended to the ANN pillar. STORED STATE in, O(new) work per
+    * call: `codebook` (cid, cent) and `priorCensus` (cid, n_hist) are
+    * the persisted index tables (built once by [[centroids]] +
+    * [[occupancy]], re-built only on explicit retrain); the day's
+    * `fresh` vectors are ASSIGNED to the fixed codebook in one
+    * broadcast pass over O(new) rows — no Lloyd re-iteration and no
+    * history re-scan ever happens here (the same contract as
+    * Dedup.incrementalMinhash taking the stored signature index).
+    * Output per centroid: (cid, n_hist, n_new) — the occupancy census
+    * an index maintainer watches for drift (a centroid whose n_new
+    * share diverges from its n_hist share signals re-training). The
+    * codebook spine drives the join: a centroid with no members on
+    * either side still reports, zero-filled. */
+  def incrementalCounts(codebook: DataFrame, priorCensus: DataFrame,
+      fresh: DataFrame, idCol: String, vecCol: String): DataFrame =
+    codebook.select(col("cid"))
+      .join(priorCensus.select(col("cid"), col("n_hist")), Seq("cid"), "left")
+      .join(occupancy(codebook, fresh, idCol, vecCol, "n_new"),
+        Seq("cid"), "left")
       .na.fill(0L, Seq("n_hist", "n_new"))
       .select(col("cid"), col("n_hist"), col("n_new"))
-  }
 
   /** IVF top-k: probe the `nprobe` clusters nearest each query, exact
     * cosine rerank inside them (norm-precomputed, same formula as
@@ -130,7 +148,9 @@ object Ivf {
       nprobe: Int): DataFrame = {
     val cents = centroids(embeddings, idCol, vecCol, numCentroids, iterations)
     val vectors = quantized(embeddings, idCol, vecCol)
-    val assigned = assign(vectors, cents).select(col("vec_id"), col("cid"))
+    // id-only argmin: the base assignment never needs the vector, so
+    // don't ship 64 elements per row through the exchange
+    val assigned = assignIds(vectors, cents).select(col("vec_id"), col("cid"))
 
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)

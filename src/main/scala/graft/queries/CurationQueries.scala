@@ -183,7 +183,8 @@ object CurationQueries extends QueryPack {
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
         FROM embeddings),
-      c0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx WHERE vec_id < 8),
+      c0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx
+             WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
       a1 AS (
         SELECT vec_id, qvec, cid FROM (
           SELECT vec_id, qvec, cid,

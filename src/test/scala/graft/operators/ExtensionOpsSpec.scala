@@ -368,30 +368,46 @@ class IvfSpec extends graft.SparkSpec {
     assert(t1 == b1)
   }
 
-  test("incremental IVF: occupancy is total on both slices, codebook from history only") {
+  test("incremental IVF: occupancy is total on both slices, daily step never touches history") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val hist = e.filter(col("vec_id") % 5 =!= 0)
     val fresh = e.filter(col("vec_id") % 5 === 0)
-    val census = Ivf.incrementalCounts(hist, fresh, "vec_id", "embedding",
-      numCentroids = 8, iterations = 2).collect()
+    // stored state: codebook + census, built once from history and
+    // MATERIALIZED (collect + rebuild = the persisted index tables a
+    // real pipeline reads back) so the daily plan can't silently
+    // recompute them from the history scan
+    def stored(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val cbDf = stored(Ivf.centroids(hist, "vec_id", "embedding", 8, 2))
+    val codebook = cbDf.collect()
+    val census = stored(
+      Ivf.occupancy(cbDf, hist, "vec_id", "embedding", "n_hist"))
+    val out = Ivf.incrementalCounts(cbDf, census, fresh,
+      "vec_id", "embedding").collect()
     // every vector of BOTH slices is assigned exactly once
-    assert(census.map(_.getLong(1)).sum == hist.count())
-    assert(census.map(_.getLong(2)).sum == fresh.count())
-    // the codebook never saw the new batch: cids are history seeds'
-    // descendants — re-deriving centroids from history alone yields the
-    // same cid set (fixed-codebook property)
-    val histOnlyCids = Ivf.centroids(hist, "vec_id", "embedding", 8, 2)
-      .select("cid").collect().map(_.getLong(0)).toSet
-    assert(census.map(_.getLong(0)).toSet == histOnlyCids)
+    assert(out.map(_.getLong(1)).sum == hist.count())
+    assert(out.map(_.getLong(2)).sum == fresh.count())
+    // the codebook never saw the new batch (fixed-codebook property)
+    assert(out.map(_.getLong(0)).toSet ==
+      codebook.map(_.getLong(0)).toSet)
     // seeding under id gaps: history excludes ids 0 and 5, so seeds
     // must be the smallest PRESENT ids, not 0..7
-    assert(!histOnlyCids.contains(0L) && !histOnlyCids.contains(5L))
+    val cids = codebook.map(_.getLong(0)).toSet
+    assert(!cids.contains(0L) && !cids.contains(5L))
     // partitioning invariance (integer-exact arithmetic end-to-end)
-    val repart = Ivf.incrementalCounts(hist.repartition(7),
-      fresh.repartition(3), "vec_id", "embedding", 8, 2).collect()
-    assert(census.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val repart = Ivf.incrementalCounts(cbDf,
+      Ivf.occupancy(cbDf, hist.repartition(7), "vec_id", "embedding", "n_hist"),
+      fresh.repartition(3), "vec_id", "embedding").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
       == repart.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+    // with stored state, the daily step's plan touches the FRESH slice
+    // only — no parquet re-scan of the corpus hides inside
+    val dailyPlan = Ivf.incrementalCounts(cbDf, census, fresh,
+      "vec_id", "embedding").queryExecution.optimizedPlan.toString
+    assert("Relation.*parquet".r.findAllIn(dailyPlan).length == 1,
+      s"daily step must scan only the fresh batch:\n$dailyPlan")
   }
 }
 
