@@ -32,7 +32,9 @@ object SemDedup {
     val cents = Ivf.centroids(embeddings, idCol, vecCol,
       numCentroids, iterations)
     val vectors = Ivf.quantized(embeddings, idCol, vecCol)
-    val assigned = Ivf.assign(vectors, cents)
+    // id-only argmin: the rep election needs (cid, d2) only — the
+    // 64-element vector must not ride the exchange (Ivf.assignIds)
+    val assigned = Ivf.assignIds(vectors, cents)
       .select(col("vec_id"), col("cid"), col("d2"))
 
     val wRep = Window.partitionBy(col("cid"))
