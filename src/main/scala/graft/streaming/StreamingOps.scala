@@ -69,6 +69,78 @@ object StreamingOps {
     dir
   }
 
+  /** Harness checkpoint directory on tmpfs when available: the state
+    * store commits a delta file per partition per micro-batch to the
+    * checkpoint location, and on this box /tmp is disk-backed while
+    * /dev/shm is tmpfs — for a finite gate drain the checkpoint is
+    * throwaway, so memory-speed deltas are pure win. Production
+    * checkpoints must be durable storage (HDFS/object store); this
+    * helper is for the memory-sink gate harness only, and the caller
+    * deletes the directory in a finally. */
+  private def harnessCheckpoint(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.util.Try
+    Try {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
+    ()
+  }
+
+  /** Shared gate-harness drain: write `df` to a memory sink named
+    * `queryName`, AvailableNow, await, return the terminated query (the
+    * result table is `spark.table(queryName)`). Centralizes the three
+    * fixed-cost knobs every drain wants:
+    *  - 8 state partitions, not one per CPU (a stateful query captures
+    *    shuffle.partitions at start as its state-store count; a real
+    *    deployment sizes this to state volume, not CPU count);
+    *  - checkpoint on tmpfs ([[harnessCheckpoint]]), deleted after;
+    *  - `noDataBatches=false` where the drain's OUTPUT doesn't need a
+    *    trailing watermark-flush micro-batch — complete-mode aggs
+    *    re-emit everything in the data batch, and append-mode inner
+    *    joins / dedup / flatMapGroupsWithState emit on arrival, so the
+    *    no-data batch only does state cleanup a terminating drain never
+    *    benefits from. Left-OUTER joins MUST keep it (unmatched rows
+    *    are flushed by exactly that batch).
+    * Session confs are set/restored around the drain so nothing leaks
+    * to whatever query runs next in the shared session. */
+  private def drainToMemory(spark: SparkSession, df: DataFrame,
+      queryName: String, mode: OutputMode, noDataBatches: Boolean,
+      statePartitions: String = "8")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val prevNoData = spark.conf.getOption(noDataKey)
+    val ckpt = harnessCheckpoint(s"graft_ckpt_$queryName")
+    spark.conf.set(shuffleKey, statePartitions)
+    spark.conf.set(noDataKey, noDataBatches.toString)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    } finally {
+      spark.conf.set(shuffleKey, prevShuffle)
+      prevNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None    => spark.conf.unset(noDataKey)
+      }
+      deleteRecursively(ckpt)
+    }
+  }
+
   /** Streaming hourly windowed aggregation with a 1-hour watermark,
     * drained synchronously with Trigger.AvailableNow into a memory sink
     * (complete mode, so every window is emitted for the batch-parity
@@ -97,19 +169,10 @@ object StreamingOps {
           .cast("double").as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
-    // stateful queries capture shuffle.partitions at start as the state
-    // partition count; 8 stores, not one per CPU, for a bounded drain
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // complete mode re-emits the whole state in the data batch — the
+    // trailing no-data batch adds nothing to a terminating drain
+    drainToMemory(spark, agg, queryName, OutputMode.Complete(),
+      noDataBatches = false)
     spark.table(queryName)
   }
 
@@ -131,10 +194,16 @@ object StreamingOps {
     withNanosAsLong(spark) {
     val streamDir = scratchDir("graft_ssjo",
       "events.parquet" -> s"$dir/events.parquet")
-    def side(): DataFrame = spark.readStream
+    // ONE source feeding both join sides: branches of the same
+    // streaming relation instance are deduplicated by the micro-batch
+    // executor, so the file is listed and decoded once per trigger
+    // instead of once per side (two `readStream` calls would each scan
+    // the full input)
+    val src: DataFrame = spark.readStream
       .schema(eventsSchema)
       .parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def side(): DataFrame = src
     // the clip goes AFTER the watermark node: the EventTimeWatermark
     // operator must see the UNCLIPPED error stream so late errors keep
     // advancing the global watermark past every retained row's window
@@ -158,16 +227,11 @@ object StreamingOps {
       "leftOuter")
       .select(col("user_id"), col("err_id"), col("err_ts"),
         col("click_id"), col("click_value"))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    // no-data batches stay ON: the left-outer flush of unmatched rows
+    // happens in exactly the trailing watermark-advance micro-batch
+    locally {
+      val q = drainToMemory(spark, joined, queryName, OutputMode.Append(),
+        noDataBatches = true)
       // Determinism guard (r5 advice): the drain equals the batch LEFT
       // JOIN only if every retained outer row's window closed before
       // the data ran out — i.e. the FINAL global watermark passed the
@@ -193,7 +257,7 @@ object StreamingOps {
         s"endExclusive=$endExclusive is past the final watermark $wm: " +
           "unmatched errors in [watermark, endExclusive) are still held " +
           "in state and would be silently dropped — clip earlier")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table(queryName)
   }
 
@@ -209,10 +273,13 @@ object StreamingOps {
       queryName: String): DataFrame = withNanosAsLong(spark) {
     val streamDir = scratchDir("graft_ssj",
       "events.parquet" -> s"$dir/events.parquet")
-    def side(): DataFrame = spark.readStream
+    // one source, two branches — listed and decoded once per trigger
+    // (see clickErrorLeftJoinAvailableNow)
+    val src: DataFrame = spark.readStream
       .schema(eventsSchema)
       .parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def side(): DataFrame = src
     val errors = side()
       .filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("err_id"),
@@ -229,22 +296,10 @@ object StreamingOps {
               click_ts <= err_ts"""))
       .select(col("user_id"), col("err_id"), col("err_ts"),
         col("click_id"), col("click_value"))
-    // A stateful query captures shuffle.partitions at start and keeps
-    // one state store per partition PER SIDE per micro-batch — at 32
-    // partitions the store setup dominates a small drain. Run the
-    // stream at 8 state partitions (a real deployment sizes this to
-    // state volume, not to CPU count), restore the session conf after.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = joined.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // INNER join emits on match during the data batch — the trailing
+    // no-data batch only evicts state a terminating drain discards
+    drainToMemory(spark, joined, queryName, OutputMode.Append(),
+      noDataBatches = false)
     spark.table(queryName)
   }
 
@@ -269,17 +324,8 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(14,2)"))
           .cast("double").as("sum_value"))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = enriched.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    drainToMemory(spark, enriched, queryName, OutputMode.Complete(),
+      noDataBatches = false)
     spark.table(queryName)
   }
 
@@ -374,17 +420,9 @@ object StreamingOps {
       .dropDuplicates("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = deduped.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // append-mode dedup emits first-arrivals during the data batch
+    drainToMemory(spark, deduped, queryName, OutputMode.Append(),
+      noDataBatches = false)
     spark.table(queryName)
   }
 
@@ -407,17 +445,10 @@ object StreamingOps {
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
       .as[Ev]
     val assigned = sessionize(evs, gapMicros)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = assigned.toDF().writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // flatMapGroupsWithState emits during the data batch (NoTimeout —
+    // nothing is watermark-deferred)
+    drainToMemory(spark, assigned.toDF(), queryName, OutputMode.Append(),
+      noDataBatches = false)
     spark.table(queryName)
   }
 
