@@ -53,9 +53,22 @@ object TextAnalysis {
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
   /** BPE-ish token estimate: ceil(non-space chars / 4) — the standard
-    * chars-per-token heuristic, exact integer arithmetic. */
+    * chars-per-token heuristic, exact integer arithmetic. The documented
+    * FAST PATH: O(1) per row, no merges table. For the exact count
+    * under a pinned merges table use [[bpeTokenCount]]. */
   def bpeTokenEstimate(text: Column): Column =
     ceil(length(regexp_replace(text, "\\s", "")) / lit(4.0)).cast("long")
+
+  /** EXACT greedy BPE token count over the pinned
+    * [[graft.functions.BpeTokenizer.merges]] table — a native
+    * codegen'd expression (in-row symbol merging, per-thread word
+    * memo, zero shuffle). Contrast [[bpeTokenEstimate]], the O(1)
+    * heuristic: use the estimate for monitoring-grade counts, this for
+    * token-budget decisions that must reproduce a tokenizer bit-exactly. */
+  def bpeTokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BpeTokenCount(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
 
   private def countMatching(text: Column, charClassRegex: String): Column =
     length(regexp_replace(text, charClassRegex, "")).cast("long")

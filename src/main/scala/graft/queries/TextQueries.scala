@@ -510,6 +510,33 @@ object TextQueries extends QueryPack {
       ORDER BY lang, rnk
     """))
 
+  // --------------------------------------------------------------- q113
+  // EXACT greedy BPE tokenization under the pinned merges table
+  // (functions/BpeTokenize.scala) — per-doc counts, plus the whitespace
+  // token count as a sanity anchor (BPE can only refine word splits, so
+  // n_bpe >= n_ws on alphabet-only text). The oracle's replace-chain is
+  // GENERATED from the same merges Vector the native expression reads,
+  // so the two sides cannot drift independently.
+  private val q113 = Q(
+    "q113_bpe_tokens",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             ${graft.functions.BpeTokenizer.oracleCountFromSymbolsSql("bpe_s")} AS n_bpe,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws
+      FROM (SELECT doc_id, text,
+              ${graft.functions.BpeTokenizer.oracleSymbolStreamSql("text")} AS bpe_s
+            FROM documents)
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
-    q56, q57, q91, q101, q111)
+    q56, q57, q91, q101, q111, q113)
 }

