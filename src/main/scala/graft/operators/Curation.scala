@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level boilerplate removal (the CCNet/C4 idea: content that
@@ -54,4 +54,38 @@ object Curation {
         size(col("__kept")).cast("bigint").as("n_after"),
         array_join(col("__kept"), " ").as("clean_text"))
   }
+
+  /** Registered host of a URL, lowercased: scheme, optional userinfo,
+    * and port/path/query/fragment stripped. A single regexp_extract so
+    * the oracle can run the IDENTICAL pattern (the char classes are
+    * Java-regex ∩ RE2 — no lookarounds, no shorthand classes). NULL
+    * scheme-less / malformed inputs yield an empty string (regexp's
+    * no-match value on both engines), which downstream quota/blocklist
+    * logic treats as its own bucket rather than dropping silently. */
+  def extractHost(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
+
+  /** Per-host document quota: keep the `perHost` hash-smallest docs of
+    * each host — the per-group-cap discipline of the reference's
+    * top-200-per-region chart (spotify_eps.py:75), applied to the
+    * pretraining-corpus problem of a few giant domains swamping the
+    * mixture. Deterministic (md5 order, id tie-break), and the plan is
+    * a WindowGroupLimit per host group — no corpus-wide sort, the
+    * hosts shuffle once on the partition key. */
+  def hostQuota(docs: DataFrame, hostCol: String, idCol: String,
+      perHost: Int): DataFrame =
+    Sampling.stratifiedSample(docs, hostCol, idCol, perHost)
+
+  /** Drop documents whose host is on a blocklist — broadcast ANTI-join
+    * rather than `isin`: a production blocklist is a table of thousands
+    * of hosts that ships to executors once, not a literal baked into
+    * the plan. The blocklist side is deduplicated defensively (a dup
+    * in a blocklist must not drop extra rows — anti-join semantics
+    * guarantee that, the distinct just keeps the broadcast minimal). */
+  def hostBlocklistFilter(docs: DataFrame, hostCol: String,
+      blocklist: DataFrame, blockHostCol: String): DataFrame =
+    docs.join(
+      broadcast(blocklist.select(col(blockHostCol).as("__blocked")).distinct()),
+      col(hostCol) === col("__blocked"), "left_anti")
 }

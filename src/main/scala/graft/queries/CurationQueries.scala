@@ -387,5 +387,50 @@ object CurationQueries extends QueryPack {
     """
     })
 
-  def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88)
+  // --------------------------------------------------------------- q114
+  // Host-level curation: the per-group-cap discipline of the
+  // reference's top-200-per-region chart applied to domains. The
+  // corpus has no url column, so the gate FABRICATES one
+  // deterministically from (source, doc_id) — with userinfo and a port
+  // so extractHost's stripping is actually exercised — then: blocklist
+  // anti-join (broadcast) -> per-host quota (hash-smallest-10,
+  // WindowGroupLimit — no corpus-wide sort). Oracle runs the identical
+  // regexp + md5 rank in DuckDB.
+  private val q114 = Q(
+    "q114_host_curation",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("url",
+          concat(lit("https://crawler@"), col("source"),
+            lit(".example.org:8443/docs/"), col("doc_id")))
+      val withHost = docs
+        .withColumn("host", Curation.extractHost(col("url")))
+      val blocklist = Seq("src3.example.org", "src7.example.org",
+        "src12.example.org").toDF("blocked_host")
+      val kept = Curation.hostQuota(
+        Curation.hostBlocklistFilter(withHost, "host", blocklist, "blocked_host"),
+        "host", "doc_id", perHost = 10)
+      kept.select(col("doc_id"), col("host"))
+        .orderBy(col("host"), col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, host FROM (
+        SELECT doc_id, host,
+               ROW_NUMBER() OVER (PARTITION BY host
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                          doc_id ASC) AS rk
+        FROM (
+          SELECT doc_id,
+                 lower(regexp_extract(
+                   'https://crawler@' || source || '.example.org:8443/docs/' || CAST(doc_id AS VARCHAR),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+          FROM documents)
+        WHERE host NOT IN ('src3.example.org', 'src7.example.org', 'src12.example.org'))
+      WHERE rk <= 10
+      ORDER BY host, doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114)
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Host-level curation (q114): URL host extraction edge cases, the
+  * blocklist anti-join's no-amplification property, the per-host quota
+  * bound, and the plan shape (WindowGroupLimit prune, broadcast
+  * anti-join, no corpus-wide sort).
+  */
+class HostCurationSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def hostOf(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(Curation.extractHost(col("u"))).head().getString(0)
+  }
+
+  test("extractHost strips scheme, userinfo, port, path, query, case") {
+    assert(hostOf("https://example.com/path?q=1") == "example.com")
+    assert(hostOf("http://user:pw@Example.COM:8080/x#f") == "example.com")
+    assert(hostOf("ftp://archive.EXAMPLE.org") == "archive.example.org")
+    assert(hostOf("https://192.168.0.1:443/admin") == "192.168.0.1")
+    assert(hostOf("x+y-z://host.tld") == "host.tld")
+    // scheme-less / malformed -> empty-string bucket, not a silent drop
+    assert(hostOf("example.com/no-scheme") == "")
+    assert(hostOf("not a url") == "")
+  }
+
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    (0L until 200L).map { i =>
+      // skewed: host h0 gets 101 docs, the rest spread over 9 hosts
+      val h = if (i < 101) "h0" else s"h${(i % 9) + 1}"
+      (i, s"https://$h.example.org:443/d/$i")
+    }.toDF("doc_id", "url")
+      .withColumn("host", Curation.extractHost(col("url")))
+  }
+
+  test("blocklist anti-join drops exactly the listed hosts, dups harmless") {
+    import spark.implicits._
+    // duplicate blocklist entries must not over-drop (anti-join, not inner)
+    val bl = Seq("h1.example.org", "h1.example.org", "absent.example.org")
+      .toDF("blocked_host")
+    val kept = Curation.hostBlocklistFilter(corpus, "host", bl, "blocked_host")
+    assert(kept.filter(col("host") === "h1.example.org").count() == 0)
+    val droppedExpected = corpus.filter(col("host") === "h1.example.org").count()
+    assert(kept.count() == corpus.count() - droppedExpected)
+  }
+
+  test("quota caps every host at k, keeps small hosts whole, deterministic") {
+    val capped = Curation.hostQuota(corpus, "host", "doc_id", perHost = 10)
+    val perHost = capped.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perHost("h0.example.org") == 10, "the 101-doc host must be capped at 10")
+    // hosts under quota keep all docs
+    val smallSizes = corpus.filter(col("host") =!= "h0.example.org")
+      .groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    smallSizes.foreach { case (h, n) =>
+      assert(perHost(h) == math.min(n, 10L), s"host $h: ${perHost(h)} vs $n")
+    }
+    // deterministic across runs
+    val again = Curation.hostQuota(corpus, "host", "doc_id", perHost = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val first = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(first == again)
+  }
+
+  test("plan: WindowGroupLimit prune, broadcast anti-join, no global sort") {
+    import spark.implicits._
+    val bl = Seq("h1.example.org").toDF("blocked_host")
+    val plan = Curation.hostQuota(
+        Curation.hostBlocklistFilter(corpus, "host", bl, "blocked_host"),
+        "host", "doc_id", perHost = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-host cap must prune below the window sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist must be a broadcast anti-join:\n$plan")
+    // the only Sort allowed is the PARTIAL one under the window (printed
+    // "Sort [...], false, 0") — a global Sort ("..., true, 0") would be
+    // a corpus-wide ordering
+    assert(!plan.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"),
+      s"unexpected global sort:\n$plan")
+  }
+}
