@@ -25,7 +25,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q95,q115 dumps a comma-separated prefix subset
+    // (local oracle-iteration aid, same semantics as Bench; the driver
+    // never sets it, so its runs are always the full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(prefixes) =>
+        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // operator-internal caches live exactly as long as the query's
       // build+write; clearCache besides, so no cache (scoped or not)
       // leaks into the next query's run

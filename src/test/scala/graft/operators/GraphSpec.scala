@@ -41,6 +41,31 @@ class GraphSpec extends SparkSpec {
       s"expected suppliers on top, got node ${r.getLong(0)}"))
   }
 
+  test("pagerank: superseded checkpoint blocks are freed, not accumulated") {
+    // 9 iterations → localCheckpoint at i=4, superseded + eagerly freed
+    // at i=8 (Graph.scala's `i % 4` branch). After the CacheScope
+    // unwinds the operator-internal persists, at most ONE extra RDD —
+    // the live i=8 checkpoint — may remain registered. Two would mean
+    // the eager free regressed to GC-time cleanup.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    graft.util.CacheScope.withScope {
+      val ranks = Graph.pageRank(
+        Graph.bipartiteEdges(
+          spark.read.parquet("/root/testdata/sf0.001/customer.parquet"),
+          "c_custkey", "c_nationkey"),
+        iterations = 9)
+      assert(ranks.count() > 0)
+    }
+    // unpersists are non-blocking — poll until the drops land
+    val deadline = System.currentTimeMillis + 30000
+    def extra = (sc.getPersistentRDDs.keySet -- before).size
+    while (extra > 1 && System.currentTimeMillis < deadline)
+      Thread.sleep(200)
+    assert(extra <= 1,
+      s"expected at most the live checkpoint to stay registered, got $extra")
+  }
+
   test("pagerank: invariant to input partitioning (integer-exact)") {
     val edges = Graph.bipartiteEdges(lineitem, "l_partkey", "l_suppkey")
     val a = Graph.pageRank(edges, iterations = 2)
