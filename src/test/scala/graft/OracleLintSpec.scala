@@ -32,6 +32,49 @@ class OracleLintSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("IVF oracle seeding stays in sync with Ivf.centroids") {
+    // The q36/q76/q110 oracles unroll the engine's k-means and must
+    // encode the SAME seeding rule as Ivf.centroids: the k SMALLEST
+    // vec_ids ACTUALLY PRESENT in the clustered corpus
+    // (Ivf.scala `orderBy(vec_id).limit(k)`), spelled in SQL as a
+    // `vec_id IN (SELECT vec_id FROM <corpus> ORDER BY vec_id ASC
+    // LIMIT k)` c0 CTE. If either side's seeding changes alone the
+    // other silently diverges — this guard fails instead.
+    //
+    // Oracle side: each IVF oracle must contain the canonical c0 CTE,
+    // seeding FROM the same corpus CTE it filters over (backreference).
+    val seedRe =
+      ("""c0 AS \(\s*SELECT vec_id AS cid, qvec AS cent FROM (\w+)\s+""" +
+        """WHERE vec_id IN \(SELECT vec_id FROM \1 """ +
+        """ORDER BY vec_id ASC LIMIT 8\)\)""").r
+    val oracles = SparkEntry.oracleSql
+    Seq("q36_ann_ivf", "q76_semantic_dedup", "q110_incremental_ivf")
+      .foreach { name =>
+        val sql = oracles.getOrElse(name, fail(s"$name has no oracle"))
+        assert(seedRe.findFirstIn(sql).nonEmpty,
+          s"$name oracle no longer contains the canonical smallest-k " +
+            "seeding CTE — re-sync it with Ivf.centroids before changing " +
+            "either side")
+      }
+
+    // Engine side: zero-iteration centroids ARE the seeds; they must be
+    // the smallest-k ids present — including on a filtered corpus (the
+    // q110 history slice), where `vec_id < k` would under-seed.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def seedIds(corpus: org.apache.spark.sql.DataFrame): Seq[Long] =
+      graft.operators.Ivf.centroids(corpus, "vec_id", "embedding",
+          k = 8, iterations = 0)
+        .select("cid").collect().map(_.getLong(0)).sorted.toSeq
+    def smallestPresent(corpus: org.apache.spark.sql.DataFrame): Seq[Long] =
+      corpus.select(col("vec_id")).orderBy(col("vec_id").asc).limit(8)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seedIds(emb) == smallestPresent(emb))
+    val history = emb.filter(col("vec_id") % 5 =!= 0)
+    assert(seedIds(history) == smallestPresent(history),
+      "seeding must pick the smallest ids PRESENT, not assume dense ids")
+  }
+
   test("no registered query emits a DECIMAL output column") {
     // The driver's hash renders decimals float-style on one side and
     // scale-exact on the other, so ANY DecimalType output column
