@@ -91,9 +91,23 @@ object DiffOps {
     * as a post-filter — both sides co-partition on the entity key, the
     * standard plan for PIT enrich (the dimension is O(changes) and
     * often broadcastable besides; Catalyst picks broadcast when sizes
-    * allow). No interval explosion, no range cross join. */
+    * allow). No interval explosion, no range cross join.
+    *
+    * The dimension's payload columns (everything but `entityCol` and
+    * `is_current`) land in the output UNDER THEIR OWN NAMES, so they
+    * must not collide with fact columns — a silent collision would
+    * produce ambiguous duplicate columns that break downstream
+    * resolution. Checked eagerly: pre-select/rename on either side
+    * (q112 selects the fact columns it keeps) and re-call. */
   def pitLookup(facts: DataFrame, intervals: DataFrame, entityCol: String,
       tsCol: String): DataFrame = {
+    val payloadCols =
+      intervals.columns.filterNot(c => c == entityCol || c == "is_current")
+    val collisions = facts.columns.toSet
+      .intersect(payloadCols.toSet + "__ent")
+    require(collisions.isEmpty,
+      s"pitLookup: fact columns ${collisions.mkString(", ")} collide " +
+        "with the dimension payload; rename or pre-select before joining")
     val dim = intervals.withColumnRenamed(entityCol, "__ent")
     facts.join(dim,
       facts(entityCol) === dim("__ent") &&

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.sources.{HttpFetch, OAuthClientCredentials}
+import graft.sources.{HttpFetch, HttpStatusException, OAuthClientCredentials}
 
 /** Online lookup closures for [[BatchedLookup.fetchPayloads]] — the
   * production counterpart of `fixtureEpisodeService`.
@@ -32,7 +32,7 @@ object HttpLookup {
         // identically until the job aborts. Evict, re-exchange once,
         // and retry the call; a second 401 is a genuine auth failure
         // and propagates (task failure → task retry, as for any 4xx).
-        case e: java.io.IOException if e.getMessage.contains("HTTP 401") =>
+        case HttpStatusException(401, _) =>
           tokens.remove(creds)
           HttpFetch.get(url, tokenHeader(creds))
       }

@@ -13,6 +13,15 @@ import java.time.Duration
   * scheduler's task retry (`spark.task.maxFailures`) plays the role of
   * the Airflow task retry the reference relies on.
   */
+/** Non-2xx response, carried as a TYPED status so callers branch on
+  * `status` (e.g. [[graft.ops.HttpLookup]]'s 401 token refresh) instead
+  * of string-matching the message — a message-format change must not be
+  * able to silently disable auth-retry logic. Still an IOException, so
+  * generic task-failure handling is unchanged.
+  */
+case class HttpStatusException(status: Int, url: String)
+  extends java.io.IOException(s"HTTP $status for $url")
+
 object HttpFetch {
 
   // one client per JVM (executor): connection pooling across partitions
@@ -24,8 +33,7 @@ object HttpFetch {
   private def send(req: HttpRequest, url: String): String = {
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
     if (resp.statusCode() / 100 != 2)
-      throw new java.io.IOException(
-        s"HTTP ${resp.statusCode()} for $url") // raise_for_status
+      throw HttpStatusException(resp.statusCode(), url) // raise_for_status
     resp.body()
   }
 
@@ -78,13 +86,15 @@ case class OAuthClientCredentials(
     val body = HttpFetch.postForm(tokenUrl,
       Map("Authorization" -> s"Basic $basic"),
       Map("grant_type" -> "client_credentials"))
-    // extract access_token without growing a JSON-library dependency;
-    // RFC 6749 token responses are one flat object
-    """"access_token"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(body)
-      .map(_.group(1))
-      .getOrElse(throw new java.io.IOException(
-        s"no access_token in token response from $tokenUrl"))
+    // parse with Jackson (already on Spark's classpath — no new
+    // dependency): a regex over the raw body would mis-read legal
+    // responses with escaped quotes/backslashes in preceding fields
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body).get("access_token")
+    if (node == null || !node.isTextual || node.asText().isEmpty)
+      throw new java.io.IOException(
+        s"no access_token in token response from $tokenUrl")
+    node.asText()
   }
 
   def bearerHeader(): Map[String, String] =

@@ -73,8 +73,6 @@ object PodchartDataSource {
     // identically on every executor task retry
     require(chart.matches("[A-Za-z0-9_-]+"),
       s"http.chart must be a bare chart slug ([A-Za-z0-9_-]+), got '$chart'")
-    val date = Option(opts.get("http.date")).getOrElse(
-      java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
     val referer = Option(opts.get("http.referer"))
     val regions = Option(opts.get("http.regions"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -82,6 +80,20 @@ object PodchartDataSource {
       .getOrElse(throw new IllegalArgumentException(
         "podchart http mode needs http.regions (comma-separated), e.g. " +
           "option(\"http.regions\", \"us,gb\")"))
+    // http.date is REQUIRED, like http.regions: defaulting to
+    // wall-clock "today" at planning time would stamp a different date
+    // if the same DataFrame is re-planned/re-read across a UTC midnight
+    // — nondeterministic plan literals for one logical read. The run's
+    // logical date is the orchestrator's to pass (the reference gets it
+    // from Airflow's `ds`), not this source's to invent.
+    val date = Option(opts.get("http.date")).getOrElse(
+      throw new IllegalArgumentException(
+        "podchart http mode needs http.date (the run's logical date, " +
+          "e.g. option(\"http.date\", \"2026-08-13\")) — it is not " +
+          "defaulted to now() because a replan across midnight would " +
+          "change the plan"))
+    require(date.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"http.date must be YYYY-MM-DD, got '$date'")
     regions.distinct.sorted
       .map(r => HttpChartPartition(url, chart, r, date, referer): InputPartition)
       .toArray

@@ -78,6 +78,23 @@ class Scd2Spec extends SparkSpec {
       (2000L, Some("X")), (3000L, None)))
   }
 
+  test("pit lookup rejects fact columns colliding with the dim payload") {
+    val s = spark
+    import s.implicits._
+    val log = Seq((1L, "A", 10L, 100L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val dim = DiffOps.scd2Intervals(log, "user_id", "event_type", "ts_us",
+      Seq("ts_us", "event_id"))
+    // a fact frame already carrying valid_from would yield ambiguous
+    // duplicate output columns — must fail eagerly instead
+    val facts = Seq((1L, 20L, 5L))
+      .toDF("user_id", "ts_us", "valid_from")
+    val e = intercept[IllegalArgumentException] {
+      DiffOps.pitLookup(facts, dim, "user_id", "ts_us")
+    }
+    assert(e.getMessage.contains("valid_from"), e.getMessage)
+  }
+
   test("scd2 plans one entity shuffle for both windows") {
     val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"),

@@ -175,6 +175,51 @@ class PodchartHttpSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("missing http.date fails fast at planning — no wall-clock default") {
+    // defaulting to now() would stamp a different date on a replan
+    // across UTC midnight: the logical date is the orchestrator's input
+    val e = intercept[Exception] {
+      spark.read.format("podchart")
+        .option("http.url", "http://127.0.0.1:1/api/charts")
+        .option("http.regions", "us")
+        .load().collect()
+    }
+    assert(e.getMessage.contains("http.date"), e.getMessage)
+  }
+
+  test("non-2xx surfaces as a TYPED status, not a message format") {
+    withServer { (base, _) =>
+      val e = intercept[HttpStatusException] {
+        HttpFetch.get(s"$base/api/charts/top_episodes?region=boom")
+      }
+      assert(e.status == 503)
+      assert(e.url.contains("region=boom"))
+    }
+  }
+
+  test("token parse survives escaped quotes in preceding JSON fields") {
+    // a regex scraper would mis-anchor on the escaped quote; the Jackson
+    // parse must not
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(UTF_8)
+      x.sendResponseHeaders(code, b.length.toLong)
+      x.getResponseBody.write(b)
+      x.close()
+    }
+    server.createContext("/token", (x: HttpExchange) => {
+      x.getRequestBody.readAllBytes()
+      reply(x, 200,
+        """{"note":"say \"hi\" \\","access_token":"tok-esc","scope":""}""")
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      assert(OAuthClientCredentials(s"$base/token", "c", "s")
+        .fetchToken() == "tok-esc")
+    } finally server.stop(0)
+  }
+
   test("http.chart slug is validated at planning time") {
     val e = intercept[Exception] {
       spark.read.format("podchart")
