@@ -341,6 +341,62 @@ object Dedup {
         (col("doc_id") === col("__keep_id")).as("intra_keep"))
   }
 
+  /** [[incrementalExact]] with a Bloom-filter membership pre-filter —
+    * the 100 TB form of "is this fingerprint in history?". Same output,
+    * same exactness; different join volume:
+    *
+    * [[incrementalExact]] shuffles EVERY new fingerprint against the
+    * known-fingerprint table. Here the history side is first folded into
+    * a Bloom filter (one map-side-combining aggregate over the
+    * fingerprint table — the exchange carries one sketch per partition,
+    * not the fingerprints), attached to the new batch's scan as a
+    * SCALAR SUBQUERY — the exact mechanism Spark's own
+    * InjectRuntimeFilter uses for runtime bloom joins, reusing Spark's
+    * `BloomFilterAggregate`/`BloomFilterMightContain` expressions rather
+    * than reinventing them. New rows the bloom rejects are DEFINITIVELY
+    * absent from history (no false negatives) and never reach the join;
+    * only candidates — true dups plus an fpp-sized sliver of false
+    * positives — are verified with the exact semi-join, which removes
+    * the false positives. Result: bit-identical to [[incrementalExact]],
+    * with the history join restricted to ~(dup_rate + fpp) of the batch
+    * instead of all of it. Size `expectedItems` to the history
+    * fingerprint cardinality; bits scale as ~1.2 GB per billion at
+    * fpp=0.03, broadcast once per executor by the subquery result. */
+  def incrementalExactBloom(newDocs: DataFrame, knownFps: DataFrame,
+      idCol: String, textCol: String, fpCol: String,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val known = knownFps.select(col(fpCol).as("fp")).distinct()
+    // 1-row bloom plan over history; ln-formula for optimal bit count
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomDf = known.select(Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("fp"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()))
+    val withFp = newDocs.select(col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("fp"))
+    val maybe = withFp.withColumn("__maybe", Bridge.column(
+      BloomFilterMightContain(
+        ScalarSubquery(Bridge.analyzed(bloomDf)),
+        Bridge.expression(xxhash64(col("fp"))))))
+    // exact verify ONLY the candidate fingerprints (distinct-first: the
+    // history join sees each candidate fp once, not once per copy)
+    val confirmed = maybe.filter(col("__maybe")).select(col("fp")).distinct()
+      .join(known, Seq("fp"), "left_semi")
+      .withColumn("__known", lit(true))
+    val intraKeep = withFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("__keep_id"))
+    maybe
+      .join(confirmed, Seq("fp"), "left")
+      .join(intraKeep, Seq("fp"))
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("__known"), lit(false)).as("dup_of_history"),
+        (col("doc_id") === col("__keep_id")).as("intra_keep"))
+  }
+
   /** Duplicate-CLUSTER assignment from candidate pairs: connected
     * components by iterative min-label propagation — each round every
     * node takes the min label over itself and its neighbors; converged

@@ -612,6 +612,83 @@ object DedupQueries extends QueryPack {
       ORDER BY new_id, hist_id
     """))
 
+  // --------------------------------------------------------------- q116
+  // Bloom-accelerated incremental dedup: q65's semantics with the
+  // history membership check done by a Bloom filter scalar subquery
+  // (Spark's InjectRuntimeFilter machinery) and the exact join
+  // restricted to bloom candidates. The oracle is the PLAIN exact SQL —
+  // passing proves the bloom path is a pure optimization: pre-filter
+  // plus exact verify loses nothing. History/new split by doc_id % 3.
+  private val q116 = Q(
+    "q116_bloom_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 === 0)
+      val newBatch = docs.filter(col("doc_id") % 3 =!= 0)
+      val knownFps = history.select(Dedup.fingerprint(col("text")).as("fp"))
+      Dedup.incrementalExactBloom(newBatch, knownFps, "doc_id", "text", "fp",
+          expectedItems = 4096, fpp = 0.03)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH hist AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 3 = 0),
+      new AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 3 <> 0),
+      keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM new GROUP BY fp)
+      SELECT n.doc_id, n.fp,
+             (h.fp IS NOT NULL) AS dup_of_history,
+             n.doc_id = k.keep_id AS intra_keep
+      FROM new n LEFT JOIN hist h ON n.fp = h.fp JOIN keep k ON n.fp = k.fp
+      ORDER BY n.doc_id
+    """))
+
+  // --------------------------------------------------------------- q117
+  // Paragraph-level dedup (C4/RefinedWeb line dedup): duplicate
+  // paragraphs removed corpus-wide keep-first, documents reassembled
+  // from survivors. The synthetic corpus is single-line, so
+  // "paragraphs" are its non-overlapping 12-word chunks (Chunking with
+  // stride = width — same chunk grammar as q60); full-duplicate
+  // documents lose every paragraph and vanish from the output, partial
+  // overlaps lose only the repeated blocks. Output projects the md5 of
+  // the reassembled text so gate rows stay small (q60 discipline).
+  private val q117 = Q(
+    "q117_paragraph_dedup",
+    (s, dir) => {
+      import graft.operators.{Chunking, ParaDedup}
+      val paras = Chunking.chunkByTokens(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 12, stride = 12)
+        .select(col("doc_id"), col("chunk_idx").as("pos"),
+          col("chunk_text").as("para"))
+      ParaDedup.reassemble(ParaDedup.dedupKeepFirst(paras))
+        .select(col("doc_id"), md5(col("text_dedup")).as("text_fp"),
+          col("n_paras_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      par AS (
+        SELECT doc_id, CAST((i - 1) // 12 AS INT) AS pos,
+               string_agg(w[i], ' ' ORDER BY i) AS para
+        FROM norm, UNNEST(generate_series(1, len(w))) AS t(i)
+        GROUP BY doc_id, CAST((i - 1) // 12 AS INT)),
+      ranked AS (
+        SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM par),
+      kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1)
+      SELECT doc_id,
+             md5(string_agg(para, ' ' ORDER BY pos)) AS text_fp,
+             COUNT(*) AS n_paras_kept
+      FROM kept GROUP BY doc_id ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108)
+    q108, q116, q117)
 }

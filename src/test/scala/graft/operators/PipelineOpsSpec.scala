@@ -119,6 +119,52 @@ class PipelineOpsSpec extends SparkSpec {
       .toSeq == Seq((10L, true, true), (11L, false, true), (12L, true, false)))
   }
 
+  test("bloom incremental dedup: bit-identical to the plain path, bloom in the plan") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.filter(col("doc_id") % 3 === 0)
+    // guarantee at least one cross-history dup: re-submit a history text
+    val histText = history.orderBy("doc_id").select("text").as[String].head()
+    val newBatch = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((999999L, histText)).toDF("doc_id", "text"))
+    val knownFps = history.select(Dedup.fingerprint(col("text")).as("fp"))
+    val bloom = Dedup.incrementalExactBloom(
+      newBatch, knownFps, "doc_id", "text", "fp",
+      expectedItems = 1024, fpp = 0.03)
+    val plain = Dedup.incrementalExact(newBatch, knownFps, "doc_id", "text", "fp")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getAs[Boolean]("dup_of_history"), r.getAs[Boolean]("intra_keep")))
+        .toSeq
+    val b = rows(bloom)
+    assert(b == rows(plain), "bloom pre-filter + exact verify must lose nothing")
+    assert(b.exists(_._3) && b.exists(!_._3),
+      "fixture must exercise both history-dup and fresh rows")
+    // the membership check must be the bloom subquery, not a bare join
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom in plan:\n$plan")
+    assert(plan.contains("Subquery"), "bloom must attach as a scalar subquery")
+  }
+
+  test("bloom pre-filter rejects a disjoint batch without consulting history") {
+    val s = spark
+    import s.implicits._
+    // disjoint corpora: every new fp must come back non-dup even though
+    // nothing is verified (the bloom can only err toward candidates,
+    // never toward false negatives)
+    val newDocs = (1L to 50L).map(i => (i, s"fresh document number $i"))
+      .toDF("doc_id", "text")
+    val known = (1L to 50L).map(i => Tuple1(s"ancient scroll $i")).toDF("t")
+      .select(Dedup.fingerprint(col("t")).as("fp"))
+    val out = Dedup.incrementalExactBloom(
+      newDocs, known, "doc_id", "text", "fp", expectedItems = 64, fpp = 0.03)
+    assert(out.filter(col("dup_of_history")).count() == 0)
+    assert(out.count() == 50)
+  }
+
   test("dupClusters finds components: chain, clique edge, singleton pair") {
     val s = spark
     import s.implicits._
