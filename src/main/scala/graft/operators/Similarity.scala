@@ -102,6 +102,44 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
 
+  /** Hard-negative mining for contrastive / retrieval training: for
+    * each query, the `k` most-similar corpus vectors that are NOT its
+    * labeled positives (and not itself) — the confusable examples a
+    * contrastive loss needs next to each positive. `positives` is
+    * (q_id, pos_id); positives drop out via an anti-join BEFORE the
+    * per-query ranking, so rank ≤ k always yields k usable negatives
+    * (a post-filter would leave holes where positives ranked high —
+    * exactly the vectors hard-negative mining exists to find).
+    *
+    * Scale shape: the query panel (one training batch's queries) and
+    * the positives table broadcast; the corpus scans once with the
+    * cosine computed map-side; only per-query candidates enter the
+    * window shuffle. At corpus scales where even that is too wide, swap
+    * the candidate source for [[lshCandidatesMultiProbe]] or IVF
+    * probing and keep the same anti-join + window tail — the gate
+    * registers the exact form so the oracle can reproduce it. */
+  def hardNegatives(embeddings: DataFrame, positives: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val base = withNorm(embeddings, idCol, vecCol)
+    val q = base.join(positives.select(col("q_id")).distinct(),
+        col(idCol) === col("q_id"))
+      .select(col("q_id"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    val n = base
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .join(
+        broadcast(positives.select(col("q_id"), col("pos_id").as("n_id"))),
+        Seq("q_id", "n_id"), "left_anti")
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
   /** Multi-table LSH candidate id pairs for a query subset: distinct
     * (q_id, n_id) sharing a bucket in any table. */
   def lshCandidates(buckets: DataFrame, queryIds: DataFrame): DataFrame = {

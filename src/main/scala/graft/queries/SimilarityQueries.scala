@@ -378,5 +378,43 @@ object SimilarityQueries extends QueryPack {
       ORDER BY c2.cid
     """))
 
-  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110)
+  // --------------------------------------------------------------- q118
+  // Hard-negative mining for retrieval/contrastive training: per query,
+  // the top-5 most-similar corpus vectors that are NOT its labeled
+  // positives — positives anti-joined out BEFORE the per-query ranking,
+  // so rank <= 5 always yields 5 usable negatives. Positives are
+  // fabricated arithmetically ((q, q+1) and (q, q+7)) — the corpus has
+  // no labels; what matters is that labeled pairs must not surface.
+  private val q118 = Q(
+    "q118_hard_negatives",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+      val positives = qs.select(col("q_id"), (col("q_id") + 1).as("pos_id"))
+        .unionByName(qs.select(col("q_id"), (col("q_id") + 7).as("pos_id")))
+      Similarity.hardNegatives(e, positives, "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH $normsSql,
+      qs AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
+      pos AS (
+        SELECT q_id, q_id + 1 AS pos_id FROM qs
+        UNION ALL SELECT q_id, q_id + 7 FROM qs)
+      SELECT q_id, n_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosSql AS cos,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY $cosSql DESC, b.vec_id ASC) AS rnk
+        FROM embeddings a
+        JOIN nrm na ON na.vec_id = a.vec_id
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+        JOIN nrm nb ON nb.vec_id = b.vec_id
+        WHERE a.vec_id < 10
+          AND NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.q_id = a.vec_id AND p.pos_id = b.vec_id))
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118)
 }

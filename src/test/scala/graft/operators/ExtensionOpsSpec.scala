@@ -111,6 +111,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.last.getLong(1) == 3L) // opposite vector ranks last
   }
 
+  test("hard negatives: positives and self excluded, ranks stay dense") {
+    val s = spark
+    import s.implicits._
+    // without exclusions, vec 0's ranking is 1, 2, 3 (see the brute-force
+    // test); labeling 1 positive must PROMOTE 2 and 3 — not leave holes
+    val positives = Seq((0L, 1L)).toDF("q_id", "pos_id")
+    val out = Similarity.hardNegatives(vecs, positives,
+        "vec_id", "embedding", k = 2)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(out == Seq((2L, 1), (3L, 2)),
+      "positive must drop out before ranking; survivors re-rank densely")
+    // a positive that matches nothing degenerates to plain brute force
+    val viaEmpty = Similarity.hardNegatives(
+      vecs, Seq((0L, 99L)).toDF("q_id", "pos_id"), // non-existent positive
+      "vec_id", "embedding", k = 3)
+    val plain = Similarity.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+    assert(viaEmpty.orderBy("rnk").collect().map(_.getLong(1)).toSeq ==
+      plain.orderBy("rnk").collect().map(_.getLong(1)).toSeq)
+  }
+
   test("identical vectors share every LSH bucket") {
     val s = spark
     import s.implicits._
