@@ -73,6 +73,43 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Length-bucketed micro-batch assignment — padding-efficiency
+    * batching for tokenized training/inference: documents band by token
+    * length (integer DIV into `bandTokens`-wide bins), then each band
+    * forms fixed-`batchSize` batches in (n_tokens, id) order. A batch
+    * pads every member to its own max, so banding bounds per-row waste
+    * by bandTokens-1 — versus corpus-random batching where one long
+    * outlier pads the whole batch to itself.
+    *
+    * Scale shape: the banding is a map-side expression and the only
+    * window partitions BY BAND — no corpus-wide sort; bands distribute
+    * across executors like any grouped window. Output: input columns +
+    * (band, batch_idx). */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, tokensCol: String,
+      bandTokens: Int, batchSize: Int): DataFrame = {
+    require(bandTokens >= 1 && batchSize >= 1,
+      s"bandTokens=$bandTokens, batchSize=$batchSize must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"))
+      .orderBy(col(tokensCol).asc, col(idCol).asc)
+    df.withColumn("band", expr(s"$tokensCol DIV $bandTokens").cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"(__rn - 1) DIV $batchSize").cast("long"))
+      .drop("__rn")
+  }
+
+  /** Per-batch padding account over [[lengthBucketedBatches]] output:
+    * each batch pads to its max member, so padded = n_docs · max and
+    * waste = padded − Σ tokens. The final (usually short) batch of each
+    * band surfaces here with its n_docs < batchSize. */
+  def batchPaddingStats(batches: DataFrame, tokensCol: String): DataFrame =
+    batches.groupBy(col("band"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(tokensCol)).cast("long").as("max_tokens"),
+        sum(col(tokensCol)).cast("long").as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_tokens"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+
   /** Context-window packing, concatenation-order form: documents are
     * laid end-to-end in `orderCol` order and the token stream is cut at
     * fixed `contextLen` boundaries — exactly how pretraining data is

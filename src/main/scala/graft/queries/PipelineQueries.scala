@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryPack, Tables}
-import graft.operators.{Chunking, Mixture, TextAnalysis}
+import graft.operators.{Chunking, Mixture, Sampling, TextAnalysis}
 
 /** Training-data pipeline reshapes beyond the curation core: context
   * chunking, repetition flags, PII scrubbing, domain-mixture weights,
@@ -321,5 +321,45 @@ object PipelineQueries extends QueryPack {
       ORDER BY source
     """))
 
-  def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70)
+  // --------------------------------------------------------------- q119
+  // Length-bucketed batching: documents band by token length (16-wide
+  // bins), fixed 8-doc batches form within each band in (n_tokens, id)
+  // order, and each batch's padding waste (pad-to-batch-max) is
+  // accounted. The banding is map-side and the only window partitions
+  // by band — no corpus-wide sort. Gate output is the per-batch
+  // padding ledger.
+  private val q119 = Q(
+    "q119_length_bucketed_batches",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.batchPaddingStats(
+          Sampling.lengthBucketedBatches(toks, "doc_id", "n_tokens",
+            bandTokens = 16, batchSize = 8), "n_tokens")
+        .orderBy(col("band"), col("batch_idx"))
+    },
+    Some(raw"""
+      WITH tok AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS band FROM tok),
+      r AS (SELECT band, n_tokens,
+                   row_number() OVER (PARTITION BY band
+                                      ORDER BY n_tokens, doc_id) AS rn
+            FROM b),
+      g AS (SELECT band, (rn - 1) // 8 AS batch_idx, n_tokens FROM r)
+      SELECT band, batch_idx, COUNT(*) AS n_docs,
+             MAX(n_tokens) AS max_tokens,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             COUNT(*) * MAX(n_tokens) AS padded_tokens,
+             COUNT(*) * MAX(n_tokens) - CAST(SUM(n_tokens) AS BIGINT)
+               AS waste_tokens
+      FROM g GROUP BY band, batch_idx ORDER BY band, batch_idx
+    """))
+
+  def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119)
 }

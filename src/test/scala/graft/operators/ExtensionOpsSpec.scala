@@ -510,6 +510,38 @@ class SamplingSpec extends graft.SparkSpec {
     assert(sampled.count() == 50)
   }
 
+  test("length-bucketed batches: band bounds waste, batches fill, determinism") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 100L).map(i => (i, (i * 7) % 64 + 1)).toDF("doc_id", "n_tokens")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+    val batched = Sampling.lengthBucketedBatches(docs, "doc_id", "n_tokens",
+      bandTokens = 16, batchSize = 8)
+    // every doc lands in its length band
+    assert(batched.filter(expr("n_tokens DIV 16") =!= col("band")).count() == 0)
+    val stats = Sampling.batchPaddingStats(batched, "n_tokens").collect()
+    // per-row waste bounded by the band width
+    stats.foreach { r =>
+      val waste = r.getAs[Long]("waste_tokens")
+      val n = r.getAs[Long]("n_docs")
+      assert(waste <= n * 15, s"waste $waste exceeds band bound for $r")
+      assert(n <= 8, "batch never exceeds batchSize")
+    }
+    // only the LAST batch of a band may be short
+    val byBand = stats.groupBy(_.getAs[Long]("band"))
+    byBand.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("batch_idx"))
+      sorted.init.foreach(r => assert(r.getAs[Long]("n_docs") == 8L))
+    }
+    // deterministic under repartitioning
+    val again = Sampling.lengthBucketedBatches(docs.repartition(13),
+      "doc_id", "n_tokens", 16, 8)
+      .select("doc_id", "band", "batch_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == batched.select("doc_id", "band", "batch_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("context packing: spans tile the token stream, straddle is consistent") {
     val s = spark
     import s.implicits._
