@@ -358,17 +358,25 @@ object Dedup {
     * only candidates — true dups plus an fpp-sized sliver of false
     * positives — are verified with the exact semi-join, which removes
     * the false positives. Result: bit-identical to [[incrementalExact]],
-    * with the history join restricted to ~(dup_rate + fpp) of the batch
-    * instead of all of it. Size `expectedItems` to the history
-    * fingerprint cardinality; bits scale as ~1.2 GB per billion at
-    * fpp=0.03, broadcast once per executor by the subquery result. */
+    * and history fingerprints NEVER cross an exchange: the bloom build
+    * partial-combines to one sketch per partition, and the verify
+    * semi-join probes history map-side against the broadcast candidate
+    * set (~(dup_rate + fpp) of the batch, distinct). Size
+    * `expectedItems` to the history fingerprint cardinality; bits scale
+    * as ~1.2 GB per billion at fpp=0.03, broadcast once per executor by
+    * the subquery result. */
   def incrementalExactBloom(newDocs: DataFrame, knownFps: DataFrame,
       idCol: String, textCol: String, fpCol: String,
       expectedItems: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val known = knownFps.select(col(fpCol).as("fp")).distinct()
+    // NO distinct on the history side anywhere: a distinct is an
+    // aggregation that exchanges every history fingerprint — the exact
+    // cost this operator exists to avoid. The bloom is a set (duplicate
+    // inserts are no-ops) and the semi join below tolerates duplicate
+    // rows because the distinct runs AFTER the candidate restriction.
+    val known = knownFps.select(col(fpCol).as("fp"))
     // 1-row bloom plan over history; ln-formula for optimal bit count
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
@@ -383,14 +391,21 @@ object Dedup {
         ScalarSubquery(Bridge.analyzed(bloomDf)),
         Bridge.expression(xxhash64(col("fp"))))))
     // exact verify ONLY the candidate fingerprints (distinct-first: the
-    // history join sees each candidate fp once, not once per copy)
-    val confirmed = maybe.filter(col("__maybe")).select(col("fp")).distinct()
-      .join(known, Seq("fp"), "left_semi")
+    // history join sees each candidate fp once, not once per copy).
+    // JOIN DIRECTION matters at scale: LeftSemi can only build (and
+    // broadcast) its RIGHT side, so `candidates semi known` would
+    // shuffle the whole history table. `known semi broadcast(candidates)`
+    // probes history MAP-SIDE against the small broadcast candidate set
+    // — history fingerprints never cross an exchange in this operator,
+    // in the bloom build (partial-combined sketches) or here.
+    val candidates = maybe.filter(col("__maybe")).select(col("fp")).distinct()
+    val confirmed = known.join(broadcast(candidates), Seq("fp"), "left_semi")
+      .distinct() // candidate-restricted first — this exchange is O(candidates)
       .withColumn("__known", lit(true))
     val intraKeep = withFp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("__keep_id"))
     maybe
-      .join(confirmed, Seq("fp"), "left")
+      .join(broadcast(confirmed), Seq("fp"), "left")
       .join(intraKeep, Seq("fp"))
       .select(col("doc_id"), col("fp"),
         coalesce(col("__known"), lit(false)).as("dup_of_history"),

@@ -167,6 +167,51 @@ class ShuffleMetricsSpec extends SparkSpec {
         "— partial states are no longer capped?")
   }
 
+  test("bloom incremental dedup never exchanges history fingerprints") {
+    // emulate the 100 TB situation: HISTORY >> daily batch and nothing
+    // auto-broadcasts. The plain path must then shuffle the history
+    // fingerprint table for its left join, while the bloom path moves
+    // only partial-combined sketches + the broadcast candidate set —
+    // its shuffle volume must come in below plain's by ~the history
+    // size (this asymmetry is invisible when history < batch, which is
+    // why the fixture is 25:1, not a 1:2 split)
+    val history = docs
+    val newBatch = docs.filter(col("doc_id") % 25 === 0)
+    val knownFps = history
+      .select(operators.Dedup.fingerprint(col("text")).as("fp"))
+    val nKnown = knownFps.distinct().count()
+    val thresholdKeys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold") // AQE's own knob
+    val prevs = thresholdKeys.map(k => k -> spark.conf.getOption(k))
+    thresholdKeys.foreach(spark.conf.set(_, "-1"))
+    try {
+      // aggregate over the OUTPUT columns: a bare count() lets the
+      // optimizer drop the row-preserving left joins (known is
+      // distinct on fp) and measure a gutted plan
+      def force(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.agg(sum(when(col("dup_of_history"), 1L).otherwise(0L)),
+          sum(when(col("intra_keep"), 1L).otherwise(0L))).collect()
+        ()
+      }
+      val plain = shuffleRecords {
+        force(operators.Dedup.incrementalExact(
+          newBatch, knownFps, "doc_id", "text", "fp"))
+      }
+      val bloom = shuffleRecords {
+        force(operators.Dedup.incrementalExactBloom(
+          newBatch, knownFps, "doc_id", "text", "fp",
+          expectedItems = 1024, fpp = 0.03))
+      }
+      assert(bloom <= plain - nKnown / 2,
+        s"bloom path shuffled $bloom records vs plain $plain " +
+          s"($nKnown history fps) — history is crossing an exchange again?")
+    } finally prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("KMV sketch shuffles distinct members, pruned toward k per group") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val totalRows = orders.count()
