@@ -29,7 +29,10 @@ class PlanAuditSpec extends SparkSpec {
       // corpus-constant class
       "q106_bm25_search",
       // q110's ≤ numCentroids codebook fan — q36/q76's bounded class
-      "q110_incremental_ivf")
+      "q110_incremental_ivf",
+      // q118's n × bounded-query-panel scan — q20/q75's bounded class
+      // (the positives anti-join stays an equi-join, not a cross)
+      "q118_hard_negatives")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"
