@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
   * (doc_id, pos) — deterministic, engine-portable, and the convention
   * the document-level tiers use (smallest id wins).
   *
-  * Scale shape: the corpus-wide group is on the 16-byte md5 fingerprint
-  * (paragraph TEXT never enters that shuffle — `min(struct(doc_id,
-  * pos))` partial-aggregates map-side, so the exchange carries one
-  * 20-byte winner per distinct paragraph per map task); the winner set
-  * joins back fingerprint-to-fingerprint; reassembly groups by doc_id.
-  * Three narrow shuffles, no corpus-wide sort, no window over the
-  * corpus. The per-doc `collect_list` in [[reassemble]] is bounded by
-  * single-document size — the output row must hold the document anyway.
+  * Scale shape: keep-first is a window partitioned by the 16-byte md5
+  * fingerprint — paragraph rows cross exactly ONE exchange (any exact
+  * sub-document dedup that emits surviving text must move the text to
+  * its winner-decision site at least once; the winner set is O(distinct
+  * paragraphs), far beyond broadcast, so join-back forms pay the same
+  * exchange PLUS a second pipeline scan for the winner election);
+  * reassembly groups by doc_id. Two shuffles total, each keyed narrow,
+  * no corpus-wide sort. The per-doc `collect_list` in [[reassemble]] is
+  * bounded by single-document size — the output row must hold the
+  * document anyway.
   */
 object ParaDedup {
 
@@ -35,17 +37,21 @@ object ParaDedup {
         posexplode(split(col(textCol), delimRe)).as(Seq("pos", "para")))
       .filter(length(trim(col("para"))) > 0)
 
-  /** Corpus-wide keep-first over (doc_id, pos, para) rows: one group on
-    * the fingerprint to elect each paragraph's first occurrence, one
-    * fingerprint join to keep only winners. */
+  /** Corpus-wide keep-first over (doc_id, pos, para) rows: rank each
+    * paragraph's occurrences by (doc_id, pos) within its fingerprint
+    * and keep rank 1 — ONE scan and ONE exchange total. The
+    * elect-winners-then-join-back form was tried and is strictly worse:
+    * the join still ships full paragraph rows through its fp exchange
+    * (the winner set is O(distinct paragraphs), far beyond broadcast at
+    * corpus scale), and its aggregate side re-runs the upstream
+    * paragraphize/chunk pipeline a second time. */
   def dedupKeepFirst(paras: DataFrame): DataFrame = {
-    val first = paras
-      .groupBy(Dedup.fingerprint(col("para")).as("__fp"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__keep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Dedup.fingerprint(col("para")))
+      .orderBy(col("doc_id").asc, col("pos").asc)
     paras
-      .join(first, Dedup.fingerprint(col("para")) === col("__fp"))
-      .filter(col("doc_id") === col("__keep.doc_id") &&
-        col("pos") === col("__keep.pos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .select(col("doc_id"), col("pos"), col("para"))
   }
 
