@@ -73,6 +73,32 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Token-balanced shard assignment — the export step for distributed
+    * training: every document lands in exactly one of `nShards` shards
+    * with near-equal token mass (each worker then reads one shard).
+    * Documents take the deterministic md5 hash order (unbiased and
+    * engine-portable, the [[tokenBudgetSubset]] discipline) and a doc
+    * goes to the shard its LAST token falls in when the running token
+    * stream is cut into n equal spans: shard = ((cum_end − 1) · n) DIV
+    * total, integer-exact, so imbalance is bounded by the largest
+    * single document. One window pass; at corpus scale partition the
+    * window by a hash prefix and shard within partitions. */
+  def tokenBalancedShards(df: DataFrame, idCol: String, tokensCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(hashOrder(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val total = df.agg(sum(col(tokensCol)).cast("long").as("__total"))
+    df.withColumn("__cum", sum(col(tokensCol)).over(w).cast("long"))
+      .crossJoin(broadcast(total)) // 1-row corpus-constant fan
+      .withColumn("shard",
+        expr(s"((greatest(__cum, 1L) - 1L) * $nShards) DIV greatest(__total, 1L)")
+          .cast("long"))
+      .drop("__cum", "__total")
+  }
+
   /** Length-bucketed micro-batch assignment — padding-efficiency
     * batching for tokenized training/inference: documents band by token
     * length (integer DIV into `bandTokens`-wide bins), then each band

@@ -361,5 +361,48 @@ object PipelineQueries extends QueryPack {
       FROM g GROUP BY band, batch_idx ORDER BY band, batch_idx
     """))
 
-  def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119)
+  // --------------------------------------------------------------- q120
+  // Token-balanced shards: every doc assigned to one of 8 shards with
+  // near-equal token mass, deterministic md5 hash order (the q57
+  // discipline), shard = the equal-span cut containing the doc's last
+  // token — integer-exact, imbalance bounded by the largest document.
+  // Gate output is the per-shard ledger.
+  private val q120 = Q(
+    "q120_token_balanced_shards",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.tokenBalancedShards(toks, "doc_id", "n_tokens", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
+        .orderBy(col("shard"))
+    },
+    Some(raw"""
+      WITH tok AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                          doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM tok),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM tok)
+      SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM (
+        SELECT CAST(((GREATEST(cum, 1) - 1) * 8) // GREATEST(total, 1) AS BIGINT)
+                 AS shard,
+               n_tokens
+        FROM c CROSS JOIN t)
+      GROUP BY shard ORDER BY shard
+    """))
+
+  def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119,
+    q120)
 }

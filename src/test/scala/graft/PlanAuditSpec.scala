@@ -32,7 +32,9 @@ class PlanAuditSpec extends SparkSpec {
       "q110_incremental_ivf",
       // q118's n × bounded-query-panel scan — q20/q75's bounded class
       // (the positives anti-join stays an equi-join, not a cross)
-      "q118_hard_negatives")
+      "q118_hard_negatives",
+      // q120's 1-row corpus-total fan — q68/q91/q106's constant class
+      "q120_token_balanced_shards")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"

@@ -510,6 +510,33 @@ class SamplingSpec extends graft.SparkSpec {
     assert(sampled.count() == 50)
   }
 
+  test("token-balanced shards: partition of the corpus, imbalance bounded by max doc") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 500L).map(i => (i, (i * 13) % 97 + 1)).toDF("doc_id", "n_tokens")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+    val sharded = Sampling.tokenBalancedShards(docs, "doc_id", "n_tokens", 8)
+    assert(sharded.count() == 500, "every doc lands in exactly one shard")
+    val masses = sharded.groupBy("shard")
+      .agg(sum("n_tokens").cast("long").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(masses.map(_._1).sorted.toSeq == (0L to 7L), "all 8 shards populated")
+    val maxDoc = 97L
+    // each shard's mass stays within one max-document of the ideal span
+    val ideal = masses.map(_._2).sum / 8.0
+    masses.foreach { case (sh, m) =>
+      assert(math.abs(m - ideal) <= maxDoc + 1,
+        s"shard $sh mass $m vs ideal $ideal exceeds the max-doc bound")
+    }
+    // deterministic under repartitioning
+    val again = Sampling.tokenBalancedShards(docs.repartition(11),
+      "doc_id", "n_tokens", 8)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sharded.select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("length-bucketed batches: band bounds waste, batches fill, determinism") {
     val s = spark
     import s.implicits._
