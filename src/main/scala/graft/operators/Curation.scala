@@ -66,6 +66,46 @@ object Curation {
     lower(regexp_extract(url,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
 
+  /** URL canonicalization chain for URL-LEVEL dedup — the step a crawl
+    * pipeline runs before content fetch/dedup, collapsing the aliases
+    * that make one page look like many (case in scheme/host, default
+    * ports, fragments, userinfo, tracking parameters, trailing slash).
+    * Three published pieces, all Java-regex ∩ RE2 (no lookarounds) with
+    * LITERAL replacements only, so the DuckDB oracle runs the same
+    * chain verbatim (the q62/q113 shared-constant discipline; Spark's
+    * `$1` vs DuckDB's `\1` replacement syntax never comes up):
+    * [[UrlCanonPre]] → lowercase the [[UrlPrefixRe]] scheme://authority
+    * prefix → [[UrlCanonPost]]. */
+  val UrlCanonPre: Seq[(String, String)] = Seq(
+    "#.*$" -> "",            // fragment never reaches the server
+    "://[^/?#@]*@" -> "://") // userinfo is not page identity
+  /** Group 1 = scheme://host[:port] (to lowercase), group 2 = rest. */
+  val UrlPrefixRe = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$"
+  val UrlCanonPost: Seq[(String, String)] = Seq(
+    ":80/" -> "/", ":443/" -> "/",     // default ports, every position
+    ":80\\?" -> "?", ":443\\?" -> "?", // (literal replaces: RE2 has no
+    ":80$" -> "", ":443$" -> "",       //  lookahead for one pattern)
+    "&(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&#]*" -> "",    // mid/terminal &
+    "\\?(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&#]*&" -> "?", // first of many
+    "\\?(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&#]*$" -> "",  // only param
+    "[?&]$" -> "",                     // tidy a now-empty query
+    "/$" -> "")                        // trailing slash
+
+  /** Apply the canonicalization chain. The prefix is extracted twice
+    * (lowered + remainder); bind the input to a column first when this
+    * runs in a hot loop so the upstream expression isn't re-evaluated. */
+  def canonicalizeUrl(url: Column): Column = {
+    val pre = UrlCanonPre.foldLeft(url) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val lowered = concat(
+      lower(regexp_extract(pre, UrlPrefixRe, 1)),
+      regexp_extract(pre, UrlPrefixRe, 2))
+    UrlCanonPost.foldLeft(lowered) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+  }
+
   /** Per-host document quota: keep the `perHost` hash-smallest docs of
     * each host — the per-group-cap discipline of the reference's
     * top-200-per-region chart (spotify_eps.py:75), applied to the

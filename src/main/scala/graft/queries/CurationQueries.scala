@@ -432,5 +432,69 @@ object CurationQueries extends QueryPack {
       ORDER BY host, doc_id
     """))
 
-  def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114)
+  // --------------------------------------------------------------- q121
+  // URL canonicalization + URL-level dedup ledger: five messy aliases
+  // of the same page (uppercase scheme/host + :443 + trailing slash,
+  // userinfo + utm param, fragment, gclid+utm pair, already-clean) are
+  // fabricated per page id (doc_id DIV 2, so adjacent docs alias the
+  // same page) and must collapse to ONE canonical form. The oracle's
+  // regexp chain is GENERATED from the same Curation.UrlCanon*
+  // constants the engine folds, so the two sides cannot drift.
+  private def urlCanonSql(inner: String): String = {
+    val pre = Curation.UrlCanonPre.foldLeft(inner) {
+      case (s, (p, r)) => s"regexp_replace($s, '$p', '$r', 'g')"
+    }
+    val low = s"lower(regexp_extract($pre, '${Curation.UrlPrefixRe}', 1)) || " +
+      s"regexp_extract($pre, '${Curation.UrlPrefixRe}', 2)"
+    Curation.UrlCanonPost.foldLeft(s"($low)") {
+      case (s, (p, r)) => s"regexp_replace($s, '$p', '$r', 'g')"
+    }
+  }
+
+  private val q121 = Q(
+    "q121_url_canonical_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val pid = expr("doc_id DIV 2").cast("string")
+      // FIXED host: adjacent docs (2k, 2k+1) must alias the SAME page,
+      // so the page identity comes from pid alone — a per-doc host
+      // would silently make every canon unique and dedup a no-op
+      val capsBase = lit("Crawl.Example.org")
+      val base = lower(capsBase)
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTPS://"), capsBase, lit(":443/docs/"), pid, lit("/")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://crawler@"), base, lit("/docs/"), pid,
+            lit("?utm_source=feed")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://"), base, lit("/docs/"), pid, lit("#frag")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://"), base, lit("/docs/"), pid,
+            lit("?gclid=x&utm_b=2")))
+        .otherwise(concat(lit("https://"), base, lit("/docs/"), pid))
+      docs.withColumn("__url", url)
+        .withColumn("url_canon", Curation.canonicalizeUrl(col("__url")))
+        .groupBy(col("url_canon"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("url_canon"))
+    },
+    Some {
+      val messy = """
+        CASE doc_id % 5
+          WHEN 0 THEN 'HTTPS://Crawl.Example.org:443/docs/' || CAST(doc_id // 2 AS VARCHAR) || '/'
+          WHEN 1 THEN 'https://crawler@crawl.example.org/docs/' || CAST(doc_id // 2 AS VARCHAR) || '?utm_source=feed'
+          WHEN 2 THEN 'https://crawl.example.org/docs/' || CAST(doc_id // 2 AS VARCHAR) || '#frag'
+          WHEN 3 THEN 'https://crawl.example.org/docs/' || CAST(doc_id // 2 AS VARCHAR) || '?gclid=x&utm_b=2'
+          ELSE 'https://crawl.example.org/docs/' || CAST(doc_id // 2 AS VARCHAR)
+        END"""
+      s"""
+      SELECT ${urlCanonSql("u")} AS url_canon,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM (SELECT doc_id, $messy AS u FROM documents)
+      GROUP BY 1 ORDER BY url_canon
+    """
+    })
+
+  def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121)
 }

@@ -38,6 +38,38 @@ class HostCurationSpec extends SparkSpec {
       .withColumn("host", Curation.extractHost(col("url")))
   }
 
+  test("canonicalizeUrl collapses aliases, keeps real params, is idempotent") {
+    val s = spark
+    import s.implicits._
+    val aliases = Seq(
+      "HTTPS://Crawl.Example.ORG:443/docs/7/",
+      "https://bot@crawl.example.org/docs/7?utm_source=feed",
+      "https://crawl.example.org/docs/7#frag",
+      "https://crawl.example.org/docs/7?gclid=x&utm_b=2",
+      "https://crawl.example.org/docs/7")
+    val canon = aliases.toDF("u")
+      .select(Curation.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(canon == Set("https://crawl.example.org/docs/7"),
+      s"aliases must collapse to one form, got $canon")
+    // non-tracking params survive; tracking strips from any position
+    val kept = Seq(
+      "http://a.example.com:80/p?ref=1&utm_x=2",
+      "http://a.example.com/p?utm_x=2&ref=1",
+      "http://a.example.com/p?ref=1")
+      .toDF("u")
+      .select(Curation.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("http://a.example.com/p?ref=1"), kept.toString)
+    // idempotent: canonicalizing a canonical form changes nothing
+    val once = aliases.toDF("u")
+      .select(Curation.canonicalizeUrl(col("u")).as("c"))
+    val twice = once
+      .select(col("c"), Curation.canonicalizeUrl(col("c")).as("c2"))
+      .filter(col("c") =!= col("c2")).count()
+    assert(twice == 0L, "canonicalization must be idempotent")
+  }
+
   test("blocklist anti-join drops exactly the listed hosts, dups harmless") {
     import spark.implicits._
     // duplicate blocklist entries must not over-drop (anti-join, not inner)
