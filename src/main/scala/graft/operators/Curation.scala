@@ -70,21 +70,33 @@ object Curation {
     * pipeline runs before content fetch/dedup, collapsing the aliases
     * that make one page look like many (case in scheme/host, default
     * ports, fragments, userinfo, tracking parameters, trailing slash).
-    * Three published pieces, all Java-regex ∩ RE2 (no lookarounds) with
-    * LITERAL replacements only, so the DuckDB oracle runs the same
-    * chain verbatim (the q62/q113 shared-constant discipline; Spark's
-    * `$1` vs DuckDB's `\1` replacement syntax never comes up):
-    * [[UrlCanonPre]] → lowercase the [[UrlPrefixRe]] scheme://authority
-    * prefix → [[UrlCanonPost]]. */
-  val UrlCanonPre: Seq[(String, String)] = Seq(
-    "#.*$" -> "",            // fragment never reaches the server
-    "://[^/?#@]*@" -> "://") // userinfo is not page identity
-  /** Group 1 = scheme://host[:port] (to lowercase), group 2 = rest. */
+    * All pieces are Java-regex ∩ RE2 (no lookarounds) with LITERAL
+    * replacements only, so the DuckDB oracle runs the same chain
+    * verbatim (the q62/q113 shared-constant discipline; Spark's `$1`
+    * vs DuckDB's `\1` replacement syntax never comes up).
+    *
+    * Chain: strip the fragment ([[UrlFragmentRe]]) → split at the
+    * [[UrlPrefixRe]] scheme://authority boundary → within the AUTHORITY
+    * PREFIX ONLY, drop userinfo ([[UrlUserinfoRe]]), lowercase, and
+    * strip the scheme's own default port ([[UrlHttpPortRe]] under
+    * http://, [[UrlHttpsPortRe]] under https:// — :8080, or :443 under
+    * http://, is page identity and survives) → re-concatenate with the
+    * path/query remainder → [[UrlCanonPost]]. Authority-scoping the
+    * userinfo/port rules means a query VALUE like `?next=http://u@h`
+    * or a path segment `:80/` is never rewritten. URLs with no
+    * scheme://authority prefix (relative/schemeless) pass through
+    * un-lowered — every such URL keeps its own identity rather than
+    * collapsing into one empty-string canon — and still get the
+    * [[UrlCanonPost]] tracking-parameter hygiene. */
+  val UrlFragmentRe = "#.*$"          // fragment never reaches the server
+  val UrlUserinfoRe = "://[^/?#@]*@"  // userinfo is not page identity
+  /** Group 1 = scheme://[userinfo@]host[:port], group 2 = rest. */
   val UrlPrefixRe = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(.*)$"
+  /** Default-port strips, applied to the authority prefix only (which
+    * contains no `/`, so a single `$`-anchored pattern suffices). */
+  val UrlHttpPortRe = ":80$"
+  val UrlHttpsPortRe = ":443$"
   val UrlCanonPost: Seq[(String, String)] = Seq(
-    ":80/" -> "/", ":443/" -> "/",     // default ports, every position
-    ":80\\?" -> "?", ":443\\?" -> "?", // (literal replaces: RE2 has no
-    ":80$" -> "", ":443$" -> "",       //  lookahead for one pattern)
     "&(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&#]*" -> "",    // mid/terminal &
     "\\?(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&#]*&" -> "?", // first of many
     "\\?(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&#]*$" -> "",  // only param
@@ -92,16 +104,20 @@ object Curation {
     "/$" -> "")                        // trailing slash
 
   /** Apply the canonicalization chain. The prefix is extracted twice
-    * (lowered + remainder); bind the input to a column first when this
-    * runs in a hot loop so the upstream expression isn't re-evaluated. */
+    * (authority + remainder) and the authority re-derived per CASE arm;
+    * bind the input to a column first when this runs in a hot loop so
+    * the upstream expression isn't re-evaluated. */
   def canonicalizeUrl(url: Column): Column = {
-    val pre = UrlCanonPre.foldLeft(url) {
-      case (c, (p, r)) => regexp_replace(c, p, r)
-    }
-    val lowered = concat(
-      lower(regexp_extract(pre, UrlPrefixRe, 1)),
-      regexp_extract(pre, UrlPrefixRe, 2))
-    UrlCanonPost.foldLeft(lowered) {
+    val pre = regexp_replace(url, UrlFragmentRe, "")
+    val g1 = regexp_extract(pre, UrlPrefixRe, 1)
+    val g2 = regexp_extract(pre, UrlPrefixRe, 2)
+    val auth = lower(regexp_replace(g1, UrlUserinfoRe, "://"))
+    val authPort =
+      when(auth.startsWith("http://"), regexp_replace(auth, UrlHttpPortRe, ""))
+        .when(auth.startsWith("https://"), regexp_replace(auth, UrlHttpsPortRe, ""))
+        .otherwise(auth)
+    val base = when(g1 === lit(""), pre).otherwise(concat(authPort, g2))
+    UrlCanonPost.foldLeft(base) {
       case (c, (p, r)) => regexp_replace(c, p, r)
     }
   }

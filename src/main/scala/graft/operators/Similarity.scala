@@ -111,18 +111,28 @@ object Similarity {
     * (a post-filter would leave holes where positives ranked high —
     * exactly the vectors hard-negative mining exists to find).
     *
+    * The query panel defaults to the DISTINCT q_ids of `positives` —
+    * a query with zero positives rows is then absent from the output.
+    * Pass `queryIds` (a one-column frame of ids) to mine for an
+    * explicit panel instead, e.g. a batch that includes
+    * not-yet-labeled queries.
+    *
     * Scale shape: the query panel (one training batch's queries) and
     * the positives table broadcast; the corpus scans once with the
     * cosine computed map-side; only per-query candidates enter the
-    * window shuffle. At corpus scales where even that is too wide, swap
-    * the candidate source for [[lshCandidatesMultiProbe]] or IVF
-    * probing and keep the same anti-join + window tail — the gate
-    * registers the exact form so the oracle can reproduce it. */
+    * window shuffle. At corpus scales where even that is too wide,
+    * [[hardNegativesLsh]] swaps the candidate source for
+    * [[lshCandidatesMultiProbe]] and keeps the same anti-join + window
+    * tail — the gate registers the exact form so the oracle can
+    * reproduce it. */
   def hardNegatives(embeddings: DataFrame, positives: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      queryIds: Option[DataFrame] = None): DataFrame = {
     val base = withNorm(embeddings, idCol, vecCol)
-    val q = base.join(positives.select(col("q_id")).distinct(),
-        col(idCol) === col("q_id"))
+    val panel = queryIds
+      .map(_.toDF("q_id").distinct())
+      .getOrElse(positives.select(col("q_id")).distinct())
+    val q = base.join(panel, col(idCol) === col("q_id"))
       .select(col("q_id"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
     val n = base
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("nrm").as("n_nrm"))
@@ -133,6 +143,44 @@ object Similarity {
       .join(
         broadcast(positives.select(col("q_id"), col("pos_id").as("n_id"))),
         Seq("q_id", "n_id"), "left_anti")
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
+  /** [[hardNegatives]] at corpus scale: candidates come from
+    * multi-probe LSH buckets ([[lshCandidatesMultiProbe]]) instead of
+    * the corpus × panel scan, then the SAME positives anti-join +
+    * per-query window tail. Output schema matches [[hardNegatives]];
+    * the corpus-side cost is the bucket join (pair space Σ bucket² per
+    * (table, bucket)), never |Q|·n, and the per-query window shuffles
+    * only bucket-mates. Recall vs the exact form is the q21/q22 ANN
+    * tradeoff (spec-pinned ≥ 0.6 on the testdata corpus); under-filled
+    * buckets can yield fewer than k negatives. The exact form stays
+    * the registered gate query — the oracle can reproduce it in SQL. */
+  def hardNegativesLsh(embeddings: DataFrame, positives: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numTables: Int, planesPerTable: Int, dims: Int,
+      queryIds: Option[DataFrame] = None): DataFrame = {
+    val base = fusedBase(embeddings, idCol, vecCol, numTables,
+      planesPerTable, dims)
+    val buckets = fusedBuckets(base)
+    val qids = queryIds.map(_.toDF("qid").distinct())
+      .getOrElse(positives.select(col("q_id").as("qid")).distinct())
+    val cands = lshCandidatesMultiProbe(buckets, qids, planesPerTable)
+    val q = base.select(col("vid").as("qi"), col("__vec").as("q_vec"),
+      col("nrm").as("q_nrm"))
+    val n = base.select(col("vid").as("ni"), col("__vec").as("n_vec"),
+      col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cands
+      .join(broadcast(positives.select(col("q_id"), col("pos_id").as("n_id"))),
+        Seq("q_id", "n_id"), "left_anti")
+      .join(broadcast(q), col("q_id") === col("qi"))
+      .join(n, col("n_id") === col("ni"))
       .withColumn("cos",
         dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rnk", row_number().over(w))

@@ -441,12 +441,19 @@ object CurationQueries extends QueryPack {
   // regexp chain is GENERATED from the same Curation.UrlCanon*
   // constants the engine folds, so the two sides cannot drift.
   private def urlCanonSql(inner: String): String = {
-    val pre = Curation.UrlCanonPre.foldLeft(inner) {
-      case (s, (p, r)) => s"regexp_replace($s, '$p', '$r', 'g')"
-    }
-    val low = s"lower(regexp_extract($pre, '${Curation.UrlPrefixRe}', 1)) || " +
-      s"regexp_extract($pre, '${Curation.UrlPrefixRe}', 2)"
-    Curation.UrlCanonPost.foldLeft(s"($low)") {
+    val pre = s"regexp_replace($inner, '${Curation.UrlFragmentRe}', '', 'g')"
+    val g1 = s"regexp_extract($pre, '${Curation.UrlPrefixRe}', 1)"
+    val g2 = s"regexp_extract($pre, '${Curation.UrlPrefixRe}', 2)"
+    val auth =
+      s"lower(regexp_replace($g1, '${Curation.UrlUserinfoRe}', '://', 'g'))"
+    val authPort =
+      s"""CASE WHEN $auth LIKE 'http://%'
+            THEN regexp_replace($auth, '${Curation.UrlHttpPortRe}', '', 'g')
+            WHEN $auth LIKE 'https://%'
+            THEN regexp_replace($auth, '${Curation.UrlHttpsPortRe}', '', 'g')
+            ELSE $auth END"""
+    val base = s"CASE WHEN $g1 = '' THEN $pre ELSE ($authPort) || $g2 END"
+    Curation.UrlCanonPost.foldLeft(s"($base)") {
       case (s, (p, r)) => s"regexp_replace($s, '$p', '$r', 'g')"
     }
   }

@@ -92,8 +92,12 @@ object PodchartDataSource {
           "e.g. option(\"http.date\", \"2026-08-13\")) — it is not " +
           "defaulted to now() because a replan across midnight would " +
           "change the plan"))
-    require(date.matches("""\d{4}-\d{2}-\d{2}"""),
-      s"http.date must be YYYY-MM-DD, got '$date'")
+    // LocalDate.parse, not a shape regex: '2026-99-99' would otherwise
+    // be embedded in every fetch URL and fail only server-side — an
+    // impossible date should fail HERE, at planning time, once
+    require(date.matches("""\d{4}-\d{2}-\d{2}""") &&
+        scala.util.Try(java.time.LocalDate.parse(date)).isSuccess,
+      s"http.date must be a real YYYY-MM-DD calendar date, got '$date'")
     regions.distinct.sorted
       .map(r => HttpChartPartition(url, chart, r, date, referer): InputPartition)
       .toArray

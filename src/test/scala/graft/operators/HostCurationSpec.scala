@@ -70,6 +70,38 @@ class HostCurationSpec extends SparkSpec {
     assert(twice == 0L, "canonicalization must be idempotent")
   }
 
+  test("canonicalizeUrl authority-scoping and schemeless passthrough") {
+    val s = spark
+    import s.implicits._
+    def canonOf(url: String): String =
+      Seq(url).toDF("u")
+        .select(Curation.canonicalizeUrl(col("u"))).head().getString(0)
+    // schemeless / relative URLs keep their own identity (no collapse
+    // into one empty-string canon) and still get Post hygiene
+    assert(canonOf("Example.com/Page/") == "Example.com/Page")
+    assert(canonOf("/rel/path?utm_x=1") == "/rel/path")
+    assert(canonOf("not a url") == "not a url")
+    // userinfo strip is authority-scoped: a query VALUE keeps its @
+    assert(canonOf("https://h.example.org/p?next=http://u@h2") ==
+      "https://h.example.org/p?next=http://u@h2")
+    // default-port strip is scheme-matched: :443 under http (and :80
+    // under https) is NOT the default and survives; matched defaults go
+    assert(canonOf("http://h.example.org:443/p") == "http://h.example.org:443/p")
+    assert(canonOf("https://h.example.org:80/p") == "https://h.example.org:80/p")
+    assert(canonOf("http://H.example.org:80/p") == "http://h.example.org/p")
+    assert(canonOf("https://h.example.org:443") == "https://h.example.org")
+    // a literal ":80/" inside the PATH is page identity, not a port
+    assert(canonOf("https://h.example.org/odd:80/x") ==
+      "https://h.example.org/odd:80/x")
+    // idempotence over the tricky forms too
+    val tricky = Seq("Example.com/Page/", "/rel/path?utm_x=1",
+      "https://h.example.org/p?next=http://u@h2", "http://h.example.org:443/p",
+      "https://h.example.org/odd:80/x").toDF("u")
+      .select(Curation.canonicalizeUrl(col("u")).as("c"))
+    assert(tricky.select(col("c"), Curation.canonicalizeUrl(col("c")).as("c2"))
+      .filter(col("c") =!= col("c2")).count() == 0L)
+  }
+
   test("blocklist anti-join drops exactly the listed hosts, dups harmless") {
     import spark.implicits._
     // duplicate blocklist entries must not over-drop (anti-join, not inner)

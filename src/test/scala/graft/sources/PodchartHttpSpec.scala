@@ -187,6 +187,19 @@ class PodchartHttpSpec extends SparkSpec {
     assert(e.getMessage.contains("http.date"), e.getMessage)
   }
 
+  test("impossible http.date fails fast at planning, not server-side") {
+    // shape-valid but non-calendar: would otherwise land in every fetch
+    // URL and fail only when the server rejects it
+    val e = intercept[Exception] {
+      spark.read.format("podchart")
+        .option("http.url", "http://127.0.0.1:1/api/charts")
+        .option("http.regions", "us")
+        .option("http.date", "2026-99-99")
+        .load().collect()
+    }
+    assert(e.getMessage.contains("http.date"), e.getMessage)
+  }
+
   test("non-2xx surfaces as a TYPED status, not a message format") {
     withServer { (base, _) =>
       val e = intercept[HttpStatusException] {
