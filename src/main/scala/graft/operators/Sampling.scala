@@ -53,24 +53,101 @@ object Sampling {
   private def hashOrder(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Hash ranges for the distributed running sums: the top 10 bits of
+    * the 60-bit hash key — a MAP-SIDE expression (no sampling pass, no
+    * extra exchange) that is monotone in the hash, so sorting by
+    * (range, hash, id) IS sorting by (hash, id) and the global running
+    * sum is unchanged row-for-row. 1024 ranges exceed any realistic
+    * shuffle-partition count (parallelism ceiling = |ranges|) while the
+    * subtotal frame stays a trivially-broadcast ≤ 1024 rows; the md5 is
+    * uniform, so ranges are balanced at any corpus size. */
+  private val RangeShift = 50 // 60-bit hash >> 50 → range in [0, 1024)
+  private val NumRanges = 1024
+
+  /** Cumulative per-range offsets from the (range, subtotal) frame:
+    * subtotals collect into ONE sorted array row (bounded: ≤ |ranges|
+    * entries) and a single `aggregate` fold emits each range paired
+    * with the sum of all EARLIER ranges' tokens, exploded back to
+    * |ranges| rows. No window (a running sum over the subtotal frame
+    * would be the single-partition WindowExec this family just
+    * eliminated), no per-corpus-row lambda — and `__off` surfaces as
+    * an opaque generator attribute, which keeps constraint inference
+    * from substituting the fold into main-side join filters (observed
+    * with a scalar-subquery formulation: the O(|ranges|) fold leaked
+    * into a per-row `isnotnull` filter on the corpus scan). */
+  private def rangeOffsets(sub: DataFrame): DataFrame =
+    sub.agg(sort_array(collect_list(struct(
+        col("__r").as("r"), col("__sub").as("s")))).as("e"))
+      .select(explode(expr(
+        """aggregate(e,
+             named_struct('acc', CAST(0 AS BIGINT),
+                          'out', CAST(array() AS ARRAY<STRUCT<r: BIGINT, off: BIGINT>>)),
+             (st, x) -> named_struct(
+               'acc', st.acc + x.s,
+               'out', array_append(st.out, named_struct('r', x.r, 'off', st.acc))),
+             st -> st.out)""")).as("kv"))
+      .select(col("kv.r").as("__r"), col("kv.off").as("__off"))
+
+  /** Distributed running sum of `tokensCol` over the global order
+    * (`__range` ASC, then `orderCols` within each range) — the classic
+    * two-pass prefix sum, replacing the single-partition global window
+    * that was the engine's last scale-killer (round-7 verdict #1):
+    *
+    *  1. within-range running sums via a window PARTITIONED by
+    *     `__range` — the only corpus-wide exchange, and it spreads
+    *     across executors like any grouped window;
+    *  2. per-range token subtotals (a map-side-combining aggregate —
+    *     the exchange carries ≤ |ranges| rows per partition) expand to
+    *     the cumulative-offset frame via [[rangeOffsets]];
+    *  3. offsets fan back onto the corpus as a broadcast HASH join on
+    *     `__range` (O(1) per row; null-safe, so a null range key —
+    *     null id/order values — flows through like the global window's
+    *     nulls-first rather than dropping at the join) and
+    *     `__cum` = local + offset.
+    *
+    * Same numbers as the global window — the per-range offset is
+    * exactly the sum of all earlier ranges' tokens — so the DuckDB
+    * oracles (which keep the readable single-window SQL) are unchanged.
+    * Input must carry `__range`; returns (input + `__cum`, the
+    * per-range subtotal frame for callers that also need the corpus
+    * total without another pass). */
+  private def rangedCumSum(withRange: DataFrame, orderCols: Seq[Column],
+      tokensCol: String): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__range"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val sub = withRange.groupBy(col("__range").as("__r"))
+      .agg(sum(col(tokensCol)).cast("long").as("__sub"))
+    val out = withRange
+      .withColumn("__local", sum(col(tokensCol)).over(w).cast("long"))
+      .join(broadcast(rangeOffsets(sub)), col("__range") <=> col("__r"))
+      .withColumn("__cum", col("__local") + col("__off"))
+      .drop("__r", "__off", "__local")
+    (out, sub)
+  }
+
   /** Token-budget subset: take documents in deterministic hash order
     * until the running token total reaches `budgetTokens` — the "give
     * me a reproducible N-token dataset" selection. Hash order makes the
     * subset unbiased AND stable across runs/engines; the budget check
     * is `cum - tokens < budget`, so the document that CROSSES the
     * budget line is included (the subset always reaches the budget
-    * when enough data exists). One window pass; at corpus scale
-    * partition the window by shard and give each shard its budget
-    * share. */
+    * when enough data exists). The running sum is the [[rangedCumSum]]
+    * distributed prefix sum — no single-partition window, identical
+    * values to the global-window form. */
   def tokenBudgetSubset(df: DataFrame, idCol: String, tokensCol: String,
       budgetTokens: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(hashOrder(col(idCol)).asc, col(idCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__cum", sum(col(tokensCol)).over(w).cast("long"))
-      .filter(col("__cum") - col(tokensCol) < budgetTokens)
-      .drop("__cum")
+    val withRange = df
+      .withColumn("__h", hashOrder(col(idCol)))
+      // null id → null hash → range -1: nulls-first, like the window
+      .withColumn("__range",
+        coalesce(shiftright(col("__h"), RangeShift), lit(-1L)))
+    val (cum, _) = rangedCumSum(withRange,
+      Seq(col("__h").asc, col(idCol).asc), tokensCol)
+    cum.filter(col("__cum") - col(tokensCol) < budgetTokens)
+      .drop("__cum", "__h", "__range")
   }
 
   /** Token-balanced shard assignment — the export step for distributed
@@ -81,22 +158,29 @@ object Sampling {
     * goes to the shard its LAST token falls in when the running token
     * stream is cut into n equal spans: shard = ((cum_end − 1) · n) DIV
     * total, integer-exact, so imbalance is bounded by the largest
-    * single document. One window pass; at corpus scale partition the
-    * window by a hash prefix and shard within partitions. */
+    * single document. Running sum via [[rangedCumSum]]; the corpus
+    * total rides the same per-range subtotals (one bounded aggregate,
+    * not a second corpus scan) and attaches as a scalar subquery —
+    * no 1-row cross join in the plan. */
   def tokenBalancedShards(df: DataFrame, idCol: String, tokensCol: String,
       nShards: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
     require(nShards >= 1, s"nShards=$nShards must be >= 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(hashOrder(col(idCol)).asc, col(idCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val total = df.agg(sum(col(tokensCol)).cast("long").as("__total"))
-    df.withColumn("__cum", sum(col(tokensCol)).over(w).cast("long"))
-      .crossJoin(broadcast(total)) // 1-row corpus-constant fan
+    val withRange = df
+      .withColumn("__h", hashOrder(col(idCol)))
+      .withColumn("__range",
+        coalesce(shiftright(col("__h"), RangeShift), lit(-1L)))
+    val (cum, sub) = rangedCumSum(withRange,
+      Seq(col("__h").asc, col(idCol).asc), tokensCol)
+    val total = sub.agg(coalesce(sum(col("__sub")), lit(0L)).as("__total"))
+    cum
+      .withColumn("__total",
+        Bridge.column(ScalarSubquery(Bridge.analyzed(total))))
       .withColumn("shard",
         expr(s"((greatest(__cum, 1L) - 1L) * $nShards) DIV greatest(__total, 1L)")
           .cast("long"))
-      .drop("__cum", "__total")
+      .drop("__cum", "__h", "__range", "__total")
   }
 
   /** Length-bucketed micro-batch assignment — padding-efficiency
@@ -142,21 +226,58 @@ object Sampling {
     * chunked into training sequences. Emits per document its token span
     * [tok_start, tok_end) in the stream and the first/last chunk it
     * lands in (a document may straddle chunks; chunk_last - chunk_first
-    * is its straddle count). One window pass — the running sum streams
-    * per partition; at corpus scale partition by shard and pack within
-    * shards. */
+    * is its straddle count).
+    *
+    * `orderCol` is an arbitrary user order, so ranges can't come from a
+    * map-side hash prefix the way [[tokenBudgetSubset]]'s do. For a
+    * NUMERIC `orderCol` the range is `width_bucket` over the column's
+    * [min, max+1) span (bounds ride in as one tiny scalar subquery) —
+    * still a map-side, codegen'd expression, monotone non-strict in the
+    * key (long→double rounding and bucketing both preserve ≤), equal
+    * keys always share a bucket, so (range, key) order IS key order and
+    * the running sum is unchanged. NaN keys pin to a range after every
+    * bucket and nulls to one before (matching the window's null/NaN
+    * ordering); value-skewed keys imbalance ranges — performance, never
+    * correctness. Non-numeric keys (strings, dates) take the general
+    * fallback: RANGE-partition on `orderCol` with the materialized
+    * partition id as the range key, CacheScope-persisted because
+    * `spark_partition_id` is nondeterministic — ReuseExchange will not
+    * unify the window and subtotal branches, and an unpersisted plan
+    * would re-shuffle the corpus once per branch (pass the projection
+    * you want packed, not full documents, and the materialized frame
+    * stays narrow). Either way: ONE corpus-wide window exchange plus
+    * bounded/slim side passes; no single-partition anything. */
   def packContexts(df: DataFrame, orderCol: String, tokensCol: String,
       contextLen: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(orderCol).asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val oc = col(orderCol)
+    val numeric = df.schema(orderCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val withRange = if (numeric) {
+      val v = oc.cast("double")
+      val bounds = df.agg(struct(min(v).as("lo"), max(v).as("hi")).as("mm"))
+      df.withColumn("__mm",
+          Bridge.column(ScalarSubquery(Bridge.analyzed(bounds))))
+        .withColumn("__range", coalesce(
+          when(isnan(v), lit(NumRanges + 2L)), // NaN sorts after everything
+          expr(s"width_bucket(CAST(`$orderCol` AS DOUBLE), __mm.lo, " +
+            s"__mm.hi + 1d, $NumRanges)"),
+          lit(-1L)))                           // null keys sort first
+        .drop("__mm")
+    } else {
+      df.repartitionByRange(NumRanges, oc.asc)
+        .withColumn("__range", spark_partition_id().cast("long"))
+        .transform(graft.util.CacheScope.persist)
+    }
+    val (cum, _) = rangedCumSum(withRange, Seq(oc.asc), tokensCol)
     // integer DIV, not floor(double /): token offsets are exact longs
-    df.withColumn("tok_end", sum(col(tokensCol)).over(w).cast("long"))
+    cum.withColumn("tok_end", col("__cum"))
       .withColumn("tok_start", (col("tok_end") - col(tokensCol)).cast("long"))
       .withColumn("chunk_first", expr(s"tok_start DIV $contextLen"))
       .withColumn("chunk_last",
         when(col(tokensCol) === 0, expr(s"tok_start DIV $contextLen"))
           .otherwise(expr(s"(tok_end - 1) DIV $contextLen")))
+      .drop("__cum", "__range")
   }
 }

@@ -32,23 +32,23 @@ class PlanAuditSpec extends SparkSpec {
       "q110_incremental_ivf",
       // q118's n × bounded-query-panel scan — q20/q75's bounded class
       // (the positives anti-join stays an equi-join, not a cross)
-      "q118_hard_negatives",
-      // q120's 1-row corpus-total fan — q68/q91/q106's constant class
-      "q120_token_balanced_shards")
+      "q118_hard_negatives")
+      // q120 left this list in round 8: its 1-row corpus total now rides
+      // a scalar subquery instead of a cross join, so no BNLJ to except
+
+  // q30/q49/q86/q99/q103/q105 drive streaming queries (evaluating them
+  // here would run the whole stream); batch twins q12/q38/q03/q08 ARE
+  // audited
+  private val streamingQueries =
+    Set("q30_stream_hourly", "q49_stream_stream_join",
+      "q86_stream_static_enrich", "q99_stream_dedup",
+      "q103_stream_outer_join", "q105_stream_sessionize")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if boundedCrossJoinAllowed(name) => None
-      // q30/q49/q86/q99 drive streaming queries (evaluating them here
-      // would run the whole stream); batch twins q12/q38/q03/q08 ARE
-      // audited
-      case (name, _) if name == "q30_stream_hourly" ||
-        name == "q49_stream_stream_join" ||
-        name == "q86_stream_static_enrich" ||
-        name == "q99_stream_dedup" ||
-        name == "q103_stream_outer_join" ||
-        name == "q105_stream_sessionize" => None
+      case (name, _) if streamingQueries(name) => None
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct") ||
@@ -56,6 +56,69 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"unbounded all-pairs joins in: ${offenders.mkString(", ")}")
+  }
+
+  // Single-partition windows over a BOUNDED-by-aggregation frame,
+  // audited by hand (the boundedCrossJoinAllowed discipline). A window
+  // above a global `limit` is allowed MECHANICALLY (≤ N rows by
+  // construction); an aggregate below a window is NOT generally
+  // bounding (groupBy doc_id is corpus-sized), so these name the frame:
+  //  - q63/q69: Mixture.uniformMixtureWeights windows over the
+  //    per-SOURCE aggregate — ≤ |sources| rows, a handful;
+  //  - q74: the cumulative histogram windows over the BIN table —
+  //    ≤ max_tokens/16 rows, hundreds.
+  private val aggBoundedWindowAllowed =
+    Set("q63_mixture_weights", "q69_mixture_downsample",
+      "q74_token_histogram")
+
+  test("no registered plan windows over a single partition") {
+    // A Window/WindowGroupLimit with an EMPTY partitionSpec plans an
+    // Exchange SinglePartition below it: the whole input flows through
+    // ONE task for the sort + frame scan — the scale-killer class the
+    // round-7 verdict flagged in the Sampling family (q45/q57/q120,
+    // since rewritten as two-pass distributed prefix sums). This lint
+    // keeps the class extinct: every registered query's physical plan
+    // (AQE stages and subquery plans included) must be free of
+    // unpartitioned window operators UNLESS the window's input is
+    // provably bounded — a global limit below it (the post-`limit(n)`
+    // rank pattern: TakeOrderedAndProject heaps do the global work, the
+    // window sees ≤ n survivors), or an audited aggregate-bounded frame
+    // (aggBoundedWindowAllowed). Single-partition EXCHANGES remain
+    // legal — 1-row/bounded global aggregates (corpus totals, the
+    // ≤ |ranges| offset folds) are constant-size by construction.
+    import org.apache.spark.sql.execution.{SparkPlan,
+      TakeOrderedAndProjectExec, GlobalLimitExec, CollectLimitExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+    }
+    def limitBounded(p: SparkPlan): Boolean = nodes(p).exists {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: CollectLimitExec => true
+      case _ => false
+    }
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if streamingQueries(name) => None
+      case (name, _) if aggBoundedWindowAllowed(name) => None
+      case (name, fn) =>
+        val bad = nodes(fn(spark, dir).queryExecution.executedPlan).exists {
+          case w: WindowExec =>
+            w.partitionSpec.isEmpty && !limitBounded(w.child)
+          case w: WindowGroupLimitExec =>
+            w.partitionSpec.isEmpty && !limitBounded(w.child)
+          case _ => false
+        }
+        if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition windows in: ${offenders.mkString(", ")}")
   }
 
   test("q82 plans the native KMV aggregate, not the distinct+window chain") {

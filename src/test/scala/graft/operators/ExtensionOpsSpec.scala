@@ -569,6 +569,47 @@ class SamplingSpec extends graft.SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("context packing on a STRING order key (range-partition fallback path)") {
+    val s = spark
+    import s.implicits._
+    // string keys take the repartitionByRange + partition-id path; the
+    // spans must still tile the stream in lexicographic key order
+    val docs = (1 to 300).map(i => (f"doc_$i%04d", (i * 17L) % 59 + 1))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packContexts(docs, "doc_id", "n_tokens", 128)
+      .orderBy("doc_id")
+      .select("doc_id", "tok_start", "tok_end")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // driver-side reference: running sum in sorted-key order
+    var cum = 0L
+    val ref = (1 to 300).map(i => (f"doc_$i%04d", (i * 17L) % 59 + 1))
+      .sortBy(_._1).map { case (id, n) => val st = cum; cum += n; (id, st, cum) }
+    assert(out.toSeq == ref)
+    // deterministic under input repartitioning
+    val again = Sampling.packContexts(docs.repartition(7), "doc_id",
+      "n_tokens", 128).orderBy("doc_id")
+      .select("doc_id", "tok_start", "tok_end")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == ref)
+  }
+
+  test("token budget: null ids take the nulls-first lane, not a join drop") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((Some(1L), 10L), (None, 5L), (Some(2L), 7L))
+      .toDF("doc_id", "n_tokens")
+    // budget large enough for everything: no row may vanish at the
+    // null-safe offsets join
+    val all = Sampling.tokenBudgetSubset(docs, "doc_id", "n_tokens", 1000L)
+    assert(all.count() == 3)
+    // null hashes sort first (window NULLS FIRST): a 6-token budget
+    // covers the null row (5) and the first hashed doc crosses the line
+    val cut = Sampling.tokenBudgetSubset(docs, "doc_id", "n_tokens", 6L)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(cut.contains(-1L), "null-id row must be inside the budget prefix")
+    assert(cut.size == 2, s"expected null row + one crossing doc, got $cut")
+  }
+
   test("context packing: spans tile the token stream, straddle is consistent") {
     val s = spark
     import s.implicits._
