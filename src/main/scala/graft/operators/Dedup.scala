@@ -364,52 +364,95 @@ object Dedup {
     * set (~(dup_rate + fpp) of the batch, distinct). Size
     * `expectedItems` to the history fingerprint cardinality; bits scale
     * as ~1.2 GB per billion at fpp=0.03, broadcast once per executor by
-    * the subquery result. */
+    * the subquery result.
+    *
+    * Sizing guard: Spark's `BloomFilterAggregate` SILENTLY clamps both
+    * arguments via `Math.min` against
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4M) and `...maxNumBits` (default 64M bits = 8 MB). Above the caps
+    * the fpp degrades quietly — the candidate set approaches the whole
+    * batch and `broadcast(candidates)` grows toward batch size — so
+    * billion-row histories need BOTH confs raised first (≈1.44·n·|ln
+    * fpp|/ln²2 bits). This operator fails fast at plan time instead of
+    * silently losing its advertised scale behavior. */
   def incrementalExactBloom(newDocs: DataFrame, knownFps: DataFrame,
       idCol: String, textCol: String, fpCol: String,
       expectedItems: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
+    val withFp = newDocs.select(col(idCol).as("doc_id"),
+      fingerprint(col(textCol)).as("fp"))
+    val flagged = bloomKnownFlag(withFp, "fp", knownFps, fpCol,
+      expectedItems, fpp)
+    val intraKeep = withFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("__keep_id"))
+    flagged
+      .join(intraKeep, Seq("fp"))
+      .select(col("doc_id"), col("fp"),
+        col("__known_flag").as("dup_of_history"),
+        (col("doc_id") === col("__keep_id")).as("intra_keep"))
+  }
+
+  /** The bloom-gated EXACT membership core shared by
+    * [[incrementalExactBloom]] and [[ParaDedup.incrementalKeepFirst]]:
+    * returns `rows` plus a `__known_flag` boolean — true iff
+    * rows(`fpCol`) appears in `knownFps`(`knownFpCol`) — with the
+    * history side never crossing an exchange.
+    *
+    * NO distinct on the history side anywhere: a distinct is an
+    * aggregation that exchanges every history fingerprint — the exact
+    * cost this helper exists to avoid. The bloom is a set (duplicate
+    * inserts are no-ops) and the semi join below tolerates duplicate
+    * rows because the distinct runs AFTER the candidate restriction.
+    *
+    * Exact verify touches ONLY the candidate fingerprints
+    * (distinct-first: the history join sees each candidate fp once, not
+    * once per copy). JOIN DIRECTION matters at scale: LeftSemi can only
+    * build (and broadcast) its RIGHT side, so `candidates semi known`
+    * would shuffle the whole history table. `known semi
+    * broadcast(candidates)` probes history MAP-SIDE against the small
+    * broadcast candidate set — history fingerprints never cross an
+    * exchange, in the bloom build (partial-combined sketches) or the
+    * verify. */
+  private[operators] def bloomKnownFlag(rows: DataFrame, fpCol: String,
+      knownFps: DataFrame, knownFpCol: String,
+      expectedItems: Long, fpp: Double): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    // NO distinct on the history side anywhere: a distinct is an
-    // aggregation that exchanges every history fingerprint — the exact
-    // cost this operator exists to avoid. The bloom is a set (duplicate
-    // inserts are no-ops) and the semi join below tolerates duplicate
-    // rows because the distinct runs AFTER the candidate restriction.
-    val known = knownFps.select(col(fpCol).as("fp"))
+    val known = knownFps.select(col(knownFpCol).as("fp"))
     // 1-row bloom plan over history; ln-formula for optimal bit count
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // fail fast where BloomFilterAggregate would silently Math.min-clamp
+    val conf = rows.sparkSession.conf
+    val maxItems =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing (expectedItems=$expectedItems -> numBits=$numBits) " +
+        s"exceeds BloomFilterAggregate's clamp confs (maxNumItems=$maxItems, " +
+        "maxNumBits=" + maxBits + "); raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems / .maxNumBits " +
+        "or the fpp silently degrades and the candidate broadcast grows " +
+        "toward batch size")
     val bloomDf = known.select(Bridge.column(
       new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("fp"))),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression()))
-    val withFp = newDocs.select(col(idCol).as("doc_id"),
-      fingerprint(col(textCol)).as("fp"))
-    val maybe = withFp.withColumn("__maybe", Bridge.column(
+    val maybe = rows.withColumn("__maybe", Bridge.column(
       BloomFilterMightContain(
         ScalarSubquery(Bridge.analyzed(bloomDf)),
-        Bridge.expression(xxhash64(col("fp"))))))
-    // exact verify ONLY the candidate fingerprints (distinct-first: the
-    // history join sees each candidate fp once, not once per copy).
-    // JOIN DIRECTION matters at scale: LeftSemi can only build (and
-    // broadcast) its RIGHT side, so `candidates semi known` would
-    // shuffle the whole history table. `known semi broadcast(candidates)`
-    // probes history MAP-SIDE against the small broadcast candidate set
-    // — history fingerprints never cross an exchange in this operator,
-    // in the bloom build (partial-combined sketches) or here.
-    val candidates = maybe.filter(col("__maybe")).select(col("fp")).distinct()
+        Bridge.expression(xxhash64(col(fpCol))))))
+    val candidates = maybe.filter(col("__maybe"))
+      .select(col(fpCol).as("fp")).distinct()
     val confirmed = known.join(broadcast(candidates), Seq("fp"), "left_semi")
       .distinct() // candidate-restricted first — this exchange is O(candidates)
+      .select(col("fp").as("__kfp"))
       .withColumn("__known", lit(true))
-    val intraKeep = withFp.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("__keep_id"))
     maybe
-      .join(broadcast(confirmed), Seq("fp"), "left")
-      .join(intraKeep, Seq("fp"))
-      .select(col("doc_id"), col("fp"),
-        coalesce(col("__known"), lit(false)).as("dup_of_history"),
-        (col("doc_id") === col("__keep_id")).as("intra_keep"))
+      .join(broadcast(confirmed), col(fpCol) === col("__kfp"), "left")
+      .withColumn("__known_flag", coalesce(col("__known"), lit(false)))
+      .drop("__kfp", "__known", "__maybe")
   }
 
   /** Duplicate-CLUSTER assignment from candidate pairs: connected

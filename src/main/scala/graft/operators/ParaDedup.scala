@@ -55,6 +55,49 @@ object ParaDedup {
       .select(col("doc_id"), col("pos"), col("para"))
   }
 
+  /** Paragraph-fingerprint projection — the LEDGER a daily pipeline
+    * stores between runs: one 16-byte md5 per paragraph occurrence.
+    * Deliberately NOT distinct'd here (a distinct exchanges every
+    * fingerprint; [[incrementalKeepFirst]] tolerates duplicate ledger
+    * rows by design) — dedup the stored table once at write time if
+    * storage matters. Append each batch's KEPT paragraphs' fingerprints
+    * to roll the ledger forward. */
+  def paragraphFingerprints(paras: DataFrame): DataFrame =
+    paras.select(Dedup.fingerprint(col("para")).as("fp"))
+
+  /** O(new-batch) incremental form of [[dedupKeepFirst]] — the sibling
+    * q65/q108/q116 give the document-level tiers, closing the
+    * daily-crawl cliff for paragraph dedup (round-7 verdict #2): a new
+    * batch's paragraph survives iff its fingerprint is absent from the
+    * HISTORY ledger AND it is the first occurrence within the batch by
+    * (doc_id, pos). Equivalent to running [[dedupKeepFirst]] over
+    * history ∪ batch with history ranked first, without touching
+    * history text: the ledger membership check is the bloom-gated exact
+    * core shared with [[Dedup.incrementalExactBloom]]
+    * ([[Dedup.bloomKnownFlag]]) — ledger fingerprints fold to
+    * partial-combined bloom sketches and are probed MAP-SIDE against
+    * the broadcast candidate set, so the ledger NEVER crosses an
+    * exchange; the only batch-wide exchange is the intra-batch
+    * keep-first window, keyed by fingerprint and carrying only
+    * ledger-miss paragraphs. Size `expectedItems` to the ledger
+    * cardinality (see the clamp-conf note on [[Dedup.bloomKnownFlag]]). */
+  def incrementalKeepFirst(newParas: DataFrame, ledger: DataFrame,
+      ledgerFpCol: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.03): DataFrame = {
+    val withFp = newParas.select(col("doc_id"), col("pos"), col("para"))
+      .withColumn("__fp", Dedup.fingerprint(col("para")))
+    val flagged = Dedup.bloomKnownFlag(withFp, "__fp", ledger, ledgerFpCol,
+      expectedItems, fpp)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+    flagged
+      .filter(!col("__known_flag"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("pos"), col("para"))
+  }
+
   /** Reassemble surviving paragraphs into documents in original order.
     * Documents whose every paragraph was a duplicate DISAPPEAR (a full
     * duplicate document contributes nothing) — anti-join the output

@@ -689,6 +689,57 @@ object DedupQueries extends QueryPack {
       FROM kept GROUP BY doc_id ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q122
+  // Incremental paragraph dedup vs a fingerprint ledger — q117's
+  // daily-crawl form: history docs (doc_id % 3 = 0) contribute only a
+  // paragraph-fingerprint LEDGER; the new batch (the rest) is deduped
+  // against the ledger (bloom-gated, q116's machinery — the ledger
+  // never crosses an exchange) plus keep-first within the batch, then
+  // reassembled. The oracle is the PLAIN batch SQL over history ∪ new
+  // with history ranked first — passing proves the incremental path is
+  // a pure optimization of the batch semantics. Chunk grammar and
+  // output projection mirror q117.
+  private val q122 = Q(
+    "q122_incremental_paragraph_dedup",
+    (s, dir) => {
+      import graft.operators.{Chunking, ParaDedup}
+      val docs = Tables(s, dir, "documents")
+      def paras(d: org.apache.spark.sql.DataFrame) =
+        Chunking.chunkByTokens(d, "doc_id", "text",
+            chunkTokens = 12, stride = 12)
+          .select(col("doc_id"), col("chunk_idx").as("pos"),
+            col("chunk_text").as("para"))
+      val ledger = ParaDedup.paragraphFingerprints(
+        paras(docs.filter(col("doc_id") % 3 === 0)))
+      val kept = ParaDedup.incrementalKeepFirst(
+        paras(docs.filter(col("doc_id") % 3 =!= 0)), ledger, "fp",
+        expectedItems = 1L << 17, fpp = 0.03)
+      ParaDedup.reassemble(kept)
+        .select(col("doc_id"), md5(col("text_dedup")).as("text_fp"),
+          col("n_paras_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      par AS (
+        SELECT doc_id, CAST((i - 1) // 12 AS INT) AS pos,
+               string_agg(w[i], ' ' ORDER BY i) AS para
+        FROM norm, UNNEST(generate_series(1, len(w))) AS t(i)
+        GROUP BY doc_id, CAST((i - 1) // 12 AS INT)),
+      ranked AS (
+        SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY md5(para)
+                                  ORDER BY (doc_id % 3 <> 0), doc_id, pos) AS rn
+        FROM par),
+      kept AS (SELECT doc_id, pos, para FROM ranked
+               WHERE rn = 1 AND doc_id % 3 <> 0)
+      SELECT doc_id,
+             md5(string_agg(para, ' ' ORDER BY pos)) AS text_fp,
+             COUNT(*) AS n_paras_kept
+      FROM kept GROUP BY doc_id ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108, q116, q117)
+    q108, q116, q117, q122)
 }

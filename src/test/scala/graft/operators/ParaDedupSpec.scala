@@ -41,6 +41,43 @@ class ParaDedupSpec extends SparkSpec {
     assert(kept == Seq((5L, 0), (5L, 1), (9L, 1)))
   }
 
+  test("incremental keep-first == batch keep-first with history ranked first") {
+    val s = spark
+    import s.implicits._
+    // history owns "shared h"; batch has an internal dup ("shared b"),
+    // a history dup, and unique paras. The incremental result over the
+    // LEDGER must equal the batch form run over history ∪ new with
+    // history given rank priority.
+    val history = Seq(
+      (100L, 0, "shared h"), (100L, 1, "h only"),
+      (101L, 0, "shared h")) // ledger dups are harmless
+      .toDF("doc_id", "pos", "para")
+    val batch = Seq(
+      (1L, 0, "shared h"),   // dup of history -> dropped
+      (1L, 1, "fresh a"),
+      (2L, 0, "shared b"), (2L, 1, "fresh c"),
+      (3L, 0, "shared b"),   // intra-batch dup -> (2,0) wins
+      (3L, 1, "fresh d"))
+      .toDF("doc_id", "pos", "para")
+    val ledger = ParaDedup.paragraphFingerprints(history)
+    val inc = ParaDedup.incrementalKeepFirst(batch, ledger, "fp",
+        expectedItems = 1024, fpp = 0.03)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(inc == Seq(
+      (1L, 1, "fresh a"),
+      (2L, 0, "shared b"), (2L, 1, "fresh c"),
+      (3L, 1, "fresh d")))
+    // reference: plain batch keep-first over the union with history
+    // ranked ahead of every batch row, restricted to batch survivors
+    val ref = ParaDedup.dedupKeepFirst(
+        history.withColumn("doc_id", col("doc_id") - 200L).union(batch))
+      .filter(col("doc_id") > 0)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(inc == ref, "incremental path must be a pure optimization")
+  }
+
   test("reassembly preserves original paragraph order, not shuffle order") {
     val s = spark
     import s.implicits._
