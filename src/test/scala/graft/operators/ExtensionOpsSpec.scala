@@ -133,6 +133,35 @@ class SimilaritySpec extends SparkSpec {
       plain.orderBy("rnk").collect().map(_.getLong(1)).toSeq)
   }
 
+  test("LSH hard negatives: recall >= 0.6 vs exact q118 form, exclusions hold") {
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // panel of 10 queries, each with one labeled positive
+    val positives = (0L until 10L).map(q => (q, q + 50L)).toDF("q_id", "pos_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.hardNegatives(e, positives,
+      "vec_id", "embedding", k = 5))
+    val approx = Similarity.hardNegativesLsh(e, positives,
+      "vec_id", "embedding", k = 5, numTables = 6, planesPerTable = 6,
+      dims = 64)
+    val got = pairs(approx)
+    // the q21 discipline: approximate candidates, exact tail — recall
+    // pinned against the exact registered form
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 $recall (${(exact & got).size}/${exact.size})")
+    // exclusions survive the candidate-source swap: no self, no positive
+    val posSet = positives.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (q, n) => q != n && !posSet((q, n)) })
+    // scale shape: bucket equi-joins only, no all-pairs scan
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH hard negatives must not plan an all-pairs join:\n$plan")
+  }
+
   test("identical vectors share every LSH bucket") {
     val s = spark
     import s.implicits._
