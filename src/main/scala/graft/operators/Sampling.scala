@@ -183,6 +183,32 @@ object Sampling {
       .drop("__cum", "__h", "__range", "__total")
   }
 
+  /** The export step over [[tokenBalancedShards]]: write the corpus as
+    * one parquet directory PER SHARD (`shard=K/`), so each training
+    * worker reads exactly its shard by path — the artifact a
+    * distributed loader actually consumes, closing the loop from
+    * assignment to disk. Writer tasks are range-partitioned on
+    * (shard, id): each shard's rows land in a contiguous task band
+    * (≈ `writeTasks`/nShards tasks per shard, so shard write
+    * parallelism scales with the cluster, not one task per shard) and
+    * each task feeds at most two shard directories — file count stays
+    * O(writeTasks), never the tasks × partitions small-file explosion.
+    * `maxRecordsPerFile` bounds individual files for loader-side
+    * streaming. */
+  def writeShards(df: DataFrame, idCol: String, tokensCol: String,
+      nShards: Int, path: String, writeTasks: Int = 0,
+      maxRecordsPerFile: Long = 1L << 20): Unit = {
+    val n = if (writeTasks > 0) writeTasks
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    tokenBalancedShards(df, idCol, tokensCol, nShards)
+      .repartitionByRange(n, col("shard"), col(idCol))
+      .write
+      .partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Length-bucketed micro-batch assignment — padding-efficiency
     * batching for tokenized training/inference: documents band by token
     * length (integer DIV into `bandTokens`-wide bins), then each band

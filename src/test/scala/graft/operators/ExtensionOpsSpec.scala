@@ -566,6 +566,45 @@ class SamplingSpec extends graft.SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("shard export: on-disk dirs carry the balanced token mass") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).map(i => (i, (i * 13) % 97 + 1)).toDF("doc_id", "n_tokens")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Sampling.writeShards(docs, "doc_id", "n_tokens", nShards = 4,
+        path = out, writeTasks = 8, maxRecordsPerFile = 50L)
+      // one directory per shard, hive-style
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+      assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+      // the artifact a loader reads: per-shard token mass from DISK must
+      // keep the assignment's max-doc imbalance bound, and no row lost
+      val back = spark.read.parquet(out)
+      assert(back.count() == 400)
+      val masses = back.groupBy("shard")
+        .agg(sum("n_tokens").cast("long").as("m"))
+        .collect().map(r => r.getLong(1))
+      val ideal = masses.sum / 4.0
+      masses.foreach(m => assert(math.abs(m - ideal) <= 97 + 1,
+        s"on-disk shard mass $m vs ideal $ideal breaks the max-doc bound"))
+      // maxRecordsPerFile bounds every physical file
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+      files.foreach { f =>
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 50L, s"${f.getName} has $n rows > maxRecordsPerFile")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("length-bucketed batches: band bounds waste, batches fill, determinism") {
     val s = spark
     import s.implicits._
