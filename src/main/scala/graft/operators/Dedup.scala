@@ -508,6 +508,44 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Canonical-representative election per duplicate cluster — the
+    * decision step AFTER [[dupClusters]]: near-dup clustering tells you
+    * which documents are copies of each other; this picks WHICH copy the
+    * training set keeps. Heuristic: most whitespace tokens first (the
+    * keep-longest rule — truncated/boilerplate-stripped variants lose to
+    * the fullest copy), smallest id on ties so the election is
+    * deterministic. Documents in no cluster are their own singleton
+    * canon. Output per doc: (idCol, cluster_id, canon_id, is_canon,
+    * n_tokens) — a total ledger (every input doc appears exactly once),
+    * so `filter(is_canon)` is the deduplicated corpus and the ledger
+    * itself is the redirect map for provenance.
+    *
+    * Scale shape: the election is an argmin AGGREGATE —
+    * min(struct(-n_tokens, id)) per cluster — which partial-combines
+    * map-side to one row per cluster per task; no window, nothing
+    * corpus-wide sorts. The canon table (one row per cluster) joins back
+    * to members keyed by cluster_id, the same exchange the labels
+    * already have. `labels` may cover only clustered docs (as
+    * [[dupClusters]] emits); the left join + coalesce supplies the
+    * singleton identity rows without densifying the labels table. */
+  def electCanonical(docs: DataFrame, labels: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val member = docs
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(labels.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val canon = member
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("n_tokens")).as("neg_tokens"),
+        col(idCol).as("id"))).as("best"))
+      .select(col("cluster_id"), col("best.id").as("canon_id"))
+    member.join(canon, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("canon_id"),
+        (col(idCol) === col("canon_id")).as("is_canon"), col("n_tokens"))
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * shared/(|A|+|B|-shared); join on the shingle, then one groupBy per
     * pair. At scale, run on LSH candidates instead of all sharing pairs

@@ -304,4 +304,61 @@ object TextAnalysis {
       .select(col(groupCol), col("token"), col("cnt"),
         col("rnk").cast("int").as("rnk"))
   }
+
+  /** Corpus-wide top-`n` vocabulary census over the normalized word
+    * stream: (token, cnt). Ties at the cut broken token-ascending so
+    * the vocabulary is DETERMINISTIC — a coverage number computed today
+    * must reproduce tomorrow, and a count-only order would let two
+    * equal-frequency tokens swap across the boundary between runs.
+    *
+    * Scale shape: token counts partial-combine map-side (the exchange
+    * carries per-task combined (token, cnt) rows, not the token
+    * stream), and the global top-n is TakeOrderedAndProject — a bounded
+    * n-row heap per task fanned into one n-row result, never a
+    * corpus-wide sort. The result is n rows by construction, which is
+    * what lets [[oovStats]] broadcast it. */
+  def vocabTopN(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs
+      .select(explode(graft.operators.Dedup.words(col(textCol)))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(n)
+
+  /** Per-document vocabulary coverage against a bounded vocabulary —
+    * the tokenizer-coverage QA step before training: a mixture whose
+    * documents are full of out-of-vocabulary tokens will fragment into
+    * byte-fallback pieces and waste context budget. Output per doc:
+    * n_tokens, n_oov (tokens outside `vocab`), and a `well_covered`
+    * flag (n_oov ≤ oovPctMax% of n_tokens, integer arithmetic —
+    * n_oov·100 ≤ max·n_tokens — so the gate hashes no floats).
+    * Documents with no tokens report (0, 0, true).
+    *
+    * Scale shape: `vocab` is bounded (top-n census or a fixed tokenizer
+    * vocabulary) and broadcasts; the corpus scans ONCE, the token→vocab
+    * probe is a broadcast hash join, and the only exchange is the
+    * per-doc count aggregation keyed by `idCol` (partial-combined
+    * map-side). Nothing corpus-wide sorts. */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovPctMax: Int = 10): DataFrame = {
+    val toks = docs
+      .select(col(idCol),
+        explode(graft.operators.Dedup.words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val flagged = toks.join(
+      broadcast(vocab.select(col("token"), lit(true).as("__in_vocab"))),
+      Seq("token"), "left")
+    val per = flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("__in_vocab").isNull, lit(1L)).otherwise(lit(0L)))
+        .as("n_oov"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("well_covered",
+        col("n_oov") * lit(100L) <= lit(oovPctMax.toLong) * col("n_tokens"))
+  }
 }

@@ -495,15 +495,11 @@ object DedupQueries extends QueryPack {
   // step that turns pairwise near-dups into keep-one-per-cluster
   // decisions. The oracle computes the same closure with a recursive
   // CTE, proving the iterative distributed form reaches the fixpoint.
-  private val q66 = Q(
-    "q66_dup_clusters",
-    (s, dir) => {
-      Dedup.dupClusters(
-          Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
-            shingleK = 3, numHashes = 6, rowsPerBand = 2))
-        .orderBy(col("doc_id"))
-    },
-    Some(raw"""
+  // Shared closure prefix for q66/q124: the LSH candidate graph and its
+  // recursive-CTE connected components — one text, two gates, so the
+  // engine's propose chain and the oracle's closure can never drift
+  // between the clustering query and the election query built on it.
+  private val dupClosureCtes = raw"""
       WITH RECURSIVE norm AS (
         SELECT doc_id, $normWordsSql AS w FROM documents),
       sh AS (
@@ -537,13 +533,66 @@ object DedupQueries extends QueryPack {
         SELECT src AS id, src AS lbl FROM edges
         UNION
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-      labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+      labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)"""
+
+  private val q66 = Q(
+    "q66_dup_clusters",
+    (s, dir) => {
+      Dedup.dupClusters(
+          Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text",
+            shingleK = 3, numHashes = 6, rowsPerBand = 2))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""$dupClosureCtes,
       sizes AS (
         SELECT cluster_id, COUNT(*) AS cluster_size FROM labels
         GROUP BY cluster_id)
       SELECT id AS doc_id, cluster_id, cluster_size
       FROM labels JOIN sizes USING (cluster_id)
       ORDER BY doc_id
+    """))
+
+  // --------------------------------------------------------------- q124
+  // Canonical election per duplicate cluster: q66 says WHICH docs are
+  // copies; this picks which copy the training set KEEPS (most tokens,
+  // then smallest id) and ledgers every doc to its canon — singletons
+  // self-canon, so the output is a total redirect map and
+  // filter(is_canon) is the deduplicated corpus. The election is an
+  // argmin aggregate (min of (-n_tokens, id) structs), not a window —
+  // it partial-combines map-side; the oracle's ROW_NUMBER is the same
+  // total order spelled the SQL way.
+  private val q124 = Q(
+    "q124_canon_election",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.electCanonical(docs,
+          Dedup.dupClusters(Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleK = 3, numHashes = 6, rowsPerBand = 2)),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""$dupClosureCtes,
+      sized AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tokens
+        FROM documents),
+      member AS (
+        SELECT s.doc_id, COALESCE(l.cluster_id, s.doc_id) AS cluster_id,
+               s.n_tokens
+        FROM sized s LEFT JOIN labels l ON l.id = s.doc_id),
+      canon AS (
+        SELECT cluster_id, doc_id AS canon_id FROM (
+          SELECT cluster_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_tokens DESC, doc_id ASC) AS rn
+          FROM member) WHERE rn = 1)
+      SELECT m.doc_id, m.cluster_id, c.canon_id,
+             m.doc_id = c.canon_id AS is_canon,
+             CAST(m.n_tokens AS BIGINT) AS n_tokens
+      FROM member m JOIN canon c USING (cluster_id)
+      ORDER BY m.doc_id
     """))
 
   // --------------------------------------------------------------- q108
@@ -741,5 +790,5 @@ object DedupQueries extends QueryPack {
     """))
 
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108, q116, q117, q122)
+    q108, q116, q117, q122, q124)
 }

@@ -537,6 +537,46 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q123
+  // Vocabulary-coverage QA (tokenizer-fit audit): corpus top-500 word
+  // census → per-doc OOV rate against it. A mixture whose docs are
+  // full of out-of-vocab tokens fragments into byte fallback at
+  // training time; this is the report that catches it before the GPU
+  // bill. Integer-exact counts only — the coverage flag is the
+  // cross-multiplied inequality, so nothing float is hashed. The vocab
+  // cut is deterministic (cnt desc, token asc) on BOTH sides, which is
+  // what makes the boundary reproducible.
+  private val q123 = Q(
+    "q123_vocab_coverage",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.oovStats(docs, "doc_id", "text",
+          TextAnalysis.vocabTopN(docs, "text", n = 500), oovPctMax = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH tok AS (
+        SELECT doc_id, token
+        FROM (SELECT doc_id, UNNEST($wordsSql) AS token FROM documents)
+        WHERE token <> ''),
+      vocab AS (
+        SELECT token
+        FROM (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+        ORDER BY cnt DESC, token ASC LIMIT 500),
+      per AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+             COALESCE(p.n_oov, 0) * 100 <= 10 * COALESCE(p.n_tokens, 0)
+               AS well_covered
+      FROM documents d LEFT JOIN per p USING (doc_id)
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
-    q56, q57, q91, q101, q111, q113)
+    q56, q57, q91, q101, q111, q113, q123)
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VocabCoverageSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("vocabTopN: deterministic cut with token-ascending tie-break") {
+    val s = spark
+    import s.implicits._
+    // counts: b=3, a=2, c=2 — at n=2 the tie between a and c must
+    // resolve to a (token asc), never by partition luck
+    val tiny = Seq((1L, "b a c"), (2L, "b a c"), (3L, "b")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabTopN(tiny, "text", n = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(vocab == Set("b", "a"))
+  }
+
+  test("oovStats: hand corpus counts, empty doc, coverage flag") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq(
+      (1L, "b a c"),   // with vocab {b,a}: 3 tokens, 1 oov (33% > 10%)
+      (2L, "b b b"),   // 3 tokens, 0 oov
+      (3L, "   "),     // empty after trim: (0, 0, covered)
+      (4L, "z z")      // fully oov
+    ).toDF("doc_id", "text")
+    val vocab = Seq("b", "a").toDF("token")
+    val out = TextAnalysis.oovStats(tiny, "doc_id", "text", vocab,
+        oovPctMax = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 4)
+    assert(out(1L).getAs[Long]("n_tokens") == 3L)
+    assert(out(1L).getAs[Long]("n_oov") == 1L)
+    assert(!out(1L).getAs[Boolean]("well_covered"))
+    assert(out(2L).getAs[Long]("n_oov") == 0L)
+    assert(out(2L).getAs[Boolean]("well_covered"))
+    assert(out(3L).getAs[Long]("n_tokens") == 0L)
+    assert(out(3L).getAs[Boolean]("well_covered"))
+    assert(out(4L).getAs[Long]("n_oov") == 2L)
+    assert(!out(4L).getAs[Boolean]("well_covered"))
+  }
+
+  test("oovStats: totality and token-count agreement on real documents") {
+    val vocab = TextAnalysis.vocabTopN(docs, "text", n = 100)
+    val out = TextAnalysis.oovStats(docs, "doc_id", "text", vocab)
+    assert(out.count() == docs.count())
+    // the exploded-and-refiltered token count must agree with the
+    // per-row tokenCount expression (same normalization, no explode)
+    val bad = out
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("expect_n")), "doc_id")
+      .filter(col("n_tokens") =!= col("expect_n") ||
+        col("n_oov") > col("n_tokens") || col("n_oov") < 0)
+    assert(bad.count() == 0)
+  }
+
+  test("oovStats: a vocab covering the whole corpus yields zero oov") {
+    val everything = TextAnalysis.vocabTopN(docs, "text", n = 1000000)
+    val out = TextAnalysis.oovStats(docs, "doc_id", "text", everything)
+    assert(out.filter(col("n_oov") =!= 0L).count() == 0)
+    assert(out.filter(!col("well_covered")).count() == 0)
+  }
+
+  test("oovStats: vocab probe is a broadcast join, not a shuffle") {
+    val vocab = TextAnalysis.vocabTopN(docs, "text", n = 100)
+    val plan = TextAnalysis.oovStats(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
