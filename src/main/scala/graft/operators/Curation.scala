@@ -144,4 +144,15 @@ object Curation {
     docs.join(
       broadcast(blocklist.select(col(blockHostCol).as("__blocked")).distinct()),
       col(hostCol) === col("__blocked"), "left_anti")
+
+  /** Unicode normalization for crawl text: strip invisible junk
+    * (controls, zero-widths, BOM) and compose to NFC, so that
+    * fingerprint-based dedup sees "é" and "e"+combining-acute as the
+    * SAME text. Native codegen'd expression
+    * ([[graft.functions.NormalizeText]]) — zero shuffle, runs in-row
+    * inside whole-stage codegen ahead of any fingerprint/shingle step. */
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.NormalizeText(Bridge.expression(text)))
+  }
 }

@@ -306,4 +306,40 @@ object Sampling {
           .otherwise(expr(s"(tok_end - 1) DIV $contextLen")))
       .drop("__cum", "__range")
   }
+
+  /** Split-leakage audit: does identical text appear on both sides of a
+    * [[withSplit]] boundary? The hash split is a function of the ID, so
+    * two COPIES of a document (different ids, same text) land in
+    * independent splits — every duplicate group is a potential
+    * val/test-set leak, the train-on-test contamination an eval must
+    * rule out. One summary row: duplicate fingerprint groups, groups
+    * spanning >1 split, and the per-pair breakdown (train∩val,
+    * train∩test, val∩test), all integer-exact.
+    *
+    * Scale shape: the corpus shuffles ONCE, keyed by the 16-byte text
+    * fingerprint (never the text); per-group split presence folds to
+    * three bits map-side; the final reduce is the 1-row global
+    * aggregate (partial-combined, the q100-class constant output).
+    * O(corpus) with no window, no join, no second scan. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      valPct: Int, testPct: Int): DataFrame = {
+    val perFp = withSplit(docs.select(col(idCol), col(textCol)),
+        idCol, valPct, testPct)
+      .select(Dedup.fingerprint(col(textCol)).as("fp"), col("split"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("split") === "train", 1).otherwise(0)).as("has_train"),
+        max(when(col("split") === "val", 1).otherwise(0)).as("has_val"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("has_test"))
+    perFp.agg(
+      sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_fps"),
+      sum(when(col("has_train") + col("has_val") + col("has_test") > 1,
+        1L).otherwise(0L)).as("n_leaky_fps"),
+      sum(when(col("has_train") === 1 && col("has_val") === 1, 1L)
+        .otherwise(0L)).as("n_train_val"),
+      sum(when(col("has_train") === 1 && col("has_test") === 1, 1L)
+        .otherwise(0L)).as("n_train_test"),
+      sum(when(col("has_val") === 1 && col("has_test") === 1, 1L)
+        .otherwise(0L)).as("n_val_test"))
+  }
 }

@@ -503,5 +503,60 @@ object CurationQueries extends QueryPack {
     """
     })
 
-  def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121)
+  // --------------------------------------------------------------- q125
+  // Unicode normalization (crawl-cleanup): strip invisible junk
+  // (controls, zero-widths, BOM), compose to NFC, fingerprint the
+  // result — the step that makes md5-dedup see mojibake twins as one
+  // document. The corpus is clean ASCII, so the mess is FABRICATED
+  // deterministically per doc_id (the q114/q121 discipline): combining
+  // marks that must compose, zero-widths that must vanish (including
+  // one BETWEEN base and mark, which blocks composition until the
+  // strip runs first), a BOM, a BEL. Both regex classes are generated
+  // from NormalizeText.Stripped, so engine and oracle share one truth.
+  private val q125 = Q(
+    "q125_normalize_text",
+    (s, dir) => {
+      val m = col("doc_id") % 4
+      val messy = when(m === 0, col("text"))
+        .when(m === 1,
+          concat(substring(col("text"), 1, 50), lit("e\u0301 tail")))
+        .when(m === 2,
+          concat(lit("x\u200By\u0007"), substring(col("text"), 1, 30)))
+        .otherwise(
+          concat(lit("\uFEFFe\u200C\u0301"), substring(col("text"), 1, 20)))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), messy.as("messy"))
+        .select(col("doc_id"),
+          Curation.normalizeText(col("messy")).as("norm"),
+          col("messy"))
+        .select(col("doc_id"),
+          length(col("messy")).cast("long").as("n_messy"),
+          length(col("norm")).cast("long").as("n_norm"),
+          (col("messy") =!= col("norm")).as("changed"),
+          md5(col("norm")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val messy = """
+        CASE doc_id % 4
+          WHEN 0 THEN text
+          WHEN 1 THEN substr(text, 1, 50) || 'e' || chr(769) || ' tail'
+          WHEN 2 THEN 'x' || chr(8203) || 'y' || chr(7) || substr(text, 1, 30)
+          ELSE chr(65279) || 'e' || chr(8204) || chr(769) || substr(text, 1, 20)
+        END"""
+      val norm = graft.functions.NormalizeText.oracleSql("messy")
+      s"""
+      SELECT doc_id,
+             CAST(length(messy) AS BIGINT) AS n_messy,
+             CAST(length(norm) AS BIGINT) AS n_norm,
+             messy <> norm AS changed,
+             md5(norm) AS fp
+      FROM (SELECT doc_id, messy, $norm AS norm
+            FROM (SELECT doc_id, $messy AS messy FROM documents))
+      ORDER BY doc_id
+    """
+    })
+
+  def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
+    q125)
 }

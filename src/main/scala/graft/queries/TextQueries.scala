@@ -577,6 +577,52 @@ object TextQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q126
+  // Split-leakage audit: q44's hash split is a function of the ID, so
+  // duplicate TEXT under different ids crosses split boundaries — the
+  // train-on-test contamination an eval must rule out. One summary row
+  // (dup fingerprint groups, cross-split groups, per-pair breakdown),
+  // produced by one fp-keyed shuffle + the 1-row global reduce; the
+  // corpus text never travels, only 16-byte fingerprints and split
+  // bits.
+  private val q126 = Q(
+    "q126_split_leakage",
+    (s, dir) => {
+      graft.operators.Sampling.splitLeakage(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        valPct = 5, testPct = 5)
+    },
+    Some(raw"""
+      WITH tagged AS (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               CASE WHEN b < 5 THEN 'val'
+                    WHEN b < 10 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT text,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS b
+          FROM documents)),
+      per AS (
+        SELECT fp, COUNT(*) AS n_docs,
+               MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+               MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS has_val,
+               MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS has_test
+        FROM tagged GROUP BY fp)
+      SELECT
+        CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_fps,
+        CAST(SUM(CASE WHEN has_train + has_val + has_test > 1 THEN 1 ELSE 0
+          END) AS BIGINT) AS n_leaky_fps,
+        CAST(SUM(CASE WHEN has_train = 1 AND has_val = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_train_val,
+        CAST(SUM(CASE WHEN has_train = 1 AND has_test = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_train_test,
+        CAST(SUM(CASE WHEN has_val = 1 AND has_test = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_val_test
+      FROM per
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
-    q56, q57, q91, q101, q111, q113, q123)
+    q56, q57, q91, q101, q111, q113, q123, q126)
 }

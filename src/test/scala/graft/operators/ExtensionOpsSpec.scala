@@ -697,4 +697,41 @@ class SamplingSpec extends graft.SparkSpec {
     assert(byId(4L) == (1L, 3L))   // [600,1700) spans chunks 1..3
     assert(byId(5L) == (3L, 3L))
   }
+
+  test("split leakage: copies across the boundary counted, clean corpus reports zero") {
+    val s = spark
+    import s.implicits._
+    // give every id its hash split, then plant one text on BOTH sides
+    // of each boundary we expect to count — derive the sides from
+    // splitBucket itself so the fixture can't rot if pcts change
+    val ids = (1L to 200L).toDF("doc_id")
+      .withColumn("b", Sampling.splitBucket(col("doc_id")))
+    val buckets = ids.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pick(p: Long => Boolean): Seq[Long] =
+      buckets.toSeq.filter { case (_, b) => p(b) }.map(_._1).sorted
+    val train = pick(b => b >= 10)
+    val vl = pick(b => b < 5)
+    val ts = pick(b => b >= 5 && b < 10)
+    assert(train.nonEmpty && vl.nonEmpty && ts.nonEmpty)
+    val docs = Seq(
+      (train(0), "leak tv"), (vl(0), "leak tv"),       // train ∩ val
+      (train(1), "leak tt"), (ts(0), "leak tt"),       // train ∩ test
+      (vl(1), "leak vt"), (ts(1), "leak vt"),          // val ∩ test
+      (train(2), "dup same side"), (train(3), "dup same side"),
+      (train(4), "unique a"), (vl(2), "unique b")
+    ).toDF("doc_id", "text")
+    val r = Sampling.splitLeakage(docs, "doc_id", "text", 5, 5)
+      .collect().head
+    assert(r.getAs[Long]("n_dup_fps") == 4L)    // 3 leaks + same-side dup
+    assert(r.getAs[Long]("n_leaky_fps") == 3L)  // same-side dup not a leak
+    assert(r.getAs[Long]("n_train_val") == 1L)
+    assert(r.getAs[Long]("n_train_test") == 1L)
+    assert(r.getAs[Long]("n_val_test") == 1L)
+    // a corpus with unique text leaks nothing
+    val clean = Seq((train(0), "aa"), (vl(0), "bb"), (ts(0), "cc"))
+      .toDF("doc_id", "text")
+    val c = Sampling.splitLeakage(clean, "doc_id", "text", 5, 5)
+      .collect().head
+    assert((0 until 5).forall(c.getLong(_) == 0L))
+  }
 }
