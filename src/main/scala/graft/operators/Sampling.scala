@@ -21,16 +21,22 @@ object Sampling {
     pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long"), lit(100L))
 
+  /** Split label as a pure column expression over the id — the form
+    * that composes with NO join: anywhere a plan already has the id,
+    * its split is three expressions away. [0, valPct) → val,
+    * [valPct, valPct+testPct) → test, rest → train. */
+  def splitOf(id: Column, valPct: Int, testPct: Int): Column = {
+    val b = splitBucket(id)
+    when(b < valPct, "val")
+      .when(b < valPct + testPct, "test")
+      .otherwise("train")
+  }
+
   /** Label rows train/val/test by hash bucket: [0, valPct) → val,
     * [valPct, valPct+testPct) → test, rest → train. */
   def withSplit(df: DataFrame, idCol: String, valPct: Int,
-      testPct: Int): DataFrame = {
-    val b = splitBucket(col(idCol))
-    df.withColumn("split",
-      when(b < valPct, "val")
-        .when(b < valPct + testPct, "test")
-        .otherwise("train"))
-  }
+      testPct: Int): DataFrame =
+    df.withColumn("split", splitOf(col(idCol), valPct, testPct))
 
   /** Deterministic stratified sample: the `perStratum` hash-smallest
     * rows of each stratum — an unbiased fixed-size per-group subset
@@ -341,5 +347,52 @@ object Sampling {
         .otherwise(0L)).as("n_train_test"),
       sum(when(col("has_val") === 1 && col("has_test") === 1, 1L)
         .otherwise(0L)).as("n_val_test"))
+  }
+
+  /** Near-duplicate split leakage — the paraphrase-level sibling of
+    * [[splitLeakage]]: exact-fingerprint auditing misses the
+    * boilerplate-tweaked copy of a test document sitting in train, which
+    * is precisely the contamination that inflates evals. Verified
+    * near-dup pairs ([[Dedup.proposeVerify]]: LSH proposes, exact
+    * shingle-Jaccard ≥ `minJaccard` verifies) are classified by the
+    * splits of their two sides. One summary row: total verified pairs,
+    * same-split pairs, cross-split pairs, and the per-boundary
+    * breakdown.
+    *
+    * Scale shape: everything downstream of the (already Σbucket²-
+    * bounded, candidate-restricted) verify stage is per-PAIR arithmetic
+    * — the split of each side is a pure expression over the id
+    * ([[splitOf]]), so classification adds ZERO joins and zero
+    * exchanges beyond the q19 pipeline it composes; the tail is the
+    * 1-row global reduce. The jaccard threshold compares the q19-gated
+    * round(·,6) value, identical in both engines by construction. */
+  def nearDupLeakage(docs: DataFrame, idCol: String, textCol: String,
+      valPct: Int, testPct: Int, minJaccard: Double = 0.5,
+      shingleK: Int = 3, numHashes: Int = 6,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sa = splitOf(col("doc_a"), valPct, testPct)
+    val sb = splitOf(col("doc_b"), valPct, testPct)
+    Dedup.proposeVerify(docs, idCol, textCol, shingleK, numHashes,
+        rowsPerBand)
+      .filter(col("jaccard") >= minJaccard)
+      .select(sa.as("sa"), sb.as("sb"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("sa") === col("sb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_within"),
+        coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_cross"),
+        coalesce(sum(when(
+          array_contains(array(col("sa"), col("sb")), "train") &&
+          array_contains(array(col("sa"), col("sb")), "val"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_train_val"),
+        coalesce(sum(when(
+          array_contains(array(col("sa"), col("sb")), "train") &&
+          array_contains(array(col("sa"), col("sb")), "test"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_train_test"),
+        coalesce(sum(when(
+          array_contains(array(col("sa"), col("sb")), "val") &&
+          array_contains(array(col("sa"), col("sb")), "test"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_val_test"))
   }
 }

@@ -789,6 +789,92 @@ object DedupQueries extends QueryPack {
       FROM kept GROUP BY doc_id ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q127
+  // Near-duplicate SPLIT leakage: the paraphrase-level contamination
+  // audit q126's exact fingerprints cannot see — a boilerplate-tweaked
+  // copy of a test doc sitting in train. Verified q19 pairs
+  // (jaccard ≥ 0.5 on the gate-shared round(·,6) value), each side's
+  // split computed as a pure function of its id — zero joins added to
+  // the q19 pipeline, then the 1-row reduce.
+  private val q127 = Q(
+    "q127_neardup_leakage",
+    (s, dir) => {
+      graft.operators.Sampling.nearDupLeakage(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        valPct = 5, testPct = 5, minJaccard = 0.5)
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      shr AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY 1, 2),
+      verified AS (
+        SELECT doc_a, doc_b
+        FROM shr
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6)
+                >= 0.5),
+      sided AS (
+        SELECT
+          CASE WHEN ba < 5 THEN 'val' WHEN ba < 10 THEN 'test'
+               ELSE 'train' END AS sa,
+          CASE WHEN bb < 5 THEN 'val' WHEN bb < 10 THEN 'test'
+               ELSE 'train' END AS sb
+        FROM (
+          SELECT
+            ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15))::BIGINT
+              % 100 AS ba,
+            ('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 15))::BIGINT
+              % 100 AS bb
+          FROM verified))
+      SELECT
+        COUNT(*) AS n_pairs,
+        CAST(COALESCE(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_within,
+        CAST(COALESCE(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_cross,
+        CAST(COALESCE(SUM(CASE WHEN (sa = 'train' OR sb = 'train')
+          AND (sa = 'val' OR sb = 'val') THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_train_val,
+        CAST(COALESCE(SUM(CASE WHEN (sa = 'train' OR sb = 'train')
+          AND (sa = 'test' OR sb = 'test') THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_train_test,
+        CAST(COALESCE(SUM(CASE WHEN (sa = 'val' OR sb = 'val')
+          AND (sa = 'test' OR sb = 'test') THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_val_test
+      FROM sided
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108, q116, q117, q122, q124)
+    q108, q116, q117, q122, q124, q127)
 }

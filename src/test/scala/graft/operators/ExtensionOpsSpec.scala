@@ -734,4 +734,35 @@ class SamplingSpec extends graft.SparkSpec {
       .collect().head
     assert((0 until 5).forall(c.getLong(_) == 0L))
   }
+
+  test("near-dup leakage: cross-split verified pairs classified, within-split separated") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 200L).toDF("doc_id")
+      .withColumn("b", Sampling.splitBucket(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pick(p: Long => Boolean): Seq[Long] =
+      ids.toSeq.filter { case (_, b) => p(b) }.map(_._1).sorted
+    val train = pick(b => b >= 10)
+    val vl = pick(b => b < 5)
+    // identical docs share every LSH band -> the pair is ALWAYS
+    // proposed, which keeps the fixture deterministic (a merely-similar
+    // pair is proposed only with banding probability)
+    val copyA = "alpha beta gamma delta epsilon zeta eta theta"
+    val copyB = "iota kappa lambda mu nu xi omicron pi rho"
+    val docs = Seq(
+      (train(0), copyA), (vl(0), copyA),      // cross train/val
+      (train(1), copyB), (train(2), copyB),   // within train
+      (train(3), "one filler text here alone entirely"),
+      (vl(1), "another filler document with different words")
+    ).toDF("doc_id", "text")
+    val r = Sampling.nearDupLeakage(docs, "doc_id", "text", 5, 5)
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Long]("n_within") == 1L)
+    assert(r.getAs[Long]("n_cross") == 1L)
+    assert(r.getAs[Long]("n_train_val") == 1L)
+    assert(r.getAs[Long]("n_train_test") == 0L)
+    assert(r.getAs[Long]("n_val_test") == 0L)
+  }
 }
