@@ -46,4 +46,39 @@ object Decontam {
         coalesce(col("hit_ngrams"), lit(0L)).as("hit_ngrams"))
       .withColumn("contaminated", col("hit_ngrams") > 0)
   }
+
+  /** Cross-source n-gram overlap matrix — the mixture diagnostic that
+    * tells you which corpus components copy each other (web-crawl
+    * snapshots sharing pages, a curated set scraped from a crawl
+    * already in the mixture): per unordered source pair, how many
+    * DISTINCT word k-shingles appear in both. Upstream of mixture
+    * weighting, an overlapping pair means the effective epochs on the
+    * shared text multiply.
+    *
+    * Scale shape: built WITHOUT a shingle self-join (corpus-wide
+    * shingle joins explode quadratically on shared vocabulary — the
+    * q19 lesson): distinct (source, shingle) rows exchange ONCE keyed
+    * by shingle, each shingle group folds in-row to its source set
+    * (bounded by |sources|, which is small by definition — mixture
+    * components number in the dozens), and the s² pair expansion
+    * happens IN-ROW on that bounded set before the final ≤|S|²-row
+    * aggregate. Nothing quadratic ever hits an exchange. Output:
+    * (src_a, src_b, shared_shingles), src_a < src_b. */
+  def sourceOverlapMatrix(docs: DataFrame, srcCol: String,
+      textCol: String, k: Int): DataFrame = {
+    // shingle keyed by SOURCE, not doc id: explodedShingles' distinct
+    // then lands directly on (source, shingle) — no doc_id join, and
+    // the map-side partial distinct collapses each source's repeated
+    // shingles before the one exchange
+    Dedup.explodedShingles(docs, srcCol, textCol, k)
+      .select(col("doc_id").as("__src"), col("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("__src"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
 }

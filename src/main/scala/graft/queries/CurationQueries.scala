@@ -557,6 +557,36 @@ object CurationQueries extends QueryPack {
     """
     })
 
+  // --------------------------------------------------------------- q128
+  // Cross-source n-gram overlap matrix: which mixture components copy
+  // each other (two crawl snapshots sharing pages). No shingle
+  // self-join (the q19 quadratic-blowup lesson): distinct
+  // (source, shingle) rows exchange once keyed by shingle, the source
+  // set folds in-row (bounded by |sources|), the s² pair expansion is
+  // in-row on that bounded set, and the output is ≤ |S|² rows. The
+  // oracle CAN self-join — DuckDB runs at sf0.01 where quadratic is
+  // cheap; the engine plan is the one that must survive 100 TB.
+  private val q128 = Q(
+    "q128_source_overlap",
+    (s, dir) => {
+      Decontam.sourceOverlapMatrix(Tables(s, dir, "documents"),
+          "source", "text", k = 3)
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT source, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3)
+      SELECT a.source AS src_a, b.source AS src_b,
+             COUNT(*) AS shared_shingles
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+      ORDER BY src_a, src_b
+    """))
+
   def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
-    q125)
+    q125, q128)
 }

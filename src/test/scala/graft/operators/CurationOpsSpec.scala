@@ -195,4 +195,35 @@ class CurationOpsSpec extends SparkSpec {
       if (!isRep && cos >= 0.4) assert(dropped)
     }
   }
+
+  // ------------------------------------------ Decontam.sourceOverlapMatrix
+
+  test("source overlap matrix: shared shingles counted once per pair, no self/empty pairs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a", "alpha beta gamma delta"),   // shingles: abg, bgd
+      (2L, "a", "alpha beta gamma again"),   // abg repeated in src a
+      (3L, "b", "alpha beta gamma other"),   // abg -> shared with a
+      (4L, "b", "beta gamma delta extra"),   // bgd -> shared with a
+      (5L, "c", "totally different words entirely") // overlaps nobody
+    ).toDF("doc_id", "source", "text")
+    val m = Decontam.sourceOverlapMatrix(corpus, "source", "text", k = 3)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // a∩b = {abg, bgd} counted ONCE each despite src-a repetition;
+    // c appears in no pair; no (x, x) rows; src_a < src_b ordering
+    assert(m.toSeq == Seq(("a", "b", 2L)))
+  }
+
+  test("source overlap matrix: plan has no shingle self-join (single exchange to the source-set fold)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Decontam.sourceOverlapMatrix(docs, "source", "text", 3)
+      .queryExecution.executedPlan.toString
+    // the quadratic shape would appear as a SortMergeJoin/ShuffledHashJoin
+    // of the shingle frame against itself
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("ShuffledHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
