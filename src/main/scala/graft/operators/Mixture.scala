@@ -40,6 +40,47 @@ object Mixture {
       .select(col(idCol), col(sourceCol))
   }
 
+  /** Per-document EPOCH materialization toward the uniform mixture —
+    * the upsampling half [[downsampleToMixture]] leaves "to the
+    * training loader", answered engine-side: a doc from a source with
+    * weight w repeats floor(w) times, plus one more iff its
+    * md5-uniform draw falls under frac(w) — so each source's expected
+    * repetition is exactly w and the assembled set hits the target
+    * mixture in expectation, deterministically (pure function of the
+    * id, the split/downsample contract). Output: (idCol, sourceCol,
+    * n_epochs) with n_epochs ≥ 0 (a heavily-overrepresented source
+    * downsamples via epoch 0 exactly like [[downsampleToMixture]]'s
+    * drop).
+    *
+    * Scale shape: one hash aggregation for the weights (bounded,
+    * broadcasts back), one corpus scan, zero windows over the corpus.
+    * [[materializeEpochs]] turns the assignment into the physical
+    * repeated training set via an in-row sequence explode — output
+    * size Σ n_epochs, each copy tagged with its epoch index so shard
+    * assignment can spread repeats. */
+  def epochsToMixture(docs: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    val w = uniformMixtureWeights(docs, sourceCol)
+      .select(col("source").as("__src"), col("weight"))
+    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double")
+    docs
+      .join(broadcast(w), col(sourceCol) === col("__src"))
+      .select(col(idCol), col(sourceCol),
+        (floor(col("weight")).cast("long") +
+          when(draw < (col("weight") - floor(col("weight"))) *
+            lit(Mod60.toDouble), 1L).otherwise(0L)).as("n_epochs"))
+  }
+
+  /** The physical repeated corpus from an [[epochsToMixture]]
+    * assignment: one row per (doc, epoch), epoch ∈ [1, n_epochs] —
+    * in-row sequence explode, no join, no shuffle. */
+  def materializeEpochs(assigned: DataFrame, idCol: String): DataFrame =
+    assigned
+      .filter(col("n_epochs") > 0)
+      .select(col(idCol), col("n_epochs"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+
   /** Per-source mixture row: (source, n_docs, actual_frac, weight) with
     * weight = target_frac / actual_frac for a UNIFORM target across the
     * sources present. Double division over exact integer counts — the

@@ -403,6 +403,48 @@ object PipelineQueries extends QueryPack {
       GROUP BY shard ORDER BY shard
     """))
 
+  // --------------------------------------------------------------- q129
+  // Epoch materialization toward the uniform mixture — the upsampling
+  // half q69 leaves to the training loader: floor(weight) repeats plus
+  // one more iff the doc's md5 draw falls under frac(weight), so each
+  // source's expected repetition is exactly its weight. The corpus is
+  // SKEWED deterministically first (five sources keep only doc_id%4=0)
+  // — on the uniform synthetic corpus every weight is 1.0 and the
+  // operator would be exercised nowhere. Same double expression tree
+  // as q63/q69 on both sides — bit-identical weights, exact integer
+  // epochs.
+  private val q129 = Q(
+    "q129_mixture_epochs",
+    (s, dir) => {
+      val skewed = Tables(s, dir, "documents")
+        .filter(!(col("source").isin("src0", "src1", "src2", "src3", "src4")
+          && col("doc_id") % 4 =!= 0))
+      Mixture.epochsToMixture(skewed, "doc_id", "source")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source FROM documents
+        WHERE NOT (source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+                   AND doc_id % 4 <> 0)),
+      s AS (SELECT source, COUNT(*) AS n_docs FROM base GROUP BY source),
+      w AS (
+        SELECT source,
+               (1.0 / CAST(COUNT(*) OVER () AS DOUBLE)) /
+                 (CAST(n_docs AS DOUBLE) /
+                  CAST(SUM(n_docs) OVER () AS DOUBLE)) AS weight
+        FROM s)
+      SELECT b.doc_id, b.source,
+             CAST(floor(weight) AS BIGINT) +
+             CASE WHEN CAST(('0x' ||
+                 substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS DOUBLE)
+               < (weight - floor(weight)) * 1152921504606846976.0
+               THEN 1 ELSE 0 END AS n_epochs
+      FROM base b JOIN w USING (source)
+      ORDER BY b.doc_id
+    """))
+
   def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119,
-    q120)
+    q120, q129)
 }

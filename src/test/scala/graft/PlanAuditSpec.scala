@@ -63,13 +63,13 @@ class PlanAuditSpec extends SparkSpec {
   // above a global `limit` is allowed MECHANICALLY (≤ N rows by
   // construction); an aggregate below a window is NOT generally
   // bounding (groupBy doc_id is corpus-sized), so these name the frame:
-  //  - q63/q69: Mixture.uniformMixtureWeights windows over the
+  //  - q63/q69/q129: Mixture.uniformMixtureWeights windows over the
   //    per-SOURCE aggregate — ≤ |sources| rows, a handful;
   //  - q74: the cumulative histogram windows over the BIN table —
   //    ≤ max_tokens/16 rows, hundreds.
   private val aggBoundedWindowAllowed =
     Set("q63_mixture_weights", "q69_mixture_downsample",
-      "q74_token_histogram")
+      "q74_token_histogram", "q129_mixture_epochs")
 
   test("no registered plan windows over a single partition") {
     // A Window/WindowGroupLimit with an EMPTY partitionSpec plans an

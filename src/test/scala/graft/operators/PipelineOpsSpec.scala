@@ -104,6 +104,39 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixture epochs: floor/ceil of weight only, expectation matches, explode total") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // skew: five sources keep a quarter of their docs -> weight > 1
+    val skewed = docs.filter(
+      !(col("source").isin("src0", "src1", "src2", "src3", "src4")
+        && col("doc_id") % 4 =!= 0))
+    val assigned = Mixture.epochsToMixture(skewed, "doc_id", "source")
+    val weights = Mixture.uniformMixtureWeights(skewed, "source")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    val rows = assigned.collect()
+    assert(rows.length == skewed.count())
+    // every doc gets floor(w) or floor(w)+1 epochs of ITS source weight
+    rows.foreach { r =>
+      val w = weights(r.getString(1))
+      val e = r.getAs[Long]("n_epochs")
+      assert(e == math.floor(w).toLong || e == math.floor(w).toLong + 1,
+        s"epochs $e outside {floor, ceil} of weight $w")
+    }
+    // per-source mean epochs tracks the weight (hash draw is uniform;
+    // tolerance generous because per-source n is small at sf0.001)
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rs) =>
+      val mean = rs.map(_.getAs[Long]("n_epochs")).sum.toDouble / rs.length
+      assert(math.abs(mean - weights(src)) < 0.35,
+        s"$src mean epochs $mean vs weight ${weights(src)}")
+    }
+    // materialization: one row per (doc, epoch), total = sum of epochs
+    val mat = Mixture.materializeEpochs(assigned, "doc_id")
+    assert(mat.count() == rows.map(_.getAs[Long]("n_epochs")).sum)
+    assert(mat.filter(col("epoch") < 1 || col("epoch") > col("n_epochs"))
+      .count() == 0)
+  }
+
   test("incremental dedup flags history dups and intra-batch copies") {
     val s = spark
     import s.implicits._
