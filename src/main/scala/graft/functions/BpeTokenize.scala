@@ -40,6 +40,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * array form against an in-Spark replace-chain on adversarial
   * fixtures (adjacent repeats, symbol-prefix traps) and on corpus text.
   */
+/** The document's full BPE symbol stream under the pinned merges —
+  * per word the canonical sequential-merge encoding, word boundaries
+  * as a `|` marker symbol (outside the `[a-z0-9]` symbol alphabet, so
+  * it can never collide with a merge output). The input to the BPE
+  * TRAINING step: adjacent symbol pairs within words, counted
+  * corpus-wide, rank the next merge candidates — see
+  * `TextAnalysis.bpeMergeCensus`. Boundary runs (any non-alphabet
+  * run, including leading/trailing) collapse to ONE marker, exactly
+  * like the oracle generator's `[^a-z0-9]+ -> '|'` replace. */
+case class BpeSymbolStream(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "bpe_symbol_stream"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenizer.symbolStream(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.BpeTokenizer.symbolStream($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSymbolStream =
+    copy(child = newChild)
+}
+
 case class BpeTokenCount(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -152,6 +181,58 @@ object BpeTokenizer {
       m.put(word, n)
       n
     }
+  }
+
+  /** Per-word symbol-ARRAY memo, the sibling of [[countWordTokens]]'s
+    * count memo (Zipfian hit rate, same 1 << 15 bound). Arrays are
+    * shared across rows but never mutated after insertion. */
+  private val memoSyms =
+    new ThreadLocal[java.util.HashMap[String, Array[String]]] {
+      override def initialValue() =
+        new java.util.HashMap[String, Array[String]]()
+    }
+
+  private def wordSymbols(word: String): Array[String] = {
+    val m = memoSyms.get()
+    val hit = m.get(word)
+    if (hit != null) hit
+    else {
+      val syms = encodeWord(word)
+      if (m.size() >= (1 << 15)) m.clear()
+      m.put(word, syms)
+      syms
+    }
+  }
+
+  private val Boundary =
+    org.apache.spark.unsafe.types.UTF8String.fromString("|")
+
+  /** The document's symbol stream as an ArrayData (see
+    * [[BpeSymbolStream]]). Static so generated code calls it
+    * directly. */
+  def symbolStream(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lower = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new java.util.ArrayList[Object]()
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      if (!isAlpha(lower.charAt(i))) {
+        while (i < n && !isAlpha(lower.charAt(i))) i += 1
+        out.add(Boundary)
+      } else {
+        val start = i
+        while (i < n && isAlpha(lower.charAt(i))) i += 1
+        val syms = wordSymbols(lower.substring(start, i))
+        var k = 0
+        while (k < syms.length) {
+          out.add(org.apache.spark.unsafe.types.UTF8String
+            .fromString(syms(k)))
+          k += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   /** Total BPE tokens of a document: lowercase, split on non-alphabet

@@ -70,6 +70,44 @@ object TextAnalysis {
       graft.functions.BpeTokenCount(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** The document's BPE symbol stream (word boundaries as `|`) under
+    * the pinned merges — the input to [[bpeMergeCensus]]. */
+  def bpeSymbols(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BpeSymbolStream(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** One BPE TRAINING step, distributed: count adjacent symbol pairs
+    * (within words — pairs touching the `|` boundary are skipped)
+    * across the whole corpus under the CURRENT merges table, rank the
+    * candidates. The top row IS the next merge rule a BPE trainer
+    * would adopt; iterating this census is exactly how a tokenizer is
+    * induced from a corpus. Output: (sym_a, sym_b, cnt), top `n` by
+    * (cnt desc, sym_a asc, sym_b asc) — the deterministic-cut
+    * discipline of [[vocabTopN]].
+    *
+    * Scale shape: symbol streams are computed IN-ROW (native
+    * expression, per-thread word memo), the pair expansion is in-row
+    * (the bound-attribute shingle discipline — no re-encode per
+    * element), pair counts partial-combine map-side to ≤ |sym-vocab|²
+    * combined rows per task (symbol vocabularies are thousands, not
+    * corpus-sized), and the global top-n is TakeOrderedAndProject.
+    * One exchange, bounded output, nothing corpus-wide sorts. */
+  def bpeMergeCensus(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs
+      .select(bpeSymbols(col(textCol)).as("__syms"))
+      .filter(size(col("__syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__syms) - 2), " +
+          "i -> struct(__syms[i] AS sym_a, __syms[i + 1] AS sym_b))"))
+        .as("p"))
+      .select(col("p.sym_a"), col("p.sym_b"))
+      .filter(col("sym_a") =!= "|" && col("sym_b") =!= "|")
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym_a").asc, col("sym_b").asc)
+      .limit(n)
+
   private def countMatching(text: Column, charClassRegex: String): Column =
     length(regexp_replace(text, charClassRegex, "")).cast("long")
 

@@ -623,6 +623,41 @@ object TextQueries extends QueryPack {
       FROM per
     """))
 
+  // --------------------------------------------------------------- q130
+  // One distributed BPE TRAINING step: adjacent-symbol-pair census
+  // under the CURRENT merges table — the top row is the next merge a
+  // trainer would adopt; iterate the census and you have induced a
+  // tokenizer from the corpus. The symbol stream comes from the same
+  // native expression family as q113, and the oracle's stream is
+  // GENERATED from the same merges Vector, so the two sides cannot
+  // drift; pairs never cross the `|` word boundary.
+  private val q130 = Q(
+    "q130_bpe_merge_census",
+    (s, dir) => {
+      TextAnalysis.bpeMergeCensus(Tables(s, dir, "documents"),
+        "text", n = 20)
+    },
+    Some(s"""
+      WITH streams AS (
+        SELECT doc_id,
+               ${graft.functions.BpeTokenizer.oracleSymbolStreamSql("text")}
+                 AS s
+        FROM documents),
+      syms AS (
+        SELECT doc_id, regexp_extract_all(s, '<([^<>]*)>', 1) AS a
+        FROM streams),
+      pairs AS (
+        SELECT a[i] AS sym_a, a[i + 1] AS sym_b
+        FROM syms, UNNEST(generate_series(1, len(a) - 1)) t(i)
+        WHERE len(a) >= 2)
+      SELECT sym_a, sym_b, COUNT(*) AS cnt
+      FROM pairs
+      WHERE sym_a <> '|' AND sym_b <> '|'
+      GROUP BY 1, 2
+      ORDER BY cnt DESC, sym_a ASC, sym_b ASC
+      LIMIT 20
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
-    q56, q57, q91, q101, q111, q113, q123, q126)
+    q56, q57, q91, q101, q111, q113, q123, q126, q130)
 }

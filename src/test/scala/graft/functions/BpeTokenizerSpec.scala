@@ -97,4 +97,41 @@ class BpeTokenizerSpec extends SparkSpec {
       reachable += (a + b)
     }
   }
+
+  test("symbol stream: per-word encodings joined by single boundaries") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("the  data!", "banana", "", "!!! ...")
+      .toDF("t")
+      .select(TextAnalysis.bpeSymbols(col("t")).as("a"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("the", "|", "data", "|")) // run collapses to one |
+    assert(out(1) == Seq("b", "an", "an", "a"))
+    assert(out(2) == Seq.empty)
+    assert(out(3) == Seq("|"))
+    // stream length (minus boundaries) must agree with the count path
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bad = docs.select(
+        TextAnalysis.bpeSymbols(col("text")).as("a"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .filter(size(filter(col("a"), x => x =!= "|")) =!= col("n"))
+    assert(bad.count() == 0)
+  }
+
+  test("merge census: hand corpus ranks the known next merge first") {
+    val s = spark
+    import s.implicits._
+    // under the pinned merges, "banana" encodes [b, an, an, a]:
+    // pairs (b,an), (an,an), (an,a) per occurrence. Three bananas and
+    // one "b an" word-boundary-split control:
+    val tiny = Seq("banana banana", "banana", "b anna")
+      .toDF("text")
+    val census = TextAnalysis.bpeMergeCensus(tiny, "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // 3x banana -> (b,an)=3, (an,an)=3, (an,a)=3; "anna" -> [an,n,a]
+    // adds (an,n)=1, (n,a)=1; "b" alone adds no pair (boundary-split).
+    // tie at 3 resolves (an,a) < (an,an) < (b,an) lexicographically
+    assert(census.toSeq == Seq(("an", "a", 3L), ("an", "an", 3L),
+      ("b", "an", 3L)))
+  }
 }
