@@ -527,7 +527,11 @@ object Dedup {
     * to members keyed by cluster_id, the same exchange the labels
     * already have. `labels` may cover only clustered docs (as
     * [[dupClusters]] emits); the left join + coalesce supplies the
-    * singleton identity rows without densifying the labels table. */
+    * singleton identity rows without densifying the labels table.
+    * PRECONDITION (the [[dupClusters]] min-label invariant): every
+    * cluster_id is the id of one of the cluster's MEMBERS — an
+    * arbitrary external label could collide with an unlabeled doc's
+    * singleton id and merge the two spuriously. */
   def electCanonical(docs: DataFrame, labels: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val member = docs

@@ -217,4 +217,101 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bpe merge census ≡ brute-force pair counting on random corpora") {
+    import graft.functions.BpeTokenizer
+    val textGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n,
+        Gen.oneOf("banana", "data", "start", "xq", "the", "anna"))
+        .map(_.mkString(" ")))
+    forAllSampled(Gen.listOfN(8, textGen), n = 3) { texts =>
+      val s = spark
+      import s.implicits._
+      val expected = texts
+        .flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+        .flatMap(w => BpeTokenizer.encodeWord(w).toSeq.sliding(2)
+          .filter(_.length == 2).map(p => (p(0), p(1))))
+        .groupBy(identity).map { case (p, occ) => p -> occ.length.toLong }
+      val got = graft.operators.TextAnalysis.bpeMergeCensus(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"),
+          "text", n = 1000) // n above every distinct pair: full census
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got === expected)
+    }
+  }
+
+  test("oov stats ≡ brute-force counting under the deterministic vocab cut") {
+    val textGen = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+        .map(_.mkString(" ")))
+    forAllSampled(Gen.listOfN(10, textGen), n = 3) { texts =>
+      val s = spark
+      import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def toks(t: String): Seq[String] =
+        t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+          .filter(_.nonEmpty)
+      val n = 3
+      val vocab = docs.flatMap(d => toks(d._2))
+        .groupBy(identity).map { case (w, o) => (w, o.length) }.toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(n).map(_._1).toSet
+      val expected = docs.map { case (id, t) =>
+        val ts = toks(t)
+        id -> (ts.length.toLong, ts.count(!vocab(_)).toLong)
+      }.toMap
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis.oovStats(df, "doc_id", "text",
+          graft.operators.TextAnalysis.vocabTopN(df, "text", n))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("canonical election: total ledger, one max-token canon per cluster, for any labeling") {
+    val caseGen: Gen[(List[Int], List[(Int, Int)])] = for {
+      nDocs <- Gen.choose(1, 12)
+      lens <- Gen.listOfN(nDocs, Gen.choose(0, 6)) // token counts
+      labeled <- Gen.someOf(0 until nDocs)
+      lbls <- Gen.listOfN(labeled.size, Gen.choose(0, 3))
+    } yield (lens, labeled.toList.zip(lbls))
+    forAllSampled(caseGen, n = 5) { case (lens, labeling) =>
+      val s = spark
+      import s.implicits._
+      val docs = lens.zipWithIndex
+        .map { case (l, i) => (i.toLong, Seq.fill(l)("w").mkString(" ")) }
+      // labels must honor the dupClusters contract: a cluster's id is
+      // the MIN MEMBER id (so a label can never collide with an
+      // unlabeled doc's singleton id) — normalize the random grouping
+      val labels = labeling.groupBy(_._2).values.toList.flatMap { grp =>
+        val ids = grp.map(_._1.toLong)
+        ids.map(i => (i, ids.min))
+      }
+      val out = graft.operators.Dedup.electCanonical(
+          docs.toDF("doc_id", "text"),
+          labels.toDF("doc_id", "cluster_id"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4)))
+      // total ledger: every doc exactly once
+      assert(out.map(_._1).sorted.toSeq == docs.map(_._1).sorted)
+      val byCluster = out.groupBy(_._2)
+      byCluster.foreach { case (c, members) =>
+        val canons = members.filter(_._4)
+        assert(canons.length == 1, s"cluster $c canon count")
+        val canon = canons.head
+        // keep-longest then smallest id, against the members' own data
+        val best = members.minBy(m => (-m._5, m._1))
+        assert(canon._1 == best._1, s"cluster $c elected ${canon._1}")
+        assert(members.forall(_._3 == canon._1))
+      }
+      // unlabeled docs are singleton self-canons
+      val labeledIds = labeling.map(_._1.toLong).toSet
+      out.filter(r => !labeledIds(r._1)).foreach { r =>
+        assert(r._2 == r._1 && r._3 == r._1 && r._4)
+      }
+    }
+  }
 }
