@@ -227,4 +227,29 @@ class ShuffleMetricsSpec extends SparkSpec {
       s"KMV shuffled $recs records ($distinctPairs distinct pairs, " +
         s"$totalRows rows) — distinct-before-rank regressed?")
   }
+
+  test("split leakage shuffles fingerprint rows, never document text") {
+    val n = docs.count()
+    val textBytes = docs
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val (recs, bytes) = {
+      var r = 0L
+      val b = shuffleBytes {
+        r = shuffleRecords {
+          operators.Sampling.splitLeakage(docs, "doc_id", "text", 5, 5)
+            .count(); ()
+        }
+      }
+      (r, b)
+    }
+    // per-fp partial agg: ≤ one row per doc into the fp exchange, plus
+    // the 1-row global reduce partials; each carried row is a 16-byte
+    // digest + three presence ints — if the TEXT ever started traveling
+    // the byte volume would jump past the corpus text mass
+    assert(recs <= n + 64,
+      s"split leakage shuffled $recs records for $n docs")
+    assert(bytes < textBytes,
+      s"split leakage shuffled $bytes bytes ≥ corpus text $textBytes — " +
+        "text is crossing the exchange")
+  }
 }
