@@ -445,6 +445,64 @@ object PipelineQueries extends QueryPack {
       ORDER BY b.doc_id
     """))
 
+  // --------------------------------------------------------------- q131
+  // Corpus datasheet: the one-row summary a dataset release ships —
+  // doc/source/token/BPE-token totals, exact-dup mass, empty docs, max
+  // and median length. One scan; every aggregate partial-combines, the
+  // two exact COUNT(DISTINCT)s ride the Expand rewrite (×3 small-tuple
+  // traffic — the price of exact dup mass in one pass; the two-pass
+  // alternative is the q16 dedup ledger joined back). The median is
+  // Spark `percentile` ≡ DuckDB `quantile_cont` (the q46-established
+  // bitwise-portable pair); BPE totals ride the q113 native expression
+  // and its generated oracle chain.
+  private val q131 = Q(
+    "q131_corpus_datasheet",
+    (s, dir) => {
+      val base = Tables(s, dir, "documents").select(
+        col("source"),
+        TextAnalysis.tokenCount(col("text")).as("tok"),
+        TextAnalysis.bpeTokenCount(col("text")).as("btok"),
+        graft.operators.Dedup.fingerprint(col("text")).as("fp"),
+        (length(trim(col("text"))) === 0).as("empty"))
+      base.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("tok")).as("n_tokens"),
+        sum(col("btok")).as("n_bpe_tokens"),
+        countDistinct(col("fp")).as("n_unique_fps"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+        sum(when(col("empty"), 1L).otherwise(0L)).as("n_empty_docs"),
+        max(col("tok")).as("max_tokens"),
+        expr("percentile(tok, 0.5D)").as("p50_tokens"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS tok,
+               ${graft.functions.BpeTokenizer.oracleCountFromSymbolsSql("s")}
+                 AS btok,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS fp,
+               length(trim(text)) = 0 AS empty
+        FROM (SELECT source, text,
+                ${graft.functions.BpeTokenizer.oracleSymbolStreamSql("text")}
+                  AS s
+              FROM documents))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(btok) AS BIGINT) AS n_bpe_tokens,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fps,
+             CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+             CAST(SUM(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty_docs,
+             CAST(MAX(tok) AS BIGINT) AS max_tokens,
+             quantile_cont(tok, 0.5) AS p50_tokens
+      FROM base
+    """))
+
   def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119,
-    q120, q129)
+    q120, q129, q131)
 }
