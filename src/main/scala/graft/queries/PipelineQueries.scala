@@ -457,24 +457,9 @@ object PipelineQueries extends QueryPack {
   // and its generated oracle chain.
   private val q131 = Q(
     "q131_corpus_datasheet",
-    (s, dir) => {
-      val base = Tables(s, dir, "documents").select(
-        col("source"),
-        TextAnalysis.tokenCount(col("text")).as("tok"),
-        TextAnalysis.bpeTokenCount(col("text")).as("btok"),
-        graft.operators.Dedup.fingerprint(col("text")).as("fp"),
-        (length(trim(col("text"))) === 0).as("empty"))
-      base.agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("source")).as("n_sources"),
-        sum(col("tok")).as("n_tokens"),
-        sum(col("btok")).as("n_bpe_tokens"),
-        countDistinct(col("fp")).as("n_unique_fps"),
-        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
-        sum(when(col("empty"), 1L).otherwise(0L)).as("n_empty_docs"),
-        max(col("tok")).as("max_tokens"),
-        expr("percentile(tok, 0.5D)").as("p50_tokens"))
-    },
+    (s, dir) =>
+      graft.operators.Datasheet.summary(
+        Tables(s, dir, "documents"), "source", "text"),
     Some(s"""
       WITH base AS (
         SELECT source,
@@ -503,6 +488,54 @@ object PipelineQueries extends QueryPack {
       FROM base
     """))
 
+  // --------------------------------------------------------------- q132
+  // O(new) incremental datasheet: yesterday's stored summary + source
+  // census + fingerprint ledger, today's batch — history text is never
+  // rescanned and ledger fingerprints never cross an exchange (the
+  // q116 bloom-gated core decides novelty). The oracle is the PLAIN
+  // batch datasheet over the full table minus the median (the one
+  // non-mergeable field), so the hash match proves the incremental
+  // merge is exact, the q65/q108/q116/q122 family discipline.
+  private val q132 = Q(
+    "q132_incremental_datasheet",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      graft.operators.Datasheet.incremental(
+        graft.operators.Datasheet.summary(history, "source", "text"),
+        history.select(col("source")),
+        history.select(
+          graft.operators.Dedup.fingerprint(col("text")).as("fp")),
+        batch, "source", "text", expectedItems = 1L << 16)
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS tok,
+               ${graft.functions.BpeTokenizer.oracleCountFromSymbolsSql("s")}
+                 AS btok,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 AS fp,
+               length(trim(text)) = 0 AS empty
+        FROM (SELECT source, text,
+                ${graft.functions.BpeTokenizer.oracleSymbolStreamSql("text")}
+                  AS s
+              FROM documents))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(btok) AS BIGINT) AS n_bpe_tokens,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fps,
+             CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+             CAST(SUM(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty_docs,
+             CAST(MAX(tok) AS BIGINT) AS max_tokens
+      FROM base
+    """))
+
   def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119,
-    q120, q129, q131)
+    q120, q129, q131, q132)
 }

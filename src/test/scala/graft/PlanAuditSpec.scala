@@ -32,7 +32,10 @@ class PlanAuditSpec extends SparkSpec {
       "q110_incremental_ivf",
       // q118's n × bounded-query-panel scan — q20/q75's bounded class
       // (the positives anti-join stays an equi-join, not a cross)
-      "q118_hard_negatives")
+      "q118_hard_negatives",
+      // q132's three 1-row merge fans (batch agg, novelty count,
+      // source census) — q68/q106's corpus-constant class
+      "q132_incremental_datasheet")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -137,6 +137,27 @@ class PipelineOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("incremental datasheet ≡ batch datasheet minus the median, for any split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Datasheet.summary(docs, "source", "text")
+      .drop("p50_tokens").collect().head
+    Seq(2L, 3L, 5L).foreach { mod =>
+      val history = docs.filter(col("doc_id") % mod === 0)
+      val batch = docs.filter(col("doc_id") % mod =!= 0)
+      // ledger with deliberate DUPLICATE rows — must be harmless
+      val ledger = history
+        .select(Dedup.fingerprint(col("text")).as("fp"))
+        .union(history.limit(5)
+          .select(Dedup.fingerprint(col("text")).as("fp")))
+      val inc = Datasheet.incremental(
+          Datasheet.summary(history, "source", "text"),
+          history.select(col("source")), ledger, batch,
+          "source", "text", expectedItems = 1L << 16)
+        .collect().head
+      assert(inc == full, s"mod=$mod incremental row diverged")
+    }
+  }
+
   test("incremental dedup flags history dups and intra-batch copies") {
     val s = spark
     import s.implicits._
