@@ -26,17 +26,27 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as
-    * a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * truncate to microsecond precision with integer arithmetic (`DIV`,
-    * not `/` — epoch-nanos ≈ 1.7e18 overflows double's 2^53 mantissa).
-    * Oracles must truncate the same way (`epoch_ns(ts) // 1000`).
-    */
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (readable only as a raw long via
+    * `nanosAsLong`, truncated here to µs with integer `DIV` — epoch
+    * nanos ≈ 1.7e18 overflows double's 2^53 mantissa) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively as
+    * TIMESTAMP_NTZ). Both normalize to the SAME TimestampType micros
+    * column — the NTZ wall time reinterprets in the UTC session, so
+    * the micro values are identical either way, and the DuckDB oracles
+    * (`epoch_us(ts)`) see the same instants unchanged. Branching on
+    * the READ type (not the testdata generation) also keeps raw-long
+    * spec fixtures working. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }

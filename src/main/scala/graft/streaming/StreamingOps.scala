@@ -35,8 +35,40 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** events schema with ts as native TIMESTAMP_NTZ — the current
+    * testdata generation's encoding (TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false)); see [[eventsStream]]. */
+  val eventsSchemaMicros: StructType = StructType(
+    eventsSchema.fields.map {
+      case StructField("ts", _, n, m) =>
+        StructField("ts", org.apache.spark.sql.types.TimestampNTZType, n, m)
+      case f => f
+    })
+
+  /** File-stream source over an events directory with `ts` normalized
+    * to TimestampType micros, whichever parquet encoding the files
+    * carry: the batch reader probes the footer schema (file streams
+    * must DECLARE their schema up front, so the probe decides which to
+    * declare), then ts converts via integer `DIV` (nanos-as-long
+    * generation) or an NTZ→UTC-session cast (micros generation) — the
+    * same two branches, and the same resulting instants, as
+    * `Tables.events`. */
+  private[graft] def eventsStream(spark: SparkSession,
+      streamDir: String): DataFrame = {
+    val probed = spark.read.parquet(streamDir) // footer-only schema probe
+    probed.schema("ts").dataType match {
+      case LongType =>
+        spark.readStream.schema(eventsSchema).parquet(streamDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        spark.readStream.schema(eventsSchemaMicros).parquet(streamDir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   /** Run `body` with nanosAsLong enabled (events.parquet is
-    * TIMESTAMP(NANOS), unreadable natively), restoring the previous
+    * TIMESTAMP(NANOS) in that testdata generation, unreadable
+    * natively), restoring the previous
     * session value afterwards — the AvailableNow drains complete inside
     * the body, so flipping a session-wide read setting must not leak to
     * whatever query runs next in the shared session. */
@@ -151,11 +183,8 @@ object StreamingOps {
     // file-source stream over it).
     val streamDir = scratchDir("graft_stream",
       "events.parquet" -> s"$dir/events.parquet")
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
+    val stream = eventsStream(spark, streamDir.toString)
     val agg = stream
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -196,10 +225,7 @@ object StreamingOps {
     // executor, so the file is listed and decoded once per trigger
     // instead of once per side (two `readStream` calls would each scan
     // the full input)
-    val src: DataFrame = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src: DataFrame = eventsStream(spark, streamDir.toString)
     def side(): DataFrame = src
     // the clip goes AFTER the watermark node: the EventTimeWatermark
     // operator must see the UNCLIPPED error stream so late errors keep
@@ -272,10 +298,7 @@ object StreamingOps {
       "events.parquet" -> s"$dir/events.parquet")
     // one source, two branches — listed and decoded once per trigger
     // (see clickErrorLeftJoinAvailableNow)
-    val src: DataFrame = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src: DataFrame = eventsStream(spark, streamDir.toString)
     def side(): DataFrame = src
     val errors = side()
       .filter(col("event_type") === "error")
@@ -312,9 +335,7 @@ object StreamingOps {
       "events.parquet" -> s"$dir/events.parquet")
     val dim = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey"), col("n_name"))
-    val enriched = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
+    val enriched = eventsStream(spark, streamDir.toString)
       .withColumn("n_key", col("user_id") % 25)
       .join(broadcast(dim), col("n_key") === col("n_nationkey"), "left")
       .groupBy(col("n_name"))
@@ -411,9 +432,7 @@ object StreamingOps {
     val streamDir = scratchDir("graft_dedup_stream",
       "events_a.parquet" -> s"$dir/events.parquet",
       "events_b.parquet" -> s"$dir/events.parquet")
-    val deduped = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
+    val deduped = eventsStream(spark, streamDir.toString)
       .dropDuplicates("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
@@ -436,10 +455,9 @@ object StreamingOps {
     import spark.implicits._
     val streamDir = scratchDir("graft_sess_stream",
       "events.parquet" -> s"$dir/events.parquet")
-    val evs = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+    val evs = eventsStream(spark, streamDir.toString)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
       .as[Ev]
     val assigned = sessionize(evs, gapMicros)
     // flatMapGroupsWithState emits during the data batch (NoTimeout —

@@ -18,10 +18,8 @@ class StreamSessionWindowSpec extends SparkSpec {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
 
-    val stream = spark.readStream
-      .schema(graft.streaming.StreamingOps.eventsSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.streaming.StreamingOps
+      .eventsStream(spark, streamDir.toString)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
