@@ -278,4 +278,44 @@ object BpeTokenizer {
   def oracleCountFromSymbolsSql(sCol: String): String =
     s"CAST(length($sCol) - length(replace($sCol, '<', '')) - " +
       s"(length($sCol) - length(replace($sCol, '<|>', ''))) // 3 AS BIGINT)"
+
+  /** The FULL BPE-training loop as one DuckDB query — the SQL twin of
+    * `TextAnalysis.bpeTrain(docs, textCol, rounds)`, with the
+    * data-dependent merge choices expressed IN SQL rather than
+    * generated from a pinned table: `rounds` unrolled stages, each a
+    * (census → top-1 → fuse) triple of CTEs, where the fuse's
+    * `replace` pattern is built from the 1-row top-1 CTE by string
+    * concatenation (a 1-row cross join, the scalar-subquery idiom).
+    * Both sides start from the bare-character bracket stream (no
+    * pinned merges — training from scratch) and share the census's
+    * (cnt DESC, sym_a, sym_b) total order, so the adopted tables are
+    * identical row-for-row. */
+  def oracleTrainSql(rounds: Int, table: String, textCol: String): String = {
+    require(rounds >= 1)
+    val base =
+      raw"regexp_replace(regexp_replace(lower($textCol), '[^a-z0-9]+', '|', 'g'), '(.)', '<\1>', 'g')"
+    val sb = new StringBuilder
+    sb.append(s"WITH s0 AS (SELECT $base AS s FROM $table)")
+    for (i <- 1 to rounds) {
+      val prev = s"s${i - 1}"
+      sb.append(s""",
+      c$i AS (
+        SELECT a[j] AS sym_a, a[j + 1] AS sym_b, COUNT(*) AS cnt
+        FROM (SELECT regexp_extract_all(s, '<([^<>]*)>', 1) AS a FROM $prev),
+             UNNEST(generate_series(1, len(a) - 1)) t(j)
+        WHERE len(a) >= 2 AND a[j] <> '|' AND a[j + 1] <> '|'
+        GROUP BY 1, 2),
+      b$i AS (
+        SELECT sym_a, sym_b, cnt FROM c$i
+        ORDER BY cnt DESC, sym_a ASC, sym_b ASC LIMIT 1),
+      s$i AS (
+        SELECT replace(s, '<' || b.sym_a || '><' || b.sym_b || '>',
+                          '<' || b.sym_a || b.sym_b || '>') AS s
+        FROM $prev, b$i b)""")
+    }
+    val rows = (1 to rounds).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS round, sym_a, sym_b, cnt FROM b$i")
+    sb.append("\n" + rows.mkString("", "\nUNION ALL\n", "\nORDER BY round"))
+    sb.toString
+  }
 }

@@ -145,6 +145,36 @@ object Curation {
       broadcast(blocklist.select(col(blockHostCol).as("__blocked")).distinct()),
       col(hostCol) === col("__blocked"), "left_anti")
 
+  /** Domain-level quality curation — the Gopher/C4-style "judge the
+    * host, not just the page" pass: a spam domain's individually-
+    * plausible pages all drop together once the DOMAIN's mean quality
+    * is low, and a reputable domain's occasional short page survives.
+    * Per host, the mean of the per-document quality score is computed
+    * in integer MICRO-units (`qMicroCol`, the
+    * [[TextAnalysis.qualityMicro]] scale) as `sum DIV count` — integer
+    * floor division, so the host mean is exact and engine-portable
+    * (a double mean's value depends on partial-sum order, which no
+    * hash gate can pin). Every document comes back annotated with its
+    * host's mean and a `kept` flag (mean ≥ `minMeanMicro`) — the full
+    * ledger, so the drop decision is auditable per host.
+    *
+    * Scale shape: pass 1 is a partial-combining aggregate to ≤ |hosts|
+    * rows (two longs each); pass 2 fans the host frame back with a
+    * plain equi-join the optimizer sizes itself — at sf the host frame
+    * broadcasts, at 100 TB with hundreds of millions of hosts AQE
+    * picks a shuffled hash join on the host key, which is the right
+    * plan there (no hint pinned, deliberately). */
+  def domainQualityReport(docs: DataFrame, hostCol: String,
+      qMicroCol: String, minMeanMicro: Long): DataFrame = {
+    val hostStats = docs
+      .groupBy(col(hostCol))
+      .agg(sum(col(qMicroCol)).as("__qsum"), count(lit(1)).as("__qn"))
+      .select(col(hostCol),
+        expr("__qsum DIV __qn").as("host_q_micro"))
+    docs.join(hostStats, Seq(hostCol))
+      .withColumn("kept", col("host_q_micro") >= minMeanMicro)
+  }
+
   /** Unicode normalization for crawl text: strip invisible junk
     * (controls, zero-widths, BOM) and compose to NFC, so that
     * fingerprint-based dedup sees "é" and "e"+combining-acute as the

@@ -47,6 +47,57 @@ object Decontam {
       .withColumn("contaminated", col("hit_ngrams") > 0)
   }
 
+  /** Semantic decontamination — the embedding-space sibling of
+    * [[contaminationReport]]: n-gram overlap misses the PARAPHRASED
+    * benchmark question sitting in the training corpus, which is
+    * exactly the contamination that inflates evals hardest. Every
+    * corpus vector is scored against the benchmark panel by cosine;
+    * a document whose nearest benchmark item reaches `tau` is flagged.
+    * Output: one row per corpus vector — (doc_id, eval_id of the
+    * nearest benchmark item, cos, contaminated) — the full audit
+    * ledger, not just the flagged tail, so the same pass also yields
+    * the margin distribution reviewers ask for.
+    *
+    * Scale shape: benchmark sets are tiny next to a 100 TB corpus, so
+    * the panel (with precomputed norms) is BROADCAST and the corpus
+    * streams map-side — q20/q118's audited bounded-fan class, cost
+    * |corpus|·|panel| dot products with zero corpus shuffle: the
+    * per-doc argmax folds through a partial-combining struct-min
+    * aggregate, so each task emits ONE row per corpus doc before the
+    * exchange (the exchange carries |corpus| rows, no pair ever
+    * crosses it). For panels too large to broadcast, swap the
+    * candidate source to [[Similarity.lshCandidatesMultiProbe]] and
+    * keep the same aggregate tail (the q118 discipline).
+    *
+    * Determinism: cosines are the [[Similarity.withNorm]] dot/norm
+    * formula (left-to-right IEEE double accumulation, bit-identical
+    * across engines), and the argmax tie-breaks on the smaller
+    * eval_id via the struct ordering, so the report hash-matches the
+    * SQL twin exactly. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val base = Similarity.withNorm(corpus, idCol, vecCol)
+      .select(col(idCol).as("doc_id"), col(vecCol).as("__dv"),
+        col("nrm").as("__dn"))
+    val panel = Similarity.withNorm(benchmark, idCol, vecCol)
+      .select(col(idCol).as("eval_id"), col(vecCol).as("__ev"),
+        col("nrm").as("__en"))
+    base.crossJoin(broadcast(panel))
+      .withColumn("__cos",
+        dot(col("__dv"), col("__ev")) / (col("__dn") * col("__en")))
+      // argmax(cos) with min-eval_id tie-break as a struct MIN: the
+      // negation is an exact IEEE sign flip, so ordering on -cos is
+      // ordering on cos reversed, and the partial aggregate collapses
+      // each doc's panel fan to one row map-side
+      .groupBy(col("doc_id"))
+      .agg(min(struct(negate(col("__cos")).as("nc"),
+        col("eval_id").as("eid"))).as("__m"))
+      .select(col("doc_id"), col("__m.eid").as("eval_id"),
+        negate(col("__m.nc")).as("cos"))
+      .withColumn("contaminated", col("cos") >= tau)
+  }
+
   /** Cross-source n-gram overlap matrix — the mixture diagnostic that
     * tells you which corpus components copy each other (web-crawl
     * snapshots sharing pages, a curated set scraped from a crawl

@@ -59,6 +59,54 @@ object Sampling {
   private def hashOrder(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Deterministic weighted sample WITHOUT replacement — the
+    * Efraimidis–Spirakis A-ES selection: each row draws a uniform
+    * u ∈ (0, 1] and the `n` rows with the largest u^(1/w) win, which
+    * makes every row's inclusion probability proportional to its
+    * weight (quality-weighted subset selection, the "sample the good
+    * documents harder" step between scoring and training). Ranking on
+    * ln(u)/w is the same order without the overflow-prone power.
+    *
+    * The "draw" is the md5-derived 60-bit uniform of the ID
+    * ([[hashOrder]] + 1, over 2⁶⁰) — no RNG, no seed plumbing: the
+    * sample is a pure function of (id, weight), reproducible across
+    * runs, engines, and partitionings, and auditable row-by-row (the
+    * [[splitBucket]] discipline applied to weighted draws). Rows with
+    * weight ≤ 0 are ineligible and excluded, exactly as a zero weight
+    * means zero inclusion probability in A-ES.
+    *
+    * Scale shape: the key is a map-side expression and the top-n is a
+    * global `orderBy().limit(n)` — Spark plans TakeOrderedAndProject
+    * (per-partition bounded heaps, then one ≤ n-row merge), no
+    * corpus-wide sort, no window over the corpus; the final rank
+    * window runs post-limit over ≤ n rows (the q92-family pattern the
+    * plan lint recognizes as bounded). Output: (rnk, id, weight).
+    *
+    * The emitted columns are all integers — the double selection key
+    * is dropped, so the oracle hash can never trip over a last-ulp
+    * `ln` difference between engines (ordering itself is safe: keys
+    * of distinct 60-bit draws are far wider apart than 1 ulp). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    // (h+1)/2^60 ∈ (0, 1]: both the long→double conversions and the
+    // division are single IEEE operations, identical in any engine
+    val u = (hashOrder(col(idCol)) + lit(1L)).cast("double") /
+      lit(1152921504606846976L).cast("double")
+    val key = log(u) / col(weightCol).cast("double")
+    val ranked = df
+      .filter(col(weightCol) > 0)
+      .withColumn("__k", key)
+      .orderBy(col("__k").desc, col(idCol).asc)
+      .limit(n)
+    ranked
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__k").desc, col(idCol).asc)))
+      .select(col("rnk"), col(idCol),
+        col(weightCol).cast("long").as("weight"))
+  }
+
   /** Hash ranges for the distributed running sums: the top 10 bits of
     * the 60-bit hash key — a MAP-SIDE expression (no sampling pass, no
     * extra exchange) that is monotone in the hash, so sorting by
@@ -394,5 +442,49 @@ object Sampling {
           array_contains(array(col("sa"), col("sb")), "val") &&
           array_contains(array(col("sa"), col("sb")), "test"), 1L)
           .otherwise(0L)), lit(0L)).as("n_val_test"))
+  }
+
+  /** Split-leakage REPAIR — the fix for what [[splitLeakage]] audits:
+    * every document whose text fingerprint group spans more than one
+    * split is reassigned to the split of the group's LEADER (smallest
+    * doc_id), so a duplicated text can never sit on both sides of a
+    * train/eval boundary again. Returns the move ledger —
+    * (doc_id, old_split, new_split) for exactly the documents that
+    * change — which composes with [[withSplit]] downstream (left-join
+    * the ledger, coalesce new over old) and doubles as the audit
+    * artifact of what the repair touched.
+    *
+    * Leader-split (not majority, not eval-priority) is the contract:
+    * it is deterministic under appends of new duplicates with higher
+    * ids, and it keeps the repair a pure function of the group — the
+    * same discipline as [[splitOf]] itself.
+    *
+    * Scale shape: the corpus shuffles ONCE, keyed by the 16-byte
+    * fingerprint (text never travels — the q126 rule), and the
+    * per-group leader + mixed-split test fold map-side to a struct-min
+    * and two split bounds. Groups that are single-doc or single-split
+    * drop BEFORE the join back, so the leaky-leader frame is only the
+    * actually-leaky groups — tiny on any real corpus (leak rates are
+    * per-mille) and broadcast back onto a second corpus scan: the
+    * repair adds zero corpus-sized exchanges. (A pathological corpus
+    * where most groups leak would want the hint dropped — the join
+    * key is still the fingerprint, so a shuffle join degrades
+    * gracefully.) */
+  def repairSplitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      valPct: Int, testPct: Int): DataFrame = {
+    val tagged = docs.select(col(idCol).as("doc_id"),
+      Dedup.fingerprint(col(textCol)).as("fp"),
+      splitOf(col(idCol), valPct, testPct).as("split"))
+    val leaky = tagged
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("split"))).as("__ldr"),
+        count(lit(1)).as("__n"),
+        min(col("split")).as("__smin"), max(col("split")).as("__smax"))
+      .filter(col("__n") > 1 && col("__smin") =!= col("__smax"))
+      .select(col("fp"), col("__ldr.split").as("new_split"))
+    tagged.join(broadcast(leaky), Seq("fp"))
+      .filter(col("split") =!= col("new_split"))
+      .select(col("doc_id"), col("split").as("old_split"),
+        col("new_split"))
   }
 }

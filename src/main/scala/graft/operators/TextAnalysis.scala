@@ -94,8 +94,16 @@ object TextAnalysis {
     * corpus-sized), and the global top-n is TakeOrderedAndProject.
     * One exchange, bounded output, nothing corpus-wide sorts. */
   def bpeMergeCensus(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs
-      .select(bpeSymbols(col(textCol)).as("__syms"))
+    pairCensus(docs.select(bpeSymbols(col(textCol)).as("__syms")))
+      .orderBy(col("cnt").desc, col("sym_a").asc, col("sym_b").asc)
+      .limit(n)
+
+  /** Unordered within-word pair census over a bound `__syms` symbol
+    * array column — the shared core of [[bpeMergeCensus]] (one step
+    * under the pinned merges) and [[bpeTrain]] (iterated from
+    * scratch). In-row pair expansion, partial-combining count. */
+  private def pairCensus(syms: DataFrame): DataFrame =
+    syms
       .filter(size(col("__syms")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(__syms) - 2), " +
@@ -105,8 +113,80 @@ object TextAnalysis {
       .filter(col("sym_a") =!= "|" && col("sym_b") =!= "|")
       .groupBy(col("sym_a"), col("sym_b"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("sym_a").asc, col("sym_b").asc)
-      .limit(n)
+
+  /** Distributed BPE TRAINING, the full loop [[bpeMergeCensus]] is one
+    * step of: starting from bare characters (NO pinned merges — this
+    * is tokenizer induction from scratch), repeat `rounds` times:
+    * census adjacent within-word symbol pairs corpus-wide, adopt the
+    * top pair (cnt desc, then sym_a/sym_b asc — a total order, so the
+    * choice is deterministic), fuse every occurrence, continue on the
+    * fused stream. Output: the adopted merge table,
+    * (round, sym_a, sym_b, cnt) — feed it to a
+    * [[graft.functions.BpeTokenizer]]-style encoder and you have a
+    * corpus-fitted tokenizer.
+    *
+    * Representation: the stream is ONE bracket-encoded string per
+    * document (`<sym>` per symbol, `<|>` word boundaries — the q113
+    * oracle encoding promoted to the engine side), so "fuse every
+    * adjacent (a,b)" is a single `replace(s, '<a><b>', '<ab>')`:
+    * left-to-right and non-overlapping in every engine, which IS the
+    * canonical one-pass merge semantics, and the brackets make a
+    * partial-symbol match impossible. The census reads symbols back
+    * with one `regexp_extract_all`, bound to a column first (the HOF
+    * re-evaluation rule).
+    *
+    * Scale shape per round: census = in-row pair expansion +
+    * partial-combining count to ≤ |sym-vocab|² rows, global top-1 via
+    * TakeOrderedAndProject, ONE driver-collected row (the PageRank
+    * loop discipline — a bounded action per iteration, never the
+    * corpus); fuse = one map-side `replace` over the persisted parent
+    * stream, materialized before the parent unpersists (persist
+    * rotation, eager frees). O(rounds) corpus passes total, each from
+    * memory — a production trainer at higher `rounds` would keep the
+    * incremental pair-delta census instead of recounting; recounting
+    * on the cached stream is the honest distributed baseline and
+    * keeps every round oracle-checkable. Training stops early if no
+    * in-word pair remains (single-symbol corpus). */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var stream = docs
+      .select(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "|"),
+        "(.)", "<$1>").as("__s"))
+      .persist()
+    val adopted = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = pairCensus(stream.select(
+          expr("regexp_extract_all(__s, '<([^<>]*)>', 1)").as("__syms")))
+        .orderBy(col("cnt").desc, col("sym_a").asc, col("sym_b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        adopted += ((r, a, b, c))
+        // literal (non-regex) replace — symbols stay in [a-z0-9], so
+        // interpolation is safe and the semantics match the oracle's
+        // `replace` exactly (left-to-right, non-overlapping)
+        val next = stream
+          .select(expr(s"replace(__s, '<$a><$b>', '<$a$b>')").as("__s"))
+          .persist()
+        next.count() // materialize before freeing the parent
+        stream.unpersist(blocking = false)
+        stream = next
+      }
+      r += 1
+    }
+    stream.unpersist(blocking = false)
+    adopted.toSeq.toDF("round", "sym_a", "sym_b", "cnt")
+      .orderBy(col("round"))
+  }
 
   private def countMatching(text: Column, charClassRegex: String): Column =
     length(regexp_replace(text, charClassRegex, "")).cast("long")
@@ -136,6 +216,15 @@ object TextAnalysis {
         lit(0.2) * least(stopRatio * 5.0, lit(1.0)),
       6)
   }
+
+  /** [[qualityScore]] in integer MICRO-units (score · 10⁶ as a long).
+    * The score is already round(·, 6), so the micro value is exact —
+    * and once quality is an integer, downstream MEANS can be computed
+    * as `sum DIV count` (exact, order-independent, hash-gateable)
+    * instead of a double mean whose value depends on partial-sum
+    * order. The [[Curation.domainQualityReport]] input contract. */
+  def qualityMicro(text: Column, wordsCol: Column): Column =
+    round(qualityScore(text, wordsCol) * lit(1000000.0)).cast("long")
 
   /** 32-bit numeric fingerprint from the md5 content digest. */
   def fingerprint32(text: Column): Column =

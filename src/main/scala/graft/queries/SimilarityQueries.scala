@@ -416,5 +416,42 @@ object SimilarityQueries extends QueryPack {
       ORDER BY q_id, rnk
     """))
 
-  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118)
+  // --------------------------------------------------------------- q133
+  // Semantic decontamination: q72's n-gram overlap misses the
+  // PARAPHRASED benchmark item; here every corpus vector scores
+  // against a small eval panel (vec_id % 19 = 0 plays the benchmark)
+  // by exact cosine and docs whose nearest eval item reaches τ = 0.35
+  // (p93 of the max-cos distribution — 31 of 473 flagged at sf0.01)
+  // are contaminated. Engine: panel broadcast, per-doc argmax folded
+  // map-side (q20's audited bounded-fan class, |corpus| rows on the
+  // one exchange); oracle: the same argmax via ROW_NUMBER.
+  private val q133 = Q(
+    "q133_semantic_decontam",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Decontam.semanticContamination(
+          e.filter(col("vec_id") % 19 =!= 0),
+          e.filter(col("vec_id") % 19 === 0),
+          "vec_id", "embedding", tau = 0.35)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $normsSql,
+      pairs AS (
+        SELECT a.vec_id AS doc_id, b.vec_id AS eval_id, $cosSql AS cos
+        FROM embeddings a
+        JOIN nrm na ON na.vec_id = a.vec_id
+        JOIN embeddings b ON b.vec_id % 19 = 0
+        JOIN nrm nb ON nb.vec_id = b.vec_id
+        WHERE a.vec_id % 19 <> 0)
+      SELECT doc_id, eval_id, cos, cos >= 0.35 AS contaminated FROM (
+        SELECT doc_id, eval_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY cos DESC, eval_id ASC) AS rk
+        FROM pairs)
+      WHERE rk = 1
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133)
 }

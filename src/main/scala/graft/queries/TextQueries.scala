@@ -658,6 +658,152 @@ object TextQueries extends QueryPack {
       LIMIT 20
     """))
 
+  // --------------------------------------------------------------- q134
+  // Deterministic weighted sample without replacement (Efraimidis–
+  // Spirakis): top-100 docs by ln(u)/w with the md5-derived uniform
+  // and w = n_chars — inclusion probability ∝ length, reproducible
+  // across engines because the draw is a pure function of the id.
+  // Engine plans TakeOrderedAndProject (no corpus sort, no corpus
+  // window); only integer columns are emitted, so the float key never
+  // hits the hash gate.
+  private val q134 = Q(
+    "q134_weighted_sample",
+    (s, dir) => {
+      graft.operators.Sampling.weightedSample(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 100)
+    },
+    Some(raw"""
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id ASC)
+               AS INTEGER) AS rnk,
+             doc_id, CAST(w AS BIGINT) AS weight
+      FROM (
+        SELECT doc_id, n_chars AS w,
+               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     + 1) / CAST(1152921504606846976 AS DOUBLE))
+                 / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars > 0)
+      ORDER BY k DESC, doc_id ASC
+      LIMIT 100
+    """))
+
+  // --------------------------------------------------------------- q135
+  // Split-leakage REPAIR, the fix for what q126 audits: every doc in a
+  // duplicate-text group spanning splits moves to the split of the
+  // group's min-doc_id leader. Output is the move ledger (moved docs
+  // only). One fp-keyed shuffle; the leaky-leader frame is tiny and
+  // broadcasts back — text never travels.
+  private val q135 = Q(
+    "q135_split_repair",
+    (s, dir) => {
+      graft.operators.Sampling.repairSplitLeakage(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          valPct = 5, testPct = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH tagged AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               CASE WHEN b < 5 THEN 'val'
+                    WHEN b < 10 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT doc_id, text,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS b
+          FROM documents)),
+      grp AS (
+        SELECT fp, MIN(doc_id) AS lid, COUNT(*) AS n,
+               MIN(split) AS smin, MAX(split) AS smax
+        FROM tagged GROUP BY fp),
+      leaky AS (
+        SELECT g.fp, t.split AS new_split
+        FROM grp g JOIN tagged t ON t.fp = g.fp AND t.doc_id = g.lid
+        WHERE g.n > 1 AND g.smin <> g.smax)
+      SELECT t.doc_id, t.split AS old_split, k.new_split
+      FROM tagged t JOIN leaky k ON t.fp = k.fp
+      WHERE t.split <> k.new_split
+      ORDER BY t.doc_id
+    """))
+
+  // --------------------------------------------------------------- q136
+  // Domain-level quality curation: per-HOST mean quality (q24's score
+  // in integer micro-units, mean as sum DIV count — exact, order-
+  // independent) gates whole domains, the Gopher/C4 "judge the host"
+  // pass. URL fabricated per the q114 discipline; threshold 660000
+  // sits mid-distribution at sf0.01 (8 of 20 hosts drop). Engine:
+  // one aggregate to ≤ |hosts| rows, fanned back by an unhinted
+  // equi-join (broadcast at sf, AQE shuffled-hash at web scale).
+  private val q136 = Q(
+    "q136_domain_quality",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://crawler@"), col("source"),
+            lit(".example.org:8443/docs/"), col("doc_id")))
+        .withColumn("host", graft.operators.Curation.extractHost(col("url")))
+        .withColumn("__w", graft.operators.Dedup.words(col("text")))
+        .withColumn("q_micro",
+          TextAnalysis.qualityMicro(col("text"), col("__w")))
+      graft.operators.Curation.domainQualityReport(
+          docs, "host", "q_micro", minMeanMicro = 660000L)
+        .select(col("doc_id"), col("host"), col("host_q_micro"),
+          col("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH base AS (
+        SELECT doc_id,
+               lower(regexp_extract(
+                 'https://crawler@' || source || '.example.org:8443/docs/'
+                   || CAST(doc_id AS VARCHAR),
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1))
+                 AS host,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS BIGINT) AS n_digit,
+               ${scoreSql("en")} AS s_en
+        FROM (SELECT doc_id, source, text, $wordsSql AS w FROM documents)),
+      q AS (
+        SELECT doc_id, host,
+               CAST(ROUND(ROUND(
+                 0.4 * least(n_chars / 500.0, 1.0)
+               + 0.2 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * least((s_en / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0),
+                 6) * 1000000) AS BIGINT) AS qm
+        FROM base),
+      h AS (
+        SELECT host, CAST(SUM(qm) // COUNT(*) AS BIGINT) AS host_q_micro
+        FROM q GROUP BY host)
+      SELECT q.doc_id, q.host, h.host_q_micro,
+             h.host_q_micro >= 660000 AS kept
+      FROM q JOIN h USING (host)
+      ORDER BY q.doc_id
+    """))
+
+  // --------------------------------------------------------------- q137
+  // Distributed BPE TRAINING, the full loop q130 is one step of:
+  // 5 rounds of (corpus-wide pair census → adopt the top pair → fuse
+  // every occurrence), starting from bare characters. The oracle
+  // expresses the DATA-DEPENDENT merge choices entirely in SQL — five
+  // unrolled census/top-1/fuse CTE stages whose replace pattern comes
+  // from the 1-row top-1 CTE — so the adopted merge table is
+  // hash-gated end-to-end, not just spot-checked.
+  private val q137 = Q(
+    "q137_bpe_train",
+    (s, dir) => TextAnalysis.bpeTrain(
+      Tables(s, dir, "documents"), "text", rounds = 5),
+    Some(graft.functions.BpeTokenizer.oracleTrainSql(
+      5, "documents", "text")))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
-    q56, q57, q91, q101, q111, q113, q123, q126, q130)
+    q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
+    q137)
 }

@@ -35,7 +35,10 @@ class PlanAuditSpec extends SparkSpec {
       "q118_hard_negatives",
       // q132's three 1-row merge fans (batch agg, novelty count,
       // source census) — q68/q106's corpus-constant class
-      "q132_incremental_datasheet")
+      "q132_incremental_datasheet",
+      // q133's corpus × bounded-eval-panel scan — q20/q118's bounded
+      // class (the per-doc argmax folds map-side before the exchange)
+      "q133_semantic_decontam")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -134,4 +134,64 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(census.toSeq == Seq(("an", "a", 3L), ("an", "an", 3L),
       ("b", "an", 3L)))
   }
+
+  // ---- the in-memory reference trainer: same census (adjacent
+  // within-word pairs, overlapping positions each count) and same
+  // one-pass left-to-right non-overlapping fuse as the engine's
+  // bracket-string replace
+  private def refTrain(texts: Seq[String], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var streams: Seq[Array[String]] = texts.map { t =>
+      val lowered = t.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9]+", "|")
+      lowered.map(String.valueOf(_)).toArray
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      for (s <- streams; i <- 0 until s.length - 1
+           if s(i) != "|" && s(i + 1) != "|")
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + 1
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq
+          .sortBy { case ((x, y), n) => (-n, x, y) }.head
+        out += ((r, a, b, c))
+        streams = streams.map { s =>
+          val o = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+              o += (a + b); i += 2
+            } else { o += s(i); i += 1 }
+          }
+          o.toArray
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain: adopted merges equal the in-memory reference trainer") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "the theater thesis", "data date dates", "banana bandana",
+      "aaa aaaa b", "the data theater")
+    val got = TextAnalysis.bpeTrain(texts.toDF("text"), "text", rounds = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == refTrain(texts, 6))
+  }
+
+  test("bpeTrain stops early when no in-word pair remains") {
+    val s = spark
+    import s.implicits._
+    // every word is one char: round 1 fuses nothing... actually there
+    // is no pair at all, so training exhausts immediately
+    val got = TextAnalysis.bpeTrain(
+      Seq("a b c", "d e").toDF("text"), "text", rounds = 4).collect()
+    assert(got.isEmpty)
+  }
 }

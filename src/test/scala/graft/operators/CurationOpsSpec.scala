@@ -39,6 +39,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.head.getLong(1) === 2L)
   }
 
+  test("semantic contamination: nearest eval item, tie to smaller id, threshold flag") {
+    val s = spark
+    import s.implicits._
+    def emb(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    val eval = emb(
+      100L -> Array(1f, 0f, 0f),
+      101L -> Array(0f, 1f, 0f),
+      102L -> Array(0f, 1f, 0f)) // duplicate direction: tie trap
+    val corpus = emb(
+      1L -> Array(2f, 0f, 0f),     // cos 1.0 with eval 100 → flagged
+      2L -> Array(1f, 1f, 0f),     // cos ~0.707 with 100 AND 101/102 tie
+      3L -> Array(0f, 0f, 5f))     // orthogonal to all → cos 0, clean
+    val r = Decontam.semanticContamination(corpus, eval,
+        "vec_id", "embedding", tau = 0.9)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(3)))
+    assert(r.toSeq == Seq((1L, 100L, true), (2L, 100L, false),
+      (3L, 100L, false)))
+    // doc 2's cos ties across 100/101/102 at ~0.707 — the argmax must
+    // break to the SMALLEST eval id deterministically
+    val cos2 = Decontam.semanticContamination(corpus, eval,
+        "vec_id", "embedding", tau = 0.5)
+      .filter(col("doc_id") === 2L).collect().head
+    assert(cos2.getLong(1) == 100L && cos2.getBoolean(3))
+  }
+
   // ------------------------------------------------------------ Curation
 
   test("boilerplate scrub removes high-DF words, keeps rare ones, preserves order") {

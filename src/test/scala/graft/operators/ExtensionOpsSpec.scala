@@ -765,4 +765,86 @@ class SamplingSpec extends graft.SparkSpec {
     assert(r.getAs[Long]("n_train_test") == 0L)
     assert(r.getAs[Long]("n_val_test") == 0L)
   }
+
+  test("weighted sample: equals brute-force A-ES, zero weights excluded, repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    // weights 0..6 cycle; ids with weight 0 must be ineligible
+    val df = (1L to 300L).map(id => (id, id % 7)).toDF("doc_id", "w")
+    val got = Sampling.weightedSample(df, "doc_id", "w", n = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // brute-force twin: same md5-uniform, same ln(u)/w key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = (1L to 300L)
+      .map(id => (id, id % 7))
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val u = (h60(id) + 1L).toDouble / 1152921504606846976L.toDouble
+        (math.log(u) / w.toDouble, id, w)
+      }
+      .sortBy { case (k, id, _) => (-k, id) }
+      .take(10).zipWithIndex
+      .map { case ((_, id, w), i) => (i + 1, id, w) }
+    assert(got.toSeq == expect.toSeq)
+    assert(got.forall(_._3 > 0), "a zero-weight row was sampled")
+    val again = Sampling.weightedSample(df.repartition(7), "doc_id", "w", 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq, "sample depends on partitioning")
+  }
+
+  test("split repair: leaky groups adopt the leader's split, same-side dups untouched") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 200L).toDF("doc_id")
+      .withColumn("b", Sampling.splitBucket(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pick(p: Long => Boolean): Seq[Long] =
+      ids.toSeq.filter { case (_, b) => p(b) }.map(_._1).sorted
+    val train = pick(b => b >= 10)
+    val vl = pick(b => b < 5)
+    val ts = pick(b => b >= 5 && b < 10)
+    // groups: (leader train, dup val) moves dup -> train;
+    // (leader val, dups train+test) moves both -> val;
+    // same-side train pair → no move; unique docs → no move.
+    // Every fixture id is taken at most ONCE — a reused id would fuse
+    // two text groups through the shared doc and break the invariant.
+    val used = scala.collection.mutable.Set.empty[Long]
+    def take(seq: Seq[Long], p: Long => Boolean = _ => true): Long = {
+      val id = seq.find(x => !used(x) && p(x)).get; used += id; id
+    }
+    val g1dup = take(vl)
+    val g1leader = take(train, _ < g1dup)
+    val g2leader = take(vl,
+      v => train.exists(t => !used(t) && t > v) &&
+        ts.exists(x => !used(x) && x > v))
+    val g2train = take(train, _ > g2leader)
+    val g2test = take(ts, _ > g2leader)
+    val docs = Seq(
+      (g1leader, "group one"), (g1dup, "group one"),
+      (g2leader, "group two"), (g2train, "group two"), (g2test, "group two"),
+      (take(train), "same side"), (take(train), "same side"),
+      (take(train), "unique a"), (take(ts), "unique b")
+    ).toDF("doc_id", "text")
+    val moved = Sampling.repairSplitLeakage(docs, "doc_id", "text", 5, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(moved == Set(
+      (g1dup, "val", "train"),
+      (g2train, "train", "val"),
+      (g2test, "test", "val")))
+    // post-repair property: within every fp group, one split remains
+    val ledger = moved.map(m => m._1 -> m._3).toMap
+    val post = docs
+      .withColumn("split", Sampling.splitOf(col("doc_id"), 5, 5))
+      .collect()
+      .map(r => (r.getString(1),
+        ledger.getOrElse(r.getLong(0), r.getString(2))))
+      .groupBy(_._1).map { case (_, g) => g.map(_._2).distinct.length }
+    assert(post.forall(_ == 1), "a repaired group still spans splits")
+  }
 }

@@ -149,4 +149,24 @@ class HostCurationSpec extends SparkSpec {
     assert(!plan.matches("(?s).*Sort \\[[^\\]]*\\], true,.*"),
       s"unexpected global sort:\n$plan")
   }
+
+  test("domain quality: host mean is exact floor division, kept splits hosts") {
+    import spark.implicits._
+    val docs = Seq(
+      // host a: (700000 + 600001) DIV 2 = 650000 → dropped at 660000
+      (1L, "a.org", 700000L), (2L, "a.org", 600001L),
+      // host b: (660000 + 660000) DIV 2 = 660000 → kept (inclusive)
+      (3L, "b.org", 660000L), (4L, "b.org", 660000L),
+      // host c: single doc, 999999 → kept
+      (5L, "c.org", 999999L)
+    ).toDF("doc_id", "host", "q_micro")
+    val r = Curation.domainQualityReport(docs, "host", "q_micro", 660000L)
+      .select("doc_id", "host_q_micro", "kept")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+      .sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, 650000L, false), (2L, 650000L, false),
+      (3L, 660000L, true), (4L, 660000L, true),
+      (5L, 999999L, true)))
+  }
 }
