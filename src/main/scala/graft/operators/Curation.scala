@@ -175,6 +175,44 @@ object Curation {
       .withColumn("kept", col("host_q_micro") >= minMeanMicro)
   }
 
+  /** The stored artifact [[domainQualityIncremental]] maintains: one
+    * (host, q_sum, n_docs) row per host — the sufficient statistic for
+    * the exact integer mean, which is what makes the daily update
+    * O(new): sums add, counts add, the mean re-derives. */
+  def domainQualityLedger(docs: DataFrame, hostCol: String,
+      qMicroCol: String): DataFrame =
+    docs.groupBy(col(hostCol))
+      .agg(sum(col(qMicroCol)).as("q_sum"),
+        count(lit(1)).as("n_docs"))
+
+  /** O(new)-per-day sibling of [[domainQualityReport]], the
+    * q65/q108/q116/q132 incremental-family discipline applied to
+    * domain curation: yesterday's [[domainQualityLedger]] merges with
+    * today's batch by pure addition (the integer micro-unit mean is
+    * exactly mergeable — a double mean would not be), and every host's
+    * verdict re-evaluates against the UPDATED mean, so a good host
+    * that degrades (or a spam host that launders itself with good
+    * pages) flips verdicts corpus-consistently. Output is the new
+    * ledger + verdicts — (host, q_sum, n_docs, host_q_micro, kept) —
+    * which IS tomorrow's input: the operator is self-maintaining.
+    *
+    * Scale shape: the batch aggregates to ≤ |batch hosts| rows
+    * map-side; the merge is a union + re-aggregate on the host key —
+    * both frames are host-sized, not corpus-sized, so the daily cost
+    * never touches history documents. */
+  def domainQualityIncremental(ledger: DataFrame, batch: DataFrame,
+      hostCol: String, qMicroCol: String,
+      minMeanMicro: Long): DataFrame = {
+    val b = domainQualityLedger(batch, hostCol, qMicroCol)
+    ledger.select(col(hostCol), col("q_sum"), col("n_docs"))
+      .unionByName(b)
+      .groupBy(col(hostCol))
+      .agg(sum(col("q_sum")).as("q_sum"),
+        sum(col("n_docs")).cast("long").as("n_docs"))
+      .withColumn("host_q_micro", expr("q_sum DIV n_docs"))
+      .withColumn("kept", col("host_q_micro") >= minMeanMicro)
+  }
+
   /** Unicode normalization for crawl text: strip invisible junk
     * (controls, zero-widths, BOM) and compose to NFC, so that
     * fingerprint-based dedup sees "é" and "e"+combining-acute as the

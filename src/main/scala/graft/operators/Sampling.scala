@@ -263,6 +263,34 @@ object Sampling {
       .parquet(path)
   }
 
+  /** Integrity manifest over [[tokenBalancedShards]] — the artifact a
+    * training job checks BEFORE burning cluster-hours on a corrupted
+    * or stale export: per shard, the doc count, the token mass, and an
+    * order-independent CONTENT checksum (bit-XOR of each document's
+    * 60-bit normalized-text fingerprint). XOR is commutative/
+    * associative, so the checksum is identical however the shard's
+    * rows are partitioned or ordered — re-deriving the manifest from
+    * the files on the training side and comparing catches a dropped
+    * file, a duplicated part, or an edited document, none of which
+    * row counts alone can (count survives an edit; token mass
+    * survives a swap).
+    *
+    * Scale shape: fingerprints compute map-side from the text, which
+    * is then pruned — the shard exchange carries (shard, tokens,
+    * fp60) only; all three aggregates partial-combine; output is
+    * exactly `nShards` rows. */
+  def shardManifest(df: DataFrame, idCol: String, tokensCol: String,
+      textCol: String, nShards: Int): DataFrame =
+    tokenBalancedShards(df, idCol, tokensCol, nShards)
+      .withColumn("__fp60",
+        conv(substring(Dedup.fingerprint(col(textCol)), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("sum_tokens"),
+        expr("bit_xor(__fp60)").as("checksum"))
+      .orderBy(col("shard"))
+
   /** Length-bucketed micro-batch assignment — padding-efficiency
     * batching for tokenized training/inference: documents band by token
     * length (integer DIV into `bandTokens`-wide bins), then each band

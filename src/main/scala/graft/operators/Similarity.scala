@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -146,6 +146,70 @@ object Similarity {
       .withColumn("cos",
         dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
+  /** Matryoshka two-tier retrieval: rank the corpus by cosine over the
+    * FIRST `dims` components only (matryoshka-style truncation — the
+    * coarse tier costs dims multiplies per vector instead of the full
+    * dimension), keep a per-query `shortlist`, then rerank the
+    * shortlist with full-dimension cosine and emit top `k`. The
+    * funnel every modern embedding pipeline runs: full-precision math
+    * touches shortlist·|Q| vectors, not the corpus.
+    *
+    * Both tiers are exact over their own metric, so the output is
+    * deterministic and fully SQL-expressible (unlike LSH-probe
+    * recall, nothing here depends on bucket luck); how much of the
+    * EXACT full-dim top-k the funnel retains is the truncation's
+    * information question — spec-pinned against [[bruteForceTopK]].
+    * Tie-breaks: truncated-cos then id at the shortlist cut, full-cos
+    * then id at the final cut.
+    *
+    * Scale shape: the coarse tier is q20's audited bounded-fan class
+    * (corpus × broadcast panel), but its window exchange carries ONLY
+    * (q_id, n_id, tcos) — column pruning drops every vector before
+    * the shuffle because full-dim cosine is computed in a SEPARATE
+    * second pass: the |Q|·shortlist survivor frame (tiny by
+    * construction) broadcasts back onto the corpus scan to pick up
+    * full vectors, so no vector ever crosses an exchange. Both
+    * windows prune with WindowGroupLimit; the fine window's input is
+    * already ≤ |Q|·shortlist rows. */
+  def matryoshkaTopK(embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dims: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val tr = (c: Column) => asDouble(slice(c, 1, dims))
+    val n = embeddings.select(col(idCol).as("n_id"), tr(col(vecCol)).as("n_tvec"))
+      .withColumn("n_tnrm", sqrt(norm2(col("n_tvec"))))
+    val q = queries.select(col(idCol).as("q_id"), tr(col(vecCol)).as("q_tvec"))
+      .withColumn("q_tnrm", sqrt(norm2(col("q_tvec"))))
+    val wCoarse = Window.partitionBy(col("q_id"))
+      .orderBy(col("tcos").desc, col("n_id").asc)
+    val survivors = n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("tcos",
+        dot(col("q_tvec"), col("n_tvec")) / (col("q_tnrm") * col("n_tnrm")))
+      .select(col("q_id"), col("n_id"), col("tcos"))
+      .withColumn("trk", row_number().over(wCoarse))
+      .filter(col("trk") <= shortlist)
+      .select(col("q_id"), col("n_id"))
+    // rerank pass: survivors (≤ |Q|·shortlist rows) broadcast onto a
+    // second corpus scan for full vectors; panel full vectors come
+    // from the broadcast query side
+    val nFull = withNorm(embeddings, idCol, vecCol)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        col("nrm").as("n_nrm"))
+    val qFull = withNorm(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col("nrm").as("q_nrm"))
+    val wFine = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    nFull.join(broadcast(survivors), Seq("n_id"))
+      .join(broadcast(qFull), Seq("q_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(wFine))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }

@@ -169,4 +169,64 @@ object Sketch {
       .limit(n)
     top.withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
   }
+
+  /** Cross-source overlap matrix from MERGEABLE KMV sketches — the
+    * sketch-algebra scale form of
+    * [[Decontam.sourceOverlapMatrix]] (q128): per source, the k
+    * smallest md5 hashes of its word `shingleK`-shingles stand in for
+    * the whole shingle set, and every pairwise union/intersection/
+    * Jaccard estimate is pure arithmetic on those k-member arrays —
+    * the classic KMV set algebra (union sketch = k smallest of A ∪ B;
+    * ρ = fraction of the union sketch present in BOTH inputs estimates
+    * Jaccard; intersection ≈ ρ · union estimate).
+    *
+    * Scale shape: q128's exact form pays one corpus-wide exchange of
+    * DISTINCT (source, shingle) pairs; here the native
+    * [[graft.functions.KmvSketchAgg]] partial-combines map-side so
+    * ≤ k longs per task·source reach the exchange — corpus shingles
+    * never travel at all. The s² pair expansion happens IN-ROW on one
+    * collected row of |sources| sketches (mixture components number
+    * in the dozens; |S|·k longs is kilobytes), every array op a
+    * codegen'd higher-order function over bound attributes. Estimates
+    * are deterministic — md5 hashing, integer sketch members, single
+    * double divisions — so the oracle reproduces them bit-for-bit,
+    * the q82 discipline. */
+  def kmvSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      shingleK: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val agg = Bridge.column(
+      graft.functions.KmvSketchAgg(
+        Bridge.expression(hash60(col("sh"))), k).toAggregateExpression())
+    val perSource = Dedup
+      .explodedShingles(docs, srcCol, textCol, shingleK, dedup = false)
+      .groupBy(col("doc_id").as("src"))
+      .agg(agg.as("kmv"))
+    perSource
+      .agg(sort_array(collect_list(struct(col("src"), col("kmv"))))
+        .as("arr"))
+      .select(explode(expr(
+        """flatten(transform(arr, (a, i) ->
+             transform(slice(arr, i + 2, size(arr)), b ->
+               struct(a.src AS src_a, b.src AS src_b,
+                      a.kmv AS ka, b.kmv AS kb))))""")).as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"),
+        col("p.ka").as("ka"), col("p.kb").as("kb"))
+      .withColumn("u",
+        expr(s"slice(array_sort(array_distinct(concat(ka, kb))), 1, $k)"))
+      .withColumn("n_union_sketch", size(col("u")).cast("long"))
+      .withColumn("rho_num",
+        expr("size(filter(u, x -> array_contains(ka, x) AND array_contains(kb, x)))")
+          .cast("long"))
+      .withColumn("jaccard_est",
+        col("rho_num").cast("double") / col("n_union_sketch").cast("double"))
+      .withColumn("union_est",
+        when(col("n_union_sketch") < k, col("n_union_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            try_element_at(col("u"), lit(-1)).cast("double")))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+      .select(col("src_a"), col("src_b"), col("n_union_sketch"),
+        col("rho_num"), col("jaccard_est"), col("union_est"),
+        col("inter_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -135,37 +135,45 @@ object TextAnalysis {
     * with one `regexp_extract_all`, bound to a column first (the HOF
     * re-evaluation rule).
     *
-    * Scale shape per round: census = in-row pair expansion +
-    * partial-combining count to ≤ |sym-vocab|² rows, global top-1 via
-    * TakeOrderedAndProject, ONE driver-collected row (the PageRank
-    * loop discipline — a bounded action per iteration, never the
-    * corpus); fuse = one map-side `replace` over the persisted parent
-    * stream, materialized before the parent unpersists (persist
-    * rotation, eager frees). O(rounds) corpus passes total, each from
-    * memory — a production trainer at higher `rounds` would keep the
-    * incremental pair-delta census instead of recounting; recounting
-    * on the cached stream is the honest distributed baseline and
-    * keeps every round oracle-checkable. Training stops early if no
-    * in-word pair remains (single-symbol corpus). */
+    * Scale shape per round: ONE corpus pass and ONE driver action —
+    * the census collect (in-row pair expansion, partial-combining
+    * count to ≤ |sym-vocab|² rows, global top-1 via
+    * TakeOrderedAndProject; the PageRank loop discipline — a bounded
+    * action per iteration, never the corpus). That census pass also
+    * MATERIALIZES the round's persisted stream (string + pre-extracted
+    * symbol array, so the regex runs once per round, shared by census
+    * and nothing else; the fuse reads the string), and the previous
+    * round's stream unpersists only after its successor is
+    * materialized — rotation without a dedicated count() pass. A
+    * production trainer at higher `rounds` would keep the incremental
+    * pair-delta census instead of recounting; recounting on the
+    * cached stream is the honest distributed baseline and keeps every
+    * round oracle-checkable. Training stops early if no in-word pair
+    * remains (single-symbol corpus). */
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    val symsOf = expr("regexp_extract_all(__s, '<([^<>]*)>', 1)")
     var stream = docs
       .select(regexp_replace(
         regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "|"),
         "(.)", "<$1>").as("__s"))
+      .withColumn("__syms", symsOf)
       .persist()
+    var prev: Option[DataFrame] = None
     val adopted = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = pairCensus(stream.select(
-          expr("regexp_extract_all(__s, '<([^<>]*)>', 1)").as("__syms")))
+      val top = pairCensus(stream.select(col("__syms")))
         .orderBy(col("cnt").desc, col("sym_a").asc, col("sym_b").asc)
         .limit(1)
         .collect()
+      // the collect materialized `stream`; its parent is now free
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(stream)
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1),
@@ -173,17 +181,17 @@ object TextAnalysis {
         adopted += ((r, a, b, c))
         // literal (non-regex) replace — symbols stay in [a-z0-9], so
         // interpolation is safe and the semantics match the oracle's
-        // `replace` exactly (left-to-right, non-overlapping)
-        val next = stream
+        // `replace` exactly (left-to-right, non-overlapping). The
+        // final round's pick needs no fused successor.
+        if (r < rounds) stream = stream
           .select(expr(s"replace(__s, '<$a><$b>', '<$a$b>')").as("__s"))
+          .withColumn("__syms", symsOf)
           .persist()
-        next.count() // materialize before freeing the parent
-        stream.unpersist(blocking = false)
-        stream = next
       }
       r += 1
     }
     stream.unpersist(blocking = false)
+    prev.foreach(_.unpersist(blocking = false))
     adopted.toSeq.toDF("round", "sym_a", "sym_b", "cnt")
       .orderBy(col("round"))
   }

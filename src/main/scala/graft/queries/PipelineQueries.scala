@@ -403,6 +403,52 @@ object PipelineQueries extends QueryPack {
       GROUP BY shard ORDER BY shard
     """))
 
+  // --------------------------------------------------------------- q141
+  // Integrity manifest over the q120 shard assignment: per shard, doc
+  // count, token mass, and an order-independent content checksum
+  // (bit-XOR of 60-bit normalized-text fingerprints) — what a training
+  // job re-derives from the files and compares before burning
+  // cluster-hours on a corrupted export. XOR commutes, so the value is
+  // partition/order-invariant; fingerprints compute map-side and the
+  // shard exchange carries (shard, tokens, fp60) only.
+  private val q141 = Q(
+    "q141_shard_manifest",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.shardManifest(docs, "doc_id", "n_tokens", "text",
+        nShards = 8)
+    },
+    Some(raw"""
+      WITH tok AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT
+                 AS fp60
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens, fp60,
+               CAST(SUM(n_tokens) OVER (
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                          doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM tok),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM tok)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(bit_xor(fp60) AS BIGINT) AS checksum
+      FROM (
+        SELECT CAST(((GREATEST(cum, 1) - 1) * 8) // GREATEST(total, 1) AS BIGINT)
+                 AS shard,
+               n_tokens, fp60
+        FROM c CROSS JOIN t)
+      GROUP BY shard ORDER BY shard
+    """))
+
   // --------------------------------------------------------------- q129
   // Epoch materialization toward the uniform mixture — the upsampling
   // half q69 leaves to the training loader: floor(weight) repeats plus
@@ -537,5 +583,5 @@ object PipelineQueries extends QueryPack {
     """))
 
   def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119,
-    q120, q129, q131, q132)
+    q120, q129, q131, q132, q141)
 }

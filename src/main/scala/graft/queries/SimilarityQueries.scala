@@ -453,5 +453,51 @@ object SimilarityQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133)
+  // --------------------------------------------------------------- q138
+  // Matryoshka two-tier retrieval: coarse rank on the FIRST 32 of 64
+  // dimensions (truncation, not hashing — deterministic, so fully
+  // SQL-expressible), keep 50 per query, rerank the shortlist at full
+  // dimension, emit top-5. On this synthetic (noise-like) corpus the
+  // 32/50 funnel holds recall@5 ≈ 0.75 vs the exact q20 baseline —
+  // trained matryoshka embeddings frontload information, so real
+  // corpora do better at tighter cuts. Same q20 panel so the recall cost of the
+  // funnel is directly inspectable; MatryoshkaSpec pins it.
+  private val q138 = Q(
+    "q138_matryoshka_topk",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dims = 32, shortlist = 50, k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH tn AS (
+        SELECT vec_id, embedding[1:32]::DOUBLE[] AS tv,
+               sqrt(list_dot_product(embedding[1:32]::DOUBLE[],
+                                     embedding[1:32]::DOUBLE[])) AS tnrm
+        FROM embeddings),
+      coarse AS (
+        SELECT q_id, n_id FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_dot_product(a.tv, b.tv) / (a.tnrm * b.tnrm)
+                     DESC, b.vec_id ASC) AS trk
+          FROM tn a JOIN tn b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 10)
+        WHERE trk <= 50),
+      $normsSql
+      SELECT q_id, n_id, cos, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT c.q_id, c.n_id, $cosSql AS cos,
+               ROW_NUMBER() OVER (PARTITION BY c.q_id
+                 ORDER BY $cosSql DESC, c.n_id ASC) AS rnk
+        FROM coarse c
+        JOIN embeddings a ON a.vec_id = c.q_id
+        JOIN nrm na ON na.vec_id = c.q_id
+        JOIN embeddings b ON b.vec_id = c.n_id
+        JOIN nrm nb ON nb.vec_id = c.n_id)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138)
 }

@@ -175,5 +175,64 @@ object SketchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
-  def all: Seq[Q] = Seq(q82, q83, q89, q90)
+  private val normWordsSql =
+    raw"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
+
+  // --------------------------------------------------------------- q139
+  // Cross-source overlap matrix from mergeable KMV sketches — the
+  // sketch-algebra scale form of q128's exact matrix: per-source k-min
+  // shingle hashes (native agg, ≤k longs per task·source cross the
+  // exchange — the corpus-wide distinct-shingle exchange disappears),
+  // pair union/Jaccard/intersection estimates as in-row arithmetic on
+  // the k-member arrays. Pure md5 determinism, so the oracle
+  // reproduces every ESTIMATE bit-for-bit (the q82 discipline);
+  // SketchSpec pins the estimates against q128's exact values.
+  private val q139 = Q(
+    "q139_kmv_source_overlap",
+    (s, dir) => Sketch.kmvSourceOverlap(Tables(s, dir, "documents"),
+      "source", "text", shingleK = 3, k = 64),
+    Some(raw"""
+      WITH norm AS (
+        SELECT source, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      hashed AS (
+        SELECT DISTINCT source, ${hashSql("s")} AS h FROM sh),
+      km AS (
+        SELECT source, list(h ORDER BY h ASC) AS kv FROM (
+          SELECT source, h,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS r
+          FROM hashed)
+        WHERE r <= 64
+        GROUP BY source),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.kv AS ka, b.kv AS kb
+        FROM km a JOIN km b ON a.source < b.source),
+      calc AS (
+        SELECT src_a, src_b,
+               CAST(len(u) AS BIGINT) AS nu,
+               CAST(len(list_filter(u, x ->
+                 list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT)
+                 AS rho,
+               u[-1] AS kth
+        FROM (
+          SELECT src_a, src_b, ka, kb,
+                 list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS u
+          FROM pairs)),
+      f AS (
+        SELECT src_a, src_b, nu AS n_union_sketch, rho AS rho_num,
+               CAST(rho AS DOUBLE) / CAST(nu AS DOUBLE) AS jaccard_est,
+               CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+               END AS union_est
+        FROM calc)
+      SELECT src_a, src_b, n_union_sketch, rho_num, jaccard_est, union_est,
+             jaccard_est * union_est AS inter_est
+      FROM f
+      ORDER BY src_a, src_b
+    """))
+
+  def all: Seq[Q] = Seq(q82, q83, q89, q90, q139)
 }

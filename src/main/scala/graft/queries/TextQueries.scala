@@ -727,6 +727,37 @@ object TextQueries extends QueryPack {
       ORDER BY t.doc_id
     """))
 
+  /** Shared q136/q140 oracle prefix: per-doc host (q114's fabricated
+    * URL discipline) and quality in integer micro-units (q24's score
+    * formula × 10⁶). One definition so the batch gate and its
+    * incremental sibling cannot drift. */
+  private def qmicroCtes: String = raw"""base AS (
+        SELECT doc_id,
+               lower(regexp_extract(
+                 'https://crawler@' || source || '.example.org:8443/docs/'
+                   || CAST(doc_id AS VARCHAR),
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1))
+                 AS host,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS BIGINT) AS n_digit,
+               ${scoreSql("en")} AS s_en
+        FROM (SELECT doc_id, source, text, $wordsSql AS w FROM documents)),
+      q AS (
+        SELECT doc_id, host,
+               CAST(ROUND(ROUND(
+                 0.4 * least(n_chars / 500.0, 1.0)
+               + 0.2 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * least((s_en / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0),
+                 6) * 1000000) AS BIGINT) AS qm
+        FROM base)"""
+
   // --------------------------------------------------------------- q136
   // Domain-level quality curation: per-HOST mean quality (q24's score
   // in integer micro-units, mean as sum DIV count — exact, order-
@@ -753,32 +784,7 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
     Some(raw"""
-      WITH base AS (
-        SELECT doc_id,
-               lower(regexp_extract(
-                 'https://crawler@' || source || '.example.org:8443/docs/'
-                   || CAST(doc_id AS VARCHAR),
-                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1))
-                 AS host,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-                 AS n_tokens,
-               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-                 AS BIGINT) AS n_punct,
-               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                 AS BIGINT) AS n_digit,
-               ${scoreSql("en")} AS s_en
-        FROM (SELECT doc_id, source, text, $wordsSql AS w FROM documents)),
-      q AS (
-        SELECT doc_id, host,
-               CAST(ROUND(ROUND(
-                 0.4 * least(n_chars / 500.0, 1.0)
-               + 0.2 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10.0, 1.0))
-               + 0.2 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 10.0, 1.0))
-               + 0.2 * least((s_en / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0),
-                 6) * 1000000) AS BIGINT) AS qm
-        FROM base),
+      WITH $qmicroCtes,
       h AS (
         SELECT host, CAST(SUM(qm) // COUNT(*) AS BIGINT) AS host_q_micro
         FROM q GROUP BY host)
@@ -786,6 +792,47 @@ object TextQueries extends QueryPack {
              h.host_q_micro >= 660000 AS kept
       FROM q JOIN h USING (host)
       ORDER BY q.doc_id
+    """))
+
+  // --------------------------------------------------------------- q140
+  // The O(new)-per-day sibling of q136 (the q65/q116/q132 incremental
+  // family): yesterday's (host, q_sum, n_docs) ledger merges with
+  // today's batch by pure addition — the integer micro-unit mean is
+  // exactly mergeable — and verdicts re-evaluate on the updated mean.
+  // History (doc_id % 3 > 0) contributes ONLY its ledger; the oracle
+  // recomputes from the FULL corpus, so the hash match proves the
+  // merge is a pure optimization. Output is the new ledger + verdicts,
+  // which is tomorrow's input — self-maintaining.
+  private val q140 = Q(
+    "q140_domain_quality_incremental",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      def withQ(df: DataFrame): DataFrame = df
+        .withColumn("url",
+          concat(lit("https://crawler@"), col("source"),
+            lit(".example.org:8443/docs/"), col("doc_id")))
+        .withColumn("host", graft.operators.Curation.extractHost(col("url")))
+        .withColumn("__w", graft.operators.Dedup.words(col("text")))
+        .withColumn("q_micro",
+          TextAnalysis.qualityMicro(col("text"), col("__w")))
+      val docs = Tables(s, dir, "documents")
+      val ledger = graft.operators.Curation.domainQualityLedger(
+        withQ(docs.filter(col("doc_id") % 3 > 0)), "host", "q_micro")
+      graft.operators.Curation.domainQualityIncremental(
+          ledger, withQ(docs.filter(col("doc_id") % 3 === 0)),
+          "host", "q_micro", minMeanMicro = 660000L)
+        .orderBy(col("host"))
+    },
+    Some(raw"""
+      WITH $qmicroCtes
+      SELECT host,
+             CAST(SUM(qm) AS BIGINT) AS q_sum,
+             COUNT(*) AS n_docs,
+             CAST(SUM(qm) // COUNT(*) AS BIGINT) AS host_q_micro,
+             SUM(qm) // COUNT(*) >= 660000 AS kept
+      FROM q
+      GROUP BY host
+      ORDER BY host
     """))
 
   // --------------------------------------------------------------- q137
@@ -805,5 +852,5 @@ object TextQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137)
+    q137, q140)
 }

@@ -38,7 +38,11 @@ class PlanAuditSpec extends SparkSpec {
       "q132_incremental_datasheet",
       // q133's corpus × bounded-eval-panel scan — q20/q118's bounded
       // class (the per-doc argmax folds map-side before the exchange)
-      "q133_semantic_decontam")
+      "q133_semantic_decontam",
+      // q138's coarse tier: corpus × bounded query panel on TRUNCATED
+      // vectors (q20's class); the rerank pass is equi-joins on the
+      // ≤ |Q|·shortlist survivor frame
+      "q138_matryoshka_topk")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -187,6 +187,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 $recall")
   }
 
+  test("matryoshka: exact at full dims, recall pinned at 32/50, no vectors past the coarse window") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("q_id", "n_id"))
+    // dims = full dimension, shortlist = corpus → the funnel must be a
+    // no-op: identical to the exact top-k, ranks and cosines included
+    val full = Similarity.matryoshkaTopK(e, q, "vec_id", "embedding",
+      dims = 64, shortlist = 1000, k = 5)
+    assert(pairs(full.select("q_id", "n_id")) == exact)
+    // truncated funnel: recall degrades but must stay usable (the
+    // gate's 32/50 cut measures ~0.75 on this noise-like corpus)
+    val trunc = pairs(Similarity.matryoshkaTopK(e, q, "vec_id", "embedding",
+      dims = 32, shortlist = 50, k = 5).select("q_id", "n_id"))
+    val recall = (exact & trunc).size.toDouble / exact.size
+    assert(recall >= 0.6, s"matryoshka recall@5 $recall")
+    // the coarse window's exchange must not carry any vector column —
+    // column pruning has to drop the truncated vectors once tcos is
+    // computed, or the funnel shuffles what it exists to avoid
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = Similarity.matryoshkaTopK(e, q, "vec_id", "embedding",
+      32, 50, 5).queryExecution.optimizedPlan
+    val coarse = lp.collect {
+      case w: LWindow if w.windowExpressions.exists(_.name == "trk") => w
+    }
+    assert(coarse.nonEmpty, "coarse window not found in optimized plan")
+    coarse.foreach { w =>
+      val carried = w.child.output.map(_.name).filter(_.contains("vec"))
+      assert(carried.isEmpty, s"coarse window carries vectors: $carried")
+    }
+  }
+
   test("bucketed near-dup: subset of exact, recall >= 0.6, no cartesian") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4)
@@ -764,6 +798,36 @@ class SamplingSpec extends graft.SparkSpec {
     assert(r.getAs[Long]("n_train_val") == 1L)
     assert(r.getAs[Long]("n_train_test") == 0L)
     assert(r.getAs[Long]("n_val_test") == 0L)
+  }
+
+  test("shard manifest: checksum is partition/order-invariant and catches a content edit") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 120L)
+      .map(i => (i, s"document number $i body text", 3L + i % 5))
+      .toDF("doc_id", "text", "n_tokens")
+    val m1 = Sampling.shardManifest(docs, "doc_id", "n_tokens", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(m1.map(_._1).toSeq == (0L to 3L), "one row per shard")
+    val m2 = Sampling.shardManifest(docs.repartition(13), "doc_id",
+        "n_tokens", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(m1.toSeq == m2.toSeq, "manifest depends on partitioning")
+    // edit ONE document's text: its shard's checksum must change while
+    // doc count and token mass stay identical — the corruption class
+    // counts cannot see
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 60L, lit("tampered")).otherwise(col("text")))
+    val m3 = Sampling.shardManifest(edited, "doc_id", "n_tokens", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(m3.map(x => (x._1, x._2, x._3)).toSeq ==
+      m1.map(x => (x._1, x._2, x._3)).toSeq,
+      "counts and token mass must not see the edit")
+    assert(m3.map(_._4).toSeq != m1.map(_._4).toSeq,
+      "checksum must catch the edit")
   }
 
   test("weighted sample: equals brute-force A-ES, zero weights excluded, repartition-invariant") {

@@ -169,4 +169,38 @@ class HostCurationSpec extends SparkSpec {
       (3L, 660000L, true), (4L, 660000L, true),
       (5L, 999999L, true)))
   }
+
+  test("incremental domain quality ≡ batch recompute; verdicts flip on the merged mean") {
+    import spark.implicits._
+    val all = Seq(
+      // host a: history pulls the mean up, batch drags it under
+      (1L, "a.org", 700000L), (2L, "a.org", 700000L),
+      (3L, "a.org", 500000L), (4L, "a.org", 500000L),
+      // host b: history-only — must survive the merge untouched
+      (5L, "b.org", 800000L),
+      // host c: batch-only — a brand-new host enters the ledger
+      (6L, "c.org", 655555L)
+    ).toDF("doc_id", "host", "q_micro")
+    val history = all.filter(col("doc_id") <= 2 || col("doc_id") === 5L)
+    val batch = all.filter(col("doc_id") === 3L || col("doc_id") === 4L ||
+      col("doc_id") === 6L)
+    val inc = Curation.domainQualityIncremental(
+        Curation.domainQualityLedger(history, "host", "q_micro"),
+        batch, "host", "q_micro", 660000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    val full = Curation.domainQualityLedger(all, "host", "q_micro")
+      .withColumn("host_q_micro", expr("q_sum DIV n_docs"))
+      .withColumn("kept", col("host_q_micro") >= 660000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(inc.toSeq == full.toSeq, "merge must equal the full recompute")
+    val byHost = inc.map(x => x._1 -> x).toMap
+    assert(!byHost("a.org")._5, "host a must flip to dropped on the merged mean")
+    assert(byHost("a.org")._4 == 600000L)
+    assert(byHost("b.org")._5 && byHost("b.org")._3 == 1L)
+    assert(!byHost("c.org")._5 && byHost("c.org")._4 == 655555L)
+  }
 }

@@ -105,4 +105,44 @@ class SketchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("KMV source overlap: exact when k covers the universe, estimates track exact Jaccard") {
+    val s = spark
+    import s.implicits._
+    // tiny universe, k = 64 >> |shingles|: the sketch IS the full set,
+    // so every estimate must be EXACT set arithmetic
+    val tiny = Seq(
+      ("sa", "a b c d e f"),   // shingles: {abc, bcd, cde, def}
+      ("sb", "a b c d x y"),   // {abc, bcd, cdx, dxy} — 2 shared
+      ("sc", "p q r s t u"))   // disjoint
+      .toDF("source", "text")
+    val r = Sketch.kmvSourceOverlap(tiny, "source", "text", 3, 64)
+      .collect().map(x => ((x.getString(0), x.getString(1)),
+        (x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    val ab = r(("sa", "sb"))
+    assert(ab._1 == 6L && ab._2 == 2L) // union 6, shared 2
+    assert(math.abs(ab._3 - 2.0 / 6.0) < 1e-12)
+    assert(ab._4 == 6.0) // below-k union estimates exactly
+    val ac = r(("sa", "sc"))
+    assert(ac._2 == 0L && ac._3 == 0.0)
+    // real corpus: estimates must track q128's exact overlap — compare
+    // the estimated Jaccard to the exact one per pair, k=64
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val est = Sketch.kmvSourceOverlap(docsDf, "source", "text", 3, 64)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(4))
+      .toMap
+    val sh = Dedup.explodedShingles(docsDf, "source", "text", 3)
+      .collect().groupBy(_.getString(0))
+      .map { case (k2, v) => k2 -> v.map(_.getString(1)).toSet }
+    val errs = for (((a, b), je) <- est.toSeq) yield {
+      val exact = (sh(a) & sh(b)).size.toDouble / (sh(a) | sh(b)).size
+      math.abs(je - exact)
+    }
+    // k=64 on a few-hundred-shingle universe: stderr ~ 1/sqrt(64);
+    // assert mean tracking, not per-pair luck
+    assert(errs.sum / errs.size <= 0.15,
+      s"mean |est-exact| = ${errs.sum / errs.size}")
+    assert(errs.max <= 0.4, s"worst |est-exact| = ${errs.max}")
+  }
 }
