@@ -228,6 +228,26 @@ class ShuffleMetricsSpec extends SparkSpec {
         s"$totalRows rows) — distinct-before-rank regressed?")
   }
 
+  test("KMV source overlap shuffles sketches, never the corpus shingle stream") {
+    val shingleCount = operators.Dedup
+      .explodedShingles(docs, "doc_id", "text", 3, dedup = false).count()
+    val nSources = docs.select(col("source")).distinct().count()
+    val recs = shuffleRecords {
+      operators.Sketch
+        .kmvSourceOverlap(docs, "source", "text", 3, 64).count(); ()
+    }
+    // the native agg partial-combines map-side: per task·source at most
+    // one sketch row reaches the per-source exchange, then |S| sketch
+    // rows reach the 1-row collect — tasks × |S| rows total, orders of
+    // magnitude under the shingle stream q128's exact form must move
+    val parallelism = spark.sparkContext.defaultParallelism
+    assert(recs <= 2L * parallelism * nSources + 64,
+      s"KMV overlap shuffled $recs records for $nSources sources — " +
+        "sketch partial-combine lost?")
+    assert(recs < shingleCount / 4,
+      s"KMV overlap shuffled $recs vs $shingleCount corpus shingles")
+  }
+
   test("split leakage shuffles fingerprint rows, never document text") {
     val n = docs.count()
     val textBytes = docs
