@@ -290,12 +290,35 @@ object BpeTokenizer {
     * pinned merges — training from scratch) and share the census's
     * (cnt DESC, sym_a, sym_b) total order, so the adopted tables are
     * identical row-for-row. */
-  def oracleTrainSql(rounds: Int, table: String, textCol: String): String = {
+  def oracleTrainSql(rounds: Int, table: String, textCol: String): String =
+    trainCtes(rounds, table, textCol, idCol = None) + "\n" +
+      (1 to rounds)
+        .map(i =>
+          s"SELECT CAST($i AS INTEGER) AS round, sym_a, sym_b, cnt FROM b$i")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+
+  /** Training UNROLLED plus the APPLY: after the `rounds` fuse stages,
+    * count each document's surviving symbols — the SQL twin of
+    * `TextAnalysis.bpeTrainAndTokenize` (train a tokenizer from the
+    * corpus, then tokenize the corpus with it, one gated query). */
+  def oracleTrainAndCountSql(rounds: Int, table: String, textCol: String,
+      idCol: String): String =
+    trainCtes(rounds, table, textCol, idCol = Some(idCol)) + s"""
+      SELECT $idCol, ${oracleCountFromSymbolsSql("s")} AS n_tokens_trained
+      FROM s$rounds ORDER BY $idCol"""
+
+  /** The shared unrolled (census → top-1 → fuse) CTE chain. With
+    * `idCol` set, the stream CTEs carry the id so the final stage can
+    * emit per-document results; the census CTEs ignore it either
+    * way. */
+  private def trainCtes(rounds: Int, table: String, textCol: String,
+      idCol: Option[String]): String = {
     require(rounds >= 1)
     val base =
       raw"regexp_replace(regexp_replace(lower($textCol), '[^a-z0-9]+', '|', 'g'), '(.)', '<\1>', 'g')"
+    val idSel = idCol.map(c => s"$c, ").getOrElse("")
     val sb = new StringBuilder
-    sb.append(s"WITH s0 AS (SELECT $base AS s FROM $table)")
+    sb.append(s"WITH s0 AS (SELECT $idSel$base AS s FROM $table)")
     for (i <- 1 to rounds) {
       val prev = s"s${i - 1}"
       sb.append(s""",
@@ -309,13 +332,10 @@ object BpeTokenizer {
         SELECT sym_a, sym_b, cnt FROM c$i
         ORDER BY cnt DESC, sym_a ASC, sym_b ASC LIMIT 1),
       s$i AS (
-        SELECT replace(s, '<' || b.sym_a || '><' || b.sym_b || '>',
+        SELECT ${idSel}replace(s, '<' || b.sym_a || '><' || b.sym_b || '>',
                           '<' || b.sym_a || b.sym_b || '>') AS s
         FROM $prev, b$i b)""")
     }
-    val rows = (1 to rounds).map(i =>
-      s"SELECT CAST($i AS INTEGER) AS round, sym_a, sym_b, cnt FROM b$i")
-    sb.append("\n" + rows.mkString("", "\nUNION ALL\n", "\nORDER BY round"))
     sb.toString
   }
 }

@@ -98,6 +98,51 @@ object Decontam {
       .withColumn("contaminated", col("cos") >= tau)
   }
 
+  /** [[semanticContamination]] at panel scales where even a broadcast
+    * corpus × panel fan is too wide: candidates come from multi-probe
+    * LSH buckets ([[Similarity.lshCandidatesMultiProbe]] over the
+    * corpus ∪ panel bucket table — caller guarantees disjoint ids),
+    * then the SAME exact-cosine argmax tail. Flag precision is 1.0 by
+    * construction (a candidate's exact cos ≥ τ implies the true max
+    * is too); recall is the q21/q22 probe tradeoff, spec-pinned. Docs
+    * with no bucket-mate in the panel surface with null cos and
+    * contaminated = false via the left join — the report still covers
+    * the whole corpus. The exact form stays the registered gate
+    * query. */
+  def semanticContaminationLsh(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      numTables: Int = 6, planesPerTable: Int = 6,
+      dims: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val union = corpus.select(col(idCol), col(vecCol))
+      .unionByName(benchmark.select(col(idCol), col(vecCol)))
+    val buckets = Similarity.lshBuckets(union, idCol, vecCol,
+      numTables, planesPerTable, dims)
+    val qids = benchmark.select(col(idCol).as("qid")).distinct()
+    val cands = Similarity.lshCandidatesMultiProbe(buckets, qids,
+      planesPerTable)
+    val cn = Similarity.withNorm(corpus, idCol, vecCol)
+      .select(col(idCol).as("n_id"), col(vecCol).as("__dv"),
+        col("nrm").as("__dn"))
+    val en = Similarity.withNorm(benchmark, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("__ev"),
+        col("nrm").as("__en"))
+    val best = cands
+      .join(cn, Seq("n_id")) // restricts neighbors to the corpus side
+      .join(broadcast(en), Seq("q_id"))
+      .withColumn("__cos",
+        dot(col("__dv"), col("__ev")) / (col("__dn") * col("__en")))
+      .groupBy(col("n_id"))
+      .agg(min(struct(negate(col("__cos")).as("nc"),
+        col("q_id").as("eid"))).as("__m"))
+      .select(col("n_id").as("doc_id"), col("__m.eid").as("eval_id"),
+        negate(col("__m.nc")).as("cos"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("contaminated",
+        coalesce(col("cos") >= tau, lit(false)))
+  }
+
   /** Cross-source n-gram overlap matrix — the mixture diagnostic that
     * tells you which corpus components copy each other (web-crawl
     * snapshots sharing pages, a curated set scraped from a crawl

@@ -98,4 +98,36 @@ object Mixture {
           (col("n_docs").cast("double") /
             sum(col("n_docs")).over(w).cast("double"))).as("weight"))
   }
+
+  /** Temperature-scaled mixture factors at T = 2: each source's
+    * relative sampling weight is (n_s / n_max)^(1/T) — the standard
+    * temperature flattening between proportional (T=1) and uniform
+    * (T=∞), anchored to the LARGEST component so the factor reads
+    * directly as "sample this source at X× its proportional share of
+    * the biggest one" (the form a loader consumes, and the form that
+    * needs NO cross-source normalizing sum — a Σ√p̂ denominator would
+    * be an order-dependent double sum no hash gate can pin, while
+    * √(n_s/n_max) is two exact IEEE operations on integers). T = 2 is
+    * the common flattening AND the one whose power is exactly
+    * computable (`sqrt` is correctly rounded by IEEE 754; a general
+    * `pow(p, 1/T)` is only ~1-ulp portable — for other temperatures,
+    * accept the last-ulp caveat or precompute factors driver-side).
+    *
+    * Scale shape: one partial-combining count to ≤ |sources| rows; the
+    * max and the per-source arithmetic run in-row on one collected
+    * row (the q139 discipline — no unpartitioned window, no 1-row
+    * cross join). */
+  def temperatureFactors(docs: DataFrame, sourceCol: String): DataFrame =
+    docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .agg(max(col("n_docs")).as("__mx"),
+        sort_array(collect_list(struct(col("source"), col("n_docs"))))
+          .as("__arr"))
+      .select(col("__mx"), explode(col("__arr")).as("e"))
+      .select(col("e.source").as("source"),
+        col("e.n_docs").as("n_docs"),
+        round(sqrt(col("e.n_docs").cast("double") /
+          col("__mx").cast("double")), 6).as("temp_factor"))
+      .orderBy(col("source"))
 }

@@ -196,6 +196,36 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  /** [[bpeTrain]] composed with its APPLY: induce `rounds` merges from
+    * the corpus, then tokenize the SAME corpus under the trained table
+    * and emit per-document trained-token counts — the end-to-end
+    * "fit a tokenizer, count your dataset with it" pass that sizes a
+    * training run. The apply is the q113 replace-chain on the bracket
+    * stream, built from the JUST-TRAINED merges (a driver-side
+    * `rounds`-row table), and the count is the same length-difference
+    * arithmetic as the generated oracle — so train AND apply are both
+    * hash-gated in one query. The apply pass is one map-side scan:
+    * chained literal replaces + two more literal replaces for the
+    * count, zero shuffle beyond the training rounds themselves. */
+  def bpeTrainAndTokenize(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val merges = bpeTrain(docs, textCol, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wrapped = regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "|"),
+      "(.)", "<$1>")
+    val base = docs.select(col(idCol), wrapped.as("__s"))
+    val fused = merges.foldLeft(base) { case (df, (a, b)) =>
+      df.withColumn("__s", expr(s"replace(__s, '<$a><$b>', '<$a$b>')"))
+    }
+    fused
+      .select(col(idCol), expr(
+        "CAST(length(__s) - length(replace(__s, '<', '')) - " +
+          "(length(__s) - length(replace(__s, '<|>', ''))) DIV 3 AS BIGINT)")
+        .as("n_tokens_trained"))
+      .orderBy(col(idCol))
+  }
+
   private def countMatching(text: Column, charClassRegex: String): Column =
     length(regexp_replace(text, charClassRegex, "")).cast("long")
 

@@ -491,6 +491,36 @@ object PipelineQueries extends QueryPack {
       ORDER BY b.doc_id
     """))
 
+  // --------------------------------------------------------------- q143
+  // Temperature-scaled mixture factors at T=2 on the q129-skewed
+  // corpus (uniform sources would put every factor at 1.0):
+  // √(n_s/n_max) per source — the flattened sampling weight between
+  // proportional and uniform, anchored to the largest component so no
+  // order-dependent cross-source normalizing sum exists (sqrt and one
+  // division are exact IEEE, hash-gateable; T≠2 would ride pow's
+  // ~1-ulp portability caveat).
+  private val q143 = Q(
+    "q143_temperature_mixture",
+    (s, dir) => {
+      val skewed = Tables(s, dir, "documents")
+        .filter(!(col("source").isin("src0", "src1", "src2", "src3", "src4")
+          && col("doc_id") % 4 =!= 0))
+      Mixture.temperatureFactors(skewed, "source")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source FROM documents
+        WHERE NOT (source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+                   AND doc_id % 4 <> 0)),
+      s AS (SELECT source, COUNT(*) AS n_docs FROM base GROUP BY source)
+      SELECT source, n_docs,
+             ROUND(sqrt(CAST(n_docs AS DOUBLE) /
+               (SELECT CAST(MAX(n_docs) AS DOUBLE) FROM s)), 6)
+               AS temp_factor
+      FROM s
+      ORDER BY source
+    """))
+
   // --------------------------------------------------------------- q131
   // Corpus datasheet: the one-row summary a dataset release ships —
   // doc/source/token/BPE-token totals, exact-dup mass, empty docs, max
@@ -583,5 +613,5 @@ object PipelineQueries extends QueryPack {
     """))
 
   def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119,
-    q120, q129, q131, q132, q141)
+    q120, q129, q131, q132, q141, q143)
 }

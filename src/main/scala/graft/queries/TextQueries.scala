@@ -850,7 +850,22 @@ object TextQueries extends QueryPack {
     Some(graft.functions.BpeTokenizer.oracleTrainSql(
       5, "documents", "text")))
 
+  // --------------------------------------------------------------- q142
+  // Train-then-tokenize, one gated query: induce 3 merges from the
+  // corpus (q137's loop), then tokenize the SAME corpus under the
+  // trained table and emit per-document counts — the "fit a
+  // tokenizer, size your dataset with it" pass. The oracle is the
+  // unrolled training SQL carrying doc_id through the fuse stages,
+  // ending in the per-doc symbol count — train AND apply hash-gate
+  // together, so a drift in either surfaces.
+  private val q142 = Q(
+    "q142_bpe_train_tokenize",
+    (s, dir) => TextAnalysis.bpeTrainAndTokenize(
+      Tables(s, dir, "documents"), "doc_id", "text", rounds = 3),
+    Some(graft.functions.BpeTokenizer.oracleTrainAndCountSql(
+      3, "documents", "text", "doc_id")))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137, q140)
+    q137, q140, q142)
 }

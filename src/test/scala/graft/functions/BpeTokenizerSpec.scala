@@ -185,6 +185,41 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(got.toSeq == refTrain(texts, 6))
   }
 
+  test("bpeTrainAndTokenize: counts equal reference-trainer streams, merges shrink counts") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("the theater", "data date", "the data the")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainAndTokenize(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: train with refTrain, apply the same fuse to each doc,
+    // count surviving non-boundary symbols
+    val merges = refTrain(texts, 3).map(m => (m._2, m._3))
+    val expect = texts.zipWithIndex.map { case (t, i) =>
+      var syms = t.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9]+", "|").map(String.valueOf(_)).toArray
+      for ((a, b) <- merges) {
+        val o = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            o += (a + b); j += 2
+          } else { o += syms(j); j += 1 }
+        }
+        syms = o.toArray
+      }
+      i.toLong -> syms.count(_ != "|").toLong
+    }.toMap
+    assert(got == expect)
+    // sanity: training must actually compress vs raw character counts
+    val rawChars = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.toLowerCase.count(c => c.isLetterOrDigit).toLong
+    }.toMap
+    assert(got.forall { case (id, n) => n < rawChars(id) },
+      "3 merges on this corpus must shrink every doc's token count")
+  }
+
   test("bpeTrain stops early when no in-word pair remains") {
     val s = spark
     import s.implicits._

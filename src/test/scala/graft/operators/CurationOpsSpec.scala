@@ -65,6 +65,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(cos2.getLong(1) == 100L && cos2.getBoolean(3))
   }
 
+  test("LSH semantic contamination: flagged ⊆ exact-flagged, recall ≥ 0.6, full coverage") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") % 19 =!= 0)
+    val eval = e.filter(col("vec_id") % 19 === 0)
+    val tau = 0.3
+    def flagged(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exact = Decontam.semanticContamination(corpus, eval,
+      "vec_id", "embedding", tau)
+    val lsh = Decontam.semanticContaminationLsh(corpus, eval,
+      "vec_id", "embedding", tau)
+    val ef = flagged(exact); val lf = flagged(lsh)
+    assert(lf.subsetOf(ef), "LSH flag precision must be 1.0 — a " +
+      "candidate's exact cosine ≥ τ implies the true max is too")
+    assert(ef.nonEmpty, "fixture must flag something or the test is vacuous")
+    val recall = (ef & lf).size.toDouble / ef.size
+    assert(recall >= 0.6, s"LSH contamination recall $recall (${lf.size}/${ef.size})")
+    // the report still covers every corpus doc (misses surface unflagged)
+    assert(lsh.count() == corpus.count())
+  }
+
   // ------------------------------------------------------------ Curation
 
   test("boilerplate scrub removes high-DF words, keeps rare ones, preserves order") {

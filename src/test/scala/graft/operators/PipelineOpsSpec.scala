@@ -104,6 +104,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature factors: largest source anchors at 1.0, order follows size, T=2 math") {
+    val s = spark
+    import s.implicits._
+    val docs = (Seq.fill(16)("big") ++ Seq.fill(4)("mid") ++ Seq("tiny"))
+      .zipWithIndex.map { case (src, i) => (i.toLong, src) }
+      .toDF("doc_id", "source")
+    val f = Mixture.temperatureFactors(docs, "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(f("big") == ((16L, 1.0)))
+    assert(f("mid") == ((4L, 0.5)))   // sqrt(4/16)
+    assert(f("tiny") == ((1L, 0.25))) // sqrt(1/16)
+    // the flattening property: factors compress the size ratio toward 1
+    assert(f("tiny")._2 > 1.0 / 16.0 && f("tiny")._2 < 1.0)
+  }
+
   test("mixture epochs: floor/ceil of weight only, expectation matches, explode total") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // skew: five sources keep a quarter of their docs -> weight > 1
