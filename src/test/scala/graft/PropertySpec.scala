@@ -314,4 +314,71 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("split repair: post-repair groups are single-split, ledger ⊆ mixed groups, idempotent") {
+    val caseGen: Gen[List[(Long, String)]] = for {
+      nTexts <- Gen.choose(1, 5)
+      texts <- Gen.listOfN(nTexts, word)
+      assigns <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 400L),
+        Gen.oneOf(texts)))
+    } yield assigns.distinctBy(_._1)
+    forAllSampled(caseGen, n = 5) { docsList =>
+      val s = spark
+      import s.implicits._
+      val docs = docsList.toDF("doc_id", "text")
+      val ledger = graft.operators.Sampling
+        .repairSplitLeakage(docs, "doc_id", "text", 20, 20)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val splitOf = docs
+        .withColumn("split",
+          graft.operators.Sampling.splitOf(col("doc_id"), 20, 20))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val moves = ledger.map(m => m._1 -> m._3).toMap
+      // every ledger row records the doc's true old split and changes it
+      ledger.foreach { case (id, old, nw) =>
+        assert(splitOf(id) == old && old != nw)
+      }
+      // post-repair: each text group sits on exactly one split, and the
+      // group's min-id member was never moved (the leader anchors)
+      docsList.groupBy(_._2).foreach { case (_, grp) =>
+        val post = grp.map { case (id, _) => moves.getOrElse(id, splitOf(id)) }
+        assert(post.distinct.length == 1)
+        assert(!moves.contains(grp.map(_._1).min))
+      }
+      // docs in single-split groups never appear in the ledger
+      val mixed = docsList.groupBy(_._2).values
+        .filter(g => g.map(x => splitOf(x._1)).distinct.length > 1)
+        .flatMap(_.map(_._1)).toSet
+      assert(ledger.forall(m => mixed(m._1)))
+    }
+  }
+
+  test("weighted sample: size = min(n, eligible), members maximize the A-ES key") {
+    val caseGen: Gen[List[(Long, Long)]] = Gen
+      .nonEmptyListOf(Gen.zip(Gen.choose(1L, 500L), Gen.choose(0L, 9L)))
+      .map(_.distinctBy(_._1))
+    forAllSampled(caseGen, n = 5) { rows =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("doc_id", "w")
+      val n = 4
+      val got = graft.operators.Sampling.weightedSample(df, "doc_id", "w", n)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val eligible = rows.filter(_._2 > 0)
+      assert(got.length == math.min(n, eligible.length))
+      assert(got.map(_._1).toSeq == (1 to got.length), "ranks dense from 1")
+      // selected set = brute-force top-n by the exact same key
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def key(id: Long, w: Long): Double = {
+        val h = java.lang.Long.parseLong(md.digest(
+          id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+        math.log((h + 1L).toDouble / 1152921504606846976L.toDouble) / w
+      }
+      val expect = eligible.map { case (id, w) => (key(id, w), id, w) }
+        .sortBy { case (k, id, _) => (-k, id) }.take(n)
+        .map(x => (x._2, x._3)).toSet
+      assert(got.map(x => (x._2, x._3)).toSet == expect)
+    }
+  }
 }
