@@ -508,6 +508,98 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** O(new)-per-day sibling of [[dupClusters]] — the last member of the
+    * incremental family (exact q65/q116, minhash q108, paragraph q122,
+    * ANN q110, datasheet q132, domain q140): yesterday's cluster
+    * LEDGER (doc_id, cluster_id, cluster_size) plus the stored
+    * signature index absorb a new batch without re-clustering history.
+    *
+    * The trick is GRAPH CONTRACTION: history-internal edges cannot
+    * change (band signatures are per-doc), so every existing cluster
+    * collapses to ONE node named by its cluster id — which, by the
+    * [[dupClusters]] min-member contract, IS the min doc id, so the
+    * contracted component's min-label equals the full graph's. The
+    * propagation graph is only: new×new candidate pairs, plus each
+    * new×history match contracted to (new_id, cluster-or-self node).
+    * History docs the index matches but the ledger doesn't know
+    * (in-history singletons) join as themselves. Min-label propagation
+    * runs on this BATCH-SIZED graph; component sizes re-derive as
+    * Σ old cluster sizes + matched singletons + new members (each
+    * node weighted once). The output is the full updated ledger:
+    * untouched history rows pass through via a broadcast-miss, touched
+    * clusters remap id+size, matched singletons and new edge-docs
+    * append — bit-identical to [[dupClusters]] over history ∪ batch
+    * (the q144 gate proves it against the full-recompute oracle).
+    *
+    * Scale shape: the daily cost is the new batch's signatures (map-
+    * side native), one (band, sig) join against the stored index, the
+    * propagation over the contracted graph (nodes ≈ |batch| + touched
+    * clusters), and one broadcast remap over the ledger scan — history
+    * text is never read, history edges never recomputed. */
+  def incrementalDupClusters(ledger: DataFrame, historySigs: DataFrame,
+      newBatch: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val newSigs = minhashSignaturesNative(newBatch, idCol, textCol,
+        shingleK, numHashes)
+      .transform(graft.util.CacheScope.persist)
+    val nb = lshBands(newSigs, numHashes, rowsPerBand)
+      .select(col("doc_id").as("new_id"), col("band"), col("sig"))
+      .transform(graft.util.CacheScope.persist)
+    val hb = lshBands(historySigs, numHashes, rowsPerBand)
+      .select(col("doc_id").as("hist_id"), col("band"), col("sig"))
+    val nnPairs = nb.alias("a")
+      .join(nb.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.new_id") < col("b.new_id"))
+      .select(col("a.new_id").as("doc_a"), col("b.new_id").as("doc_b"))
+      .distinct()
+    val led = ledger.select(col("doc_id").as("hist_id"),
+      col("cluster_id"), col("cluster_size"))
+    val nhLinks = nb
+      .join(hb, Seq("band", "sig"))
+      .select(col("new_id"), col("hist_id")).distinct()
+      .join(led.select(col("hist_id"), col("cluster_id")),
+        Seq("hist_id"), "left")
+      // ledgered history doc → its cluster node; in-history singleton
+      // (index hit, no ledger row) → itself
+      .select(col("new_id").as("doc_a"),
+        coalesce(col("cluster_id"), col("hist_id")).as("doc_b"))
+      .distinct()
+    val comp = dupClusters(nnPairs.unionByName(nhLinks))
+      .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))
+      .transform(graft.util.CacheScope.persist)
+    // node weights: an old-cluster node carries its member count, new
+    // docs and matched singletons weigh 1; sizes fold per component
+    val oldSizes = led.select(col("cluster_id").as("node"),
+      col("cluster_size").as("__w")).distinct()
+    val compSizes = comp
+      .join(oldSizes, Seq("node"), "left")
+      .withColumn("__w", coalesce(col("__w"), lit(1L)))
+      .groupBy(col("lbl"))
+      .agg(sum(col("__w")).cast("long").as("new_size"))
+    val labeled = comp.join(compSizes, Seq("lbl"))
+      .transform(graft.util.CacheScope.persist)
+    // 1. touched old clusters remap (broadcast: the touched set is
+    //    batch-bounded); untouched ledger rows miss and pass through
+    val clusterRemap = labeled
+      .join(oldSizes.select(col("node")), Seq("node"))
+      .select(col("node").as("__old_cid"), col("lbl").as("__new_cid"),
+        col("new_size"))
+    val remapped = ledger
+      .join(broadcast(clusterRemap),
+        col("cluster_id") === col("__old_cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__new_cid"), col("cluster_id")).as("cluster_id"),
+        coalesce(col("new_size"), col("cluster_size")).as("cluster_size"))
+    // 2. every non-cluster node (new edge-docs + matched in-history
+    //    singletons) appends with its component label
+    val appended = labeled
+      .join(oldSizes.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("new_size").as("cluster_size"))
+    remapped.unionByName(appended)
+  }
+
   /** Canonical-representative election per duplicate cluster — the
     * decision step AFTER [[dupClusters]]: near-dup clustering tells you
     * which documents are copies of each other; this picks WHICH copy the

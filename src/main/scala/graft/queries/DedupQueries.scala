@@ -875,6 +875,41 @@ object DedupQueries extends QueryPack {
       FROM sided
     """))
 
+  // --------------------------------------------------------------- q144
+  // Incremental duplicate clustering — the O(new) daily form of q66,
+  // closing the incremental family (q65/q108/q116/q122/q110/q132/q140
+  // all have one; connected components was the last holdout). History
+  // (doc_id % 3 > 0) contributes only its stored artifacts — the
+  // cluster ledger and the signature index; every old cluster
+  // CONTRACTS to one node named by its min-member cluster id, so the
+  // batch-sized propagation graph reproduces the full graph's
+  // min-labels exactly. The oracle is the SAME full-recompute closure
+  // SQL as q66 over history ∪ batch — the hash match proves the
+  // contraction is a pure optimization.
+  private val q144 = Q(
+    "q144_incremental_dup_clusters",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 > 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val histSigs = Dedup.minhashSignaturesNative(history, "doc_id",
+        "text", shingleK = 3, numHashes = 6)
+      val ledger = Dedup.dupClusters(
+        Dedup.minhashLsh(history, "doc_id", "text",
+          shingleK = 3, numHashes = 6, rowsPerBand = 2))
+      Dedup.incrementalDupClusters(ledger, histSigs, batch,
+          "doc_id", "text", shingleK = 3, numHashes = 6, rowsPerBand = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""$dupClosureCtes,
+      sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM labels
+        GROUP BY cluster_id)
+      SELECT id AS doc_id, cluster_id, cluster_size
+      FROM labels JOIN sizes USING (cluster_id)
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108, q116, q117, q122, q124, q127)
+    q108, q116, q117, q122, q124, q127, q144)
 }

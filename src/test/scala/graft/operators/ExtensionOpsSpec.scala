@@ -53,6 +53,68 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == Set((11L, 10L, 6L), (13L, 10L, 6L)), out.toSeq)
   }
 
+  test("incremental dup clusters ≡ full recompute: merge, singleton pickup, untouched passthrough") {
+    val s = spark
+    import s.implicits._
+    // identical texts share every band → these edges are
+    // deterministic: batch docs extend history clusters (10 → {1,2},
+    // 11 → {3,4}), wake an in-history singleton (12 → 5), or stay
+    // edgeless and absent (13). Old-cluster MERGES need partially-
+    // overlapping texts (probabilistic banding) — the variant sweep
+    // below covers that lane through the inc ≡ full equivalence.
+    val history = Seq(
+      (1L, "copy a copy a copy a"), (2L, "copy a copy a copy a"),
+      (3L, "copy b copy b copy b"), (4L, "copy b copy b copy b"),
+      (5L, "solo text entirely alone here"),
+      (6L, "another unrelated document body")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "copy a copy a copy a"),
+      (11L, "copy b copy b copy b"),
+      (12L, "solo text entirely alone here"),
+      (13L, "fresh unseen words nothing shares")
+    ).toDF("doc_id", "text")
+    val histSigs = Dedup.minhashSignaturesNative(history, "doc_id", "text", 3, 6)
+    val ledger = Dedup.dupClusters(
+      Dedup.minhashLsh(history, "doc_id", "text", 3, 6, 2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = rows(Dedup.incrementalDupClusters(ledger, histSigs, batch,
+      "doc_id", "text", 3, 6, 2))
+    val full = rows(Dedup.dupClusters(
+      Dedup.minhashLsh(history.unionByName(batch), "doc_id", "text", 3, 6, 2)))
+    assert(inc == full, s"incremental ≠ full:\n inc=$inc\n full=$full")
+    // shape spot-checks: cluster {1,2,10} keeps id 1 size 3; {3,4,11}
+    // keeps 3 size 3; singleton 5 wakes into {5,12}; 6 and 13 absent
+    val byDoc = inc.map(r => r._1 -> r).toMap
+    assert(byDoc(10L) == ((10L, 1L, 3L)))
+    assert(byDoc(11L) == ((11L, 3L, 3L)))
+    assert(byDoc(5L) == ((5L, 5L, 2L)) && byDoc(12L) == ((12L, 5L, 2L)))
+    assert(!byDoc.contains(6L) && !byDoc.contains(13L))
+    // variant sweep: near-dup texts (shared prefix, small suffix
+    // edits) band-collide deterministically-but-unpredictably, so
+    // whatever edges arise — including batch docs bridging two old
+    // clusters into a merge — the contraction must still equal the
+    // full recompute
+    val pool = Seq(
+      "alpha beta gamma delta epsilon zeta eta",
+      "alpha beta gamma delta epsilon zeta theta",
+      "alpha beta gamma delta epsilon iota kappa",
+      "lambda mu nu xi omicron pi rho",
+      "lambda mu nu xi omicron pi sigma",
+      "completely different trailing words here now")
+    val all2 = (0 until 24).map(i => (i.toLong, pool(i % pool.length)))
+    val hist2 = all2.filter(_._1 % 3 > 0).toDF("doc_id", "text")
+    val batch2 = all2.filter(_._1 % 3 == 0).toDF("doc_id", "text")
+    val inc2 = rows(Dedup.incrementalDupClusters(
+      Dedup.dupClusters(Dedup.minhashLsh(hist2, "doc_id", "text", 3, 6, 2)),
+      Dedup.minhashSignaturesNative(hist2, "doc_id", "text", 3, 6),
+      batch2, "doc_id", "text", 3, 6, 2))
+    val full2 = rows(Dedup.dupClusters(Dedup.minhashLsh(
+      hist2.unionByName(batch2), "doc_id", "text", 3, 6, 2)))
+    assert(inc2 == full2, s"variant sweep: inc=$inc2\nfull=$full2")
+  }
+
   test("jaccard verification: identical docs = 1.0, overlap in (0,1)") {
     val cand = {
       val s = spark
