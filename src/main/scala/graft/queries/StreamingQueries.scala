@@ -265,5 +265,33 @@ object StreamingQueries extends QueryPack {
       ORDER BY user_id, event_id
     """))
 
-  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103, q105)
+  // --------------------------------------------------------------- q145
+  // Streaming novelty gate: arriving document files anti-join a STATIC
+  // history fingerprint ledger — the streaming form of the q65/q116
+  // incremental-dedup family (continuous ingest instead of a daily
+  // batch diff). Stateless per row (novelty vs history needs no state
+  // store), append mode; history contributes only distinct
+  // fingerprints. The oracle is the plain batch NOT-IN over the same
+  // %3 split.
+  private val q145 = Q(
+    "q145_stream_novelty_gate",
+    (s, dir) => {
+      StreamingOps.streamNovelDocs(s, dir, "q145_novel_sink")
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH hist AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 3 > 0),
+      batch AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 3 = 0)
+      SELECT doc_id, fp FROM batch
+      WHERE fp NOT IN (SELECT fp FROM hist)
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103, q105,
+    q145)
 }

@@ -495,6 +495,51 @@ object StreamingOps {
       .select(col("user_id"), col("event_id"), col("session_seq"))
   }
 
+  /** Streaming NOVELTY GATE against a static history ledger — the
+    * streaming form of the q65/q116 incremental-dedup family: document
+    * files arrive as a stream, each doc fingerprints map-side, and a
+    * STREAM-STATIC anti join against the stored fingerprint ledger
+    * passes through only never-seen-before content. This is the shape
+    * a continuously-ingesting crawl pipeline runs instead of a daily
+    * batch diff: the static side is the ledger table (broadcast or
+    * hash-joined by Spark per micro-batch; at 100 TB ledger scale the
+    * q116 Bloom pre-filter composes in front), the stream side touches
+    * each arriving file once. Emits (doc_id, fp) of novel docs —
+    * APPEND mode, no state store at all (novelty vs HISTORY is
+    * stateless per row; intra-stream first-arrival dedup would add
+    * `dropDuplicates(fp)`, whose winner under same-batch ties is
+    * arrival-order-dependent and therefore deliberately NOT part of
+    * the gated query).
+    *
+    * The gate splits `documents` by doc_id % 3: history (> 0)
+    * contributes only its DISTINCT fingerprints, the stream plays the
+    * %3 = 0 slice arriving as files. */
+  def streamNovelDocs(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_novel",
+      "documents.parquet" -> s"$dir/documents.parquet")
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val historyFps = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 > 0)
+      .select(graft.operators.Dedup.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val novel = spark.readStream
+      .schema(docsSchema)
+      .parquet(streamDir.toString)
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("fp", graft.operators.Dedup.fingerprint(col("text")))
+      .join(historyFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+    drainToMemory(spark, novel, queryName, OutputMode.Append(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** STREAMING gap sessionization with keyed state
     * (`flatMapGroupsWithState`): a new session starts when the gap to
     * the previous event exceeds `gapMicros`. State carries across

@@ -409,6 +409,35 @@ class MultimodalSpec extends SparkSpec {
 class StreamingOpsSpec extends SparkSpec {
   import graft.streaming.StreamingOps
 
+  test("streaming novelty gate: known text blocked, novel passes, normalization collapses") {
+    val s = spark
+    import s.implicits._
+    // doc_id % 3 > 0 is history, % 3 = 0 streams in. Doc 3's text is a
+    // case/whitespace VARIANT of history doc 1's — the normalized
+    // fingerprint must block it; 6 is novel; 9 repeats 6's text inside
+    // the stream (both pass — intra-stream dedup is deliberately not
+    // part of the gate, see the operator doc).
+    val dir = tmpDir("novelty")
+    Seq(
+      (1L, "shared history text body here"),
+      (2L, "other history document content"),
+      (3L, "  SHARED history   text body HERE "),
+      (6L, "a genuinely novel arrival"),
+      (9L, "a genuinely novel arrival"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/staging")
+    val part = new java.io.File(s"$dir/staging").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val out = StreamingOps.streamNovelDocs(spark, dir, "novelty_spec_sink")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(6L, 9L),
+      s"variant of history must be blocked, novel arrivals pass: $out")
+  }
+
   test("gap sessionization opens a new session after the gap") {
     val s = spark
     import s.implicits._
