@@ -310,7 +310,14 @@ object BpeTokenizer {
   /** The shared unrolled (census → top-1 → fuse) CTE chain. With
     * `idCol` set, the stream CTEs carry the id so the final stage can
     * emit per-document results; the census CTEs ignore it either
-    * way. */
+    * way. The fuse stage is a LEFT JOIN against the 1-row top-1 CTE
+    * with a CASE passthrough: if the census EXHAUSTS before `rounds`
+    * (fewer possible merges than rounds), b_i is empty and a plain
+    * cross join would empty every later stream CTE — silently zeroing
+    * oracleTrainAndCountSql's per-doc rows while the engine still
+    * emits one row per document under the partial merge table. The
+    * passthrough keeps the stream flowing unfused, matching the
+    * engine's early-stop semantics exactly. */
   private def trainCtes(rounds: Int, table: String, textCol: String,
       idCol: Option[String]): String = {
     require(rounds >= 1)
@@ -332,9 +339,10 @@ object BpeTokenizer {
         SELECT sym_a, sym_b, cnt FROM c$i
         ORDER BY cnt DESC, sym_a ASC, sym_b ASC LIMIT 1),
       s$i AS (
-        SELECT ${idSel}replace(s, '<' || b.sym_a || '><' || b.sym_b || '>',
-                          '<' || b.sym_a || b.sym_b || '>') AS s
-        FROM $prev, b$i b)""")
+        SELECT ${idSel}CASE WHEN b.sym_a IS NULL THEN s
+                 ELSE replace(s, '<' || b.sym_a || '><' || b.sym_b || '>',
+                              '<' || b.sym_a || b.sym_b || '>') END AS s
+        FROM $prev LEFT JOIN b$i b ON TRUE)""")
     }
     sb.toString
   }

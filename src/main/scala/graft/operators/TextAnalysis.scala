@@ -70,6 +70,14 @@ object TextAnalysis {
       graft.functions.BpeTokenCount(
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** The bracket-encoded training stream (`<c>` per char, `<|>` word
+    * boundaries) — native single pass; see
+    * [[graft.functions.BpeBracketizeExpr]]. */
+  private def bracketize(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BpeBracketizeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** The document's BPE symbol stream (word boundaries as `|`) under
     * the pinned merges — the input to [[bpeMergeCensus]]. */
   def bpeSymbols(text: Column): Column =
@@ -131,33 +139,130 @@ object TextAnalysis {
     * adjacent (a,b)" is a single `replace(s, '<a><b>', '<ab>')`:
     * left-to-right and non-overlapping in every engine, which IS the
     * canonical one-pass merge semantics, and the brackets make a
-    * partial-symbol match impossible. The census reads symbols back
-    * with one `regexp_extract_all`, bound to a column first (the HOF
-    * re-evaluation rule).
+    * partial-symbol match impossible.
     *
-    * Scale shape per round: ONE corpus pass and ONE driver action —
-    * the census collect (in-row pair expansion, partial-combining
-    * count to ≤ |sym-vocab|² rows, global top-1 via
-    * TakeOrderedAndProject; the PageRank loop discipline — a bounded
-    * action per iteration, never the corpus). That census pass also
-    * MATERIALIZES the round's persisted stream (string + pre-extracted
-    * symbol array, so the regex runs once per round, shared by census
-    * and nothing else; the fuse reads the string), and the previous
-    * round's stream unpersists only after its successor is
-    * materialized — rotation without a dedicated count() pass. A
-    * production trainer at higher `rounds` would keep the incremental
-    * pair-delta census instead of recounting; recounting on the
-    * cached stream is the honest distributed baseline and keeps every
-    * round oracle-checkable. Training stops early if no in-word pair
-    * remains (single-symbol corpus). */
+    * Scale shape — the INCREMENTAL PAIR-DELTA census: only round 1
+    * counts the whole corpus. After adopting merge (a, b), the only
+    * pairs whose counts change are those touching a fuse site, so each
+    * later round applies a DELTA computed from the occurrence
+    * junctions of `<a><b>` ([[bpeCensusDelta]]): the aggregation
+    * traffic is O(occurrences of the adopted pair) — which shrinks
+    * down the Zipf tail as training proceeds — instead of O(corpus
+    * tokens) every round. At real tokenizer scale (30k+ merges) the
+    * recounting form is O(rounds × corpus) and unusable; the delta
+    * form's total census traffic is O(corpus + Σ occurrences) ≈
+    * O(corpus). Per round: ONE bounded driver action (the top-1
+    * collect on the maintained ≤ |sym-vocab|² census table — the
+    * PageRank loop discipline), one map-side `contains` scan to find
+    * affected docs, and one cheap corpus-wide literal `replace` to
+    * advance the stream. The corpus-wide `regexp_extract_all` symbol
+    * re-extraction of the recount form is gone entirely — the delta
+    * reads symbols only around fuse sites. Stream and census persist
+    * with generation rotation (a stream must outlive its successor's
+    * materialization, so two generations stay cached).
+    *
+    * [[bpeTrainRecount]] keeps the naive full-recount loop as the
+    * equivalence baseline: BpeTokenizerSpec pins delta ≡ recount
+    * round-for-round, and the q137 oracle remains the unrolled
+    * full-recount CTE chain — every gate run re-proves the delta
+    * census is a pure optimization. Training stops early if no
+    * in-word pair remains (single-symbol corpus). */
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    // regex symbol extraction measured indistinguishable from a
-    // substring+split variant (11.8 vs 12.7 s same-session A/B on
-    // q137+q142) — the round cost is the pair census aggregation, not
-    // the scan, so the form that mirrors the oracle stays
+    val symsOf = expr("regexp_extract_all(__s, '<([^<>]*)>', 1)")
+    var stream = docs
+      .select(bracketize(col(textCol)).as("__s"))
+      .persist()
+    // round-1 census: the one full-corpus count
+    var census = pairCensus(
+      stream.withColumn("__syms", symsOf).select(col("__syms")))
+      .persist()
+    var prevCensus: Option[DataFrame] = None
+    // streams awaiting unpersist: s_{r-1} materializes only when round
+    // r+1's collect computes delta_r, and that computation rebuilds
+    // s_{r-1} from s_{r-2} — so TWO generations must stay cached
+    val oldStreams = scala.collection.mutable.Queue.empty[DataFrame]
+    val adopted = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = census
+        .orderBy(col("cnt").desc, col("sym_a").asc, col("sym_b").asc)
+        .limit(1)
+        .collect()
+      // the collect materialized `census` (and, transitively, the
+      // previous round's delta and its stream) — the generation
+      // before is now free
+      prevCensus.foreach(_.unpersist(blocking = false))
+      prevCensus = None
+      while (oldStreams.size > 1)
+        oldStreams.dequeue().unpersist(blocking = false)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        adopted += ((r, a, b, c))
+        // literal (non-regex) replace — symbols stay in [a-z0-9], so
+        // interpolation is safe and the semantics match the oracle's
+        // `replace` exactly (left-to-right, non-overlapping). The
+        // final round's pick needs no fused successor or delta.
+        if (r < rounds) {
+          prevCensus = Some(census)
+          census = census
+            .unionByName(bpeCensusDelta(stream, a, b))
+            .groupBy(col("sym_a"), col("sym_b"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") > 0)
+            .persist()
+          oldStreams.enqueue(stream)
+          stream = stream
+            .select(expr(s"replace(__s, '<$a><$b>', '<$a$b>')").as("__s"))
+            .persist()
+        }
+      }
+      r += 1
+    }
+    stream.unpersist(blocking = false)
+    oldStreams.foreach(_.unpersist(blocking = false))
+    census.unpersist(blocking = false)
+    prevCensus.foreach(_.unpersist(blocking = false))
+    adopted.toSeq.toDF("round", "sym_a", "sym_b", "cnt")
+      .orderBy(col("round"))
+  }
+
+  /** The pair-census DELTA of fusing every `<a><b>` occurrence in a
+    * bracket-encoded stream — signed (sym_a, sym_b, cnt) rows such
+    * that census(fused) = census(stream) ⊎ delta, exactly. The
+    * junction algebra and the occurrence walk live in the native
+    * [[graft.functions.BpeCensusDeltaExpr]] (indexOf-driven, O(occurrences)
+    * allocation — a declarative split-the-affected-docs form was
+    * measured 2× slower because it re-allocates every affected
+    * document as part strings each round). ≤ 5 signed rows per
+    * occurrence flow into a partial-combining sum; nothing corpus-wide
+    * aggregates. */
+  private def bpeCensusDelta(stream: DataFrame, a: String,
+      b: String): DataFrame =
+    stream
+      .select(explode(org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.BpeCensusDeltaExpr(
+          org.apache.spark.sql.graft.Bridge.expression(col("__s")),
+          a, b))).as("d"))
+      .select(col("d.sym_a"), col("d.sym_b"), col("d.cnt"))
+
+  /** The naive full-recount training loop — one complete corpus pair
+    * census per round. Kept as the EQUIVALENCE BASELINE for
+    * [[bpeTrain]]'s delta census (BpeTokenizerSpec pins the two
+    * adopted-merge tables identical round-for-round); at real merge
+    * counts this form is O(rounds × corpus) and must not ship in a
+    * production path. */
+  private[graft] def bpeTrainRecount(docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val symsOf = expr("regexp_extract_all(__s, '<([^<>]*)>', 1)")
     var stream = docs
       .select(regexp_replace(
@@ -183,10 +288,6 @@ object TextAnalysis {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         adopted += ((r, a, b, c))
-        // literal (non-regex) replace — symbols stay in [a-z0-9], so
-        // interpolation is safe and the semantics match the oracle's
-        // `replace` exactly (left-to-right, non-overlapping). The
-        // final round's pick needs no fused successor.
         if (r < rounds) stream = stream
           .select(expr(s"replace(__s, '<$a><$b>', '<$a$b>')").as("__s"))
           .withColumn("__syms", symsOf)
@@ -215,10 +316,7 @@ object TextAnalysis {
       rounds: Int): DataFrame = {
     val merges = bpeTrain(docs, textCol, rounds).collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val wrapped = regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9]+", "|"),
-      "(.)", "<$1>")
-    val base = docs.select(col(idCol), wrapped.as("__s"))
+    val base = docs.select(col(idCol), bracketize(col(textCol)).as("__s"))
     val fused = merges.foldLeft(base) { case (df, (a, b)) =>
       df.withColumn("__s", expr(s"replace(__s, '<$a><$b>', '<$a$b>')"))
     }

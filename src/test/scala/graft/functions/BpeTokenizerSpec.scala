@@ -220,6 +220,45 @@ class BpeTokenizerSpec extends SparkSpec {
       "3 merges on this corpus must shrink every doc's token count")
   }
 
+  test("delta census ≡ full recount, round-for-round, on the corpus") {
+    // the scale-critical equivalence: bpeTrain maintains the pair
+    // census by junction deltas; bpeTrainRecount recounts the corpus
+    // every round. Identical adopted-merge tables over enough rounds
+    // to chain several data-dependent choices is the proof the delta
+    // algebra is exact (any census drift would change a later top-1).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val delta = TextAnalysis.bpeTrain(docs, "text", rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val recount = TextAnalysis.bpeTrainRecount(docs, "text", rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(delta == recount)
+    assert(delta.size == 8)
+  }
+
+  test("delta census handles overlap chains and boundary-adjacent fuses") {
+    val s = spark
+    import s.implicits._
+    // adversarial shapes for the junction algebra: runs of a repeated
+    // symbol (a = b, overlapping adjacencies, non-overlapping fuse),
+    // back-to-back occurrences (empty interior split parts), fuses at
+    // stream start/end, and fuse sites touching the `|` boundary
+    val texts = Seq(
+      "aaaa aaa aa",       // run fusing under (a,a)
+      "ababab abab",       // empty interior parts under (a,b)
+      "ab", "ba ab",       // whole-word occurrence: start AND end
+      "xy xab aby",        // neighbors on one side only
+      "a b a b",           // boundary-separated: no in-word pair
+      "the data theater")  // ordinary text
+    for (rounds <- Seq(1, 3, 6)) {
+      val delta = TextAnalysis.bpeTrain(texts.toDF("text"), "text", rounds)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(delta == refTrain(texts, rounds), s"rounds=$rounds")
+    }
+  }
+
   test("bpeTrain stops early when no in-word pair remains") {
     val s = spark
     import s.implicits._
