@@ -16,13 +16,61 @@ import org.apache.spark.sql.functions._
   * fingerprint LEDGER, and it never crosses an exchange — novelty is
   * decided by the q116 bloom-gated exact core ([[Dedup]]'s
   * `bloomKnownFlag`); everything else merges 1-row frames (sums add,
-  * maxes max, sources union over a tiny table). The median is the one
-  * field that does NOT merge exactly — the incremental row omits it
-  * (an exact quantile needs the full distribution; the scale answer is
-  * a mergeable sketch like approx_percentile, q70's documented
-  * trade).
+  * maxes max, sources union over a tiny table). The EXACT median is
+  * the one field that does not merge — the incremental row instead
+  * carries [[histMedianLo]] over a maintained token-length HISTOGRAM
+  * census ([[tokenHistogram]]): per-bin counts merge exactly
+  * (elementwise add — unlike an approx_percentile sketch, whose
+  * binary state Spark SQL cannot merge across stored rows), the
+  * extracted median-bin edge is pure integer arithmetic (portable to
+  * the DuckDB oracle bit-for-bit), and the value is within one bin
+  * width of the lower-median order statistic by construction
+  * (PipelineOpsSpec pins it).
   */
 object Datasheet {
+
+  /** Token-length histogram census: (bin, cnt) with
+    * bin = min(tokens div binWidth, numBins) — the last bin absorbs
+    * overflow. ≤ numBins+1 rows whatever the corpus size: this is the
+    * mergeable quantile STATE a stored datasheet keeps (day N+1 =
+    * union + per-bin sum, exact), sized so numBins·binWidth covers the
+    * realistic document-length range and the overflow tail stays
+    * small. */
+  def tokenHistogram(docs: DataFrame, textCol: String,
+      binWidth: Long = 16L, numBins: Int = 256): DataFrame =
+    docs.select(TextAnalysis.tokenCount(col(textCol)).as("tok"))
+      .select(least(expr(s"tok DIV ${binWidth}L"),
+        lit(numBins.toLong)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+
+  /** Median-bin lower edge from a histogram census: the smallest bin
+    * whose cumulative count reaches rank (n+1) div 2, times binWidth.
+    * The LOWER-MEDIAN order statistic (that rank's value) lies in
+    * [value, value + binWidth) for non-overflow bins — the one-bin
+    * error bound; the interpolated quantile_cont p50 can exceed it
+    * only when the two middle order stats straddle a bin boundary.
+    * No window and no join:
+    * the ≤ numBins+1 census rows collect into ONE sorted array row and
+    * a single `aggregate` fold walks it (the rangeOffsets discipline —
+    * a running sum over a bounded census must not cost a
+    * single-partition WindowExec). Integer arithmetic only, so the
+    * DuckDB oracle reproduces the value exactly. Empty census → null. */
+  def histMedianLo(census: DataFrame, binWidth: Long = 16L): DataFrame =
+    census
+      .agg(
+        sort_array(collect_list(struct(col("bin").as("b"),
+          col("cnt").as("c")))).as("h"),
+        sum(col("cnt")).as("n"))
+      .select((expr("""
+          aggregate(h,
+            named_struct('cum', CAST(0 AS BIGINT),
+                         'found', CAST(NULL AS BIGINT)),
+            (st, x) -> IF(st.found IS NOT NULL, st,
+              named_struct('cum', st.cum + x.c,
+                'found', IF(st.cum + x.c >= (n + 1L) DIV 2L, x.b,
+                  CAST(NULL AS BIGINT)))),
+            st -> st.found)""") * lit(binWidth))
+        .as("p50_tokens_hist_lo"))
 
   private def base(docs: DataFrame, srcCol: String,
       textCol: String): DataFrame =
@@ -48,17 +96,23 @@ object Datasheet {
       expr("percentile(tok, 0.5D)").as("p50_tokens"))
 
   /** O(new) daily update: `prior` is yesterday's [[summary]] row,
-    * `priorSources` the stored source census (tiny), `ledger` the
-    * stored fingerprint table (the ONLY history-sized input — bloom
-    * folds it to one sketch per partition, it never crosses an
-    * exchange), `batch` the day's documents. Returns the updated
-    * summary row minus `p50_tokens` (not exactly mergeable — see class
-    * doc). The 1-row merge fans are the audited constant-broadcast
-    * class. */
+    * `priorSources` the stored source census (tiny), `priorHist` the
+    * stored token-length histogram census ([[tokenHistogram]] shape,
+    * ≤ numBins+1 rows), `ledger` the stored fingerprint table (the
+    * ONLY history-sized input — bloom folds it to one sketch per
+    * partition, it never crosses an exchange), `batch` the day's
+    * documents. Returns the updated summary row with the exact
+    * `p50_tokens` replaced by `p50_tokens_hist_lo` — the
+    * [[histMedianLo]] of the MERGED census (stored ∪ batch, per-bin
+    * sum: an exact merge, so the value is identical to computing the
+    * histogram median over history ∪ batch from scratch — the q144
+    * contract — and within one binWidth of the lower median). The
+    * 1-row merge fans are the audited constant-broadcast class. */
   def incremental(prior: DataFrame, priorSources: DataFrame,
-      ledger: DataFrame, batch: DataFrame, srcCol: String,
-      textCol: String, expectedItems: Long = 1L << 20,
-      fpp: Double = 0.01): DataFrame = {
+      priorHist: DataFrame, ledger: DataFrame, batch: DataFrame,
+      srcCol: String, textCol: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01, binWidth: Long = 16L,
+      numBins: Int = 256): DataFrame = {
     val b = base(batch, srcCol, textCol)
     val bAgg = b.agg(
       count(lit(1)).as("b_docs"),
@@ -75,9 +129,14 @@ object Datasheet {
       .union(batch.select(col(srcCol).as("__s")))
       .distinct()
       .agg(count(lit(1)).as("all_sources"))
+    val mergedHist = priorHist
+      .unionByName(tokenHistogram(batch, textCol, binWidth, numBins))
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val histMed = histMedianLo(mergedHist, binWidth)
     prior.crossJoin(broadcast(bAgg))
       .crossJoin(broadcast(novelAgg))
       .crossJoin(broadcast(srcAgg))
+      .crossJoin(broadcast(histMed))
       .select(
         (col("n_docs") + col("b_docs")).as("n_docs"),
         col("all_sources").as("n_sources"),
@@ -87,6 +146,7 @@ object Datasheet {
         (col("n_docs") + col("b_docs") -
           (col("n_unique_fps") + col("b_novel_fps"))).as("n_dup_docs"),
         (col("n_empty_docs") + col("b_empty")).as("n_empty_docs"),
-        greatest(col("max_tokens"), col("b_max")).as("max_tokens"))
+        greatest(col("max_tokens"), col("b_max")).as("max_tokens"),
+        col("p50_tokens_hist_lo"))
   }
 }

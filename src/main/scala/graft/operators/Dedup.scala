@@ -470,29 +470,45 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .transform(graft.util.CacheScope.persist)
+    // Each round folds its OWN convergence evidence into the aggregate:
+    // alongside min(lbl), the self row (tagged __self) carries the
+    // node's previous label out as __prev, so "did anything change" is
+    // a filter over the round's checkpoint — no separate old-vs-new
+    // compare join per round. Round 1 needs no join at all: from
+    // identity labels, propagate(join) ≡ the edge list itself, so the
+    // neighborhood min comes straight off `edges` (and the identity
+    // label table + its checkpoint disappear). For a daily contraction
+    // graph of stars (diameter ≤ 2, the incrementalDupClusters common
+    // case) the whole run is one join-free census + one confirming
+    // propagate round.
+    //
     // Each round references `labels` twice (join side + union side), so
     // without truncation the logical plan DOUBLES per iteration — by
     // round ~8 plan stringification alone OOMs. localCheckpoint
     // materializes the round's labels and CUTS the lineage, the standard
     // shape for iterative Spark algorithms (on a cluster with flaky
     // executors, prefer reliable checkpoint() to a checkpoint dir).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    def census(rows: DataFrame): DataFrame = rows
+      .groupBy(col("id"))
+      .agg(min(col("lbl")).as("lbl"),
+        min(when(col("__self"), col("lbl"))).as("__prev"))
       .localCheckpoint()
-    var converged = false
-    var iter = 0
+    var labels = census(
+      edges.select(col("dst").as("id"), col("src").as("lbl"),
+          lit(false).as("__self"))
+        .unionByName(edges.select(col("src").as("id"), col("src").as("lbl"),
+          lit(true).as("__self"))))
+    var converged =
+      labels.filter(col("lbl") =!= col("__prev")).limit(1).count() == 0
+    var iter = 1
     while (!converged && iter < maxIter) {
-      val propagated = labels
+      val propagated = census(labels
         .join(edges, labels("id") === edges("src"))
-        .select(col("dst").as("id"), col("lbl"))
-        .unionByName(labels)
-        .groupBy(col("id"))
-        .agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val changed = propagated.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .limit(1).count()
+        .select(col("dst").as("id"), col("lbl"), lit(false).as("__self"))
+        .unionByName(labels.select(col("id"), col("lbl"),
+          lit(true).as("__self"))))
+      val changed =
+        propagated.filter(col("lbl") =!= col("__prev")).limit(1).count()
       // the superseded round's checkpoint blocks are dead the moment
       // `labels` is reassigned, but only a driver GC would reclaim them
       // (they bypass the CacheManager) — free them eagerly or a long

@@ -83,9 +83,17 @@ object Sampling {
     * plan lint recognizes as bounded). Output: (rnk, id, weight).
     *
     * The emitted columns are all integers — the double selection key
-    * is dropped, so the oracle hash can never trip over a last-ulp
-    * `ln` difference between engines (ordering itself is safe: keys
-    * of distinct 60-bit draws are far wider apart than 1 ulp). */
+    * is dropped, so the oracle hash can never trip over the VALUE of a
+    * last-ulp `ln` difference between engines. Ordering carries a
+    * probabilistic caveat, not a guarantee: the compared keys are
+    * ln(u)/w for differing weights, and two such keys can land
+    * arbitrarily close, so a pair straddling the top-n cut within
+    * ~1 ulp could in principle rank differently under Spark's
+    * `Math.log` vs DuckDB's `ln` (each only faithfully rounded).
+    * Exact key TIES break deterministically by id; the near-tie window
+    * is ~2⁻⁵² of key space per boundary pair — negligible and
+    * gate-verified at the tested SFs, but a caveat a portability
+    * auditor should know about. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
@@ -202,6 +210,48 @@ object Sampling {
       Seq(col("__h").asc, col(idCol).asc), tokensCol)
     cum.filter(col("__cum") - col(tokensCol) < budgetTokens)
       .drop("__cum", "__h", "__range")
+  }
+
+  /** Equi-depth quantile buckets over an integral score — curriculum
+    * bins / score calibration: every row gets
+    * bucket = ((rank − 1) · k) DIV n for its global rank under
+    * (score ASC, id ASC), so buckets hold equal COUNTS (±1) however
+    * skewed the score distribution — the decile cut a length-ordered
+    * curriculum or a quality-calibration step consumes. Integer-exact
+    * and engine-portable (rank and count arithmetic only, no
+    * percentile interpolation).
+    *
+    * Scale shape: the global rank is the [[rangedCumSum]] distributed
+    * prefix sum with the SCORE ITSELF as the range key — monotone in
+    * the (score, id) order by construction, so no sampling pass and no
+    * corpus-wide sort; the rank window partitions by score value and
+    * the per-score subtotal frame is |distinct scores| rows. The score
+    * must be integral and non-null, and its distinct-value count is
+    * the parallelism ceiling — for token lengths, quality grades, or
+    * any discretized score that is thousands of values; a continuous
+    * double score should be discretized first (which a calibration
+    * step does anyway). Corpus total attaches as a scalar subquery
+    * from the same subtotal frame (no second scan). */
+  def equiDepthBuckets(df: DataFrame, idCol: String, scoreCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(k >= 1, s"k=$k must be >= 1")
+    val t = df.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"equiDepthBuckets needs an integral score, got $t for $scoreCol")
+    val withRange = df.withColumn("__one", lit(1L))
+      .withColumn("__range", col(scoreCol).cast("long"))
+    // running COUNT = running sum of ones; rank ≡ __cum
+    val (cum, sub) = rangedCumSum(withRange, Seq(col(idCol).asc), "__one")
+    val total = sub.agg(coalesce(sum(col("__sub")), lit(0L)).as("__total"))
+    cum
+      .withColumn("__total",
+        Bridge.column(ScalarSubquery(Bridge.analyzed(total))))
+      .withColumn("bucket",
+        expr(s"((__cum - 1L) * $k) DIV greatest(__total, 1L)").cast("long"))
+      .drop("__cum", "__range", "__total", "__one")
   }
 
   /** Token-balanced shard assignment — the export step for distributed

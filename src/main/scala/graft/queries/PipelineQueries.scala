@@ -566,12 +566,16 @@ object PipelineQueries extends QueryPack {
 
   // --------------------------------------------------------------- q132
   // O(new) incremental datasheet: yesterday's stored summary + source
-  // census + fingerprint ledger, today's batch — history text is never
-  // rescanned and ledger fingerprints never cross an exchange (the
-  // q116 bloom-gated core decides novelty). The oracle is the PLAIN
-  // batch datasheet over the full table minus the median (the one
-  // non-mergeable field), so the hash match proves the incremental
-  // merge is exact, the q65/q108/q116/q122 family discipline.
+  // census + token-length histogram census + fingerprint ledger,
+  // today's batch — history text is never rescanned and ledger
+  // fingerprints never cross an exchange (the q116 bloom-gated core
+  // decides novelty). The exact median is replaced by the HISTOGRAM
+  // median over the merged per-bin census (exactly mergeable state —
+  // unlike a percentile sketch binary — and within one bin width of
+  // the exact p50, DatasheetSpec-pinned); the oracle recomputes the
+  // identical integer histogram rule over the FULL table, so the hash
+  // match proves the census merge is exact, the q65/q108/q116/q122
+  // family discipline.
   private val q132 = Q(
     "q132_incremental_datasheet",
     (s, dir) => {
@@ -581,6 +585,7 @@ object PipelineQueries extends QueryPack {
       graft.operators.Datasheet.incremental(
         graft.operators.Datasheet.summary(history, "source", "text"),
         history.select(col("source")),
+        graft.operators.Datasheet.tokenHistogram(history, "text"),
         history.select(
           graft.operators.Dedup.fingerprint(col("text")).as("fp")),
         batch, "source", "text", expectedItems = 1L << 16)
@@ -599,7 +604,16 @@ object PipelineQueries extends QueryPack {
         FROM (SELECT source, text,
                 ${graft.functions.BpeTokenizer.oracleSymbolStreamSql("text")}
                   AS s
-              FROM documents))
+              FROM documents)),
+      hist AS (
+        SELECT LEAST(tok // 16, 256) AS bin, COUNT(*) AS cnt
+        FROM base GROUP BY 1),
+      med AS (
+        SELECT CAST(MIN(bin) * 16 AS BIGINT) AS p50_tokens_hist_lo
+        FROM (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+                     SUM(cnt) OVER () AS n
+              FROM hist)
+        WHERE cum >= (n + 1) // 2)
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
              CAST(SUM(tok) AS BIGINT) AS n_tokens,
@@ -608,10 +622,46 @@ object PipelineQueries extends QueryPack {
              CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
              CAST(SUM(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT)
                AS n_empty_docs,
-             CAST(MAX(tok) AS BIGINT) AS max_tokens
+             CAST(MAX(tok) AS BIGINT) AS max_tokens,
+             (SELECT p50_tokens_hist_lo FROM med) AS p50_tokens_hist_lo
       FROM base
     """))
 
+  // --------------------------------------------------------------- q148
+  // Equi-depth curriculum deciles: every document's global rank under
+  // (n_tokens ASC, doc_id ASC) maps to bucket = (rank−1)·10 DIV n —
+  // equal-count bins however skewed the length distribution, the cut a
+  // length-ordered curriculum or a score-calibration step consumes.
+  // The rank is the q45/q57/q120 distributed prefix sum with the score
+  // itself as the range key (monotone in the order, so no sampling
+  // pass, no corpus-wide sort, no single-partition window); bucket
+  // arithmetic is integer-exact, hence portable to the oracle's
+  // ROW_NUMBER formulation bit-for-bit.
+  private val q148 = Q(
+    "q148_equi_depth_deciles",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.equiDepthBuckets(toks, "doc_id", "n_tokens", k = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH tok AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT doc_id, n_tokens,
+             CAST((rn - 1) * 10 // n AS BIGINT) AS bucket
+      FROM (SELECT doc_id, n_tokens,
+                   ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM tok)
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119,
-    q120, q129, q131, q132, q141, q143)
+    q120, q129, q131, q132, q141, q143, q148)
 }

@@ -292,6 +292,33 @@ object StreamingQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q146
+  // First-arrival novelty gate: q145 plus intra-stream dedup —
+  // dropDuplicatesWithinWatermark on the fingerprint (state-store
+  // backed, watermark-bounded) collapses same-stream duplicate content
+  // to ONE emission BEFORE the stateless anti join against history.
+  // The gate emits fingerprints only, so which same-fp copy won the
+  // state race is invisible and the drain is deterministic; the oracle
+  // is the batch DISTINCT-novel-fps query. Cross-batch state carry is
+  // spec-proven with a two-batch MemoryStream (StreamingOpsSpec).
+  private val q146 = Q(
+    "q146_stream_novelty_first_arrival",
+    (s, dir) => {
+      StreamingOps.streamNovelFirstArrival(s, dir, "q146_novel_fa_sink")
+        .orderBy(col("fp"))
+    },
+    Some(raw"""
+      WITH hist AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 3 > 0),
+      batch AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 3 = 0)
+      SELECT fp FROM batch
+      WHERE fp NOT IN (SELECT fp FROM hist)
+      ORDER BY fp
+    """))
+
   def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103, q105,
-    q145)
+    q145, q146)
 }

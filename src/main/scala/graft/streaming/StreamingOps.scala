@@ -506,38 +506,90 @@ object StreamingOps {
     * q116 Bloom pre-filter composes in front), the stream side touches
     * each arriving file once. Emits (doc_id, fp) of novel docs —
     * APPEND mode, no state store at all (novelty vs HISTORY is
-    * stateless per row; intra-stream first-arrival dedup would add
-    * `dropDuplicates(fp)`, whose winner under same-batch ties is
-    * arrival-order-dependent and therefore deliberately NOT part of
-    * the gated query).
+    * stateless per row; intra-stream first-arrival dedup is the
+    * [[streamNovelFirstArrival]] sibling, which gates the
+    * fingerprint-only projection precisely because the winning COPY
+    * under same-batch ties is arrival-order-dependent).
     *
     * The gate splits `documents` by doc_id % 3: history (> 0)
     * contributes only its DISTINCT fingerprints, the stream plays the
     * %3 = 0 slice arriving as files. */
   def streamNovelDocs(spark: SparkSession, dir: String,
       queryName: String): DataFrame = {
-    val streamDir = scratchDir("graft_novel",
-      "documents.parquet" -> s"$dir/documents.parquet")
-    val docsSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val historyFps = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 3 > 0)
-      .select(graft.operators.Dedup.fingerprint(col("text")).as("fp"))
-      .distinct()
-    val novel = spark.readStream
-      .schema(docsSchema)
-      .parquet(streamDir.toString)
-      .filter(col("doc_id") % 3 === 0)
+    val (stream, historyFps) = novelDocsSource(spark, dir, "graft_novel")
+    val novel = stream
       .withColumn("fp", graft.operators.Dedup.fingerprint(col("text")))
       .join(historyFps, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"))
     drainToMemory(spark, novel, queryName, OutputMode.Append(),
       noDataBatches = false)
     spark.table(queryName)
+  }
+
+  /** FIRST-ARRIVAL form of [[streamNovelDocs]]: intra-stream duplicate
+    * fingerprints collapse to ONE emission via
+    * `dropDuplicatesWithinWatermark` keyed on the fingerprint —
+    * state-store-backed, watermark-bounded (a fingerprint's dedup
+    * state is held only `delay` past its event time, so the state
+    * store stays bounded on an unbounded crawl stream; re-deliveries
+    * inside the window collapse, the q99 discipline) — BEFORE the
+    * stateless anti join against the static history ledger. The dedup
+    * runs in front of the join so the join probes once per distinct
+    * arriving fingerprint, not once per copy.
+    *
+    * Which same-fingerprint COPY wins is arrival-order-dependent, so
+    * the gate emits the fingerprint ONLY (winner-independent — this is
+    * what closes the nondeterminism that kept first-arrival semantics
+    * out of q145); the event-time column is a deterministic pseudo
+    * ingest time derived from doc_id (production wires the real ingest
+    * timestamp). Cross-batch state carry is spec-proven with a
+    * two-batch MemoryStream (StreamingOpsSpec). */
+  def streamNovelFirstArrival(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val (stream, historyFps) = novelDocsSource(spark, dir, "graft_novel_fa")
+    // pseudo ingest time strictly AFTER epoch: the state store's
+    // initial watermark is 0, and a row whose event time does not
+    // exceed the current watermark is dropped as late — doc_id 0 at
+    // the bare epoch would silently vanish from the gate
+    val novel = stream
+      .select(graft.operators.Dedup.fingerprint(col("text")).as("fp"),
+        timestamp_micros(col("doc_id") + lit(1704067200000000L)).as("__ts"))
+      .withWatermark("__ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .join(historyFps, Seq("fp"), "left_anti")
+      .select(col("fp"))
+    drainToMemory(spark, novel, queryName, OutputMode.Append(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
+  /** Shared harness head for the novelty gates: stage the documents
+    * file for the directory-monitoring source, PROBE the batch footer
+    * for the declared stream schema (the [[eventsStream]] discipline —
+    * a hardcoded schema would silently resolve renamed/retyped columns
+    * to NULL on testdata regeneration, and null fingerprints would
+    * pass the anti join as "novel" instead of erroring), and build the
+    * static history-fingerprint side. Returns (the %3 = 0 arriving
+    * slice, history's distinct fps). */
+  private def novelDocsSource(spark: SparkSession, dir: String,
+      prefix: String): (DataFrame, DataFrame) = {
+    val streamDir = scratchDir(prefix,
+      "documents.parquet" -> s"$dir/documents.parquet")
+    val docsSchema = spark.read.parquet(streamDir.toString).schema
+    require(docsSchema.exists(f => f.name == "doc_id" &&
+        f.dataType == LongType) &&
+      docsSchema.exists(f => f.name == "text" && f.dataType == StringType),
+      "documents schema drifted: expected (doc_id LONG, text STRING) " +
+        s"among ${docsSchema.treeString}")
+    val historyFps = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 > 0)
+      .select(graft.operators.Dedup.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .parquet(streamDir.toString)
+      .filter(col("doc_id") % 3 === 0)
+    (stream, historyFps)
   }
 
   /** STREAMING gap sessionization with keyed state

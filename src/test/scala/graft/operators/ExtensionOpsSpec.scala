@@ -436,6 +436,48 @@ class StreamingOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(out == Seq(6L, 9L),
       s"variant of history must be blocked, novel arrivals pass: $out")
+    // first-arrival form: docs 6 and 9 carry the SAME novel text, so
+    // the fingerprint-keyed stream dedup collapses them to one emission
+    val fa = StreamingOps.streamNovelFirstArrival(spark, dir,
+        "novelty_fa_spec_sink")
+      .collect().map(_.getString(0)).toSeq
+    assert(fa.length == 1 && fa.distinct.length == 1,
+      s"same-fp arrivals must collapse to one novel emission: $fa")
+  }
+
+  test("first-arrival dedup state carries across micro-batches") {
+    val s = spark
+    import s.implicits._
+    // the q146 composition driven by a two-batch MemoryStream: the
+    // dropDuplicatesWithinWatermark state from batch 1 must suppress
+    // batch 2's re-delivery of the same fingerprint, while batch 2's
+    // genuinely new fingerprint still passes the history anti join
+    val historyFps = Seq(Tuple1("old doc")).toDF("t")
+      .select(Dedup.fingerprint(col("t")).as("fp"))
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](43, spark, None)
+    val novel = input.toDF().toDF("doc_id", "text")
+      .select(Dedup.fingerprint(col("text")).as("fp"),
+        timestamp_micros(col("doc_id")).as("__ts"))
+      .withWatermark("__ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .join(historyFps, Seq("fp"), "left_anti")
+      .select(col("fp"))
+    val q = novel.writeStream.format("memory").queryName("fa_xbatch")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "fresh alpha"), (2L, "old doc"))
+      q.processAllAvailable()
+      input.addData((3L, "fresh alpha"), (4L, "fresh beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("fa_xbatch").collect().map(_.getString(0)).toSeq
+    val alphaFp = Seq(Tuple1("fresh alpha")).toDF("t")
+      .select(Dedup.fingerprint(col("t"))).collect().head.getString(0)
+    val betaFp = Seq(Tuple1("fresh beta")).toDF("t")
+      .select(Dedup.fingerprint(col("t"))).collect().head.getString(0)
+    assert(out.sorted == Seq(alphaFp, betaFp).sorted,
+      s"batch-2 re-delivery must be suppressed by carried state: $out")
   }
 
   test("gap sessionization opens a new session after the gap") {

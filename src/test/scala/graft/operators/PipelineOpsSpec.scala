@@ -153,10 +153,23 @@ class PipelineOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
-  test("incremental datasheet ≡ batch datasheet minus the median, for any split") {
+  test("incremental datasheet ≡ batch datasheet (hist median), any split") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val full = Datasheet.summary(docs, "source", "text")
-      .drop("p50_tokens").collect().head
+    val fullRow = Datasheet.summary(docs, "source", "text").collect().head
+    val full = Seq(fullRow).map(r => r.toSeq.dropRight(1))
+    // the full-corpus histogram median — what a correct census merge
+    // must reproduce regardless of the history/batch split
+    val fullHistMed = Datasheet.histMedianLo(
+        Datasheet.tokenHistogram(docs, "text"))
+      .collect().head.getLong(0)
+    // the hist median's bin CONTAINS the lower-median order statistic
+    // (rank (n+1) div 2) — the one-bin-width error bound
+    val toks = docs
+      .select(TextAnalysis.tokenCount(col("text")).as("tok"))
+      .collect().map(_.getLong(0)).sorted
+    val lowerMedian = toks((toks.length + 1) / 2 - 1)
+    assert(fullHistMed <= lowerMedian && lowerMedian < fullHistMed + 16L,
+      s"hist median $fullHistMed vs lower median $lowerMedian")
     Seq(2L, 3L, 5L).foreach { mod =>
       val history = docs.filter(col("doc_id") % mod === 0)
       val batch = docs.filter(col("doc_id") % mod =!= 0)
@@ -167,10 +180,14 @@ class PipelineOpsSpec extends SparkSpec {
           .select(Dedup.fingerprint(col("text")).as("fp")))
       val inc = Datasheet.incremental(
           Datasheet.summary(history, "source", "text"),
-          history.select(col("source")), ledger, batch,
+          history.select(col("source")),
+          Datasheet.tokenHistogram(history, "text"), ledger, batch,
           "source", "text", expectedItems = 1L << 16)
         .collect().head
-      assert(inc == full, s"mod=$mod incremental row diverged")
+      assert(inc.toSeq.dropRight(1) == full.head,
+        s"mod=$mod incremental row diverged")
+      assert(inc.getAs[Long]("p50_tokens_hist_lo") == fullHistMed,
+        s"mod=$mod merged-census median diverged")
     }
   }
 
