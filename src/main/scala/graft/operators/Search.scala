@@ -55,6 +55,55 @@ object Search {
       .select(col("token"), col("df"), col("cf"), col("postings"))
   }
 
+  /** O(new)-per-day maintenance of the [[invertedIndex]] snapshot —
+    * the incremental-family treatment (q65/q108/q116/q122/q110/q132/
+    * q140/q144) applied to the search index: yesterday's stored
+    * (token, df, cf, postings) table absorbs a new batch of documents
+    * without re-tokenizing history.
+    *
+    * PRECONDITION: batch doc ids are NEW (append-only corpus — a
+    * restated document goes through the dedup/diff family first).
+    * Under that, every field merges exactly: df/cf add, and the first
+    * `maxPostings` ids of the union equal the merge of the two sides'
+    * top lists (any id in the true top-k is in its own side's top-k —
+    * both sides' lists are the k smallest of disjoint sets), so the
+    * output is bit-identical to [[invertedIndex]] over history ∪ batch
+    * (the gate oracle).
+    *
+    * Scale shape: history TEXT is never read — the only history-sized
+    * input is the stored index itself (vocabulary-sized, ≪ corpus),
+    * and it never crosses an exchange: the batch index (batch-
+    * vocabulary-sized) broadcasts to a map-side left join for the
+    * merge, a broadcast semi join collects the touched stored tokens,
+    * and brand-new tokens append via an anti join against that small
+    * touched set. The one real exchange is the batch's own index
+    * aggregation, O(batch tokens). */
+  def incrementalIndex(storedIndex: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, maxPostings: Int): DataFrame = {
+    val batchIdx = invertedIndex(batch, idCol, textCol, maxPostings)
+      .select(col("token"), col("df").as("__df_b"), col("cf").as("__cf_b"),
+        col("postings").as("__postings_b"))
+      .transform(graft.util.CacheScope.persist)
+    // slice(postings, 1, 0) = a typed empty array — postings' element
+    // type follows the id column, so no hardcoded cast here
+    val merged = storedIndex
+      .join(broadcast(batchIdx), Seq("token"), "left")
+      .select(col("token"),
+        (col("df") + coalesce(col("__df_b"), lit(0L))).as("df"),
+        (col("cf") + coalesce(col("__cf_b"), lit(0L))).as("cf"),
+        slice(array_sort(concat(col("postings"),
+            coalesce(col("__postings_b"), slice(col("postings"), 1, 0)))),
+          1, maxPostings).as("postings"))
+    val touchedStored = storedIndex.select(col("token"))
+      .join(broadcast(batchIdx.select(col("token"))), Seq("token"),
+        "left_semi")
+    val fresh = batchIdx
+      .join(broadcast(touchedStored), Seq("token"), "left_anti")
+      .select(col("token"), col("__df_b").as("df"), col("__cf_b").as("cf"),
+        col("__postings_b").as("postings"))
+    merged.unionByName(fresh)
+  }
+
   /** Documents containing ALL `terms`, scored by total term frequency.
     * Output: (idCol, tf_total, rnk). The token stream is filtered to
     * the query terms before any exchange, so the shuffle carries only

@@ -120,5 +120,45 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
-  def all: Seq[Q] = Seq(q92, q93, q106)
+  // --------------------------------------------------------------- q147
+  // O(new) incremental inverted index: yesterday's stored (token, df,
+  // cf, postings) snapshot absorbs the day's batch without
+  // re-tokenizing history — df/cf add, postings top-k merge exactly
+  // (disjoint doc ids), the stored index never crosses an exchange
+  // (batch index broadcasts into a map-side merge join; new tokens
+  // append via a broadcast anti join). The oracle is q92's PLAIN full
+  // recompute over history ∪ batch, so the hash match proves the
+  // index merge is exact — the incremental-family discipline applied
+  // to the retrieval surface.
+  private val q147 = Q(
+    "q147_incremental_inverted_index",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 > 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      Search.incrementalIndex(
+          Search.invertedIndex(history, "doc_id", "text", maxPostings = 20),
+          batch, "doc_id", "text", maxPostings = 20)
+        .select(col("token"), col("df"), col("cf"),
+          to_json(col("postings")).as("postings"))
+        .orderBy(col("token"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM documents),
+      counts AS (
+        SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token),
+      posts AS (
+        SELECT token,
+               CAST(to_json((list(doc_id ORDER BY doc_id ASC))[1:20]) AS VARCHAR)
+                 AS postings
+        FROM (SELECT DISTINCT token, doc_id FROM toks)
+        GROUP BY token)
+      SELECT c.token, c.df, c.cf, p.postings
+      FROM counts c JOIN posts p USING (token)
+      ORDER BY c.token
+    """))
+
+  def all: Seq[Q] = Seq(q92, q93, q106, q147)
 }

@@ -1044,4 +1044,38 @@ class SamplingSpec extends graft.SparkSpec {
       .groupBy(_._1).map { case (_, g) => g.map(_._2).distinct.length }
     assert(post.forall(_ == 1), "a repaired group still spans splits")
   }
+
+  test("equi-depth buckets: equal counts ±1, order-consistent, window-equivalent") {
+    val s = spark
+    import s.implicits._
+    // skewed scores with heavy ties, shuffled ids
+    val rows = (1L to 500L).map(i => (i * 37 % 501, (i * i) % 13))
+      .toDF("doc_id", "score")
+      .withColumn("score", col("score").cast("long"))
+    val k = 10
+    val got = Sampling.equiDepthBuckets(rows, "doc_id", "score", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: plain global window rank
+    import org.apache.spark.sql.expressions.Window
+    val ref = rows
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .withColumn("bucket", expr(s"CAST((rn - 1) * $k AS BIGINT) DIV 500L"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("bucket")))
+    assert(got.sortBy(_._1).toSeq == ref.sortBy(_._1).toSeq)
+    val sizes = got.groupBy(_._3).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced buckets: $sizes")
+    // repartitioning must not change a single assignment
+    val reparted = Sampling.equiDepthBuckets(rows.repartition(13),
+        "doc_id", "score", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(reparted.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // non-integral scores are rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.equiDepthBuckets(
+        rows.withColumn("score", col("score").cast("double")),
+        "doc_id", "score", k)
+    }
+  }
 }

@@ -22,6 +22,45 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("incremental index ≡ full recompute, for any split; stored side never shuffles") {
+    val full = Search.invertedIndex(docs, "doc_id", "text", maxPostings = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toMap
+    Seq(2L, 3L, 7L).foreach { mod =>
+      val history = docs.filter(col("doc_id") % mod > 0)
+      val batch = docs.filter(col("doc_id") % mod === 0)
+      val inc = Search.incrementalIndex(
+        Search.invertedIndex(history, "doc_id", "text", maxPostings = 5),
+        batch, "doc_id", "text", maxPostings = 5)
+      // the stored index must reach the merge through broadcast joins
+      // only — no SortMergeJoin, no exchange keyed on the stored side
+      val plan = inc.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"mod=$mod stored-side shuffle crept in:\n$plan")
+      val got = inc.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toMap
+      assert(got == full, s"mod=$mod incremental index diverged")
+    }
+  }
+
+  test("incremental index: disjoint batch vocab appends, empty batch passes through") {
+    val s = spark
+    import s.implicits._
+    val stored = Search.invertedIndex(
+      Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", maxPostings = 5)
+    val out = Search.incrementalIndex(stored,
+        Seq((9L, "gamma delta")).toDF("doc_id", "text"),
+        "doc_id", "text", maxPostings = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("alpha" -> 2L, "beta" -> 1L, "gamma" -> 1L,
+      "delta" -> 1L))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val pass = Search.incrementalIndex(stored, empty, "doc_id", "text", 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pass == Map("alpha" -> 2L, "beta" -> 1L))
+  }
+
   test("inverted index: non-BIGINT ids keep working via the fallback path") {
     // INT ids take the collect_set+slice fallback (documented:
     // unbounded buffer — cast to BIGINT/STRING for the bounded path);
