@@ -61,6 +61,18 @@ object Bridge {
       case _ => ()
     }
 
+  /** The executed physical plan of a streaming query's LAST completed
+    * micro-batch (None before the first batch finishes) — the hook the
+    * streaming plan audits use: a StreamingQuery handle exposes
+    * progress strings but not plans, while the underlying
+    * StreamExecution keeps its IncrementalExecution. */
+  def lastMicroBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[org.apache.spark.sql.execution.SparkPlan] = q match {
+    case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+      Option(w.streamingQuery.lastExecution).map(_.executedPlan)
+    case _ => None
+  }
+
   /** Register a native expression as a SQL temp function on an ALREADY
     * RUNNING session (builder `.withExtensions` only applies at session
     * creation — `getOrCreate` on a live JVM silently skips it). */

@@ -75,6 +75,60 @@ class OracleLintSpec extends SparkSpec {
       "seeding must pick the smallest ids PRESENT, not assume dense ids")
   }
 
+  test("incremental oracles cannot drift from their batch twins") {
+    // Every incremental-family query's oracle is by contract the PLAIN
+    // full recompute — each hash match proves the O(new) path is a pure
+    // optimization. That proof dies silently if the incremental oracle
+    // and its batch twin's oracle are edited apart. Two tiers, per the
+    // relations the suite actually maintains:
+    //  - FULLY SHARED: the incremental gate recomputes the identical
+    //    output over history ∪ batch, so the two oracles must stay
+    //    textually identical (modulo whitespace);
+    //  - SHARED FIRST CTE: output shapes differ, but the core
+    //    normalization/tokenization CTE both chains hang off must stay
+    //    verbatim-identical (the q66/q124 shared-prefix discipline).
+    // Not covered (documented): q65/q116 vs q16 (the batch twin is a
+    // bare SELECT, no CTE to share) and q110 vs q36 (the history slice
+    // parameterizes the corpus CTE itself; the q36-seeding guard above
+    // pins their shared k-means core instead).
+    def norm(s: String) = s.replaceAll("\\s+", " ").trim
+    val oracles = SparkEntry.oracleSql
+    def oracle(name: String): String =
+      oracles.getOrElse(name, fail(s"$name has no oracle"))
+    Seq(
+      "q144_incremental_dup_clusters" -> "q66_dup_clusters",
+      "q147_incremental_inverted_index" -> "q92_inverted_index")
+      .foreach { case (inc, bat) =>
+        assert(norm(oracle(inc)) == norm(oracle(bat)),
+          s"$inc's oracle must stay the verbatim full recompute of $bat")
+      }
+    def firstCte(sql: String): String = {
+      val n = norm(sql)
+      val start = n.indexOf("WITH ")
+      assert(start >= 0, s"expected a WITH chain in: ${n.take(60)}…")
+      val open = n.indexOf('(', start)
+      var depth = 0
+      var i = open
+      while (i < n.length && (depth > 0 || i == open)) {
+        if (n(i) == '(') depth += 1
+        else if (n(i) == ')') depth -= 1
+        i += 1
+      }
+      n.substring(start, i)
+    }
+    Seq(
+      "q108_incremental_minhash" -> "q17_dedup_minhash_lsh",
+      "q122_incremental_paragraph_dedup" -> "q117_paragraph_dedup",
+      "q132_incremental_datasheet" -> "q131_corpus_datasheet",
+      "q140_domain_quality_incremental" -> "q136_domain_quality")
+      .foreach { case (inc, bat) =>
+        val cte = firstCte(oracle(bat))
+        assert(norm(oracle(inc)).contains(cte),
+          s"$inc's oracle no longer contains $bat's first CTE verbatim — " +
+            "re-sync the twins before changing either side")
+      }
+  }
+
   test("no registered query emits a DECIMAL output column") {
     // The driver's hash renders decimals float-style on one side and
     // scale-exact on the other, so ANY DecimalType output column

@@ -445,6 +445,54 @@ class StreamingOpsSpec extends SparkSpec {
       s"same-fp arrivals must collapse to one novel emission: $fa")
   }
 
+  test("novelty gate micro-batch plan: stream side never shuffles before the anti join") {
+    val s = spark
+    import s.implicits._
+    // the q145 composition under a MemoryStream, audited at the
+    // MICRO-BATCH plan level (batch-side plan audits can't see inside a
+    // stream): the arriving slice must reach the history anti join
+    // map-side — no ShuffleExchange with the streaming scan below it.
+    // The static side may shuffle inside its own broadcast subtree
+    // (history distinct); that is O(ledger build), not O(stream).
+    val historyFps = Seq(Tuple1("old doc"), Tuple1("other doc")).toDF("t")
+      .select(Dedup.fingerprint(col("t")).as("fp"))
+    val input = new org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](44, spark, None)
+    val novel = input.toDF().toDF("doc_id", "text")
+      .withColumn("fp", Dedup.fingerprint(col("text")))
+      .join(historyFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+    val q = novel.writeStream.format("memory").queryName("novelty_plan_sink")
+      .outputMode("append").start()
+    val plan = try {
+      input.addData((1L, "fresh alpha"), (2L, "old doc"))
+      q.processAllAvailable()
+      org.apache.spark.sql.graft.Bridge.lastMicroBatchPlan(q)
+        .getOrElse(fail("no completed micro-batch"))
+    } finally q.stop()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.datasources.v2.MicroBatchScanExec
+    // descend through AQE wrappers — collect() stops at their frontier
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def subtreeHasStreamScan(p: SparkPlan): Boolean =
+      nodes(p).exists(_.isInstanceOf[MicroBatchScanExec])
+    val offenders = nodes(plan).collect {
+      case e: ShuffleExchangeLike if subtreeHasStreamScan(e) => e
+    }
+    assert(subtreeHasStreamScan(plan), s"stream scan missing from:\n$plan")
+    assert(offenders.isEmpty,
+      s"stream-side rows crossed an exchange before the anti join:\n$plan")
+  }
+
   test("first-arrival dedup state carries across micro-batches") {
     val s = spark
     import s.implicits._
