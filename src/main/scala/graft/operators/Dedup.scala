@@ -286,6 +286,58 @@ object Dedup {
     ngramJaccardOnShingles(sh, pairs)
   }
 
+  /** Estimator CALIBRATION over the LSH candidate pairs: every proposed
+    * pair's exact shingle Jaccard side-by-side with its signature-
+    * component match count (n_match / numHashes is the unbiased MinHash
+    * Jaccard estimator) and an in-tolerance flag — the audit a pipeline
+    * runs before trusting estimator-thresholded admission
+    * ([[incrementalMinhash]]'s minMatches) in place of exact verify.
+    * Everything emitted is engine-portable: the hash family is the
+    * md5-derived Kirsch-Mitzenmacher chain the DuckDB oracle reproduces
+    * per-position, so the gate pins the native [[graft.functions.MinHashSig]]
+    * expression at per-component granularity (stronger than the q17
+    * band-collision check); the flag arithmetic is identical IEEE ops
+    * on identical inputs on both sides.
+    *
+    * Scale shape: signatures are map-side native and persist once for
+    * proposing and component-compare; the exact-verify side is the q19
+    * candidate-restricted shingle join (linear in |candidates|); the
+    * pair-sized exact frame then broadcasts into two joins against the
+    * signature table, which streams map-side — nothing corpus-sized
+    * crosses an exchange beyond the band join the proposal already
+    * pays. */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2,
+      tolCenti: Int = 50): DataFrame = {
+    val sigs = minhashSignaturesNative(docs, idCol, textCol, shingleK,
+        numHashes)
+      .transform(graft.util.CacheScope.persist)
+    val pairs = lshCandidatePairs(lshBands(sigs, numHashes, rowsPerBand))
+      .transform(graft.util.CacheScope.persist)
+    val candDocs = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol)))
+      .distinct()
+    val sh = explodedShingles(
+      docs.join(candDocs, Seq(idCol), "left_semi"), idCol, textCol,
+      shingleK)
+    val exact = ngramJaccardOnShingles(sh, pairs)
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until numHashes).map(h => col(s"h$h").as(s"__a$h")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until numHashes).map(h => col(s"h$h").as(s"__b$h")): _*)
+    val nMatch = (0 until numHashes)
+      .map(h => when(col(s"__a$h") === col(s"__b$h"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    exact
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("n_match", nMatch)
+      .withColumn("est_ok",
+        abs(col("n_match").cast("double") / lit(numHashes.toDouble) -
+          col("jaccard")) <= lit(tolCenti / 100.0))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("n_match"),
+        col("est_ok"))
+  }
+
   /** Exact shingle-Jaccard verification restricted to candidate pairs —
     * the scale path: the shingle join explodes quadratically on a shared
     * vocabulary when run corpus-wide, but is linear in |candidates| here.

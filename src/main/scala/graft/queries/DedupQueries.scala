@@ -910,6 +910,82 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q149
+  // MinHash estimator calibration: every LSH candidate pair's exact
+  // shingle Jaccard next to its signature match count (n_match/6 is
+  // the unbiased estimator) and the in-tolerance flag the q108
+  // minMatches admission threshold relies on. The md5-derived KM hash
+  // family is engine-portable, so the oracle reproduces the signature
+  // PER COMPONENT — a stronger pin on the native MinHashSig expression
+  // than q17's band-collision check — and the flag arithmetic is
+  // identical IEEE ops on identical inputs on both sides.
+  private val q149 = Q(
+    "q149_minhash_calibration",
+    (s, dir) => {
+      Dedup.minhashCalibration(Tables(s, dir, "documents"), "doc_id",
+          "text", shingleK = 3, numHashes = 6, rowsPerBand = 2,
+          tolCenti = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      shr AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY 1, 2),
+      jac AS (
+        SELECT doc_a, doc_b,
+               ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6)
+                 AS jaccard
+        FROM shr
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b),
+      est AS (
+        SELECT j.doc_a, j.doc_b, j.jaccard,
+               CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
+                    (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
+                    (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) +
+                    (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) +
+                    (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) +
+                    (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_match
+        FROM jac j
+        JOIN sig sa ON sa.doc_id = j.doc_a
+        JOIN sig sb ON sb.doc_id = j.doc_b)
+      SELECT doc_a, doc_b, jaccard, n_match,
+             abs(CAST(n_match AS DOUBLE) / 6 - jaccard) <= 0.5 AS est_ok
+      FROM est
+      ORDER BY doc_a, doc_b
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108, q116, q117, q122, q124, q127, q144)
+    q108, q116, q117, q122, q124, q127, q144, q149)
 }

@@ -115,6 +115,28 @@ class DedupSpec extends SparkSpec {
     assert(inc2 == full2, s"variant sweep: inc=$inc2\nfull=$full2")
   }
 
+  test("minhash calibration: candidates share ≥ rowsPerBand components, estimator sane") {
+    val sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Dedup.minhashCalibration(sf, "doc_id", "text",
+        shingleK = 3, numHashes = 6, rowsPerBand = 2, tolCenti = 50)
+      .collect()
+      .map(r => (r.getAs[Double]("jaccard"), r.getAs[Long]("n_match"),
+        r.getAs[Boolean]("est_ok")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (j, m, ok) =>
+      // an LSH candidate collided on some band, so that band's
+      // rowsPerBand signature components must agree
+      assert(m >= 2L && m <= 6L, s"n_match $m outside [2,6]")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(ok == (math.abs(m / 6.0 - j) <= 0.5), "flag must restate the bound")
+    }
+    // the estimator tracks the exact value on average — the property
+    // the q108 minMatches admission threshold relies on
+    val meanErr = rows.map { case (j, m, _) =>
+      math.abs(m / 6.0 - j) }.sum / rows.length
+    assert(meanErr <= 0.35, s"mean |est - jaccard| = $meanErr")
+  }
+
   test("jaccard verification: identical docs = 1.0, overlap in (0,1)") {
     val cand = {
       val s = spark
