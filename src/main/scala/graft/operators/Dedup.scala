@@ -338,6 +338,63 @@ object Dedup {
         col("est_ok"))
   }
 
+  /** CONTAINMENT audit over the LSH candidates: for each proposed pair,
+    * shared / min(|A|, |B|) alongside the symmetric Jaccard — the
+    * asymmetric metric that catches PARTIAL COPIES (one document
+    * embedded in a much larger one: quote farms, boilerplate-wrapped
+    * republication), which Jaccard structurally misses (a doc fully
+    * contained in one 10× its size has J ≤ 0.1). `partial_copy` flags
+    * high containment with low Jaccard — the "same content, different
+    * size" signature a near-dup policy treats differently from full
+    * duplicates. Thresholds in centi-units so the flag arithmetic is
+    * integer-derived and engine-portable.
+    *
+    * Scale shape identical to [[proposeVerify]]: LSH proposes (Σ
+    * bucket² pair space), the shingle join is candidate-restricted.
+    * Note the LSH proposal is tuned for Jaccard, so extreme-ratio
+    * containments can escape the candidate set (their signatures
+    * rarely collide) — at scale, partial-copy hunting lowers
+    * rowsPerBand or shingles the SMALLER unit (the [[ParaDedup]]
+    * paragraph route); this operator audits the pairs the pipeline
+    * already surfaced. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2,
+      minContainmentCenti: Int = 80, maxJaccardCenti: Int = 50)
+      : DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, shingleK, numHashes,
+        rowsPerBand)
+      .transform(graft.util.CacheScope.persist)
+    val candDocs = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol)))
+      .distinct()
+    val sh = explodedShingles(
+        docs.join(candDocs, Seq(idCol), "left_semi"), idCol, textCol,
+        shingleK)
+      .transform(graft.util.CacheScope.persist)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = pairs
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6))
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 6))
+      .withColumn("partial_copy",
+        col("containment") >= lit(minContainmentCenti / 100.0) &&
+          col("jaccard") < lit(maxJaccardCenti / 100.0))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"),
+        col("containment"), col("partial_copy"))
+  }
+
   /** Exact shingle-Jaccard verification restricted to candidate pairs —
     * the scale path: the shingle join explodes quadratically on a shared
     * vocabulary when run corpus-wide, but is linear in |candidates| here.

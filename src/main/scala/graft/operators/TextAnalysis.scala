@@ -496,19 +496,62 @@ object TextAnalysis {
     * entropy — double, drop before hashing, entropy_ok). Documents
     * with < 2 words keep a row (zero bigrams, entropy 0).
     */
-  def bigramLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, rareMax: Long): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(idCol), Dedup.words(col(textCol)).as("w"))
-    // pairs feeds the corpus model (bi -> uni) AND the per-doc scoring
-    // join; scope-persisted so the tokenize+explode runs once, not
-    // three times (rename chains defeat ReuseExchange here)
-    val pairs = graft.util.CacheScope.persist(toks
+  /** Per-doc (w1, w2) adjacent word pairs — the stream both the LM
+    * census and the per-doc scoring consume. */
+  private def bigramPairs(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), Dedup.words(col(textCol)).as("w"))
       .withColumn("w1s",
         slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))))
       .withColumn("w2s",
         slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))))
       .select(col(idCol), explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
-      .select(col(idCol), col("p.w1s").as("w1"), col("p.w2s").as("w2")))
+      .select(col(idCol), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+
+  /** The corpus bigram census (w1, w2, c_ab) — the MODEL TABLE
+    * [[bigramLm]] scores against, standalone so it can be stored and
+    * maintained incrementally ([[incrementalBigramCensus]]). */
+  def bigramCensus(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    bigramPairs(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+
+  /** O(new)-per-day maintenance of the stored [[bigramCensus]] — the
+    * q147 incremental-index discipline applied to the LM model table:
+    * counts add under an append-only corpus, the stored census
+    * (vocabulary²-bounded, in practice ≪ corpus) never crosses an
+    * exchange — the batch census broadcasts into a map-side merge
+    * join, and brand-new bigrams append via a broadcast anti join
+    * against the touched set. Bit-identical to recomputing the census
+    * over history ∪ batch (the q150 gate oracle); unigram LHS totals
+    * re-derive from the census by construction (Σ_b c(a,b)), so the
+    * scoring model needs no second ledger. */
+  def incrementalBigramCensus(stored: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val b = bigramCensus(batch, idCol, textCol)
+      .select(col("w1"), col("w2"), col("c_ab").as("__c_b"))
+      .transform(graft.util.CacheScope.persist)
+    val merged = stored
+      .join(broadcast(b), Seq("w1", "w2"), "left")
+      .select(col("w1"), col("w2"),
+        (col("c_ab") + coalesce(col("__c_b"), lit(0L))).as("c_ab"))
+    val touched = stored.select(col("w1"), col("w2"))
+      .join(broadcast(b.select(col("w1"), col("w2"))), Seq("w1", "w2"),
+        "left_semi")
+    val fresh = b
+      .join(broadcast(touched), Seq("w1", "w2"), "left_anti")
+      .select(col("w1"), col("w2"), col("__c_b").as("c_ab"))
+    merged.unionByName(fresh)
+  }
+
+  def bigramLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, rareMax: Long): org.apache.spark.sql.DataFrame = {
+    // pairs feeds the corpus model (bi -> uni) AND the per-doc scoring
+    // join; scope-persisted so the tokenize+explode runs once, not
+    // three times (rename chains defeat ReuseExchange here)
+    val pairs = graft.util.CacheScope.persist(
+      bigramPairs(docs, idCol, textCol))
     val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     // unigram counts as bigram-LHS occurrences (Σ_b c(a,b)), so
     // P(w2|w1) = c(w1,w2)/c(w1,·) sums to 1 per w1 by construction

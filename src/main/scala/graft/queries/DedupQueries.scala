@@ -986,6 +986,69 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b
     """))
 
+  // --------------------------------------------------------------- q151
+  // Containment audit: shared/min(|A|,|B|) over the LSH candidates —
+  // the asymmetric partial-copy metric symmetric Jaccard misses (a doc
+  // embedded in one 10x its size has J <= 0.1 but containment ~1).
+  // partial_copy flags high containment with low Jaccard. Same scale
+  // shape as q19 (propose-then-verify, candidate-restricted shingle
+  // join); thresholds centi-integer so the flag is engine-portable.
+  private val q151 = Q(
+    "q151_containment_pairs",
+    (s, dir) => {
+      Dedup.containmentPairs(Tables(s, dir, "documents"), "doc_id",
+          "text", shingleK = 3, numHashes = 6, rowsPerBand = 2,
+          minContainmentCenti = 80, maxJaccardCenti = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id,
+               MIN((kh1 + 0 * kh2) % 1152921504606846976) AS h0,
+               MIN((kh1 + 1 * kh2) % 1152921504606846976) AS h1,
+               MIN((kh1 + 2 * kh2) % 1152921504606846976) AS h2,
+               MIN((kh1 + 3 * kh2) % 1152921504606846976) AS h3,
+               MIN((kh1 + 4 * kh2) % 1152921504606846976) AS h4,
+               MIN((kh1 + 5 * kh2) % 1152921504606846976) AS h5
+        FROM (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS kh1,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS kh2
+              FROM sh) GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, 0 AS band, md5(h0 || ':' || h1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || ':' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || ':' || h5) FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      shr AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared,
+             ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6)
+               AS jaccard,
+             ROUND(CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n), 6)
+               AS containment,
+             (ROUND(CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n), 6) >= 0.8
+              AND ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6)
+                  < 0.5) AS partial_copy
+      FROM shr
+      JOIN cnt ca ON ca.doc_id = doc_a
+      JOIN cnt cb ON cb.doc_id = doc_b
+      ORDER BY doc_a, doc_b
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108, q116, q117, q122, q124, q127, q144, q149)
+    q108, q116, q117, q122, q124, q127, q144, q149, q151)
 }

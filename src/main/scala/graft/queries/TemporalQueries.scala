@@ -412,5 +412,31 @@ object TemporalQueries extends QueryPack {
       ORDER BY hour, event_type
     """))
 
-  def all: Seq[Q] = Seq(q77, q78, q79, q94, q97, q98, q107, q109, q112)
+  // --------------------------------------------------------------- q152
+  // Behavior-sequence dataset export: one row per user — untruncated
+  // event count plus the first 50 event types in (ts, event_id) order,
+  // JSON-serialized. The per-key truncation runs BEFORE the per-key
+  // collection (rank filter → WindowGroupLimit, streamed with spill),
+  // so the collect buffer is bounded at 50 rows for every key — a hot
+  // user's million-event history never sits in one aggregation buffer.
+  private val q152 = Q(
+    "q152_user_event_sequences",
+    (s, dir) => {
+      graft.operators.Sequences.eventSequences(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", maxLen = 50)
+        .select(col("user_id"), col("n_events"),
+          to_json(col("seq")).as("seq"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(to_json((list(event_type ORDER BY ts, event_id))[1:50])
+               AS VARCHAR) AS seq
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
+  def all: Seq[Q] = Seq(q77, q78, q79, q94, q97, q98, q107, q109, q112,
+    q152)
 }

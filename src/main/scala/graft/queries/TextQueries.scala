@@ -865,7 +865,37 @@ object TextQueries extends QueryPack {
     Some(graft.functions.BpeTokenizer.oracleTrainAndCountSql(
       3, "documents", "text", "doc_id")))
 
+  // --------------------------------------------------------------- q150
+  // O(new) incremental bigram census: the stored LM model table
+  // (w1, w2, c_ab) absorbs the day's batch without re-tokenizing
+  // history — counts add under an append-only corpus, the stored
+  // census never crosses an exchange (batch census broadcasts into a
+  // map-side merge; new bigrams append via a broadcast anti join), and
+  // the oracle is the PLAIN census recompute over the full table, so
+  // the hash match proves the merge exact — the q147 discipline
+  // applied to the q101 scoring model's state.
+  private val q150 = Q(
+    "q150_incremental_bigram_census",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 > 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      TextAnalysis.incrementalBigramCensus(
+          TextAnalysis.bigramCensus(history, "doc_id", "text"),
+          batch, "doc_id", "text")
+        .orderBy(col("w1"), col("w2"))
+    },
+    Some(raw"""
+      WITH toks AS (SELECT doc_id, $wordsSql AS w FROM documents),
+      pairs AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i))
+      SELECT w1, w2, COUNT(*) AS c_ab
+      FROM pairs GROUP BY w1, w2
+      ORDER BY w1, w2
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137, q140, q142)
+    q137, q140, q142, q150)
 }

@@ -137,6 +137,34 @@ class DedupSpec extends SparkSpec {
     assert(meanErr <= 0.35, s"mean |est - jaccard| = $meanErr")
   }
 
+  test("containment flags a small doc embedded in a large one; jaccard alone misses it") {
+    val s = spark
+    import s.implicits._
+    // filler chosen (offline, same md5 hash family) so the embedded
+    // pair still collides on a band — the scaladoc caveat is real:
+    // extreme padding ratios fall OUT of the Jaccard-tuned candidate
+    // set, so the crafted pair keeps jaccard just under the 0.5 flag
+    // line while staying proposable
+    val small = "the quick brown fox jumps over the lazy dog"
+    val filler = (0 to 7).map(i => s"pad10w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, small),
+      (2L, small + " " + filler), // small fully embedded, j ≈ 0.47
+      (3L, "a completely unrelated document about query engines"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 6, rowsPerBand = 2,
+        minContainmentCenti = 80, maxJaccardCenti = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("jaccard"), r.getAs[Double]("containment"),
+          r.getAs[Boolean]("partial_copy"))).toMap
+    val (j, c, flag) = out.getOrElse((1L, 2L),
+      fail(s"embedded pair not proposed by LSH: ${out.keySet}"))
+    assert(c == 1.0, s"full embedding must give containment 1.0, got $c")
+    assert(j < 0.5, s"jaccard must stay low under 10x padding, got $j")
+    assert(flag, "partial_copy must fire on high-containment low-jaccard")
+  }
+
   test("jaccard verification: identical docs = 1.0, overlap in (0,1)") {
     val cand = {
       val s = spark
@@ -344,6 +372,34 @@ class SimilaritySpec extends SparkSpec {
 }
 
 class TextAnalysisSpec extends SparkSpec {
+  test("incremental bigram census ≡ full recompute, for any split") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = TextAnalysis.bigramCensus(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    Seq(2L, 3L, 7L).foreach { mod =>
+      val history = docs.filter(col("doc_id") % mod > 0)
+      val batch = docs.filter(col("doc_id") % mod === 0)
+      val inc = TextAnalysis.incrementalBigramCensus(
+          TextAnalysis.bigramCensus(history, "doc_id", "text"),
+          batch, "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(inc == full, s"mod=$mod census diverged")
+    }
+    // brand-new bigrams append; counts add on shared ones
+    val s = spark
+    import s.implicits._
+    val stored = TextAnalysis.bigramCensus(
+      Seq((1L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = TextAnalysis.incrementalBigramCensus(stored,
+        Seq((2L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "d") -> 1L))
+  }
+
   test("top tokens per group: dense ranks, non-increasing counts, exact on a crafted corpus") {
     val s = spark
     import s.implicits._
