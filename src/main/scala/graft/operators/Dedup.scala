@@ -792,4 +792,115 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
   }
+
+  /** EXACT shared-span detection — the substring-dedup primitive of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022), word-granular: every maximal run of ≥ `minSpan`
+    * consecutive shared words between two documents, found WITHOUT a
+    * suffix array via rare-shingle anchoring + gaps-and-islands.
+    *
+    * Pipeline: positioned word `k`-shingle fingerprints (60-bit md5
+    * prefix — text never leaves the row; the fingerprint is what
+    * shuffles) → anchor census keeps fingerprints appearing in 2..
+    * `maxDf` DISTINCT docs (df=1 can't pair; df>maxDf is boilerplate
+    * whose pair fan-out is df² — the cap is what bounds the join at
+    * corpus scale, exactly the candidate-bounding role LSH bands play
+    * for whole-doc dedup) → fp-keyed self-join (doc_a < doc_b) → on
+    * each pair DIAGONAL (pos_a - pos_b), consecutive pos_a runs are
+    * maximal shared spans: island id = pos_a - row_number, one window
+    * partitioned by (doc_a, doc_b, diag) — fine-grained keys, never a
+    * single-partition window. A run of n matching shingles certifies
+    * n + k - 1 identically-ordered shared words.
+    *
+    * Conservative by construction: an over-`maxDf` shingle INSIDE a
+    * long span splits its island (both halves still report if ≥
+    * minSpan) — reported spans are always truly shared; a production
+    * pass stitches islands whose gap ≤ k when totality matters more
+    * than anchor cost. Output: (doc_a, doc_b, start_a, start_b,
+    * span_words), positions 1-based over normalized words; (start_a,
+    * start_b) determines the diagonal, so the ordering is total. */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpan: Int, maxDf: Int): DataFrame = {
+    require(k >= 2, s"k=$k: span anchoring needs shingles, not words")
+    require(minSpan >= k,
+      s"minSpan=$minSpan < k=$k can never be certified by a k-shingle run")
+    val pos = positionedShingleFps(docs, idCol, textCol, k)
+      .transform(graft.util.CacheScope.persist) // census + both join sides
+    val anchors = pos.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val qual = pos.join(anchors, Seq("fp")) // fp-keyed; ints only
+    val matched = qual.as("a")
+      .join(qual.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matched
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("span_words"))
+      .filter(col("span_words") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_words"))
+  }
+
+  /** Positioned shingle fingerprints: (doc_id, pos, fp) — pos is the
+    * 1-based word index of the shingle's first word, fp the 60-bit
+    * md5-prefix of the k-word shingle (the [[minhashSignatures]] kh1
+    * family, engine-portable). Within-doc repeats keep every position. */
+  private[graft] def positionedShingleFps(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        posexplode(wordShingles(col("__w"), k)).as(Seq("__p", "__sh")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"),
+        expr("CAST(conv(substring(md5(__sh), 1, 15), 16, 10) AS BIGINT)")
+          .as("fp"))
+
+  /** Span REDACTION — the transform [[sharedSpans]] is the analysis
+    * for: keep-first at span granularity. Every detected span's words
+    * are cut from the LARGER doc id of its pair (the smaller-id copy
+    * stays intact — keep-smallest-id, the [[exact]] discipline applied
+    * to partial copies); the survivor text is the normalized words
+    * minus redacted positions, reassembled in order.
+    *
+    * Scale shape: the removal table is (doc_id, positions[]) for
+    * AFFECTED docs only — bounded by duplication incidence, not corpus
+    * size — and BROADCASTS into the doc scan, so document text never
+    * crosses an exchange: the word cut and reassembly are in-row
+    * (two-arg lambda `filter` over the bound word array; per-word
+    * `array_contains` against the doc's own removal list, which is
+    * span-sized). Corpora where the affected-doc set outgrows a
+    * broadcast shard the removal table and switch the join hint — the
+    * output contract is unchanged. Output: (doc_id, kept_text,
+    * n_removed) for EVERY input doc, kept_text normalized. */
+  def redactSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpan: Int, maxDf: Int): DataFrame = {
+    val removal = sharedSpans(docs, idCol, textCol, k, minSpan, maxDf)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_words") - 1)).as("rmpos"))
+      .distinct() // overlapping spans cover a position twice
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("rmpos")).as("__rm"))
+    docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .join(broadcast(removal), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__rm").isNull, col("__w")).otherwise(
+          filter(col("__w"), (_, i) =>
+            !array_contains(col("__rm"), (i + 1).cast("long"))))
+          .as("__kept"),
+        size(col("__w")).as("__n"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__kept")).as("kept_text"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
+  }
 }

@@ -1049,6 +1049,92 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b
     """))
 
+  // ---------------------------------------------------------------- q153
+  // Exact shared-span detection (Lee et al. 2022 substring dedup, word
+  // granular): maximal runs of >= 12 consecutive shared words between
+  // doc pairs via rare-5-shingle anchors (2 <= df <= 20) and
+  // gaps-and-islands on the pair diagonal. The oracle replays the
+  // identical anchor census, 60-bit fingerprint self-join, and island
+  // window in SQL.
+  private val spanPrefixSql = raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS fp
+        FROM norm, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      anchors AS (
+        SELECT fp FROM (
+          SELECT fp, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY fp)
+        WHERE df BETWEEN 2 AND 20),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM sh a
+        JOIN anchors an ON an.fp = a.fp
+        JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM m),
+      spans AS (
+        SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+               COUNT(*) + 4 AS span_words
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+        HAVING COUNT(*) + 4 >= 12)"""
+
+  private val q153 = Q(
+    "q153_shared_spans",
+    (s, dir) => {
+      Dedup.sharedSpans(Tables(s, dir, "documents"), "doc_id", "text",
+          k = 5, minSpan = 12, maxDf = 20)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    },
+    Some(spanPrefixSql + raw"""
+      SELECT doc_a, doc_b, start_a, start_b, span_words
+      FROM spans
+      ORDER BY doc_a, doc_b, start_a, start_b
+    """))
+
+  // ---------------------------------------------------------------- q154
+  // Span redaction: every q153 span is cut from the LARGER doc id of
+  // its pair (keep-smallest-id at span granularity); survivors are the
+  // normalized words minus redacted positions, reassembled in order.
+  // The engine broadcasts the affected-docs removal table into the doc
+  // scan and cuts in-row (text never crosses an exchange); the oracle
+  // rebuilds the same survivors with a per-position anti join +
+  // order-preserving string_agg.
+  private val q154 = Q(
+    "q154_redact_shared_spans",
+    (s, dir) => {
+      Dedup.redactSharedSpans(Tables(s, dir, "documents"), "doc_id", "text",
+          k = 5, minSpan = 12, maxDf = 20)
+        .orderBy(col("doc_id"))
+    },
+    Some(spanPrefixSql + raw""",
+      rm AS (
+        SELECT DISTINCT doc_b AS doc_id, start_b + j AS pos
+        FROM spans, UNNEST(generate_series(0, span_words - 1)) AS t(j)),
+      wp AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM norm, UNNEST(generate_series(1, len(w))) AS t(i)),
+      kept AS (
+        SELECT wp.doc_id, wp.pos, wp.word
+        FROM wp LEFT JOIN rm ON rm.doc_id = wp.doc_id AND rm.pos = wp.pos
+        WHERE rm.pos IS NULL)
+      SELECT n.doc_id,
+             COALESCE(k.t, '') AS kept_text,
+             len(n.w) - COALESCE(k.n, 0) AS n_removed
+      FROM norm n LEFT JOIN (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS t,
+               COUNT(*) AS n
+        FROM kept GROUP BY doc_id) k USING (doc_id)
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108, q116, q117, q122, q124, q127, q144, q149, q151)
+    q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154)
 }

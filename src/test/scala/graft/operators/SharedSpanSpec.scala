@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Shared-span detection + redaction (Dedup.sharedSpans /
+  * redactSharedSpans) — the word-granular substring-dedup family. */
+class SharedSpanSpec extends SparkSpec {
+
+  private def S(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("one shared 15-word span: exact pair, positions, and length") {
+    val s = spark
+    import s.implicits._
+    val shared = S("s", 15)
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"), // span at words 4..18
+      (2L, s"b1 $shared b2 b3"))       // span at words 2..16
+      .toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(spans == Seq((1L, 2L, 4L, 2L, 15L)))
+  }
+
+  test("minSpan filters: an 8-word overlap never reports at minSpan=12") {
+    val s = spark
+    import s.implicits._
+    val shared = S("t", 8)
+    val docs = Seq(
+      (1L, s"a1 $shared a2"),
+      (2L, s"b1 b2 $shared"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(docs, "doc_id", "text",
+      k = 3, minSpan = 12, maxDf = 20).isEmpty)
+  }
+
+  test("maxDf excludes boilerplate anchors: df over cap yields no span") {
+    val s = spark
+    import s.implicits._
+    val shared = S("u", 12)
+    // the same 12-word run in FIVE docs: every anchor has df=5 > maxDf=3
+    val docs = (1L to 5L).map(i => (i, s"p$i $shared q$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(docs, "doc_id", "text",
+      k = 3, minSpan = 12, maxDf = 3).isEmpty)
+    // raising the cap reports all 10 pairs
+    assert(Dedup.sharedSpans(docs, "doc_id", "text",
+      k = 3, minSpan = 12, maxDf = 5).count() == 10L)
+  }
+
+  test("gap on the same diagonal splits into two maximal spans") {
+    val s = spark
+    import s.implicits._
+    val s1 = S("g", 12); val s2 = S("h", 12)
+    val docs = Seq(
+      (8L, s"$s1 e1 $s2"),
+      (9L, s"$s1 f1 $s2"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 20)
+      .orderBy("start_a")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(spans == Seq((1L, 1L, 12L), (14L, 14L, 12L)))
+  }
+
+  test("redaction: larger id loses the span words, smaller stays intact") {
+    val s = spark
+    import s.implicits._
+    val shared = S("s", 15)
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 $shared b2 b3"))
+      .toDF("doc_id", "text")
+    val out = Dedup.redactSharedSpans(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 20)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5", 0L),
+      (2L, "b1 b2 b3", 15L)))
+  }
+
+  test("overlapping spans from two partners redact each position once") {
+    val s = spark
+    import s.implicits._
+    val w = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      (5L, "c1 c2 " + w.take(12).mkString(" ")),      // shares w1..w12
+      (6L, w.drop(7).mkString(" ") + " d1"),          // shares w8..w20
+      (7L, w.mkString(" ")))                          // loses everything
+      .toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 20)
+      .orderBy("doc_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(spans == Seq((5L, 7L, 3L, 1L, 12L), (6L, 7L, 1L, 8L, 13L)))
+    val out = Dedup.redactSharedSpans(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 20)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // union of 1..12 and 8..20 covers doc 7 completely; the 5-word
+    // overlap between docs 5 and 6 is below minSpan, so neither is cut
+    assert(out(0)._3 == 0L && out(1)._3 == 0L)
+    assert(out(2) == ((7L, "", 20L)))
+  }
+}
