@@ -149,4 +149,49 @@ object Datasheet {
         greatest(col("max_tokens"), col("b_max")).as("max_tokens"),
         col("p50_tokens_hist_lo"))
   }
+
+  /** Distribution-drift audit between two corpus slices (new crawl vs
+    * reference, today vs yesterday) over the token-length histogram —
+    * the PSI use case done in EXACT integers: a bin drifts when its
+    * SHARE differs by more than ratioNum/ratioDen in either direction,
+    * decided by cross-multiplication
+    * (cnt_a·tot_b·den > cnt_b·tot_a·num), so there is no division, no
+    * float, no log — the verdict is bit-portable to the SQL oracle and
+    * immune to summation-order noise, unlike the log-based PSI index
+    * (which this audit replaces; consumers wanting the scalar can
+    * compute it FROM these exact per-bin counts downstream, off the
+    * gate path). Products ride DECIMAL(38,0): three 1e12-scale factors
+    * stay < 1e38 — no overflow at 100 TB counts (ANSI mode would error
+    * loudly, not wrap, if that assumption ever broke).
+    *
+    * Scale shape: each slice folds to a ≤ numBins+1-row census
+    * (partial-combining count, one scan per slice), the full-outer
+    * bin join and 1-row totals fan are census-sized, and the totals
+    * broadcast is the audited constant-broadcast class. Output:
+    * (bin, cnt_a, cnt_b, drifted), zero-filled on both sides. A bin
+    * empty in one slice but occupied in the other always drifts (share
+    * r·0 is exceeded by any positive share); two empty slices report
+    * nothing. */
+  def histogramDrift(a: DataFrame, b: DataFrame, textCol: String,
+      binWidth: Long, numBins: Int, ratioNum: Long,
+      ratioDen: Long): DataFrame = {
+    require(ratioDen > 0 && ratioNum >= ratioDen,
+      s"drift ratio $ratioNum/$ratioDen must be >= 1")
+    val dec = "decimal(38,0)"
+    val joined = tokenHistogram(a, textCol, binWidth, numBins)
+      .withColumnRenamed("cnt", "cnt_a")
+      .join(tokenHistogram(b, textCol, binWidth, numBins)
+        .withColumnRenamed("cnt", "cnt_b"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        ((col("cnt_a").cast(dec) * col("tot_b") * lit(ratioDen) >
+          col("cnt_b").cast(dec) * col("tot_a") * lit(ratioNum)) ||
+         (col("cnt_b").cast(dec) * col("tot_a") * lit(ratioDen) >
+          col("cnt_a").cast(dec) * col("tot_b") * lit(ratioNum)))
+          .as("drifted"))
+  }
 }

@@ -816,7 +816,15 @@ object Dedup {
     * long span splits its island (both halves still report if ≥
     * minSpan) — reported spans are always truly shared; a production
     * pass stitches islands whose gap ≤ k when totality matters more
-    * than anchor cost. Output: (doc_a, doc_b, start_a, start_b,
+    * than anchor cost.
+    *
+    * Relation to [[SpanDedup.duplicatedSpans]] (q88): that operator
+    * flags a doc's OWN regions whose shingles repeat anywhere
+    * corpus-wide — cheap (no self-join) but attribution-free, so a
+    * keep-first cut is impossible (it would redact every copy,
+    * including the one that should survive). This pair form buys the
+    * partner doc and the diagonal alignment, which is what
+    * [[redactSharedSpans]]'s asymmetric keep-smallest-id policy needs. Output: (doc_a, doc_b, start_a, start_b,
     * span_words), positions 1-based over normalized words; (start_a,
     * start_b) determines the diagonal, so the ordering is total. */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,

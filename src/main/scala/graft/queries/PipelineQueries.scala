@@ -662,6 +662,56 @@ object PipelineQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q155
+  // Token-length distribution drift between two corpus slices (first
+  // ten sources vs the rest) — the PSI audit in exact integers: per
+  // bin, both counts plus a drifted flag where the bin share differs
+  // by more than 3/2 in either direction, decided by DECIMAL(38,0)
+  // cross-multiplication (no division/float/log, bit-portable; the
+  // oracle uses HUGEINT for the same products). Census rows are
+  // <= numBins+1 whatever the corpus size.
+  private val q155 = Q(
+    "q155_histogram_drift",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val inA = col("source").isin(
+        (0 until 10).map(i => s"src$i"): _*)
+      graft.operators.Datasheet.histogramDrift(
+          docs.filter(inA), docs.filter(!inA), "text",
+          binWidth = 8L, numBins = 256, ratioNum = 3L, ratioDen = 2L)
+        .orderBy(col("bin"))
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS tok
+        FROM documents),
+      ha AS (
+        SELECT LEAST(tok // 8, 256) AS bin, COUNT(*) AS cnt_a FROM toks
+        WHERE source IN ('src0','src1','src2','src3','src4',
+                         'src5','src6','src7','src8','src9')
+        GROUP BY 1),
+      hb AS (
+        SELECT LEAST(tok // 8, 256) AS bin, COUNT(*) AS cnt_b FROM toks
+        WHERE source NOT IN ('src0','src1','src2','src3','src4',
+                             'src5','src6','src7','src8','src9')
+        GROUP BY 1),
+      j AS (
+        SELECT COALESCE(ha.bin, hb.bin) AS bin,
+               COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+        FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+      t AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM j)
+      SELECT bin, CAST(cnt_a AS BIGINT) AS cnt_a,
+             CAST(cnt_b AS BIGINT) AS cnt_b,
+             (cnt_a::HUGEINT * tot_b * 2 > cnt_b::HUGEINT * tot_a * 3
+              OR cnt_b::HUGEINT * tot_a * 2 > cnt_a::HUGEINT * tot_b * 3)
+               AS drifted
+      FROM j, t
+      ORDER BY bin
+    """))
+
   def all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q67, q68, q69, q70, q119,
-    q120, q129, q131, q132, q141, q143, q148)
+    q120, q129, q131, q132, q141, q143, q148, q155)
 }

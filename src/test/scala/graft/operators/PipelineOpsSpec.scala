@@ -191,6 +191,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogram drift: exact share cross-multiplication, both directions") {
+    val s = spark
+    import s.implicits._
+    def doc(tokens: Int): String = Seq.fill(tokens)("w").mkString(" ")
+    // binWidth 8: bin0 = 4 tokens, bin1 = 12, bin2 = 20, bin5 = 40;
+    // both slices total 12 docs so shares read directly off counts
+    val a = (Seq.fill(6)(doc(4)) ++ Seq.fill(4)(doc(12)) ++
+      Seq.fill(2)(doc(20))).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val b = (Seq.fill(2)(doc(4)) ++ Seq.fill(4)(doc(12)) ++
+      Seq.fill(5)(doc(20)) ++ Seq(doc(40))).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Datasheet.histogramDrift(a, b, "text",
+        binWidth = 8L, numBins = 256, ratioNum = 3L, ratioDen = 2L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (0L, 6L, 2L, true),   // 6/12 vs 2/12: 3x > 1.5x
+      (1L, 4L, 4L, false),  // equal shares
+      (2L, 2L, 5L, true),   // 2.5x the other direction
+      (5L, 0L, 1L, true)))  // occupied vs empty always drifts
+    // exactly at the ratio boundary: 3/12 vs 2/12 is 1.5x — NOT drift
+    // (strict inequality; the band is inclusive)
+    val a2 = (Seq.fill(3)(doc(4)) ++ Seq.fill(9)(doc(12))).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val b2 = (Seq.fill(2)(doc(4)) ++ Seq.fill(10)(doc(12))).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val boundary = Datasheet.histogramDrift(a2, b2, "text",
+        binWidth = 8L, numBins = 256, ratioNum = 3L, ratioDen = 2L)
+      .orderBy("bin").collect().map(_.getBoolean(3)).toSeq
+    assert(boundary == Seq(false, false))
+  }
+
   test("incremental dedup flags history dups and intra-batch copies") {
     val s = spark
     import s.implicits._
