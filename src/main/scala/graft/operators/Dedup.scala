@@ -844,11 +844,21 @@ object Dedup {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
-      .withColumn("diag", col("pos_a") - col("pos_b"))
+    spansFromMatches(matched, k, minSpan)
+  }
+
+  /** Gaps-and-islands tail shared by [[sharedSpans]] and
+    * [[incrementalSharedSpans]]: matched position pairs → maximal
+    * consecutive runs per (pair, diagonal) → spans ≥ minSpan. The
+    * window partitions by (doc_a, doc_b, diag) — match-pair-grained
+    * keys, never a single-partition window. */
+  private def spansFromMatches(matched: DataFrame, k: Int,
+      minSpan: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
     matched
+      .withColumn("diag", col("pos_a") - col("pos_b"))
       .withColumn("grp", col("pos_a") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
@@ -856,6 +866,69 @@ object Dedup {
       .filter(col("span_words") >= minSpan)
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("span_words"))
+  }
+
+  /** O(new) DAILY form of [[sharedSpans]]: spans between a new batch
+    * and the corpus (history ∪ batch) with at least one BATCH endpoint,
+    * identical to running the batch form over history ∪ batch and
+    * keeping the pairs that touch the batch — without re-shingling
+    * history. `historyIndex` is the stored positioned-fingerprint table
+    * ([[positionedShingleFps]] shape) and `historyCensus` the stored
+    * per-fp distinct-doc census; history and batch doc ids must be
+    * disjoint (append-only corpus).
+    *
+    * Why the equivalence is exact: every match in a qualifying pair
+    * involves a fingerprint PRESENT IN A BATCH DOC (both endpoints of a
+    * match contain the shingle), so anchors only need df for
+    * batch-present fps — and that df merges exactly (distinct-doc
+    * counts over disjoint id sets add). The stored tables never cross
+    * an exchange un-filtered: the batch fp set broadcasts into a
+    * semi-join on the census and index scans (the q147 stored-side
+    * discipline), so only history rows matching a batch anchor — a
+    * batch-proportional slice — reach the pair join, which itself
+    * builds broadcast on the batch side. The one keyed shuffle is the
+    * islands window over MATCHED pairs, O(batch matches). Oracle = the
+    * plain full recompute filtered to batch-touching pairs; the hash
+    * match proves the merge is a pure optimization (q65/q108/q132
+    * family). */
+  def incrementalSharedSpans(historyIndex: DataFrame,
+      historyCensus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, k: Int, minSpan: Int, maxDf: Int): DataFrame = {
+    require(minSpan >= k,
+      s"minSpan=$minSpan < k=$k can never be certified by a k-shingle run")
+    val bpos = positionedShingleFps(batch, idCol, textCol, k)
+      .transform(graft.util.CacheScope.persist)
+    val bCensus = bpos.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("__dfb"))
+      .transform(graft.util.CacheScope.persist)
+    // merged df for batch-present fps only: the stored census is
+    // semi-filtered by the broadcast batch fp set, never shuffled
+    val dfh = historyCensus
+      .join(broadcast(bCensus.select(col("fp"))), Seq("fp"), "left_semi")
+    val anchors = bCensus
+      .join(dfh, Seq("fp"), "left")
+      .select(col("fp"),
+        (col("__dfb") + coalesce(col("df"), lit(0L))).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("fp"))
+      .transform(graft.util.CacheScope.persist)
+    val bq = bpos.join(broadcast(anchors), Seq("fp"))
+    val hq = historyIndex
+      .join(broadcast(anchors), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("fp"))
+    val all = hq.unionByName(bq.select(col("doc_id"), col("pos"), col("fp")))
+    // pairs with >= 1 batch endpoint, each exactly once:
+    //   p1: a ∈ history ∪ batch, b ∈ batch, a.id < b.id
+    //   p2: a ∈ batch, b ∈ history, a.id < b.id   (disjoint from p1 by
+    //       b's provenance)
+    def pairs(aSide: DataFrame, bSide: DataFrame) =
+      aSide.as("a").join(bSide.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    val p1 = pairs(all, broadcast(bq))
+    val p2 = pairs(broadcast(bq), hq)
+    spansFromMatches(p1.unionByName(p2), k, minSpan)
   }
 
   /** Positioned shingle fingerprints: (doc_id, pos, fp) — pos is the

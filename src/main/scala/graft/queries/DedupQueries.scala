@@ -1135,6 +1135,34 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // ---------------------------------------------------------------- q156
+  // O(new) incremental shared spans: the stored positioned-fingerprint
+  // index + per-fp census absorb a new batch; output is exactly the
+  // q153 batch recompute over history ∪ batch restricted to pairs
+  // touching the batch (the oracle IS that recompute — the hash match
+  // proves the census merge and stored-side semi-filtering are a pure
+  // optimization). Stored tables never shuffle un-filtered: the batch
+  // fp set broadcasts into semi-joins on both scans.
+  private val q156 = Q(
+    "q156_incremental_shared_spans",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      val index = Dedup.positionedShingleFps(history, "doc_id", "text", 5)
+      val census = index.select(col("fp"), col("doc_id")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      Dedup.incrementalSharedSpans(index, census, batch, "doc_id", "text",
+          k = 5, minSpan = 12, maxDf = 20)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    },
+    Some(spanPrefixSql + raw"""
+      SELECT doc_a, doc_b, start_a, start_b, span_words
+      FROM spans
+      WHERE NOT (doc_a % 3 = 0 AND doc_b % 3 = 0)
+      ORDER BY doc_a, doc_b, start_a, start_b
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154)
+    q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156)
 }

@@ -83,6 +83,40 @@ class SharedSpanSpec extends SparkSpec {
       (2L, "b1 b2 b3", 15L)))
   }
 
+  test("incremental ≡ batch recompute restricted to batch-touching pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(2L, 3L).foreach { mod =>
+      val history = docs.filter(col("doc_id") % mod === 0)
+      val batch = docs.filter(col("doc_id") % mod =!= 0)
+      val index = Dedup.positionedShingleFps(history, "doc_id", "text", 5)
+      val census = index.select(col("fp"), col("doc_id")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      val inc = Dedup.incrementalSharedSpans(index, census, batch,
+          "doc_id", "text", k = 5, minSpan = 8, maxDf = 20)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b").collect().toSeq
+      val full = Dedup.sharedSpans(docs, "doc_id", "text",
+          k = 5, minSpan = 8, maxDf = 20)
+        .filter(!(col("doc_a") % mod === 0 && col("doc_b") % mod === 0))
+        .orderBy("doc_a", "doc_b", "start_a", "start_b").collect().toSeq
+      assert(inc.nonEmpty, s"mod=$mod fixture found no spans — weak test")
+      assert(inc == full, s"mod=$mod incremental diverged")
+    }
+  }
+
+  test("incremental plan: stored index joins stay broadcast, no SMJ") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val index = Dedup.positionedShingleFps(history, "doc_id", "text", 5)
+    val census = index.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val plan = Dedup.incrementalSharedSpans(index, census, batch,
+        "doc_id", "text", k = 5, minSpan = 8, maxDf = 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "stored-side join fell off the broadcast path:\n" + plan)
+  }
+
   test("overlapping spans from two partners redact each position once") {
     val s = spark
     import s.implicits._
