@@ -853,7 +853,16 @@ object Dedup {
     * window partitions by (doc_a, doc_b, diag) — match-pair-grained
     * keys, never a single-partition window. */
   private def spansFromMatches(matched: DataFrame, k: Int,
-      minSpan: Int): DataFrame = {
+      minSpan: Int): DataFrame =
+    islandsFromMatches(matched, k)
+      .filter(col("span_words") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_words"))
+
+  /** Raw maximal islands (no minSpan cut): one row per consecutive
+    * matched run per (pair, diagonal), with `diag` retained for
+    * downstream stitching. */
+  private def islandsFromMatches(matched: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
@@ -863,9 +872,65 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
         (count(lit(1)) + lit(k - 1).cast("long")).as("span_words"))
+      .select(col("doc_a"), col("doc_b"), col("diag"), col("start_a"),
+        col("start_b"), col("span_words"))
+  }
+
+  /** GAP-TOLERANT form of [[sharedSpans]] — the "production stitching
+    * pass" that scaladoc names: islands on the SAME pair diagonal whose
+    * word gap is ≤ `maxGap` merge into one reported region, so a long
+    * shared span split by an over-`maxDf` boilerplate shingle (or by a
+    * small local edit under the same alignment) reports as the single
+    * near-contiguous duplication it is. `span_words` is the covered
+    * WIDTH including tolerated gaps; `n_islands` says how many exact
+    * runs back it (1 = purely exact — the q153 row). Islands at
+    * shingle distance < k overlap at word level (negative gap) and
+    * always stitch. Same shuffle geometry as [[sharedSpans]]: the
+    * stitch is a second lag+running-sum window over ISLAND rows —
+    * pair-diagonal-keyed, island-sized input, nothing corpus-wide. */
+  def sharedSpansStitched(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpan: Int, maxDf: Int, maxGap: Int): DataFrame = {
+    require(maxGap >= 0, s"maxGap=$maxGap must be >= 0")
+    require(k >= 2 && minSpan >= k,
+      s"minSpan=$minSpan / k=$k: need minSpan >= k >= 2")
+    val pos = positionedShingleFps(docs, idCol, textCol, k)
+      .transform(graft.util.CacheScope.persist)
+    val anchors = pos.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val qual = pos.join(anchors, Seq("fp"))
+    val matched = qual.as("a")
+      .join(qual.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    stitchIslands(islandsFromMatches(matched, k), minSpan, maxGap)
+  }
+
+  /** Stitch tail of [[sharedSpansStitched]], separated for reuse over
+    * incrementally-produced islands. */
+  private def stitchIslands(islands: DataFrame, minSpan: Int,
+      maxGap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDiag = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("start_a"))
+    val run = byDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevEnd = lag(col("start_a") + col("span_words") - 1, 1).over(byDiag)
+    islands
+      .withColumn("__brk",
+        when(prevEnd.isNull ||
+          col("start_a") - prevEnd - 1 > maxGap, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(run))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__sid"))
+      .agg(min(col("start_a")).as("start_a"), min(col("start_b")).as("start_b"),
+        (max(col("start_a") + col("span_words")) - min(col("start_a")))
+          .as("span_words"),
+        count(lit(1)).as("n_islands"))
       .filter(col("span_words") >= minSpan)
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
-        col("span_words"))
+        col("span_words"), col("n_islands"))
   }
 
   /** O(new) DAILY form of [[sharedSpans]]: spans between a new batch

@@ -1056,7 +1056,7 @@ object DedupQueries extends QueryPack {
   // gaps-and-islands on the pair diagonal. The oracle replays the
   // identical anchor census, 60-bit fingerprint self-join, and island
   // window in SQL.
-  private val spanPrefixSql = raw"""
+  private val islPrefixSql = raw"""
       WITH norm AS (
         SELECT doc_id, $normWordsSql AS w FROM documents),
       sh AS (
@@ -1079,7 +1079,9 @@ object DedupQueries extends QueryPack {
         SELECT doc_a, doc_b, diag, pos_a, pos_b,
                pos_a - ROW_NUMBER() OVER (
                  PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
-        FROM m),
+        FROM m)"""
+
+  private val spanPrefixSql = islPrefixSql + raw""",
       spans AS (
         SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
                COUNT(*) + 4 AS span_words
@@ -1163,6 +1165,49 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b, start_a, start_b
     """))
 
+  // ---------------------------------------------------------------- q157
+  // Gap-tolerant stitched spans: islands on the same pair diagonal
+  // whose word gap is <= 8 merge into one region — a long duplication
+  // split by a boilerplate anchor or a small local edit reports whole.
+  // span_words is covered width INCLUDING tolerated gaps; n_islands
+  // counts the exact runs backing it. Same per-pair-diagonal window
+  // class as q153, one extra lag+running-sum pass over island rows.
+  // (The driver testdata's duplications are contiguous — every gate
+  // row has n_islands = 1 — so the merge arm is pinned by
+  // SharedSpanSpec's crafted gap fixtures, the gate by the oracle.)
+  private val q157 = Q(
+    "q157_shared_spans_stitched",
+    (s, dir) => {
+      Dedup.sharedSpansStitched(Tables(s, dir, "documents"), "doc_id",
+          "text", k = 5, minSpan = 12, maxDf = 20, maxGap = 8)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    },
+    Some(islPrefixSql + raw""",
+      isl2 AS (
+        SELECT doc_a, doc_b, diag, MIN(pos_a) AS sa, MIN(pos_b) AS sb,
+               COUNT(*) + 4 AS sw
+        FROM isl GROUP BY doc_a, doc_b, diag, grp),
+      mark AS (
+        SELECT doc_a, doc_b, diag, sa, sb, sw,
+               CASE WHEN LAG(sa + sw - 1) OVER w IS NULL
+                     OR sa - LAG(sa + sw - 1) OVER w - 1 > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM isl2
+        WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY sa)),
+      st AS (
+        SELECT doc_a, doc_b, diag, sa, sb, sw,
+               SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY sa
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM mark)
+      SELECT doc_a, doc_b, MIN(sa) AS start_a, MIN(sb) AS start_b,
+             MAX(sa + sw) - MIN(sa) AS span_words,
+             COUNT(*) AS n_islands
+      FROM st GROUP BY doc_a, doc_b, diag, sid
+      HAVING MAX(sa + sw) - MIN(sa) >= 12
+      ORDER BY doc_a, doc_b, start_a, start_b
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
-    q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156)
+    q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156,
+    q157)
 }

@@ -83,6 +83,44 @@ class SharedSpanSpec extends SparkSpec {
       (2L, "b1 b2 b3", 15L)))
   }
 
+  test("stitching merges gap-split islands; wide gaps stay split") {
+    val s = spark
+    import s.implicits._
+    val s1 = S("g", 12); val s2 = S("h", 12)
+    // same diagonal, 1-word gap: q153 reports two 12-word spans,
+    // the stitched form one 25-word region of 2 islands
+    val docs = Seq(
+      (8L, s"$s1 e1 $s2"),
+      (9L, s"$s1 f1 $s2"))
+      .toDF("doc_id", "text")
+    val stitched = Dedup.sharedSpansStitched(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 20, maxGap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(stitched == Seq((8L, 9L, 1L, 1L, 25L, 2L)))
+    // maxGap 0 refuses the 1-word gap: two exact regions, each 1 island
+    val strict = Dedup.sharedSpansStitched(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 20, maxGap = 0)
+      .orderBy("start_a")
+      .collect().map(r => (r.getLong(2), r.getLong(4), r.getLong(5))).toSeq
+    assert(strict == Seq((1L, 12L, 1L), (14L, 12L, 1L)))
+  }
+
+  test("stitched ≡ exact spans when every island already stands alone") {
+    val s = spark
+    import s.implicits._
+    val shared = S("s", 15)
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 $shared b2 b3"))
+      .toDF("doc_id", "text")
+    val st = Dedup.sharedSpansStitched(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 20, maxGap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(st == Seq((1L, 2L, 4L, 2L, 15L, 1L)))
+  }
+
   test("incremental ≡ batch recompute restricted to batch-touching pairs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Seq(2L, 3L).foreach { mod =>
