@@ -133,6 +133,69 @@ object Curation {
       perHost: Int): DataFrame =
     Sampling.stratifiedSample(docs, hostCol, idCol, perHost)
 
+  /** Per-host TOKEN budget: within each host, admit documents in
+    * quality order (best first, id tie-break) until the host's
+    * cumulative token count crosses `budgetTokens` — the
+    * proportional-curation refinement of [[hostQuota]]'s flat doc cap
+    * (a giant domain of one-line pages and one of book-length pages
+    * get the same token mass, not the same doc count). Emits every
+    * doc with its running total and verdict so the caller can audit
+    * the cut line; `filter(kept)` is the curated corpus.
+    *
+    * Scale: ONE window partitioned by host — the partitionSpec is
+    * never empty (the PlanAuditSpec-banned class), per-host row counts
+    * are crawl-frontier bounded, and hosts hash-spread across
+    * executors. A pathological mega-host skews its partition; the
+    * mitigation is upstream ([[hostQuota]] first, or salt the host and
+    * budget per salt-slice) — not a global sort, which this plan never
+    * performs. */
+  /** MODEL-based quality filtering: score every document under a
+    * linear model whose weights live in a TABLE — the fastText-style
+    * classifier-filter stage of a pretraining pipeline, where the
+    * model retrains offline and ships as data (swap the weights table,
+    * not the job). `weights` is (feature: string, w_micro: long) in
+    * integer micro-units; `featureCols` are integer feature columns
+    * already on `docs`; an optional 'bias' row applies with implicit
+    * x = 1. Score = Σ w_f·x_f + bias, EXACT integer arithmetic
+    * (micro × count ≤ 1e12-scale per term — far inside BIGINT), so
+    * the verdict is bit-portable to the SQL oracle.
+    *
+    * Scale shape: the weights table folds to ONE map-typed row and
+    * attaches as a scalar subquery (the q120/packContexts discipline —
+    * no cross join, no BNLJ); the dot product is then a map-side,
+    * codegen'd expression — scoring 100 TB shuffles NOTHING. A missing
+    * weight contributes 0 (the model simply doesn't use that feature),
+    * so feature-set drift between model versions degrades gracefully
+    * instead of erroring the whole corpus. */
+  def modelScore(docs: DataFrame, idCol: String, weights: DataFrame,
+      featureCols: Seq[String], threshold: Long): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val wmap = weights.agg(map_from_arrays(
+      collect_list(col("feature")), collect_list(col("w_micro"))).as("wm"))
+    val term = (f: String) =>
+      coalesce(element_at(col("__wm"), lit(f)), lit(0L))
+    val dot = featureCols.map(f => term(f) * col(f).cast("long"))
+      .reduce(_ + _) + term("bias")
+    docs
+      .withColumn("__wm",
+        Bridge.column(ScalarSubquery(Bridge.analyzed(wmap))))
+      .withColumn("score_micro", dot)
+      .withColumn("kept", col("score_micro") >= threshold)
+      .drop("__wm")
+  }
+
+  def hostTokenBudget(docs: DataFrame, hostCol: String, idCol: String,
+      tokensCol: String, qualityCol: String,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("kept", col("cum_tokens") <= budgetTokens)
+  }
+
   /** Drop documents whose host is on a blocklist — broadcast ANTI-join
     * rather than `isin`: a production blocklist is a table of thousands
     * of hosts that ships to executors once, not a literal baked into

@@ -166,8 +166,8 @@ object Datasheet {
     *
     * Scale shape: each slice folds to a ≤ numBins+1-row census
     * (partial-combining count, one scan per slice), the full-outer
-    * bin join and 1-row totals fan are census-sized, and the totals
-    * broadcast is the audited constant-broadcast class. Output:
+    * bin join is census-sized, and the 1-row totals attach as a
+    * scalar subquery (no cross-join fan in the plan). Output:
     * (bin, cnt_a, cnt_b, drifted), zero-filled on both sides. A bin
     * empty in one slice but occupied in the other always drifts (share
     * r·0 is exceeded by any positive share); two empty slices report
@@ -184,14 +184,22 @@ object Datasheet {
         .withColumnRenamed("cnt", "cnt_b"), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-    val totals = joined.agg(sum(col("cnt_a")).as("tot_a"),
-      sum(col("cnt_b")).as("tot_b"))
-    joined.crossJoin(broadcast(totals))
+    // totals ride in as ONE scalar subquery (the q120/packContexts
+    // discipline) — no 1-row cross join, so the plan carries no
+    // BNLJ/CartesianProduct for the audit to except; the re-aggregated
+    // branch is census-sized (≤ numBins+1 rows), not a corpus rescan
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val totals = joined.agg(struct(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b")).as("tt"))
+    joined
+      .withColumn("__tt",
+        Bridge.column(ScalarSubquery(Bridge.analyzed(totals))))
       .select(col("bin"), col("cnt_a"), col("cnt_b"),
-        ((col("cnt_a").cast(dec) * col("tot_b") * lit(ratioDen) >
-          col("cnt_b").cast(dec) * col("tot_a") * lit(ratioNum)) ||
-         (col("cnt_b").cast(dec) * col("tot_a") * lit(ratioDen) >
-          col("cnt_a").cast(dec) * col("tot_b") * lit(ratioNum)))
+        ((col("cnt_a").cast(dec) * col("__tt.tot_b") * lit(ratioDen) >
+          col("cnt_b").cast(dec) * col("__tt.tot_a") * lit(ratioNum)) ||
+         (col("cnt_b").cast(dec) * col("__tt.tot_a") * lit(ratioDen) >
+          col("cnt_a").cast(dec) * col("__tt.tot_b") * lit(ratioNum)))
           .as("drifted"))
   }
 }

@@ -263,6 +263,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental SimHash near-dup: flag NEW documents whose signature
+    * sits within `maxHamming` bits of a STORED signature index — the
+    * Hamming-space sibling of [[incrementalMinhash]], closing the
+    * O(new)-per-day family for the simhash lane. The index carries
+    * (doc_id, simhash) ONLY — 8 bytes per historical document, no
+    * text — and is never rescanned beyond one band explode: per batch
+    * the cost is map-side native signatures over the NEW docs
+    * ([[simhash32Native]], zero shuffle), a pigeonhole band join
+    * new×history (4×8-bit blocks: a pair within Hamming ≤ 7 shares at
+    * least one exact block whenever differences concentrate — the q18
+    * recall/precision tradeoff), and an exact `bit_count(xor)` verify
+    * computed from the signatures the band join already carries, so
+    * nothing joins back to the corpus.
+    *
+    * `historySigs` must have the [[simhash32Native]] schema
+    * (doc_id, simhash). Output: (new_id, hist_id, hamming) for pairs
+    * with hamming <= maxHamming. */
+  def incrementalSimhash(historySigs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, shingleK: Int,
+      maxHamming: Int): DataFrame = {
+    def banded(sigs: DataFrame, side: String): DataFrame =
+      sigs.select(col("doc_id").as(s"${side}_id"),
+          col("simhash").as(s"${side}_sig"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("bandval",
+          expr(s"shiftright(${side}_sig, k * 8) & 255"))
+    val nb = banded(
+      simhash32Native(newDocs, idCol, textCol, shingleK), "new")
+    val hb = banded(historySigs, "hist")
+    nb.join(hb, Seq("k", "bandval"))
+      .select(col("new_id"), col("hist_id"),
+        expr("bit_count(new_sig ^ hist_sig)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** LSH-propose + exact-Jaccard-verify, candidate-restricted: the
     * propose side computes signatures MAP-SIDE (native MinHashSig — no
     * shingle shuffle at all), and the exploded shingle frame needed for

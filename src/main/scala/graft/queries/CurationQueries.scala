@@ -587,6 +587,67 @@ object CurationQueries extends QueryPack {
       ORDER BY src_a, src_b
     """))
 
+  // --------------------------------------------------------------- q160
+  // Model-based quality filtering: a linear classifier whose weights
+  // live in a TABLE (the fastText-filter stage — the model retrains
+  // offline and ships as data, swap the table not the job). The
+  // weights fold to one map-typed row and attach as a scalar subquery
+  // (q120's discipline, no cross join); the dot product is map-side
+  // codegen'd integer arithmetic — scoring shuffles nothing. The
+  // oracle spells the same model the SQL way: melt features, join the
+  // weights VALUES table, sum — proving the map-lookup fast path
+  // equals the relational form. Threshold 450000 sits mid-distribution
+  // at sf0.01 (roughly half the corpus keeps).
+  private val q160 = Q(
+    "q160_model_quality_filter",
+    (s, dir) => {
+      import s.implicits._
+      val weights = Seq(
+        ("n_chars", 1000L), ("n_tokens", 5000L),
+        ("n_punct", -50000L), ("n_digit", -50000L),
+        ("bias", -100000L)).toDF("feature", "w_micro")
+      val t = graft.operators.TextAnalysis
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          t.tokenCount(col("text")).as("n_tokens"),
+          t.punctCount(col("text")).cast("long").as("n_punct"),
+          t.digitCount(col("text")).cast("long").as("n_digit"))
+      Curation.modelScore(docs, "doc_id", weights,
+          Seq("n_chars", "n_tokens", "n_punct", "n_digit"),
+          threshold = 450000L)
+        .select(col("doc_id"), col("score_micro"), col("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH w(feature, w_micro) AS (VALUES
+        ('n_chars', 1000), ('n_tokens', 5000),
+        ('n_punct', -50000), ('n_digit', -50000), ('bias', -100000)),
+      f AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS BIGINT) AS n_digit
+        FROM documents),
+      m AS (
+        SELECT doc_id, 'n_chars' AS feature, n_chars AS x FROM f
+        UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM f
+        UNION ALL SELECT doc_id, 'n_punct', n_punct FROM f
+        UNION ALL SELECT doc_id, 'n_digit', n_digit FROM f
+        UNION ALL SELECT doc_id, 'bias', 1 FROM f)
+      SELECT doc_id,
+             CAST(SUM(x * w_micro) AS BIGINT) AS score_micro,
+             SUM(x * w_micro) >= 450000 AS kept
+      FROM m JOIN w USING (feature)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
-    q125, q128)
+    q125, q128, q160)
 }

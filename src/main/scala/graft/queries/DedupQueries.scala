@@ -1207,7 +1207,67 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b, start_a, start_b
     """))
 
+  // --------------------------------------------------------------- q158
+  // Incremental SimHash near-dup: even-id docs stand in for the stored
+  // signature index (8 bytes per doc, no text), odd-id docs are the
+  // arriving batch. New signatures compute map-side (native SimHash32,
+  // zero shuffle), pigeonhole-band-join the index (4×8-bit blocks),
+  // and verify by exact bit_count(xor) carried through the join — the
+  // historical corpus is never rescanned. Hamming-space sibling of
+  // q108's incremental MinHash; closes the O(new) family for the
+  // simhash lane.
+  private val q158 = Q(
+    "q158_incremental_simhash",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val historySigs = Dedup.simhash32Native(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        shingleK = 3)
+      Dedup.incrementalSimhash(
+          historySigs, docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", shingleK = 3, maxHamming = 5)
+        .select(col("new_id"), col("hist_id"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("new_id"), col("hist_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      shingles AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      wh AS (
+        SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS wh
+        FROM shingles),
+      bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (wh >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM wh, UNNEST(generate_series(0, 31)) AS t(j)
+        GROUP BY doc_id, j),
+      sig AS (
+        SELECT doc_id,
+               SUM((CASE WHEN s > 0 THEN 1::BIGINT ELSE 0::BIGINT END) << j)
+                 AS simhash
+        FROM bits GROUP BY doc_id),
+      hband AS (
+        SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
+        FROM sig, UNNEST(generate_series(0, 3)) AS t(k)
+        WHERE doc_id % 2 = 0),
+      nband AS (
+        SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
+        FROM sig, UNNEST(generate_series(0, 3)) AS t(k)
+        WHERE doc_id % 2 <> 0)
+      SELECT new_id, hist_id, CAST(hamming AS INTEGER) AS hamming FROM (
+        SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id,
+               bit_count(xor(n.simhash, h.simhash)) AS hamming
+        FROM nband n JOIN hband h
+          ON n.k = h.k AND n.bandval = h.bandval)
+      WHERE hamming <= 5
+      ORDER BY new_id, hist_id
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
     q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156,
-    q157)
+    q157, q158)
 }

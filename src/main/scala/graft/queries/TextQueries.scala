@@ -835,6 +835,51 @@ object TextQueries extends QueryPack {
       ORDER BY host
     """))
 
+  // --------------------------------------------------------------- q159
+  // Per-host TOKEN budget: q136's host discipline applied to token
+  // MASS instead of a verdict on mean quality — within each host,
+  // docs admit in quality order (q24's micro-unit score, doc_id
+  // tie-break) until the host's running token total crosses 700,
+  // the proportional-curation pass that stops one giant domain from
+  // swamping the mixture by token count. ONE window partitioned by
+  // host (never the banned empty partitionSpec), running SUM over
+  // rows — the 700 cut sits mid-distribution at sf0.01 (hosts carry
+  // ~1.3–1.6k tokens), so roughly half of each host survives and
+  // both branches of the verdict are exercised.
+  private val q159 = Q(
+    "q159_host_token_budget",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://crawler@"), col("source"),
+            lit(".example.org:8443/docs/"), col("doc_id")))
+        .withColumn("host", graft.operators.Curation.extractHost(col("url")))
+        .withColumn("__w", graft.operators.Dedup.words(col("text")))
+        .withColumn("q_micro",
+          TextAnalysis.qualityMicro(col("text"), col("__w")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      graft.operators.Curation.hostTokenBudget(
+          docs, "host", "doc_id", "n_tokens", "q_micro",
+          budgetTokens = 700L)
+        .select(col("doc_id"), col("host"), col("cum_tokens"), col("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH $qmicroCtes,
+      qt AS (
+        SELECT q.doc_id, q.host, q.qm, b.n_tokens
+        FROM q JOIN base b USING (doc_id)),
+      cum AS (
+        SELECT doc_id, host,
+               SUM(n_tokens) OVER (PARTITION BY host
+                 ORDER BY qm DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM qt)
+      SELECT doc_id, host, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             cum_tokens <= 700 AS kept
+      FROM cum ORDER BY doc_id
+    """))
+
   // --------------------------------------------------------------- q137
   // Distributed BPE TRAINING, the full loop q130 is one step of:
   // 5 rounds of (corpus-wide pair census → adopt the top pair → fuse
@@ -897,5 +942,5 @@ object TextQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137, q140, q142, q150)
+    q137, q140, q142, q150, q159)
 }

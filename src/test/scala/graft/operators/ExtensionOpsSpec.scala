@@ -53,6 +53,46 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == Set((11L, 10L, 6L), (13L, 10L, 6L)), out.toSeq)
   }
 
+  test("incremental simhash ≡ batch pairs restricted to new×history") {
+    val s = spark
+    import s.implicits._
+    // history: 10 (base text), 14 (unrelated); batch: 11 and 13
+    // normalized-identical to 10 (hamming 0 — guaranteed flagged at
+    // any threshold; also a NEW×NEW identical pair that must NOT be
+    // emitted), 12 (unrelated to everything)
+    val history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (14L, "completely disjoint vocabulary nothing shared with anything else"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (13L, "THE QUICK brown fox jumps over the lazy dog again and again today"),
+      (12L, "spark catalyst tungsten planner rules strategies exchanges"))
+      .toDF("doc_id", "text")
+    val histSigs = Dedup.simhash32Native(history, "doc_id", "text", 3)
+    val inc = Dedup.incrementalSimhash(histSigs, batch, "doc_id", "text",
+        shingleK = 3, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // equivalence: the batch self-join over history ∪ batch, restricted
+    // to pairs that CROSS the split, proposes and verifies through the
+    // identical pigeonhole bands — the incremental path must match it
+    // exactly (pure optimization, not an approximation)
+    val histIds = Set(10L, 14L)
+    val full = Dedup.simhashPairs(
+        Dedup.simhash32Native(history.unionByName(batch), "doc_id", "text", 3),
+        maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if histIds(a) && !histIds(b) => (b, a)
+        case (a, b) if !histIds(a) && histIds(b) => (a, b)
+      }.toSet
+    assert(inc == full, s"incremental ≠ batch-cross:\n inc=$inc\n full=$full")
+    // behavior: identical-to-history docs flagged at hamming 0; the
+    // NEW×NEW identical pair (11,13) is structurally absent
+    assert(inc.contains((11L, 10L)) && inc.contains((13L, 10L)), inc)
+    assert(!inc.contains((13L, 11L)) && !inc.contains((11L, 13L)), inc)
+  }
+
   test("incremental dup clusters ≡ full recompute: merge, singleton pickup, untouched passthrough") {
     val s = spark
     import s.implicits._

@@ -203,4 +203,63 @@ class HostCurationSpec extends SparkSpec {
     assert(byHost("b.org")._5 && byHost("b.org")._3 == 1L)
     assert(!byHost("c.org")._5 && byHost("c.org")._4 == 655555L)
   }
+
+  test("hostTokenBudget admits in quality order until the token cap") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // host a: quality order is 3, 1, 2 (id breaks the 1-2 tie);
+      // budget 100 admits 3 (60) then 1 (cum 100 == cap, kept), 2 over
+      (1L, "a.org", 40L, 500000L), (2L, "a.org", 40L, 500000L),
+      (3L, "a.org", 60L, 900000L),
+      // host b: a single doc larger than the cap is rejected outright
+      (4L, "b.org", 150L, 990000L),
+      // host c: fits entirely
+      (5L, "c.org", 30L, 100000L), (6L, "c.org", 30L, 200000L)
+    ).toDF("doc_id", "host", "n_tokens", "q_micro")
+    val out = Curation.hostTokenBudget(docs, "host", "doc_id",
+        "n_tokens", "q_micro", budgetTokens = 100L)
+      .select(col("doc_id"), col("cum_tokens"), col("kept"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(3L) == (60L, true) && out(1L) == (100L, true),
+      s"quality-first admission violated: $out")
+    assert(out(2L) == (140L, false), s"over-budget doc kept: $out")
+    assert(out(4L) == (150L, false), "single over-cap doc must reject")
+    assert(out(5L)._2 && out(6L)._2, "under-budget host must keep all")
+    // every input row is emitted with its verdict (audit property)
+    assert(out.size == 6)
+  }
+
+  test("modelScore: table-driven dot product, missing weights are 0, no shuffle") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, 10L, 2L), (2L, 0L, 0L), (3L, 100L, 50L))
+      .toDF("doc_id", "f_len", "f_bad")
+    // model uses f_len, penalizes f_bad, carries a bias; an extra
+    // weight for a feature the frame lacks is simply never looked up
+    val weights = Seq(("f_len", 3L), ("f_bad", -5L), ("bias", 7L),
+      ("f_unused", 999L)).toDF("feature", "w_micro")
+    val out = Curation.modelScore(docs, "doc_id", weights,
+        Seq("f_len", "f_bad"), threshold = 10L)
+      .select(col("doc_id"), col("score_micro"), col("kept"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == (10L * 3 - 2 * 5 + 7, true))
+    assert(out(2L) == (7L, false))
+    assert(out(3L) == (100L * 3 - 50 * 5 + 7, true))
+    // a model that doesn't weight a feature contributes 0 for it
+    val sparse = Curation.modelScore(docs, "doc_id",
+        Seq(("f_len", 2L)).toDF("feature", "w_micro"),
+        Seq("f_len", "f_bad"), threshold = 0L)
+      .select(col("score_micro")).collect().map(_.getLong(0)).sorted
+    assert(sparse.toSeq == Seq(0L, 20L, 200L))
+    // plan shape: scoring is map-side — no Exchange above the scan on
+    // the scoring branch (the subquery's fold is the only aggregate)
+    val plan = Curation.modelScore(docs, "doc_id", weights,
+      Seq("f_len", "f_bad"), 10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
