@@ -149,6 +149,17 @@ object Curation {
     * mitigation is upstream ([[hostQuota]] first, or salt the host and
     * budget per salt-slice) — not a global sort, which this plan never
     * performs. */
+  def hostTokenBudget(docs: DataFrame, hostCol: String, idCol: String,
+      tokensCol: String, qualityCol: String,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("kept", col("cum_tokens") <= budgetTokens)
+  }
+
   /** MODEL-based quality filtering: score every document under a
     * linear model whose weights live in a TABLE — the fastText-style
     * classifier-filter stage of a pretraining pipeline, where the
@@ -183,17 +194,6 @@ object Curation {
       .withColumn("score_micro", dot)
       .withColumn("kept", col("score_micro") >= threshold)
       .drop("__wm")
-  }
-
-  def hostTokenBudget(docs: DataFrame, hostCol: String, idCol: String,
-      tokensCol: String, qualityCol: String,
-      budgetTokens: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(hostCol))
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
-      .withColumn("kept", col("cum_tokens") <= budgetTokens)
   }
 
   /** Drop documents whose host is on a blocklist — broadcast ANTI-join

@@ -153,6 +153,61 @@ object Sketch {
         col("overestimates"), col("rnk").cast("int").as("rnk"))
   }
 
+  // ------------------------------------------------------- KMV ledger
+
+  /** Per-group KMV sketch as a STORED ledger row: the k smallest
+    * 60-bit member hashes, ascending (the [[graft.functions.KmvSketchAgg]]
+    * buffer verbatim). 8k bytes per group whatever the member
+    * cardinality — the distinct-count state a 100 TB corpus can
+    * actually keep per (source, day, …) forever. */
+  def kmvLedger(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    df.groupBy(col(groupCol))
+      .agg(Bridge.column(graft.functions.KmvSketchAgg(
+        Bridge.expression(hash60(col(valueCol))), k)
+        .toAggregateExpression()).as("kmv"))
+  }
+
+  /** O(new)-per-day KMV ledger maintenance: fold TODAY's batch to its
+    * own per-group sketch (map-side partial-merge, ≤ k longs per
+    * task·group on the wire), then merge with the stored ledger by
+    * pure array arithmetic — the k smallest of the union of two
+    * k-smallest sets IS the k-smallest of the united underlying sets
+    * (KMV's mergeability theorem; a shared member hashes identically
+    * on both sides, so `array_distinct` collapses it and nothing
+    * double-counts). History contributes ONLY its ledger row — the
+    * historical members are never rescanned — and the merged frame is
+    * tomorrow's ledger, self-maintaining like the q140 quality ledger.
+    * The merge join is ledger-sized (|groups| rows), never corpus-
+    * sized. */
+  def kmvLedgerMerge(ledger: DataFrame, batch: DataFrame,
+      groupCol: String, valueCol: String, k: Int): DataFrame = {
+    val empty = array().cast("array<bigint>")
+    val b = kmvLedger(batch, groupCol, valueCol, k)
+      .withColumnRenamed("kmv", "kmv_b")
+    ledger.join(b, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        slice(array_sort(array_distinct(concat(
+            coalesce(col("kmv"), empty), coalesce(col("kmv_b"), empty)))),
+          1, k).as("kmv"))
+  }
+
+  /** Render a KMV ledger to the q82-shaped report: sketch size, k-th
+    * hash, and the (k-1)·2⁶⁰/h_k estimate (exact when the group never
+    * filled its sketch). Plain double division of exact integers —
+    * engine-identical, so the whole report hash-gates. */
+  def kmvLedgerReport(ledger: DataFrame, groupCol: String,
+      k: Int): DataFrame =
+    ledger
+      .select(col(groupCol),
+        size(col("kmv")).cast("long").as("n_sketch"),
+        try_element_at(col("kmv"), lit(-1)).as("kth_hash"))
+      .withColumn("kmv_estimate",
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("kth_hash").cast("double")))
+
   /** Priority sample of n rows, inclusion probability ∝ weight.
     * Output: input columns + (pri, rnk). The global top-n runs as
     * TakeOrderedAndProject (per-partition heaps, no full sort, no

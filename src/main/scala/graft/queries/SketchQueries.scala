@@ -234,5 +234,46 @@ object SketchQueries extends QueryPack {
       ORDER BY src_a, src_b
     """))
 
-  def all: Seq[Q] = Seq(q82, q83, q89, q90, q139)
+  // --------------------------------------------------------------- q161
+  // O(new) KMV distinct-content ledger: per-source distinct-text
+  // sketches maintained incrementally — history (doc_id % 3 > 0)
+  // contributes ONLY its stored k-smallest-hash row, today's batch
+  // folds map-side, and the two merge by pure array arithmetic (k
+  // smallest of the union of two k-smallest sets = k smallest of the
+  // united sets). The oracle recomputes the sketch from the FULL
+  // corpus, so the hash match proves KMV mergeability end-to-end:
+  // the daily path never rescans a historical member yet lands on
+  // the identical sketch, kth hash, and estimate. The sketch family's
+  // q65/q140-style incremental sibling (q82 is the batch form).
+  private val q161 = Q(
+    "q161_kmv_ledger_incremental",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ledger = Sketch.kmvLedger(
+        docs.filter(col("doc_id") % 3 > 0), "source", "text", k = 16)
+      Sketch.kmvLedgerReport(
+          Sketch.kmvLedgerMerge(ledger,
+            docs.filter(col("doc_id") % 3 === 0), "source", "text", k = 16),
+          "source", k = 16)
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH hashed AS (
+        SELECT DISTINCT source, ${hashSql("text")} AS h FROM documents),
+      pruned AS (
+        SELECT source, h FROM (
+          SELECT source, h,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY h ASC) AS r
+          FROM hashed)
+        WHERE r <= 16)
+      SELECT source, COUNT(*) AS n_sketch, MAX(h) AS kth_hash,
+             CASE WHEN COUNT(*) < 16 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE 15.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE)
+             END AS kmv_estimate
+      FROM pruned GROUP BY source
+      ORDER BY source
+    """))
+
+  def all: Seq[Q] = Seq(q82, q83, q89, q90, q139, q161)
 }

@@ -145,4 +145,34 @@ class SketchSpec extends SparkSpec {
       s"mean |est-exact| = ${errs.sum / errs.size}")
     assert(errs.max <= 0.4, s"worst |est-exact| = ${errs.max}")
   }
+
+  test("KMV ledger merge ≡ full recompute; overlap collapses; one-sided groups survive") {
+    val s = spark
+    import s.implicits._
+    // group g1 splits across history/batch WITH an overlapping member
+    // (v3 on both sides — must not double-count); g2 is history-only;
+    // g3 is batch-only
+    val history = Seq(
+      ("g1", "v1"), ("g1", "v2"), ("g1", "v3"),
+      ("g2", "x1"), ("g2", "x2"))
+      .toDF("g", "v")
+    val batch = Seq(
+      ("g1", "v3"), ("g1", "v4"), ("g1", "v5"),
+      ("g3", "y1"))
+      .toDF("g", "v")
+    val k = 4
+    def report(df: org.apache.spark.sql.DataFrame) =
+      Sketch.kmvLedgerReport(df, "g", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val inc = report(Sketch.kmvLedgerMerge(
+      Sketch.kmvLedger(history, "g", "v", k), batch, "g", "v", k))
+    val full = report(Sketch.kmvLedger(
+      history.unionByName(batch), "g", "v", k))
+    assert(inc == full, s"merged ledger ≠ full recompute:\n $inc\n $full")
+    // g1 has 5 distinct members but the sketch holds k=4; g2/g3 are
+    // under-filled so the sketch IS the exact count
+    val byG = inc.map(x => x._1 -> x._2).toMap
+    assert(byG("g1") == 4L && byG("g2") == 2L && byG("g3") == 1L, inc)
+  }
 }
