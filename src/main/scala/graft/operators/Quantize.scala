@@ -147,4 +147,44 @@ object Quantize {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("qcos"), col("rnk"))
   }
+
+  /** Inter-group embedding AFFINITY matrix — which data slices
+    * (sources, topics, labels) are semantically close, the signal a
+    * mixture designer reads before setting sampling weights. Per
+    * group: the element-wise SUM of the int8 codes ("centroid mass" —
+    * exact integers, and cosine is scale-free so the un-divided sum
+    * ranks identically to the mean) folded by the native
+    * [[graft.functions.VecSumAgg]] (map-side combine: O(tasks·groups)
+    * arrays cross the exchange, never the corpus; integral-valued
+    * double sums < 2⁵³ are exact and order-independent). Then every
+    * group pair's integer dot and the cosine from it — the pair join
+    * is aggregate-bounded × aggregate-bounded (|groups|² rows, the
+    * audited bounded-cross class), trivial even at thousands of
+    * sources. Output: (g_a, g_b, n_a, n_b, dot_ab, cos_ab) for
+    * g_a < g_b. */
+  def groupAffinity(embeddings: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val codes = embeddings.select(col(groupCol).as("g"),
+      int8Codes(col(vecCol)).cast("array<double>").as("cd"))
+    val sums = codes.groupBy(col("g"))
+      .agg(Bridge.column(graft.functions.VecSumAgg(
+          Bridge.expression(col("cd"))).toAggregateExpression()).as("csum_d"),
+        count(lit(1)).as("n"))
+      .select(col("g"),
+        transform(col("csum_d"), x => x.cast("long")).as("csum"), col("n"))
+      .withColumn("self_dot", intDot(col("csum"), col("csum")))
+      .transform(graft.util.CacheScope.persist)
+    val a = sums.select(col("g").as("g_a"), col("csum").as("ca"),
+      col("n").as("n_a"), col("self_dot").as("sd_a"))
+    val b = sums.select(col("g").as("g_b"), col("csum").as("cb"),
+      col("n").as("n_b"), col("self_dot").as("sd_b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("dot_ab", intDot(col("ca"), col("cb")))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("dot_ab"),
+        (col("dot_ab").cast("double") /
+          (sqrt(col("sd_a").cast("double")) *
+           sqrt(col("sd_b").cast("double")))).as("cos_ab"))
+  }
 }

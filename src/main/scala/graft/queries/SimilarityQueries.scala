@@ -499,5 +499,58 @@ object SimilarityQueries extends QueryPack {
       ORDER BY q_id, rnk
     """))
 
-  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138)
+  // --------------------------------------------------------------- q162
+  // Inter-group embedding affinity matrix: per-label int8 centroid
+  // mass (exact integer element-wise sums via the native VecSumAgg —
+  // map-side combine, O(tasks·groups) arrays on the wire) and every
+  // label pair's integer dot + cosine — the "which slices are
+  // semantically close" signal a mixture designer reads before
+  // setting weights. The pair join is aggregate-bounded² (10×10 here,
+  // thousands² at web scale — still trivial); the cosine divides two
+  // exact integers under correctly-rounded sqrt, so even the double
+  // column hash-gates. The oracle rebuilds the same centroids by
+  // explode-and-sum — proving the whole-vector aggregate equals the
+  // relational element-wise form.
+  private val q162 = Q(
+    "q162_group_affinity",
+    (s, dir) => {
+      graft.operators.Quantize.groupAffinity(
+          Tables(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("g_a"), col("g_b"))
+    },
+    Some("""
+      WITH qv AS (
+        SELECT label,
+               CASE WHEN mx > 0
+                 THEN list_transform(v, x -> CAST(floor(x / mx * 127.0 + 0.5) AS BIGINT))
+                 ELSE list_transform(v, x -> 0::BIGINT) END AS codes
+        FROM (
+          SELECT label, embedding::DOUBLE[] AS v,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+          FROM embeddings)),
+      cent AS (
+        SELECT label, i, SUM(codes[i]) AS s
+        FROM qv, UNNEST(generate_series(1, 64)) t(i)
+        GROUP BY label, i),
+      cnt AS (SELECT label, COUNT(*) AS n FROM qv GROUP BY label),
+      selfd AS (SELECT label, SUM(s * s) AS self_dot FROM cent GROUP BY label),
+      pair AS (
+        SELECT a.label AS g_a, b.label AS g_b, SUM(a.s * b.s) AS dot_ab
+        FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2)
+      SELECT g_a, g_b, na.n AS n_a, nb.n AS n_b,
+             CAST(p.dot_ab AS BIGINT) AS dot_ab,
+             CAST(p.dot_ab AS DOUBLE) /
+               (sqrt(CAST(sa.self_dot AS DOUBLE)) *
+                sqrt(CAST(sb.self_dot AS DOUBLE))) AS cos_ab
+      FROM pair p
+      JOIN cnt na ON na.label = p.g_a
+      JOIN cnt nb ON nb.label = p.g_b
+      JOIN selfd sa ON sa.label = p.g_a
+      JOIN selfd sb ON sb.label = p.g_b
+      ORDER BY g_a, g_b
+    """))
+
+  def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
+    q162)
 }

@@ -42,7 +42,10 @@ class PlanAuditSpec extends SparkSpec {
       // q138's coarse tier: corpus × bounded query panel on TRUNCATED
       // vectors (q20's class); the rerank pass is equi-joins on the
       // ≤ |Q|·shortlist survivor frame
-      "q138_matryoshka_topk")
+      "q138_matryoshka_topk",
+      // q162's pair join is aggregate-bounded² (|groups| × |groups|,
+      // both sides per-group aggregate outputs) — never corpus-sized
+      "q162_group_affinity")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -126,6 +126,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(hit === 0L)
   }
 
+  test("groupAffinity: exact centroid sums, orthogonal = 0, colinear = 1") {
+    val s = spark
+    import s.implicits._
+    // a and c point the same way (cos 1 — integer dots make it EXACT:
+    // sqrt of a perfect square is exact), b is orthogonal to both
+    val vecs = Seq(
+      ("a", Seq(1.0, 0.0, 0.0, 0.0)), ("a", Seq(1.0, 0.0, 0.0, 0.0)),
+      ("b", Seq(0.0, 2.0, 0.0, 0.0)),
+      ("c", Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("label", "embedding")
+    val out = Quantize.groupAffinity(vecs, "label", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out.size == 3, s"C(3,2) pairs expected: $out") // a-b a-c b-c
+    val (nA, _, dotAb, cosAb) = out(("a", "b"))
+    assert(nA == 2L && dotAb == 0L && cosAb == 0.0, out.toString)
+    val (_, nC, dotAc, cosAc) = out(("a", "c"))
+    // csum_a = (254,0,0,0), csum_c = (127,0,0,0): dot exact, cos exact 1
+    assert(nC == 1L && dotAc == 254L * 127L && cosAc == 1.0, out.toString)
+    assert(out(("b", "c"))._4 == 0.0)
+  }
+
   test("quantized top-5 recall vs exact float top-5 is ≥ 0.8") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
