@@ -576,6 +576,38 @@ object TextAnalysis {
           coalesce(col("entropy"), lit(0.0)) <= 40.0).as("entropy_ok"))
   }
 
+  /** Deterministic token masking for denoising/MLM-style training
+    * data: token i of document d masks to `[MASK]` iff
+    * md5(d ':' i) % 100 < pct — NO RNG, so the corruption is
+    * reproducible run-to-run, append-stable, and bit-identical in any
+    * engine (the q44/q83 hash-membership discipline applied to
+    * positions). Entirely map-side: one `transform` over the
+    * whitespace-split token array (the per-element md5 is genuinely
+    * positional — there is no subexpression to hoist), no shuffle, no
+    * UDF. Output: (id, n_tokens, n_masked, masked_text).
+    *
+    * Masking rides the 1-based position so the oracle's
+    * generate_series(1, len) indexes align; the mask key includes the
+    * document id so identical sentences in different docs mask
+    * differently (no cross-doc correlation artifacts in training). */
+  def maskTokens(docs: DataFrame, idCol: String, textCol: String,
+      pct: Int): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val posHash = (i: Column) => conv(substring(md5(concat(
+      col(idCol).cast("string"), lit(":"), i.cast("string"))),
+      1, 15), 16, 10).cast("long") % 100
+    val masked = transform(col("__w"),
+      (w, i) => when(posHash(i + 1) < pct, lit("[MASK]")).otherwise(w))
+    docs
+      .withColumn("__w", words)
+      .withColumn("__m", masked)
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(filter(col("__m"), _ === "[MASK]")).cast("long")
+          .as("n_masked"),
+        array_join(col("__m"), " ").as("masked_text"))
+  }
+
   /** Redacted text: emails, then URLs, then 3+ digit runs replaced by
     * typed placeholder tokens — order matters (an email scrub must not
     * leave digits for the number scrub to re-hit differently than the

@@ -880,6 +880,95 @@ object TextQueries extends QueryPack {
       FROM cum ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q163
+  // Deterministic token masking (denoising/MLM corruption): token i of
+  // doc d masks iff md5(d:i) % 100 < 15 — no RNG, reproducible,
+  // append-stable, engine-portable (the q44/q83 hash-membership rule
+  // applied to positions). One map-side `transform` over the token
+  // array, no shuffle, no UDF; the mask key carries the doc id so
+  // identical sentences in different docs mask differently. The oracle
+  // replays the identical per-position md5 chain in DuckDB, gating the
+  // corrupted TEXT itself, not just the mask counts.
+  private val q163 = Q(
+    "q163_token_masking",
+    (s, dir) => {
+      TextAnalysis.maskTokens(
+          Tables(s, dir, "documents"), "doc_id", "text", pct = 15)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents),
+      m AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               list_transform(generate_series(1, len(w)), i ->
+                 CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                        % 100 < 15
+                      THEN '[MASK]' ELSE w[i] END) AS mw
+        FROM w)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(mw, x -> x = '[MASK]')) AS BIGINT)
+               AS n_masked,
+             array_to_string(mw, ' ') AS masked_text
+      FROM m ORDER BY doc_id
+    """))
+
+  // --------------------------------------------------------------- q164
+  // Model-calibration audit: mean q160 model score per equi-depth
+  // DECILE of the q24 heuristic quality signal — the "is the trained
+  // filter monotone in the signal it should track" read a pipeline
+  // takes before trusting a model cutover. Deciles via q148's
+  // distributed-prefix-sum machinery (no corpus sort); the per-decile
+  // mean is EXACT FLOOR division — scores go negative, Spark's DIV
+  // truncates toward zero while DuckDB's // floors, so the engine
+  // computes floor via the pmod identity (a - pmod(a,b)) / b, making
+  // the two sides bit-identical on negative sums too.
+  private val q164 = Q(
+    "q164_score_calibration",
+    (s, dir) => {
+      val t = TextAnalysis
+      val base = Tables(s, dir, "documents")
+        .withColumn("__w", graft.operators.Dedup.words(col("text")))
+        .withColumn("q_micro", t.qualityMicro(col("text"), col("__w")))
+        .withColumn("score_micro",
+          lit(1000L) * length(col("text")).cast("long") +
+          lit(5000L) * t.tokenCount(col("text")) -
+          lit(50000L) * t.punctCount(col("text")).cast("long") -
+          lit(50000L) * t.digitCount(col("text")).cast("long") -
+          lit(100000L))
+        .select(col("doc_id"), col("q_micro"), col("score_micro"))
+      graft.operators.Sampling.equiDepthBuckets(base, "doc_id", "q_micro",
+          k = 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score_micro")).as("sum_score_micro"))
+        .withColumn("mean_score_micro",
+          expr("(sum_score_micro - pmod(sum_score_micro, n_docs)) DIV n_docs"))
+        .orderBy(col("bucket"))
+    },
+    Some(raw"""
+      WITH $qmicroCtes,
+      sc AS (
+        SELECT doc_id,
+               1000 * n_chars + 5000 * n_tokens
+               - 50000 * n_punct - 50000 * n_digit - 100000 AS score
+        FROM base),
+      r AS (
+        SELECT q.doc_id, sc.score,
+               ROW_NUMBER() OVER (ORDER BY q.qm ASC, q.doc_id ASC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM q JOIN sc USING (doc_id))
+      SELECT bucket, COUNT(*) AS n_docs,
+             CAST(SUM(score) AS BIGINT) AS sum_score_micro,
+             CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score_micro
+      FROM (SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket, score
+            FROM r)
+      GROUP BY bucket
+      ORDER BY bucket
+    """))
+
   // --------------------------------------------------------------- q137
   // Distributed BPE TRAINING, the full loop q130 is one step of:
   // 5 rounds of (corpus-wide pair census → adopt the top pair → fuse
@@ -942,5 +1031,5 @@ object TextQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137, q140, q142, q150, q159)
+    q137, q140, q142, q150, q159, q163, q164)
 }

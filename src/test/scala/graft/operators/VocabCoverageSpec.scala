@@ -71,4 +71,30 @@ class VocabCoverageSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("maskTokens: deterministic, per-doc keys, counts match the text") {
+    val s = spark
+    import s.implicits._
+    val sentence = ("tok " * 200).trim
+    val docs = Seq((1L, sentence), (2L, sentence), (3L, ""))
+      .toDF("doc_id", "text")
+    def run() = TextAnalysis.maskTokens(docs, "doc_id", "text", pct = 15)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val a = run()
+    // deterministic: a rerun reproduces the identical corruption
+    assert(a == run(), "masking must be reproducible run-to-run")
+    // the mask key includes the doc id: identical sentences in
+    // different docs corrupt differently
+    assert(a(1L)._3 != a(2L)._3, "cross-doc mask correlation")
+    // counts are consistent with the emitted text, and the rate is in
+    // the statistical neighborhood of pct (200 draws at 15%)
+    for ((_, (n, m, txt)) <- a if n > 1) {
+      assert(txt.split(" ").length.toLong == n)
+      assert(txt.split(" ").count(_ == "[MASK]").toLong == m)
+      assert(m > 10 && m < 60, s"mask rate implausible: $m/200")
+    }
+    // whitespace-only/empty text degrades to the single empty token
+    assert(a(3L)._1 == 1L)
+  }
 }
