@@ -1046,6 +1046,59 @@ object Dedup {
         expr("CAST(conv(substring(md5(__sh), 1, 15), 16, 10) AS BIGINT)")
           .as("fp"))
 
+  /** WINNOWING fingerprint selection (Schleimer–Wilkerson–Aiken, the
+    * MOSS algorithm): instead of indexing EVERY k-shingle
+    * ([[positionedShingleFps]] — m fingerprints per doc), keep only
+    * the minimum hash of each sliding window of `windowW` consecutive
+    * shingle hashes (rightmost on ties, the standard rule) — expected
+    * density 2/(windowW+1), an index ~w/2× smaller, with the winnowing
+    * GUARANTEE intact: any shared run of at least windowW+k-1 words
+    * still shares at least one selected fingerprint, so span detection
+    * over winnowed fingerprints misses nothing longer than that
+    * threshold. This is the index-size lever for [[sharedSpans]]-class
+    * detection at 100 TB: the posting list shrinks before it ever
+    * reaches an exchange.
+    *
+    * The selection is IN-ROW (shingle → hash → window-argmin are
+    * `transform`/`aggregate` lambdas over the hash array) and
+    * map-side: the only rows emitted are the selected (doc_id, pos,
+    * fp) fingerprints. The hash array MATERIALIZES behind a
+    * CacheScope barrier before the argmin lambdas touch it — binding
+    * it to a column is NOT enough, CollapseProject inlines straight
+    * through into the lambda body, and every `element_at(__kh, p)`
+    * then re-splits and re-hashes the whole document (measured: one
+    * 500-doc slice pinned a core for 10+ minutes; with the barrier it
+    * is sub-second). The persisted frame carries hashes only
+    * (~8 B/word, CacheScope-freed). Documents shorter than `windowW`
+    * shingles keep their global minimum (one fingerprint) — the
+    * standard short-doc degenerate case. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, windowW: Int): DataFrame = {
+    require(windowW >= 1, s"windowW=$windowW must be >= 1")
+    docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k)
+      .withColumn("__sh", wordShingles(col("__w"), k))
+      .select(col("doc_id"), expr(
+        "transform(__sh, x -> " +
+          "CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+        .as("__kh"))
+      .transform(graft.util.CacheScope.persist)
+      .withColumn("__sel", expr(s"""
+        array_distinct(transform(
+          sequence(1, greatest(size(__kh) - $windowW + 1, 1)), j ->
+            aggregate(
+              sequence(j, least(j + $windowW - 1, size(__kh))),
+              named_struct('h', CAST(9223372036854775807 AS BIGINT),
+                           'p', 0),
+              (acc, p) -> IF(element_at(__kh, p) <= acc.h,
+                named_struct('h', element_at(__kh, p), 'p', p),
+                acc))))"""))
+      .select(col("doc_id"), explode(col("__sel")).as("s"))
+      .select(col("doc_id"), col("s.p").cast("long").as("pos"),
+        col("s.h").as("fp"))
+  }
+
   /** Span REDACTION — the transform [[sharedSpans]] is the analysis
     * for: keep-first at span granularity. Every detected span's words
     * are cut from the LARGER doc id of its pair (the smaller-id copy

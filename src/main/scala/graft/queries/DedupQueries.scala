@@ -1267,7 +1267,48 @@ object DedupQueries extends QueryPack {
       ORDER BY new_id, hist_id
     """))
 
+  // --------------------------------------------------------------- q166
+  // Winnowing fingerprint selection (the MOSS algorithm): keep only
+  // the min hash of each sliding window of 4 consecutive 3-shingle
+  // hashes (rightmost on ties) — an index ~2.5× smaller than the full
+  // positional shingle index, still guaranteed to share a fingerprint
+  // with any ≥ 6-word copied run. Selection is entirely in-row
+  // (transform/aggregate lambdas over bound arrays, map-side); the
+  // oracle replays the identical window-argmin relationally
+  // (ROW_NUMBER over h ASC, p DESC per window).
+  private val q166 = Q(
+    "q166_winnow_fingerprints",
+    (s, dir) => {
+      Dedup.winnowFingerprints(Tables(s, dir, "documents"),
+          "doc_id", "text", k = 3, windowW = 4)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      kg AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                 AS h
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      m AS (SELECT doc_id, COUNT(*) AS m FROM kg GROUP BY doc_id),
+      wins AS (
+        SELECT doc_id, j
+        FROM m, UNNEST(generate_series(1, greatest(m - 3, 1))) AS t(j)),
+      sel AS (
+        SELECT doc_id, p, h FROM (
+          SELECT wn.doc_id, wn.j, g.p, g.h,
+                 ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.j
+                   ORDER BY g.h ASC, g.p DESC) AS rn
+          FROM wins wn JOIN kg g
+            ON g.doc_id = wn.doc_id AND g.p BETWEEN wn.j AND wn.j + 3)
+        WHERE rn = 1)
+      SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, h AS fp
+      FROM sel ORDER BY doc_id, pos
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
     q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156,
-    q157, q158)
+    q157, q158, q166)
 }

@@ -319,6 +319,42 @@ object StreamingQueries extends QueryPack {
       ORDER BY fp
     """))
 
+  // --------------------------------------------------------------- q165
+  // Streaming corpus health monitor: per (event-time window, source),
+  // arriving docs fold to doc/token/char counts and an empty-doc tally
+  // — the live dashboard feed of a continuously-ingesting pipeline,
+  // and the streaming restatement of the q131 datasheet's structural
+  // metrics. All sums are exact integers, so the AvailableNow drain
+  // hash-gates against the batch recompute; event time is the
+  // deterministic 1-doc-per-second pseudo ingest clock (q146's
+  // discipline), which makes the 60 s window a doc_id DIV 60 group the
+  // oracle replays literally.
+  private val q165 = Q(
+    "q165_stream_corpus_health",
+    (s, dir) => {
+      StreamingOps.corpusHealthStream(s, dir, "q165_health_sink")
+        .orderBy(col("bucket_start"), col("source"))
+    },
+    Some(raw"""
+      WITH f AS (
+        SELECT source,
+               epoch_ms((1704067200 + (doc_id // 60) * 60) * 1000)
+                 AS bucket_start,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS n_tokens,
+               length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END
+                 AS is_empty
+        FROM documents)
+      SELECT bucket_start, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(is_empty) AS BIGINT) AS n_empty
+      FROM f GROUP BY bucket_start, source
+      ORDER BY bucket_start, source
+    """))
+
   def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103, q105,
-    q145, q146)
+    q145, q146, q165)
 }

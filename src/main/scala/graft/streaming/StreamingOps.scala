@@ -495,6 +495,51 @@ object StreamingOps {
       .select(col("user_id"), col("event_id"), col("session_seq"))
   }
 
+  /** Streaming corpus HEALTH MONITOR: the live dashboard feed a
+    * continuously-ingesting pipeline watches — per (event-time window,
+    * source), arriving documents fold to doc/token/char counts and an
+    * empty-doc tally, all EXACT integer sums (order-insensitive, so
+    * the drain hash-gates against the batch recompute). Metrics
+    * compute MAP-SIDE on each arriving file; the only stream state is
+    * the windowed aggregation itself, watermark-bounded. Event time is
+    * a deterministic pseudo ingest time derived from doc_id (1 doc/s
+    * from a fixed epoch — production wires the crawl timestamp); the
+    * 60 s window then groups docs by doc_id DIV 60, which is what the
+    * batch oracle replays. Complete-mode drain re-emits the final
+    * state table (the q30 discipline — a terminating AvailableNow
+    * drain needs no no-data flush). Schema comes from a batch footer
+    * probe (the eventsStream/novelDocsSource discipline — a hardcoded
+    * schema would null out renamed columns silently). */
+  def corpusHealthStream(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_health",
+      "documents.parquet" -> s"$dir/documents.parquet")
+    val docsSchema = spark.read.parquet(streamDir.toString).schema
+    require(docsSchema.exists(f => f.name == "doc_id" &&
+        f.dataType == LongType) &&
+      docsSchema.exists(f => f.name == "text" && f.dataType == StringType),
+      "documents schema drifted: expected (doc_id LONG, text STRING) " +
+        s"among ${docsSchema.treeString}")
+    val stream = spark.readStream.schema(docsSchema)
+      .parquet(streamDir.toString)
+    val agg = stream
+      .withColumn("__ts", timestamp_micros(
+        col("doc_id") * lit(1000000L) + lit(1704067200000000L)))
+      .withWatermark("__ts", "1 hour")
+      .groupBy(window(col("__ts"), "60 seconds"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.operators.TextAnalysis.tokenCount(col("text")))
+          .as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+          .as("n_empty"))
+      .select(col("window.start").as("bucket_start"), col("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_empty"))
+    drainToMemory(spark, agg, queryName, OutputMode.Complete(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** Streaming NOVELTY GATE against a static history ledger — the
     * streaming form of the q65/q116 incremental-dedup family: document
     * files arrive as a stream, each doc fingerprints map-side, and a

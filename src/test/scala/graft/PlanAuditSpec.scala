@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     Set("q30_stream_hourly", "q49_stream_stream_join",
       "q86_stream_static_enrich", "q99_stream_dedup",
       "q103_stream_outer_join", "q105_stream_sessionize",
-      "q145_stream_novelty_gate", "q146_stream_novelty_first_arrival")
+      "q145_stream_novelty_gate", "q146_stream_novelty_first_arrival",
+      "q165_stream_corpus_health")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"

@@ -93,6 +93,35 @@ class DedupSpec extends SparkSpec {
     assert(!inc.contains((13L, 11L)) && !inc.contains((11L, 13L)), inc)
   }
 
+  test("winnowing: subset of the shingle index, sparser, guarantee holds") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three four $shared nine ten eleven twelve thirteen"),
+      (2L, s"red green blue cyan $shared pink brown black white grey"),
+      (3L, "totally different words everywhere nothing matches here at all"))
+      .toDF("doc_id", "text")
+    val k = 3; val w = 4
+    val win = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = Dedup.positionedShingleFps(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // selected fingerprints are a strict, sparser subset of the index
+    assert(win.toSet.subsetOf(all.toSet), "winnowed ∉ shingle index")
+    assert(win.length < all.length, "winnowing must shrink the index")
+    // the winnowing guarantee: docs 1 and 2 share an 8-word run
+    // (≥ w + k - 1 = 6), so they must share a selected fingerprint
+    val f1 = win.collect { case (1L, _, fp) => fp }.toSet
+    val f2 = win.collect { case (2L, _, fp) => fp }.toSet
+    assert((f1 intersect f2).nonEmpty, "shared run lost by winnowing")
+    // a doc shorter than the window still yields fingerprints
+    val tiny = Dedup.winnowFingerprints(
+      Seq((9L, "just three words")).toDF("doc_id", "text"), "doc_id",
+      "text", k, w).count()
+    assert(tiny == 1L, "short doc must keep its global-min fingerprint")
+  }
+
   test("incremental dup clusters ≡ full recompute: merge, singleton pickup, untouched passthrough") {
     val s = spark
     import s.implicits._
@@ -561,6 +590,36 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(fa.length == 1 && fa.distinct.length == 1,
       s"same-fp arrivals must collapse to one novel emission: $fa")
+  }
+
+  test("corpus health stream: windowed per-source stats equal the batch recompute") {
+    val s = spark
+    import s.implicits._
+    // ids 0,1,59 land in the first 60 s window, 61 in the second;
+    // doc 1 is whitespace-only (counts as empty, zero tokens)
+    val dir = tmpDir("health")
+    Seq(
+      (0L, "one two three", "a"), (1L, "   ", "a"),
+      (59L, "x y", "b"), (61L, "z", "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/staging")
+    val part = new java.io.File(s"$dir/staging").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val out = StreamingOps.corpusHealthStream(spark, dir, "health_spec_sink")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    val w0 = 1704067200000L
+    assert(out == Set(
+      (w0, "a", 2L, 3L, 16L, 1L),
+      (w0, "b", 1L, 2L, 3L, 0L),
+      (w0 + 60000L, "b", 1L, 1L, 1L, 0L)),
+      s"windowed stats drifted: $out")
   }
 
   test("novelty gate micro-batch plan: stream side never shuffles before the anti join") {
