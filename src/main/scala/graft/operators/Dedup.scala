@@ -1099,6 +1099,28 @@ object Dedup {
         col("s.h").as("fp"))
   }
 
+  /** Candidate near-dup pairs over the WINNOWED index: docs sharing at
+    * least `minShared` selected fingerprints — the
+    * [[winnowFingerprints]] payoff measured end-to-end. The posting
+    * list this self-joins is ~windowW/2× smaller than the full
+    * positional shingle index, so the Σ posting² pair-candidate cost
+    * shrinks ~(w/2)² while the winnowing guarantee bounds what can be
+    * missed (no copied run ≥ windowW+k-1 words loses all its
+    * fingerprints). DISTINCT (doc, fp) before the join: within-doc
+    * repeats must not inflate the shared count. Output: (doc_a, doc_b,
+    * n_shared) with doc_a < doc_b. */
+  def winnowCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, windowW: Int, minShared: Int): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, windowW)
+      .select(col("doc_id"), col("fp")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Span REDACTION — the transform [[sharedSpans]] is the analysis
     * for: keep-first at span granularity. Every detected span's words
     * are cut from the LARGER doc id of its pair (the smaller-id copy

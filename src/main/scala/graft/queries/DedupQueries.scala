@@ -1308,7 +1308,49 @@ object DedupQueries extends QueryPack {
       FROM sel ORDER BY doc_id, pos
     """))
 
+  // --------------------------------------------------------------- q167
+  // Candidate pairs over the winnowed index — q166's size lever
+  // measured end-to-end: the posting-list self-join runs on the
+  // ~2.5×-smaller selected-fingerprint set (Σ posting² shrinks ~6×),
+  // and the winnowing guarantee bounds the miss class (no copied run
+  // ≥ 6 words can lose every fingerprint). Distinct (doc, fp) before
+  // the join so within-doc repeats don't inflate the shared count.
+  private val q167 = Q(
+    "q167_winnow_candidate_pairs",
+    (s, dir) => {
+      Dedup.winnowCandidatePairs(Tables(s, dir, "documents"),
+          "doc_id", "text", k = 3, windowW = 4, minShared = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      kg AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                 AS h
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      m AS (SELECT doc_id, COUNT(*) AS m FROM kg GROUP BY doc_id),
+      wins AS (
+        SELECT doc_id, j
+        FROM m, UNNEST(generate_series(1, greatest(m - 3, 1))) AS t(j)),
+      sel AS (
+        SELECT DISTINCT doc_id, h FROM (
+          SELECT wn.doc_id, wn.j, g.h,
+                 ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.j
+                   ORDER BY g.h ASC, g.p DESC) AS rn
+          FROM wins wn JOIN kg g
+            ON g.doc_id = wn.doc_id AND g.p BETWEEN wn.j AND wn.j + 3)
+        WHERE rn = 1)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+      ORDER BY doc_a, doc_b
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
     q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156,
-    q157, q158, q166)
+    q157, q158, q166, q167)
 }

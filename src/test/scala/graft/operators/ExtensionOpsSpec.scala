@@ -120,6 +120,12 @@ class DedupSpec extends SparkSpec {
       Seq((9L, "just three words")).toDF("doc_id", "text"), "doc_id",
       "text", k, w).count()
     assert(tiny == 1L, "short doc must keep its global-min fingerprint")
+    // end-to-end: the candidate-pair join over the winnowed index
+    // surfaces exactly the overlapping pair, never the unrelated doc
+    val cand = Dedup.winnowCandidatePairs(docs, "doc_id", "text", k, w,
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((1L, 2L)), s"candidates: $cand")
   }
 
   test("incremental dup clusters ≡ full recompute: merge, singleton pickup, untouched passthrough") {
