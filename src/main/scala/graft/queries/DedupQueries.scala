@@ -1350,7 +1350,65 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b
     """))
 
+  // --------------------------------------------------------------- q168
+  // Dedup IMPACT report: per duplicate cluster, how many docs collapse
+  // and how much token mass the dedup pass removes vs keeps — the
+  // before/after accounting a pipeline publishes with every dedup run
+  // (and the number that justifies the pass's cost). Composition of
+  // q66's clustering and q124's canonical election, folded to one row
+  // per multi-member cluster; the aggregate partial-combines, so the
+  // report costs one exchange of |cluster| keys over the election
+  // frame.
+  private val q168 = Q(
+    "q168_dedup_impact",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.electCanonical(docs,
+          Dedup.dupClusters(Dedup.minhashLsh(docs, "doc_id", "text",
+            shingleK = 3, numHashes = 6, rowsPerBand = 2)),
+          "doc_id", "text")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          sum(when(col("is_canon"), col("n_tokens")).otherwise(0L))
+            .as("n_tokens_kept"))
+        .withColumn("n_tokens_removed",
+          col("n_tokens_total") - col("n_tokens_kept"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("cluster_id"))
+    },
+    Some(raw"""$dupClosureCtes,
+      sized AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tokens
+        FROM documents),
+      member AS (
+        SELECT s.doc_id, COALESCE(l.cluster_id, s.doc_id) AS cluster_id,
+               s.n_tokens
+        FROM sized s LEFT JOIN labels l ON l.id = s.doc_id),
+      canon AS (
+        SELECT cluster_id, doc_id AS canon_id FROM (
+          SELECT cluster_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY n_tokens DESC, doc_id ASC) AS rn
+          FROM member) WHERE rn = 1)
+      SELECT m.cluster_id, COUNT(*) AS n_members,
+             CAST(SUM(m.n_tokens) AS BIGINT) AS n_tokens_total,
+             CAST(SUM(CASE WHEN m.doc_id = c.canon_id
+                           THEN m.n_tokens ELSE 0 END) AS BIGINT)
+               AS n_tokens_kept,
+             CAST(SUM(CASE WHEN m.doc_id = c.canon_id
+                           THEN 0 ELSE m.n_tokens END) AS BIGINT)
+               AS n_tokens_removed
+      FROM member m JOIN canon c USING (cluster_id)
+      GROUP BY m.cluster_id
+      HAVING COUNT(*) > 1
+      ORDER BY cluster_id
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
     q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156,
-    q157, q158, q166, q167)
+    q157, q158, q166, q167, q168)
 }
