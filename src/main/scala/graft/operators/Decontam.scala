@@ -177,4 +177,35 @@ object Decontam {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("shared_shingles"))
   }
+
+  /** Per-source n-gram UNIQUENESS: of each source's distinct word
+    * k-shingles, how many appear in NO other source — the
+    * "does this slice add anything the mixture doesn't already have"
+    * signal, the per-source complement of [[sourceOverlapMatrix]]'s
+    * pairwise view. `exclusive_micro` is the exclusivity share in
+    * integer micro-units (floor; numerator and denominator are
+    * non-negative, so Spark DIV and the oracle's // agree).
+    *
+    * Scale shape: the exchange carries DISTINCT (source, shingle)
+    * pairs once (map-side partial distinct collapses per-source
+    * repeats first — [[sourceOverlapMatrix]]'s class); the ownership
+    * census then folds to |distinct shingles| keys and fans back by
+    * an equi-join. Corpora where the distinct-shingle exchange is the
+    * bottleneck take the q139 KMV-sketch road instead — this is the
+    * exact form. */
+  def sourceUniqueness(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val fps = Dedup.explodedShingles(docs, srcCol, textCol, k)
+      .select(col("doc_id").as("__src"), col("sh"))
+      .transform(graft.util.CacheScope.persist)
+    val owners = fps.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_sources"))
+    fps.join(owners, "sh")
+      .groupBy(col("__src").as(srcCol))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+          .as("n_exclusive"))
+      .withColumn("exclusive_micro",
+        expr("n_exclusive * 1000000L DIV n_fps"))
+  }
 }

@@ -648,6 +648,39 @@ object CurationQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q169
+  // Per-source n-gram uniqueness: of each source's distinct word
+  // 3-shingles, how many appear in NO other source — the "does this
+  // slice add anything the mixture doesn't already have" signal, the
+  // per-source complement of q128's pairwise overlap matrix. One
+  // distinct (source, shingle) exchange, ownership census folded to
+  // |shingles| keys, equi-join fan-back; exclusivity share in integer
+  // micro-units (both operands non-negative, so DIV and // agree).
+  private val q169 = Q(
+    "q169_source_uniqueness",
+    (s, dir) => {
+      Decontam.sourceUniqueness(Tables(s, dir, "documents"),
+          "source", "text", k = 3)
+        .orderBy(col("source"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT source, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      own AS (SELECT s, COUNT(*) AS n_sources FROM sh GROUP BY s)
+      SELECT source, COUNT(*) AS n_fps,
+             CAST(SUM(CASE WHEN o.n_sources = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exclusive,
+             CAST(SUM(CASE WHEN o.n_sources = 1 THEN 1 ELSE 0 END)
+               * 1000000 // COUNT(*) AS BIGINT) AS exclusive_micro
+      FROM sh JOIN own o USING (s)
+      GROUP BY source
+      ORDER BY source
+    """))
+
   def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
-    q125, q128, q160)
+    q125, q128, q160, q169)
 }

@@ -969,6 +969,32 @@ object TextQueries extends QueryPack {
       ORDER BY bucket
     """))
 
+  // --------------------------------------------------------------- q170
+  // Word frequency SPECTRUM (frequency-of-frequencies): how many
+  // distinct words occur exactly f times — the Zipf/hapax audit a
+  // corpus curator reads for vocabulary health (a fat hapax tail means
+  // noise or genuine diversity; a collapsed spectrum means boilerplate
+  // or template spam). Two partial-combining aggregates: the word
+  // census folds map-side to |vocab| keys, the spectrum to |distinct
+  // frequencies| keys — the second exchange is tiny whatever the
+  // corpus size. Exact integers end to end.
+  private val q170 = Q(
+    "q170_frequency_spectrum",
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(graft.operators.Dedup.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n_words"))
+        .orderBy(col("f"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      tok AS (SELECT unnest(w) AS t FROM norm),
+      freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t)
+      SELECT f, COUNT(*) AS n_words FROM freq GROUP BY f ORDER BY f
+    """))
+
   // --------------------------------------------------------------- q137
   // Distributed BPE TRAINING, the full loop q130 is one step of:
   // 5 rounds of (corpus-wide pair census → adopt the top pair → fuse
@@ -1031,5 +1057,5 @@ object TextQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137, q140, q142, q150, q159, q163, q164)
+    q137, q140, q142, q150, q159, q163, q164, q170)
 }

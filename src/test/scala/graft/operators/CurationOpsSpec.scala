@@ -39,6 +39,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.head.getLong(1) === 2L)
   }
 
+  test("sourceUniqueness: exclusive vs shared shingles, repeats collapse") {
+    val s = spark
+    import s.implicits._
+    // source A: 2 distinct shingles, one shared with B (the repeat of
+    // "a b c" inside A must not inflate its count); B adds one
+    // exclusive shingle; C is entirely exclusive
+    val corpus = Seq(
+      (1L, "a b c a b c d", "A"),  // shingles: {a b c (×2→1), b c a, c a b, a b c... , b c d}
+      (2L, "a b c x", "B"),
+      (3L, "p q r s", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = Decontam.sourceUniqueness(corpus, "source", "text", k = 3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // A's distinct shingles: "a b c","b c a","c a b","b c d" (repeat
+    // collapsed); "a b c" is shared with B → 3 exclusive of 4
+    assert(out("A") == (4L, 3L), out.toString)
+    // B: {"a b c" shared, "b c x" exclusive}
+    assert(out("B") == (2L, 1L), out.toString)
+    // C: both shingles exclusive
+    assert(out("C") == (2L, 2L), out.toString)
+  }
+
   test("semantic contamination: nearest eval item, tie to smaller id, threshold flag") {
     val s = spark
     import s.implicits._
