@@ -196,6 +196,33 @@ object Curation {
       .drop("__wm")
   }
 
+  /** Template HEADER census: per (source, first-k-words prefix), how
+    * many of the source's docs open identically — the positional
+    * boilerplate detector ([[wordDocFrequency]]-based scrubbing finds
+    * hot WORDS; this finds the "Subscribe to our newsletter"
+    * TEMPLATE that crawls stamp onto every page of a site). A prefix
+    * is flagged `is_template` when it covers more than 1/shareDen of
+    * the source's prefixed docs (cross-multiplication, no division)
+    * and at least `minDocs` docs. Two partial-combining aggregates +
+    * a per-source totals fan-back; the exchange carries (source,
+    * prefix) keys, never documents. Docs shorter than k words carry
+    * no prefix and are excluded from both counts. */
+  def templateHeaders(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int, shareDen: Long, minDocs: Long): DataFrame = {
+    val withHeader = docs
+      .select(col(srcCol), Dedup.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col(srcCol), concat_ws(" ", slice(col("__w"), 1, k)).as("header"))
+    val census = withHeader.groupBy(col(srcCol), col("header"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = census.groupBy(col(srcCol))
+      .agg(sum(col("n_docs")).as("src_docs"))
+    census.join(totals, srcCol)
+      .withColumn("is_template",
+        col("n_docs") * lit(shareDen) > col("src_docs") &&
+          col("n_docs") >= minDocs)
+  }
+
   /** Drop documents whose host is on a blocklist — broadcast ANTI-join
     * rather than `isin`: a production blocklist is a table of thousands
     * of hosts that ships to executors once, not a literal baked into

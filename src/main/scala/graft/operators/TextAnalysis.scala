@@ -608,6 +608,32 @@ object TextAnalysis {
         array_join(col("__m"), " ").as("masked_text"))
   }
 
+  /** Intra-document repeated-sentence removal: split on '.', trim,
+    * drop empties, keep each distinct sentence's FIRST occurrence in
+    * order, reassemble — the line-dedup pass that strips the
+    * navigation stanza a crawler pasted three times into one page
+    * (the within-doc sibling of corpus-level dedup; Gopher-class
+    * repetition SCORING is [[repetitionStats]], this is the repair).
+    * Entirely in-row: `array_distinct` preserves first-occurrence
+    * order, so the whole pass is three codegen'd array expressions,
+    * no shuffle, no UDF. Docs with no non-empty sentence (empty or
+    * punctuation-free-and-blank text) emit nothing — the caller
+    * unions them back untouched if passthrough is wanted. Output:
+    * (id, n_sents, n_removed, clean_text). */
+  def dedupSentences(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .withColumn("__sents", expr(
+        s"filter(transform(split(`$textCol`, '\\\\.'), s -> trim(s)), " +
+          "x -> x != '')"))
+      .filter(size(col("__sents")) > 0)
+      .withColumn("__kept", array_distinct(col("__sents")))
+      .select(col(idCol),
+        size(col("__sents")).cast("long").as("n_sents"),
+        (size(col("__sents")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("__kept"), ". ").as("clean_text"))
+
   /** Redacted text: emails, then URLs, then 3+ digit runs replaced by
     * typed placeholder tokens — order matters (an email scrub must not
     * leave digits for the number scrub to re-hit differently than the

@@ -681,6 +681,39 @@ object CurationQueries extends QueryPack {
       ORDER BY source
     """))
 
+  // --------------------------------------------------------------- q171
+  // Template-header census: per (source, first-3-words prefix), how
+  // many docs of the source open identically — the positional
+  // boilerplate detector (q73's DF scrub finds hot WORDS; this finds
+  // the crawl-stamped page template). Flagged when the prefix covers
+  // > 1/5 of the source's prefixed docs and ≥ 2 docs, decided by
+  // cross-multiplication (no division, bit-portable). Two
+  // partial-combining aggregates + a per-source totals fan-back.
+  private val q171 = Q(
+    "q171_template_headers",
+    (s, dir) => {
+      Curation.templateHeaders(Tables(s, dir, "documents"),
+          "source", "text", k = 3, shareDen = 5L, minDocs = 2L)
+        .orderBy(col("source"), col("header"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT source, $normWordsSql AS w FROM documents),
+      hdr AS (
+        SELECT source, array_to_string(w[1:3], ' ') AS header
+        FROM norm WHERE len(w) >= 3),
+      census AS (
+        SELECT source, header, COUNT(*) AS n_docs
+        FROM hdr GROUP BY source, header),
+      tot AS (
+        SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs
+        FROM census GROUP BY source)
+      SELECT c.source, c.header, c.n_docs, t.src_docs,
+             (c.n_docs * 5 > t.src_docs AND c.n_docs >= 2) AS is_template
+      FROM census c JOIN tot t USING (source)
+      ORDER BY source, header
+    """))
+
   def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
-    q125, q128, q160, q169)
+    q125, q128, q160, q169, q171)
 }

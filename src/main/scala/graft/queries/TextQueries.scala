@@ -995,6 +995,44 @@ object TextQueries extends QueryPack {
       SELECT f, COUNT(*) AS n_words FROM freq GROUP BY f ORDER BY f
     """))
 
+  // --------------------------------------------------------------- q172
+  // Intra-document repeated-sentence removal: the line-dedup repair
+  // pass (q25-family repetitionStats SCORES the pathology; this cuts
+  // it) — keep each distinct trimmed sentence's first occurrence in
+  // order, reassemble. In-row via array_distinct (first-occurrence
+  // order preserved), no shuffle; the oracle spells the same
+  // first-occurrence rule relationally (MIN(position) per sentence,
+  // string_agg ordered by it) — the hash match pins Spark's
+  // array_distinct ordering contract, which this operator depends on.
+  private val q172 = Q(
+    "q172_sentence_dedup",
+    (s, dir) => {
+      TextAnalysis.dedupSentences(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH sp AS (
+        SELECT doc_id, string_split(text, '.') AS p FROM documents),
+      snt AS (
+        SELECT doc_id, i, trim(p[i]) AS sent
+        FROM sp, UNNEST(generate_series(1, len(p))) AS t(i)
+        WHERE trim(p[i]) <> ''),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_sents FROM snt GROUP BY doc_id),
+      firsts AS (
+        SELECT doc_id, sent, MIN(i) AS fi FROM snt GROUP BY doc_id, sent),
+      ded AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(sent, '. ' ORDER BY fi) AS clean_text
+        FROM firsts GROUP BY doc_id)
+      SELECT a.doc_id, CAST(a.n_sents AS BIGINT) AS n_sents,
+             CAST(a.n_sents - d.n_kept AS BIGINT) AS n_removed,
+             d.clean_text
+      FROM agg a JOIN ded d USING (doc_id)
+      ORDER BY a.doc_id
+    """))
+
   // --------------------------------------------------------------- q137
   // Distributed BPE TRAINING, the full loop q130 is one step of:
   // 5 rounds of (corpus-wide pair census → adopt the top pair → fuse
@@ -1057,5 +1095,5 @@ object TextQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137, q140, q142, q150, q159, q163, q164, q170)
+    q137, q140, q142, q150, q159, q163, q164, q170, q172)
 }

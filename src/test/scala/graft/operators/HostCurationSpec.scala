@@ -231,6 +231,37 @@ class HostCurationSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("templateHeaders: stamped prefix flagged, unique openers not, short docs excluded") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // source A: 3 of 4 prefixed docs open with the stamped template
+      (1L, "subscribe to our newsletter article one body", "A"),
+      (2L, "subscribe to our newsletter article two body", "A"),
+      (3L, "Subscribe TO   our newsletter, er, three", "A"),
+      (4L, "a unique opener for this one", "A"),
+      // source B: every opener unique; one doc too short for a prefix
+      (5L, "first distinct opening here", "B"),
+      (6L, "second distinct opening here", "B"),
+      (7L, "hi there", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.templateHeaders(docs, "source", "text",
+        k = 3, shareDen = 5L, minDocs = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // normalization folds case/whitespace: doc 3 joins the template
+    // (note "newsletter," differs — doc 3's 3-word prefix is still
+    // "subscribe to our")
+    assert(out(("A", "subscribe to our")) == (3L, 4L, true), out.toString)
+    assert(out(("A", "a unique opener")) == (1L, 4L, false))
+    // B: no repeated opener; the 2-word doc contributes no prefix
+    assert(out.keys.count(_._1 == "B") == 2)
+    assert(out.filter(_._1._1 == "B").values.forall(v =>
+      v._2 == 2L && !v._3), out.toString)
+  }
+
   test("modelScore: table-driven dot product, missing weights are 0, no shuffle") {
     val s = spark
     import s.implicits._

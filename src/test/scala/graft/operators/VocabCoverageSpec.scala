@@ -72,6 +72,28 @@ class VocabCoverageSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("dedupSentences: first occurrence kept in order, empties dropped") {
+    val s = spark
+    import s.implicits._
+    val docs2 = Seq(
+      (1L, "Buy now. Read the article. Buy now. The end."),
+      (2L, "No repeats here. Truly none."),
+      (3L, "..."),                       // only empty fragments
+      (4L, "  Spaced.  Spaced. spaced.") // trim folds, case does not
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSentences(docs2, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) == (4L, 1L, "Buy now. Read the article. The end"),
+      out.toString)
+    assert(out(2L) == (2L, 0L, "No repeats here. Truly none"))
+    // all-empty split → doc emits nothing
+    assert(!out.contains(3L))
+    // trim collapses the duplicate; distinct CASE variants both stay
+    assert(out(4L) == (3L, 1L, "Spaced. spaced"), out.toString)
+  }
+
   test("maskTokens: deterministic, per-doc keys, counts match the text") {
     val s = spark
     import s.implicits._
