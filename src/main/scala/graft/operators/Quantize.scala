@@ -162,19 +162,57 @@ object Quantize {
     * audited bounded-cross class), trivial even at thousands of
     * sources. Output: (g_a, g_b, n_a, n_b, dot_ab, cos_ab) for
     * g_a < g_b. */
-  def groupAffinity(embeddings: DataFrame, groupCol: String,
+  /** Per-group centroid-mass LEDGER: (g, csum, n) — the exact
+    * sufficient statistics of [[groupAffinity]], stored instead of
+    * recomputed. Integer element-wise sums and a count: both add, so
+    * the ledger merges with any batch by pure arithmetic. */
+  def affinityLedger(embeddings: DataFrame, groupCol: String,
       vecCol: String): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val codes = embeddings.select(col(groupCol).as("g"),
-      int8Codes(col(vecCol)).cast("array<double>").as("cd"))
-    val sums = codes.groupBy(col("g"))
+    embeddings
+      .select(col(groupCol).as("g"),
+        int8Codes(col(vecCol)).cast("array<double>").as("cd"))
+      .groupBy(col("g"))
       .agg(Bridge.column(graft.functions.VecSumAgg(
           Bridge.expression(col("cd"))).toAggregateExpression()).as("csum_d"),
         count(lit(1)).as("n"))
       .select(col("g"),
         transform(col("csum_d"), x => x.cast("long")).as("csum"), col("n"))
+  }
+
+  /** O(new)-per-day [[groupAffinity]] maintenance: today's batch folds
+    * to its own (g, csum, n) statistics map-side, merges with the
+    * stored ledger by ELEMENT-WISE ADDITION (integer sums and counts
+    * are exactly mergeable — the q140/q161 sufficient-statistics
+    * discipline applied to embedding centroids), and the affinity
+    * matrix re-derives from the merged sums. Historical vectors are
+    * never rescanned; the merge join is ledger-sized (|groups| rows).
+    * A group present on one side only passes its statistics through
+    * (zip_with against a coalesced zero vector). */
+  def incrementalGroupAffinity(ledger: DataFrame, batch: DataFrame,
+      groupCol: String, vecCol: String): DataFrame = {
+    val b = affinityLedger(batch, groupCol, vecCol)
+      .select(col("g"), col("csum").as("csum_b"), col("n").as("n_b"))
+    val merged = ledger.join(b, Seq("g"), "full_outer")
+      .select(col("g"),
+        when(col("csum").isNull, col("csum_b"))
+          .when(col("csum_b").isNull, col("csum"))
+          .otherwise(zip_with(col("csum"), col("csum_b"), _ + _))
+          .as("csum"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n"))
+    affinityFromLedger(merged)
+  }
+
+  /** The [[groupAffinity]] tail over a (g, csum, n) ledger frame. */
+  private[operators] def affinityFromLedger(sums0: DataFrame): DataFrame = {
+    val sums = sums0
       .withColumn("self_dot", intDot(col("csum"), col("csum")))
       .transform(graft.util.CacheScope.persist)
+    pairTail(sums)
+  }
+
+  private def pairTail(sums: DataFrame): DataFrame = {
     val a = sums.select(col("g").as("g_a"), col("csum").as("ca"),
       col("n").as("n_a"), col("self_dot").as("sd_a"))
     val b = sums.select(col("g").as("g_b"), col("csum").as("cb"),
@@ -187,4 +225,8 @@ object Quantize {
           (sqrt(col("sd_a").cast("double")) *
            sqrt(col("sd_b").cast("double")))).as("cos_ab"))
   }
+
+  def groupAffinity(embeddings: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    affinityFromLedger(affinityLedger(embeddings, groupCol, vecCol))
 }

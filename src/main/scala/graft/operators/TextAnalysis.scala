@@ -545,6 +545,41 @@ object TextAnalysis {
     merged.unionByName(fresh)
   }
 
+  /** Word frequency census (w, f) — the stored state behind the
+    * frequency SPECTRUM (frequency-of-frequencies). */
+  def wordCensus(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Dedup.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** Frequency spectrum from a (w, f) census: how many distinct words
+    * occur exactly f times. */
+  def frequencySpectrum(census: DataFrame): DataFrame =
+    census.groupBy(col("f")).agg(count(lit(1)).as("n_words"))
+
+  /** O(new)-per-day maintenance of the word census + spectrum — the
+    * [[incrementalBigramCensus]] discipline applied to the unigram
+    * table: counts add under an append-only corpus, the stored census
+    * (vocabulary-bounded, ≪ corpus) merges the broadcast batch census
+    * map-side and fresh words append via a broadcast anti join. The
+    * spectrum re-derives from the merged census (it is a grouped view
+    * of the state, not state itself). Bit-identical to recomputing
+    * over history ∪ batch — the gate oracle is the full recompute. */
+  def incrementalFrequencySpectrum(stored: DataFrame, batch: DataFrame,
+      textCol: String): DataFrame = {
+    val b = wordCensus(batch, textCol)
+      .select(col("w"), col("f").as("__f_b"))
+      .transform(graft.util.CacheScope.persist)
+    val merged = stored
+      .join(broadcast(b), Seq("w"), "left")
+      .select(col("w"), (col("f") + coalesce(col("__f_b"), lit(0L))).as("f"))
+    val fresh = b
+      .join(broadcast(stored.select(col("w"))
+        .join(broadcast(b.select(col("w"))), Seq("w"), "left_semi")),
+        Seq("w"), "left_anti")
+      .select(col("w"), col("__f_b").as("f"))
+    frequencySpectrum(merged.unionByName(fresh))
+  }
+
   def bigramLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, rareMax: Long): org.apache.spark.sql.DataFrame = {
     // pairs feeds the corpus model (bi -> uni) AND the per-doc scoring

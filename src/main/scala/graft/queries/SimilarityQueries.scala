@@ -551,6 +551,60 @@ object SimilarityQueries extends QueryPack {
       ORDER BY g_a, g_b
     """))
 
+  // --------------------------------------------------------------- q173
+  // O(new) incremental form of q162: the stored (group, csum, n)
+  // ledger — exact sufficient statistics of the affinity matrix —
+  // merges with today's batch by element-wise integer addition (the
+  // q140/q161 mergeable-statistics discipline applied to embedding
+  // centroids), and the matrix re-derives from the merged sums.
+  // History (vec_id % 3 > 0) contributes ONLY its ledger row; the
+  // oracle recomputes from the FULL table, so the hash match proves
+  // the merge exact. Ledger-sized joins only — historical vectors are
+  // never rescanned.
+  private val q173 = Q(
+    "q173_incremental_group_affinity",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val ledger = graft.operators.Quantize.affinityLedger(
+        e.filter(col("vec_id") % 3 > 0), "label", "embedding")
+      graft.operators.Quantize.incrementalGroupAffinity(
+          ledger, e.filter(col("vec_id") % 3 === 0),
+          "label", "embedding")
+        .orderBy(col("g_a"), col("g_b"))
+    },
+    Some("""
+      WITH qv AS (
+        SELECT label,
+               CASE WHEN mx > 0
+                 THEN list_transform(v, x -> CAST(floor(x / mx * 127.0 + 0.5) AS BIGINT))
+                 ELSE list_transform(v, x -> 0::BIGINT) END AS codes
+        FROM (
+          SELECT label, embedding::DOUBLE[] AS v,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+          FROM embeddings)),
+      cent AS (
+        SELECT label, i, SUM(codes[i]) AS s
+        FROM qv, UNNEST(generate_series(1, 64)) t(i)
+        GROUP BY label, i),
+      cnt AS (SELECT label, COUNT(*) AS n FROM qv GROUP BY label),
+      selfd AS (SELECT label, SUM(s * s) AS self_dot FROM cent GROUP BY label),
+      pair AS (
+        SELECT a.label AS g_a, b.label AS g_b, SUM(a.s * b.s) AS dot_ab
+        FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2)
+      SELECT g_a, g_b, na.n AS n_a, nb.n AS n_b,
+             CAST(p.dot_ab AS BIGINT) AS dot_ab,
+             CAST(p.dot_ab AS DOUBLE) /
+               (sqrt(CAST(sa.self_dot AS DOUBLE)) *
+                sqrt(CAST(sb.self_dot AS DOUBLE))) AS cos_ab
+      FROM pair p
+      JOIN cnt na ON na.label = p.g_a
+      JOIN cnt nb ON nb.label = p.g_b
+      JOIN selfd sa ON sa.label = p.g_a
+      JOIN selfd sb ON sb.label = p.g_b
+      ORDER BY g_a, g_b
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
-    q162)
+    q162, q173)
 }

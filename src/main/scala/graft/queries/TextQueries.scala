@@ -981,10 +981,8 @@ object TextQueries extends QueryPack {
   private val q170 = Q(
     "q170_frequency_spectrum",
     (s, dir) => {
-      Tables(s, dir, "documents")
-        .select(explode(graft.operators.Dedup.words(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        .groupBy(col("f")).agg(count(lit(1)).as("n_words"))
+      TextAnalysis.frequencySpectrum(
+          TextAnalysis.wordCensus(Tables(s, dir, "documents"), "text"))
         .orderBy(col("f"))
     },
     Some(raw"""
@@ -1031,6 +1029,32 @@ object TextQueries extends QueryPack {
              d.clean_text
       FROM agg a JOIN ded d USING (doc_id)
       ORDER BY a.doc_id
+    """))
+
+  // --------------------------------------------------------------- q174
+  // O(new) incremental form of q170: the stored (word, count) census
+  // merges today's batch census by addition (counts add under an
+  // append-only corpus — the q150 discipline on the unigram table),
+  // fresh words append via broadcast anti join, and the spectrum
+  // re-derives from the merged census. History (doc_id % 3 > 0)
+  // contributes ONLY its census; the oracle recomputes the spectrum
+  // from the FULL corpus, so the hash match proves the merge exact.
+  private val q174 = Q(
+    "q174_incremental_frequency_spectrum",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val stored = TextAnalysis.wordCensus(
+        docs.filter(col("doc_id") % 3 > 0), "text")
+      TextAnalysis.incrementalFrequencySpectrum(
+          stored, docs.filter(col("doc_id") % 3 === 0), "text")
+        .orderBy(col("f"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      tok AS (SELECT unnest(w) AS t FROM norm),
+      freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t)
+      SELECT f, COUNT(*) AS n_words FROM freq GROUP BY f ORDER BY f
     """))
 
   // --------------------------------------------------------------- q137
@@ -1095,5 +1119,5 @@ object TextQueries extends QueryPack {
 
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137, q140, q142, q150, q159, q163, q164, q170, q172)
+    q137, q140, q142, q150, q159, q163, q164, q170, q172, q174)
 }

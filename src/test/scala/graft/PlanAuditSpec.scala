@@ -43,9 +43,10 @@ class PlanAuditSpec extends SparkSpec {
       // vectors (q20's class); the rerank pass is equi-joins on the
       // ≤ |Q|·shortlist survivor frame
       "q138_matryoshka_topk",
-      // q162's pair join is aggregate-bounded² (|groups| × |groups|,
-      // both sides per-group aggregate outputs) — never corpus-sized
-      "q162_group_affinity")
+      // q162/q173's pair join is aggregate-bounded² (|groups| ×
+      // |groups|, both sides per-group aggregate/ledger outputs) —
+      // never corpus-sized
+      "q162_group_affinity", "q173_incremental_group_affinity")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

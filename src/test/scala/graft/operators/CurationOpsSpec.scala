@@ -174,6 +174,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(("b", "c"))._4 == 0.0)
   }
 
+  test("incremental group affinity ≡ full recompute; one-sided groups survive") {
+    val s = spark
+    import s.implicits._
+    // a splits across history/batch (sums must merge element-wise);
+    // b is history-only; c is batch-only (a brand-new group)
+    val history = Seq(
+      (1L, "a", Seq(1.0, 0.0, 2.0, 0.0)),
+      (2L, "a", Seq(0.5, 1.0, 0.0, 0.0)),
+      (3L, "b", Seq(0.0, 2.0, 0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    val batch = Seq(
+      (4L, "a", Seq(2.0, 0.0, 1.0, 0.0)),
+      (5L, "c", Seq(0.0, 0.0, 3.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val inc = rows(Quantize.incrementalGroupAffinity(
+      Quantize.affinityLedger(history.select(col("label"), col("embedding")),
+        "label", "embedding"),
+      batch.select(col("label"), col("embedding")), "label", "embedding"))
+    val full = rows(Quantize.groupAffinity(
+      history.unionByName(batch).select(col("label"), col("embedding")),
+      "label", "embedding"))
+    assert(inc == full, s"incremental ≠ full:\n inc=$inc\n full=$full")
+    assert(inc.map(t => (t._1, t._2)) ==
+      Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
   test("quantized top-5 recall vs exact float top-5 is ≥ 0.8") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)

@@ -72,6 +72,26 @@ class VocabCoverageSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("incremental frequency spectrum ≡ full recompute") {
+    val s = spark
+    import s.implicits._
+    // "shared" occurs in both slices (counts must add, not union);
+    // "fresh" exists only in the batch (appends); "old" only history
+    val history = Seq((1L, "old shared shared"), (2L, "old shared"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "fresh shared fresh"), (4L, "shared"))
+      .toDF("doc_id", "text")
+    def spec(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = spec(TextAnalysis.incrementalFrequencySpectrum(
+      TextAnalysis.wordCensus(history, "text"), batch, "text"))
+    val full = spec(TextAnalysis.frequencySpectrum(
+      TextAnalysis.wordCensus(history.unionByName(batch), "text")))
+    assert(inc == full, s"incremental ≠ full:\n inc=$inc\n full=$full")
+    // hand-check: old=2, fresh=2, shared=5 → spectrum {2→2, 5→1}
+    assert(full == Set((2L, 2L), (5L, 1L)), full.toString)
+  }
+
   test("dedupSentences: first occurrence kept in order, empties dropped") {
     val s = spark
     import s.implicits._
