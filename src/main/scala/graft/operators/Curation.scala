@@ -209,12 +209,55 @@ object Curation {
     * no prefix and are excluded from both counts. */
   def templateHeaders(docs: DataFrame, srcCol: String, textCol: String,
       k: Int, shareDen: Long, minDocs: Long): DataFrame = {
-    val withHeader = docs
+    val census = templateHeaderLedger(docs, srcCol, textCol, k)
+      .transform(graft.util.CacheScope.persist)
+    val totals = census.groupBy(col(srcCol))
+      .agg(sum(col("n_docs")).as("src_docs"))
+    census.join(totals, srcCol)
+      .withColumn("is_template",
+        col("n_docs") * lit(shareDen) > col("src_docs") &&
+          col("n_docs") >= minDocs)
+  }
+
+  /** The stored-state half of [[templateHeaders]]: the (source,
+    * header, n_docs) census, which is the operator's exact sufficient
+    * statistics — counts add under an append-only corpus. */
+  def templateHeaderLedger(docs: DataFrame, srcCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs
       .select(col(srcCol), Dedup.words(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= k)
-      .select(col(srcCol), concat_ws(" ", slice(col("__w"), 1, k)).as("header"))
-    val census = withHeader.groupBy(col(srcCol), col("header"))
+      .select(col(srcCol),
+        concat_ws(" ", slice(col("__w"), 1, k)).as("header"))
+      .groupBy(col(srcCol), col("header"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** O(new)-per-day [[templateHeaders]] maintenance: the stored census
+    * merges the broadcast batch census by addition, fresh (source,
+    * header) keys append via a broadcast anti join (the
+    * incrementalBigramCensus discipline), and totals + template
+    * verdicts re-derive from the merged census — a template that
+    * crosses the share threshold only after today's batch flips
+    * correctly, because the flag is a VIEW over the state, not state
+    * itself. History documents are never rescanned. */
+  def incrementalTemplateHeaders(ledger: DataFrame, batch: DataFrame,
+      srcCol: String, textCol: String, k: Int, shareDen: Long,
+      minDocs: Long): DataFrame = {
+    val b = templateHeaderLedger(batch, srcCol, textCol, k)
+      .select(col(srcCol), col("header"), col("n_docs").as("__n_b"))
+      .transform(graft.util.CacheScope.persist)
+    val merged = ledger
+      .join(broadcast(b), Seq(srcCol, "header"), "left")
+      .select(col(srcCol), col("header"),
+        (col("n_docs") + coalesce(col("__n_b"), lit(0L))).as("n_docs"))
+    val fresh = b
+      .join(broadcast(ledger.select(col(srcCol), col("header"))
+          .join(broadcast(b.select(col(srcCol), col("header"))),
+            Seq(srcCol, "header"), "left_semi")),
+        Seq(srcCol, "header"), "left_anti")
+      .select(col(srcCol), col("header"), col("__n_b").as("n_docs"))
+    val census = merged.unionByName(fresh)
+      .transform(graft.util.CacheScope.persist)
     val totals = census.groupBy(col(srcCol))
       .agg(sum(col("n_docs")).as("src_docs"))
     census.join(totals, srcCol)

@@ -193,6 +193,33 @@ object Decontam {
     * an equi-join. Corpora where the distinct-shingle exchange is the
     * bottleneck take the q139 KMV-sketch road instead — this is the
     * exact form. */
+  /** SPAN-CAPABLE benchmark decontamination over the WINNOWED index:
+    * corpus docs sharing at least `minShared` selected fingerprints
+    * with a benchmark doc, pair-attributed — the scale form of
+    * [[contaminationReport]] for long-quote contamination. Winnowing
+    * ([[Dedup.winnowFingerprints]]) shrinks both posting lists
+    * ~windowW/2× while guaranteeing any quoted run of at least
+    * windowW+k-1 words still collides, so the miss class is bounded
+    * and named, unlike sampling. The benchmark side is eval-suite
+    * sized and BROADCASTS — the corpus side never shuffles at all:
+    * fingerprints compute map-side and probe the broadcast, and the
+    * only exchange carries surviving (doc, bench) pairs. Output:
+    * (doc_id, bench_id, n_shared). */
+  def winnowedContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int, windowW: Int,
+      minShared: Int): DataFrame = {
+    val bfps = Dedup.winnowFingerprints(benchmark, idCol, textCol,
+        k, windowW)
+      .select(col("doc_id").as("bench_id"), col("fp")).distinct()
+    val cfps = Dedup.winnowFingerprints(corpus, idCol, textCol,
+        k, windowW)
+      .select(col("doc_id"), col("fp")).distinct()
+    cfps.join(broadcast(bfps), "fp")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def sourceUniqueness(docs: DataFrame, srcCol: String, textCol: String,
       k: Int): DataFrame = {
     val fps = Dedup.explodedShingles(docs, srcCol, textCol, k)

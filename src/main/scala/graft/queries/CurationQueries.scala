@@ -714,6 +714,91 @@ object CurationQueries extends QueryPack {
       ORDER BY source, header
     """))
 
+  // --------------------------------------------------------------- q175
+  // Span-capable benchmark decontamination over the WINNOWED index:
+  // corpus docs sharing ≥ 2 selected fingerprints with a benchmark
+  // doc, pair-attributed — q72's scale form for long-quote
+  // contamination. Benchmark side (doc_id % 25 = 0, the q72 split)
+  // broadcasts; corpus fingerprints compute map-side and probe it, so
+  // the only exchange carries surviving (doc, bench) pairs. The
+  // winnowing guarantee names the miss class exactly: no quoted run
+  // ≥ 6 words can lose every fingerprint.
+  private val q175 = Q(
+    "q175_winnowed_decontam",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Decontam.winnowedContamination(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", k = 3, windowW = 4, minShared = 2)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      kg AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                 AS h
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      m AS (SELECT doc_id, COUNT(*) AS m FROM kg GROUP BY doc_id),
+      wins AS (
+        SELECT doc_id, j
+        FROM m, UNNEST(generate_series(1, greatest(m - 3, 1))) AS t(j)),
+      sel AS (
+        SELECT DISTINCT doc_id, h FROM (
+          SELECT wn.doc_id, wn.j, g.h,
+                 ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.j
+                   ORDER BY g.h ASC, g.p DESC) AS rn
+          FROM wins wn JOIN kg g
+            ON g.doc_id = wn.doc_id AND g.p BETWEEN wn.j AND wn.j + 3)
+        WHERE rn = 1)
+      SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+      FROM (SELECT * FROM sel WHERE doc_id % 25 <> 0) c
+      JOIN (SELECT * FROM sel WHERE doc_id % 25 = 0) b ON c.h = b.h
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+      ORDER BY 1, 2
+    """))
+
+  // --------------------------------------------------------------- q176
+  // O(new) incremental form of q171: the stored (source, header,
+  // n_docs) census — the operator's exact sufficient statistics —
+  // merges today's batch census by addition, fresh keys append via
+  // broadcast anti join, and the template verdicts re-derive from the
+  // merged census (the flag is a VIEW over the state, so a template
+  // crossing the threshold only after today's batch flips correctly).
+  // History docs never rescanned; oracle = the full q171 recompute.
+  private val q176 = Q(
+    "q176_incremental_template_headers",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ledger = Curation.templateHeaderLedger(
+        docs.filter(col("doc_id") % 3 > 0), "source", "text", k = 3)
+      Curation.incrementalTemplateHeaders(
+          ledger, docs.filter(col("doc_id") % 3 === 0),
+          "source", "text", k = 3, shareDen = 5L, minDocs = 2L)
+        .orderBy(col("source"), col("header"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT source, $normWordsSql AS w FROM documents),
+      hdr AS (
+        SELECT source, array_to_string(w[1:3], ' ') AS header
+        FROM norm WHERE len(w) >= 3),
+      census AS (
+        SELECT source, header, COUNT(*) AS n_docs
+        FROM hdr GROUP BY source, header),
+      tot AS (
+        SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs
+        FROM census GROUP BY source)
+      SELECT c.source, c.header, c.n_docs, t.src_docs,
+             (c.n_docs * 5 > t.src_docs AND c.n_docs >= 2) AS is_template
+      FROM census c JOIN tot t USING (source)
+      ORDER BY source, header
+    """))
+
   def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
-    q125, q128, q160, q169, q171)
+    q125, q128, q160, q169, q171, q175, q176)
 }

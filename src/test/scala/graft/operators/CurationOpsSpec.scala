@@ -39,6 +39,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.head.getLong(1) === 2L)
   }
 
+  test("winnowed decontam: quoting doc flagged with its bench source, clean doc not") {
+    val s = spark
+    import s.implicits._
+    val quote = "the bench answer is alpha beta gamma delta epsilon zeta"
+    val bench = Seq((100L, quote), (101L, "other bench item words here now"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"intro words then $quote and a closing remark too"),
+      (2L, "completely original prose with no quoted benchmark content"))
+      .toDF("doc_id", "text")
+    val out = Decontam.winnowedContamination(corpus, bench,
+        "doc_id", "text", k = 3, windowW = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 embeds a 10-word bench run (≥ w+k-1 = 6 → the winnowing
+    // guarantee forces a shared fingerprint); doc 2 is clean
+    assert(out.contains((1L, 100L)), s"quoting doc must flag: $out")
+    assert(!out.exists(_._1 == 2L), s"clean doc flagged: $out")
+  }
+
   test("sourceUniqueness: exclusive vs shared shingles, repeats collapse") {
     val s = spark
     import s.implicits._

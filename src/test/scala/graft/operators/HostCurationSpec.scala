@@ -262,6 +262,38 @@ class HostCurationSpec extends SparkSpec {
       v._2 == 2L && !v._3), out.toString)
   }
 
+  test("incremental template headers ≡ full recompute; late-crossing template flips") {
+    val s = spark
+    import s.implicits._
+    // the "promo intro" header has 1 hit in history (below minDocs)
+    // and crosses the template threshold only after the batch adds 2
+    // more — the O(new) path must flip it, proving verdicts re-derive
+    // from merged state rather than carrying over
+    val history = Seq(
+      (1L, "promo intro line article one", "A"),
+      (2L, "something else entirely here", "A"),
+      (3L, "unique opener for this doc", "A"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (4L, "promo intro line article two", "A"),
+      (5L, "promo intro line article three", "A"),
+      (6L, "fresh source first doc", "B"))
+      .toDF("doc_id", "text", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val inc = rows(Curation.incrementalTemplateHeaders(
+      Curation.templateHeaderLedger(history, "source", "text", 3),
+      batch, "source", "text", 3, shareDen = 2L, minDocs = 2L))
+    val full = rows(Curation.templateHeaders(
+      history.unionByName(batch), "source", "text", 3,
+      shareDen = 2L, minDocs = 2L))
+    assert(inc == full, s"incremental ≠ full:\n inc=$inc\n full=$full")
+    assert(inc.contains(("A", "promo intro line", 3L, 5L, true)),
+      s"late-crossing template must flip: $inc")
+    assert(inc.contains(("B", "fresh source first", 1L, 1L, false)))
+  }
+
   test("modelScore: table-driven dot product, missing weights are 0, no shuffle") {
     val s = spark
     import s.implicits._
