@@ -142,22 +142,57 @@ object Curation {
     * doc with its running total and verdict so the caller can audit
     * the cut line; `filter(kept)` is the curated corpus.
     *
-    * Scale: ONE window partitioned by host — the partitionSpec is
-    * never empty (the PlanAuditSpec-banned class), per-host row counts
-    * are crawl-frontier bounded, and hosts hash-spread across
-    * executors. A pathological mega-host skews its partition; the
-    * mitigation is upstream ([[hostQuota]] first, or salt the host and
-    * budget per salt-slice) — not a global sort, which this plan never
-    * performs. */
+    * Scale — SALT-SLICED running sum, the [[Sampling]] rangedCumSum
+    * two-pass discipline applied WITHIN host so a mega-host (a large
+    * site at web scale: tens of millions of rows) never serializes on
+    * one window task:
+    *
+    *  1. slice = (host, quality) — contiguous under the (quality DESC,
+    *     id ASC) admission order by construction, so a per-slice
+    *     running sum (window partitioned by the SLICE, ordered by id)
+    *     is the order-correct local prefix; the mega-host spreads
+    *     across as many tasks as it has distinct quality values;
+    *  2. per-slice token subtotals (map-side-combining aggregate)
+    *     expand to each slice's OFFSET — the token mass of all
+    *     strictly-better-quality slices of the same host — via a
+    *     window over the subtotal frame (per-host rows there =
+    *     distinct quality values, bounded and tiny);
+    *  3. offsets fan back by a slice-keyed equi-join and
+    *     cum = local + offset. The slice key is a STRUCT of (host,
+    *     quality) so null host/quality rows group and join exactly as
+    *     the single-window form ordered them (struct equality treats
+    *     null fields as equal; plain `===` on the raw columns would
+    *     drop those rows). The docs side is already hash-partitioned
+    *     by the slice from step 1, so the fan-back reuses that
+    *     exchange — the corpus shuffles ONCE.
+    *
+    * Same numbers as the single host-partitioned window (the offset is
+    * exactly the sum of all order-earlier rows in other slices), so
+    * the DuckDB oracle keeps the readable one-window SQL. Residual
+    * skew: a mega-host whose rows share ONE quality value still lands
+    * in one slice — compose [[hostQuota]] in front or quantize quality
+    * finer when the score is degenerate-constant at that scale. */
   def hostTokenBudget(docs: DataFrame, hostCol: String, idCol: String,
       tokensCol: String, qualityCol: String,
       budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(hostCol))
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    val d = docs.withColumn("__slice",
+      struct(col(hostCol).as("h"), col(qualityCol).as("q")))
+    val wLocal = Window.partitionBy(col("__slice"))
+      .orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+    val wOff = Window.partitionBy(col("__slice.h"))
+      .orderBy(col("__slice.q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = d.groupBy(col("__slice"))
+      .agg(sum(col(tokensCol)).as("__sub"))
+      .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0)))
+      .select(col("__slice").as("__slice2"), col("__off"))
+    d.withColumn("__local", sum(col(tokensCol)).over(wLocal))
+      .join(off, col("__slice") === col("__slice2"))
+      .withColumn("cum_tokens", col("__local") + col("__off"))
       .withColumn("kept", col("cum_tokens") <= budgetTokens)
+      .drop("__slice", "__slice2", "__off", "__local")
   }
 
   /** MODEL-based quality filtering: score every document under a
@@ -182,8 +217,16 @@ object Curation {
       featureCols: Seq[String], threshold: Long): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
-    val wmap = weights.agg(map_from_arrays(
-      collect_list(col("feature")), collect_list(col("w_micro"))).as("wm"))
+    require(featureCols.nonEmpty,
+      "modelScore needs at least one feature column")
+    // duplicate feature rows SUM (two rows for one feature are two
+    // additive terms of the same linear model) — and, less politely,
+    // a duplicated key would make map_from_arrays throw at runtime
+    // under the default mapKeyDedupPolicy=EXCEPTION
+    val wmap = weights
+      .groupBy(col("feature")).agg(sum(col("w_micro")).as("w_micro"))
+      .agg(map_from_arrays(
+        collect_list(col("feature")), collect_list(col("w_micro"))).as("wm"))
     val term = (f: String) =>
       coalesce(element_at(col("__wm"), lit(f)), lit(0L))
     val dot = featureCols.map(f => term(f) * col(f).cast("long"))

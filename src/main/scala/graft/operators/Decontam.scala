@@ -178,21 +178,6 @@ object Decontam {
       .agg(count(lit(1)).as("shared_shingles"))
   }
 
-  /** Per-source n-gram UNIQUENESS: of each source's distinct word
-    * k-shingles, how many appear in NO other source — the
-    * "does this slice add anything the mixture doesn't already have"
-    * signal, the per-source complement of [[sourceOverlapMatrix]]'s
-    * pairwise view. `exclusive_micro` is the exclusivity share in
-    * integer micro-units (floor; numerator and denominator are
-    * non-negative, so Spark DIV and the oracle's // agree).
-    *
-    * Scale shape: the exchange carries DISTINCT (source, shingle)
-    * pairs once (map-side partial distinct collapses per-source
-    * repeats first — [[sourceOverlapMatrix]]'s class); the ownership
-    * census then folds to |distinct shingles| keys and fans back by
-    * an equi-join. Corpora where the distinct-shingle exchange is the
-    * bottleneck take the q139 KMV-sketch road instead — this is the
-    * exact form. */
   /** SPAN-CAPABLE benchmark decontamination over the WINNOWED index:
     * corpus docs sharing at least `minShared` selected fingerprints
     * with a benchmark doc, pair-attributed — the scale form of
@@ -220,6 +205,80 @@ object Decontam {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** REGION-attributed form of [[winnowedContamination]] — what an
+    * eval-suite audit actually publishes: not just "doc X touches
+    * benchmark Y" but WHERE the quoted material sits (start, length)
+    * in both documents, so the contaminated regions can be excised or
+    * the doc adjudicated. Composition of the winnowed match join with
+    * the [[Dedup.sharedSpans]] gaps-and-islands + stitching tail:
+    * matched (corpus-pos, bench-pos) fingerprint pairs on the same
+    * pair DIAGONAL merge into one region when their word gap is ≤
+    * `maxGap`. Winnowed selections are SPARSE (expected density
+    * 2/(windowW+1)), so unlike the full-index q153 path the matches
+    * inside one quoted run are not consecutive — but the winnowing
+    * guarantee puts a shared selected fingerprint in every fully
+    * interior window, so consecutive interior matches sit ≤ windowW
+    * positions apart and `maxGap ≈ windowW + k` stitches a quote into
+    * one region. Reported extent is CERTIFIED (first to last matched
+    * fingerprint + k − 1 words); the true quote can extend up to
+    * windowW + k − 2 words past each edge — the named edge-slack of
+    * the winnowed index, traded for its ~windowW/2× size.
+    *
+    * Scale shape: identical to [[winnowedContamination]] — the
+    * benchmark side is eval-suite sized and broadcasts (positions and
+    * all); the corpus side computes fingerprints map-side and never
+    * shuffles before the match join; the islands/stitch windows key by
+    * (doc, bench, diagonal) — match-grained, never single-partition.
+    * Pairs must still clear `minShared` distinct shared fingerprints
+    * (the [[winnowedContamination]] gate, so this is a strict
+    * refinement: same pairs, plus their regions). Output: (doc_id,
+    * bench_id, start_doc, start_bench, span_words, n_islands). */
+  def winnowedContaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int, windowW: Int,
+      minShared: Int, maxGap: Int, minSpan: Int): DataFrame = {
+    val bfps = Dedup.winnowFingerprints(benchmark, idCol, textCol,
+        k, windowW)
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("fp"))
+    val matched = Dedup.winnowFingerprints(corpus, idCol, textCol,
+        k, windowW)
+      .join(broadcast(bfps), "fp")
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        col("pos").as("pos_a"), col("pos_b"), col("fp"))
+      .transform(graft.util.CacheScope.persist)
+    val pairs = matched.select(col("doc_a"), col("doc_b"), col("fp"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.stitchIslands(
+        Dedup.islandsFromMatches(
+          matched.join(broadcast(pairs), Seq("doc_a", "doc_b"),
+            "left_semi")
+            .select(col("doc_a"), col("doc_b"), col("pos_a"),
+              col("pos_b")),
+          k),
+        minSpan, maxGap)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_id"),
+        col("start_a").as("start_doc"), col("start_b").as("start_bench"),
+        col("span_words"), col("n_islands"))
+  }
+
+  /** Per-source n-gram UNIQUENESS: of each source's distinct word
+    * k-shingles, how many appear in NO other source — the
+    * "does this slice add anything the mixture doesn't already have"
+    * signal, the per-source complement of [[sourceOverlapMatrix]]'s
+    * pairwise view. `exclusive_micro` is the exclusivity share in
+    * integer micro-units (floor; numerator and denominator are
+    * non-negative, so Spark DIV and the oracle's // agree).
+    *
+    * Scale shape: the exchange carries DISTINCT (source, shingle)
+    * pairs once (map-side partial distinct collapses per-source
+    * repeats first — [[sourceOverlapMatrix]]'s class); the ownership
+    * census then folds to |distinct shingles| keys and fans back by
+    * an equi-join. Corpora where the distinct-shingle exchange is the
+    * bottleneck take the q139 KMV-sketch road instead — this is the
+    * exact form. */
   def sourceUniqueness(docs: DataFrame, srcCol: String, textCol: String,
       k: Int): DataFrame = {
     val fps = Dedup.explodedShingles(docs, srcCol, textCol, k)

@@ -264,9 +264,15 @@ object Dedup {
   }
 
   /** Incremental SimHash near-dup: flag NEW documents whose signature
-    * sits within `maxHamming` bits of a STORED signature index — the
-    * Hamming-space sibling of [[incrementalMinhash]], closing the
-    * O(new)-per-day family for the simhash lane. The index carries
+    * COLLIDES with a STORED signature index on at least one of the
+    * 4×8-bit pigeonhole bands and verifies within `maxHamming` bits —
+    * the Hamming-space sibling of [[incrementalMinhash]], closing the
+    * O(new)-per-day family for the simhash lane. RECALL CAVEAT (the
+    * [[simhashPairs]] contract, inherited): with 4 bands the
+    * pigeonhole guarantee is total only for Hamming ≤ 3 — a pair with
+    * 4–7 differing bits spread across all four blocks shares no band
+    * and is silently missed, so `maxHamming` above 3 trades recall
+    * for the banding's candidate bound. The index carries
     * (doc_id, simhash) ONLY — 8 bytes per historical document, no
     * text — and is never rescanned beyond one band explode: per batch
     * the cost is map-side native signatures over the NEW docs
@@ -898,7 +904,7 @@ object Dedup {
   /** Raw maximal islands (no minSpan cut): one row per consecutive
     * matched run per (pair, diagonal), with `diag` retained for
     * downstream stitching. */
-  private def islandsFromMatches(matched: DataFrame, k: Int): DataFrame = {
+  private[operators] def islandsFromMatches(matched: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
@@ -946,7 +952,7 @@ object Dedup {
 
   /** Stitch tail of [[sharedSpansStitched]], separated for reuse over
     * incrementally-produced islands. */
-  private def stitchIslands(islands: DataFrame, minSpan: Int,
+  private[operators] def stitchIslands(islands: DataFrame, minSpan: Int,
       maxGap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDiag = Window
@@ -1121,6 +1127,55 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** O(new) DAILY form of [[winnowCandidatePairs]] — what a 100 TB
+    * substring-dedup deployment actually runs: the STORED index is the
+    * winnowed one (~windowW/2× smaller than the full positional index
+    * [[incrementalSharedSpans]] maintains), and a day's batch joins it
+    * without the corpus ever being re-fingerprinted. Output: candidate
+    * pairs with at least one BATCH endpoint sharing ≥ `minShared`
+    * selected fingerprints — exactly the batch recompute over
+    * history ∪ batch restricted to batch-touching pairs.
+    *
+    * Why the merge is exact: winnowed selection is PER-DOC (the
+    * window-argmin sees only the doc's own hash sequence), so history
+    * rows are untouched by the batch's arrival and the combined index
+    * is the plain union — no census to reconcile, unlike the
+    * df-dependent anchors of [[incrementalSharedSpans]]. Stored-side
+    * discipline (the q147/q156 rule): the batch fp set BROADCASTS into
+    * a semi-join on the stored index scan, so only history rows
+    * colliding with a batch fingerprint — a batch-proportional slice —
+    * survive to the distinct + pair join, which builds broadcast on
+    * the batch side. History and batch doc ids must be disjoint
+    * (append-only corpus).
+    *
+    * `historyIndex` is the stored [[winnowFingerprints]] output
+    * (doc_id, pos, fp) — positions ride along for span-capable
+    * consumers and are ignored here. */
+  def incrementalWinnowPairs(historyIndex: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int, windowW: Int,
+      minShared: Int): DataFrame = {
+    val bfps = winnowFingerprints(batch, idCol, textCol, k, windowW)
+      .select(col("doc_id"), col("fp")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    val hq = historyIndex
+      .join(broadcast(bfps.select(col("fp")).distinct()),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    val all = hq.unionByName(bfps)
+    // pairs with >= 1 batch endpoint, each exactly once (the q156
+    // provenance split): p1 covers b ∈ batch, p2 covers a ∈ batch
+    // with b ∈ history — disjoint by b's provenance.
+    def pairs(aSide: DataFrame, bSide: DataFrame) =
+      aSide.as("a").join(bSide.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    pairs(all, broadcast(bfps)).unionByName(pairs(broadcast(bfps), hq))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Span REDACTION — the transform [[sharedSpans]] is the analysis
     * for: keep-first at span granularity. Every detected span's words
     * are cut from the LARGER doc id of its pair (the smaller-id copy
@@ -1129,17 +1184,20 @@ object Dedup {
     * minus redacted positions, reassembled in order.
     *
     * Scale shape: the removal table is (doc_id, positions[]) for
-    * AFFECTED docs only — bounded by duplication incidence, not corpus
-    * size — and BROADCASTS into the doc scan, so document text never
-    * crosses an exchange: the word cut and reassembly are in-row
+    * AFFECTED docs only, and the word cut and reassembly are in-row
     * (two-arg lambda `filter` over the bound word array; per-word
     * `array_contains` against the doc's own removal list, which is
-    * span-sized). Corpora where the affected-doc set outgrows a
-    * broadcast shard the removal table and switch the join hint — the
-    * output contract is unchanged. Output: (doc_id, kept_text,
-    * n_removed) for EVERY input doc, kept_text normalized. */
+    * span-sized). The removal join is SIZE-GATED via `removalJoin` —
+    * see [[cutPositions]] for the three modes; the default lets AQE's
+    * runtime statistics pick broadcast when the affected-doc set is
+    * small and a doc_id-keyed shuffled hash join when it is
+    * corpus-proportional (crawl-scale duplication incidence is
+    * 30–50% of documents, where an unconditional broadcast OOMs the
+    * driver). Output: (doc_id, kept_text, n_removed) for EVERY input
+    * doc, kept_text normalized. */
   def redactSharedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minSpan: Int, maxDf: Int): DataFrame = {
+      k: Int, minSpan: Int, maxDf: Int,
+      removalJoin: String = "auto"): DataFrame = {
     val removal = sharedSpans(docs, idCol, textCol, k, minSpan, maxDf)
       .select(col("doc_b").as("doc_id"),
         explode(sequence(col("start_b"),
@@ -1147,9 +1205,39 @@ object Dedup {
       .distinct() // overlapping spans cover a position twice
       .groupBy(col("doc_id"))
       .agg(collect_set(col("rmpos")).as("__rm"))
+    cutPositions(docs, idCol, textCol, removal, removalJoin)
+  }
+
+  /** Shared redaction tail: left-join the (doc_id, __rm positions[])
+    * removal table onto the corpus and cut the listed 1-based word
+    * positions in-row, reassembling survivors in order.
+    *
+    * `removalJoin` size-gates the join strategy:
+    *  - "auto" (default): no hint — AQE's runtime statistics convert
+    *    the join to broadcast when the materialized removal table is
+    *    under `spark.sql.autoBroadcastJoinThreshold` and keep a
+    *    doc_id-keyed shuffled join when it is corpus-proportional.
+    *    This is the 100 TB-safe default: duplication incidence in raw
+    *    crawls is 30–50% of docs, so the removal table can be
+    *    corpus-sized and MUST be allowed to shuffle.
+    *  - "broadcast": pin the broadcast (callers that KNOW the
+    *    affected set is bounded, e.g. a capped hot-span pass).
+    *  - "shuffle": pin a shuffled hash join (spec lane — proves the
+    *    non-broadcast path bit-identical).
+    * In every mode the text-side exchange, when one happens, is keyed
+    * on doc_id only and carries each document once. */
+  private def cutPositions(docs: DataFrame, idCol: String, textCol: String,
+      removal: DataFrame, removalJoin: String): DataFrame = {
+    val rm = removalJoin match {
+      case "auto" => removal
+      case "broadcast" => broadcast(removal)
+      case "shuffle" => removal.hint("shuffle_hash")
+      case other => throw new IllegalArgumentException(
+        s"removalJoin=$other: expected auto | broadcast | shuffle")
+    }
     docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
-      .join(broadcast(removal), Seq("doc_id"), "left")
+      .join(rm, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__rm").isNull, col("__w")).otherwise(
           filter(col("__w"), (_, i) =>
@@ -1159,5 +1247,95 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", col("__kept")).as("kept_text"),
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /** HOT-span clusters — the df > maxDf class [[sharedSpans]]
+    * deliberately caps away, treated in CLUSTER form so the most
+    * duplicated content (license blocks, viral quotes, navigation
+    * boilerplate — precisely what a substring-dedup pass most wants
+    * to cut) is reported WITHOUT the df² pair fan-out the cap exists
+    * to prevent.
+    *
+    * Pipeline: positioned shingle fps → census keeps fps in ≥ `minDf`
+    * DISTINCT docs ("hot") → per-DOC gaps-and-islands over hot
+    * positions (window partitioned by doc_id — doc-grained, never
+    * single-partition) → each maximal run ≥ `minSpan` words carries a
+    * SIGNATURE, the md5 of its ordered fp sequence, so byte-identical
+    * runs across docs share a signature → runs group by signature into
+    * clusters; the keeper is the (doc_id, start) smallest occurrence
+    * (the [[exact]] keep-smallest-id discipline at span granularity).
+    *
+    * Cost is O(hot occurrences): one fp-keyed semi-join, one doc-keyed
+    * window, one signature-keyed aggregate+window — no pair join
+    * anywhere, so a span in 100k docs costs 100k rows, not 10^10
+    * pairs. Conservative by construction: only positions whose
+    * shingles are THEMSELVES hot join a run, so a run is a maximal
+    * all-hot region; partially-overlapping variants form distinct
+    * clusters (their fp sequences differ).
+    *
+    * Output: (span_sig, doc_id, start_pos, span_words, n_copies,
+    * is_keeper) — one row per occurrence; `filter(!is_keeper)` is the
+    * redaction set [[redactHotSpans]] consumes. */
+  def hotSpanClusters(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpan: Int, minDf: Int): DataFrame = {
+    require(k >= 2 && minSpan >= k,
+      s"minSpan=$minSpan / k=$k: need minSpan >= k >= 2")
+    require(minDf >= 2, s"minDf=$minDf: a hot span needs >= 2 docs")
+    val pos = positionedShingleFps(docs, idCol, textCol, k)
+      .transform(graft.util.CacheScope.persist)
+    val hot = pos.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = pos.join(hot, Seq("fp"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("span_words"),
+        // ordered fp sequence → portable signature (sort_array on the
+        // (pos, fp) structs is the in-row order-by; fps join as plain
+        // decimal strings so the oracle's string_agg matches byte-wise)
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("pos"), col("fp")))),
+            s => s.getField("fp").cast("string")))).as("span_sig"))
+      .filter(col("span_words") >= minSpan)
+    val bySig = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_sig"))
+    val keeperOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_sig"))
+      .orderBy(col("doc_id"), col("start_pos"))
+    runs
+      .withColumn("n_copies", count(lit(1)).over(bySig))
+      .withColumn("is_keeper", row_number().over(keeperOrder) === 1)
+      .select(col("span_sig"), col("doc_id"), col("start_pos"),
+        col("span_words"), col("n_copies"), col("is_keeper"))
+  }
+
+  /** Keep-first redaction of HOT spans: every non-keeper occurrence
+    * from [[hotSpanClusters]] is cut from its document; the keeper
+    * copy survives intact — closing the redaction gap where
+    * [[redactSharedSpans]]'s pair form is structurally blind (df >
+    * maxDf content produces no pair rows there).
+    *
+    * The removal table here is one row per non-keeper OCCURRENCE —
+    * O(hot occurrences), which at crawl scale is still potentially
+    * corpus-proportional, so the join takes the same size-gated
+    * `removalJoin` contract as [[cutPositions]] (default "auto": AQE
+    * decides broadcast vs doc_id-keyed shuffle at runtime). Output:
+    * (doc_id, kept_text, n_removed) for EVERY input doc. */
+  def redactHotSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpan: Int, minDf: Int,
+      removalJoin: String = "auto"): DataFrame = {
+    val removal = hotSpanClusters(docs, idCol, textCol, k, minSpan, minDf)
+      .filter(!col("is_keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("start_pos"),
+          col("start_pos") + col("span_words") - 1)).as("rmpos"))
+      .distinct() // runs never overlap within a doc, but stay defensive
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("rmpos")).as("__rm"))
+    cutPositions(docs, idCol, textCol, removal, removalJoin)
   }
 }

@@ -254,6 +254,36 @@ object Sampling {
       .drop("__cum", "__range", "__total", "__one")
   }
 
+  /** [[equiDepthBuckets]] over a FLOAT score — model quality scores,
+    * perplexities, calibrated probabilities — via the documented
+    * fixed-point micro-unit discipline (the q136 `qualityMicro` rule):
+    * the score quantizes to `floor(score · 10^6)` as BIGINT and the
+    * integral form runs on that. `floor` (not `round`) so both engines
+    * agree bit-for-bit on every value including negatives — floor is
+    * toward −∞ everywhere, while half-up rounding modes differ across
+    * engines — and the quantized product of an IEEE-754 double
+    * multiply is itself deterministic. Ties within 10⁻⁶ collapse to
+    * one quantum and fall back to the id tie-break — exactly the
+    * granularity a curriculum or calibration consumer means by "equal
+    * score". The score must be non-null and finite (NaN/±Inf have no
+    * integral image; a calibration step bounds its scores anyway) and
+    * |score| must stay under ~9.2 · 10^12 so the micro image fits
+    * BIGINT. Same scale shape as the integral form: distributed
+    * prefix sum ranged on the quantized score, no corpus-wide sort. */
+  def equiDepthBucketsMicro(df: DataFrame, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val t = df.schema(scoreCol).dataType
+    require(Seq(DoubleType, FloatType).contains(t),
+      s"equiDepthBucketsMicro needs a float score, got $t for $scoreCol" +
+        " (integral scores take equiDepthBuckets directly)")
+    equiDepthBuckets(
+      df.withColumn("__micro",
+        floor(col(scoreCol).cast("double") * lit(1000000.0d)).cast("long")),
+      idCol, "__micro", k)
+      .drop("__micro")
+  }
+
   /** Token-balanced shard assignment — the export step for distributed
     * training: every document lands in exactly one of `nShards` shards
     * with near-equal token mass (each worker then reads one shard).

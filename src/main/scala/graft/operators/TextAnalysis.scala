@@ -624,10 +624,16 @@ object TextAnalysis {
     * Masking rides the 1-based position so the oracle's
     * generate_series(1, len) indexes align; the mask key includes the
     * document id so identical sentences in different docs mask
-    * differently (no cross-doc correlation artifacts in training). */
+    * differently (no cross-doc correlation artifacts in training).
+    * Empty/whitespace-only documents count 0 tokens and emit empty
+    * masked_text — the [[tokenCount]] convention (a bare split would
+    * yield [''] = 1 phantom token, and a doc whose whole text is
+    * `[MASK]` would poison downstream token accounting). */
   def maskTokens(docs: DataFrame, idCol: String, textCol: String,
       pct: Int): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
+    val words = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
     val posHash = (i: Column) => conv(substring(md5(concat(
       col(idCol).cast("string"), lit(":"), i.cast("string"))),
       1, 15), 16, 10).cast("long") % 100

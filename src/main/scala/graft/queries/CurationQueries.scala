@@ -799,6 +799,143 @@ object CurationQueries extends QueryPack {
       ORDER BY source, header
     """))
 
+  // --------------------------------------------------------------- q180
+  // REGION-attributed winnowed decontamination — q175 upgraded from
+  // "doc X touches benchmark Y" to the quoted regions (start, length)
+  // in BOTH documents, composing the q153 gaps-and-islands + q157
+  // stitch tail over the sparse winnowed matches (same-diagonal
+  // matches within a 7-word gap merge; certified extent = first to
+  // last matched fp + k − 1 words, with the documented ≤ windowW+k−2
+  // edge slack). Same pair gate as q175 (≥ 2 distinct shared fps), so
+  // this is a strict refinement: same pairs, now with addresses.
+  private val q180 = Q(
+    "q180_winnowed_decontam_spans",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Decontam.winnowedContaminationSpans(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", k = 3, windowW = 4, minShared = 2,
+          maxGap = 7, minSpan = 3)
+        .orderBy(col("doc_id"), col("bench_id"), col("start_doc"),
+          col("start_bench"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      kg AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                 AS h
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      m AS (SELECT doc_id, COUNT(*) AS m FROM kg GROUP BY doc_id),
+      wins AS (
+        SELECT doc_id, j
+        FROM m, UNNEST(generate_series(1, greatest(m - 3, 1))) AS t(j)),
+      sel AS (
+        SELECT DISTINCT doc_id, p, h FROM (
+          SELECT wn.doc_id, wn.j, g.p, g.h,
+                 ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.j
+                   ORDER BY g.h ASC, g.p DESC) AS rn
+          FROM wins wn JOIN kg g
+            ON g.doc_id = wn.doc_id AND g.p BETWEEN wn.j AND wn.j + 3)
+        WHERE rn = 1),
+      matched AS (
+        SELECT c.doc_id AS doc_a, b.doc_id AS doc_b,
+               c.p AS pos_a, b.p AS pos_b, c.h AS h, c.p - b.p AS diag
+        FROM (SELECT * FROM sel WHERE doc_id % 25 <> 0) c
+        JOIN (SELECT * FROM sel WHERE doc_id % 25 = 0) b ON c.h = b.h),
+      pairs AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b, COUNT(DISTINCT h) AS n
+          FROM matched GROUP BY 1, 2)
+        WHERE n >= 2),
+      mm AS (SELECT m.* FROM matched m JOIN pairs USING (doc_a, doc_b)),
+      isl AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM mm),
+      isl2 AS (
+        SELECT doc_a, doc_b, diag, MIN(pos_a) AS sa, MIN(pos_b) AS sb,
+               COUNT(*) + 2 AS sw
+        FROM isl GROUP BY doc_a, doc_b, diag, grp),
+      mark AS (
+        SELECT doc_a, doc_b, diag, sa, sb, sw,
+               CASE WHEN LAG(sa + sw - 1) OVER w IS NULL
+                     OR sa - LAG(sa + sw - 1) OVER w - 1 > 7
+                    THEN 1 ELSE 0 END AS brk
+        FROM isl2
+        WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY sa)),
+      st AS (
+        SELECT doc_a, doc_b, diag, sa, sb, sw,
+               SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY sa
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM mark)
+      SELECT doc_a AS doc_id, doc_b AS bench_id,
+             MIN(sa) AS start_doc, MIN(sb) AS start_bench,
+             MAX(sa + sw) - MIN(sa) AS span_words,
+             COUNT(*) AS n_islands
+      FROM st GROUP BY doc_a, doc_b, diag, sid
+      HAVING MAX(sa + sw) - MIN(sa) >= 3
+      ORDER BY doc_id, bench_id, start_doc, start_bench
+    """))
+
+  // --------------------------------------------------------------- q181
+  // Equi-depth deciles on a FLOAT score — the q148 curriculum
+  // machinery opened to model-score inputs via the documented
+  // fixed-point adapter (floor(score · 10⁶) micro-units; floor, not
+  // round, so both engines agree on every value). The score here is
+  // chars-per-token verbosity — an IEEE-754 double division both
+  // engines compute bit-identically — bucketed into 10 equal-count
+  // bins with the usual distributed prefix sum (no corpus sort).
+  private val q181 = Q(
+    "q181_float_score_deciles",
+    (s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .withColumn("n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col("text")))
+        .filter(col("n_tokens") > 0)
+        .withColumn("verbosity",
+          col("n_chars").cast("double") / col("n_tokens").cast("double"))
+        .select(col("doc_id"), col("verbosity"))
+      graft.operators.Sampling.equiDepthBucketsMicro(base, "doc_id",
+          "verbosity", k = 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("verbosity")).as("min_verbosity"),
+          max(col("verbosity")).as("max_verbosity"))
+        .orderBy(col("bucket"))
+    },
+    Some(raw"""
+      WITH base AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tokens
+        FROM documents),
+      v AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS verbosity,
+               CAST(floor(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 * 1000000.0) AS BIGINT) AS micro
+        FROM base WHERE n_tokens > 0),
+      r AS (
+        SELECT doc_id, verbosity,
+               ROW_NUMBER() OVER (ORDER BY micro ASC, doc_id ASC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM v)
+      SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+             COUNT(*) AS n_docs,
+             MIN(verbosity) AS min_verbosity,
+             MAX(verbosity) AS max_verbosity
+      FROM r
+      GROUP BY 1
+      ORDER BY bucket
+    """))
+
   def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
-    q125, q128, q160, q169, q171, q175, q176)
+    q125, q128, q160, q169, q171, q175, q176, q180, q181)
 }

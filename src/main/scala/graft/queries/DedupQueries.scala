@@ -1408,7 +1408,171 @@ object DedupQueries extends QueryPack {
       ORDER BY cluster_id
     """))
 
+  // --------------------------------------------------------------- q177
+  // HOT-span clusters: the df > maxDf class q153's pair form caps away
+  // (the round-9 verdict's #1 miss class — the MOST duplicated spans
+  // are the highest-value redaction targets), in cluster form with no
+  // pair fan-out: per-doc gaps-and-islands over hot (df >= 3)
+  // positions, byte-identical runs clustered by the md5 of their
+  // ordered fp sequence, keeper = smallest (doc_id, start). Cost is
+  // O(hot occurrences) — a quote in 100k docs is 100k rows, never
+  // 10^10 pairs. The testdata plants one 78-word quote across 3 docs.
+  private val q177 = Q(
+    "q177_hot_span_clusters",
+    (s, dir) => {
+      Dedup.hotSpanClusters(Tables(s, dir, "documents"), "doc_id", "text",
+          k = 5, minSpan = 12, minDf = 3)
+        .orderBy(col("doc_id"), col("start_pos"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS fp
+        FROM norm, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      hot AS (
+        SELECT fp FROM (
+          SELECT fp, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY fp)
+        WHERE df >= 3),
+      isl AS (
+        SELECT doc_id, pos, fp,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM sh JOIN hot USING (fp)),
+      runs AS (
+        SELECT doc_id, MIN(pos) AS start_pos, COUNT(*) + 4 AS span_words,
+               md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY pos))
+                 AS span_sig
+        FROM isl GROUP BY doc_id, grp
+        HAVING COUNT(*) + 4 >= 12)
+      SELECT span_sig, doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+             CAST(span_words AS BIGINT) AS span_words,
+             COUNT(*) OVER (PARTITION BY span_sig) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY span_sig
+               ORDER BY doc_id, start_pos) = 1 AS is_keeper
+      FROM runs
+      ORDER BY doc_id, start_pos
+    """))
+
+  // --------------------------------------------------------------- q178
+  // Keep-first redaction of HOT spans — the cut q154 is structurally
+  // blind to (over-cap content yields no pair rows there): every
+  // non-keeper occurrence from q177 loses its words; the keeper copy
+  // survives intact. Removal join is the size-gated cutPositions
+  // contract (AQE broadcast-or-shuffle — hot-span incidence at crawl
+  // scale is corpus-proportional).
+  private val q178 = Q(
+    "q178_redact_hot_spans",
+    (s, dir) => {
+      Dedup.redactHotSpans(Tables(s, dir, "documents"), "doc_id", "text",
+          k = 5, minSpan = 12, minDf = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS fp
+        FROM norm, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      hot AS (
+        SELECT fp FROM (
+          SELECT fp, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY fp)
+        WHERE df >= 3),
+      isl AS (
+        SELECT doc_id, pos, fp,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM sh JOIN hot USING (fp)),
+      runs AS (
+        SELECT doc_id, MIN(pos) AS start_pos, COUNT(*) + 4 AS span_words,
+               md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY pos))
+                 AS span_sig
+        FROM isl GROUP BY doc_id, grp
+        HAVING COUNT(*) + 4 >= 12),
+      cl AS (
+        SELECT doc_id, start_pos, span_words,
+               ROW_NUMBER() OVER (PARTITION BY span_sig
+                 ORDER BY doc_id, start_pos) = 1 AS is_keeper
+        FROM runs),
+      rm AS (
+        SELECT DISTINCT doc_id, start_pos + j AS pos
+        FROM cl, UNNEST(generate_series(0, span_words - 1)) AS t(j)
+        WHERE NOT is_keeper),
+      wp AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM norm, UNNEST(generate_series(1, len(w))) AS t(i)),
+      kept AS (
+        SELECT wp.doc_id, wp.pos, wp.word
+        FROM wp LEFT JOIN rm ON rm.doc_id = wp.doc_id AND rm.pos = wp.pos
+        WHERE rm.pos IS NULL)
+      SELECT n.doc_id,
+             COALESCE(kk.t, '') AS kept_text,
+             len(n.w) - COALESCE(kk.n, 0) AS n_removed
+      FROM norm n LEFT JOIN (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS t,
+               COUNT(*) AS n
+        FROM kept GROUP BY doc_id) kk USING (doc_id)
+      ORDER BY doc_id
+    """))
+
+  // --------------------------------------------------------------- q179
+  // O(new) incremental WINNOWED candidate pairs — q166's ~w/2× index
+  // saving composed with q156's O(new) daily path (the round-9
+  // verdict's #4: the combination a 100 TB substring-dedup deployment
+  // actually runs). The stored index is the winnowed one; the batch fp
+  // set broadcasts into a semi-join on it, the pair join builds
+  // broadcast on the batch side, history text is never re-read. The
+  // oracle IS the full q167 recompute restricted to batch-touching
+  // pairs — winnowed selection is per-doc, so the union-merge is exact.
+  private val q179 = Q(
+    "q179_incremental_winnow_pairs",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      val index = Dedup.winnowFingerprints(history, "doc_id", "text",
+        k = 3, windowW = 4)
+      Dedup.incrementalWinnowPairs(index, batch, "doc_id", "text",
+          k = 3, windowW = 4, minShared = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      kg AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                 AS h
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      m AS (SELECT doc_id, COUNT(*) AS m FROM kg GROUP BY doc_id),
+      wins AS (
+        SELECT doc_id, j
+        FROM m, UNNEST(generate_series(1, greatest(m - 3, 1))) AS t(j)),
+      sel AS (
+        SELECT DISTINCT doc_id, h FROM (
+          SELECT wn.doc_id, wn.j, g.h,
+                 ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.j
+                   ORDER BY g.h ASC, g.p DESC) AS rn
+          FROM wins wn JOIN kg g
+            ON g.doc_id = wn.doc_id AND g.p BETWEEN wn.j AND wn.j + 3)
+        WHERE rn = 1)
+      SELECT doc_a, doc_b, n_shared FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      WHERE n_shared >= 2
+        AND NOT (doc_a % 3 = 0 AND doc_b % 3 = 0)
+      ORDER BY doc_a, doc_b
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
     q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156,
-    q157, q158, q166, q167, q168)
+    q157, q158, q166, q167, q168, q177, q178, q179)
 }

@@ -898,7 +898,9 @@ object TextQueries extends QueryPack {
     },
     Some(raw"""
       WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS w
         FROM documents),
       m AS (
         SELECT doc_id, len(w) AS n_tokens,

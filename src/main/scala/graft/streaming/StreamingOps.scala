@@ -517,9 +517,13 @@ object StreamingOps {
     val docsSchema = spark.read.parquet(streamDir.toString).schema
     require(docsSchema.exists(f => f.name == "doc_id" &&
         f.dataType == LongType) &&
-      docsSchema.exists(f => f.name == "text" && f.dataType == StringType),
-      "documents schema drifted: expected (doc_id LONG, text STRING) " +
-        s"among ${docsSchema.treeString}")
+      docsSchema.exists(f => f.name == "text" && f.dataType == StringType) &&
+      // the column this monitor GROUPS BY: a renamed source would
+      // otherwise slip past the probe and fail later at analysis
+      docsSchema.exists(f => f.name == "source" &&
+        f.dataType == StringType),
+      "documents schema drifted: expected (doc_id LONG, text STRING, " +
+        s"source STRING) among ${docsSchema.treeString}")
     val stream = spark.readStream.schema(docsSchema)
       .parquet(streamDir.toString)
     val agg = stream

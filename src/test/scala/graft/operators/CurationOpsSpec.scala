@@ -58,6 +58,55 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 2L), s"clean doc flagged: $out")
   }
 
+  test("winnowed decontam spans: regions sit inside the true quote, aligned") {
+    val s = spark
+    import s.implicits._
+    // a 30-word quote with all-distinct words, embedded after a
+    // 5-word preamble — every matched fingerprint must fall inside it
+    val quote = (1 to 30).map(i => s"q$i").mkString(" ")
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"w1 w2 w3 w4 w5 $quote t1 t2 t3 t4"),
+      (2L, "fully original words without any benchmark quotation at all"))
+      .toDF("doc_id", "text")
+    val out = Decontam.winnowedContaminationSpans(corpus, bench,
+        "doc_id", "text", k = 3, windowW = 4, minShared = 2,
+        maxGap = 7, minSpan = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out.nonEmpty && out.forall(x => x._1 == 1L && x._2 == 100L),
+      s"expected regions only for the quoting pair: $out")
+    out.foreach { case (_, _, startDoc, startBench, span) =>
+      // certified extent lies INSIDE the quote (words 6..35 in doc 1,
+      // 1..30 in bench), on the single true diagonal
+      assert(startDoc >= 6L && startDoc + span - 1 <= 35L, out.toString)
+      assert(startBench == startDoc - 5L, "diagonal misaligned: " + out)
+    }
+    // a 30-word interior means many matches ≤ windowW apart: with
+    // maxGap = windowW + k they stitch into ONE region covering the
+    // quote's interior (≥ 30 − 2·(w+k−2) = 20 certified words)
+    assert(out.size == 1, s"quote fragmented: $out")
+    assert(out.head._5 >= 20L, s"certified region too short: $out")
+  }
+
+  test("winnowed decontam spans: pair gate inherits q175 semantics") {
+    val s = spark
+    import s.implicits._
+    val quote = (1 to 30).map(i => s"q$i").mkString(" ")
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    val corpus = Seq((1L, s"w1 w2 w3 w4 w5 $quote t1 t2 t3"))
+      .toDF("doc_id", "text")
+    val loose = Decontam.winnowedContaminationSpans(corpus, bench,
+      "doc_id", "text", k = 3, windowW = 4, minShared = 2,
+      maxGap = 7, minSpan = 3).count()
+    // an unreachable minShared suppresses regions for the pair even
+    // though individual fingerprints still match
+    val strict = Decontam.winnowedContaminationSpans(corpus, bench,
+      "doc_id", "text", k = 3, windowW = 4, minShared = 1000,
+      maxGap = 7, minSpan = 3).count()
+    assert(loose > 0L && strict == 0L, s"pair gate broken: $loose/$strict")
+  }
+
   test("sourceUniqueness: exclusive vs shared shingles, repeats collapse") {
     val s = spark
     import s.implicits._

@@ -1309,4 +1309,42 @@ class SamplingSpec extends graft.SparkSpec {
         "doc_id", "score", k)
     }
   }
+
+  test("equi-depth micro adapter: float scores, floor quantization, tie collapse") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 400L).map { i =>
+      // negative and positive floats, with deliberate sub-micro ties:
+      // i=1..4 map to 0.5 + {0, 1e-9, 2e-9, 3e-9} — one micro quantum
+      val base = if (i <= 4) 0.5 + (i - 1) * 1e-9
+                 else (i * 73 % 101) - 50.25
+      (i, base)
+    }.toDF("doc_id", "score")
+    val k = 8
+    val got = Sampling.equiDepthBucketsMicro(rows, "doc_id", "score", k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // reference: rank over (floor(score*1e6), doc_id)
+    import org.apache.spark.sql.expressions.Window
+    val ref = rows
+      .withColumn("m", floor(col("score") * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("m"), col("doc_id"))))
+      .withColumn("bucket", expr(s"CAST((rn - 1) * $k AS BIGINT) DIV 400L"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getAs[Long]("bucket")))
+    assert(got.sortBy(_._1).toSeq == ref.sortBy(_._1).toSeq)
+    val sizes = got.groupBy(_._3).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced buckets: $sizes")
+    // sub-micro ties collapsed to one quantum → id tie-break ordered
+    val tied = got.filter(_._1 <= 4).sortBy(_._1).map(_._3)
+    assert(tied.toSeq == tied.sorted.toSeq)
+    // score column survives untouched, helper column dropped
+    assert(Sampling.equiDepthBucketsMicro(rows, "doc_id", "score", k)
+      .columns.toSeq == Seq("doc_id", "score", "bucket"))
+    // integral scores are pointed at the exact form
+    intercept[IllegalArgumentException] {
+      Sampling.equiDepthBucketsMicro(
+        rows.withColumn("score", lit(1L)), "doc_id", "score", k)
+    }
+  }
 }

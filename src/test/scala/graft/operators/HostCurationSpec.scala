@@ -231,6 +231,72 @@ class HostCurationSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("hostTokenBudget: mega-host slices match the single-window form") {
+    val s = spark
+    import s.implicits._
+    // one mega-host (10k rows over 40 distinct quality values — the
+    // web-scale skew case), one small host, plus null-host and
+    // null-quality rows to pin the struct-slice null semantics
+    val rows =
+      (1L to 10000L).map(i =>
+        (i, "mega.org", 3L + i % 4, Some(1000L * (i % 40)))) ++
+      Seq((10001L, "tiny.org", 5L, Some(7000L)),
+        (10002L, "tiny.org", 9L, Some(2000L)),
+        (10003L, null.asInstanceOf[String], 5L, Some(1000L)),
+        (10004L, null.asInstanceOf[String], 5L, Some(1000L)),
+        (10005L, "mega.org", 5L, None: Option[Long]),
+        (10006L, "mega.org", 6L, None: Option[Long]))
+    val docs = rows.toDF("doc_id", "host", "n_tokens", "q_micro")
+    val out = Curation.hostTokenBudget(docs, "host", "doc_id",
+      "n_tokens", "q_micro", budgetTokens = 9000L)
+    // reference: the naive single host-partitioned window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("q_micro").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expect = docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= 9000L)
+      .select("doc_id", "cum_tokens", "kept")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val got = out.select("doc_id", "cum_tokens", "kept")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got.size == rows.size, "every row must be emitted")
+    assert(got == expect, "sliced two-pass diverged from single window")
+    // plan: the corpus-sized window partitions by the (host, quality)
+    // SLICE, not by host alone — the mega-host spreads across its
+    // quality values instead of serializing on one task. The only
+    // host-partitioned window runs over the per-slice SUBTOTAL frame.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case st: QueryStageExec => Seq(st.plan)
+        case other => other.children
+      }
+      (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+    }
+    val windows = nodes(out.queryExecution.executedPlan)
+      .collect { case win: WindowExec => win }
+    assert(windows.nonEmpty)
+    windows.foreach { win =>
+      val overAggregate = nodes(win.child).exists {
+        case _: BaseAggregateExec => true
+        case _ => false
+      }
+      if (!overAggregate) {
+        assert(win.partitionSpec.exists(
+            _.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]),
+          s"corpus-sized window not slice-partitioned: $win")
+      }
+    }
+  }
+
   test("templateHeaders: stamped prefix flagged, unique openers not, short docs excluded") {
     val s = spark
     import s.implicits._
@@ -324,5 +390,16 @@ class HostCurationSpec extends SparkSpec {
       Seq("f_len", "f_bad"), 10L).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // duplicate feature rows are additive terms of one linear model —
+    // they SUM instead of detonating map_from_arrays' dedup policy
+    val dup = Curation.modelScore(docs, "doc_id",
+        Seq(("f_len", 2L), ("f_len", 1L)).toDF("feature", "w_micro"),
+        Seq("f_len"), threshold = 0L)
+      .select(col("score_micro")).collect().map(_.getLong(0)).sorted
+    assert(dup.toSeq == Seq(0L, 30L, 300L))
+    // an empty feature list is a caller bug, rejected loudly
+    intercept[IllegalArgumentException] {
+      Curation.modelScore(docs, "doc_id", weights, Seq.empty, 0L)
+    }
   }
 }

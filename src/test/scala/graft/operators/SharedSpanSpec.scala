@@ -179,4 +179,186 @@ class SharedSpanSpec extends SparkSpec {
     assert(out(0)._3 == 0L && out(1)._3 == 0L)
     assert(out(2) == ((7L, "", 20L)))
   }
+
+  test("redaction shuffle lane is bit-identical to the pinned broadcast") {
+    val s = spark
+    import s.implicits._
+    val shared = S("s", 15)
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 $shared b2 b3"),
+      (3L, s"c1 c2 $shared"),
+      (4L, "d1 d2 d3 d4"))
+      .toDF("doc_id", "text")
+    def run(mode: String) = Dedup.redactSharedSpans(docs, "doc_id",
+        "text", k = 3, minSpan = 12, maxDf = 20, removalJoin = mode)
+    val bcast = run("broadcast").orderBy("doc_id").collect().toSeq
+    // kill every automatic broadcast so "shuffle" truly exercises the
+    // non-broadcast path — the 100 TB lane where the removal table is
+    // corpus-proportional (crawl duplication incidence 30–50%)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeThreshold =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val shuffled = run("shuffle")
+      val rows = shuffled.orderBy("doc_id").collect().toSeq
+      assert(rows == bcast, "shuffle lane diverged from broadcast lane")
+      // and the removal join really is NOT a broadcast: walk the
+      // executed plan (AQE stages included) for the final left join
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case st: QueryStageExec => Seq(st.plan)
+          case other => other.children
+        }
+        (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+      }
+      val leftOuterBroadcasts =
+        nodes(shuffled.queryExecution.executedPlan).collect {
+          case j: BroadcastHashJoinExec
+              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j
+        }
+      assert(leftOuterBroadcasts.isEmpty,
+        "removal join still broadcast under the shuffle pin")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      aqeThreshold match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("auto removal join picks broadcast when the removal set is small") {
+    // the other half of the size gate: with default thresholds a
+    // small removal table must land on the broadcast path at RUNTIME
+    // (AQE stats), so document text never crosses an exchange
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.redactSharedSpans(docs, "doc_id", "text",
+      k = 5, minSpan = 12, maxDf = 20)
+    // materialize THIS queryExecution (count() would spawn a separate
+    // one and leave this plan's AQE un-finalized at the initial SMJ)
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case st: QueryStageExec => Seq(st.plan)
+        case other => other.children
+      }
+      (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+    }
+    val leftOuterJoins = nodes(out.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j
+    }
+    assert(leftOuterJoins.nonEmpty, "removal join not found in plan")
+    assert(leftOuterJoins.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      "small removal table must broadcast under the auto gate:\n" +
+        leftOuterJoins.mkString("\n"))
+  }
+
+  test("hot-span clusters: over-cap df reports with keeper election") {
+    val s = spark
+    import s.implicits._
+    val hot = S("u", 14)
+    val rare = S("v", 12)
+    // the 14-word quote sits in FIVE docs (df=5 for every interior
+    // shingle — over a pair cap of 3, so sharedSpans at maxDf=3 is
+    // blind to it); the 12-word run sits in only two
+    val docs = ((1L to 5L).map(i => (i, s"p$i $hot q$i")) ++
+      Seq((6L, s"x1 $rare x2"), (7L, s"y1 y2 $rare")))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(docs, "doc_id", "text",
+      k = 3, minSpan = 12, maxDf = 3)
+      .filter(col("doc_a") <= 5).isEmpty)
+    val clusters = Dedup.hotSpanClusters(docs, "doc_id", "text",
+        k = 3, minSpan = 12, minDf = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    // one cluster of five occurrences, keeper = smallest doc id;
+    // the df=2 span is under minDf and absent
+    assert(clusters == (1L to 5L).map(i => (i, 2L, 14L, 5L, i == 1L)))
+    val sigs = Dedup.hotSpanClusters(docs, "doc_id", "text",
+        k = 3, minSpan = 12, minDf = 4)
+      .select("span_sig").distinct().count()
+    assert(sigs == 1L, "identical runs must share one signature")
+  }
+
+  test("redactHotSpans keeps the keeper intact and cuts every copy") {
+    val s = spark
+    import s.implicits._
+    val hot = S("u", 14)
+    val docs = (1L to 5L).map(i => (i, s"p$i $hot q$i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.redactHotSpans(docs, "doc_id", "text",
+        k = 3, minSpan = 12, minDf = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out.head == ((1L, s"p1 $hot q1", 0L)))
+    assert(out.tail == (2L to 5L).map(i => (i, s"p$i q$i", 14L)))
+  }
+
+  test("hot runs split by a cold shingle form distinct clusters") {
+    val s = spark
+    import s.implicits._
+    val h1 = S("a", 12); val h2 = S("b", 12)
+    // h1 and h2 are hot (3 docs each) but the middle word differs per
+    // doc, so no doc carries one contiguous all-hot run across both
+    val docs = Seq(
+      (1L, s"$h1 m1 $h2"),
+      (2L, s"$h1 m2 $h2"),
+      (3L, s"$h1 m3 $h2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.hotSpanClusters(docs, "doc_id", "text",
+        k = 3, minSpan = 12, minDf = 3)
+      .groupBy("span_sig")
+      .agg(count(lit(1)).as("n"), min("start_pos").as("st"))
+      .orderBy("st")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((3L, 1L), (3L, 14L)),
+      "expected two 3-copy clusters at positions 1 and 14")
+  }
+
+  test("incremental winnow pairs ≡ recompute on batch-touching pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(2L, 3L).foreach { mod =>
+      val history = docs.filter(col("doc_id") % mod === 0)
+      val batch = docs.filter(col("doc_id") % mod =!= 0)
+      val index = Dedup.winnowFingerprints(history, "doc_id", "text",
+        k = 3, windowW = 4)
+      val inc = Dedup.incrementalWinnowPairs(index, batch, "doc_id",
+          "text", k = 3, windowW = 4, minShared = 2)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      val full = Dedup.winnowCandidatePairs(docs, "doc_id", "text",
+          k = 3, windowW = 4, minShared = 2)
+        .filter(!(col("doc_a") % mod === 0 && col("doc_b") % mod === 0))
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(inc.nonEmpty, s"mod=$mod fixture found no pairs — weak test")
+      assert(inc == full, s"mod=$mod incremental diverged")
+    }
+  }
+
+  test("incremental winnow plan: stored index never sort-merge joins") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val index = Dedup.winnowFingerprints(history, "doc_id", "text",
+      k = 3, windowW = 4)
+    val plan = Dedup.incrementalWinnowPairs(index, batch, "doc_id",
+        "text", k = 3, windowW = 4, minShared = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "stored-side join fell off the broadcast path:\n" + plan)
+  }
 }

@@ -136,7 +136,8 @@ class VocabCoverageSpec extends SparkSpec {
       assert(txt.split(" ").count(_ == "[MASK]").toLong == m)
       assert(m > 10 && m < 60, s"mask rate implausible: $m/200")
     }
-    // whitespace-only/empty text degrades to the single empty token
-    assert(a(3L)._1 == 1L)
+    // whitespace-only/empty text counts 0 tokens (the tokenCount
+    // convention) and can never emit '[MASK]' as its whole text
+    assert(a(3L) == ((0L, 0L, "")))
   }
 }
