@@ -152,19 +152,25 @@ object Curation {
     *     running sum (window partitioned by the SLICE, ordered by id)
     *     is the order-correct local prefix; the mega-host spreads
     *     across as many tasks as it has distinct quality values;
-    *  2. per-slice token subtotals (map-side-combining aggregate)
-    *     expand to each slice's OFFSET — the token mass of all
+    *  2. per-slice token subtotals aggregate over the SAME slice-keyed
+    *     exchange: the repartitioned input is CacheScope-persisted so
+    *     both branches read one materialization (a naive two-branch
+    *     build re-evaluates every upstream quality/token expression
+    *     per branch, doubling the corpus scan — and ReuseExchange
+    *     cannot dedup the exchanges because column pruning gives each
+    *     branch a different projection; the cache preserves the hash
+    *     partitioning, so neither branch re-shuffles) and expand
+    *     to each slice's OFFSET — the token mass of all
     *     strictly-better-quality slices of the same host — via a
     *     window over the subtotal frame (per-host rows there =
     *     distinct quality values, bounded and tiny);
-    *  3. offsets fan back by a slice-keyed equi-join and
+    *  3. offsets fan back by a slice-keyed equi-join (runtime-small →
+    *     AQE broadcasts it; the probe side keeps its partitioning) and
     *     cum = local + offset. The slice key is a STRUCT of (host,
     *     quality) so null host/quality rows group and join exactly as
     *     the single-window form ordered them (struct equality treats
     *     null fields as equal; plain `===` on the raw columns would
-    *     drop those rows). The docs side is already hash-partitioned
-    *     by the slice from step 1, so the fan-back reuses that
-    *     exchange — the corpus shuffles ONCE.
+    *     drop those rows).
     *
     * Same numbers as the single host-partitioned window (the offset is
     * exactly the sum of all order-earlier rows in other slices), so
@@ -176,19 +182,21 @@ object Curation {
       tokensCol: String, qualityCol: String,
       budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs.withColumn("__slice",
-      struct(col(hostCol).as("h"), col(qualityCol).as("q")))
+    val part = docs.withColumn("__slice",
+        struct(col(hostCol).as("h"), col(qualityCol).as("q")))
+      .repartition(col("__slice"))
+      .transform(graft.util.CacheScope.persist)
     val wLocal = Window.partitionBy(col("__slice"))
       .orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.partitionBy(col("__slice.h"))
       .orderBy(col("__slice.q").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val off = d.groupBy(col("__slice"))
+    val off = part.groupBy(col("__slice"))
       .agg(sum(col(tokensCol)).as("__sub"))
       .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0)))
       .select(col("__slice").as("__slice2"), col("__off"))
-    d.withColumn("__local", sum(col(tokensCol)).over(wLocal))
+    part.withColumn("__local", sum(col(tokensCol)).over(wLocal))
       .join(off, col("__slice") === col("__slice2"))
       .withColumn("cum_tokens", col("__local") + col("__off"))
       .withColumn("kept", col("cum_tokens") <= budgetTokens)
