@@ -1176,6 +1176,59 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** PROPOSE-VERIFY shared spans — the 100 TB form of [[sharedSpans]]:
+    * winnowed candidate pairs propose ([[winnowCandidatePairs]] — the
+    * posting-list self-join runs on the ~windowW/2×-smaller selected
+    * index), then the exact positional machinery verifies ONLY over
+    * candidate documents, so the full shingle index is built for a
+    * candidate-proportional slice of the corpus instead of all of it.
+    * The q19 propose/verify discipline applied at span granularity.
+    *
+    * Stages: (1) candidate pairs sharing ≥ `minShared` selected
+    * fingerprints; (2) the candidate DOC set semi-joins the corpus
+    * (broadcastable — candidate docs ≪ corpus under real duplication
+    * rates) and only those docs re-shingle positionally; (3) the
+    * [[sharedSpans]] anchor census (2 ≤ df ≤ maxDf, df measured over
+    * candidate docs), fp-keyed pair join restricted to the proposed
+    * pairs, gaps-and-islands per pair diagonal. Miss class is NAMED:
+    * a pair every one of whose shared runs is shorter than
+    * windowW + k − 1 words, or that shares fewer than `minShared`
+    * selected fingerprints, is never examined — at the default
+    * (windowW=4, minShared=2) the driver-gate corpus loses zero of
+    * q153's spans while touching only candidate docs.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, span_words) — the
+    * [[sharedSpans]] schema, restricted to proposed pairs. */
+  def winnowedSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpan: Int, maxDf: Int, windowW: Int,
+      minShared: Int): DataFrame = {
+    require(k >= 2 && minSpan >= k,
+      s"minSpan=$minSpan / k=$k: need minSpan >= k >= 2")
+    val cand = winnowCandidatePairs(docs, idCol, textCol, k, windowW,
+        minShared)
+      .select(col("doc_a"), col("doc_b"))
+      .transform(graft.util.CacheScope.persist)
+    val candDocs = cand.select(col("doc_a").as("__cid"))
+      .unionByName(cand.select(col("doc_b").as("__cid"))).distinct()
+    val pos = positionedShingleFps(
+        docs.join(broadcast(candDocs), docs(idCol) === col("__cid"),
+          "left_semi"),
+        idCol, textCol, k)
+      .transform(graft.util.CacheScope.persist)
+    val anchors = pos.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val qual = pos.join(anchors, Seq("fp"))
+    val matched = qual.as("a")
+      .join(qual.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .join(broadcast(cand), Seq("doc_a", "doc_b"), "left_semi")
+    spansFromMatches(matched, k, minSpan)
+  }
+
   /** Span REDACTION — the transform [[sharedSpans]] is the analysis
     * for: keep-first at span granularity. Every detected span's words
     * are cut from the LARGER doc id of its pair (the smaller-id copy

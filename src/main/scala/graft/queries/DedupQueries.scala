@@ -1572,7 +1572,78 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b
     """))
 
+  // --------------------------------------------------------------- q182
+  // PROPOSE-VERIFY shared spans — the 100 TB composition: winnowed
+  // candidate pairs (q167's machinery at k=5/w=4) propose, the exact
+  // q153 positional chain verifies over CANDIDATE DOCS ONLY, so the
+  // full shingle index is candidate-proportional, not corpus-sized.
+  // On this corpus the propose stage loses nothing: the output is
+  // q153's 24 spans exactly — the oracle replays the whole propose +
+  // verify chain, not q153's, so the candidate restriction itself is
+  // under the hash gate.
+  private val q182 = Q(
+    "q182_winnowed_shared_spans",
+    (s, dir) => {
+      Dedup.winnowedSharedSpans(Tables(s, dir, "documents"), "doc_id",
+          "text", k = 5, minSpan = 12, maxDf = 20, windowW = 4,
+          minShared = 2)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      kg AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS h
+        FROM norm, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      m AS (SELECT doc_id, COUNT(*) AS m FROM kg GROUP BY doc_id),
+      wins AS (
+        SELECT doc_id, j
+        FROM m, UNNEST(generate_series(1, greatest(m - 3, 1))) AS t(j)),
+      sel AS (
+        SELECT DISTINCT doc_id, h FROM (
+          SELECT wn.doc_id, wn.j, g.h,
+                 ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.j
+                   ORDER BY g.h ASC, g.p DESC) AS rn
+          FROM wins wn JOIN kg g
+            ON g.doc_id = wn.doc_id AND g.p BETWEEN wn.j AND wn.j + 3)
+        WHERE rn = 1),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      cdocs AS (
+        SELECT DISTINCT doc_a AS doc_id FROM cand
+        UNION SELECT DISTINCT doc_b FROM cand),
+      sh AS (
+        SELECT kg.doc_id, kg.p AS pos, kg.h AS fp
+        FROM kg JOIN cdocs USING (doc_id)),
+      anchors AS (
+        SELECT fp FROM (
+          SELECT fp, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY fp)
+        WHERE df BETWEEN 2 AND 20),
+      mm AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM sh a JOIN anchors an ON an.fp = a.fp
+        JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id),
+      isl AS (
+        SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY doc_a, doc_b, pos_a - pos_b
+                 ORDER BY pos_a) AS grp
+        FROM mm)
+      SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+             COUNT(*) + 4 AS span_words
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+      HAVING COUNT(*) + 4 >= 12
+      ORDER BY doc_a, doc_b, start_a, start_b
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
     q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156,
-    q157, q158, q166, q167, q168, q177, q178, q179)
+    q157, q158, q166, q167, q168, q177, q178, q179, q182)
 }

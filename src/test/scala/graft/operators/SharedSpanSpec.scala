@@ -349,6 +349,42 @@ class SharedSpanSpec extends SparkSpec {
     }
   }
 
+  test("winnowed propose-verify spans ≡ exact spans on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.sharedSpans(docs, "doc_id", "text",
+        k = 5, minSpan = 12, maxDf = 20)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b").collect().toSeq
+    val pv = Dedup.winnowedSharedSpans(docs, "doc_id", "text",
+        k = 5, minSpan = 12, maxDf = 20, windowW = 4, minShared = 2)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b").collect().toSeq
+    assert(exact.nonEmpty, "fixture found no spans — weak test")
+    assert(pv == exact,
+      "propose stage dropped spans the exact form reports")
+  }
+
+  test("winnowed propose-verify: the named miss class is the SHORT quote") {
+    val s = spark
+    import s.implicits._
+    // a 12-word shared run: reported by the exact form, and long
+    // enough (≥ w+k−1 = 8 words) that the winnowing guarantee forces
+    // ≥1 shared selection — but minShared=1000 makes the propose
+    // stage unreachable, proving spans only ever come from PROPOSED
+    // pairs (the candidate restriction is real, not decorative)
+    val shared = S("s", 12)
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4"),
+      (2L, s"b1 $shared b2"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(docs, "doc_id", "text",
+      k = 5, minSpan = 12, maxDf = 20).count() == 1L)
+    assert(Dedup.winnowedSharedSpans(docs, "doc_id", "text",
+      k = 5, minSpan = 12, maxDf = 20, windowW = 4,
+      minShared = 1).count() == 1L)
+    assert(Dedup.winnowedSharedSpans(docs, "doc_id", "text",
+      k = 5, minSpan = 12, maxDf = 20, windowW = 4,
+      minShared = 1000).isEmpty)
+  }
+
   test("incremental winnow plan: stored index never sort-merge joins") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val history = docs.filter(col("doc_id") % 3 === 0)
