@@ -1340,9 +1340,38 @@ object Dedup {
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("fp"))
+    electSpanKeepers(hotSpanRuns(pos, hot, k, minSpan))
+  }
+
+  /** The stored-state half of [[hotSpanClusters]]: the corpus's run
+    * LEDGER (doc_id, start_pos, span_words, span_sig) — what a
+    * deployment persists next to the positioned index + census so
+    * [[incrementalHotSpanClusters]] can reuse unaffected docs' runs
+    * verbatim. Cluster sizes/keepers are deliberately NOT state: they
+    * re-derive as a view ([[electSpanKeepers]]), the
+    * templateHeaders/kmvLedger discipline. */
+  def hotSpanLedger(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpan: Int, minDf: Int): DataFrame = {
+    val pos = positionedShingleFps(docs, idCol, textCol, k)
+      .transform(graft.util.CacheScope.persist)
+    val hot = pos.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("fp"))
+    hotSpanRuns(pos, hot, k, minSpan)
+  }
+
+  /** Maximal all-hot runs per doc — the LEDGER half of
+    * [[hotSpanClusters]] (the run rows are position-stable state a
+    * deployment stores; cluster membership and keepers re-derive as a
+    * VIEW via [[electSpanKeepers]]). `pos` is a positioned-fp frame
+    * ([[positionedShingleFps]] shape), `hot` the qualifying fp set.
+    * Output: (doc_id, start_pos, span_words, span_sig). */
+  private def hotSpanRuns(pos: DataFrame, hot: DataFrame, k: Int,
+      minSpan: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = pos.join(hot, Seq("fp"))
+    pos.join(hot, Seq("fp"))
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("start_pos"),
@@ -1354,6 +1383,14 @@ object Dedup {
           transform(sort_array(collect_list(struct(col("pos"), col("fp")))),
             s => s.getField("fp").cast("string")))).as("span_sig"))
       .filter(col("span_words") >= minSpan)
+      .select(col("doc_id"), col("start_pos"), col("span_words"),
+        col("span_sig"))
+  }
+
+  /** Cluster election VIEW over a run ledger: identical-signature runs
+    * form a cluster, keeper = smallest (doc_id, start_pos). Windows
+    * key by signature — cluster-grained, run-ledger-sized input. */
+  private def electSpanKeepers(runs: DataFrame): DataFrame = {
     val bySig = org.apache.spark.sql.expressions.Window
       .partitionBy(col("span_sig"))
     val keeperOrder = org.apache.spark.sql.expressions.Window
@@ -1364,6 +1401,77 @@ object Dedup {
       .withColumn("is_keeper", row_number().over(keeperOrder) === 1)
       .select(col("span_sig"), col("doc_id"), col("start_pos"),
         col("span_words"), col("n_copies"), col("is_keeper"))
+  }
+
+  /** O(changed) DAILY form of [[hotSpanClusters]]: absorb a new batch
+    * against the stored positioned-fp index + per-fp census (the q156
+    * shared state) and the stored RUN ledger, recomputing runs ONLY
+    * for documents whose hot-position set can have changed — batch
+    * docs, plus history docs containing a NEWLY-hot fingerprint.
+    * Hotness is MONOTONE under an append-only corpus (df never
+    * decreases), so a history doc with no newly-hot fp has an
+    * identical hot-position set and its stored runs are reused
+    * verbatim; cluster sizes and keepers re-derive as a view over the
+    * merged ledger ([[electSpanKeepers]]), so a cluster that gains
+    * copies — or exists only across the batch boundary — flips
+    * correctly.
+    *
+    * Stored-side discipline: the batch fp set broadcasts into
+    * semi-joins on the census (merged dfs for batch-present fps) and
+    * the newly-hot fp set broadcasts into a semi-join on the stored
+    * index (affected docs), whose doc ids broadcast back to pull full
+    * position lists — every stored-table touch is batch- or
+    * incidence-proportional; history text is never re-read. Oracle =
+    * the full [[hotSpanClusters]] recompute over history ∪ batch. */
+  def incrementalHotSpanClusters(historyIndex: DataFrame,
+      historyCensus: DataFrame, storedRuns: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int, minSpan: Int,
+      minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf=$minDf: a hot span needs >= 2 docs")
+    val bpos = positionedShingleFps(batch, idCol, textCol, k)
+      .transform(graft.util.CacheScope.persist)
+    val bCensus = bpos.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("__dfb"))
+      .transform(graft.util.CacheScope.persist)
+    // merged df for batch-present fps; stored census semi-filtered by
+    // the broadcast batch fp set, never shuffled whole
+    val dfh = historyCensus
+      .join(broadcast(bCensus.select(col("fp"))), Seq("fp"), "left_semi")
+      .transform(graft.util.CacheScope.persist)
+    val newlyHot = bCensus
+      .join(dfh, Seq("fp"), "left")
+      .select(col("fp"),
+        (col("__dfb") + coalesce(col("df"), lit(0L))).as("__df"))
+      .filter(col("__df") >= minDf)
+      .join(dfh.filter(col("df") >= minDf).select(col("fp")),
+        Seq("fp"), "left_anti") // was already hot → nothing changes
+      .select(col("fp"))
+      .transform(graft.util.CacheScope.persist)
+    val affected = historyIndex
+      .join(broadcast(newlyHot), Seq("fp"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    // full position lists of every doc whose runs must recompute
+    val pos = historyIndex
+      .join(broadcast(affected), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("fp"))
+      .unionByName(bpos.select(col("doc_id"), col("pos"), col("fp")))
+      .transform(graft.util.CacheScope.persist)
+    // hotness for fps PRESENT in those docs: merged history+batch df
+    val present = pos.select(col("fp")).distinct()
+    val hot = present
+      .join(historyCensus.join(broadcast(present), Seq("fp"), "left_semi"),
+        Seq("fp"), "left")
+      .join(bCensus, Seq("fp"), "left")
+      .select(col("fp"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__dfb"), lit(0L)))
+          .as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("fp"))
+    val recomputed = hotSpanRuns(pos, hot, k, minSpan)
+    val kept = storedRuns
+      .join(broadcast(affected), Seq("doc_id"), "left_anti")
+    electSpanKeepers(kept.unionByName(recomputed))
   }
 
   /** Keep-first redaction of HOT spans: every non-keeper occurrence

@@ -1643,7 +1643,65 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_a, doc_b, start_a, start_b
     """))
 
+  // --------------------------------------------------------------- q183
+  // O(changed) incremental hot-span clusters: the stored positioned
+  // index + census (q156's state) and the q177 run LEDGER absorb a
+  // batch; runs recompute ONLY for batch docs and history docs
+  // containing a newly-hot fingerprint (hotness is monotone under
+  // append-only ids, so every other doc's stored runs are reused
+  // verbatim), and cluster sizes/keepers re-derive as a view over the
+  // merged ledger — a cluster crossing minDf only because of today's
+  // batch flips correctly, and its history members surface without
+  // rescanning history text. Oracle = the full q177 recompute.
+  private val q183 = Q(
+    "q183_incremental_hot_spans",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      val index = Dedup.positionedShingleFps(history, "doc_id", "text", 5)
+      val census = index.select(col("fp"), col("doc_id")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      val ledger = Dedup.hotSpanLedger(history, "doc_id", "text",
+        k = 5, minSpan = 12, minDf = 3)
+      Dedup.incrementalHotSpanClusters(index, census, ledger, batch,
+          "doc_id", "text", k = 5, minSpan = 12, minDf = 3)
+        .orderBy(col("doc_id"), col("start_pos"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS fp
+        FROM norm, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      hot AS (
+        SELECT fp FROM (
+          SELECT fp, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY fp)
+        WHERE df >= 3),
+      isl AS (
+        SELECT doc_id, pos, fp,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM sh JOIN hot USING (fp)),
+      runs AS (
+        SELECT doc_id, MIN(pos) AS start_pos, COUNT(*) + 4 AS span_words,
+               md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY pos))
+                 AS span_sig
+        FROM isl GROUP BY doc_id, grp
+        HAVING COUNT(*) + 4 >= 12)
+      SELECT span_sig, doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+             CAST(span_words AS BIGINT) AS span_words,
+             COUNT(*) OVER (PARTITION BY span_sig) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY span_sig
+               ORDER BY doc_id, start_pos) = 1 AS is_keeper
+      FROM runs
+      ORDER BY doc_id, start_pos
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
     q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156,
-    q157, q158, q166, q167, q168, q177, q178, q179, q182)
+    q157, q158, q166, q167, q168, q177, q178, q179, q182, q183)
 }

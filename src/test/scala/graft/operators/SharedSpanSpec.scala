@@ -385,6 +385,38 @@ class SharedSpanSpec extends SparkSpec {
       minShared = 1000).isEmpty)
   }
 
+  test("incremental hot spans ≡ full recompute; newly-hot cluster flips") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val flips = Seq(2L, 3L).map { mod =>
+      val history = docs.filter(col("doc_id") % mod === 0)
+      val batch = docs.filter(col("doc_id") % mod =!= 0)
+      val index = Dedup.positionedShingleFps(history, "doc_id", "text", 5)
+      val census = index.select(col("fp"), col("doc_id")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      val ledger = Dedup.hotSpanLedger(history, "doc_id", "text",
+        k = 5, minSpan = 12, minDf = 3)
+      val inc = Dedup.incrementalHotSpanClusters(index, census, ledger,
+          batch, "doc_id", "text", k = 5, minSpan = 12, minDf = 3)
+        .orderBy("doc_id", "start_pos").collect().toSeq
+      val full = Dedup.hotSpanClusters(docs, "doc_id", "text",
+          k = 5, minSpan = 12, minDf = 3)
+        .orderBy("doc_id", "start_pos").collect().toSeq
+      assert(full.nonEmpty, s"mod=$mod fixture found no hot spans")
+      assert(inc == full, s"mod=$mod incremental diverged")
+      // hotness flip probe: docs reported by the merge that were NOT
+      // hot-span docs of the history alone (their cluster crossed
+      // minDf only with the batch)
+      val historyOnly = Dedup.hotSpanClusters(history, "doc_id", "text",
+          k = 5, minSpan = 12, minDf = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (inc.map(_.getLong(1)).toSet -- historyOnly).nonEmpty
+    }
+    // at least one of the two splits must genuinely flip hotness
+    // across the boundary, or the merge arm is untested
+    assert(flips.contains(true),
+      "no split exercises the newly-hot flip — weak fixture")
+  }
+
   test("incremental winnow plan: stored index never sort-merge joins") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val history = docs.filter(col("doc_id") % 3 === 0)
