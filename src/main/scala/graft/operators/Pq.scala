@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the Jégou/Douze/Schmid "Product
+  * Quantization for Nearest Neighbor Search" compression tier of the
+  * ANN ladder, between [[Quantize]]'s scalar int8 (1 B/dim) and sign
+  * bits (1 bit/dim): the d-dim vector splits into `m` subvectors, each
+  * quantized to its OWN small codebook (k centroids, learned by the
+  * [[Ivf]] Lloyd machinery per subspace), so a vector stores as m
+  * small integers — for d=64, m=4, k=8: FOUR BYTES — and approximate
+  * distance is computed by ADC (asymmetric distance computation): the
+  * query stays exact, each subspace contributes a table lookup
+  * d2(q_s, centroid[code_s]), and the approximate distance is the sum
+  * over subspaces.
+  *
+  * Scale shape, stage by stage:
+  *  - training: subvector rows are m× the corpus but all m subspace
+  *    k-means run JOINTLY (one assign + one recompute job per Lloyd
+  *    round for every subspace — centroids key by (sub, cid)), with
+  *    the [[Ivf.assign]] disciplines intact: broadcast codebook,
+  *    map-side argmin via min(struct(d2, cid)), native VecSumAgg
+  *    partial sums on the recompute exchange;
+  *  - encoding: one broadcast-codebook pass, the argmin struct carries
+  *    (d2, cid) only; codes fold to one m-length array per vector —
+  *    the stored index row;
+  *  - search: the per-query distance TABLE (m·k doubles per query) is
+  *    aggregated to one map column and broadcast; scoring each base
+  *    vector is then m integer-keyed map lookups summed in fixed
+  *    subspace order (engine-portable: both sides add s = 0,1,…,m−1
+  *    left to right), and the only exchange is the per-query top-k.
+  *
+  * All arithmetic rides the [[Ivf.quantize]] integral-double grid, so
+  * every distance — and therefore every ranking — is bit-reproducible
+  * in the SQL oracle.
+  */
+object Pq {
+
+  /** Quantized subvector rows: (vec_id, sub ∈ [0, m), svec). The
+    * vector length must be divisible by `m` (slice arithmetic is
+    * dim/m; a ragged split would silently mis-slice). */
+  def subvectors(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    require(m >= 1, s"m=$m subspaces must be >= 1")
+    embeddings
+      .select(col(idCol).as("vec_id"), Ivf.quantize(col(vecCol)).as("qvec"))
+      .select(col("vec_id"), col("qvec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(qvec, sub * (size(qvec) DIV $m) + 1, " +
+          s"size(qvec) DIV $m)").as("svec"))
+  }
+
+  private def dist2(q: Column, c: Column): Column =
+    graft.functions.VectorFunctions.dot(q, q) -
+      lit(2.0) * graft.functions.VectorFunctions.dot(q, c) +
+      graft.functions.VectorFunctions.dot(c, c)
+
+  /** Nearest (sub, cid) per subvector against a broadcast codebook —
+    * the [[Ivf.assign]] aggregate-argmin, keyed by (vec_id, sub).
+    * `withVec` keeps the subvector on the row (training recompute
+    * needs it; encoding doesn't, and drops ~16× the payload). */
+  private def assign(sv: DataFrame, cbs: DataFrame,
+      withVec: Boolean): DataFrame = {
+    val joined = sv.join(broadcast(cbs), Seq("sub"))
+      .withColumn("d2", dist2(col("svec"), col("cent")))
+    val m =
+      if (withVec) min(struct(col("d2"), col("cid"), col("svec"))).as("__m")
+      else min(struct(col("d2"), col("cid"))).as("__m")
+    val agg = joined.groupBy(col("vec_id"), col("sub")).agg(m)
+    if (withVec)
+      agg.select(col("vec_id"), col("sub"), col("__m.cid").as("cid"),
+        col("__m.svec").as("svec"))
+    else
+      agg.select(col("vec_id"), col("sub"), col("__m.cid").as("cid"))
+  }
+
+  /** Per-subspace codebooks (sub, cid, cent) by joint Lloyd iteration:
+    * seeds are the `k` smallest vec_ids' subvectors (deterministic, the
+    * [[Ivf.centroids]] rule applied per subspace — same seed ids in
+    * every subspace), then `iterations` rounds of assign + mean. */
+  def codebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val sv = subvectors(embeddings, idCol, vecCol, m)
+      .transform(graft.util.CacheScope.persist)
+    val seedIds = embeddings.select(col(idCol).as("vec_id"))
+      .orderBy(col("vec_id").asc).limit(k)
+    var cbs = sv.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cent"))
+    // quantize()'s floor emits ARRAY<BIGINT>; the aggregate folds
+    // doubles (exact for these integral magnitudes — the Ivf.recompute
+    // discipline)
+    val vsum = Bridge.column(graft.functions.VecSumAgg(
+      Bridge.expression(col("svec").cast("array<double>")))
+      .toAggregateExpression())
+    for (_ <- 0 until iterations)
+      cbs = assign(sv, cbs, withVec = true)
+        .groupBy(col("sub"), col("cid"))
+        .agg(vsum.as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"),
+          transform(col("s"), x => x / col("n")).as("cent"))
+    cbs.transform(graft.util.CacheScope.persist)
+  }
+
+  /** PQ codes per vector: (vec_id, codes) where codes[s] is the 1-based
+    * s-th subspace's nearest centroid id — the stored index row (m
+    * small integers per vector). */
+  def encode(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, cbs: DataFrame): DataFrame =
+    assign(subvectors(embeddings, idCol, vecCol, m), cbs, withVec = false)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+
+  /** ADC top-k: train codebooks, encode the base, and rank base
+    * vectors per query by the summed per-subspace lookup distance
+    * (ascending, id tie-break), excluding self-matches. Output:
+    * (q_id, n_id, adc_d2, rnk ≤ topK). The per-query lookup table
+    * folds to ONE map row per query and broadcasts — scoring never
+    * shuffles the base beyond the final per-query top-k window. */
+  def adcTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, numCentroids: Int, iterations: Int,
+      topK: Int): DataFrame = {
+    val cbs = codebooks(embeddings, idCol, vecCol, m, numCentroids,
+      iterations)
+    val codes = encode(embeddings, idCol, vecCol, m, cbs)
+    val qtab = subvectors(queries, idCol, vecCol, m)
+      .join(broadcast(cbs), Seq("sub"))
+      .select(col("vec_id").as("q_id"),
+        // key = sub·2^32 + cid: cid is a SEED VEC ID (the k smallest),
+        // so the 32-bit low half holds any realistic id space
+        (col("sub").cast("long") * lit(1L << 32) + col("cid")).as("key"),
+        dist2(col("svec"), col("cent")).as("d2"))
+      .groupBy(col("q_id"))
+      .agg(map_from_arrays(collect_list(col("key")),
+        collect_list(col("d2"))).as("dmap"))
+    val lookup = (s: Int) => element_at(col("dmap"),
+      lit(s.toLong * (1L << 32)) + element_at(col("codes"), s + 1))
+    val adc = (0 until m).map(lookup).reduce(_ + _) // fixed s order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(qtab))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_d2", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adc_d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+}

@@ -605,6 +605,120 @@ object SimilarityQueries extends QueryPack {
       ORDER BY g_a, g_b
     """))
 
+  // --------------------------------------------------------------- q184
+  // Product quantization (PQ) + ADC top-5: 4 subspaces × 16 dims, 8
+  // centroids each (the q36 Lloyd machinery per subspace, 2 rounds,
+  // deterministic smallest-id seeds) — a 64-dim vector stores as FOUR
+  // centroid ids, and search is four table lookups per candidate
+  // instead of a 64-dim dot. The oracle replays all four subspace
+  // k-means chains, the encoding argmins, and the per-query lookup
+  // tables; the ADC sum adds subspaces in the same s = 0..3 order on
+  // both engines, so even the double-valued distance column
+  // hash-gates. Everything rides the integral-double grid.
+  private val pqSubChains: String = (0 until 4).map { s =>
+    val lo = s * 16 + 1
+    val hi = s * 16 + 16
+    raw"""
+      sv$s AS (SELECT vec_id, qvec[$lo:$hi] AS sv FROM vx),
+      c0_$s AS (
+        SELECT vec_id AS cid, sv AS cent FROM sv$s
+        WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
+      a1_$s AS (
+        SELECT vec_id, sv, cid FROM (
+          SELECT vec_id, sv, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.sv, c.cid,
+                   list_dot_product(v.sv, v.sv)
+                   - 2.0 * list_dot_product(v.sv, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM sv$s v, c0_$s c))
+        WHERE rn = 1),
+      c1_$s AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(sv[d]) / COUNT(*) AS v
+          FROM a1_$s, UNNEST(generate_series(1, 16)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      a2_$s AS (
+        SELECT vec_id, sv, cid FROM (
+          SELECT vec_id, sv, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.sv, c.cid,
+                   list_dot_product(v.sv, v.sv)
+                   - 2.0 * list_dot_product(v.sv, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM sv$s v, c1_$s c))
+        WHERE rn = 1),
+      c2_$s AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(sv[d]) / COUNT(*) AS v
+          FROM a2_$s, UNNEST(generate_series(1, 16)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      enc$s AS (
+        SELECT vec_id, cid AS code FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.sv, v.sv)
+                   - 2.0 * list_dot_product(v.sv, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM sv$s v, c2_$s c))
+        WHERE rn = 1),
+      qd$s AS (
+        SELECT v.vec_id AS q_id, c.cid,
+               list_dot_product(v.sv, v.sv)
+               - 2.0 * list_dot_product(v.sv, c.cent)
+               + list_dot_product(c.cent, c.cent) AS d2
+        FROM sv$s v, c2_$s c
+        WHERE v.vec_id < 10)"""
+  }.mkString(",")
+
+  private val q184 = Q(
+    "q184_pq_adc_topk",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Pq.adcTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", m = 4, numCentroids = 8,
+          iterations = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      $pqSubChains,
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      qs AS (SELECT DISTINCT q_id FROM qd0),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM qs q CROSS JOIN enc e
+        JOIN qd0 d0 ON d0.q_id = q.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = q.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = q.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = q.q_id AND d3.cid = e.cb3
+        WHERE e.vec_id <> q.q_id)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
-    q162, q173)
+    q162, q173, q184)
 }

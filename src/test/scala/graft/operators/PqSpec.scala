@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Product quantization (Pq): codebook shape, encoding determinism,
+  * ADC semantics, and an exactness fixture where the corpus is
+  * code-representable (every vector IS a centroid), so the ADC
+  * ranking must equal the exact L2 ranking. Recall on the testdata
+  * embeddings is NOT pinned high on purpose: they are near-random —
+  * PQ's adversarial case — and the measured ~0.2–0.4 recall@5 is a
+  * property of the data, not the operator (the q184 oracle pins the
+  * computation bit-for-bit instead). */
+class PqSpec extends SparkSpec {
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("codes: one row per vector, m entries, drawn from seed cids") {
+    val m = 4
+    val cbs = Pq.codebooks(emb, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val codes = Pq.encode(emb, "vec_id", "embedding", m, cbs)
+    val n = emb.count()
+    assert(codes.count() == n)
+    assert(codes.filter(size(col("codes")) =!= m).isEmpty)
+    // every code cites a centroid that exists in its subspace
+    val cids = cbs.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val used = codes.select(explode(col("codes")).as("c"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(used.subsetOf(cids), s"codes cite unknown centroids: $used")
+    // deterministic: a rerun encodes identically
+    val again = Pq.encode(emb, "vec_id", "embedding", m,
+      Pq.codebooks(emb, "vec_id", "embedding", m, k = 8, iterations = 2))
+    assert(codes.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+  }
+
+  test("ADC ≡ exact L2 when every vector is code-representable") {
+    val s = spark
+    import s.implicits._
+    // 6 prototype vectors (ids 0..5), then echoes of them: k-means
+    // with seeds = the 6 smallest ids converges onto the prototypes,
+    // so encoding is lossless and ADC must reproduce the exact
+    // quantized-L2 ranking
+    val protos = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f),
+      Array(5f, 5f, 0f, 0f), Array(0f, 0f, 5f, 5f))
+    val rows = protos.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      protos.zipWithIndex.map { case (v, i) => (i.toLong + 6, v) }
+    val e = rows.toDF("vec_id", "embedding")
+    val got = Pq.adcTopK(e, e.filter(col("vec_id") < 2), "vec_id",
+        "embedding", m = 2, numCentroids = 6, iterations = 2, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    // exact quantized-L2 reference, id tie-break
+    def q(v: Array[Float]) = v.map(x => math.floor(x * 1e6))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val all = rows.map { case (i, v) => (i, q(v)) }
+    val expect = (0L until 2L).flatMap { qi =>
+      val qv = all.find(_._1 == qi).get._2
+      all.filter(_._1 != qi)
+        .map { case (i, v) => (i, d2(qv, v)) }
+        .sortBy { case (i, d) => (d, i) }
+        .take(3).zipWithIndex
+        .map { case ((i, d), r) => (qi, i, d, r + 1) }
+    }
+    assert(got.sortBy(x => (x._1, x._4)) == expect,
+      s"ADC diverged from exact on a representable corpus:\n$got\nvs\n$expect")
+  }
+
+  test("ADC top-k excludes self and emits exactly topK rows per query") {
+    val out = Pq.adcTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+      "embedding", m = 4, numCentroids = 8, iterations = 2, topK = 5)
+    assert(out.filter(col("q_id") === col("n_id")).isEmpty)
+    val perQ = out.groupBy("q_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perQ == Set(5L), s"per-query row counts: $perQ")
+  }
+}
