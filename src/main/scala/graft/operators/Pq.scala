@@ -115,6 +115,72 @@ object Pq {
         sort_array(collect_list(struct(col("sub"), col("cid")))),
         s => s.getField("cid")).as("codes"))
 
+  /** IVF-PQ top-k — the canonical billion-scale ANN layout: a COARSE
+    * IVF codebook routes each query to its `nprobe` nearest cells
+    * (so only those cells' members are scored at all), and within the
+    * probed cells candidates rank by PQ ADC lookups instead of
+    * full-dimension dots. Storage per base vector: one coarse cell id
+    * + m PQ code ids; search cost: nprobe cells' occupancy × m map
+    * lookups. This is the non-residual form (PQ trains on raw
+    * vectors; the classic refinement trains on coarse residuals —
+    * same machinery over `qvec − cent`, finer codes, costlier
+    * training) — candidates are IVF-restricted, scores are q184's.
+    *
+    * Scale shape: coarse+PQ codebooks broadcast everywhere they are
+    * consumed; the base assigns and encodes in broadcast passes; the
+    * probe table is (queries × nprobe) rows joining the cell-keyed
+    * assignment — the only corpus-sized exchange is that cell-keyed
+    * candidate join plus the final per-query top-k window.
+    * Under-filled probes return fewer than k (the [[Ivf.topK]]
+    * recall/nprobe tradeoff). Output: (q_id, n_id, adc_d2, rnk). */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, numCoarse: Int, coarseIterations: Int, m: Int,
+      numCentroids: Int, pqIterations: Int, nprobe: Int,
+      topK: Int): DataFrame = {
+    val coarse = Ivf.centroids(embeddings, idCol, vecCol, numCoarse,
+      coarseIterations)
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(embeddings, idCol, vecCol), coarse)
+      .select(col("vec_id"), col("cid"))
+    val cbs = codebooks(embeddings, idCol, vecCol, m, numCentroids,
+      pqIterations)
+    val codes = encode(embeddings, idCol, vecCol, m, cbs)
+    // nprobe nearest coarse cells per query (rank ≤ nprobe, cid
+    // tie-break — the Ivf.topK probe rule)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val probes = Ivf.quantized(queries, idCol, vecCol)
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2", dist2(col("qvec"), col("cent")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+    val qtab = subvectors(queries, idCol, vecCol, m)
+      .join(broadcast(cbs), Seq("sub"))
+      .select(col("vec_id").as("q_id"),
+        (col("sub").cast("long") * lit(1L << 32) + col("cid")).as("key"),
+        dist2(col("svec"), col("cent")).as("d2"))
+      .groupBy(col("q_id"))
+      .agg(map_from_arrays(collect_list(col("key")),
+        collect_list(col("d2"))).as("dmap"))
+    val cand = probes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val lookup = (s: Int) => element_at(col("dmap"),
+      lit(s.toLong * (1L << 32)) + element_at(col("codes"), s + 1))
+    val adc = (0 until m).map(lookup).reduce(_ + _) // fixed s order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qtab), Seq("q_id"))
+      .withColumn("adc_d2", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adc_d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** ADC top-k: train codebooks, encode the base, and rank base
     * vectors per query by the summed per-subspace lookup distance
     * (ascending, id tie-break), excluding self-matches. Output:

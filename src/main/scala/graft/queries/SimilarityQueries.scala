@@ -719,6 +719,121 @@ object SimilarityQueries extends QueryPack {
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q185
+  // IVF-PQ top-5 — q36's coarse router composed with q184's ADC
+  // scorer: queries probe their 2 nearest of 8 coarse cells and only
+  // those cells' members are scored, by four PQ table lookups each.
+  // The oracle replays the coarse k-means chain, all four subspace PQ
+  // chains, the probe ranking, the cell-restricted candidate join,
+  // and the ADC sum (same s = 0..3 order both engines). Under-filled
+  // probes return fewer than 5 — the recall/nprobe tradeoff the plan
+  // exists to make explicit.
+  private val q185 = Q(
+    "q185_ivf_pq_topk",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Pq.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", numCoarse = 8, coarseIterations = 2,
+          m = 4, numCentroids = 8, pqIterations = 2, nprobe = 2,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx
+              WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
+      ca1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co0 c))
+        WHERE rn = 1),
+      co1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      ca2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co1 c))
+        WHERE rn = 1),
+      co2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      cellof AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c))
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      $pqSubChains,
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM cand c
+        JOIN enc e ON e.vec_id = c.n_id
+        JOIN qd0 d0 ON d0.q_id = c.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = c.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = c.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = c.q_id AND d3.cid = e.cb3)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
-    q162, q173, q184)
+    q162, q173, q184, q185)
 }

@@ -72,6 +72,28 @@ class PqSpec extends SparkSpec {
       s"ADC diverged from exact on a representable corpus:\n$got\nvs\n$expect")
   }
 
+  test("IVF-PQ probing every cell ≡ plain ADC; narrow probes restrict") {
+    val q = emb.filter(col("vec_id") < 5)
+    // nprobe = numCoarse → every cell probed → candidate set is the
+    // whole base minus self, so the ranking must equal plain ADC
+    val allProbe = Pq.ivfPqTopK(emb, q, "vec_id", "embedding",
+        numCoarse = 8, coarseIterations = 2, m = 4, numCentroids = 8,
+        pqIterations = 2, nprobe = 8, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val plain = Pq.adcTopK(emb, q, "vec_id", "embedding", m = 4,
+        numCentroids = 8, iterations = 2, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(allProbe == plain, "full-probe IVF-PQ diverged from ADC")
+    // nprobe = 1 returns a SUBSET of the base per query (cell-bounded)
+    // and never a self-match
+    val narrow = Pq.ivfPqTopK(emb, q, "vec_id", "embedding",
+      numCoarse = 8, coarseIterations = 2, m = 4, numCentroids = 8,
+      pqIterations = 2, nprobe = 1, topK = 5)
+    assert(narrow.filter(col("q_id") === col("n_id")).isEmpty)
+    assert(narrow.groupBy("q_id").count()
+      .filter(col("count") > 5).isEmpty)
+  }
+
   test("ADC top-k excludes self and emits exactly topK rows per query") {
     val out = Pq.adcTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
       "embedding", m = 4, numCentroids = 8, iterations = 2, topK = 5)
