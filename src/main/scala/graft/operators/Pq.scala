@@ -41,10 +41,15 @@ object Pq {
     * vector length must be divisible by `m` (slice arithmetic is
     * dim/m; a ragged split would silently mis-slice). */
   def subvectors(embeddings: DataFrame, idCol: String, vecCol: String,
-      m: Int): DataFrame = {
+      m: Int): DataFrame =
+    subvectorsOf(embeddings.select(col(idCol).as("vec_id"),
+      Ivf.quantize(col(vecCol)).as("qvec")), m)
+
+  /** [[subvectors]] over an already-quantized (vec_id, qvec) frame —
+    * the residual path feeds re-quantized residuals through here. */
+  private def subvectorsOf(vecs: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m=$m subspaces must be >= 1")
-    embeddings
-      .select(col(idCol).as("vec_id"), Ivf.quantize(col(vecCol)).as("qvec"))
+    vecs
       .select(col("vec_id"), col("qvec"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("vec_id"), col("sub"),
@@ -81,17 +86,29 @@ object Pq {
     * [[Ivf.centroids]] rule applied per subspace — same seed ids in
     * every subspace), then `iterations` rounds of assign + mean. */
   def codebooks(embeddings: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, iterations: Int): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
-    val sv = subvectors(embeddings, idCol, vecCol, m)
-      .transform(graft.util.CacheScope.persist)
-    val seedIds = embeddings.select(col(idCol).as("vec_id"))
+      m: Int, k: Int, iterations: Int): DataFrame =
+    trainCodebooks(
+      subvectors(embeddings, idCol, vecCol, m)
+        .transform(graft.util.CacheScope.persist),
+      seedIds(embeddings, idCol, k), iterations)
+
+  /** The `k` smallest ids — the deterministic [[Ivf.centroids]] seed
+    * rule (TakeOrderedAndProject, no full sort). */
+  private def seedIds(embeddings: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    embeddings.select(col(idCol).as("vec_id"))
       .orderBy(col("vec_id").asc).limit(k)
-    var cbs = sv.join(broadcast(seedIds), Seq("vec_id"))
+
+  /** Joint Lloyd loop over a (vec_id, sub, svec) frame. The svec
+    * elements must be INTEGRAL doubles (the quantize grid, or floor'd
+    * residuals): the VecSumAgg partial sums fold across rows in
+    * nondeterministic order, which is only exact — and therefore only
+    * oracle-reproducible — when every addend is integral. */
+  private def trainCodebooks(sv: DataFrame, seeds: DataFrame,
+      iterations: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    var cbs = sv.join(broadcast(seeds), Seq("vec_id"))
       .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cent"))
-    // quantize()'s floor emits ARRAY<BIGINT>; the aggregate folds
-    // doubles (exact for these integral magnitudes — the Ivf.recompute
-    // discipline)
     val vsum = Bridge.column(graft.functions.VecSumAgg(
       Bridge.expression(col("svec").cast("array<double>")))
       .toAggregateExpression())
@@ -104,16 +121,111 @@ object Pq {
     cbs.transform(graft.util.CacheScope.persist)
   }
 
+  /** Fold per-(vec, sub) assignments into the stored code row. */
+  private def codesFrom(sv: DataFrame, cbs: DataFrame): DataFrame =
+    assign(sv, cbs, withVec = false)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+
   /** PQ codes per vector: (vec_id, codes) where codes[s] is the 1-based
     * s-th subspace's nearest centroid id — the stored index row (m
     * small integers per vector). */
   def encode(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int, cbs: DataFrame): DataFrame =
-    assign(subvectors(embeddings, idCol, vecCol, m), cbs, withVec = false)
-      .groupBy(col("vec_id"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub"), col("cid")))),
-        s => s.getField("cid")).as("codes"))
+    codesFrom(subvectors(embeddings, idCol, vecCol, m), cbs)
+
+  /** RESIDUAL IVF-PQ top-k — the classic IVFADC layout ([[ivfPqTopK]]'s
+    * documented refinement): PQ codebooks train on the residual
+    * `x − cent[cell(x)]` rather than the raw vector, so the codes only
+    * have to describe the (much smaller) within-cell spread — finer
+    * quantization from the same code budget. Search scores candidate x
+    * in probed cell c by ‖(q − cent[c]) − pq(r_x)‖²: the query residual
+    * — and therefore the per-subspace lookup table — is PER PROBED
+    * CELL, nq · nprobe · m · k rows, still broadcast-tiny.
+    *
+    * Engine-exactness: residuals RE-QUANTIZE to the integral grid
+    * (`floor(x − cent)`) before training/encoding — coarse centroids
+    * are means, so raw residuals are non-integral and cross-row double
+    * sums (the Lloyd recompute) would depend on partial-aggregation
+    * order; flooring costs sub-quantum precision (1 part in 10⁶) and
+    * buys bit-identical oracles. Row-internal dot products fold left
+    * to right on both engines and need no such guard.
+    *
+    * Scale shape: identical to [[ivfPqTopK]] plus one broadcast-coarse
+    * residual pass over the base; the per-cell lookup tables join the
+    * candidate frame per subspace as broadcast hash joins on computed
+    * keys. Output: (q_id, n_id, adc_d2, rnk). */
+  def residualIvfPqTopK(embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, numCoarse: Int,
+      coarseIterations: Int, m: Int, numCentroids: Int,
+      pqIterations: Int, nprobe: Int, topK: Int): DataFrame = {
+    val coarse = Ivf.centroids(embeddings, idCol, vecCol, numCoarse,
+      coarseIterations)
+    val baseQ = Ivf.quantized(embeddings, idCol, vecCol)
+      .transform(graft.util.CacheScope.persist)
+    val assigned = Ivf.assignIds(baseQ, coarse)
+      .select(col("vec_id"), col("cid"))
+      .transform(graft.util.CacheScope.persist)
+    val resid = baseQ.join(assigned, Seq("vec_id"))
+      .join(broadcast(coarse), Seq("cid"))
+      .select(col("vec_id"),
+        zip_with(col("qvec").cast("array<double>"), col("cent"),
+          (x, c) => floor(x - c)).as("qvec"))
+    val sv = subvectorsOf(resid, m)
+      .transform(graft.util.CacheScope.persist)
+    val cbs = trainCodebooks(sv, seedIds(embeddings, idCol, numCentroids),
+      pqIterations)
+    val codes = codesFrom(sv, cbs)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val probes = Ivf.quantized(queries, idCol, vecCol)
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2", dist2(col("qvec"), col("cent")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"), col("cent"),
+        col("qvec"))
+      .transform(graft.util.CacheScope.persist)
+    // per-(query, probed cell) residual → per-subspace lookup table
+    val qd = probes
+      .select(col("q_id"), col("cid").as("ccell"),
+        zip_with(col("qvec").cast("array<double>"), col("cent"),
+          (x, c) => floor(x - c)).as("qvec"))
+      .select(col("q_id"), col("ccell"), col("qvec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("q_id"), col("ccell"), col("sub"),
+        expr(s"slice(qvec, sub * (size(qvec) DIV $m) + 1, " +
+          s"size(qvec) DIV $m)").as("svec"))
+      .join(broadcast(cbs), Seq("sub"))
+      .select(col("q_id"), col("ccell"), col("sub"),
+        col("cid").as("pqcid"), dist2(col("svec"), col("cent")).as("d2"))
+      .transform(graft.util.CacheScope.persist)
+    val cand = probes.select(col("q_id"), col("cid"))
+      .join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cid").as("ccell"), col("vec_id"))
+    var scored = cand.join(codes, Seq("vec_id"))
+    for (s <- 0 until m)
+      scored = scored.join(
+        broadcast(qd.filter(col("sub") === s)
+          .select(col("q_id").as("__q"), col("ccell").as("__c"),
+            col("pqcid").as("__p"), col("d2").as(s"__d$s"))),
+        col("q_id") === col("__q") && col("ccell") === col("__c") &&
+          element_at(col("codes"), s + 1) === col("__p"))
+        .drop("__q", "__c", "__p")
+    val adc = (0 until m).map(s => col(s"__d$s")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    scored
+      .withColumn("adc_d2", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adc_d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
 
   /** IVF-PQ top-k — the canonical billion-scale ANN layout: a COARSE
     * IVF codebook routes each query to its `nprobe` nearest cells

@@ -834,6 +834,204 @@ object SimilarityQueries extends QueryPack {
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q186
+  // RESIDUAL IVF-PQ (the classic IVFADC): PQ trains on x − cent[cell]
+  // — codes describe the within-cell spread, finer quantization from
+  // the same 4-byte budget — and the query's lookup table is per
+  // PROBED CELL (‖(q − cent[c]) − pq(r)‖²). Residuals re-quantize to
+  // the integer grid (floor) so the Lloyd recompute's cross-row sums
+  // stay order-free and the oracle replays bit-for-bit: coarse chain,
+  // residual build, four residual-subspace k-means chains, per-cell
+  // query tables, and the s = 0..3 ADC sum.
+  private val pqResChains: String = (0 until 4).map { s =>
+    val lo = s * 16 + 1
+    val hi = s * 16 + 16
+    raw"""
+      rsv$s AS (SELECT vec_id, rvec[$lo:$hi] AS sv FROM rv),
+      rc0_$s AS (
+        SELECT vec_id AS cid, sv AS cent FROM rsv$s
+        WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
+      ra1_$s AS (
+        SELECT vec_id, sv, cid FROM (
+          SELECT vec_id, sv, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.sv, c.cid,
+                   list_dot_product(v.sv, v.sv)
+                   - 2.0 * list_dot_product(v.sv, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM rsv$s v, rc0_$s c))
+        WHERE rn = 1),
+      rc1_$s AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(sv[d]) / COUNT(*) AS v
+          FROM ra1_$s, UNNEST(generate_series(1, 16)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      ra2_$s AS (
+        SELECT vec_id, sv, cid FROM (
+          SELECT vec_id, sv, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.sv, c.cid,
+                   list_dot_product(v.sv, v.sv)
+                   - 2.0 * list_dot_product(v.sv, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM rsv$s v, rc1_$s c))
+        WHERE rn = 1),
+      rc2_$s AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(sv[d]) / COUNT(*) AS v
+          FROM ra2_$s, UNNEST(generate_series(1, 16)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      renc$s AS (
+        SELECT vec_id, cid AS code FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.sv, v.sv)
+                   - 2.0 * list_dot_product(v.sv, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM rsv$s v, rc2_$s c))
+        WHERE rn = 1),
+      rqd$s AS (
+        SELECT q.q_id, q.ccell, c.cid AS pqcid,
+               list_dot_product(q.sv, q.sv)
+               - 2.0 * list_dot_product(q.sv, c.cent)
+               + list_dot_product(c.cent, c.cent) AS d2
+        FROM (SELECT q_id, ccell, rvec[$lo:$hi] AS sv FROM qrv) q,
+             rc2_$s c)"""
+  }.mkString(",")
+
+  private val q186 = Q(
+    "q186_residual_ivf_pq",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Pq.residualIvfPqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", numCoarse = 8, coarseIterations = 2,
+          m = 4, numCentroids = 8, pqIterations = 2, nprobe = 2,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx
+              WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
+      ca1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co0 c))
+        WHERE rn = 1),
+      co1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      ca2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co1 c))
+        WHERE rn = 1),
+      co2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      cellof AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c))
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      rv AS (
+        SELECT v.vec_id,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid),
+      qrv AS (
+        SELECT p.q_id, p.cid AS ccell,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM probes p
+        JOIN vx v ON v.vec_id = p.q_id
+        JOIN co2 c ON c.cid = p.cid),
+      $pqResChains,
+      renc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM renc0 e0 JOIN renc1 e1 USING (vec_id)
+        JOIN renc2 e2 USING (vec_id) JOIN renc3 e3 USING (vec_id)),
+      cand AS (
+        SELECT p.q_id, p.cid AS ccell, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM cand c
+        JOIN renc e ON e.vec_id = c.n_id
+        JOIN rqd0 d0 ON d0.q_id = c.q_id AND d0.ccell = c.ccell
+                    AND d0.pqcid = e.cb0
+        JOIN rqd1 d1 ON d1.q_id = c.q_id AND d1.ccell = c.ccell
+                    AND d1.pqcid = e.cb1
+        JOIN rqd2 d2x ON d2x.q_id = c.q_id AND d2x.ccell = c.ccell
+                    AND d2x.pqcid = e.cb2
+        JOIN rqd3 d3 ON d3.q_id = c.q_id AND d3.ccell = c.ccell
+                    AND d3.pqcid = e.cb3)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
-    q162, q173, q184, q185)
+    q162, q173, q184, q185, q186)
 }

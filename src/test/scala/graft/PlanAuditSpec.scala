@@ -46,7 +46,14 @@ class PlanAuditSpec extends SparkSpec {
       // q162/q173's pair join is aggregate-bounded² (|groups| ×
       // |groups|, both sides per-group aggregate/ledger outputs) —
       // never corpus-sized
-      "q162_group_affinity", "q173_incremental_group_affinity")
+      "q162_group_affinity", "q173_incremental_group_affinity",
+      // PQ family: training/probing fan the bounded codebook over the
+      // corpus (q36/q110's class); q184's scorer additionally fans the
+      // bounded query panel (one broadcast map row per query — q20's
+      // class); q185/q186 route through coarse cells, so the scorer is
+      // a cell-keyed equi-join and only the codebook/query-table fans
+      // remain cross-shaped
+      "q184_pq_adc_topk", "q185_ivf_pq_topk", "q186_residual_ivf_pq")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -94,6 +94,43 @@ class PqSpec extends SparkSpec {
       .filter(col("count") > 5).isEmpty)
   }
 
+  test("residual IVF-PQ: neighbors come from probed cells, rerun-stable") {
+    val q = emb.filter(col("vec_id") < 5)
+    def run() = Pq.residualIvfPqTopK(emb, q, "vec_id", "embedding",
+      numCoarse = 8, coarseIterations = 2, m = 4, numCentroids = 8,
+      pqIterations = 2, nprobe = 2, topK = 5)
+    val out = run().orderBy("q_id", "rnk").collect().toSeq
+    assert(out.nonEmpty)
+    assert(out == run().orderBy("q_id", "rnk").collect().toSeq,
+      "residual IVF-PQ must be rerun-deterministic")
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.forall(_.getLong(1) != qid), "self-match leaked")
+    }
+    // every returned neighbor's cell is among its query's probes
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val cellOf = Ivf.assignIds(
+        Ivf.quantized(emb, "vec_id", "embedding"), coarse)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    // recompute nprobe=2 probes directly
+    val p2 = Ivf.quantized(q, "vec_id", "embedding")
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2", graft.functions.VectorFunctions.dot(col("qvec"), col("qvec"))
+        - lit(2.0) * graft.functions.VectorFunctions.dot(col("qvec"), col("cent"))
+        + graft.functions.VectorFunctions.dot(col("cent"), col("cent")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      assert(p2.contains((r.getLong(0), cellOf(r.getLong(1)))),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s probes")
+    }
+  }
+
   test("ADC top-k excludes self and emits exactly topK rows per query") {
     val out = Pq.adcTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
       "embedding", m = 4, numCentroids = 8, iterations = 2, topK = 5)
