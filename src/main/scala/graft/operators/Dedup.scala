@@ -1157,9 +1157,12 @@ object Dedup {
     val bfps = winnowFingerprints(batch, idCol, textCol, k, windowW)
       .select(col("doc_id"), col("fp")).distinct()
       .transform(graft.util.CacheScope.persist)
+    // the semi-join probe broadcasts bfps AS IS — an extra
+    // fp-only distinct would re-shuffle the whole batch fp set just to
+    // shrink a broadcast that is already batch-bounded (duplicate hash
+    // keys are harmless in a semi-join build)
     val hq = historyIndex
-      .join(broadcast(bfps.select(col("fp")).distinct()),
-        Seq("fp"), "left_semi")
+      .join(broadcast(bfps), Seq("fp"), "left_semi")
       .select(col("doc_id"), col("fp")).distinct()
       .transform(graft.util.CacheScope.persist)
     val all = hq.unionByName(bfps)

@@ -272,4 +272,62 @@ class ShuffleMetricsSpec extends SparkSpec {
       s"split leakage shuffled $bytes bytes ≥ corpus text $textBytes — " +
         "text is crossing the exchange")
   }
+
+  test("incremental winnow pairs shuffle less than the full recompute") {
+    // the O(new) contract, measured: the stored winnowed index is
+    // semi-filtered by the broadcast batch fp set before anything
+    // exchanges, so the incremental run must move strictly fewer
+    // records than the full pair recompute over history ∪ batch
+    // (which shuffles every doc's distinct fps plus every pair row).
+    // Batch = 1/3 of the corpus — the daily-ingest shape the O(new)
+    // path exists for (a "batch" that is most of the corpus should
+    // just run the batch form).
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val index = operators.Dedup.winnowFingerprints(history, "doc_id",
+      "text", 3, 4)
+    val full = shuffleRecords {
+      operators.Dedup.winnowCandidatePairs(docs, "doc_id", "text",
+        3, 4, 2).count(); ()
+    }
+    val inc = shuffleRecords {
+      operators.Dedup.incrementalWinnowPairs(index, batch, "doc_id",
+        "text", 3, 4, 2).count(); ()
+    }
+    assert(inc < full,
+      s"incremental winnow shuffled $inc ≥ full recompute's $full")
+  }
+
+  test("incremental hot spans shuffle less than the full recompute") {
+    // history = 2/3 of the corpus; the daily path may only exchange
+    // the batch census, the newly-hot-touched slices, and the run
+    // ledger — never the stored index whole
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    // materialize the STORED tables before measuring — in production
+    // they are parquet on disk; recomputing them inside the window
+    // would charge the daily path for state it never rebuilds
+    val index = operators.Dedup.positionedShingleFps(history, "doc_id",
+      "text", 5).persist()
+    val census = index.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df")).persist()
+    val ledger = operators.Dedup.hotSpanLedger(history, "doc_id",
+      "text", k = 5, minSpan = 12, minDf = 3).persist()
+    try {
+      index.count(); census.count(); ledger.count()
+      val full = shuffleRecords {
+        operators.Dedup.hotSpanClusters(docs, "doc_id", "text",
+          k = 5, minSpan = 12, minDf = 3).count(); ()
+      }
+      val inc = shuffleRecords {
+        operators.Dedup.incrementalHotSpanClusters(index, census, ledger,
+          batch, "doc_id", "text", k = 5, minSpan = 12, minDf = 3)
+          .count(); ()
+      }
+      assert(inc < full,
+        s"incremental hot spans shuffled $inc ≥ full recompute's $full")
+    } finally {
+      index.unpersist(); census.unpersist(); ledger.unpersist(); ()
+    }
+  }
 }
