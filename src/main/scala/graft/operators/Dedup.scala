@@ -1477,6 +1477,67 @@ object Dedup {
     electSpanKeepers(kept.unionByName(recomputed))
   }
 
+  /** TOTAL substring redaction — [[redactSharedSpans]]'s pair form and
+    * [[redactHotSpans]]'s cluster form UNIONED into one keep-first
+    * cut, so duplicated spans are removed whatever their document
+    * frequency: rare spans (2 ≤ anchor df ≤ `maxDf`) resolve
+    * pair-wise with keep-smallest-id, hot spans (df ≥ `minDf`,
+    * typically maxDf + 1 so the two lanes tile the df axis) resolve
+    * cluster-wise with one elected keeper — and a position flagged by
+    * EITHER lane is cut exactly once (the removal sets union before
+    * the single in-row cut). This is the pass a training-data
+    * pipeline actually schedules: neither lane alone covers both the
+    * long tail of pairwise near-copies and the viral/boilerplate head.
+    *
+    * Conservative by construction, inherited from both lanes: a span
+    * whose shingles MIX rare and hot df values can split at the lane
+    * boundary, and each fragment must clear `minSpan` on its own to
+    * report (uniform-df spans — the overwhelmingly common case —
+    * redact whole). Both analyses share one positioned-fingerprint
+    * pass and census (CacheScope-persisted); the doc text still joins
+    * the union removal table once, under the same size-gated
+    * `removalJoin` contract as [[cutPositions]]. Output: (doc_id,
+    * kept_text, n_removed) for every input doc. */
+  def redactAllSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minSpan: Int, maxDf: Int, minDf: Int,
+      removalJoin: String = "auto"): DataFrame = {
+    require(minDf > maxDf,
+      s"minDf=$minDf must exceed maxDf=$maxDf: the pair lane owns " +
+        "df <= maxDf, the cluster lane df >= minDf")
+    val pos = positionedShingleFps(docs, idCol, textCol, k)
+      .transform(graft.util.CacheScope.persist)
+    val census = pos.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .transform(graft.util.CacheScope.persist)
+    // pair lane (the sharedSpans chain over the shared pos/census)
+    val anchors = census
+      .filter(col("df") >= 2 && col("df") <= maxDf).select(col("fp"))
+    val qual = pos.join(anchors, Seq("fp"))
+    val pairRm = spansFromMatches(
+        qual.as("a").join(qual.as("b"),
+            col("a.fp") === col("b.fp") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.pos").as("pos_a"), col("b.pos").as("pos_b")),
+        k, minSpan)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_words") - 1)).as("rmpos"))
+    // cluster lane (the hotSpanClusters chain over the same state)
+    val hotRm = electSpanKeepers(
+        hotSpanRuns(pos, census.filter(col("df") >= minDf).select(col("fp")),
+          k, minSpan))
+      .filter(!col("is_keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("start_pos"),
+          col("start_pos") + col("span_words") - 1)).as("rmpos"))
+    val removal = pairRm.unionByName(hotRm)
+      .distinct() // overlapping spans and cross-lane overlap collapse
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("rmpos")).as("__rm"))
+    cutPositions(docs, idCol, textCol, removal, removalJoin)
+  }
+
   /** Keep-first redaction of HOT spans: every non-keeper occurrence
     * from [[hotSpanClusters]] is cut from its document; the keeper
     * copy survives intact — closing the redaction gap where

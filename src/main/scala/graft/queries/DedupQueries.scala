@@ -1701,7 +1701,92 @@ object DedupQueries extends QueryPack {
       ORDER BY doc_id, start_pos
     """))
 
+  // --------------------------------------------------------------- q187
+  // TOTAL substring redaction: the pair lane (anchor df = 2, the rare
+  // tail) and the cluster lane (df >= 3, the hot head) tile the df
+  // axis and their removal sets UNION into one keep-first cut — the
+  // pass a pipeline actually schedules, since neither lane alone
+  // covers both pairwise near-copies and viral boilerplate. Both
+  // lanes share one positioned-fp pass + census. The oracle unions
+  // the q154-style pair removal with the q178-style cluster removal
+  // over one shared shingle CTE and replays the identical cut.
+  private val q187 = Q(
+    "q187_redact_all_spans",
+    (s, dir) => {
+      Dedup.redactAllSpans(Tables(s, dir, "documents"), "doc_id", "text",
+          k = 5, minSpan = 12, maxDf = 2, minDf = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS fp
+        FROM norm, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      census AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY fp),
+      m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM sh a
+        JOIN (SELECT fp FROM census WHERE df = 2) an ON an.fp = a.fp
+        JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM m),
+      spans AS (
+        SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+               COUNT(*) + 4 AS span_words
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+        HAVING COUNT(*) + 4 >= 12),
+      rm1 AS (
+        SELECT DISTINCT doc_b AS doc_id, start_b + j AS pos
+        FROM spans, UNNEST(generate_series(0, span_words - 1)) AS t(j)),
+      hisl AS (
+        SELECT s.doc_id, s.pos, s.fp,
+               s.pos - ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                 ORDER BY s.pos) AS grp
+        FROM sh s JOIN (SELECT fp FROM census WHERE df >= 3) h
+          ON h.fp = s.fp),
+      runs AS (
+        SELECT doc_id, MIN(pos) AS start_pos, COUNT(*) + 4 AS span_words,
+               md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY pos))
+                 AS span_sig
+        FROM hisl GROUP BY doc_id, grp
+        HAVING COUNT(*) + 4 >= 12),
+      cl AS (
+        SELECT doc_id, start_pos, span_words,
+               ROW_NUMBER() OVER (PARTITION BY span_sig
+                 ORDER BY doc_id, start_pos) = 1 AS is_keeper
+        FROM runs),
+      rm2 AS (
+        SELECT DISTINCT doc_id, start_pos + j AS pos
+        FROM cl, UNNEST(generate_series(0, span_words - 1)) AS t(j)
+        WHERE NOT is_keeper),
+      rm AS (SELECT doc_id, pos FROM rm1 UNION SELECT doc_id, pos FROM rm2),
+      wp AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM norm, UNNEST(generate_series(1, len(w))) AS t(i)),
+      kept AS (
+        SELECT wp.doc_id, wp.pos, wp.word
+        FROM wp LEFT JOIN rm ON rm.doc_id = wp.doc_id AND rm.pos = wp.pos
+        WHERE rm.pos IS NULL)
+      SELECT n.doc_id,
+             COALESCE(kk.t, '') AS kept_text,
+             len(n.w) - COALESCE(kk.n, 0) AS n_removed
+      FROM norm n LEFT JOIN (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS t,
+               COUNT(*) AS n
+        FROM kept GROUP BY doc_id) kk USING (doc_id)
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q16, q17, q18, q19, q34, q37, q51, q59, q65, q66,
     q108, q116, q117, q122, q124, q127, q144, q149, q151, q153, q154, q156,
-    q157, q158, q166, q167, q168, q177, q178, q179, q182, q183)
+    q157, q158, q166, q167, q168, q177, q178, q179, q182, q183, q187)
 }

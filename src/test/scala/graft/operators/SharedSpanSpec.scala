@@ -417,6 +417,55 @@ class SharedSpanSpec extends SparkSpec {
       "no split exercises the newly-hot flip — weak fixture")
   }
 
+  test("union redaction cuts rare pairs AND hot clusters in one pass") {
+    val s = spark
+    import s.implicits._
+    val rare = S("r", 12) // df=2 → pair lane
+    val hot = S("u", 14)  // df=4 → cluster lane (over maxDf=2)
+    val docs = Seq(
+      (1L, s"a1 $rare a2"),
+      (2L, s"b1 b2 $rare"),
+      (3L, s"c1 $hot c2"),
+      (4L, s"d1 $hot d2"),
+      (5L, s"e1 $hot e2"),
+      (6L, s"f1 $hot $rare")) // hot AND rare? rare now df=3 — adjust
+      .toDF("doc_id", "text")
+    // rare appears in docs 1,2,6 → df=3 ≥ minDf: it moves to the hot
+    // lane entirely; hot is in 3,4,5,6 → df=4. Keepers: smallest ids.
+    val out = Dedup.redactAllSpans(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 2, minDf = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out(0) == ((1L, s"a1 $rare a2", 0L)), "rare keeper intact")
+    assert(out(1) == ((2L, "b1 b2", 12L)), "rare copy cut")
+    assert(out(2) == ((3L, s"c1 $hot c2", 0L)), "hot keeper intact")
+    assert(out(3) == ((4L, "d1 d2", 14L)) &&
+      out(4) == ((5L, "e1 e2", 14L)), "hot copies cut")
+    assert(out(5) == ((6L, "f1", 26L)),
+      "doc carrying BOTH spans loses both (neither keeper)")
+  }
+
+  test("union redaction: genuinely-pairwise span still cuts via pair lane") {
+    val s = spark
+    import s.implicits._
+    val rare = S("p", 12)
+    val docs = Seq(
+      (1L, s"a1 $rare a2"),
+      (2L, s"b1 b2 $rare"),
+      (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.redactAllSpans(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 2, minDf = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 0L), (2L, 12L), (3L, 0L)))
+    // lane boundary respected: minDf must exceed maxDf
+    intercept[IllegalArgumentException] {
+      Dedup.redactAllSpans(docs, "doc_id", "text",
+        k = 3, minSpan = 12, maxDf = 3, minDf = 3)
+    }
+  }
+
   test("incremental winnow plan: stored index never sort-merge joins") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val history = docs.filter(col("doc_id") % 3 === 0)
