@@ -355,6 +355,38 @@ object StreamingQueries extends QueryPack {
       ORDER BY bucket_start, source
     """))
 
+  // --------------------------------------------------------------- q188
+  // Streaming decontamination gate: q72's n-gram benchmark check
+  // applied IN-FLIGHT — arriving docs probe the static benchmark
+  // shingle set (stream-static broadcast join, stateless) and only
+  // contaminated docs emit with their distinct-hit count. Shingles
+  // dedup IN-ROW (array_distinct before explode) because a streaming
+  // distinct would be unbounded state and count_distinct is
+  // unsupported in streams; the Complete-mode AvailableNow drain
+  // re-emits the final count table, which the batch oracle replays.
+  private val q188 = Q(
+    "q188_stream_decontam_gate",
+    (s, dir) => {
+      StreamingOps.streamDecontamGate(s, dir, "q188_decontam_sink")
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0)
+      SELECT c.doc_id, COUNT(*) AS hit_ngrams
+      FROM sh c JOIN bench USING (s)
+      WHERE c.doc_id % 3 = 0 AND c.doc_id % 25 <> 0
+      GROUP BY c.doc_id
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103, q105,
-    q145, q146, q165)
+    q145, q146, q165, q188)
 }

@@ -612,6 +612,52 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** STREAMING benchmark-decontamination gate — q72's n-gram
+    * contamination check applied IN-FLIGHT: arriving documents
+    * (doc_id % 3 = 0, % 25 ≠ 0 — the q72 corpus convention) probe the
+    * STATIC benchmark shingle set and only docs sharing ≥ 1 distinct
+    * 3-gram are emitted with their hit count — the alert feed a
+    * pipeline tails so contaminated pages never reach a training
+    * shard at rest.
+    *
+    * Stateless until the final per-doc count: shingles dedup IN-ROW
+    * (`array_distinct` before explode — a streaming `distinct` would
+    * be an unbounded state store, and count_distinct is unsupported
+    * in streams; per-doc-deduped rows make plain count ≡ distinct
+    * count), the benchmark join is stream-static with a broadcast
+    * eval-suite side, and the Complete-mode drain re-emits the final
+    * count table (the q30/q165 discipline — deterministic under
+    * AvailableNow). Oracle = the batch recompute. */
+  def streamDecontamGate(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_decontam",
+      "documents.parquet" -> s"$dir/documents.parquet")
+    val docsSchema = spark.read.parquet(streamDir.toString).schema
+    require(docsSchema.exists(f => f.name == "doc_id" &&
+        f.dataType == LongType) &&
+      docsSchema.exists(f => f.name == "text" && f.dataType == StringType),
+      "documents schema drifted: expected (doc_id LONG, text STRING) " +
+        s"among ${docsSchema.treeString}")
+    val benchSh = graft.operators.Dedup.explodedShingles(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", 3)
+      .select(col("sh")).distinct()
+    val hits = spark.readStream.schema(docsSchema)
+      .parquet(streamDir.toString)
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 25 =!= 0)
+      .select(col("doc_id"),
+        graft.operators.Dedup.words(col("text")).as("__w"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.operators.Dedup.wordShingles(col("__w"), 3))).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hit_ngrams"))
+    drainToMemory(spark, hits, queryName, OutputMode.Complete(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** Shared harness head for the novelty gates: stage the documents
     * file for the directory-monitoring source, PROBE the batch footer
     * for the declared stream schema (the [[eventsStream]] discipline —
