@@ -1032,6 +1032,127 @@ object SimilarityQueries extends QueryPack {
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q189
+  // Topic census — the cross-modal report a corpus curator reads
+  // after clustering: embeddings k-means into 8 cells (the q36
+  // deterministic Lloyd chain), each cell joins its documents' TEXT
+  // stats, and the census reports per cell: docs, token/char mass,
+  // and the dominant ground-truth label with its count (purity probe;
+  // argmax via min(struct(-n, label)) — the Ivf.assign tie-break
+  // discipline, portable to SQL ROW_NUMBER). Two modality tables meet
+  // on an id-keyed equi-join; the aggregates partial-combine, so the
+  // exchange carries cell keys, never documents.
+  private val q189 = Q(
+    "q189_topic_census",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val d = Tables(s, dir, "documents")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id", "embedding",
+        k = 8, iterations = 2)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+      val joined = assigned
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .join(d.select(col("doc_id").as("vec_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text"))
+            .as("n_tokens"),
+          col("n_chars")), Seq("vec_id"))
+        .transform(graft.util.CacheScope.persist)
+      val mass = joined.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+      val top = joined.groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("cid"))
+        .agg(min(struct((-col("__n")).as("neg"), col("label"))).as("__m"))
+        .select(col("cid"), col("__m.label").as("top_label"),
+          (-col("__m.neg")).as("top_label_n"))
+      mass.join(top, Seq("cid")).orderBy(col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx
+              WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
+      ca1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co0 c))
+        WHERE rn = 1),
+      co1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      ca2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co1 c))
+        WHERE rn = 1),
+      co2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      cellof AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c))
+        WHERE rn = 1),
+      j AS (
+        SELECT a.cid, e.label,
+               CASE WHEN length(trim(d.text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(d.text), '\s+'))
+               END AS n_tokens,
+               d.n_chars
+        FROM cellof a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN documents d ON d.doc_id = a.vec_id),
+      mass AS (
+        SELECT cid, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM j GROUP BY cid),
+      top AS (
+        SELECT cid, label AS top_label, n AS top_label_n FROM (
+          SELECT cid, label, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY cid
+                   ORDER BY COUNT(*) DESC, label ASC) AS rn
+          FROM j GROUP BY cid, label)
+        WHERE rn = 1)
+      SELECT m.cid, m.n_docs, m.n_tokens, m.n_chars,
+             t.top_label, t.top_label_n
+      FROM mass m JOIN top t USING (cid)
+      ORDER BY cid
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
-    q162, q173, q184, q185, q186)
+    q162, q173, q184, q185, q186, q189)
 }

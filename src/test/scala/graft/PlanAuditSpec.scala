@@ -53,7 +53,9 @@ class PlanAuditSpec extends SparkSpec {
       // class); q185/q186 route through coarse cells, so the scorer is
       // a cell-keyed equi-join and only the codebook/query-table fans
       // remain cross-shaped
-      "q184_pq_adc_topk", "q185_ivf_pq_topk", "q186_residual_ivf_pq")
+      "q184_pq_adc_topk", "q185_ivf_pq_topk", "q186_residual_ivf_pq",
+      // q189's assignment fans the ≤8-row codebook — q36/q110's class
+      "q189_topic_census")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
