@@ -381,4 +381,58 @@ class PropertySpec extends SparkSpec {
       assert(got.map(x => (x._2, x._3)).toSet == expect)
     }
   }
+
+  test("hot-span cluster invariants hold on random duplicated corpora") {
+    // random corpora where a shared phrase is stamped into a random
+    // subset of docs, surrounded by per-doc filler — the planted span
+    // must surface as one cluster whenever its df clears minDf, and
+    // the structural invariants must hold regardless
+    val caseGen: Gen[(Seq[String], Int)] = for {
+      phraseLen <- Gen.choose(6, 12)
+      phrase <- Gen.listOfN(phraseLen, word).map(_.mkString(" "))
+      nDocs <- Gen.choose(4, 8)
+      carriers <- Gen.choose(3, nDocs)
+    } yield {
+      val docs = (0 until nDocs).map { i =>
+        val filler = (1 to 3).map(j => s"f${i}x$j").mkString(" ")
+        if (i < carriers) s"$filler $phrase end$i" else s"$filler only$i"
+      }
+      (docs, carriers)
+    }
+    forAllSampled(caseGen, n = 5) { case (texts, carriers) =>
+      val s = spark
+      import s.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val k = 3
+      val minSpan = 5
+      val out = Dedup.hotSpanClusters(df, "doc_id", "text",
+          k = k, minSpan = minSpan, minDf = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      // (1) exactly one keeper per cluster, and n_copies is the
+      //     cluster's true row count
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.count(_._6) == 1, "keeper count != 1")
+        assert(rows.forall(_._5 == rows.length), "n_copies wrong")
+        val keeper = rows.filter(_._6).head
+        val minRow = rows.map(r => (r._2, r._3)).min
+        assert((keeper._2, keeper._3) == minRow, "keeper not smallest")
+      }
+      // (2) runs never overlap within a doc and fit inside it
+      out.groupBy(_._2).foreach { case (id, rows) =>
+        val spans = rows.map(r => (r._3, r._3 + r._4 - 1)).sortBy(_._1).toSeq
+        spans.sliding(2).foreach { w =>
+          if (w.length == 2) assert(w(1)._1 > w(0)._2, "overlap")
+        }
+        val nWords = texts(id.toInt).split("\\s+").length
+        assert(spans.forall(_._2 <= nWords), "span past doc end")
+      }
+      // (3) the planted phrase (interior >= minSpan words, df =
+      //     carriers >= 3) produces a cluster spanning all carriers
+      val clustersBySize = out.groupBy(_._1).values.map(_.length)
+      assert(clustersBySize.exists(_ == carriers),
+        s"no cluster covers all $carriers carriers: $out")
+    }
+  }
 }
