@@ -264,6 +264,48 @@ object Decontam {
         col("span_words"), col("n_islands"))
   }
 
+  /** Per-document n-gram NOVELTY against a stored history — the
+    * "what does this batch actually add" metric a pipeline reads
+    * before paying to train on new data (and the memorization-risk
+    * complement: a doc whose shingles are all already in history adds
+    * nothing but repetition). For each batch doc: distinct word
+    * k-shingles, how many appear NOWHERE in history, and the novelty
+    * share in integer micro-units (floor — engine-portable).
+    *
+    * Scale shape (the q156/q179 stored-side discipline): the batch's
+    * distinct shingle set is batch-bounded and BROADCASTS into a
+    * semi-join on the stored history shingle column — only history
+    * rows colliding with a batch shingle (a batch-proportional slice)
+    * survive to the membership anti-join; history is never shuffled
+    * whole and never rescanned beyond that one semi-filtered column
+    * scan. Corpora where even the batch shingle set outgrows a
+    * broadcast take the Bloom road ([[graft.operators.Dedup]]'s
+    * bloomKnownFlag as a prefilter, exact verify on maybe-known
+    * survivors). `history` is the stored distinct-shingle column
+    * (one `sh` STRING column — [[Dedup.explodedShingles]]' shape
+    * projected); history and batch doc ids must be disjoint. Output:
+    * (doc_id, n_shingles, n_novel, novelty_micro). */
+  def ngramNovelty(history: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val bsh = Dedup.explodedShingles(batch, idCol, textCol, k)
+      .transform(graft.util.CacheScope.persist)
+    // semi-filter FIRST (broadcast probe, no exchange), THEN distinct
+    // the batch-proportional survivors — distincting history up front
+    // would shuffle the whole stored table
+    val known = history.select(col("sh"))
+      .join(broadcast(bsh.select(col("sh")).distinct()), Seq("sh"),
+        "left_semi")
+      .distinct()
+    bsh
+      .join(broadcast(known.withColumn("__known", lit(1))),
+        Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_micro",
+        expr("n_novel * 1000000L DIV n_shingles"))
+  }
+
   /** Per-source n-gram UNIQUENESS: of each source's distinct word
     * k-shingles, how many appear in NO other source — the
     * "does this slice add anything the mixture doesn't already have"

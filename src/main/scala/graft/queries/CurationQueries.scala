@@ -936,6 +936,45 @@ object CurationQueries extends QueryPack {
       ORDER BY bucket
     """))
 
+  // --------------------------------------------------------------- q190
+  // Per-document n-gram NOVELTY vs stored history — the "what does
+  // this batch actually add" read before paying to train on new data
+  // (docs whose shingles all exist in history add only repetition).
+  // Stored-side discipline: the batch shingle set broadcasts into a
+  // semi-join on the history shingle column; history never shuffles
+  // whole. history = doc_id % 3 > 0's distinct shingles, batch = the
+  // % 3 = 0 slice; novelty share in floor micro-units.
+  private val q190 = Q(
+    "q190_ngram_novelty",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val history = graft.operators.Dedup.explodedShingles(
+          docs.filter(col("doc_id") % 3 > 0), "doc_id", "text", 3)
+        .select(col("sh"))
+      Decontam.ngramNovelty(history,
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      hist AS (SELECT DISTINCT s FROM sh WHERE doc_id % 3 > 0),
+      b AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0)
+      SELECT b.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) * 1000000
+               // COUNT(*) AS BIGINT) AS novelty_micro
+      FROM b LEFT JOIN hist h ON h.s = b.s
+      GROUP BY b.doc_id
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
-    q125, q128, q160, q169, q171, q175, q176, q180, q181)
+    q125, q128, q160, q169, q171, q175, q176, q180, q181, q190)
 }

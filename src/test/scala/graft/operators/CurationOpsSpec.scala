@@ -107,6 +107,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(loose > 0L && strict == 0L, s"pair gate broken: $loose/$strict")
   }
 
+  test("ngramNovelty: fully-known 0, unseen 1e6, mixed exact, repeats once") {
+    val s = spark
+    import s.implicits._
+    val history = Dedup.explodedShingles(
+      Seq((100L, "a b c d e")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).select(col("sh"))
+    val batch = Seq(
+      (1L, "a b c d e"),        // every shingle known → novelty 0
+      (2L, "x y z w"),          // nothing known → novelty 1e6
+      (3L, "a b c x y z"),      // 1 known of 4 distinct → 750000
+      (4L, "a b c a b c d"))    // repeats collapse: shingles {abc,bca,cab,abc→,bcd}
+      .toDF("doc_id", "text")
+    val out = Decontam.ngramNovelty(history, batch, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (3L, 0L, 0L))
+    assert(out(2L) == (2L, 2L, 1000000L))
+    assert(out(3L) == (4L, 3L, 750000L))
+    // doc 4 distinct shingles: "a b c"(known), "b c a", "c a b",
+    // "b c d"(known? history has "b c d" ✓) → 4 distinct, 2 novel
+    assert(out(4L) == (4L, 2L, 500000L), out.toString)
+  }
+
   test("sourceUniqueness: exclusive vs shared shingles, repeats collapse") {
     val s = spark
     import s.implicits._
