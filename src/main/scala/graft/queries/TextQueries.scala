@@ -1119,7 +1119,74 @@ object TextQueries extends QueryPack {
       ORDER BY w1, w2
     """))
 
+  // --------------------------------------------------------------- q191
+  // END-TO-END curation pipeline — the library's stages COMPOSED the
+  // way a real run schedules them: exact dedup keep-first (q16/q34) →
+  // heuristic quality gate (q24's micro score ≥ 0.6) → reproducible
+  // 5k-token budget in hash order (q57's distributed prefix sum) →
+  // deterministic 5/5/90 split (q44) → per-split doc/token accounting.
+  // Every stage is individually oracle-proven; this query proves they
+  // COMPOSE (each stage's output frame is the next stage's input, and
+  // the one hash gate covers the whole chain). The oracle chains the
+  // four stages' CTEs verbatim.
+  private val q191 = Q(
+    "q191_curation_pipeline",
+    (s, dir) => {
+      val t = TextAnalysis
+      val docs = Tables(s, dir, "documents")
+      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = docs
+        .join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("__w", graft.operators.Dedup.words(col("text")))
+        .withColumn("q_micro", t.qualityMicro(col("text"), col("__w")))
+        .filter(col("q_micro") >= 600000L)
+        .withColumn("n_tokens", t.tokenCount(col("text")))
+        .select(col("doc_id"), col("n_tokens"))
+      val budgeted = graft.operators.Sampling.tokenBudgetSubset(
+        survivors, "doc_id", "n_tokens", budgetTokens = 5000L)
+      graft.operators.Sampling.withSplit(budgeted, "doc_id",
+          valPct = 5, testPct = 5)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("split"))
+    },
+    Some(raw"""
+      WITH $qmicroCtes,
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      sv AS (
+        SELECT q.doc_id, b.n_tokens
+        FROM q
+        JOIN base b USING (doc_id)
+        JOIN keepers k ON k.doc_id = q.doc_id
+        WHERE q.qm >= 600000),
+      bud AS (
+        SELECT doc_id, n_tokens FROM (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                            doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM sv)
+        WHERE cum - n_tokens < 5000),
+      sp AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN b2 < 5 THEN 'val'
+                    WHEN b2 < 10 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT doc_id, n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b2
+          FROM bud))
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM sp GROUP BY split ORDER BY split
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137, q140, q142, q150, q159, q163, q164, q170, q172, q174)
+    q137, q140, q142, q150, q159, q163, q164, q170, q172, q174, q191)
 }
