@@ -306,6 +306,31 @@ object Decontam {
         expr("n_novel * 1000000L DIV n_shingles"))
   }
 
+  /** O(new) maintenance for [[ngramNovelty]]'s stored history — the
+    * shingle LEDGER absorbs a day's batch by appending only the
+    * shingles it does not already hold. The fresh set is computed
+    * BATCH-side (an anti-join driven from the stored side would
+    * shuffle the whole ledger): the batch's distinct shingles
+    * semi-filter the ledger scan to the known slice, both
+    * broadcast-bounded, and batch-minus-known unions onto the ledger
+    * scan unchanged. The merged ledger is exactly
+    * distinct(history ∪ batch) — set union of distinct sets — so
+    * tomorrow's [[ngramNovelty]] against it equals the full-history
+    * recompute (the q65/q147 sufficient-statistics discipline; the
+    * gate oracle IS that recompute). History rows are read once and
+    * never exchanged. */
+  def ngramLedgerMerge(ledger: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val bsh = Dedup.explodedShingles(batch, idCol, textCol, k)
+      .select(col("sh")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    val known = ledger.select(col("sh"))
+      .join(broadcast(bsh), Seq("sh"), "left_semi")
+      .distinct()
+    val fresh = bsh.join(broadcast(known), Seq("sh"), "left_anti")
+    ledger.select(col("sh")).unionByName(fresh)
+  }
+
   /** Per-source n-gram UNIQUENESS: of each source's distinct word
     * k-shingles, how many appear in NO other source — the
     * "does this slice add anything the mixture doesn't already have"

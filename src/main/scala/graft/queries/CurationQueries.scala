@@ -975,6 +975,48 @@ object CurationQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q192
+  // O(new) novelty-ledger maintenance: day 1's batch (doc_id % 3 = 1)
+  // merges into the stored shingle ledger (history = % 3 = 2), and
+  // day 2's novelty (% 3 = 0) computes against the MERGED ledger —
+  // which must equal the full recompute against history ∪ day 1,
+  // proving the ledger is the operator's exact sufficient statistics
+  // (set union of distinct shingle sets). History is scanned once per
+  // day, never exchanged; every membership probe is broadcast-bounded
+  // by the day's batch.
+  private val q192 = Q(
+    "q192_novelty_ledger",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ledger0 = graft.operators.Dedup.explodedShingles(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", 3)
+        .select(col("sh")).distinct()
+      val ledger1 = Decontam.ngramLedgerMerge(ledger0,
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", 3)
+      Decontam.ngramNovelty(ledger1,
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      hist AS (SELECT DISTINCT s FROM sh WHERE doc_id % 3 > 0),
+      b AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0)
+      SELECT b.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) * 1000000
+               // COUNT(*) AS BIGINT) AS novelty_micro
+      FROM b LEFT JOIN hist h ON h.s = b.s
+      GROUP BY b.doc_id
+      ORDER BY doc_id
+    """))
+
   def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
-    q125, q128, q160, q169, q171, q175, q176, q180, q181, q190)
+    q125, q128, q160, q169, q171, q175, q176, q180, q181, q190, q192)
 }

@@ -130,6 +130,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == (4L, 2L, 500000L), out.toString)
   }
 
+  test("ngramLedgerMerge ≡ distinct union; no duplicate shingles appended") {
+    val s = spark
+    import s.implicits._
+    val history = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val ledger0 = Dedup.explodedShingles(history, "doc_id", "text", 3)
+      .select(col("sh")).distinct()
+    val batch = Seq(
+      (1L, "a b c d"),       // "a b c","b c d" already known
+      (2L, "x y z a b c"))   // adds "x y z","y z a","z a b"
+      .toDF("doc_id", "text")
+    val merged = Decontam.ngramLedgerMerge(ledger0, batch,
+        "doc_id", "text", 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(merged.length == merged.distinct.length,
+      "merge appended a shingle the ledger already held")
+    val expect = Dedup.explodedShingles(
+        history.unionByName(batch), "doc_id", "text", 3)
+      .select(col("sh")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(merged.toSet == expect, "merged ledger ≠ distinct union")
+  }
+
   test("sourceUniqueness: exclusive vs shared shingles, repeats collapse") {
     val s = spark
     import s.implicits._
