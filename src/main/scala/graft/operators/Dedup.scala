@@ -1188,9 +1188,12 @@ object Dedup {
     * The q19 propose/verify discipline applied at span granularity.
     *
     * Stages: (1) candidate pairs sharing ≥ `minShared` selected
-    * fingerprints; (2) the candidate DOC set semi-joins the corpus
-    * (broadcastable — candidate docs ≪ corpus under real duplication
-    * rates) and only those docs re-shingle positionally; (3) the
+    * fingerprints; (2) the candidate DOC set semi-joins the corpus —
+    * SIZE-GATED, not pinned broadcast: candidate incidence tracks
+    * duplication incidence, which at crawl scale is 30–50% of docs,
+    * so AQE picks broadcast when the set is small and a doc-keyed
+    * shuffled semi-join when it is corpus-proportional — and only
+    * those docs re-shingle positionally; (3) the
     * [[sharedSpans]] anchor census (2 ≤ df ≤ maxDf, df measured over
     * candidate docs), fp-keyed pair join restricted to the proposed
     * pairs, gaps-and-islands per pair diagonal. Miss class is NAMED:
@@ -1213,9 +1216,11 @@ object Dedup {
       .transform(graft.util.CacheScope.persist)
     val candDocs = cand.select(col("doc_a").as("__cid"))
       .unionByName(cand.select(col("doc_b").as("__cid"))).distinct()
+    // no pinned hint on the candidate-set joins: AQE's runtime stats
+    // size-gate them (the cutPositions "auto" discipline) — a crawl
+    // where half the docs are candidates must be allowed to shuffle
     val pos = positionedShingleFps(
-        docs.join(broadcast(candDocs), docs(idCol) === col("__cid"),
-          "left_semi"),
+        docs.join(candDocs, docs(idCol) === col("__cid"), "left_semi"),
         idCol, textCol, k)
       .transform(graft.util.CacheScope.persist)
     val anchors = pos.select(col("fp"), col("doc_id")).distinct()
@@ -1228,7 +1233,7 @@ object Dedup {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
-      .join(broadcast(cand), Seq("doc_a", "doc_b"), "left_semi")
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
     spansFromMatches(matched, k, minSpan)
   }
 
