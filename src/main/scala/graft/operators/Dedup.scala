@@ -1459,9 +1459,14 @@ object Dedup {
       .join(broadcast(newlyHot), Seq("fp"), "left_semi")
       .select(col("doc_id")).distinct()
       .transform(graft.util.CacheScope.persist)
-    // full position lists of every doc whose runs must recompute
+    // full position lists of every doc whose runs must recompute.
+    // The affected-doc semi-join is NOT pinned broadcast: affected
+    // size tracks newly-hot incidence, which a boilerplate-heavy
+    // batch can push corpus-ward — AQE size-gates it (the
+    // cutPositions "auto" discipline). The kept-runs anti-join below
+    // probes the run LEDGER (tiny), where the pin is safe.
     val pos = historyIndex
-      .join(broadcast(affected), Seq("doc_id"), "left_semi")
+      .join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("pos"), col("fp"))
       .unionByName(bpos.select(col("doc_id"), col("pos"), col("fp")))
       .transform(graft.util.CacheScope.persist)
