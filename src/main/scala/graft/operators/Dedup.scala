@@ -1427,10 +1427,15 @@ object Dedup {
     * Stored-side discipline: the batch fp set broadcasts into
     * semi-joins on the census (merged dfs for batch-present fps) and
     * the newly-hot fp set broadcasts into a semi-join on the stored
-    * index (affected docs), whose doc ids broadcast back to pull full
-    * position lists — every stored-table touch is batch- or
-    * incidence-proportional; history text is never re-read. Oracle =
-    * the full [[hotSpanClusters]] recompute over history ∪ batch. */
+    * index (affected docs) — both BATCH-proportional, so the pin is
+    * safe. Every join on the AFFECTED side (position pull-back,
+    * present-fp census probe, kept-runs anti-join) is deliberately
+    * unpinned: affected size tracks newly-hot INCIDENCE, which a
+    * boilerplate-heavy batch can push toward corpus size, so AQE's
+    * runtime stats pick broadcast vs shuffle per join (the
+    * [[cutPositions]] "auto" discipline). History text is never
+    * re-read. Oracle = the full [[hotSpanClusters]] recompute over
+    * history ∪ batch. */
   def incrementalHotSpanClusters(historyIndex: DataFrame,
       historyCensus: DataFrame, storedRuns: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, k: Int, minSpan: Int,
@@ -1459,21 +1464,27 @@ object Dedup {
       .join(broadcast(newlyHot), Seq("fp"), "left_semi")
       .select(col("doc_id")).distinct()
       .transform(graft.util.CacheScope.persist)
-    // full position lists of every doc whose runs must recompute.
-    // The affected-doc semi-join is NOT pinned broadcast: affected
-    // size tracks newly-hot incidence, which a boilerplate-heavy
-    // batch can push corpus-ward — AQE size-gates it (the
-    // cutPositions "auto" discipline). The kept-runs anti-join below
-    // probes the run LEDGER (tiny), where the pin is safe.
+    // Full position lists of every doc whose runs must recompute.
+    // NONE of the joins on `affected` (or frames derived from it —
+    // `pos`, `present`) carry a broadcast pin: all three scale with
+    // newly-hot INCIDENCE, which a boilerplate-heavy batch can push
+    // corpus-ward, so a pin is a driver-OOM in exactly the regime
+    // this operator exists for. AQE's runtime stats size-gate each
+    // one (the cutPositions "auto" discipline) — broadcast at the
+    // common small-batch sizes, shuffle when incidence blows up.
     val pos = historyIndex
       .join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("pos"), col("fp"))
       .unionByName(bpos.select(col("doc_id"), col("pos"), col("fp")))
       .transform(graft.util.CacheScope.persist)
-    // hotness for fps PRESENT in those docs: merged history+batch df
+    // hotness for fps PRESENT in those docs: merged history+batch df.
+    // `present` is position-set-proportional (distinct fps of the
+    // affected ∪ batch docs) — same incidence axis, so the census
+    // semi-join is unpinned too.
     val present = pos.select(col("fp")).distinct()
+      .transform(graft.util.CacheScope.persist)
     val hot = present
-      .join(historyCensus.join(broadcast(present), Seq("fp"), "left_semi"),
+      .join(historyCensus.join(present, Seq("fp"), "left_semi"),
         Seq("fp"), "left")
       .join(bCensus, Seq("fp"), "left")
       .select(col("fp"),
@@ -1482,8 +1493,11 @@ object Dedup {
       .filter(col("__df") >= minDf)
       .select(col("fp"))
     val recomputed = hotSpanRuns(pos, hot, k, minSpan)
+    // kept-runs anti-join: the probe side (storedRuns) is the run
+    // LEDGER, but the anti side is `affected` — incidence-
+    // proportional, so no pin here either.
     val kept = storedRuns
-      .join(broadcast(affected), Seq("doc_id"), "left_anti")
+      .join(affected, Seq("doc_id"), "left_anti")
     electSpanKeepers(kept.unionByName(recomputed))
   }
 

@@ -417,6 +417,72 @@ class SharedSpanSpec extends SparkSpec {
       "no split exercises the newly-hot flip — weak fixture")
   }
 
+  test("incremental hot spans: shuffle lane bit-identical, no doc_id pin") {
+    // The affected-doc frames (affected / pos / present) are newly-hot-
+    // incidence-proportional, so none of their joins may carry a
+    // broadcast pin — with auto-broadcast killed, every one of them
+    // must execute as a shuffle join and produce the SAME rows.
+    val s = spark
+    import s.implicits._
+    val h = S("h", 14) // df 2 in history, 3 with batch → newly hot
+    val g = S("g", 14) // df 3 in history → already hot, runs kept
+    val history = Seq(
+      (1L, s"a1 $h a2"), (2L, s"b1 b2 $h"),
+      (3L, s"c1 $g"), (4L, s"$g d1 d2"), (5L, s"e1 $g e2"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, s"x1 x2 $h x3")).toDF("doc_id", "text")
+    val index = Dedup.positionedShingleFps(history, "doc_id", "text", 3)
+    val census = index.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val ledger = Dedup.hotSpanLedger(history, "doc_id", "text",
+      k = 3, minSpan = 12, minDf = 3)
+    def run() = Dedup.incrementalHotSpanClusters(index, census, ledger,
+      batch, "doc_id", "text", k = 3, minSpan = 12, minDf = 3)
+    val auto = run().orderBy("doc_id", "start_pos").collect().toSeq
+    // both lanes must be present or the fixture proves nothing:
+    // newly-hot h recomputes (docs 1,2,10), already-hot g keeps (3,4,5)
+    assert(auto.map(_.getLong(1)).toSet == Set(1L, 2L, 3L, 4L, 5L, 10L))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeThreshold =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val shuffled = run()
+      val rows = shuffled.orderBy("doc_id", "start_pos").collect().toSeq
+      assert(rows == auto, "shuffle lane diverged from auto lane")
+      // surviving broadcasts must be ONLY the batch-proportional fp
+      // pins (bCensus / newlyHot semi-joins) — a broadcast keyed on
+      // doc_id means an incidence-proportional frame got pinned
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case st: QueryStageExec => Seq(st.plan)
+          case other => other.children
+        }
+        (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+      }
+      val docIdBroadcasts =
+        nodes(shuffled.queryExecution.executedPlan).collect {
+          case j: BroadcastHashJoinExec if j.leftKeys.exists(
+            _.references.exists(_.name == "doc_id")) => j
+        }
+      assert(docIdBroadcasts.isEmpty,
+        "a doc_id-keyed join is still pinned broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      aqeThreshold match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("union redaction cuts rare pairs AND hot clusters in one pass") {
     val s = spark
     import s.implicits._
