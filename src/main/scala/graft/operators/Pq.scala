@@ -46,11 +46,21 @@ object Pq {
       Ivf.quantize(col(vecCol)).as("qvec")), m)
 
   /** [[subvectors]] over an already-quantized (vec_id, qvec) frame —
-    * the residual path feeds re-quantized residuals through here. */
+    * the residual path feeds re-quantized residuals through here.
+    * Divisibility is ENFORCED per row, not just documented: slice
+    * arithmetic is dim DIV m, so a ragged length would silently drop
+    * the trailing dims (d=64, m=5 scores only 60 dims) and return
+    * wrong distances with no error — a task-side raise_error turns
+    * that data bug into a loud failure instead. */
   private def subvectorsOf(vecs: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m=$m subspaces must be >= 1")
     vecs
-      .select(col("vec_id"), col("qvec"),
+      .select(col("vec_id"),
+        when(size(col("qvec")) % m === 0, col("qvec"))
+          .otherwise(raise_error(concat(
+            lit("PQ: vector length "), size(col("qvec")),
+            lit(s" is not divisible by m=$m subspaces"))))
+          .as("qvec"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("vec_id"), col("sub"),
         expr(s"slice(qvec, sub * (size(qvec) DIV $m) + 1, " +
@@ -93,11 +103,25 @@ object Pq {
       seedIds(embeddings, idCol, k), iterations)
 
   /** The `k` smallest ids — the deterministic [[Ivf.centroids]] seed
-    * rule (TakeOrderedAndProject, no full sort). */
+    * rule (TakeOrderedAndProject, no full sort). Seed ids double as
+    * PQ centroid ids (cid), and the ADC lookup maps pack keys as
+    * sub·2³² + cid — a cid outside [0, 2³²) would silently collide
+    * across subspaces (or make map_from_arrays throw under
+    * EXCEPTION dedup policy), so the bound is enforced HERE, at the
+    * single choke point every codebook's cids flow through. k is
+    * small, so the check is driver-free and costs nothing. */
   private def seedIds(embeddings: DataFrame, idCol: String,
       k: Int): DataFrame =
     embeddings.select(col(idCol).as("vec_id"))
       .orderBy(col("vec_id").asc).limit(k)
+      .select(
+        when(col("vec_id") >= 0 && col("vec_id") < lit(1L << 32),
+          col("vec_id"))
+          .otherwise(raise_error(concat(
+            lit("PQ: seed id "), col("vec_id"),
+            lit(" outside [0, 2^32) — packed ADC map keys would " +
+              "collide across subspaces"))))
+          .as("vec_id"))
 
   /** Joint Lloyd loop over a (vec_id, sub, svec) frame. The svec
     * elements must be INTEGRAL doubles (the quantize grid, or floor'd
@@ -112,12 +136,26 @@ object Pq {
     val vsum = Bridge.column(graft.functions.VecSumAgg(
       Bridge.expression(col("svec").cast("array<double>")))
       .toAggregateExpression())
-    for (_ <- 0 until iterations)
+    // Each round nests one assign + recompute aggregate pair into a
+    // single lazy plan — fine at the usual 3–4 Lloyd rounds, but plan
+    // depth grows linearly with `iterations`, so a high-rounds retrain
+    // takes the q115/Graph rotation: cut lineage every 4 rounds with
+    // an eager localCheckpoint (the codebook is k·m rows — the extra
+    // job is negligible) and free the superseded checkpoint eagerly.
+    var lastCheckpoint: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       cbs = assign(sv, cbs, withVec = true)
         .groupBy(col("sub"), col("cid"))
         .agg(vsum.as("s"), count(lit(1)).as("n"))
         .select(col("sub"), col("cid"),
           transform(col("s"), x => x / col("n")).as("cent"))
+      if (i % 4 == 0 && i < iterations) {
+        val cp = cbs.localCheckpoint() // eager: materializes first
+        lastCheckpoint.foreach(Bridge.unpersistCheckpoint)
+        lastCheckpoint = Some(cp)
+        cbs = cp
+      }
+    }
     cbs.transform(graft.util.CacheScope.persist)
   }
 
@@ -135,6 +173,24 @@ object Pq {
   def encode(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int, cbs: DataFrame): DataFrame =
     codesFrom(subvectors(embeddings, idCol, vecCol, m), cbs)
+
+  /** O(new) DAILY maintenance for the stored PQ index — the q110
+    * occupancy-maintenance contract applied to [[encode]]: the stored
+    * codebooks are FIXED (no Lloyd re-iteration — retraining would
+    * invalidate every stored code), the day's batch encodes against
+    * them in ONE broadcast-codebook pass, and the new code rows
+    * append to the stored codes table. Encoding is per-row against a
+    * fixed codebook, so append IS the exact merge: the result equals
+    * [[encode]] over history ∪ batch with the same codebooks, and
+    * any [[adcTopK]]/[[ivfPqTopK]]-style search over the merged table
+    * equals the full-recompute ordering. The stored codes scan is
+    * read-once, never exchanged; batch and history ids must be
+    * disjoint. */
+  def appendCodes(storedCodes: DataFrame, cbs: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame =
+    storedCodes.unionByName(
+      codesFrom(subvectors(batch, idCol, vecCol, m), cbs))
 
   /** RESIDUAL IVF-PQ top-k — the classic IVFADC layout ([[ivfPqTopK]]'s
     * documented refinement): PQ codebooks train on the residual
@@ -309,7 +365,8 @@ object Pq {
       .join(broadcast(cbs), Seq("sub"))
       .select(col("vec_id").as("q_id"),
         // key = sub·2^32 + cid: cid is a SEED VEC ID (the k smallest),
-        // so the 32-bit low half holds any realistic id space
+        // and seedIds raise_errors any id outside [0, 2^32), so the
+        // low half cannot collide across subspaces
         (col("sub").cast("long") * lit(1L << 32) + col("cid")).as("key"),
         dist2(col("svec"), col("cent")).as("d2"))
       .groupBy(col("q_id"))

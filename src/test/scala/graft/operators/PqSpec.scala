@@ -139,4 +139,51 @@ class PqSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(perQ == Set(5L), s"per-query row counts: $perQ")
   }
+
+  test("ragged dimension raises instead of silently dropping dims") {
+    // d=6 with m=4: slice arithmetic would score only 4 of 6 dims —
+    // the guard must turn that into a loud failure, not wrong ranks
+    val s = spark
+    import s.implicits._
+    val ragged = Seq(
+      (0L, Array(0.1f, 0.2f, 0.3f, 0.4f, 0.5f, 0.6f)),
+      (1L, Array(0.6f, 0.5f, 0.4f, 0.3f, 0.2f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pq.codebooks(ragged, "vec_id", "embedding", m = 4, k = 2,
+        iterations = 1).collect()
+    }
+    assert(e.getMessage.contains("not divisible"),
+      s"wrong failure: ${e.getMessage}")
+    // and a divisible m on the same frame trains fine
+    assert(Pq.codebooks(ragged, "vec_id", "embedding", m = 3, k = 2,
+      iterations = 1).count() == 6L)
+  }
+
+  test("seed id outside [0, 2^32) raises before ADC keys can collide") {
+    val s = spark
+    import s.implicits._
+    val big = Seq(
+      ((1L << 40), Array(0.1f, 0.2f, 0.3f, 0.4f)),
+      ((1L << 40) + 1, Array(0.4f, 0.3f, 0.2f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pq.codebooks(big, "vec_id", "embedding", m = 2, k = 2,
+        iterations = 1).collect()
+    }
+    assert(e.getMessage.contains("2^32"), s"wrong failure: ${e.getMessage}")
+  }
+
+  test("high-rounds training rotates checkpoints and stays deterministic") {
+    // 9 rounds crosses two rotation points (i=4, i=8); values must be
+    // unaffected (a checkpoint is value-preserving) and a rerun
+    // reproduces the codebook bit-for-bit
+    val m = 4
+    def cb() = Pq.codebooks(emb, "vec_id", "embedding", m, k = 8,
+        iterations = 9)
+      .orderBy("sub", "cid").collect().toSeq
+    val a = cb()
+    assert(a.nonEmpty && a.size <= 8 * m)
+    assert(cb() == a, "high-rounds codebook not rerun-stable")
+  }
 }
