@@ -284,7 +284,11 @@ object Decontam {
     * survivors). `history` is the stored distinct-shingle column
     * (one `sh` STRING column — [[Dedup.explodedShingles]]' shape
     * projected); history and batch doc ids must be disjoint. Output:
-    * (doc_id, n_shingles, n_novel, novelty_micro). */
+    * one row per BATCH doc — (doc_id, n_shingles, n_novel,
+    * novelty_micro); a doc too short to produce a k-shingle reports
+    * (0, 0, 0) rather than vanishing, so a caller auditing a batch
+    * roster sees every doc it submitted (the roster left-join is
+    * batch-proportional). */
   def ngramNovelty(history: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     val bsh = Dedup.explodedShingles(batch, idCol, textCol, k)
@@ -296,7 +300,7 @@ object Decontam {
       .join(broadcast(bsh.select(col("sh")).distinct()), Seq("sh"),
         "left_semi")
       .distinct()
-    bsh
+    val perDoc = bsh
       .join(broadcast(known.withColumn("__known", lit(1))),
         Seq("sh"), "left")
       .groupBy(col("doc_id"))
@@ -304,6 +308,12 @@ object Decontam {
         sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_micro",
         expr("n_novel * 1000000L DIV n_shingles"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("novelty_micro"), lit(0L)).as("novelty_micro"))
   }
 
   /** O(new) maintenance for [[ngramNovelty]]'s stored history — the

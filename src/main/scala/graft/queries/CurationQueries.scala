@@ -963,15 +963,22 @@ object CurationQueries extends QueryPack {
         FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
         WHERE len(w) >= 3),
       hist AS (SELECT DISTINCT s FROM sh WHERE doc_id % 3 > 0),
-      b AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0)
-      SELECT b.doc_id,
-             COUNT(*) AS n_shingles,
-             CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_novel,
-             CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) * 1000000
-               // COUNT(*) AS BIGINT) AS novelty_micro
-      FROM b LEFT JOIN hist h ON h.s = b.s
-      GROUP BY b.doc_id
+      b AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0),
+      agg AS (
+        SELECT b.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) * 1000000
+                 // COUNT(*) AS BIGINT) AS novelty_micro
+        FROM b LEFT JOIN hist h ON h.s = b.s
+        GROUP BY b.doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(a.n_novel, 0) AS BIGINT) AS n_novel,
+             CAST(COALESCE(a.novelty_micro, 0) AS BIGINT) AS novelty_micro
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+      LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id
     """))
 
@@ -1005,15 +1012,22 @@ object CurationQueries extends QueryPack {
         FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
         WHERE len(w) >= 3),
       hist AS (SELECT DISTINCT s FROM sh WHERE doc_id % 3 > 0),
-      b AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0)
-      SELECT b.doc_id,
-             COUNT(*) AS n_shingles,
-             CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_novel,
-             CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) * 1000000
-               // COUNT(*) AS BIGINT) AS novelty_micro
-      FROM b LEFT JOIN hist h ON h.s = b.s
-      GROUP BY b.doc_id
+      b AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0),
+      agg AS (
+        SELECT b.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               CAST(SUM(CASE WHEN h.s IS NULL THEN 1 ELSE 0 END) * 1000000
+                 // COUNT(*) AS BIGINT) AS novelty_micro
+        FROM b LEFT JOIN hist h ON h.s = b.s
+        GROUP BY b.doc_id)
+      SELECT d.doc_id,
+             CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(a.n_novel, 0) AS BIGINT) AS n_novel,
+             CAST(COALESCE(a.novelty_micro, 0) AS BIGINT) AS novelty_micro
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+      LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id
     """))
 

@@ -117,7 +117,8 @@ class CurationOpsSpec extends SparkSpec {
       (1L, "a b c d e"),        // every shingle known → novelty 0
       (2L, "x y z w"),          // nothing known → novelty 1e6
       (3L, "a b c x y z"),      // 1 known of 4 distinct → 750000
-      (4L, "a b c a b c d"))    // repeats collapse: shingles {abc,bca,cab,abc→,bcd}
+      (4L, "a b c a b c d"),    // repeats collapse: shingles {abc,bca,cab,abc→,bcd}
+      (5L, "p q"))              // too short for a 3-shingle → (0,0,0) row
       .toDF("doc_id", "text")
     val out = Decontam.ngramNovelty(history, batch, "doc_id", "text", 3)
       .collect().map(r => r.getLong(0) ->
@@ -128,6 +129,9 @@ class CurationOpsSpec extends SparkSpec {
     // doc 4 distinct shingles: "a b c"(known), "b c a", "c a b",
     // "b c d"(known? history has "b c d" ✓) → 4 distinct, 2 novel
     assert(out(4L) == (4L, 2L, 500000L), out.toString)
+    // roster contract: a short doc reports zeros instead of vanishing
+    assert(out(5L) == (0L, 0L, 0L), out.toString)
+    assert(out.size == 5, "every batch doc must appear exactly once")
   }
 
   test("ngramLedgerMerge ≡ distinct union; no duplicate shingles appended") {
