@@ -1186,7 +1186,166 @@ object TextQueries extends QueryPack {
       FROM sp GROUP BY split ORDER BY split
     """))
 
+  // --------------------------------------------------------------- q193
+  // q191 with the EXPENSIVE half composed in: exact dedup → q187's
+  // TOTAL substring redaction (pair lane df=2 ∪ cluster lane df≥3,
+  // one keep-first cut) → quality gate ON THE REDACTED TEXT → token
+  // budget over POST-redaction token counts → split → accounting.
+  // Redaction changes token counts, so every downstream stage
+  // consumes different masses than q191 — this is the composition a
+  // production curation run actually schedules, and the one hash gate
+  // proves the chain end to end (each stage is individually proven by
+  // q16/q187/q24/q57/q44; the oracle chains their CTEs verbatim, with
+  // the quality CTEs rebased onto the redacted text). Scale shape is
+  // inherited stage by stage: the dedup keep-set semi-join and the
+  // redaction removal join are size-gated, the budget prefix-sum is
+  // the q57 two-pass distributed form, and no stage collects.
+  private val q193 = Q(
+    "q193_curation_pipeline_redacted",
+    (s, dir) => {
+      val t = TextAnalysis
+      val docs = Tables(s, dir, "documents")
+      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = docs.join(keep, Seq("doc_id"), "left_semi")
+      val redacted = graft.operators.Dedup.redactAllSpans(survivors,
+          "doc_id", "text", k = 5, minSpan = 12, maxDf = 2, minDf = 3)
+        .select(col("doc_id"), col("kept_text"))
+      val gated = redacted
+        .withColumn("__w", graft.operators.Dedup.words(col("kept_text")))
+        .withColumn("q_micro",
+          t.qualityMicro(col("kept_text"), col("__w")))
+        .filter(col("q_micro") >= 600000L)
+        .withColumn("n_tokens", t.tokenCount(col("kept_text")))
+        .select(col("doc_id"), col("n_tokens"))
+      val budgeted = graft.operators.Sampling.tokenBudgetSubset(
+        gated, "doc_id", "n_tokens", budgetTokens = 5000L)
+      graft.operators.Sampling.withSplit(budgeted, "doc_id",
+          valPct = 5, testPct = 5)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("split"))
+    },
+    Some(raw"""
+      WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      norm AS (
+        SELECT d.doc_id,
+               string_split(regexp_replace(lower(trim(d.text)),
+                 '\s+', ' ', 'g'), ' ') AS w
+        FROM documents d JOIN keepers k USING (doc_id)),
+      shng AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS fp
+        FROM norm, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      census AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS df FROM shng GROUP BY fp),
+      mm AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM shng a
+        JOIN (SELECT fp FROM census WHERE df = 2) an ON an.fp = a.fp
+        JOIN shng b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM mm),
+      spans AS (
+        SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+               COUNT(*) + 4 AS span_words
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+        HAVING COUNT(*) + 4 >= 12),
+      rm1 AS (
+        SELECT DISTINCT doc_b AS doc_id, start_b + j AS pos
+        FROM spans, UNNEST(generate_series(0, span_words - 1)) AS t(j)),
+      hisl AS (
+        SELECT s.doc_id, s.pos, s.fp,
+               s.pos - ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                 ORDER BY s.pos) AS grp
+        FROM shng s JOIN (SELECT fp FROM census WHERE df >= 3) h
+          ON h.fp = s.fp),
+      runs AS (
+        SELECT doc_id, MIN(pos) AS start_pos, COUNT(*) + 4 AS span_words,
+               md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY pos))
+                 AS span_sig
+        FROM hisl GROUP BY doc_id, grp
+        HAVING COUNT(*) + 4 >= 12),
+      cl AS (
+        SELECT doc_id, start_pos, span_words,
+               ROW_NUMBER() OVER (PARTITION BY span_sig
+                 ORDER BY doc_id, start_pos) = 1 AS is_keeper
+        FROM runs),
+      rm2 AS (
+        SELECT DISTINCT doc_id, start_pos + j AS pos
+        FROM cl, UNNEST(generate_series(0, span_words - 1)) AS t(j)
+        WHERE NOT is_keeper),
+      rm AS (SELECT doc_id, pos FROM rm1 UNION SELECT doc_id, pos FROM rm2),
+      wp AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM norm, UNNEST(generate_series(1, len(w))) AS t(i)),
+      kept AS (
+        SELECT wp.doc_id, wp.pos, wp.word
+        FROM wp LEFT JOIN rm ON rm.doc_id = wp.doc_id AND rm.pos = wp.pos
+        WHERE rm.pos IS NULL),
+      red AS (
+        SELECT n.doc_id, COALESCE(kk.t, '') AS text
+        FROM norm n LEFT JOIN (
+          SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS t
+          FROM kept GROUP BY doc_id) kk USING (doc_id)),
+      rb AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS BIGINT) AS n_digit,
+               ${scoreSql("en")} AS s_en
+        FROM (SELECT doc_id, text, $wordsSql AS w FROM red)),
+      rq AS (
+        SELECT doc_id, n_tokens,
+               CAST(ROUND(ROUND(
+                 0.4 * least(n_chars / 500.0, 1.0)
+               + 0.2 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * least((s_en / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0),
+                 6) * 1000000) AS BIGINT) AS qm
+        FROM rb),
+      sv AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM rq WHERE qm >= 600000),
+      bud AS (
+        SELECT doc_id, n_tokens FROM (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                            doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM sv)
+        WHERE cum - n_tokens < 5000),
+      sp AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN b2 < 5 THEN 'val'
+                    WHEN b2 < 10 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT doc_id, n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b2
+          FROM bud))
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM sp GROUP BY split ORDER BY split
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
-    q137, q140, q142, q150, q159, q163, q164, q170, q172, q174, q191)
+    q137, q140, q142, q150, q159, q163, q164, q170, q172, q174, q191,
+    q193)
 }
