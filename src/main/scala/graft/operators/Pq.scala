@@ -349,6 +349,51 @@ object Pq {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** ADC → EXACT-rerank funnel — the deployment shape of PQ search:
+    * [[ivfPqTopK]] produces a per-query SHORTLIST of `shortlistK`
+    * candidates by approximate ADC distance, then only those
+    * candidates rescore with exact full-dimension distances and the
+    * top `topK` re-rank (the q80 Hamming-rescore discipline applied
+    * to PQ, in the q138 two-pass funnel plan shape). ADC error is
+    * bounded by quantization, so a shortlist a few × topK recovers
+    * most exact-rank inversions at m-lookups-per-candidate cost —
+    * full vectors are touched for nq·shortlistK rows only.
+    *
+    * Scale shape: full vectors NEVER cross an exchange — the
+    * shortlist (nq·shortlistK ids, query-panel-proportional)
+    * broadcasts back onto ONE base scan to pick up candidate
+    * vectors, the bounded query panel broadcasts for the query side,
+    * and the only exchange is the final per-query top-k window over
+    * nq·shortlistK scored rows. Exact distances ride the integral
+    * quantize grid (row-internal left-to-right fold), so ranks AND
+    * the distance column hash-gate. Output: (q_id, n_id, exact_d2,
+    * rnk ≤ topK). */
+  def ivfPqRerankTopK(embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, numCoarse: Int,
+      coarseIterations: Int, m: Int, numCentroids: Int,
+      pqIterations: Int, nprobe: Int, shortlistK: Int,
+      topK: Int): DataFrame = {
+    require(shortlistK >= topK,
+      s"shortlistK=$shortlistK must be >= topK=$topK")
+    val short = ivfPqTopK(embeddings, queries, idCol, vecCol, numCoarse,
+        coarseIterations, m, numCentroids, pqIterations, nprobe,
+        shortlistK)
+      .select(col("q_id"), col("n_id"))
+    val baseQ = Ivf.quantized(embeddings, idCol, vecCol)
+    val qpanel = Ivf.quantized(queries, idCol, vecCol)
+      .select(col("vec_id").as("q_id"), col("qvec").as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("exact_d2").asc, col("n_id").asc)
+    baseQ.join(broadcast(short), col("vec_id") === col("n_id"))
+      .join(broadcast(qpanel), Seq("q_id"))
+      .withColumn("exact_d2", dist2(col("__qv"), col("qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("exact_d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** ADC top-k: train codebooks, encode the base, and rank base
     * vectors per query by the summed per-subspace lookup distance
     * (ascending, id tie-break), excluding self-matches. Output:

@@ -615,14 +615,23 @@ object SimilarityQueries extends QueryPack {
   // tables; the ADC sum adds subspaces in the same s = 0..3 order on
   // both engines, so even the double-valued distance column
   // hash-gates. Everything rides the integral-double grid.
-  private val pqSubChains: String = (0 until 4).map { s =>
+  // `trainWhere` (a predicate over vec_id) restricts the TRAINING
+  // population — seeds, both Lloyd assign rounds, and the recompute
+  // means — while enc$s still encodes EVERY row against the final
+  // codebooks: exactly the q194 stored-index contract (codebooks are
+  // fixed at build time; later batches only encode). The default
+  // TRUE keeps q184/q185 byte-identical in behavior.
+  private def pqSubChains(trainWhere: String = "TRUE"): String =
+    (0 until 4).map { s =>
     val lo = s * 16 + 1
     val hi = s * 16 + 16
     raw"""
       sv$s AS (SELECT vec_id, qvec[$lo:$hi] AS sv FROM vx),
+      svt$s AS (SELECT * FROM sv$s WHERE $trainWhere),
       c0_$s AS (
-        SELECT vec_id AS cid, sv AS cent FROM sv$s
-        WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
+        SELECT vec_id AS cid, sv AS cent FROM svt$s
+        WHERE vec_id IN (SELECT vec_id FROM vx WHERE $trainWhere
+                         ORDER BY vec_id ASC LIMIT 8)),
       a1_$s AS (
         SELECT vec_id, sv, cid FROM (
           SELECT vec_id, sv, cid,
@@ -633,7 +642,7 @@ object SimilarityQueries extends QueryPack {
                    list_dot_product(v.sv, v.sv)
                    - 2.0 * list_dot_product(v.sv, c.cent)
                    + list_dot_product(c.cent, c.cent) AS d2
-            FROM sv$s v, c0_$s c))
+            FROM svt$s v, c0_$s c))
         WHERE rn = 1),
       c1_$s AS (
         SELECT cid, list(v ORDER BY d) AS cent FROM (
@@ -651,7 +660,7 @@ object SimilarityQueries extends QueryPack {
                    list_dot_product(v.sv, v.sv)
                    - 2.0 * list_dot_product(v.sv, c.cent)
                    + list_dot_product(c.cent, c.cent) AS d2
-            FROM sv$s v, c1_$s c))
+            FROM svt$s v, c1_$s c))
         WHERE rn = 1),
       c2_$s AS (
         SELECT cid, list(v ORDER BY d) AS cent FROM (
@@ -694,7 +703,7 @@ object SimilarityQueries extends QueryPack {
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
         FROM embeddings),
-      $pqSubChains,
+      ${pqSubChains()},
       enc AS (
         SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
                e2.code AS cb2, e3.code AS cb3
@@ -806,7 +815,7 @@ object SimilarityQueries extends QueryPack {
             FROM vx v, co2 c
             WHERE v.vec_id < 10))
         WHERE rn <= 2),
-      $pqSubChains,
+      ${pqSubChains()},
       enc AS (
         SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
                e2.code AS cb2, e3.code AS cb3
@@ -1153,6 +1162,180 @@ object SimilarityQueries extends QueryPack {
       ORDER BY cid
     """))
 
+  // --------------------------------------------------------------- q194
+  // O(new) PQ index maintenance — the q110 daily contract applied to
+  // the q184 stored index: codebooks trained ONCE on history (seeds =
+  // history's 8 smallest ids) stay FIXED, the stored codes table
+  // holds history's encodings, and the day's batch (vec_id % 3 = 0)
+  // encodes against the stored codebooks in one broadcast pass and
+  // APPENDS. Encoding is per-row against a fixed codebook, so append
+  // IS the exact merge: the oracle trains on the history slice only,
+  // then encodes EVERY row — equality proves no Lloyd re-iteration
+  // leaked into the daily path and no history row was re-encoded.
+  private val q194 = Q(
+    "q194_pq_index_append",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val cbs = graft.operators.Pq.codebooks(history, "vec_id",
+        "embedding", m = 4, k = 8, iterations = 2)
+      val stored = graft.operators.Pq.encode(history, "vec_id",
+        "embedding", 4, cbs)
+      graft.operators.Pq.appendCodes(stored, cbs, batch, "vec_id",
+          "embedding", 4)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).as("cb0"),
+          element_at(col("codes"), 2).as("cb1"),
+          element_at(col("codes"), 3).as("cb2"),
+          element_at(col("codes"), 4).as("cb3"))
+        .orderBy(col("vec_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ${pqSubChains("vec_id % 3 > 0")},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id))
+      SELECT vec_id, cb0, cb1, cb2, cb3 FROM enc ORDER BY vec_id
+    """))
+
+  // --------------------------------------------------------------- q195
+  // ADC → EXACT-rerank funnel — the deployment shape of PQ search:
+  // q185's IVF-PQ shortlist (ADC top-20 within nprobe=2 probed
+  // cells) rescored with exact full-dimension distances, final
+  // top-5 by exact_d2. The q80 rescore discipline applied to PQ, in
+  // the q138 two-pass funnel plan: full vectors never cross an
+  // exchange (the shortlist and query panel broadcast onto one base
+  // scan), and both the ranks and the integral-grid distance column
+  // hash-gate. The oracle replays q185's whole chain, cuts the
+  // shortlist at 20, and re-ranks by the exact quantized L2.
+  private val q195 = Q(
+    "q195_ivf_pq_rerank",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Pq.ivfPqRerankTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", numCoarse = 8, coarseIterations = 2,
+          m = 4, numCentroids = 8, pqIterations = 2, nprobe = 2,
+          shortlistK = 20, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx
+              WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
+      ca1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co0 c))
+        WHERE rn = 1),
+      co1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      ca2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co1 c))
+        WHERE rn = 1),
+      co2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      cellof AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c))
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      ${pqSubChains()},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM cand c
+        JOIN enc e ON e.vec_id = c.n_id
+        JOIN qd0 d0 ON d0.q_id = c.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = c.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = c.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = c.q_id AND d3.cid = e.cb3),
+      short AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+          FROM scored)
+        WHERE rnk <= 20),
+      rr AS (
+        SELECT sh.q_id, sh.n_id,
+               list_dot_product(qv.qvec, qv.qvec)
+               - 2.0 * list_dot_product(qv.qvec, nv.qvec)
+               + list_dot_product(nv.qvec, nv.qvec) AS exact_d2
+        FROM short sh
+        JOIN vx qv ON qv.vec_id = sh.q_id
+        JOIN vx nv ON nv.vec_id = sh.n_id)
+      SELECT q_id, n_id, exact_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, exact_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY exact_d2 ASC, n_id ASC) AS rnk
+        FROM rr)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
-    q162, q173, q184, q185, q186, q189)
+    q162, q173, q184, q185, q186, q189, q194, q195)
 }

@@ -330,4 +330,31 @@ class ShuffleMetricsSpec extends SparkSpec {
       index.unpersist(); census.unpersist(); ledger.unpersist(); ()
     }
   }
+
+  test("PQ index append shuffles less than the full encode recompute") {
+    // the q194 daily contract: stored codebooks + codes are
+    // materialized state; the daily path may only move the batch's
+    // subvector assignments — no Lloyd rounds, no history re-encode
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val cbs = operators.Pq.codebooks(history, "vec_id", "embedding",
+      m = 4, k = 8, iterations = 2).persist()
+    val stored = operators.Pq.encode(history, "vec_id", "embedding",
+      4, cbs).persist()
+    try {
+      cbs.count(); stored.count()
+      val full = shuffleRecords {
+        operators.Pq.encode(emb, "vec_id", "embedding", 4,
+          operators.Pq.codebooks(emb, "vec_id", "embedding",
+            m = 4, k = 8, iterations = 2)).count(); ()
+      }
+      val daily = shuffleRecords {
+        operators.Pq.appendCodes(stored, cbs, batch, "vec_id",
+          "embedding", 4).count(); ()
+      }
+      assert(daily < full,
+        s"PQ daily append shuffled $daily ≥ full recompute's $full")
+    } finally { cbs.unpersist(); stored.unpersist(); () }
+  }
 }

@@ -140,6 +140,87 @@ class PqSpec extends SparkSpec {
     assert(perQ == Set(5L), s"per-query row counts: $perQ")
   }
 
+  test("appendCodes ≡ encode(history ∪ batch) against the fixed codebooks") {
+    val m = 4
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val cbs = Pq.codebooks(history, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val stored = Pq.encode(history, "vec_id", "embedding", m, cbs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    val merged = rows(Pq.appendCodes(stored, cbs, batch, "vec_id",
+      "embedding", m))
+    // per-row encoding against a FIXED codebook makes append the
+    // exact merge — the full-recompute encode must match bit-for-bit
+    val full = rows(Pq.encode(emb, "vec_id", "embedding", m, cbs))
+    assert(merged == full, "daily append diverged from full encode")
+    assert(merged.size == emb.count())
+  }
+
+  test("rerank funnel: all probes + full shortlist ≡ exact integral L2 top-k") {
+    val q = emb.filter(col("vec_id") < 10)
+    val out = Pq.ivfPqRerankTopK(emb, q, "vec_id", "embedding",
+        numCoarse = 8, coarseIterations = 2, m = 4, numCentroids = 8,
+        pqIterations = 2, nprobe = 8, shortlistK = 2000, topK = 5)
+      .orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSeq
+    // local reference on the same integral grid: floor(x·10⁶), L2 via
+    // the same dot(a,a) − 2·dot(a,b) + dot(b,b) left-to-right folds
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000.0))
+          .toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val expected = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          (dot(qv, qv) - 2.0 * dot(qv, nv) + dot(nv, nv), nid) }
+        .sortBy(identity).take(5).zipWithIndex
+        .map { case ((_, nid), i) => (qid, i + 1, nid) }
+    }
+    assert(out == expected, "funnel with exhaustive probes+shortlist " +
+      "diverged from the exact integral L2 top-k")
+  }
+
+  test("rerank funnel: shortlist subsetting, 5 rows/query, no vector shuffles") {
+    val q = emb.filter(col("vec_id") < 10)
+    val funnel = Pq.ivfPqRerankTopK(emb, q, "vec_id", "embedding",
+      numCoarse = 8, coarseIterations = 2, m = 4, numCentroids = 8,
+      pqIterations = 2, nprobe = 2, shortlistK = 20, topK = 5)
+    val fr = funnel.collect()
+    val fPairs = fr.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val short20 = Pq.ivfPqTopK(emb, q, "vec_id", "embedding",
+        numCoarse = 8, coarseIterations = 2, m = 4, numCentroids = 8,
+        pqIterations = 2, nprobe = 2, topK = 20)
+      .select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fPairs.subsetOf(short20), "rerank invented candidates " +
+      "outside its ADC shortlist")
+    assert(fr.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    // no window exchange may carry a full (double/float array) vector:
+    // the funnel exists so vectors never shuffle — codes (array<long>)
+    // and the broadcast maps are the only wide payloads allowed
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val wins = funnel.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val carried = w.child.output.filter(_.dataType match {
+        case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+        case _ => false
+      }).map(_.name)
+      assert(carried.isEmpty, s"window carries full vectors: $carried")
+    }
+  }
+
   test("ragged dimension raises instead of silently dropping dims") {
     // d=6 with m=4: slice arithmetic would score only 4 of 6 dims —
     // the guard must turn that into a loud failure, not wrong ranks
