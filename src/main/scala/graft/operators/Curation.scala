@@ -174,33 +174,88 @@ object Curation {
     *
     * Same numbers as the single host-partitioned window (the offset is
     * exactly the sum of all order-earlier rows in other slices), so
-    * the DuckDB oracle keeps the readable one-window SQL. Residual
-    * skew: a mega-host whose rows share ONE quality value still lands
-    * in one slice — compose [[hostQuota]] in front or quantize quality
-    * finer when the score is degenerate-constant at that scale. */
+    * the DuckDB oracle keeps the readable one-window SQL.
+    *
+    * DEGENERATE-QUALITY fallback (coded, not prose): a mega-host
+    * whose rows share ONE quality value lands in one slice and would
+    * serialize that slice's window on a single task. A cheap
+    * slice-census probe (map-side combined — the exchange carries
+    * slice keys, never rows) checks whether any slice exceeds
+    * `sliceRowBound`; if so, the whole computation switches to a
+    * RANGE-CHUNKED three-level form: rows range-partition on
+    * (slice, id) — contiguous in the admission order by construction
+    * — each chunk computes its local prefix (window partitioned by
+    * (slice, chunk): no task sees more than a chunk), chunk subtotals
+    * roll up to per-slice chunk offsets, and slice subtotals fan back
+    * through the same per-host offset window. Identical values (all
+    * integer sums, decomposition-transparent); the price is one extra
+    * corpus exchange, paid only when the probe says the one-window-
+    * per-slice form would serialize. */
   def hostTokenBudget(docs: DataFrame, hostCol: String, idCol: String,
-      tokensCol: String, qualityCol: String,
-      budgetTokens: Long): DataFrame = {
+      tokensCol: String, qualityCol: String, budgetTokens: Long,
+      sliceRowBound: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val part = docs.withColumn("__slice",
-        struct(col(hostCol).as("h"), col(qualityCol).as("q")))
-      .repartition(col("__slice"))
-      .transform(graft.util.CacheScope.persist)
-    val wLocal = Window.partitionBy(col("__slice"))
-      .orderBy(col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliced = docs.withColumn("__slice",
+      struct(col(hostCol).as("h"), col(qualityCol).as("q")))
     val wOff = Window.partitionBy(col("__slice.h"))
       .orderBy(col("__slice.q").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val off = part.groupBy(col("__slice"))
-      .agg(sum(col(tokensCol)).as("__sub"))
-      .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0)))
-      .select(col("__slice").as("__slice2"), col("__off"))
-    part.withColumn("__local", sum(col(tokensCol)).over(wLocal))
-      .join(off, col("__slice") === col("__slice2"))
-      .withColumn("cum_tokens", col("__local") + col("__off"))
-      .withColumn("kept", col("cum_tokens") <= budgetTokens)
-      .drop("__slice", "__slice2", "__off", "__local")
+    val degenerate = !sliced.groupBy(col("__slice"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > sliceRowBound).isEmpty
+    if (!degenerate) {
+      val part = sliced
+        .repartition(col("__slice"))
+        .transform(graft.util.CacheScope.persist)
+      val wLocal = Window.partitionBy(col("__slice"))
+        .orderBy(col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = part.groupBy(col("__slice"))
+        .agg(sum(col(tokensCol)).as("__sub"))
+        .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0)))
+        .select(col("__slice").as("__slice2"), col("__off"))
+      part.withColumn("__local", sum(col(tokensCol)).over(wLocal))
+        .join(off, col("__slice") === col("__slice2"))
+        .withColumn("cum_tokens", col("__local") + col("__off"))
+        .withColumn("kept", col("cum_tokens") <= budgetTokens)
+        .drop("__slice", "__slice2", "__off", "__local")
+    } else {
+      // ranged lane: chunk = range-partition ordinal, contiguous in
+      // id within each slice, so chunk-local prefix + earlier-chunk
+      // subtotals + better-slice subtotals reassemble the exact
+      // running sum. spark_partition_id is pinned by the persist.
+      val part = sliced
+        .repartitionByRange(col("__slice"), col(idCol))
+        .withColumn("__chunk", spark_partition_id())
+        .transform(graft.util.CacheScope.persist)
+      val wLocal = Window.partitionBy(col("__slice"), col("__chunk"))
+        .orderBy(col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wChunk = Window.partitionBy(col("__slice"))
+        .orderBy(col("__chunk").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunkSub = part.groupBy(col("__slice"), col("__chunk"))
+        .agg(sum(col(tokensCol)).as("__csub"))
+        .transform(graft.util.CacheScope.persist)
+      val chunkOff = chunkSub
+        .withColumn("__coff",
+          coalesce(sum(col("__csub")).over(wChunk), lit(0L)))
+        .select(col("__slice").as("__slice2"),
+          col("__chunk").as("__chunk2"), col("__coff"))
+      val off = chunkSub.groupBy(col("__slice"))
+        .agg(sum(col("__csub")).as("__sub"))
+        .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0)))
+        .select(col("__slice").as("__slice3"), col("__off"))
+      part.withColumn("__local", sum(col(tokensCol)).over(wLocal))
+        .join(chunkOff, col("__slice") === col("__slice2") &&
+          col("__chunk") === col("__chunk2"))
+        .join(off, col("__slice") === col("__slice3"))
+        .withColumn("cum_tokens",
+          col("__local") + col("__coff") + col("__off"))
+        .withColumn("kept", col("cum_tokens") <= budgetTokens)
+        .drop("__slice", "__slice2", "__slice3", "__chunk", "__chunk2",
+          "__csub", "__coff", "__off", "__local")
+    }
   }
 
   /** MODEL-based quality filtering: score every document under a

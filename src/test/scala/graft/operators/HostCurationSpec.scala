@@ -297,6 +297,72 @@ class HostCurationSpec extends SparkSpec {
     }
   }
 
+  test("hostTokenBudget: constant-quality mega-host takes the ranged lane") {
+    val s = spark
+    import s.implicits._
+    // the adversarial case the slice salt can't touch: one spam
+    // domain whose score is degenerate-constant — every row lands in
+    // ONE (host, quality) slice. With sliceRowBound forced low the
+    // ranged lane must engage, split the slice across id-range
+    // chunks, and still reproduce the single-window numbers exactly.
+    val rows =
+      (1L to 500L).map(i => (i, "spam.example", 10L, Some(700000L))) ++
+      Seq((1001L, "tiny.org", 5L, Some(800000L)),
+        (1002L, "tiny.org", 9L, Some(100000L)),
+        (1003L, null.asInstanceOf[String], 5L, Some(700000L)),
+        (1004L, "spam.example", 5L, None: Option[Long]))
+    val docs = rows.toDF("doc_id", "host", "n_tokens", "q_micro")
+    val out = Curation.hostTokenBudget(docs, "host", "doc_id",
+      "n_tokens", "q_micro", budgetTokens = 2000L, sliceRowBound = 50L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("q_micro").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expect = docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= 2000L)
+      .select("doc_id", "cum_tokens", "kept")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val got = out.select("doc_id", "cum_tokens", "kept")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got.size == rows.size, "every row must be emitted")
+    assert(got == expect, "ranged lane diverged from single window")
+    // no single window partition carries the mega slice whole: the
+    // corpus window keys on (slice, chunk), and the mega host's rows
+    // must span > 1 range chunk under the forced layout
+    val chunks = docs
+      .withColumn("__slice",
+        struct(col("host").as("h"), col("q_micro").as("q")))
+      .repartitionByRange(col("__slice"), col("doc_id"))
+      .withColumn("__chunk", spark_partition_id())
+      .filter(col("host") === "spam.example" && col("q_micro") === 700000L)
+      .select("__chunk").distinct().count()
+    assert(chunks > 1L,
+      s"mega slice landed in $chunks chunk(s) — still serialized")
+    // and the executed plan's corpus window really keys on TWO exprs
+    // (slice struct + chunk ordinal), not the slice alone
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case st: QueryStageExec => Seq(st.plan)
+        case other => other.children
+      }
+      (p +: kids.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+    }
+    val twoKey = nodes(out.queryExecution.executedPlan).exists {
+      case win: WindowExec =>
+        win.partitionSpec.size == 2 && win.partitionSpec.exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+      case _ => false
+    }
+    assert(twoKey, "ranged lane's (slice, chunk) window not in the plan")
+  }
+
   test("templateHeaders: stamped prefix flagged, unique openers not, short docs excluded") {
     val s = spark
     import s.implicits._
