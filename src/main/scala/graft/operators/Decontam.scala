@@ -264,6 +264,40 @@ object Decontam {
         col("span_words"), col("n_islands"))
   }
 
+  /** APPLY form of [[winnowedContaminationSpans]] — excise the quoted
+    * benchmark regions from the corpus text instead of only reporting
+    * them: every flagged (start_doc, span_words) region cuts from its
+    * corpus document in one in-row pass, and every corpus doc emits
+    * (doc_id, kept_text, n_removed) whether or not it was touched —
+    * the decontamination pass a training-data pipeline actually
+    * schedules before export (dropping whole docs wastes the clean
+    * remainder; quoting-heavy docs lose only the quotes).
+    *
+    * Inherits the certified-extent contract: the cut covers first to
+    * last matched fingerprint + k − 1 words, and up to windowW + k − 2
+    * words of true quote can survive past each edge (the named
+    * winnowed-index slack — callers wanting belt-and-braces widen
+    * spans before cutting). Removal positions fold to one array per
+    * doc and join the text under the [[Dedup.cutPositions]]
+    * `removalJoin` size-gate ("auto" default: AQE broadcasts an
+    * eval-suite-sized removal set, shuffles a corpus-proportional
+    * one); the span analysis itself never shuffles the corpus
+    * (benchmark side broadcasts — [[winnowedContaminationSpans]]). */
+  def redactContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int, windowW: Int,
+      minShared: Int, maxGap: Int, minSpan: Int,
+      removalJoin: String = "auto"): DataFrame = {
+    val removal = winnowedContaminationSpans(corpus, benchmark, idCol,
+        textCol, k, windowW, minShared, maxGap, minSpan)
+      .select(col("doc_id"),
+        explode(sequence(col("start_doc"),
+          col("start_doc") + col("span_words") - 1)).as("rmpos"))
+      .distinct() // overlapping quotes cover a position twice
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("rmpos")).as("__rm"))
+    Dedup.cutPositions(corpus, idCol, textCol, removal, removalJoin)
+  }
+
   /** Per-document n-gram NOVELTY against a stored history — the
     * "what does this batch actually add" metric a pipeline reads
     * before paying to train on new data (and the memorization-risk

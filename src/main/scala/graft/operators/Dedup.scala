@@ -1287,8 +1287,9 @@ object Dedup {
     *    non-broadcast path bit-identical).
     * In every mode the text-side exchange, when one happens, is keyed
     * on doc_id only and carries each document once. */
-  private def cutPositions(docs: DataFrame, idCol: String, textCol: String,
-      removal: DataFrame, removalJoin: String): DataFrame = {
+  private[operators] def cutPositions(docs: DataFrame, idCol: String,
+      textCol: String, removal: DataFrame,
+      removalJoin: String): DataFrame = {
     val rm = removalJoin match {
       case "auto" => removal
       case "broadcast" => broadcast(removal)

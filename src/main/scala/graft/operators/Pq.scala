@@ -406,6 +406,19 @@ object Pq {
     val cbs = codebooks(embeddings, idCol, vecCol, m, numCentroids,
       iterations)
     val codes = encode(embeddings, idCol, vecCol, m, cbs)
+    adcSearch(cbs, codes, queries, idCol, vecCol, m, topK)
+  }
+
+  /** ADC search over a STORED index — the deployment entry point:
+    * `cbs` and `codes` are the tables [[codebooks]]/[[encode]] built
+    * (and [[appendCodes]] maintains daily), read back from storage;
+    * no training happens here. Per-query lookup tables fold to one
+    * broadcast map row; scoring the codes table is m integer-keyed
+    * map lookups summed in fixed subspace order, and the only
+    * exchange is the final per-query top-k window. [[adcTopK]] is
+    * exactly train + encode + this. */
+  def adcSearch(cbs: DataFrame, codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, topK: Int): DataFrame = {
     val qtab = subvectors(queries, idCol, vecCol, m)
       .join(broadcast(cbs), Seq("sub"))
       .select(col("vec_id").as("q_id"),

@@ -1031,6 +1031,107 @@ object CurationQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q196
+  // Decontamination APPLY — q180's quoted regions EXCISED from the
+  // corpus text: every flagged (start_doc, span_words) region cuts
+  // in one in-row pass, every corpus doc emits (kept_text,
+  // n_removed) whether touched or not. The pass a pipeline schedules
+  // before export: dropping whole docs wastes the clean remainder.
+  // Cut extent is the certified span (first→last matched fp + k−1);
+  // the ≤ windowW+k−2 edge slack is inherited and documented. The
+  // oracle chains q180's winnow/match/stitch CTEs verbatim and
+  // replays the q187-style word cut over the corpus slice.
+  private val q196 = Q(
+    "q196_decontam_redaction",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Decontam.redactContamination(
+          docs.filter(col("doc_id") % 25 =!= 0),
+          docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", k = 3, windowW = 4, minShared = 2,
+          maxGap = 7, minSpan = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $normWordsSql AS w FROM documents),
+      kg AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                 AS h
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      m AS (SELECT doc_id, COUNT(*) AS m FROM kg GROUP BY doc_id),
+      wins AS (
+        SELECT doc_id, j
+        FROM m, UNNEST(generate_series(1, greatest(m - 3, 1))) AS t(j)),
+      sel AS (
+        SELECT DISTINCT doc_id, p, h FROM (
+          SELECT wn.doc_id, wn.j, g.p, g.h,
+                 ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.j
+                   ORDER BY g.h ASC, g.p DESC) AS rn
+          FROM wins wn JOIN kg g
+            ON g.doc_id = wn.doc_id AND g.p BETWEEN wn.j AND wn.j + 3)
+        WHERE rn = 1),
+      matched AS (
+        SELECT c.doc_id AS doc_a, b.doc_id AS doc_b,
+               c.p AS pos_a, b.p AS pos_b, c.h AS h, c.p - b.p AS diag
+        FROM (SELECT * FROM sel WHERE doc_id % 25 <> 0) c
+        JOIN (SELECT * FROM sel WHERE doc_id % 25 = 0) b ON c.h = b.h),
+      pairs AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b, COUNT(DISTINCT h) AS n
+          FROM matched GROUP BY 1, 2)
+        WHERE n >= 2),
+      mm AS (SELECT m.* FROM matched m JOIN pairs USING (doc_a, doc_b)),
+      isl AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM mm),
+      isl2 AS (
+        SELECT doc_a, doc_b, diag, MIN(pos_a) AS sa, MIN(pos_b) AS sb,
+               COUNT(*) + 2 AS sw
+        FROM isl GROUP BY doc_a, doc_b, diag, grp),
+      mark AS (
+        SELECT doc_a, doc_b, diag, sa, sb, sw,
+               CASE WHEN LAG(sa + sw - 1) OVER w IS NULL
+                     OR sa - LAG(sa + sw - 1) OVER w - 1 > 7
+                    THEN 1 ELSE 0 END AS brk
+        FROM isl2
+        WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY sa)),
+      st AS (
+        SELECT doc_a, doc_b, diag, sa, sb, sw,
+               SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY sa
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM mark),
+      sp AS (
+        SELECT doc_a AS doc_id, MIN(sa) AS start_doc,
+               MAX(sa + sw) - MIN(sa) AS span_words
+        FROM st GROUP BY doc_a, doc_b, diag, sid
+        HAVING MAX(sa + sw) - MIN(sa) >= 3),
+      rm AS (
+        SELECT DISTINCT doc_id, start_doc + j AS pos
+        FROM sp, UNNEST(generate_series(0, span_words - 1)) AS t(j)),
+      corp AS (SELECT doc_id, w FROM norm WHERE doc_id % 25 <> 0),
+      wp AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM corp, UNNEST(generate_series(1, len(w))) AS t(i)),
+      kept AS (
+        SELECT wp.doc_id, wp.pos, wp.word
+        FROM wp LEFT JOIN rm ON rm.doc_id = wp.doc_id AND rm.pos = wp.pos
+        WHERE rm.pos IS NULL)
+      SELECT c.doc_id,
+             COALESCE(kk.t, '') AS kept_text,
+             len(c.w) - COALESCE(kk.n, 0) AS n_removed
+      FROM corp c LEFT JOIN (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS t,
+               COUNT(*) AS n
+        FROM kept GROUP BY doc_id) kk USING (doc_id)
+      ORDER BY c.doc_id
+    """))
+
   def all: Seq[Q] = Seq(q72, q73, q74, q75, q76, q80, q81, q88, q114, q121,
-    q125, q128, q160, q169, q171, q175, q176, q180, q181, q190, q192)
+    q125, q128, q160, q169, q171, q175, q176, q180, q181, q190, q192,
+    q196)
 }

@@ -54,6 +54,10 @@ class PlanAuditSpec extends SparkSpec {
       // a cell-keyed equi-join and only the codebook/query-table fans
       // remain cross-shaped
       "q184_pq_adc_topk", "q185_ivf_pq_topk", "q186_residual_ivf_pq",
+      // q195 = q185's chain (same bounded codebook/query-panel fans)
+      // + a rerank that is pure equi-joins on the ≤ |Q|·shortlist
+      // frame — no new cross-shaped fan
+      "q195_ivf_pq_rerank",
       // q189's assignment fans the ≤8-row codebook — q36/q110's class
       "q189_topic_census")
       // q120 left this list in round 8: its 1-row corpus total now rides

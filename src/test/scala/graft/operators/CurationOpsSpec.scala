@@ -107,6 +107,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(loose > 0L && strict == 0L, s"pair gate broken: $loose/$strict")
   }
 
+  test("redactContamination cuts the quoted region, leaves clean docs, totality") {
+    val s = spark
+    import s.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val bench = Seq((100L, s"bench intro $quote bench outro"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"a1 a2 $quote a3 a4"),     // quotes the benchmark → cut
+      (2L, "clean words only here"),   // untouched, still emitted
+      (3L, ""))                        // empty doc, still emitted
+      .toDF("doc_id", "text")
+    val out = Decontam.redactContamination(corpus, bench, "doc_id",
+        "text", k = 3, windowW = 4, minShared = 2, maxGap = 7,
+        minSpan = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out.size == 3, "every corpus doc must be emitted")
+    assert(out(2L) == ("clean words only here", 0L))
+    assert(out(3L)._2 == 0L)
+    val (kept1, removed1) = out(1L)
+    // the certified extent of the 12-word quote is cut; the doc's own
+    // frame words survive (edge slack can nibble at a3 but never the
+    // leading frame, and here the quote is interior so both survive)
+    assert(removed1 >= 10L && removed1 <= 14L, s"cut $removed1 words")
+    assert(kept1.startsWith("a1 a2"), s"leading frame lost: $kept1")
+    assert(!kept1.contains("q5 q6"), s"quote core survived: $kept1")
+  }
+
   test("ngramNovelty: fully-known 0, unseen 1e6, mixed exact, repeats once") {
     val s = spark
     import s.implicits._

@@ -159,6 +159,29 @@ class PqSpec extends SparkSpec {
     assert(merged.size == emb.count())
   }
 
+  test("adcSearch over the daily-merged index ≡ search over the full encode") {
+    // the q194 deployment loop closed: stored codebooks + appendCodes-
+    // maintained codes table, searched WITHOUT retraining — results
+    // must equal searching a from-scratch encode of the full corpus
+    // against the same codebooks
+    val m = 4
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val cbs = Pq.codebooks(history, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val merged = Pq.appendCodes(
+      Pq.encode(history, "vec_id", "embedding", m, cbs),
+      cbs, batch, "vec_id", "embedding", m)
+    val q = emb.filter(col("vec_id") < 5)
+    def run(codes: org.apache.spark.sql.DataFrame) =
+      Pq.adcSearch(cbs, codes, q, "vec_id", "embedding", m, topK = 5)
+        .orderBy("q_id", "rnk").collect().toSeq
+    val daily = run(merged)
+    assert(daily == run(Pq.encode(emb, "vec_id", "embedding", m, cbs)),
+      "search over the merged index diverged from the full encode")
+    assert(daily.groupBy(_.getLong(0)).values.forall(_.size == 5))
+  }
+
   test("rerank funnel: all probes + full shortlist ≡ exact integral L2 top-k") {
     val q = emb.filter(col("vec_id") < 10)
     val out = Pq.ivfPqRerankTopK(emb, q, "vec_id", "embedding",
