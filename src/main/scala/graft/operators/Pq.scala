@@ -192,6 +192,66 @@ object Pq {
     storedCodes.unionByName(
       codesFrom(subvectors(batch, idCol, vecCol, m), cbs))
 
+  /** Floor-quantized residual subvectors of `embeddings` against a
+    * FIXED coarse codebook — the shared front of the stored residual
+    * index's build and encode halves. */
+  private def residualSubvectors(embeddings: DataFrame, idCol: String,
+      vecCol: String, coarse: DataFrame, m: Int): DataFrame = {
+    val baseQ = Ivf.quantized(embeddings, idCol, vecCol)
+    val assigned = Ivf.assignIds(baseQ, coarse)
+      .select(col("vec_id"), col("cid"))
+    subvectorsOf(
+      baseQ.join(assigned, Seq("vec_id"))
+        .join(broadcast(coarse), Seq("cid"))
+        .select(col("vec_id"),
+          zip_with(col("qvec").cast("array<double>"), col("cent"),
+            (x, c) => floor(x - c)).as("qvec")),
+      m)
+  }
+
+  /** BUILD half of the stored residual index: residual codebooks for
+    * a FIXED coarse codebook ([[residualIvfPqTopK]]'s training chain
+    * as a standalone, so the codebooks can be STORED and the daily
+    * path ([[appendResidualCodes]]) never retrains). Residuals
+    * floor-quantize to the integral grid before training — the same
+    * order-free-Lloyd guarantee as the inline form. */
+  def residualCodebooks(embeddings: DataFrame, idCol: String,
+      vecCol: String, coarse: DataFrame, m: Int, numCentroids: Int,
+      pqIterations: Int): DataFrame =
+    trainCodebooks(
+      residualSubvectors(embeddings, idCol, vecCol, coarse, m)
+        .transform(graft.util.CacheScope.persist),
+      seedIds(embeddings, idCol, numCentroids), pqIterations)
+
+  /** ENCODE half of the stored residual index: coarse cell + residual
+    * PQ codes per vector against FIXED codebooks — the stored row of
+    * the IVFADC layout (one cell id + m small ints). Broadcast
+    * passes only; the id-keyed cid reattach join is AQE-gated. */
+  def residualEncode(embeddings: DataFrame, idCol: String,
+      vecCol: String, coarse: DataFrame, cbs: DataFrame,
+      m: Int): DataFrame = {
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(embeddings, idCol, vecCol), coarse)
+      .select(col("vec_id"), col("cid"))
+      .transform(graft.util.CacheScope.persist)
+    codesFrom(residualSubvectors(embeddings, idCol, vecCol, coarse, m),
+        cbs)
+      .join(assigned, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), col("codes"))
+  }
+
+  /** O(new) DAILY maintenance for the stored RESIDUAL index —
+    * [[appendCodes]] with the coarse assignment carried: coarse AND
+    * residual codebooks stay FIXED, the day's batch assigns + encodes
+    * in broadcast passes and appends to the stored (vec_id, cid,
+    * codes) table. Per-row encoding against fixed codebooks makes
+    * append the exact merge; history vectors are never re-read. */
+  def appendResidualCodes(storedCodes: DataFrame, coarse: DataFrame,
+      cbs: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame =
+    storedCodes.unionByName(
+      residualEncode(batch, idCol, vecCol, coarse, cbs, m))
+
   /** RESIDUAL IVF-PQ top-k — the classic IVFADC layout ([[ivfPqTopK]]'s
     * documented refinement): PQ codebooks train on the residual
     * `x − cent[cell(x)]` rather than the raw vector, so the codes only

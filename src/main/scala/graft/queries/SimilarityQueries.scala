@@ -852,14 +852,21 @@ object SimilarityQueries extends QueryPack {
   // stay order-free and the oracle replays bit-for-bit: coarse chain,
   // residual build, four residual-subspace k-means chains, per-cell
   // query tables, and the s = 0..3 ADC sum.
-  private val pqResChains: String = (0 until 4).map { s =>
+  // `trainWhere` restricts the residual TRAINING population (seeds +
+  // both Lloyd rounds) while renc$s still encodes every row — the
+  // q197 stored-index contract; `queryTables` drops the rqd$s query
+  // CTEs (they reference qrv, which only the search queries define).
+  private def pqResChains(trainWhere: String = "TRUE",
+      queryTables: Boolean = true): String = (0 until 4).map { s =>
     val lo = s * 16 + 1
     val hi = s * 16 + 16
     raw"""
       rsv$s AS (SELECT vec_id, rvec[$lo:$hi] AS sv FROM rv),
+      rsvt$s AS (SELECT * FROM rsv$s WHERE $trainWhere),
       rc0_$s AS (
-        SELECT vec_id AS cid, sv AS cent FROM rsv$s
-        WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
+        SELECT vec_id AS cid, sv AS cent FROM rsvt$s
+        WHERE vec_id IN (SELECT vec_id FROM vx WHERE $trainWhere
+                         ORDER BY vec_id ASC LIMIT 8)),
       ra1_$s AS (
         SELECT vec_id, sv, cid FROM (
           SELECT vec_id, sv, cid,
@@ -870,7 +877,7 @@ object SimilarityQueries extends QueryPack {
                    list_dot_product(v.sv, v.sv)
                    - 2.0 * list_dot_product(v.sv, c.cent)
                    + list_dot_product(c.cent, c.cent) AS d2
-            FROM rsv$s v, rc0_$s c))
+            FROM rsvt$s v, rc0_$s c))
         WHERE rn = 1),
       rc1_$s AS (
         SELECT cid, list(v ORDER BY d) AS cent FROM (
@@ -888,7 +895,7 @@ object SimilarityQueries extends QueryPack {
                    list_dot_product(v.sv, v.sv)
                    - 2.0 * list_dot_product(v.sv, c.cent)
                    + list_dot_product(c.cent, c.cent) AS d2
-            FROM rsv$s v, rc1_$s c))
+            FROM rsvt$s v, rc1_$s c))
         WHERE rn = 1),
       rc2_$s AS (
         SELECT cid, list(v ORDER BY d) AS cent FROM (
@@ -915,6 +922,9 @@ object SimilarityQueries extends QueryPack {
                + list_dot_product(c.cent, c.cent) AS d2
         FROM (SELECT q_id, ccell, rvec[$lo:$hi] AS sv FROM qrv) q,
              rc2_$s c)"""
+  }.map { seg =>
+    if (queryTables) seg
+    else seg.substring(0, seg.indexOf(",\n      rqd"))
   }.mkString(",")
 
   private val q186 = Q(
@@ -1009,7 +1019,7 @@ object SimilarityQueries extends QueryPack {
         FROM probes p
         JOIN vx v ON v.vec_id = p.q_id
         JOIN co2 c ON c.cid = p.cid),
-      $pqResChains,
+      ${pqResChains()},
       renc AS (
         SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
                e2.code AS cb2, e3.code AS cb3
@@ -1336,6 +1346,112 @@ object SimilarityQueries extends QueryPack {
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q197
+  // O(new) RESIDUAL index maintenance — q194's daily contract for the
+  // q186 IVFADC layout: the coarse codebook AND the residual PQ
+  // codebooks train once on history and stay FIXED; the day's batch
+  // assigns to its coarse cell, floor-residualizes, encodes against
+  // the stored residual codebooks (all broadcast passes), and APPENDS
+  // (vec_id, cid, codes) rows. The oracle trains both chains on the
+  // history slice only and encodes EVERY row — equality proves no
+  // Lloyd re-iteration (coarse or residual) and no history re-encode
+  // in the daily path. With q194 this closes the daily-maintenance
+  // family for the entire ANN ladder.
+  private val q197 = Q(
+    "q197_residual_pq_index_append",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      val cbs = graft.operators.Pq.residualCodebooks(history, "vec_id",
+        "embedding", coarse, m = 4, numCentroids = 8, pqIterations = 2)
+      val stored = graft.operators.Pq.residualEncode(history, "vec_id",
+        "embedding", coarse, cbs, 4)
+      graft.operators.Pq.appendResidualCodes(stored, coarse, cbs, batch,
+          "vec_id", "embedding", 4)
+        .select(col("vec_id"), col("cid"),
+          element_at(col("codes"), 1).as("cb0"),
+          element_at(col("codes"), 2).as("cb1"),
+          element_at(col("codes"), 3).as("cb2"),
+          element_at(col("codes"), 4).as("cb3"))
+        .orderBy(col("vec_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      vxt AS (SELECT * FROM vx WHERE vec_id % 3 > 0),
+      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vxt
+              WHERE vec_id IN (SELECT vec_id FROM vxt ORDER BY vec_id ASC LIMIT 8)),
+      ca1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vxt v, co0 c))
+        WHERE rn = 1),
+      co1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      ca2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vxt v, co1 c))
+        WHERE rn = 1),
+      co2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      cellof AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c))
+        WHERE rn = 1),
+      rv AS (
+        SELECT v.vec_id,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid),
+      ${pqResChains("vec_id % 3 > 0", queryTables = false)},
+      renc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM renc0 e0 JOIN renc1 e1 USING (vec_id)
+        JOIN renc2 e2 USING (vec_id) JOIN renc3 e3 USING (vec_id))
+      SELECT r.vec_id, a.cid, r.cb0, r.cb1, r.cb2, r.cb3
+      FROM renc r JOIN cellof a USING (vec_id)
+      ORDER BY r.vec_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
-    q162, q173, q184, q185, q186, q189, q194, q195)
+    q162, q173, q184, q185, q186, q189, q194, q195, q197)
 }

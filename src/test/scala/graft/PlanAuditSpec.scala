@@ -58,6 +58,12 @@ class PlanAuditSpec extends SparkSpec {
       // + a rerank that is pure equi-joins on the ≤ |Q|·shortlist
       // frame — no new cross-shaped fan
       "q195_ivf_pq_rerank",
+      // q197's coarse assignment fans the ≤ numCoarse codebook over
+      // the corpus (q36/q110's bounded class); the residual-PQ encode
+      // is sub-keyed equi-joins, the append a union, the cid reattach
+      // an id-keyed equi-join (q194 needs no exception: its PQ assign
+      // path is equi-joins only)
+      "q197_residual_pq_index_append",
       // q189's assignment fans the ≤8-row codebook — q36/q110's class
       "q189_topic_census")
       // q120 left this list in round 8: its 1-row corpus total now rides

@@ -182,6 +182,28 @@ class PqSpec extends SparkSpec {
     assert(daily.groupBy(_.getLong(0)).values.forall(_.size == 5))
   }
 
+  test("appendResidualCodes ≡ residualEncode(all) with fixed coarse + cbs") {
+    val m = 4
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val coarse = Ivf.centroids(history, "vec_id", "embedding", 8, 2)
+    val cbs = Pq.residualCodebooks(history, "vec_id", "embedding",
+      coarse, m, numCentroids = 8, pqIterations = 2)
+    val stored = Pq.residualEncode(history, "vec_id", "embedding",
+      coarse, cbs, m)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).toList)).toSeq
+    val merged = rows(Pq.appendResidualCodes(stored, coarse, cbs, batch,
+      "vec_id", "embedding", m))
+    val full = rows(Pq.residualEncode(emb, "vec_id", "embedding",
+      coarse, cbs, m))
+    assert(merged == full,
+      "residual daily append diverged from full encode")
+    assert(merged.size == emb.count())
+  }
+
   test("rerank funnel: all probes + full shortlist ≡ exact integral L2 top-k") {
     val q = emb.filter(col("vec_id") < 10)
     val out = Pq.ivfPqRerankTopK(emb, q, "vec_id", "embedding",
