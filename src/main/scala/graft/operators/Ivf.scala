@@ -116,6 +116,42 @@ object Ivf {
     assignIds(quantized(vectors, idCol, vecCol), codebook)
       .groupBy(col("cid")).agg(count(lit(1)).as(countAs))
 
+  /** Per-cell index HEALTH report against a FIXED codebook — the two
+    * numbers an ANN index maintainer actually watches: occupancy
+    * (balance: a hot cell serializes probes, an empty one wastes a
+    * partition) and floor-quantized RESIDUAL ENERGY Σ‖floor(x −
+    * cent)‖² (fit: how much variance the cell leaves for a residual
+    * quantizer — exactly what the q186/q197 residual-PQ path has to
+    * encode, so a high-energy cell predicts poor codes and signals
+    * re-training or a k bump). Residuals floor to the integral grid,
+    * each row's energy casts to BIGINT before the sum, so the totals
+    * are exact longs and hash-gate. The codebook spine left-joins so
+    * EMPTY cells report (0, 0, 0) instead of vanishing — the
+    * imbalance signal is the point. One broadcast-codebook pass over
+    * the vectors; the exchange carries cell keys only. Output: (cid,
+    * n_vectors, residual_energy, avg_residual_energy). */
+  def cellHealth(codebook: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val energies = assign(quantized(vectors, idCol, vecCol), codebook)
+      .join(broadcast(codebook), Seq("cid"))
+      .select(col("cid"),
+        zip_with(col("qvec").cast("array<double>"), col("cent"),
+          (x, c) => floor(x - c)).as("__r"))
+      .select(col("cid"),
+        VectorFunctions.dot(col("__r"), col("__r")).cast("long").as("__e"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("__e")).as("residual_energy"))
+    codebook.select(col("cid"))
+      .join(energies, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        coalesce(col("residual_energy"), lit(0L)).as("residual_energy"))
+      .withColumn("avg_residual_energy",
+        when(col("n_vectors") > 0,
+          expr("residual_energy DIV n_vectors")).otherwise(lit(0L)))
+  }
+
   /** Incremental index maintenance — the q65/q108 O(new) discipline
     * extended to the ANN pillar. STORED STATE in, O(new) work per
     * call: `codebook` (cid, cent) and `priorCensus` (cid, n_hist) are

@@ -192,6 +192,37 @@ object Pq {
     storedCodes.unionByName(
       codesFrom(subvectors(batch, idCol, vecCol, m), cbs))
 
+  /** Per-SUBSPACE quantization-error audit — the retraining signal
+    * for a PQ deployment: train codebooks exactly as [[adcTopK]]
+    * would, then report for each subspace how much squared error the
+    * encoding leaves (Σ over vectors of the argmin d2, floored to the
+    * integral grid per row and summed as exact longs — a raw double
+    * sum would go order-dependent past 2⁵³). A subspace carrying a
+    * disproportionate share of the error is where the m/k budget is
+    * mis-sized or the dimensions need a permutation (the classic
+    * OPQ motivation); watching err_sum drift against a stored
+    * baseline tells the maintainer when [[appendCodes]]-era data has
+    * outgrown the codebooks and a retrain is due. One train chain +
+    * one broadcast-codebook assign; the exchange carries (vec, sub)
+    * argmin structs, then m rows. Output: (sub, n_vectors, err_sum,
+    * avg_err). */
+  def quantizationError(embeddings: DataFrame, idCol: String,
+      vecCol: String, m: Int, numCentroids: Int,
+      iterations: Int): DataFrame = {
+    val sv = subvectors(embeddings, idCol, vecCol, m)
+      .transform(graft.util.CacheScope.persist)
+    val cbs = trainCodebooks(sv, seedIds(embeddings, idCol, numCentroids),
+      iterations)
+    sv.join(broadcast(cbs), Seq("sub"))
+      .withColumn("d2", dist2(col("svec"), col("cent")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("__m"))
+      .select(col("sub"), floor(col("__m.d2")).cast("long").as("__e"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("__e")).as("err_sum"))
+      .withColumn("avg_err", expr("err_sum DIV n_vectors"))
+  }
+
   /** Floor-quantized residual subvectors of `embeddings` against a
     * FIXED coarse codebook — the shared front of the stored residual
     * index's build and encode halves. */

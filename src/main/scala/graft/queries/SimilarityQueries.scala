@@ -669,8 +669,8 @@ object SimilarityQueries extends QueryPack {
           GROUP BY cid, d)
         GROUP BY cid),
       enc$s AS (
-        SELECT vec_id, cid AS code FROM (
-          SELECT vec_id, cid,
+        SELECT vec_id, cid AS code, d2 FROM (
+          SELECT vec_id, cid, d2,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                    ORDER BY d2 ASC, cid ASC) AS rn
           FROM (
@@ -1452,6 +1452,135 @@ object SimilarityQueries extends QueryPack {
       ORDER BY r.vec_id
     """))
 
+  // --------------------------------------------------------------- q198
+  // ANN index HEALTH report — per coarse cell: occupancy and
+  // floor-residual energy Σ‖floor(x − cent)‖², the balance and fit
+  // numbers an index maintainer watches (a hot cell serializes
+  // probes; a high-energy cell predicts poor residual codes — q186's
+  // encoding target measured before paying for it). Empty cells
+  // report zeros via the codebook spine. Per-row energies cast to
+  // BIGINT before summing, so the totals are exact and hash-gate.
+  private val q198 = Q(
+    "q198_ann_index_health",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      graft.operators.Ivf.cellHealth(coarse, e, "vec_id", "embedding")
+        .orderBy(col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx
+              WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
+      ca1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co0 c))
+        WHERE rn = 1),
+      co1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      ca2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co1 c))
+        WHERE rn = 1),
+      co2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      cellof AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c))
+        WHERE rn = 1),
+      rv AS (
+        SELECT v.vec_id, a.cid,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid),
+      h AS (
+        SELECT cid, COUNT(*) AS n,
+               SUM(CAST(list_dot_product(rvec, rvec) AS BIGINT)) AS e
+        FROM rv GROUP BY cid)
+      SELECT c.cid,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_vectors,
+             CAST(COALESCE(h.e, 0) AS BIGINT) AS residual_energy,
+             CAST(CASE WHEN COALESCE(h.n, 0) > 0
+                  THEN COALESCE(h.e, 0) // h.n ELSE 0 END AS BIGINT)
+               AS avg_residual_energy
+      FROM co2 c LEFT JOIN h USING (cid)
+      ORDER BY c.cid
+    """))
+
+  // --------------------------------------------------------------- q199
+  // Per-SUBSPACE PQ quantization-error audit — Σ argmin-d2 per
+  // subspace, floored per row to the integral grid and summed as
+  // exact longs (a raw double sum goes order-dependent past 2⁵³).
+  // The retraining / budget-sizing signal: a subspace carrying a
+  // disproportionate error share is where m/k is mis-sized (the OPQ
+  // motivation), and err_sum drift against a stored baseline says
+  // when appendCodes-era data has outgrown the codebooks.
+  private val q199 = Q(
+    "q199_pq_quantization_error",
+    (s, dir) => {
+      graft.operators.Pq.quantizationError(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", m = 4, numCentroids = 8, iterations = 2)
+        .orderBy(col("sub"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ${pqSubChains()},
+      err AS (
+            SELECT 0 AS sub, COUNT(*) AS n,
+                   SUM(CAST(floor(d2) AS BIGINT)) AS e FROM enc0
+        UNION ALL
+            SELECT 1, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc1
+        UNION ALL
+            SELECT 2, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc2
+        UNION ALL
+            SELECT 3, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc3)
+      SELECT sub, CAST(n AS BIGINT) AS n_vectors,
+             CAST(e AS BIGINT) AS err_sum,
+             CAST(e // n AS BIGINT) AS avg_err
+      FROM err ORDER BY sub
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
-    q162, q173, q184, q185, q186, q189, q194, q195, q197)
+    q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199)
 }

@@ -140,6 +140,62 @@ class PqSpec extends SparkSpec {
     assert(perQ == Set(5L), s"per-query row counts: $perQ")
   }
 
+  test("quantizationError: zero on a representable corpus, positive otherwise") {
+    val s = spark
+    import s.implicits._
+    val protos = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f), Array(0f, 0f, 0f, 10f),
+      Array(5f, 5f, 0f, 0f), Array(0f, 0f, 5f, 5f))
+    val rows = protos.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      protos.zipWithIndex.map { case (v, i) => (i.toLong + 6, v) }
+    val e = rows.toDF("vec_id", "embedding")
+    // every vector IS a centroid → lossless encoding → zero error
+    val clean = Pq.quantizationError(e, "vec_id", "embedding", m = 2,
+        numCentroids = 6, iterations = 2)
+      .orderBy("sub").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(clean.map(_._1).toSeq == Seq(0, 1))
+    assert(clean.forall(_._2 == rows.size.toLong))
+    assert(clean.forall(c => c._3 == 0L && c._4 == 0L),
+      s"representable corpus reported error: ${clean.toSeq}")
+    // the near-random testdata must report strictly positive error
+    val noisy = Pq.quantizationError(emb, "vec_id", "embedding", m = 4,
+        numCentroids = 8, iterations = 2)
+      .collect().map(r => r.getLong(2))
+    assert(noisy.length == 4 && noisy.forall(_ > 0L))
+  }
+
+  test("cellHealth: zero energy when centroids are the vectors; spine totality") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)), (1L, Array(0f, 10f, 0f, 0f)),
+      (2L, Array(0f, 0f, 10f, 0f)))
+      .toDF("vec_id", "embedding")
+    // codebook = the vectors themselves → every residual is zero
+    val selfCb = Ivf.quantized(vecs, "vec_id", "embedding")
+      .select(col("vec_id").as("cid"), col("qvec").as("cent"))
+    val self = Ivf.cellHealth(selfCb, vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(self.values.map(_._1).sum == 3L, "occupancy must total corpus")
+    assert(self.values.forall(v => v._2 == 0L && v._3 == 0L))
+    // a codebook with an unreachable centroid still reports its row
+    val farCb = selfCb.unionByName(
+      Seq((99L, Array.fill(4)(1e9))).toDF("cid", "cent"))
+    val far = Ivf.cellHealth(farCb, vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(far(99L) == 0L, "empty cell must report, zero-filled")
+    assert(far.values.sum == 3L)
+    // trained codebook over the testdata: totality + positive energy
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val health = Ivf.cellHealth(coarse, emb, "vec_id", "embedding")
+      .collect()
+    assert(health.map(_.getLong(1)).sum == emb.count())
+    assert(health.map(_.getLong(2)).sum > 0L)
+  }
+
   test("appendCodes ≡ encode(history ∪ batch) against the fixed codebooks") {
     val m = 4
     val history = emb.filter(col("vec_id") % 3 > 0)
