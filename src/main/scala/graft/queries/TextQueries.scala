@@ -1344,8 +1344,264 @@ object TextQueries extends QueryPack {
       FROM sp GROUP BY split ORDER BY split
     """))
 
+  // --------------------------------------------------------------- q200
+  // The TOTAL curation pipeline — all three text-cleaning passes this
+  // library ships, composed in production order under ONE hash gate:
+  // exact dedup (corpus only; the benchmark never enters) → q187
+  // total substring redaction → q196 benchmark-decontamination
+  // redaction ON THE REDACTED TEXT → quality gate and token counts on
+  // the final text → q57 token budget → q44 split → accounting. Each
+  // downstream stage consumes the text the upstream stages actually
+  // produced — the property q191/q193 prove for their prefixes,
+  // extended to the full chain. The oracle chains the keeper CTEs,
+  // the q187 cut, the q180 winnow/match/stitch chain RE-DERIVED over
+  // the redacted words, the second cut, and the quality/budget/split
+  // tail — ~all of the library's text machinery under one hash.
+  private val q200 = Q(
+    "q200_total_curation_pipeline",
+    (s, dir) => {
+      val t = TextAnalysis
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+      val corpus0 = docs.filter(col("doc_id") % 25 =!= 0)
+      val keep = graft.operators.Dedup.exact(corpus0, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = corpus0.join(keep, Seq("doc_id"), "left_semi")
+      val redacted = graft.operators.Dedup.redactAllSpans(survivors,
+          "doc_id", "text", k = 5, minSpan = 12, maxDf = 2, minDf = 3)
+        .select(col("doc_id"), col("kept_text").as("text"))
+      val decon = graft.operators.Decontam.redactContamination(redacted,
+          bench, "doc_id", "text", k = 3, windowW = 4, minShared = 2,
+          maxGap = 7, minSpan = 3)
+        .select(col("doc_id"), col("kept_text"))
+      val gated = decon
+        .withColumn("__w", graft.operators.Dedup.words(col("kept_text")))
+        .withColumn("q_micro",
+          t.qualityMicro(col("kept_text"), col("__w")))
+        .filter(col("q_micro") >= 600000L)
+        .withColumn("n_tokens", t.tokenCount(col("kept_text")))
+        .select(col("doc_id"), col("n_tokens"))
+      val budgeted = graft.operators.Sampling.tokenBudgetSubset(
+        gated, "doc_id", "n_tokens", budgetTokens = 5000L)
+      graft.operators.Sampling.withSplit(budgeted, "doc_id",
+          valPct = 5, testPct = 5)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("split"))
+    },
+    Some(raw"""
+      WITH normAll AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)),
+                 '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        WHERE doc_id % 25 <> 0
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      norm AS (
+        SELECT n.doc_id, n.w FROM normAll n JOIN keepers k USING (doc_id)),
+      shng AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                  || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT AS fp
+        FROM norm, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5),
+      census AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS df FROM shng GROUP BY fp),
+      mmr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM shng a
+        JOIN (SELECT fp FROM census WHERE df = 2) an ON an.fp = a.fp
+        JOIN shng b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      islr AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM mmr),
+      spansr AS (
+        SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+               COUNT(*) + 4 AS span_words
+        FROM islr GROUP BY doc_a, doc_b, diag, grp
+        HAVING COUNT(*) + 4 >= 12),
+      rm1 AS (
+        SELECT DISTINCT doc_b AS doc_id, start_b + j AS pos
+        FROM spansr, UNNEST(generate_series(0, span_words - 1)) AS t(j)),
+      hislr AS (
+        SELECT s.doc_id, s.pos, s.fp,
+               s.pos - ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                 ORDER BY s.pos) AS grp
+        FROM shng s JOIN (SELECT fp FROM census WHERE df >= 3) h
+          ON h.fp = s.fp),
+      runsr AS (
+        SELECT doc_id, MIN(pos) AS start_pos, COUNT(*) + 4 AS span_words,
+               md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY pos))
+                 AS span_sig
+        FROM hislr GROUP BY doc_id, grp
+        HAVING COUNT(*) + 4 >= 12),
+      clr AS (
+        SELECT doc_id, start_pos, span_words,
+               ROW_NUMBER() OVER (PARTITION BY span_sig
+                 ORDER BY doc_id, start_pos) = 1 AS is_keeper
+        FROM runsr),
+      rm2 AS (
+        SELECT DISTINCT doc_id, start_pos + j AS pos
+        FROM clr, UNNEST(generate_series(0, span_words - 1)) AS t(j)
+        WHERE NOT is_keeper),
+      rma AS (SELECT doc_id, pos FROM rm1 UNION SELECT doc_id, pos FROM rm2),
+      wpr AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM norm, UNNEST(generate_series(1, len(w))) AS t(i)),
+      keptr AS (
+        SELECT wpr.doc_id, wpr.pos, wpr.word
+        FROM wpr LEFT JOIN rma ON rma.doc_id = wpr.doc_id
+          AND rma.pos = wpr.pos
+        WHERE rma.pos IS NULL),
+      red AS (
+        SELECT n.doc_id, COALESCE(kk.t, '') AS text
+        FROM norm n LEFT JOIN (
+          SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS t
+          FROM keptr GROUP BY doc_id) kk USING (doc_id)),
+      rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM red),
+      kgC AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                 AS h
+        FROM rw, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      kgB AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                 AS h
+        FROM normAll, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE doc_id % 25 = 0 AND len(w) >= 3),
+      mC AS (SELECT doc_id, COUNT(*) AS m FROM kgC GROUP BY doc_id),
+      mB AS (SELECT doc_id, COUNT(*) AS m FROM kgB GROUP BY doc_id),
+      winsC AS (
+        SELECT doc_id, j
+        FROM mC, UNNEST(generate_series(1, greatest(m - 3, 1))) AS t(j)),
+      winsB AS (
+        SELECT doc_id, j
+        FROM mB, UNNEST(generate_series(1, greatest(m - 3, 1))) AS t(j)),
+      selC AS (
+        SELECT DISTINCT doc_id, p, h FROM (
+          SELECT wn.doc_id, wn.j, g.p, g.h,
+                 ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.j
+                   ORDER BY g.h ASC, g.p DESC) AS rn
+          FROM winsC wn JOIN kgC g
+            ON g.doc_id = wn.doc_id AND g.p BETWEEN wn.j AND wn.j + 3)
+        WHERE rn = 1),
+      selB AS (
+        SELECT DISTINCT doc_id, p, h FROM (
+          SELECT wn.doc_id, wn.j, g.p, g.h,
+                 ROW_NUMBER() OVER (PARTITION BY wn.doc_id, wn.j
+                   ORDER BY g.h ASC, g.p DESC) AS rn
+          FROM winsB wn JOIN kgB g
+            ON g.doc_id = wn.doc_id AND g.p BETWEEN wn.j AND wn.j + 3)
+        WHERE rn = 1),
+      matched AS (
+        SELECT c.doc_id AS doc_a, b.doc_id AS doc_b,
+               c.p AS pos_a, b.p AS pos_b, c.h AS h, c.p - b.p AS diag
+        FROM selC c JOIN selB b ON c.h = b.h),
+      pairsd AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a, doc_b, COUNT(DISTINCT h) AS n
+          FROM matched GROUP BY 1, 2)
+        WHERE n >= 2),
+      mmd AS (SELECT m.* FROM matched m JOIN pairsd USING (doc_a, doc_b)),
+      isld AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM mmd),
+      isld2 AS (
+        SELECT doc_a, doc_b, diag, MIN(pos_a) AS sa, MIN(pos_b) AS sb,
+               COUNT(*) + 2 AS sw
+        FROM isld GROUP BY doc_a, doc_b, diag, grp),
+      markd AS (
+        SELECT doc_a, doc_b, diag, sa, sb, sw,
+               CASE WHEN LAG(sa + sw - 1) OVER w IS NULL
+                     OR sa - LAG(sa + sw - 1) OVER w - 1 > 7
+                    THEN 1 ELSE 0 END AS brk
+        FROM isld2
+        WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY sa)),
+      std AS (
+        SELECT doc_a, doc_b, diag, sa, sb, sw,
+               SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY sa
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM markd),
+      spd AS (
+        SELECT doc_a AS doc_id, MIN(sa) AS start_doc,
+               MAX(sa + sw) - MIN(sa) AS span_words
+        FROM std GROUP BY doc_a, doc_b, diag, sid
+        HAVING MAX(sa + sw) - MIN(sa) >= 3),
+      rmb AS (
+        SELECT DISTINCT doc_id, start_doc + j AS pos
+        FROM spd, UNNEST(generate_series(0, span_words - 1)) AS t(j)),
+      wpd AS (
+        SELECT doc_id, i AS pos, w[i] AS word
+        FROM rw, UNNEST(generate_series(1, len(w))) AS t(i)),
+      keptd AS (
+        SELECT wpd.doc_id, wpd.pos, wpd.word
+        FROM wpd LEFT JOIN rmb ON rmb.doc_id = wpd.doc_id
+          AND rmb.pos = wpd.pos
+        WHERE rmb.pos IS NULL),
+      fin AS (
+        SELECT r.doc_id, COALESCE(kk.t, '') AS text
+        FROM rw r LEFT JOIN (
+          SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS t
+          FROM keptd GROUP BY doc_id) kk USING (doc_id)),
+      rb AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS BIGINT) AS n_digit,
+               ${scoreSql("en")} AS s_en
+        FROM (SELECT doc_id, text, $wordsSql AS w FROM fin)),
+      rq AS (
+        SELECT doc_id, n_tokens,
+               CAST(ROUND(ROUND(
+                 0.4 * least(n_chars / 500.0, 1.0)
+               + 0.2 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * least((s_en / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0),
+                 6) * 1000000) AS BIGINT) AS qm
+        FROM rb),
+      sv AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM rq WHERE qm >= 600000),
+      bud AS (
+        SELECT doc_id, n_tokens FROM (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                            doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM sv)
+        WHERE cum - n_tokens < 5000),
+      sp AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN b2 < 5 THEN 'val'
+                    WHEN b2 < 10 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+          SELECT doc_id, n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b2
+          FROM bud))
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM sp GROUP BY split ORDER BY split
+    """))
+
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
     q137, q140, q142, q150, q159, q163, q164, q170, q172, q174, q191,
-    q193)
+    q193, q200)
 }
