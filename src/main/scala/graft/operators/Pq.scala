@@ -174,6 +174,47 @@ object Pq {
       m: Int, cbs: DataFrame): DataFrame =
     codesFrom(subvectors(embeddings, idCol, vecCol, m), cbs)
 
+  /** In-row PQ encoder against a DRIVER-LITERAL codebook — the
+    * map-only form of [[encode]] for stateless streaming: the stored
+    * codebook (k·m rows, BOUNDED — collecting it is the PageRank
+    * node-count class of driver action, not a corpus collect) embeds
+    * in the plan as literals, so encoding is a pure codegen'd
+    * projection — no shuffle, no state store, Append-mode safe, which
+    * is exactly what an in-flight encode needs (a streaming groupBy
+    * re-derivation of [[encode]]'s aggregate argmin would carry
+    * unbounded per-vector state for no reason: all of a vector's
+    * subvectors live in its own row). Bit-identical to [[encode]]:
+    * least(struct(d2, cid)) is the same lexicographic argmin as the
+    * aggregate min, and the dot products fold left-to-right over the
+    * same doubles. `cbsLocal(s)` lists (cid, cent) for subspace s;
+    * `qvec` must be the quantized integral-grid vector. */
+  /** Collect a stored codebook into [[encodeCodesExpr]]'s driver-side
+    * shape — k·m rows, the bounded-action class. */
+  def localCodebook(cbs: DataFrame,
+      m: Int): IndexedSeq[Seq[(Long, Seq[Double])]] = {
+    val rows = cbs.collect().map { r =>
+      (r.getAs[Int]("sub"), r.getAs[Long]("cid"),
+        r.getSeq[Double](r.fieldIndex("cent")))
+    }
+    (0 until m).map { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(t => (t._2, t._3)).toSeq
+    }
+  }
+
+  def encodeCodesExpr(qvec: Column,
+      cbsLocal: IndexedSeq[Seq[(Long, Seq[Double])]]): Column = {
+    require(cbsLocal.nonEmpty && cbsLocal.forall(_.nonEmpty),
+      "encodeCodesExpr needs at least one centroid per subspace")
+    val dsub = cbsLocal.head.head._2.size
+    array(cbsLocal.indices.map { s =>
+      val svec = slice(qvec, s * dsub + 1, dsub)
+      cbsLocal(s).map { case (cid, cent) =>
+        struct(dist2(svec, typedLit(cent)).as("d2"),
+          lit(cid).as("cid"))
+      }.reduce((a, b) => least(a, b)).getField("cid")
+    }: _*)
+  }
+
   /** O(new) DAILY maintenance for the stored PQ index — the q110
     * occupancy-maintenance contract applied to [[encode]]: the stored
     * codebooks are FIXED (no Lloyd re-iteration — retraining would

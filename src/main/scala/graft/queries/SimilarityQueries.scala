@@ -1581,6 +1581,39 @@ object SimilarityQueries extends QueryPack {
       FROM err ORDER BY sub
     """))
 
+  // --------------------------------------------------------------- q201
+  // STREAMING PQ encode — q194's daily index append run in-flight
+  // (registered here, with its family, because the oracle shares
+  // pqSubChains): arriving vectors encode against history-trained
+  // codebooks embedded as PLAN LITERALS, so the stream plan is a
+  // stateless Append-mode projection — no state store, no shuffle, no
+  // streaming groupBy (which would hold per-vector state for rows
+  // that are already self-contained). Micro-batch outputs are exactly
+  // the appendCodes rows a batch run would append.
+  private val q201 = Q(
+    "q201_stream_pq_encode",
+    (s, dir) => {
+      graft.streaming.StreamingOps.streamPqEncode(s, dir,
+          "q201_pq_encode_sink")
+        .orderBy(col("vec_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ${pqSubChains("vec_id % 3 > 0")},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id))
+      SELECT vec_id, cb0, cb1, cb2, cb3 FROM enc
+      WHERE vec_id % 3 = 0
+      ORDER BY vec_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
-    q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199)
+    q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
+    q201)
 }

@@ -658,6 +658,54 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** STREAMING PQ encode — the q194 daily index append run IN-FLIGHT:
+    * arriving vectors (the % 3 = 0 slice) encode against codebooks
+    * trained once on the static history slice. The stored codebook
+    * (k·m rows, bounded) collects to the driver and embeds as PLAN
+    * LITERALS ([[graft.operators.Pq.encodeCodesExpr]]), so the stream
+    * plan is a pure stateless projection — Append mode, no state
+    * store, no shuffle; every micro-batch's output rows are exactly
+    * the [[graft.operators.Pq.appendCodes]] rows a batch run would
+    * append, which is what makes the in-flight form safe to feed the
+    * same stored index. Oracle = the batch encode of the arriving
+    * slice against history-trained codebooks. */
+  def streamPqEncode(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_pq_encode",
+      "embeddings.parquet" -> s"$dir/embeddings.parquet")
+    val embSchema = spark.read.parquet(streamDir.toString).schema
+    require(embSchema.exists(f => f.name == "vec_id" &&
+        f.dataType == LongType) &&
+      embSchema.exists(_.name == "embedding"),
+      "embeddings schema drifted: expected (vec_id LONG, embedding) " +
+        s"among ${embSchema.treeString}")
+    val history = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 3 > 0)
+    val m = 4
+    val cbs = graft.operators.Pq.codebooks(history, "vec_id",
+      "embedding", m, k = 8, iterations = 2)
+    // bounded driver action: k·m codebook rows (the PageRank
+    // node-count class), NOT a corpus collect — the literal embed is
+    // the point of the stateless plan
+    val cbsLocal = graft.operators.Pq.localCodebook(cbs, m)
+    val out = spark.readStream.schema(embSchema)
+      .parquet(streamDir.toString)
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        graft.operators.Ivf.quantize(col("embedding")).as("qvec"))
+      .select(col("vec_id"),
+        graft.operators.Pq.encodeCodesExpr(col("qvec"), cbsLocal)
+          .as("codes"))
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("cb0"),
+        element_at(col("codes"), 2).as("cb1"),
+        element_at(col("codes"), 3).as("cb2"),
+        element_at(col("codes"), 4).as("cb3"))
+    drainToMemory(spark, out, queryName, OutputMode.Append(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** Shared harness head for the novelty gates: stage the documents
     * file for the directory-monitoring source, PROBE the batch footer
     * for the declared stream schema (the [[eventsStream]] discipline —

@@ -80,7 +80,8 @@ class PlanAuditSpec extends SparkSpec {
       "q86_stream_static_enrich", "q99_stream_dedup",
       "q103_stream_outer_join", "q105_stream_sessionize",
       "q145_stream_novelty_gate", "q146_stream_novelty_first_arrival",
-      "q165_stream_corpus_health", "q188_stream_decontam_gate")
+      "q165_stream_corpus_health", "q188_stream_decontam_gate",
+      "q201_stream_pq_encode")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"

@@ -196,6 +196,25 @@ class PqSpec extends SparkSpec {
     assert(health.map(_.getLong(2)).sum > 0L)
   }
 
+  test("encodeCodesExpr ≡ encode: literal-codebook in-row codes match") {
+    // the stateless streaming encoder must reproduce the aggregate
+    // argmin bit-for-bit — same least-struct tie-break, same
+    // left-to-right dot folds over driver-round-tripped doubles
+    val m = 4
+    val cbs = Pq.codebooks(emb, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val inRow = Ivf.quantized(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        Pq.encodeCodesExpr(col("qvec"), Pq.localCodebook(cbs, m))
+          .as("codes"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    val agg = Pq.encode(emb, "vec_id", "embedding", m, cbs)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    assert(inRow == agg, "in-row literal encoder diverged from encode")
+  }
+
   test("appendCodes ≡ encode(history ∪ batch) against the fixed codebooks") {
     val m = 4
     val history = emb.filter(col("vec_id") % 3 > 0)
