@@ -445,6 +445,22 @@ object Pq {
     val cbs = codebooks(embeddings, idCol, vecCol, m, numCentroids,
       pqIterations)
     val codes = encode(embeddings, idCol, vecCol, m, cbs)
+    ivfPqSearch(coarse, cbs, assigned, codes, queries, idCol, vecCol,
+      m, nprobe, topK)
+  }
+
+  /** IVF-PQ search over the STORED index — the deployment entry
+    * point completing [[adcSearch]]'s contract with coarse routing:
+    * `coarse`/`cbs` are the fixed codebooks, `assigned` (vec_id, cid)
+    * and `codes` (vec_id, codes) the stored tables [[appendCodes]]
+    * (plus a per-batch [[Ivf.assignIds]] pass) maintains daily; no
+    * training happens here, so searches against the daily-merged
+    * tables equal the full-recompute ordering by per-row determinism.
+    * [[ivfPqTopK]] is exactly build + this. */
+  def ivfPqSearch(coarse: DataFrame, cbs: DataFrame,
+      assigned: DataFrame, codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, nprobe: Int,
+      topK: Int): DataFrame = {
     // nprobe nearest coarse cells per query (rank ≤ nprobe, cid
     // tie-break — the Ivf.topK probe rule)
     val probeW = org.apache.spark.sql.expressions.Window

@@ -279,6 +279,36 @@ class PqSpec extends SparkSpec {
     assert(merged.size == emb.count())
   }
 
+  test("ivfPqSearch over the daily-merged index ≡ full-encode search") {
+    // the routed-search sibling of the adcSearch lane: stored coarse +
+    // PQ codebooks, daily-appended (assigned, codes) tables, searched
+    // without retraining — equal to searching a from-scratch encode
+    val m = 4
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val coarse = Ivf.centroids(history, "vec_id", "embedding", 8, 2)
+    val cbs = Pq.codebooks(history, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    def assignOf(df: org.apache.spark.sql.DataFrame) =
+      Ivf.assignIds(Ivf.quantized(df, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+    val q = emb.filter(col("vec_id") < 5)
+    def run(a: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      Pq.ivfPqSearch(coarse, cbs, a, c, q, "vec_id", "embedding", m,
+          nprobe = 2, topK = 5)
+        .orderBy("q_id", "rnk").collect().toSeq
+    val daily = run(
+      assignOf(history).unionByName(assignOf(batch)),
+      Pq.appendCodes(Pq.encode(history, "vec_id", "embedding", m, cbs),
+        cbs, batch, "vec_id", "embedding", m))
+    val full = run(assignOf(emb),
+      Pq.encode(emb, "vec_id", "embedding", m, cbs))
+    assert(daily == full,
+      "routed search over the merged index diverged from full encode")
+    assert(daily.nonEmpty)
+  }
+
   test("rerank funnel: all probes + full shortlist ≡ exact integral L2 top-k") {
     val q = emb.filter(col("vec_id") < 10)
     val out = Pq.ivfPqRerankTopK(emb, q, "vec_id", "embedding",
