@@ -195,8 +195,12 @@ object Curation {
       tokensCol: String, qualityCol: String, budgetTokens: Long,
       sliceRowBound: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted BEFORE the census probe: the probe is an eager action,
+    // and without the cache it would execute the whole upstream
+    // lineage once for the count and again for the chosen lane
     val sliced = docs.withColumn("__slice",
-      struct(col(hostCol).as("h"), col(qualityCol).as("q")))
+        struct(col(hostCol).as("h"), col(qualityCol).as("q")))
+      .transform(graft.util.CacheScope.persist)
     val wOff = Window.partitionBy(col("__slice.h"))
       .orderBy(col("__slice.q").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

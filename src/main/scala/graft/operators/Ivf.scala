@@ -128,17 +128,27 @@ object Ivf {
     * are exact longs and hash-gate. The codebook spine left-joins so
     * EMPTY cells report (0, 0, 0) instead of vanishing — the
     * imbalance signal is the point. One broadcast-codebook pass over
-    * the vectors; the exchange carries cell keys only. Output: (cid,
-    * n_vectors, residual_energy, avg_residual_energy). */
+    * the vectors; the argmin exchange carries three scalars per
+    * vector, then cell keys. Output: (cid, n_vectors,
+    * residual_energy, avg_residual_energy). */
   def cellHealth(codebook: DataFrame, vectors: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val energies = assign(quantized(vectors, idCol, vecCol), codebook)
-      .join(broadcast(codebook), Seq("cid"))
-      .select(col("cid"),
+    // the energy is computed IN the assignment cross-fan and rides
+    // the argmin struct, so the vec_id exchange carries three scalars
+    // per vector — never the 64-element vector (the assignIds payload
+    // discipline); the per-candidate zip_with is map-side work
+    // bounded by k, the right trade against shipping arrays
+    val energies = quantized(vectors, idCol, vecCol)
+      .crossJoin(broadcast(codebook))
+      .withColumn("d2", dist2(col("qvec"), col("cent")))
+      .withColumn("__r",
         zip_with(col("qvec").cast("array<double>"), col("cent"),
-          (x, c) => floor(x - c)).as("__r"))
-      .select(col("cid"),
-        VectorFunctions.dot(col("__r"), col("__r")).cast("long").as("__e"))
+          (x, c) => floor(x - c)))
+      .withColumn("__e",
+        VectorFunctions.dot(col("__r"), col("__r")).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"), col("__e"))).as("__m"))
+      .select(col("__m.cid").as("cid"), col("__m.__e").as("__e"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(col("__e")).as("residual_energy"))

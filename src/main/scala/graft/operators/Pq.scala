@@ -84,11 +84,14 @@ object Pq {
       if (withVec) min(struct(col("d2"), col("cid"), col("svec"))).as("__m")
       else min(struct(col("d2"), col("cid"))).as("__m")
     val agg = joined.groupBy(col("vec_id"), col("sub")).agg(m)
+    // d2 rides the argmin struct anyway — exposing it is free, and
+    // quantizationError consumes it (other callers just drop it)
     if (withVec)
       agg.select(col("vec_id"), col("sub"), col("__m.cid").as("cid"),
-        col("__m.svec").as("svec"))
+        col("__m.d2").as("d2"), col("__m.svec").as("svec"))
     else
-      agg.select(col("vec_id"), col("sub"), col("__m.cid").as("cid"))
+      agg.select(col("vec_id"), col("sub"), col("__m.cid").as("cid"),
+        col("__m.d2").as("d2"))
   }
 
   /** Per-subspace codebooks (sub, cid, cent) by joint Lloyd iteration:
@@ -187,7 +190,30 @@ object Pq {
     * least(struct(d2, cid)) is the same lexicographic argmin as the
     * aggregate min, and the dot products fold left-to-right over the
     * same doubles. `cbsLocal(s)` lists (cid, cent) for subspace s;
-    * `qvec` must be the quantized integral-grid vector. */
+    * `qvec` must be the quantized integral-grid vector of EXACTLY
+    * m·dsub dims — enforced per row, mirroring [[subvectorsOf]]'s
+    * guard: a shorter vector would silently truncate the last
+    * subspace's dot product (VecDot folds min(len) elements) and
+    * append a WRONG code to the stored index with no error. */
+  def encodeCodesExpr(qvec: Column,
+      cbsLocal: IndexedSeq[Seq[(Long, Seq[Double])]]): Column = {
+    require(cbsLocal.nonEmpty && cbsLocal.forall(_.nonEmpty),
+      "encodeCodesExpr needs at least one centroid per subspace")
+    val dsub = cbsLocal.head.head._2.size
+    val m = cbsLocal.size
+    val guarded = when(size(qvec) === m * dsub, qvec)
+      .otherwise(raise_error(concat(
+        lit("PQ: vector length "), size(qvec),
+        lit(s" != ${m * dsub} = m*dsub of the literal codebook"))))
+    array(cbsLocal.indices.map { s =>
+      val svec = slice(guarded, s * dsub + 1, dsub)
+      cbsLocal(s).map { case (cid, cent) =>
+        struct(dist2(svec, typedLit(cent)).as("d2"),
+          lit(cid).as("cid"))
+      }.reduce((a, b) => least(a, b)).getField("cid")
+    }: _*)
+  }
+
   /** Collect a stored codebook into [[encodeCodesExpr]]'s driver-side
     * shape — k·m rows, the bounded-action class. */
   def localCodebook(cbs: DataFrame,
@@ -199,20 +225,6 @@ object Pq {
     (0 until m).map { s =>
       rows.filter(_._1 == s).sortBy(_._2).map(t => (t._2, t._3)).toSeq
     }
-  }
-
-  def encodeCodesExpr(qvec: Column,
-      cbsLocal: IndexedSeq[Seq[(Long, Seq[Double])]]): Column = {
-    require(cbsLocal.nonEmpty && cbsLocal.forall(_.nonEmpty),
-      "encodeCodesExpr needs at least one centroid per subspace")
-    val dsub = cbsLocal.head.head._2.size
-    array(cbsLocal.indices.map { s =>
-      val svec = slice(qvec, s * dsub + 1, dsub)
-      cbsLocal(s).map { case (cid, cent) =>
-        struct(dist2(svec, typedLit(cent)).as("d2"),
-          lit(cid).as("cid"))
-      }.reduce((a, b) => least(a, b)).getField("cid")
-    }: _*)
   }
 
   /** O(new) DAILY maintenance for the stored PQ index — the q110
@@ -254,11 +266,8 @@ object Pq {
       .transform(graft.util.CacheScope.persist)
     val cbs = trainCodebooks(sv, seedIds(embeddings, idCol, numCentroids),
       iterations)
-    sv.join(broadcast(cbs), Seq("sub"))
-      .withColumn("d2", dist2(col("svec"), col("cent")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("d2"), col("cid"))).as("__m"))
-      .select(col("sub"), floor(col("__m.d2")).cast("long").as("__e"))
+    assign(sv, cbs, withVec = false)
+      .select(col("sub"), floor(col("d2")).cast("long").as("__e"))
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("__e")).as("err_sum"))
       .withColumn("avg_err", expr("err_sum DIV n_vectors"))
@@ -266,12 +275,13 @@ object Pq {
 
   /** Floor-quantized residual subvectors of `embeddings` against a
     * FIXED coarse codebook — the shared front of the stored residual
-    * index's build and encode halves. */
+    * index's build and encode halves. `assigned` is the (vec_id, cid)
+    * coarse assignment, passed in so a caller that also needs it
+    * ([[residualEncode]]'s cid reattach) computes it ONCE. */
   private def residualSubvectors(embeddings: DataFrame, idCol: String,
-      vecCol: String, coarse: DataFrame, m: Int): DataFrame = {
+      vecCol: String, coarse: DataFrame, m: Int,
+      assigned: DataFrame): DataFrame = {
     val baseQ = Ivf.quantized(embeddings, idCol, vecCol)
-    val assigned = Ivf.assignIds(baseQ, coarse)
-      .select(col("vec_id"), col("cid"))
     subvectorsOf(
       baseQ.join(assigned, Seq("vec_id"))
         .join(broadcast(coarse), Seq("cid"))
@@ -280,6 +290,12 @@ object Pq {
             (x, c) => floor(x - c)).as("qvec")),
       m)
   }
+
+  /** The (vec_id, cid) coarse assignment for [[residualSubvectors]]. */
+  private def coarseAssign(embeddings: DataFrame, idCol: String,
+      vecCol: String, coarse: DataFrame): DataFrame =
+    Ivf.assignIds(Ivf.quantized(embeddings, idCol, vecCol), coarse)
+      .select(col("vec_id"), col("cid"))
 
   /** BUILD half of the stored residual index: residual codebooks for
     * a FIXED coarse codebook ([[residualIvfPqTopK]]'s training chain
@@ -291,7 +307,8 @@ object Pq {
       vecCol: String, coarse: DataFrame, m: Int, numCentroids: Int,
       pqIterations: Int): DataFrame =
     trainCodebooks(
-      residualSubvectors(embeddings, idCol, vecCol, coarse, m)
+      residualSubvectors(embeddings, idCol, vecCol, coarse, m,
+          coarseAssign(embeddings, idCol, vecCol, coarse))
         .transform(graft.util.CacheScope.persist),
       seedIds(embeddings, idCol, numCentroids), pqIterations)
 
@@ -302,12 +319,13 @@ object Pq {
   def residualEncode(embeddings: DataFrame, idCol: String,
       vecCol: String, coarse: DataFrame, cbs: DataFrame,
       m: Int): DataFrame = {
-    val assigned = Ivf.assignIds(
-        Ivf.quantized(embeddings, idCol, vecCol), coarse)
-      .select(col("vec_id"), col("cid"))
+    // computed once, persisted: feeds BOTH the residual build and the
+    // cid reattach — a second assignIds pass over the corpus would
+    // double the broadcast-codebook argmin work
+    val assigned = coarseAssign(embeddings, idCol, vecCol, coarse)
       .transform(graft.util.CacheScope.persist)
-    codesFrom(residualSubvectors(embeddings, idCol, vecCol, coarse, m),
-        cbs)
+    codesFrom(residualSubvectors(embeddings, idCol, vecCol, coarse, m,
+        assigned), cbs)
       .join(assigned, Seq("vec_id"))
       .select(col("vec_id"), col("cid"), col("codes"))
   }

@@ -914,17 +914,14 @@ object SimilarityQueries extends QueryPack {
                    - 2.0 * list_dot_product(v.sv, c.cent)
                    + list_dot_product(c.cent, c.cent) AS d2
             FROM rsv$s v, rc2_$s c))
-        WHERE rn = 1),
+        WHERE rn = 1)""" + (if (!queryTables) "" else raw""",
       rqd$s AS (
         SELECT q.q_id, q.ccell, c.cid AS pqcid,
                list_dot_product(q.sv, q.sv)
                - 2.0 * list_dot_product(q.sv, c.cent)
                + list_dot_product(c.cent, c.cent) AS d2
         FROM (SELECT q_id, ccell, rvec[$lo:$hi] AS sv FROM qrv) q,
-             rc2_$s c)"""
-  }.map { seg =>
-    if (queryTables) seg
-    else seg.substring(0, seg.indexOf(",\n      rqd"))
+             rc2_$s c)""")
   }.mkString(",")
 
   private val q186 = Q(

@@ -213,6 +213,19 @@ class PqSpec extends SparkSpec {
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
     assert(inRow == agg, "in-row literal encoder diverged from encode")
+    // the streaming path must refuse a dimension-drifted vector LOUDLY
+    // (the subvectorsOf guard, mirrored): a d=60 vector against d=64
+    // codebooks would otherwise truncate the last subspace's dot and
+    // append a silently-wrong code to the stored index
+    val s2 = spark
+    import s2.implicits._
+    val ragged = Seq((0L, Array.fill(60)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ivf.quantized(ragged, "vec_id", "embedding")
+        .select(Pq.encodeCodesExpr(col("qvec"), Pq.localCodebook(cbs, m)))
+        .collect()
+    }
+    assert(e.getMessage.contains("m*dsub"), s"wrong failure: ${e.getMessage}")
   }
 
   test("appendCodes ≡ encode(history ∪ batch) against the fixed codebooks") {
