@@ -162,6 +162,36 @@ object Ivf {
           expr("residual_energy DIV n_vectors")).otherwise(lit(0L)))
   }
 
+  /** O(new) DAILY form of [[cellHealth]] — the q110/q140
+    * sufficient-statistics discipline: occupancy and residual energy
+    * are pure per-cell SUMS under a FIXED codebook, so the stored
+    * (cid, n_vectors, residual_energy) ledger absorbs a batch by
+    * assigning + energy-scoring ONLY the new vectors (one broadcast
+    * pass over O(new) rows) and adding per cell; the average
+    * re-derives from the merged sums. History vectors are never
+    * re-read; the merge exchanges ledger-sized frames only. The
+    * oracle is the full [[cellHealth]] recompute over history ∪
+    * batch — exact because integer sums are order- and
+    * partition-free. Watching a cell's n/energy DRIFT between ledger
+    * generations is the retraining trigger this report exists for. */
+  def incrementalCellHealth(codebook: DataFrame, priorHealth: DataFrame,
+      fresh: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val delta = cellHealth(codebook, fresh, idCol, vecCol)
+      .select(col("cid"), col("n_vectors").as("__dn"),
+        col("residual_energy").as("__de"))
+    priorHealth
+      .select(col("cid"), col("n_vectors"), col("residual_energy"))
+      .join(delta, Seq("cid"), "left")
+      .select(col("cid"),
+        (col("n_vectors") + coalesce(col("__dn"), lit(0L)))
+          .as("n_vectors"),
+        (col("residual_energy") + coalesce(col("__de"), lit(0L)))
+          .as("residual_energy"))
+      .withColumn("avg_residual_energy",
+        when(col("n_vectors") > 0,
+          expr("residual_energy DIV n_vectors")).otherwise(lit(0L)))
+  }
+
   /** Incremental index maintenance — the q65/q108 O(new) discipline
     * extended to the ANN pillar. STORED STATE in, O(new) work per
     * call: `codebook` (cid, cent) and `priorCensus` (cid, n_hist) are

@@ -266,10 +266,41 @@ object Pq {
       .transform(graft.util.CacheScope.persist)
     val cbs = trainCodebooks(sv, seedIds(embeddings, idCol, numCentroids),
       iterations)
-    assign(sv, cbs, withVec = false)
+    quantizationErrorAgainst(cbs, embeddings, idCol, vecCol, m)
+  }
+
+  /** [[quantizationError]] against FIXED stored codebooks — no
+    * training; the form the daily ledger path consumes. */
+  def quantizationErrorAgainst(cbs: DataFrame, embeddings: DataFrame,
+      idCol: String, vecCol: String, m: Int): DataFrame =
+    assign(subvectors(embeddings, idCol, vecCol, m), cbs,
+        withVec = false)
       .select(col("sub"), floor(col("d2")).cast("long").as("__e"))
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("__e")).as("err_sum"))
+      .withColumn("avg_err", expr("err_sum DIV n_vectors"))
+
+  /** O(new) DAILY form of the error audit — the same
+    * sufficient-statistics ledger as [[graft.operators.Ivf
+    * .incrementalCellHealth]]: per-subspace counts and floored error
+    * sums ADD under fixed codebooks, so the stored (sub, n_vectors,
+    * err_sum) ledger absorbs a batch by scoring only the new vectors
+    * and adding; avg_err re-derives from merged sums. History is
+    * never re-read; err_sum DRIFT between ledger generations (the
+    * batch's data outgrowing the codebooks) is the retrain trigger.
+    * Oracle = the full recompute over history ∪ batch. */
+  def incrementalQuantizationError(cbs: DataFrame, priorError: DataFrame,
+      fresh: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    val delta = quantizationErrorAgainst(cbs, fresh, idCol, vecCol, m)
+      .select(col("sub"), col("n_vectors").as("__dn"),
+        col("err_sum").as("__de"))
+    priorError.select(col("sub"), col("n_vectors"), col("err_sum"))
+      .join(delta, Seq("sub"), "left")
+      .select(col("sub"),
+        (col("n_vectors") + coalesce(col("__dn"), lit(0L)))
+          .as("n_vectors"),
+        (col("err_sum") + coalesce(col("__de"), lit(0L))).as("err_sum"))
       .withColumn("avg_err", expr("err_sum DIV n_vectors"))
   }
 

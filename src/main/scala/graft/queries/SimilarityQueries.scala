@@ -1610,7 +1610,149 @@ object SimilarityQueries extends QueryPack {
       ORDER BY vec_id
     """))
 
+  // --------------------------------------------------------------- q202
+  // O(new) index-health ledger — q198's report absorbed daily via the
+  // q110/q140 sufficient-statistics discipline: occupancy and
+  // residual energy are pure per-cell sums under a fixed codebook, so
+  // the stored ledger merges a batch by assigning + energy-scoring
+  // only the new vectors and ADDING; the average re-derives from the
+  // merged sums. History vectors never re-read. Oracle = the full
+  // recompute over history ∪ batch (codebook trained on history).
+  private val q202 = Q(
+    "q202_incremental_index_health",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      val stored = graft.operators.Ivf.cellHealth(coarse, history,
+        "vec_id", "embedding")
+      graft.operators.Ivf.incrementalCellHealth(coarse, stored, batch,
+          "vec_id", "embedding")
+        .orderBy(col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      vxt AS (SELECT * FROM vx WHERE vec_id % 3 > 0),
+      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vxt
+              WHERE vec_id IN (SELECT vec_id FROM vxt ORDER BY vec_id ASC LIMIT 8)),
+      ca1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vxt v, co0 c))
+        WHERE rn = 1),
+      co1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      ca2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vxt v, co1 c))
+        WHERE rn = 1),
+      co2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      cellof AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c))
+        WHERE rn = 1),
+      rv AS (
+        SELECT v.vec_id, a.cid,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid),
+      h AS (
+        SELECT cid, COUNT(*) AS n,
+               SUM(CAST(list_dot_product(rvec, rvec) AS BIGINT)) AS e
+        FROM rv GROUP BY cid)
+      SELECT c.cid,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_vectors,
+             CAST(COALESCE(h.e, 0) AS BIGINT) AS residual_energy,
+             CAST(CASE WHEN COALESCE(h.n, 0) > 0
+                  THEN COALESCE(h.e, 0) // h.n ELSE 0 END AS BIGINT)
+               AS avg_residual_energy
+      FROM co2 c LEFT JOIN h USING (cid)
+      ORDER BY c.cid
+    """))
+
+  // --------------------------------------------------------------- q203
+  // O(new) quantization-error ledger — q199's audit absorbed daily by
+  // pure per-subspace addition (the q202/q110 sufficient-statistics
+  // discipline on the PQ axis): counts and floored error sums add
+  // under FIXED codebooks, so only the batch assigns and scores;
+  // avg_err re-derives from merged sums. err_sum drift between
+  // ledger generations is the retrain trigger. Oracle = the full
+  // recompute over history ∪ batch (codebooks trained on history).
+  private val q203 = Q(
+    "q203_incremental_quantization_error",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val cbs = graft.operators.Pq.codebooks(history, "vec_id",
+        "embedding", m = 4, k = 8, iterations = 2)
+      val stored = graft.operators.Pq.quantizationErrorAgainst(cbs,
+        history, "vec_id", "embedding", 4)
+      graft.operators.Pq.incrementalQuantizationError(cbs, stored,
+          batch, "vec_id", "embedding", 4)
+        .orderBy(col("sub"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ${pqSubChains("vec_id % 3 > 0")},
+      err AS (
+            SELECT 0 AS sub, COUNT(*) AS n,
+                   SUM(CAST(floor(d2) AS BIGINT)) AS e FROM enc0
+        UNION ALL
+            SELECT 1, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc1
+        UNION ALL
+            SELECT 2, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc2
+        UNION ALL
+            SELECT 3, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc3)
+      SELECT sub, CAST(n AS BIGINT) AS n_vectors,
+             CAST(e AS BIGINT) AS err_sum,
+             CAST(e // n AS BIGINT) AS avg_err
+      FROM err ORDER BY sub
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
-    q201)
+    q201, q202, q203)
 }

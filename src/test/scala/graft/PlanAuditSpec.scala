@@ -64,9 +64,10 @@ class PlanAuditSpec extends SparkSpec {
       // an id-keyed equi-join (q194 needs no exception: its PQ assign
       // path is equi-joins only)
       "q197_residual_pq_index_append",
-      // q198's assignment fans the ≤8-row codebook — q36/q110's class;
-      // the health aggregate exchanges cell keys only
-      "q198_ann_index_health",
+      // q198/q202's assignment fans the ≤8-row codebook — q36/q110's
+      // class; the health aggregates exchange per-vector scalars then
+      // cell keys, and q202's ledger merge is ledger-sized
+      "q198_ann_index_health", "q202_incremental_index_health",
       // q189's assignment fans the ≤8-row codebook — q36/q110's class
       "q189_topic_census")
       // q120 left this list in round 8: its 1-row corpus total now rides

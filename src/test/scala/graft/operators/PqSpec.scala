@@ -166,6 +166,26 @@ class PqSpec extends SparkSpec {
     assert(noisy.length == 4 && noisy.forall(_ > 0L))
   }
 
+  test("incrementalQuantizationError ≡ full recompute against fixed codebooks") {
+    val m = 4
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val cbs = Pq.codebooks(history, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("sub").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val stored = Pq.quantizationErrorAgainst(cbs, history, "vec_id",
+      "embedding", m)
+    val inc = rows(Pq.incrementalQuantizationError(cbs, stored, batch,
+      "vec_id", "embedding", m))
+    val full = rows(Pq.quantizationErrorAgainst(cbs, emb, "vec_id",
+      "embedding", m))
+    assert(inc == full, "error ledger merge diverged from recompute")
+    assert(inc.map(_._2).distinct == Seq(emb.count()))
+  }
+
   test("cellHealth: zero energy when centroids are the vectors; spine totality") {
     val s = spark
     import s.implicits._
@@ -194,6 +214,25 @@ class PqSpec extends SparkSpec {
       .collect()
     assert(health.map(_.getLong(1)).sum == emb.count())
     assert(health.map(_.getLong(2)).sum > 0L)
+  }
+
+  test("incrementalCellHealth ≡ full recompute; batch only adds") {
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val coarse = Ivf.centroids(history, "vec_id", "embedding", 8, 2)
+    val stored = Ivf.cellHealth(coarse, history, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val inc = rows(Ivf.incrementalCellHealth(coarse, stored, batch,
+      "vec_id", "embedding"))
+    val full = rows(Ivf.cellHealth(coarse, emb, "vec_id", "embedding"))
+    assert(inc == full, "health ledger merge diverged from recompute")
+    // monotone under append-only input: no cell loses mass
+    val prior = rows(stored).map(r => r._1 -> (r._2, r._3)).toMap
+    assert(inc.forall { case (cid, n, e, _) =>
+      val (pn, pe) = prior(cid); n >= pn && e >= pe })
   }
 
   test("encodeCodesExpr ≡ encode: literal-codebook in-row codes match") {
