@@ -304,6 +304,40 @@ object Pq {
       .withColumn("avg_err", expr("err_sum DIV n_vectors"))
   }
 
+  /** BALANCED dimension permutation — the cheap deterministic cousin
+    * of OPQ's learned rotation, and the fix [[quantizationError]]'s
+    * doc points at when one subspace hoards the error: rank
+    * dimensions by corpus energy and deal them to the m subspaces in
+    * SNAKE order (1st..mth to subs 0..m−1, then m+1th..2mth to subs
+    * m−1..0, …), so each subspace receives an energy-balanced mix of
+    * hot and cold dimensions instead of whatever contiguous slice the
+    * storage order happened to put together.
+    *
+    * The ranking statistic is Σ floor(x²·10⁻⁶) per dimension — the
+    * per-row mega-scaling bounds each addend by 10⁶, so the corpus
+    * sum stays an EXACT long far past 2⁵³-sized corpora (a raw Σx²
+    * double sum goes order-dependent at ~10⁴ vectors), and the
+    * identical floor-divide evaluates bit-equal in both engines. One
+    * posexplode + one dim-keyed aggregate (64 groups); the ranking
+    * window runs over the 64-row aggregate, not the corpus. Output:
+    * (d 1-based, energy, rnk, sub). */
+  def balancedPermutation(embeddings: DataFrame, idCol: String,
+      vecCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"m=$m subspaces must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("energy").desc, col("d").asc)
+    Ivf.quantized(embeddings, idCol, vecCol)
+      .select(posexplode(col("qvec")).as(Seq("p", "x")))
+      .select((col("p") + 1).cast("int").as("d"),
+        floor(col("x") * col("x") / lit(1000000.0)).cast("long").as("e"))
+      .groupBy(col("d"))
+      .agg(sum(col("e")).as("energy"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("sub",
+        expr(s"CASE WHEN ((rnk - 1) DIV $m) % 2 = 0 THEN (rnk - 1) % $m " +
+          s"ELSE ${m - 1} - (rnk - 1) % $m END").cast("int"))
+  }
+
   /** Floor-quantized residual subvectors of `embeddings` against a
     * FIXED coarse codebook — the shared front of the stored residual
     * index's build and encode halves. `assigned` is the (vec_id, cid)

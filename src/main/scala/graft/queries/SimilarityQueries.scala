@@ -1752,7 +1752,111 @@ object SimilarityQueries extends QueryPack {
       FROM err ORDER BY sub
     """))
 
+  // --------------------------------------------------------------- q204
+  // BALANCED dimension permutation — OPQ's cheap deterministic
+  // cousin, the fix q199's audit points at when one subspace hoards
+  // the error: dims rank by exact mega-scaled corpus energy
+  // (Σ floor(x²·10⁻⁶), long-summed — order-free far past 2⁵³-sized
+  // corpora) and deal to the m subspaces in SNAKE order, so each
+  // subspace gets an energy-balanced mix instead of a contiguous
+  // storage-order slice. The ranking window runs over the 64-row
+  // per-dim aggregate, never the corpus.
+  private val q204 = Q(
+    "q204_balanced_permutation",
+    (s, dir) => {
+      graft.operators.Pq.balancedPermutation(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", m = 4)
+        .orderBy(col("d"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      pe AS (
+        SELECT d,
+               SUM(CAST(floor(qvec[d] * qvec[d] / 1000000.0) AS BIGINT))
+                 AS energy
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)
+        GROUP BY d),
+      r AS (
+        SELECT d, energy,
+               ROW_NUMBER() OVER (ORDER BY energy DESC, d ASC) AS rnk
+        FROM pe)
+      SELECT CAST(d AS INTEGER) AS d, CAST(energy AS BIGINT) AS energy,
+             CAST(rnk AS INTEGER) AS rnk,
+             CAST(CASE WHEN ((rnk - 1) // 4) % 2 = 0 THEN (rnk - 1) % 4
+                  ELSE 3 - (rnk - 1) % 4 END AS INTEGER) AS sub
+      FROM r ORDER BY d
+    """))
+
+  // --------------------------------------------------------------- q205
+  // Permuted-PQ quantization error — q204's permutation APPLIED:
+  // vectors reorder in-row (the 64-entry permutation is a plan
+  // literal — the PageRank node-count bounded-action class), PQ
+  // trains and encodes on the permuted layout, and q199's error
+  // audit reports per subspace. The oracle recomputes the
+  // permutation, rebuilds the permuted vectors, and replays the
+  // whole subspace k-means + encode chain over them.
+  private val q205 = Q(
+    "q205_permuted_pq_error",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      // permutation order = (sub asc, d asc): subspace s owns the
+      // s-th 16-dim block of the permuted vector
+      val perm = graft.operators.Pq.balancedPermutation(e, "vec_id",
+          "embedding", m = 4)
+        .select(col("sub"), col("d"))
+        .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
+        .map(_.getInt(1))
+      val permuted = e.select(col("vec_id"),
+        array(perm.toIndexedSeq.map(d =>
+          col("embedding").getItem(d - 1)): _*).as("pvec"))
+      graft.operators.Pq.quantizationError(permuted, "vec_id", "pvec",
+          m = 4, numCentroids = 8, iterations = 2)
+        .orderBy(col("sub"))
+    },
+    Some(raw"""
+      WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec0
+        FROM embeddings),
+      pe AS (
+        SELECT d,
+               SUM(CAST(floor(qvec0[d] * qvec0[d] / 1000000.0) AS BIGINT))
+                 AS energy
+        FROM base, UNNEST(generate_series(1, 64)) t(d)
+        GROUP BY d),
+      pr AS (
+        SELECT d, energy,
+               ROW_NUMBER() OVER (ORDER BY energy DESC, d ASC) AS rnk
+        FROM pe),
+      ps AS (
+        SELECT d,
+               CASE WHEN ((rnk - 1) // 4) % 2 = 0 THEN (rnk - 1) % 4
+                    ELSE 3 - (rnk - 1) % 4 END AS sub
+        FROM pr),
+      pl AS (SELECT list(d ORDER BY sub, d) AS perm FROM ps),
+      vx AS (
+        SELECT b.vec_id, list_transform(p.perm, i -> b.qvec0[i]) AS qvec
+        FROM base b, pl p),
+      ${pqSubChains()},
+      err AS (
+            SELECT 0 AS sub, COUNT(*) AS n,
+                   SUM(CAST(floor(d2) AS BIGINT)) AS e FROM enc0
+        UNION ALL
+            SELECT 1, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc1
+        UNION ALL
+            SELECT 2, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc2
+        UNION ALL
+            SELECT 3, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc3)
+      SELECT sub, CAST(n AS BIGINT) AS n_vectors,
+             CAST(e AS BIGINT) AS err_sum,
+             CAST(e // n AS BIGINT) AS avg_err
+      FROM err ORDER BY sub
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
-    q201, q202, q203)
+    q201, q202, q203, q204, q205)
 }

@@ -109,7 +109,10 @@ class PlanAuditSpec extends SparkSpec {
   //    ≤ max_tokens/16 rows, hundreds.
   private val aggBoundedWindowAllowed =
     Set("q63_mixture_weights", "q69_mixture_downsample",
-      "q74_token_histogram", "q129_mixture_epochs")
+      "q74_token_histogram", "q129_mixture_epochs",
+      // q204: the ranking window runs over the per-DIMENSION energy
+      // aggregate — ≤ 64 rows, never the corpus
+      "q204_balanced_permutation")
 
   test("no registered plan windows over a single partition") {
     // A Window/WindowGroupLimit with an EMPTY partitionSpec plans an

@@ -166,6 +166,27 @@ class PqSpec extends SparkSpec {
     assert(noisy.length == 4 && noisy.forall(_ > 0L))
   }
 
+  test("balancedPermutation: bijection, snake balance, rerun-stable") {
+    val m = 4
+    val p = Pq.balancedPermutation(emb, "vec_id", "embedding", m)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getInt(3)))
+    // a true permutation of 1..64, every rank used once
+    assert(p.map(_._1).sorted.toSeq == (1 to 64))
+    assert(p.map(_._3).sorted.toSeq == (1 to 64))
+    // snake deal → every subspace holds exactly dims/m dimensions
+    val bySub = p.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(bySub == (0 until m).map(_ -> 64 / m).toMap, bySub.toString)
+    // energy order respected: ranks ascend as energy descends
+    val byRank = p.sortBy(_._3)
+    assert(byRank.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    // deterministic
+    assert(Pq.balancedPermutation(emb, "vec_id", "embedding", m)
+      .collect().map(r => (r.getInt(0), r.getInt(3))).toSeq ==
+      p.map(t => (t._1, t._4)).toSeq)
+  }
+
   test("incrementalQuantizationError ≡ full recompute against fixed codebooks") {
     val m = 4
     val history = emb.filter(col("vec_id") % 3 > 0)
