@@ -54,5 +54,38 @@ object MultimodalQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q27, q28)
+  // ---------------------------------------------------------------- q206
+  // Frame sampling under the gate: payloads cut into 64-byte frames,
+  // every 2nd frame kept — the binary-slicing shape of video frame
+  // extraction (substring on BINARY), verified byte-exact: the corpus
+  // is pure ASCII, so DuckDB's text substring slices the same bytes
+  // and the per-frame md5 digests must match. Empty payloads emit no
+  // frames on either side (the clamped-sequence phantom-frame case
+  // the operator guards).
+  private val q206 = Q(
+    "q206_multimodal_frames",
+    (s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.withPayload(Tables(s, dir, "documents"),
+            "doc_id", "text"),
+          "doc_id", frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"),
+          md5(col("frame")).as("frame_digest"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(octet_length(encode(f)) AS BIGINT) AS frame_bytes,
+             md5(f) AS frame_digest
+      FROM (
+        SELECT doc_id, i, substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+        FROM documents,
+             UNNEST(generate_series(0,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1))
+               t(i))
+      WHERE i % 2 = 0
+      ORDER BY doc_id, frame_idx
+    """))
+
+  def all: Seq[Q] = Seq(q27, q28, q206)
 }
