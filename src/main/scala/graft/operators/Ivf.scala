@@ -175,22 +175,12 @@ object Ivf {
     * partition-free. Watching a cell's n/energy DRIFT between ledger
     * generations is the retraining trigger this report exists for. */
   def incrementalCellHealth(codebook: DataFrame, priorHealth: DataFrame,
-      fresh: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val delta = cellHealth(codebook, fresh, idCol, vecCol)
-      .select(col("cid"), col("n_vectors").as("__dn"),
-        col("residual_energy").as("__de"))
-    priorHealth
-      .select(col("cid"), col("n_vectors"), col("residual_energy"))
-      .join(delta, Seq("cid"), "left")
-      .select(col("cid"),
-        (col("n_vectors") + coalesce(col("__dn"), lit(0L)))
-          .as("n_vectors"),
-        (col("residual_energy") + coalesce(col("__de"), lit(0L)))
-          .as("residual_energy"))
+      fresh: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Ledger.merge(priorHealth, cellHealth(codebook, fresh, idCol, vecCol),
+        "cid", Seq("n_vectors", "residual_energy"))
       .withColumn("avg_residual_energy",
         when(col("n_vectors") > 0,
           expr("residual_energy DIV n_vectors")).otherwise(lit(0L)))
-  }
 
   /** Incremental index maintenance — the q65/q108 O(new) discipline
     * extended to the ANN pillar. STORED STATE in, O(new) work per

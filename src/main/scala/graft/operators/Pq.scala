@@ -261,13 +261,13 @@ object Pq {
     * avg_err). */
   def quantizationError(embeddings: DataFrame, idCol: String,
       vecCol: String, m: Int, numCentroids: Int,
-      iterations: Int): DataFrame = {
-    val sv = subvectors(embeddings, idCol, vecCol, m)
-      .transform(graft.util.CacheScope.persist)
-    val cbs = trainCodebooks(sv, seedIds(embeddings, idCol, numCentroids),
-      iterations)
-    quantizationErrorAgainst(cbs, embeddings, idCol, vecCol, m)
-  }
+      iterations: Int): DataFrame =
+    // codebooks() persists the subvector frame; the scoring pass below
+    // rebuilds the identical plan, so the CacheManager's plan-equality
+    // lookup serves it from that cache — one corpus explode, not two
+    quantizationErrorAgainst(
+      codebooks(embeddings, idCol, vecCol, m, numCentroids, iterations),
+      embeddings, idCol, vecCol, m)
 
   /** [[quantizationError]] against FIXED stored codebooks — no
     * training; the form the daily ledger path consumes. */
@@ -291,18 +291,13 @@ object Pq {
     * Oracle = the full recompute over history ∪ batch. */
   def incrementalQuantizationError(cbs: DataFrame, priorError: DataFrame,
       fresh: DataFrame, idCol: String, vecCol: String,
-      m: Int): DataFrame = {
-    val delta = quantizationErrorAgainst(cbs, fresh, idCol, vecCol, m)
-      .select(col("sub"), col("n_vectors").as("__dn"),
-        col("err_sum").as("__de"))
-    priorError.select(col("sub"), col("n_vectors"), col("err_sum"))
-      .join(delta, Seq("sub"), "left")
-      .select(col("sub"),
-        (col("n_vectors") + coalesce(col("__dn"), lit(0L)))
-          .as("n_vectors"),
-        (col("err_sum") + coalesce(col("__de"), lit(0L))).as("err_sum"))
-      .withColumn("avg_err", expr("err_sum DIV n_vectors"))
-  }
+      m: Int): DataFrame =
+    Ledger.merge(priorError,
+        quantizationErrorAgainst(cbs, fresh, idCol, vecCol, m),
+        "sub", Seq("n_vectors", "err_sum"))
+      .withColumn("avg_err",
+        when(col("n_vectors") > 0,
+          expr("err_sum DIV n_vectors")).otherwise(lit(0L)))
 
   /** BALANCED dimension permutation — the cheap deterministic cousin
     * of OPQ's learned rotation, and the fix [[quantizationError]]'s

@@ -852,6 +852,68 @@ object SimilarityQueries extends QueryPack {
   // stay order-free and the oracle replays bit-for-bit: coarse chain,
   // residual build, four residual-subspace k-means chains, per-cell
   // query tables, and the s = 0..3 ADC sum.
+  /** Shared coarse k-means replay — the q36 2-iteration Lloyd chain as
+    * one definition: vxt (training slice) → co0 seeds → ca1/co1 →
+    * ca2/co2 → cellof (assignment of ALL vx rows). `trainWhere`
+    * restricts the TRAINING population (seeds + both Lloyd rounds);
+    * assignment always covers the full corpus. Callers define `vx`
+    * and consume co2/cellof. One definition so the seeding rule and
+    * Lloyd arithmetic cannot drift across oracles (used by
+    * q197/q198/q202; the q36/q110/q185/q186/q189 copies predate the
+    * helper and are frozen). */
+  private def coarseCtes(trainWhere: String = "TRUE"): String = raw"""
+      vxt AS (SELECT * FROM vx WHERE $trainWhere),
+      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vxt
+              WHERE vec_id IN (SELECT vec_id FROM vxt ORDER BY vec_id ASC LIMIT 8)),
+      ca1 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vxt v, co0 c))
+        WHERE rn = 1),
+      co1 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      ca2 AS (
+        SELECT vec_id, qvec, cid FROM (
+          SELECT vec_id, qvec, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, v.qvec, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vxt v, co1 c))
+        WHERE rn = 1),
+      co2 AS (
+        SELECT cid, list(v ORDER BY d) AS cent FROM (
+          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
+          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
+          GROUP BY cid, d)
+        GROUP BY cid),
+      cellof AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c))
+        WHERE rn = 1)"""
+
   // `trainWhere` restricts the residual TRAINING population (seeds +
   // both Lloyd rounds) while renc$s still encodes every row — the
   // q197 stored-index contract; `queryTables` drops the rqd$s query
@@ -1380,57 +1442,7 @@ object SimilarityQueries extends QueryPack {
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
         FROM embeddings),
-      vxt AS (SELECT * FROM vx WHERE vec_id % 3 > 0),
-      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vxt
-              WHERE vec_id IN (SELECT vec_id FROM vxt ORDER BY vec_id ASC LIMIT 8)),
-      ca1 AS (
-        SELECT vec_id, qvec, cid FROM (
-          SELECT vec_id, qvec, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY d2 ASC, cid ASC) AS rn
-          FROM (
-            SELECT v.vec_id, v.qvec, c.cid,
-                   list_dot_product(v.qvec, v.qvec)
-                   - 2.0 * list_dot_product(v.qvec, c.cent)
-                   + list_dot_product(c.cent, c.cent) AS d2
-            FROM vxt v, co0 c))
-        WHERE rn = 1),
-      co1 AS (
-        SELECT cid, list(v ORDER BY d) AS cent FROM (
-          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
-          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
-          GROUP BY cid, d)
-        GROUP BY cid),
-      ca2 AS (
-        SELECT vec_id, qvec, cid FROM (
-          SELECT vec_id, qvec, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY d2 ASC, cid ASC) AS rn
-          FROM (
-            SELECT v.vec_id, v.qvec, c.cid,
-                   list_dot_product(v.qvec, v.qvec)
-                   - 2.0 * list_dot_product(v.qvec, c.cent)
-                   + list_dot_product(c.cent, c.cent) AS d2
-            FROM vxt v, co1 c))
-        WHERE rn = 1),
-      co2 AS (
-        SELECT cid, list(v ORDER BY d) AS cent FROM (
-          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
-          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
-          GROUP BY cid, d)
-        GROUP BY cid),
-      cellof AS (
-        SELECT vec_id, cid FROM (
-          SELECT vec_id, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY d2 ASC, cid ASC) AS rn
-          FROM (
-            SELECT v.vec_id, c.cid,
-                   list_dot_product(v.qvec, v.qvec)
-                   - 2.0 * list_dot_product(v.qvec, c.cent)
-                   + list_dot_product(c.cent, c.cent) AS d2
-            FROM vx v, co2 c))
-        WHERE rn = 1),
+${coarseCtes("vec_id % 3 > 0")},
       rv AS (
         SELECT v.vec_id,
                list_transform(generate_series(1, 64),
@@ -1471,56 +1483,7 @@ object SimilarityQueries extends QueryPack {
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
         FROM embeddings),
-      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vx
-              WHERE vec_id IN (SELECT vec_id FROM vx ORDER BY vec_id ASC LIMIT 8)),
-      ca1 AS (
-        SELECT vec_id, qvec, cid FROM (
-          SELECT vec_id, qvec, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY d2 ASC, cid ASC) AS rn
-          FROM (
-            SELECT v.vec_id, v.qvec, c.cid,
-                   list_dot_product(v.qvec, v.qvec)
-                   - 2.0 * list_dot_product(v.qvec, c.cent)
-                   + list_dot_product(c.cent, c.cent) AS d2
-            FROM vx v, co0 c))
-        WHERE rn = 1),
-      co1 AS (
-        SELECT cid, list(v ORDER BY d) AS cent FROM (
-          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
-          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
-          GROUP BY cid, d)
-        GROUP BY cid),
-      ca2 AS (
-        SELECT vec_id, qvec, cid FROM (
-          SELECT vec_id, qvec, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY d2 ASC, cid ASC) AS rn
-          FROM (
-            SELECT v.vec_id, v.qvec, c.cid,
-                   list_dot_product(v.qvec, v.qvec)
-                   - 2.0 * list_dot_product(v.qvec, c.cent)
-                   + list_dot_product(c.cent, c.cent) AS d2
-            FROM vx v, co1 c))
-        WHERE rn = 1),
-      co2 AS (
-        SELECT cid, list(v ORDER BY d) AS cent FROM (
-          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
-          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
-          GROUP BY cid, d)
-        GROUP BY cid),
-      cellof AS (
-        SELECT vec_id, cid FROM (
-          SELECT vec_id, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY d2 ASC, cid ASC) AS rn
-          FROM (
-            SELECT v.vec_id, c.cid,
-                   list_dot_product(v.qvec, v.qvec)
-                   - 2.0 * list_dot_product(v.qvec, c.cent)
-                   + list_dot_product(c.cent, c.cent) AS d2
-            FROM vx v, co2 c))
-        WHERE rn = 1),
+${coarseCtes()},
       rv AS (
         SELECT v.vec_id, a.cid,
                list_transform(generate_series(1, 64),
@@ -1637,57 +1600,7 @@ object SimilarityQueries extends QueryPack {
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
         FROM embeddings),
-      vxt AS (SELECT * FROM vx WHERE vec_id % 3 > 0),
-      co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vxt
-              WHERE vec_id IN (SELECT vec_id FROM vxt ORDER BY vec_id ASC LIMIT 8)),
-      ca1 AS (
-        SELECT vec_id, qvec, cid FROM (
-          SELECT vec_id, qvec, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY d2 ASC, cid ASC) AS rn
-          FROM (
-            SELECT v.vec_id, v.qvec, c.cid,
-                   list_dot_product(v.qvec, v.qvec)
-                   - 2.0 * list_dot_product(v.qvec, c.cent)
-                   + list_dot_product(c.cent, c.cent) AS d2
-            FROM vxt v, co0 c))
-        WHERE rn = 1),
-      co1 AS (
-        SELECT cid, list(v ORDER BY d) AS cent FROM (
-          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
-          FROM ca1, UNNEST(generate_series(1, 64)) t(d)
-          GROUP BY cid, d)
-        GROUP BY cid),
-      ca2 AS (
-        SELECT vec_id, qvec, cid FROM (
-          SELECT vec_id, qvec, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY d2 ASC, cid ASC) AS rn
-          FROM (
-            SELECT v.vec_id, v.qvec, c.cid,
-                   list_dot_product(v.qvec, v.qvec)
-                   - 2.0 * list_dot_product(v.qvec, c.cent)
-                   + list_dot_product(c.cent, c.cent) AS d2
-            FROM vxt v, co1 c))
-        WHERE rn = 1),
-      co2 AS (
-        SELECT cid, list(v ORDER BY d) AS cent FROM (
-          SELECT cid, d, SUM(qvec[d]) / COUNT(*) AS v
-          FROM ca2, UNNEST(generate_series(1, 64)) t(d)
-          GROUP BY cid, d)
-        GROUP BY cid),
-      cellof AS (
-        SELECT vec_id, cid FROM (
-          SELECT vec_id, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY d2 ASC, cid ASC) AS rn
-          FROM (
-            SELECT v.vec_id, c.cid,
-                   list_dot_product(v.qvec, v.qvec)
-                   - 2.0 * list_dot_product(v.qvec, c.cent)
-                   + list_dot_product(c.cent, c.cent) AS d2
-            FROM vx v, co2 c))
-        WHERE rn = 1),
+${coarseCtes("vec_id % 3 > 0")},
       rv AS (
         SELECT v.vec_id, a.cid,
                list_transform(generate_series(1, 64),

@@ -557,6 +557,22 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(frames(2).getAs[Array[Byte]]("frame")) == "89")
     assert(frames.map(_.getLong(2)).sum == 10L)
   }
+
+  test("frame sampling: empty payload emits NO phantom frame; stride filters") {
+    val s = spark
+    import s.implicits._
+    // the sf corpora contain no empty docs, so this branch is covered
+    // here: a clamped sequence bound would emit one 0-byte frame for
+    // the empty payload — the operator's array() case must not
+    val df = Seq((1L, ""), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.withPayload(df, "doc_id", "text"), "doc_id",
+        frameSize = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(!frames.exists(_._1 == 1L), "empty payload produced a frame")
+    // doc 2: frames 0,1,2 exist; stride 2 keeps 0 and 2
+    assert(frames.filter(_._1 == 2L).map(_._2).sorted == Seq(0, 2))
+  }
 }
 
 class StreamingOpsSpec extends SparkSpec {

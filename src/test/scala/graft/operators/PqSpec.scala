@@ -205,6 +205,17 @@ class PqSpec extends SparkSpec {
       "embedding", m))
     assert(inc == full, "error ledger merge diverged from recompute")
     assert(inc.map(_._2).distinct == Seq(emb.count()))
+    // BOOTSTRAP: day 0 has an empty stored ledger — the full-outer
+    // merge must accumulate the batch instead of dropping every
+    // group the prior has never seen (the left-join failure mode)
+    val empty = Pq.quantizationErrorAgainst(cbs,
+      emb.filter(col("vec_id") < 0), "vec_id", "embedding", m)
+    assert(empty.isEmpty)
+    val boot = rows(Pq.incrementalQuantizationError(cbs, empty, batch,
+      "vec_id", "embedding", m))
+    assert(boot == rows(Pq.quantizationErrorAgainst(cbs, batch,
+      "vec_id", "embedding", m)),
+      "bootstrap merge from an empty ledger lost the batch")
   }
 
   test("cellHealth: zero energy when centroids are the vectors; spine totality") {
