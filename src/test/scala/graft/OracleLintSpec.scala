@@ -57,6 +57,23 @@ class OracleLintSpec extends SparkSpec {
             "either side")
       }
 
+    // The coarse-chain replays carry the same rule as a `co0` CTE —
+    // helper-generated (coarseCtes) in q197/q198/q202, frozen inline
+    // copies in q185/q186/q189. Guard all six so no copy drifts alone.
+    val coSeedRe =
+      ("""co0 AS \(SELECT vec_id AS cid, qvec AS cent FROM (\w+)\s+""" +
+        """WHERE vec_id IN \(SELECT vec_id FROM \1\s+""" +
+        """ORDER BY vec_id ASC LIMIT 8\)\)""").r
+    Seq("q185_ivf_pq_topk", "q186_residual_ivf_pq", "q189_topic_census",
+      "q197_residual_pq_index_append", "q198_ann_index_health",
+      "q202_incremental_index_health")
+      .foreach { name =>
+        val sql = oracles.getOrElse(name, fail(s"$name has no oracle"))
+        assert(coSeedRe.findFirstIn(sql).nonEmpty,
+          s"$name oracle lost the canonical smallest-k coarse seeding " +
+            "CTE — re-sync it with Ivf.centroids / coarseCtes")
+      }
+
     // Engine side: zero-iteration centroids ARE the seeds; they must be
     // the smallest-k ids present — including on a filtered corpus (the
     // q110 history slice), where `vec_id < k` would under-seed.

@@ -357,4 +357,40 @@ class ShuffleMetricsSpec extends SparkSpec {
         s"PQ daily append shuffled $daily ≥ full recompute's $full")
     } finally { cbs.unpersist(); stored.unpersist(); () }
   }
+
+  test("index-health exchanges are CELL-bounded, never corpus-sized") {
+    // cellHealth's scale claim is not "daily shuffles less" — BOTH
+    // paths already partial-combine the per-vector argmin map-side,
+    // so the exchange carries per-(task, cell) partials whatever the
+    // input size (that is the point); the daily savings are in scan
+    // and compute, which the PqSpec inc ≡ full lane plus the
+    // batch-only lineage prove. What the listener CAN pin is the
+    // payload discipline: with a 500-vector corpus and 8 cells, the
+    // health exchanges must stay two orders below the corpus row
+    // count — a regression that ships vectors (or vec_id-grained
+    // rows) through the exchange blows straight past this bound.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val coarse = operators.Ivf.centroids(history, "vec_id", "embedding",
+      k = 8, iterations = 2).persist()
+    val stored = operators.Ivf.cellHealth(coarse, history, "vec_id",
+      "embedding").persist()
+    try {
+      coarse.count(); stored.count()
+      val n = emb.count()
+      val full = shuffleRecords {
+        operators.Ivf.cellHealth(coarse, emb, "vec_id", "embedding")
+          .count(); ()
+      }
+      val daily = shuffleRecords {
+        operators.Ivf.incrementalCellHealth(coarse, stored, batch,
+          "vec_id", "embedding").count(); ()
+      }
+      assert(full < n / 5,
+        s"full health shuffled $full of $n rows — exchange not cell-bounded")
+      assert(daily <= full,
+        s"ledger merge shuffled $daily > full recompute's $full")
+    } finally { coarse.unpersist(); stored.unpersist(); () }
+  }
 }
