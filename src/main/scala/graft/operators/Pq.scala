@@ -194,9 +194,29 @@ object Pq {
     * m·dsub dims — enforced per row, mirroring [[subvectorsOf]]'s
     * guard: a shorter vector would silently truncate the last
     * subspace's dot product (VecDot folds min(len) elements) and
-    * append a WRONG code to the stored index with no error. */
+    * append a WRONG code to the stored index with no error.
+    *
+    * Two argmin forms, chosen per subspace by k (the row semantics
+    * are identical — see [[argminCid]]):
+    *  - k ≤ `chainMaxK`: a `least(struct(d2, cid))` literal chain —
+    *    one expression node per centroid, fully whole-stage-codegen'd;
+    *  - k > `chainMaxK`: the codebook embeds as ONE `typedLit` array
+    *    of (cid, cent) structs and the argmin is a higher-order
+    *    `aggregate` fold — expression-tree size is O(1) in k, so a
+    *    production codebook (k=256, m=16 = 4096 centroids) compiles
+    *    where the chain form would blow janino's 64 KB method limit.
+    *    Spark's higher-order functions are CodegenFallback, which
+    *    excludes the projection from whole-stage codegen — the fold
+    *    form is a deliberate, TESTED interpreted fallback: the plan
+    *    stays a map-only Project (no exchange, no aggregate exec;
+    *    spec-asserted), per-row work is the same k·m distance
+    *    evaluations either way, and only the per-row dispatch is
+    *    interpreted. PqSpec pins both forms bit-equal on one
+    *    codebook and the fold form's parity with the batch
+    *    [[encode]] at k = 64. */
   def encodeCodesExpr(qvec: Column,
-      cbsLocal: IndexedSeq[Seq[(Long, Seq[Double])]]): Column = {
+      cbsLocal: IndexedSeq[Seq[(Long, Seq[Double])]],
+      chainMaxK: Int = 16): Column = {
     require(cbsLocal.nonEmpty && cbsLocal.forall(_.nonEmpty),
       "encodeCodesExpr needs at least one centroid per subspace")
     val dsub = cbsLocal.head.head._2.size
@@ -205,13 +225,42 @@ object Pq {
       .otherwise(raise_error(concat(
         lit("PQ: vector length "), size(qvec),
         lit(s" != ${m * dsub} = m*dsub of the literal codebook"))))
-    array(cbsLocal.indices.map { s =>
-      val svec = slice(guarded, s * dsub + 1, dsub)
-      cbsLocal(s).map { case (cid, cent) =>
-        struct(dist2(svec, typedLit(cent)).as("d2"),
-          lit(cid).as("cid"))
-      }.reduce((a, b) => least(a, b)).getField("cid")
-    }: _*)
+    // Both forms compute the lexicographic minimum of (d2, cid) over
+    // the same per-subspace centroid list: the chain reduces
+    // least(struct) pairwise left-to-right; the fold keeps a
+    // running-min struct seeded at (Double.MaxValue, Long.MaxValue) —
+    // strictly greater than any real candidate (grid d2 values are
+    // finite, seed cids are < 2³²) — replaced on a strict struct `<`.
+    // Distinct cids make every pairwise comparison decisive, so the
+    // two forms are bit-identical on every input (spec-pinned), and
+    // both match [[assign]]'s aggregate min(struct(d2, cid)).
+    if (cbsLocal.forall(_.size <= chainMaxK))
+      array(cbsLocal.indices.map { s =>
+        val svec = slice(guarded, s * dsub + 1, dsub)
+        cbsLocal(s).map { case (cid, cent) =>
+          struct(dist2(svec, typedLit(cent)).as("d2"),
+            lit(cid).as("cid"))
+        }.reduce((a, b) => least(a, b)).getField("cid")
+      }: _*)
+    else {
+      // The subvector binds as a LAMBDA VARIABLE (zip_with), not a
+      // subexpression inside the fold: higher-order functions
+      // re-evaluate non-lambda subexpressions per element, so an
+      // in-lambda slice would copy the subvector k times per subspace
+      // — bound once here, the per-element work is exactly the
+      // distance evaluation, same as the batch [[assign]] path.
+      val svecs = transform(sequence(lit(0), lit(m - 1)),
+        s => slice(guarded, s * dsub + 1, lit(dsub)))
+      zip_with(svecs, typedLit(cbsLocal.map(_.toSeq).toSeq), (sv, cb) =>
+        aggregate(cb,
+          struct(lit(Double.MaxValue).as("d2"),
+            lit(Long.MaxValue).as("cid")),
+          (acc, c) => {
+            val cand = struct(dist2(sv, c.getField("_2")).as("d2"),
+              c.getField("_1").as("cid"))
+            when(cand < acc, cand).otherwise(acc)
+          }).getField("cid"))
+    }
   }
 
   /** Collect a stored codebook into [[encodeCodesExpr]]'s driver-side

@@ -299,6 +299,62 @@ class PqSpec extends SparkSpec {
     assert(e.getMessage.contains("m*dsub"), s"wrong failure: ${e.getMessage}")
   }
 
+  test("encodeCodesExpr: fold form ≡ chain form bit-for-bit") {
+    // chainMaxK = 0 forces the typedLit-array + aggregate() fold on
+    // the same k=8 codebook the chain form serves by default — the
+    // two argmins must agree on every row (same lexicographic
+    // (d2, cid) minimum), or a production-size codebook would encode
+    // differently from the gated one
+    val m = 4
+    val cbs = Pq.codebooks(emb, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val local = Pq.localCodebook(cbs, m)
+    val q = Ivf.quantized(emb, "vec_id", "embedding")
+    def codes(chainMaxK: Int) = q
+      .select(col("vec_id"),
+        Pq.encodeCodesExpr(col("qvec"), local, chainMaxK).as("codes"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    assert(codes(0) == codes(16),
+      "aggregate-fold argmin diverged from the least-chain argmin")
+  }
+
+  test("encodeCodesExpr at k = 64 (fold form) ≡ batch encode") {
+    // production-shape codebook: k=64 exceeds the chain ceiling, so
+    // the O(1)-tree fold form carries the encode — and must match the
+    // batch broadcast-codebook path bit-for-bit (the scale contract:
+    // a k=256×m=16 deployment compiles because tree size no longer
+    // grows with k)
+    val m = 4
+    val cbs = Pq.codebooks(emb, "vec_id", "embedding", m, k = 64,
+      iterations = 2)
+    val inRow = Ivf.quantized(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        Pq.encodeCodesExpr(col("qvec"), Pq.localCodebook(cbs, m))
+          .as("codes"))
+    val got = inRow.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    val batch = Pq.encode(emb, "vec_id", "embedding", m, cbs)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    assert(got == batch, "k=64 fold encoder diverged from batch encode")
+    // codes actually use the wider codebook (not stuck on 8 seeds)
+    assert(got.flatMap(_._2).distinct.size > 8,
+      "k=64 encode collapsed to a handful of centroids")
+    // the fold is a DOCUMENTED interpreted fallback (higher-order
+    // functions are CodegenFallback, so the projection leaves
+    // whole-stage codegen) — what must hold is the plan SHAPE: a
+    // map-only Project over the scan, no exchange, no aggregate exec,
+    // so the stream/encode stays stateless and shuffle-free at any k
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val exec = inRow.queryExecution.executedPlan
+    assert(exec.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"fold encoder plan grew an exchange:\n$exec")
+    assert(exec.collect { case a: BaseAggregateExec => a }.isEmpty,
+      s"fold encoder plan grew an aggregate:\n$exec")
+  }
+
   test("appendCodes ≡ encode(history ∪ batch) against the fixed codebooks") {
     val m = 4
     val history = emb.filter(col("vec_id") % 3 > 0)
