@@ -190,23 +190,40 @@ object Curation {
     * through the same per-host offset window. Identical values (all
     * integer sums, decomposition-transparent); the price is one extra
     * corpus exchange, paid only when the probe says the one-window-
-    * per-slice form would serialize. */
+    * per-slice form would serialize.
+    *
+    * The probe is an eager per-call action (one map-side-combined
+    * count scan); a caller that KNOWS its slices are bounded —
+    * steady-state daily runs over audited corpora — opts out by
+    * passing `sliceRowBound = Long.MaxValue`, which skips the probe
+    * entirely (no slice can exceed an unbounded bound) and always
+    * takes the common lane. */
   def hostTokenBudget(docs: DataFrame, hostCol: String, idCol: String,
       tokensCol: String, qualityCol: String, budgetTokens: Long,
       sliceRowBound: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persisted BEFORE the census probe: the probe is an eager action,
-    // and without the cache it would execute the whole upstream
-    // lineage once for the count and again for the chosen lane
+    // NOT persisted: each lane caches its own repartitioned `part`
+    // (the frame both branches read), and persisting here too would
+    // hold a second corpus-sized cache copy for the lifetime of the
+    // query for at most one saved upstream scan
     val sliced = docs.withColumn("__slice",
-        struct(col(hostCol).as("h"), col(qualityCol).as("q")))
-      .transform(graft.util.CacheScope.persist)
+      struct(col(hostCol).as("h"), col(qualityCol).as("q")))
     val wOff = Window.partitionBy(col("__slice.h"))
       .orderBy(col("__slice.q").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val degenerate = !sliced.groupBy(col("__slice"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > sliceRowBound).isEmpty
+    // (max slice rows, total rows) in ONE map-side-combined scan; the
+    // total sizes the ranged lane's chunk count if it engages
+    val probe: Option[(Long, Long)] =
+      if (sliceRowBound == Long.MaxValue) None
+      else {
+        val r = sliced.groupBy(col("__slice"))
+          .agg(count(lit(1)).as("__n"))
+          .agg(coalesce(max(col("__n")), lit(0L)),
+            coalesce(sum(col("__n")), lit(0L)))
+          .collect()(0)
+        Some((r.getLong(0), r.getLong(1)))
+      }
+    val degenerate = probe.exists(_._1 > sliceRowBound)
     if (!degenerate) {
       val part = sliced
         .repartition(col("__slice"))
@@ -227,11 +244,29 @@ object Curation {
       // ranged lane: chunk = range-partition ordinal, contiguous in
       // id within each slice, so chunk-local prefix + earlier-chunk
       // subtotals + better-slice subtotals reassemble the exact
-      // running sum. spark_partition_id is pinned by the persist.
+      // running sum. The chunk COUNT is data-derived from the census
+      // total (RangePartitioner aims for equal row counts, so each
+      // chunk carries ~sliceRowBound/2 rows) and passed EXPLICITLY —
+      // a user-specified count is exempt from AQE coalescing, which
+      // could otherwise merge the mega slice back into one chunk and
+      // re-serialize the window the lane exists to split. The chunk
+      // ORDINAL is physical-partition-derived, so the frame is
+      // eagerly localCheckpoint'ed, not persisted: a persisted plan
+      // can be recomputed on cache eviction, and a recompute under
+      // different runtime conditions could assign different chunks
+      // to the per-chunk offsets branch than the row-level window
+      // saw — silently corrupting cum_tokens. A checkpoint truncates
+      // lineage: the assignment CANNOT be recomputed, and a lost
+      // checkpoint block is a loud task failure, never silent
+      // divergence.
+      val numChunks = math.max(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        math.min(Int.MaxValue.toLong,
+          2L * probe.get._2 / sliceRowBound + 1L).toInt)
       val part = sliced
-        .repartitionByRange(col("__slice"), col(idCol))
+        .repartitionByRange(numChunks, col("__slice"), col(idCol))
         .withColumn("__chunk", spark_partition_id())
-        .transform(graft.util.CacheScope.persist)
+        .localCheckpoint()
       val wLocal = Window.partitionBy(col("__slice"), col("__chunk"))
         .orderBy(col(idCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -292,7 +292,9 @@ object Decontam {
       .select(col("doc_id"),
         explode(sequence(col("start_doc"),
           col("start_doc") + col("span_words") - 1)).as("rmpos"))
-      .distinct() // overlapping quotes cover a position twice
+      // overlapping quotes cover a position twice — collect_set is
+      // the dedup (a pre-aggregate .distinct() would add a second
+      // corpus-keyed exchange for nothing)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("rmpos")).as("__rm"))
     Dedup.cutPositions(corpus, idCol, textCol, removal, removalJoin)

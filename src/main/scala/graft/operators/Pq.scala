@@ -310,20 +310,30 @@ object Pq {
     * avg_err). */
   def quantizationError(embeddings: DataFrame, idCol: String,
       vecCol: String, m: Int, numCentroids: Int,
-      iterations: Int): DataFrame =
-    // codebooks() persists the subvector frame; the scoring pass below
-    // rebuilds the identical plan, so the CacheManager's plan-equality
-    // lookup serves it from that cache — one corpus explode, not two
-    quantizationErrorAgainst(
-      codebooks(embeddings, idCol, vecCol, m, numCentroids, iterations),
-      embeddings, idCol, vecCol, m)
+      iterations: Int): DataFrame = {
+    // ONE persisted subvector frame feeds both the training chain and
+    // the scoring pass — the single-scan property is STRUCTURAL (both
+    // consumers hold the same Dataset), not an incidental CacheManager
+    // plan-equality hit that a refactor perturbing either plan would
+    // silently lose (doubling the corpus explode)
+    val sv = subvectors(embeddings, idCol, vecCol, m)
+      .transform(graft.util.CacheScope.persist)
+    val cbs = trainCodebooks(sv, seedIds(embeddings, idCol, numCentroids),
+      iterations)
+    errorBySubspace(assign(sv, cbs, withVec = false))
+  }
 
   /** [[quantizationError]] against FIXED stored codebooks — no
     * training; the form the daily ledger path consumes. */
   def quantizationErrorAgainst(cbs: DataFrame, embeddings: DataFrame,
       idCol: String, vecCol: String, m: Int): DataFrame =
-    assign(subvectors(embeddings, idCol, vecCol, m), cbs,
-        withVec = false)
+    errorBySubspace(assign(subvectors(embeddings, idCol, vecCol, m),
+      cbs, withVec = false))
+
+  /** Shared audit tail: per-subspace counts + exact floored error
+    * sums over an [[assign]] output. */
+  private def errorBySubspace(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("sub"), floor(col("d2")).cast("long").as("__e"))
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("__e")).as("err_sum"))
@@ -357,11 +367,17 @@ object Pq {
     * hot and cold dimensions instead of whatever contiguous slice the
     * storage order happened to put together.
     *
-    * The ranking statistic is Σ floor(x²·10⁻⁶) per dimension — the
-    * per-row mega-scaling bounds each addend by 10⁶, so the corpus
-    * sum stays an EXACT long far past 2⁵³-sized corpora (a raw Σx²
-    * double sum goes order-dependent at ~10⁴ vectors), and the
-    * identical floor-divide evaluates bit-equal in both engines. One
+    * The ranking statistic is Σ (x² div 10⁶) per dimension, computed
+    * in INTEGER arithmetic: grid values are integral doubles, so x²
+    * is an exactly-representable integer-valued double while
+    * x² < 2⁵³ (raw |value| < ~94.9 on the 10⁶ grid — far past any
+    * unit-normalized embedding), the BIGINT cast is exact, and the
+    * integer DIV never rounds (a double divide by 10⁶ could round
+    * across the floor boundary once x² grows large). The per-row
+    * mega-scaling bounds each addend, so the corpus sum stays an
+    * EXACT long far past 2⁵³-sized corpora (a raw Σx² double sum
+    * goes order-dependent at ~10⁴ vectors), and the identical
+    * integer arithmetic evaluates bit-equal in both engines. One
     * posexplode + one dim-keyed aggregate (64 groups); the ranking
     * window runs over the 64-row aggregate, not the corpus. Output:
     * (d 1-based, energy, rnk, sub). */
@@ -373,7 +389,7 @@ object Pq {
     Ivf.quantized(embeddings, idCol, vecCol)
       .select(posexplode(col("qvec")).as(Seq("p", "x")))
       .select((col("p") + 1).cast("int").as("d"),
-        floor(col("x") * col("x") / lit(1000000.0)).cast("long").as("e"))
+        expr("CAST(x * x AS BIGINT) DIV 1000000").as("e"))
       .groupBy(col("d"))
       .agg(sum(col("e")).as("energy"))
       .withColumn("rnk", row_number().over(w))

@@ -1669,7 +1669,9 @@ ${coarseCtes("vec_id % 3 > 0")},
   // BALANCED dimension permutation — OPQ's cheap deterministic
   // cousin, the fix q199's audit points at when one subspace hoards
   // the error: dims rank by exact mega-scaled corpus energy
-  // (Σ floor(x²·10⁻⁶), long-summed — order-free far past 2⁵³-sized
+  // (Σ (x² div 10⁶) in integer arithmetic — grid x² is an exact
+  // integer-valued double, the BIGINT cast exact, the integer DIV
+  // never rounds; long-summed, order-free far past 2⁵³-sized
   // corpora) and deal to the m subspaces in SNAKE order, so each
   // subspace gets an energy-balanced mix instead of a contiguous
   // storage-order slice. The ranking window runs over the 64-row
@@ -1688,7 +1690,7 @@ ${coarseCtes("vec_id % 3 > 0")},
         FROM embeddings),
       pe AS (
         SELECT d,
-               SUM(CAST(floor(qvec[d] * qvec[d] / 1000000.0) AS BIGINT))
+               SUM(CAST(qvec[d] * qvec[d] AS BIGINT) // 1000000)
                  AS energy
         FROM vx, UNNEST(generate_series(1, 64)) t(d)
         GROUP BY d),
@@ -1736,7 +1738,7 @@ ${coarseCtes("vec_id % 3 > 0")},
         FROM embeddings),
       pe AS (
         SELECT d,
-               SUM(CAST(floor(qvec0[d] * qvec0[d] / 1000000.0) AS BIGINT))
+               SUM(CAST(qvec0[d] * qvec0[d] AS BIGINT) // 1000000)
                  AS energy
         FROM base, UNNEST(generate_series(1, 64)) t(d)
         GROUP BY d),

@@ -231,6 +231,55 @@ class HostCurationSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("hostTokenBudget: Long.MaxValue bound skips the census probe") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a.org", 40L, 500000L), (2L, "a.org", 40L, 500000L),
+      (3L, "a.org", 60L, 900000L), (4L, "b.org", 150L, 990000L),
+      (5L, "c.org", 30L, 100000L), (6L, "c.org", 30L, 200000L)
+    ).toDF("doc_id", "host", "n_tokens", "q_micro")
+    // the opt-out contract: building the plan runs ZERO eager jobs
+    // (no slice-census action), and the common-lane numbers are
+    // bit-identical to the probing default
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def planned(bound: Long) = {
+      s.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        val out = Curation.hostTokenBudget(docs, "host", "doc_id",
+          "n_tokens", "q_micro", budgetTokens = 100L,
+          sliceRowBound = bound)
+        var prev = -1
+        var stable = 0
+        while (stable < 3) { // three quiet polls = listener bus drained
+          Thread.sleep(100)
+          val now = jobs.get
+          if (now == prev) stable += 1 else { stable = 0; prev = now }
+        }
+        (out, jobs.get)
+      } finally s.sparkContext.removeSparkListener(listener)
+    }
+    val (optOut, optOutJobs) = planned(Long.MaxValue)
+    assert(optOutJobs == 0,
+      s"opt-out still ran $optOutJobs eager probe job(s) at plan time")
+    val (probing, probingJobs) = planned(4000000L)
+    assert(probingJobs > 0, "default bound should probe eagerly " +
+      "(listener harness broken otherwise)")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cum_tokens", "kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    assert(rows(optOut) == rows(probing),
+      "opt-out lane diverged from the probing common lane")
+  }
+
   test("hostTokenBudget: mega-host slices match the single-window form") {
     val s = spark
     import s.implicits._
@@ -332,10 +381,16 @@ class HostCurationSpec extends SparkSpec {
     // no single window partition carries the mega slice whole: the
     // corpus window keys on (slice, chunk), and the mega host's rows
     // must span > 1 range chunk under the forced layout
+    // mirror the operator's data-derived explicit chunk count (an
+    // unspecified count would let AQE coalesce this tiny shuffle to
+    // one partition and the census below would measure nothing)
+    val numChunks = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (2L * rows.size / 50L + 1L).toInt)
     val chunks = docs
       .withColumn("__slice",
         struct(col("host").as("h"), col("q_micro").as("q")))
-      .repartitionByRange(col("__slice"), col("doc_id"))
+      .repartitionByRange(numChunks, col("__slice"), col("doc_id"))
       .withColumn("__chunk", spark_partition_id())
       .filter(col("host") === "spam.example" && col("q_micro") === 700000L)
       .select("__chunk").distinct().count()
