@@ -398,6 +398,36 @@ object Pq {
           s"ELSE ${m - 1} - (rnk - 1) % $m END").cast("int"))
   }
 
+  /** The [[balancedPermutation]] table collapsed to the in-row
+    * application ORDER — position p of the permuted vector reads
+    * source dimension order(p). Order = (sub asc, d asc), so
+    * subspace s owns the s-th contiguous dsub-dim block of the
+    * permuted layout and a plain [[subvectors]] slice lands each
+    * subspace exactly its dealt dimensions. The collect is d rows
+    * (64 for the testdata layout) — the PageRank node-count bounded
+    * class, NOT a corpus collect; this is how the stored permutation
+    * table becomes a plan literal at search/encode time. */
+  def permutationOrder(perm: DataFrame): IndexedSeq[Int] =
+    perm.select(col("sub"), col("d"))
+      .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
+      .map(_.getInt(1)).toIndexedSeq
+
+  /** Reorder the vector column in-row by a literal permutation
+    * (1-based source dims, the [[permutationOrder]] shape) — a pure
+    * projection, no shuffle; the output keeps `vecCol`'s name so the
+    * whole codebook/encode/search surface runs on the permuted
+    * layout unchanged. Applying the SAME order to base, batch, and
+    * query vectors preserves every pairwise distance exactly
+    * (element-wise reorder), which is what makes the permuted index
+    * transparent to exact rescoring. */
+  def applyPermutation(embeddings: DataFrame, idCol: String,
+      vecCol: String, order: IndexedSeq[Int]): DataFrame = {
+    require(order.nonEmpty && order.sorted == (1 to order.size),
+      s"order must be a permutation of 1..${order.size}")
+    embeddings.select(col(idCol),
+      array(order.map(d => col(vecCol).getItem(d - 1)): _*).as(vecCol))
+  }
+
   /** Floor-quantized residual subvectors of `embeddings` against a
     * FIXED coarse codebook — the shared front of the stored residual
     * index's build and encode halves. `assigned` is the (vec_id, cid)
@@ -670,7 +700,40 @@ object Pq {
         coarseIterations, m, numCentroids, pqIterations, nprobe,
         shortlistK)
       .select(col("q_id"), col("n_id"))
-    val baseQ = Ivf.quantized(embeddings, idCol, vecCol)
+    exactRerank(embeddings, queries, idCol, vecCol, short, topK)
+  }
+
+  /** [[ivfPqRerankTopK]] over a STORED index — the q194 build/apply
+    * split applied to the funnel, completing the deployment shape
+    * "stored index + rerank": `coarse`/`cbs` are the fixed codebooks
+    * and `assigned`/`codes` the daily-maintained tables (exactly
+    * [[ivfPqSearch]]'s inputs); the ADC shortlist comes from the
+    * stored state with NO training stage in the plan, and only the
+    * shortlist's nq·shortlistK candidates touch full vectors on the
+    * one `base` scan. [[ivfPqRerankTopK]] is exactly build + this;
+    * per-row determinism against fixed codebooks makes the funnel
+    * over daily-merged tables equal the full-recompute funnel. */
+  def ivfPqRerankSearch(coarse: DataFrame, cbs: DataFrame,
+      assigned: DataFrame, codes: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, m: Int,
+      nprobe: Int, shortlistK: Int, topK: Int): DataFrame = {
+    require(shortlistK >= topK,
+      s"shortlistK=$shortlistK must be >= topK=$topK")
+    val short = ivfPqSearch(coarse, cbs, assigned, codes, queries,
+        idCol, vecCol, m, nprobe, shortlistK)
+      .select(col("q_id"), col("n_id"))
+    exactRerank(base, queries, idCol, vecCol, short, topK)
+  }
+
+  /** Shared funnel tail: exact integral-grid rescore of a per-query
+    * shortlist. The shortlist and query panel BROADCAST onto one
+    * base scan — full vectors never cross an exchange; the only
+    * exchange is the final per-query top-k window over
+    * nq·shortlistK scored rows. */
+  private def exactRerank(base: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, short: DataFrame,
+      topK: Int): DataFrame = {
+    val baseQ = Ivf.quantized(base, idCol, vecCol)
     val qpanel = Ivf.quantized(queries, idCol, vecCol)
       .select(col("vec_id").as("q_id"), col("qvec").as("__qv"))
     val w = org.apache.spark.sql.expressions.Window

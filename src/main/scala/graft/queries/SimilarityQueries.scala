@@ -1718,17 +1718,15 @@ ${coarseCtes("vec_id % 3 > 0")},
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
       // permutation order = (sub asc, d asc): subspace s owns the
-      // s-th 16-dim block of the permuted vector
-      val perm = graft.operators.Pq.balancedPermutation(e, "vec_id",
-          "embedding", m = 4)
-        .select(col("sub"), col("d"))
-        .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
-        .map(_.getInt(1))
-      val permuted = e.select(col("vec_id"),
-        array(perm.toIndexedSeq.map(d =>
-          col("embedding").getItem(d - 1)): _*).as("pvec"))
-      graft.operators.Pq.quantizationError(permuted, "vec_id", "pvec",
-          m = 4, numCentroids = 8, iterations = 2)
+      // s-th 16-dim block of the permuted vector (the
+      // Pq.permutationOrder contract; 64-row bounded collect)
+      val permuted = graft.operators.Pq.applyPermutation(e, "vec_id",
+        "embedding",
+        graft.operators.Pq.permutationOrder(
+          graft.operators.Pq.balancedPermutation(e, "vec_id",
+            "embedding", m = 4)))
+      graft.operators.Pq.quantizationError(permuted, "vec_id",
+          "embedding", m = 4, numCentroids = 8, iterations = 2)
         .orderBy(col("sub"))
     },
     Some(raw"""
@@ -1771,7 +1769,217 @@ ${coarseCtes("vec_id % 3 > 0")},
       FROM err ORDER BY sub
     """))
 
+  // --------------------------------------------------------------- q207
+  // PERMUTED stored-index lifecycle — q204's OPQ-lite permutation
+  // finally CONSUMED by the index it exists to improve: the
+  // permutation derives from HISTORY's per-dim energy (built when the
+  // index is built), history vectors reorder in-row (the 64-entry
+  // order is a plan literal — the q205 bounded-action class), coarse +
+  // PQ codebooks train on the permuted layout, the day's batch appends
+  // in the SAME layout (q194 contract, codebooks fixed), and queries
+  // permute in-row before searching the stored tables (q185's
+  // ivfPqSearch). The oracle replays permutation → permuted corpus →
+  // history-trained coarse/PQ chains → full encode → probes →
+  // cell-restricted ADC. Applying one order to base, batch, and query
+  // preserves every pairwise distance exactly, which is what makes
+  // the permuted index transparent to its consumers.
+  private val q207 = Q(
+    "q207_permuted_pq_index_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val order = graft.operators.Pq.permutationOrder(
+        graft.operators.Pq.balancedPermutation(history, "vec_id",
+          "embedding", m = 4))
+      def permute(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Pq.applyPermutation(df, "vec_id", "embedding",
+          order)
+      val ph = permute(history)
+      val pb = permute(batch)
+      val coarse = graft.operators.Ivf.centroids(ph, "vec_id",
+        "embedding", 8, 2)
+      val cbs = graft.operators.Pq.codebooks(ph, "vec_id", "embedding",
+        m = 4, k = 8, iterations = 2)
+      def assignOf(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Ivf.assignIds(
+            graft.operators.Ivf.quantized(df, "vec_id", "embedding"),
+            coarse)
+          .select(col("vec_id"), col("cid"))
+      val assigned = assignOf(ph).unionByName(assignOf(pb))
+      val codes = graft.operators.Pq.appendCodes(
+        graft.operators.Pq.encode(ph, "vec_id", "embedding", 4, cbs),
+        cbs, pb, "vec_id", "embedding", 4)
+      graft.operators.Pq.ivfPqSearch(coarse, cbs, assigned, codes,
+          permute(e.filter(col("vec_id") < 10)), "vec_id", "embedding",
+          m = 4, nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec0
+        FROM embeddings),
+      pe AS (
+        SELECT d,
+               SUM(CAST(qvec0[d] * qvec0[d] AS BIGINT) // 1000000)
+                 AS energy
+        FROM base, UNNEST(generate_series(1, 64)) t(d)
+        WHERE vec_id % 3 > 0
+        GROUP BY d),
+      pr AS (
+        SELECT d, energy,
+               ROW_NUMBER() OVER (ORDER BY energy DESC, d ASC) AS rnk
+        FROM pe),
+      ps AS (
+        SELECT d,
+               CASE WHEN ((rnk - 1) // 4) % 2 = 0 THEN (rnk - 1) % 4
+                    ELSE 3 - (rnk - 1) % 4 END AS sub
+        FROM pr),
+      pl AS (SELECT list(d ORDER BY sub, d) AS perm FROM ps),
+      vx AS (
+        SELECT b.vec_id, list_transform(p.perm, i -> b.qvec0[i]) AS qvec
+        FROM base b, pl p),
+${coarseCtes("vec_id % 3 > 0")},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      ${pqSubChains("vec_id % 3 > 0")},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM cand c
+        JOIN enc e ON e.vec_id = c.n_id
+        JOIN qd0 d0 ON d0.q_id = c.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = c.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = c.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = c.q_id AND d3.cid = e.cb3)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q208
+  // STORED-index rerank funnel — the q194/q197 build/apply split
+  // applied to q195: coarse + PQ codebooks train once on history and
+  // stay FIXED, the stored (assigned, codes) tables absorb the day's
+  // batch by append, and the funnel (ADC shortlist-20 → exact
+  // integral-grid rescore → top-5) consumes the STORED state with no
+  // training stage in the search plan (PqSpec pins no-Lloyd over a
+  // parquet round-trip). The oracle trains both chains on the history
+  // slice only, encodes every row, and replays shortlist + rerank —
+  // equality proves no Lloyd re-iteration and no history re-encode
+  // leaked into the deployment path.
+  private val q208 = Q(
+    "q208_stored_rerank_funnel",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      val cbs = graft.operators.Pq.codebooks(history, "vec_id",
+        "embedding", m = 4, k = 8, iterations = 2)
+      def assignOf(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Ivf.assignIds(
+            graft.operators.Ivf.quantized(df, "vec_id", "embedding"),
+            coarse)
+          .select(col("vec_id"), col("cid"))
+      val assigned = assignOf(history).unionByName(assignOf(batch))
+      val codes = graft.operators.Pq.appendCodes(
+        graft.operators.Pq.encode(history, "vec_id", "embedding", 4, cbs),
+        cbs, batch, "vec_id", "embedding", 4)
+      graft.operators.Pq.ivfPqRerankSearch(coarse, cbs, assigned, codes,
+          e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          m = 4, nprobe = 2, shortlistK = 20, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      ${pqSubChains("vec_id % 3 > 0")},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM cand c
+        JOIN enc e ON e.vec_id = c.n_id
+        JOIN qd0 d0 ON d0.q_id = c.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = c.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = c.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = c.q_id AND d3.cid = e.cb3),
+      short AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+          FROM scored)
+        WHERE rnk <= 20),
+      rr AS (
+        SELECT sh.q_id, sh.n_id,
+               list_dot_product(qv.qvec, qv.qvec)
+               - 2.0 * list_dot_product(qv.qvec, nv.qvec)
+               + list_dot_product(nv.qvec, nv.qvec) AS exact_d2
+        FROM short sh
+        JOIN vx qv ON qv.vec_id = sh.q_id
+        JOIN vx nv ON nv.vec_id = sh.n_id)
+      SELECT q_id, n_id, exact_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, exact_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY exact_d2 ASC, n_id ASC) AS rnk
+        FROM rr)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
-    q201, q202, q203, q204, q205)
+    q201, q202, q203, q204, q205, q207, q208)
 }

@@ -58,6 +58,13 @@ class PlanAuditSpec extends SparkSpec {
       // + a rerank that is pure equi-joins on the ≤ |Q|·shortlist
       // frame — no new cross-shaped fan
       "q195_ivf_pq_rerank",
+      // q207 = q185's search over the permuted layout (the in-row
+      // reorder is a projection) — same bounded coarse-probe and
+      // query-table fans, nothing new crosses
+      "q207_permuted_pq_index_search",
+      // q208 = q185's stored-table search + q195's equi-join rerank
+      // on the ≤ |Q|·shortlist frame — the same bounded fans
+      "q208_stored_rerank_funnel",
       // q197's coarse assignment fans the ≤ numCoarse codebook over
       // the corpus (q36/q110's bounded class); the residual-PQ encode
       // is sub-keyed equi-joins, the append a union, the cid reattach

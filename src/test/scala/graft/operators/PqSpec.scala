@@ -511,6 +511,91 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("stored rerank funnel ≡ in-fixture funnel; no Lloyd in the search plan") {
+    // the q194 no-retrain discipline for the funnel: persist the
+    // whole index (coarse, codebooks, assignment, codes) to parquet,
+    // read it back, and run ivfPqRerankSearch over the STORED tables —
+    // results must equal the in-fixture ivfPqRerankTopK (build + this
+    // is the whole definition), and the search plan must carry no
+    // training stage (VecSumAgg is the Lloyd recompute's fingerprint)
+    val m = 4
+    val q = emb.filter(col("vec_id") < 10)
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val cbs = Pq.codebooks(emb, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(emb, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid"))
+    val codes = Pq.encode(emb, "vec_id", "embedding", m, cbs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stored_funnel").toString
+    coarse.write.parquet(s"$dir/coarse")
+    cbs.write.parquet(s"$dir/cbs")
+    assigned.write.parquet(s"$dir/assigned")
+    codes.write.parquet(s"$dir/codes")
+    val stored = Pq.ivfPqRerankSearch(
+      spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/cbs"),
+      spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/codes"),
+      emb, q, "vec_id", "embedding", m, nprobe = 2, shortlistK = 20,
+      topK = 5)
+    val fixture = Pq.ivfPqRerankTopK(emb, q, "vec_id", "embedding",
+      numCoarse = 8, coarseIterations = 2, m = m, numCentroids = 8,
+      pqIterations = 2, nprobe = 2, shortlistK = 20, topK = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rnk").collect().toSeq
+    assert(rows(stored) == rows(fixture),
+      "stored-index funnel diverged from the in-fixture funnel")
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(!plan.contains("VecSumAgg") && !plan.contains("vec_sum"),
+      s"Lloyd recompute leaked into the stored-index search plan:\n$plan")
+  }
+
+  test("permuted stored index: probing-all full-shortlist funnel ≡ plain") {
+    // the q185 probing-all discipline for the q207 lifecycle: with
+    // every cell probed and the shortlist covering the corpus, the
+    // exact rescore decides everything — and exact integral-grid
+    // distances are PERMUTATION-INVARIANT (grid dot products are sums
+    // of integer products, 64·1e12 < 2^53, so they are exact integers
+    // regardless of addend order), so the permuted index must
+    // reproduce the plain funnel bit-for-bit, exact_d2 included
+    val m = 4
+    val order = Pq.permutationOrder(
+      Pq.balancedPermutation(emb, "vec_id", "embedding", m))
+    assert(order.sorted == (1 to 64), "order is not a 64-permutation")
+    def permute(df: org.apache.spark.sql.DataFrame) =
+      Pq.applyPermutation(df, "vec_id", "embedding", order)
+    val pe = permute(emb)
+    val coarse = Ivf.centroids(pe, "vec_id", "embedding", 8, 2)
+    val cbs = Pq.codebooks(pe, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(pe, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid"))
+    val codes = Pq.encode(pe, "vec_id", "embedding", m, cbs)
+    val q = emb.filter(col("vec_id") < 5)
+    val permuted = Pq.ivfPqRerankSearch(coarse, cbs, assigned, codes,
+        pe, permute(q), "vec_id", "embedding", m, nprobe = 8,
+        shortlistK = 2000, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val plain = Pq.ivfPqRerankTopK(emb, q, "vec_id", "embedding",
+        numCoarse = 8, coarseIterations = 2, m = m, numCentroids = 8,
+        pqIterations = 2, nprobe = 8, shortlistK = 2000, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(permuted == plain,
+      "permuted index broke exact-distance invariance")
+  }
+
+  test("applyPermutation rejects a non-permutation order") {
+    val e = intercept[IllegalArgumentException] {
+      Pq.applyPermutation(emb, "vec_id", "embedding",
+        IndexedSeq(1, 2, 2, 4))
+    }
+    assert(e.getMessage.contains("permutation"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("ragged dimension raises instead of silently dropping dims") {
     // d=6 with m=4: slice arithmetic would score only 4 of 6 dims —
     // the guard must turn that into a loud failure, not wrong ranks
