@@ -382,16 +382,48 @@ object Pq {
     * window runs over the 64-row aggregate, not the corpus. Output:
     * (d 1-based, energy, rnk, sub). */
   def balancedPermutation(embeddings: DataFrame, idCol: String,
-      vecCol: String, m: Int): DataFrame = {
-    require(m >= 1, s"m=$m subspaces must be >= 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("energy").desc, col("d").asc)
+      vecCol: String, m: Int): DataFrame =
+    permutationFromEnergy(dimEnergy(embeddings, idCol, vecCol), m)
+      .select(col("d"), col("energy"), col("rnk"), col("sub"))
+
+  /** Per-dimension energy LEDGER — [[balancedPermutation]]'s ranking
+    * statistic as a stored sufficient-statistics table: (d, energy,
+    * n_vectors), where energy is the exact mega-scaled long sum and
+    * n_vectors the rows that built it. Energies ADD under
+    * concatenation, so the stored ledger absorbs a day's batch by
+    * scoring only the new vectors and [[Ledger.merge]]-ing
+    * ([[incrementalDimEnergy]]) — history is never re-read, and the
+    * permutation re-derives as a VIEW over the merged ledger
+    * ([[permutationFromEnergy]]). Ledger drift against the layout
+    * the index was built with is the OPQ retrain trigger. */
+  def dimEnergy(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
     Ivf.quantized(embeddings, idCol, vecCol)
       .select(posexplode(col("qvec")).as(Seq("p", "x")))
       .select((col("p") + 1).cast("int").as("d"),
         expr("CAST(x * x AS BIGINT) DIV 1000000").as("e"))
       .groupBy(col("d"))
-      .agg(sum(col("e")).as("energy"))
+      .agg(sum(col("e")).as("energy"), count(lit(1)).as("n_vectors"))
+
+  /** O(new) DAILY form of the energy ledger — the q202/q203
+    * sufficient-statistics discipline on the dimension axis: only
+    * `fresh` is scanned; sums add via the shared full-outer
+    * [[Ledger.merge]]. Oracle = [[dimEnergy]] over history ∪ batch. */
+  def incrementalDimEnergy(prior: DataFrame, fresh: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    Ledger.merge(prior, dimEnergy(fresh, idCol, vecCol), "d",
+      Seq("energy", "n_vectors"))
+
+  /** The snake-deal permutation as a VIEW over an energy ledger:
+    * rank by (energy desc, d asc), deal ranks to the m subspaces in
+    * snake order. The window runs over the d-row ledger (64 for the
+    * testdata layout), never a corpus. Output: ledger columns +
+    * (rnk, sub). */
+  def permutationFromEnergy(ledger: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m=$m subspaces must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("energy").desc, col("d").asc)
+    ledger
       .withColumn("rnk", row_number().over(w))
       .withColumn("sub",
         expr(s"CASE WHEN ((rnk - 1) DIV $m) % 2 = 0 THEN (rnk - 1) % $m " +

@@ -1979,7 +1979,88 @@ ${coarseCtes("vec_id % 3 > 0")},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q209
+  // O(new) dimension-energy ledger + layout-drift report — the
+  // q202/q203 sufficient-statistics discipline applied to q204's
+  // ranking statistic: per-dim energies are exact long sums, so the
+  // stored (d, energy, n_vectors) ledger absorbs the day's batch by
+  // scoring ONLY the new vectors and adding (shared full-outer
+  // Ledger.merge); the permutation re-derives as a 64-row window VIEW
+  // over the merged ledger. The report joins the layout the index was
+  // BUILT with (the history-only view): a dim whose subspace moved
+  // (`moved`) is energy drift the stored codebooks never saw — the
+  // OPQ retrain trigger, read daily at ledger cost, not corpus cost.
+  // Oracle = full recompute over history ∪ batch for the merged side,
+  // history-only recompute for the built side.
+  private val q209 = Q(
+    "q209_dim_energy_ledger",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val stored = graft.operators.Pq.dimEnergy(history, "vec_id",
+        "embedding")
+      val merged = graft.operators.Pq.incrementalDimEnergy(stored,
+        batch, "vec_id", "embedding")
+      val built = graft.operators.Pq
+        .permutationFromEnergy(stored, m = 4)
+        .select(col("d"), col("sub").as("sub_built"))
+      graft.operators.Pq.permutationFromEnergy(merged, m = 4)
+        .join(built, Seq("d")) // 64-row ledger join
+        .select(col("d"), col("energy"), col("n_vectors"), col("rnk"),
+          col("sub"), col("sub_built"),
+          (col("sub") =!= col("sub_built")).as("moved"))
+        .orderBy(col("d"))
+    },
+    Some(raw"""
+      WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec0
+        FROM embeddings),
+      pe AS (
+        SELECT d,
+               SUM(CAST(qvec0[d] * qvec0[d] AS BIGINT) // 1000000)
+                 AS energy,
+               COUNT(*) AS n_vectors
+        FROM base, UNNEST(generate_series(1, 64)) t(d)
+        GROUP BY d),
+      peh AS (
+        SELECT d,
+               SUM(CAST(qvec0[d] * qvec0[d] AS BIGINT) // 1000000)
+                 AS energy
+        FROM base, UNNEST(generate_series(1, 64)) t(d)
+        WHERE vec_id % 3 > 0
+        GROUP BY d),
+      r AS (
+        SELECT d, energy, n_vectors,
+               ROW_NUMBER() OVER (ORDER BY energy DESC, d ASC) AS rnk
+        FROM pe),
+      rh AS (
+        SELECT d,
+               ROW_NUMBER() OVER (ORDER BY energy DESC, d ASC) AS rnk
+        FROM peh),
+      cur AS (
+        SELECT d, energy, n_vectors, rnk,
+               CASE WHEN ((rnk - 1) // 4) % 2 = 0 THEN (rnk - 1) % 4
+                    ELSE 3 - (rnk - 1) % 4 END AS sub
+        FROM r),
+      blt AS (
+        SELECT d,
+               CASE WHEN ((rnk - 1) // 4) % 2 = 0 THEN (rnk - 1) % 4
+                    ELSE 3 - (rnk - 1) % 4 END AS sub_built
+        FROM rh)
+      SELECT CAST(c.d AS INTEGER) AS d,
+             CAST(c.energy AS BIGINT) AS energy,
+             CAST(c.n_vectors AS BIGINT) AS n_vectors,
+             CAST(c.rnk AS INTEGER) AS rnk,
+             CAST(c.sub AS INTEGER) AS sub,
+             CAST(b.sub_built AS INTEGER) AS sub_built,
+             c.sub <> b.sub_built AS moved
+      FROM cur c JOIN blt b USING (d)
+      ORDER BY c.d
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
-    q201, q202, q203, q204, q205, q207, q208)
+    q201, q202, q203, q204, q205, q207, q208, q209)
 }

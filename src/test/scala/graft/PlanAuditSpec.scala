@@ -119,7 +119,10 @@ class PlanAuditSpec extends SparkSpec {
       "q74_token_histogram", "q129_mixture_epochs",
       // q204: the ranking window runs over the per-DIMENSION energy
       // aggregate — ≤ 64 rows, never the corpus
-      "q204_balanced_permutation")
+      "q204_balanced_permutation",
+      // q209: both ranking windows (merged + built layouts) run over
+      // per-DIMENSION energy LEDGERS — ≤ 64 rows each, q204's class
+      "q209_dim_energy_ledger")
 
   test("no registered plan windows over a single partition") {
     // A Window/WindowGroupLimit with an EMPTY partitionSpec plans an

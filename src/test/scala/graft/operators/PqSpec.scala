@@ -511,6 +511,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDimEnergy ≡ full recompute; permutation view re-derives") {
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("d").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val merged = Pq.incrementalDimEnergy(
+      Pq.dimEnergy(history, "vec_id", "embedding"),
+      batch, "vec_id", "embedding")
+    // energies are exact long sums — the ledger merge must equal the
+    // full-corpus recompute bit-for-bit, and the permutation VIEW over
+    // the merged ledger must equal the direct full-corpus permutation
+    assert(rows(merged) == rows(Pq.dimEnergy(emb, "vec_id", "embedding")),
+      "energy ledger merge diverged from recompute")
+    def perm(df: org.apache.spark.sql.DataFrame) =
+      df.select("d", "rnk", "sub").orderBy("d").collect().toSeq
+    assert(perm(Pq.permutationFromEnergy(merged, 4)) ==
+      perm(Pq.balancedPermutation(emb, "vec_id", "embedding", 4)),
+      "permutation view over the ledger diverged from the direct form")
+  }
+
   test("stored rerank funnel ≡ in-fixture funnel; no Lloyd in the search plan") {
     // the q194 no-retrain discipline for the funnel: persist the
     // whole index (coarse, codebooks, assignment, codes) to parquet,
