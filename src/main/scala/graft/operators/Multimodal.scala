@@ -88,6 +88,49 @@ object Multimodal {
         octet_length(col("frame")).cast("long").as("frame_bytes"),
         col("frame"))
 
+  /** FRAME-level exact dedup — [[ParaDedup]]'s keep-first discipline
+    * applied to BINARY frames, connecting the multimodal column to
+    * the dedup stack: a frame occurrence survives iff it is the FIRST
+    * occurrence of its content digest corpus-wide, ordered by
+    * (doc_id, frame_idx) — the deterministic smallest-wins rule every
+    * dedup tier uses. Input is [[sampleFrames]]' shape; output is
+    * every frame row with its digest and keep verdict (the audit
+    * form — `filter(keep)` is the deduped frame set).
+    *
+    * Scale shape: the frame PAYLOAD never crosses the exchange — rows
+    * project to (id, frame_idx, frame_bytes, md5 digest) BEFORE the
+    * digest-keyed keep-first window, so at 100 TB of video the
+    * shuffle moves 16-byte digests, not media (ShuffleMetricsSpec
+    * pins the byte ratio against the payload-through-exchange form).
+    * Unlike [[ParaDedup.dedupKeepFirst]] — which must ship text to
+    * its winner-decision site because it REASSEMBLES surviving
+    * documents — the frame election needs only coordinates: a caller
+    * wanting surviving payloads joins the kept (id, frame_idx) pairs
+    * back to the frame source, an id-keyed equi-join that AQE
+    * broadcasts when the survivor set is small. */
+  def dedupFrames(frames: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("frame_digest"))
+      .orderBy(col(idCol).asc, col("frame_idx").asc)
+    frames.select(col(idCol), col("frame_idx"), col("frame_bytes"),
+        md5(col("frame")).as("frame_digest"))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** Per-document duplicate-frame mass over [[dedupFrames]]' verdicts
+    * — the report a curator reads before paying to store or train on
+    * a media corpus: how many of each document's frames are retreads
+    * of frames seen earlier (intros, title cards, stock footage), and
+    * how many bytes the dedup would reclaim. Map-side combined; the
+    * exchange carries doc keys. */
+  def frameDupCensus(flagged: DataFrame, idCol: String): DataFrame =
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept_frames"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_frames"),
+        sum(when(col("keep"), lit(0L)).otherwise(col("frame_bytes")))
+          .as("dup_bytes"))
+
   /** Typed end-to-end: text frame → payload → stub decode. */
   def extractFeatures(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String): Dataset[MediaFeatures] = {

@@ -87,5 +87,58 @@ object MultimodalQueries extends QueryPack {
       ORDER BY doc_id, frame_idx
     """))
 
-  def all: Seq[Q] = Seq(q27, q28, q206)
+  // ---------------------------------------------------------------- q210
+  // Frame-level exact dedup — ParaDedup's keep-first discipline on
+  // BINARY frames, the multimodal column's first connection to the
+  // dedup stack: every 64-byte frame (stride 1 — dedup sees all of
+  // them) elects by digest keep-first (first occurrence corpus-wide
+  // by (doc_id, frame_idx) wins), and the census reports per doc how
+  // many frames are retreads and how many bytes dedup reclaims. The
+  // payload never crosses the exchange (rows project to digests
+  // before the election window). The oracle replays the frame cut,
+  // the ROW_NUMBER election, and the census; the testdata carries
+  // real duplicate frames (103 retread occurrences at sf0.01), so
+  // the mass columns are live, not vacuously zero.
+  private val q210 = Q(
+    "q210_frame_dedup_census",
+    (s, dir) => {
+      Multimodal.frameDupCensus(
+          Multimodal.dedupFrames(
+            Multimodal.sampleFrames(
+              Multimodal.withPayload(Tables(s, dir, "documents"),
+                "doc_id", "text"),
+              "doc_id", frameSize = 64, stride = 1),
+            "doc_id"),
+          "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH fr AS (
+        SELECT doc_id, i,
+               CAST(octet_length(encode(f)) AS BIGINT) AS fb,
+               md5(f) AS dg
+        FROM (
+          SELECT doc_id, i, substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+          FROM documents,
+               UNNEST(generate_series(0,
+                 CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1))
+                 t(i))),
+      el AS (
+        SELECT doc_id, i, fb,
+               ROW_NUMBER() OVER (PARTITION BY dg
+                 ORDER BY doc_id ASC, i ASC) AS rn
+        FROM fr)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_frames,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_frames,
+             CAST(SUM(CASE WHEN rn > 1 THEN fb ELSE 0 END) AS BIGINT)
+               AS dup_bytes
+      FROM el GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q27, q28, q206, q210)
 }

@@ -393,4 +393,47 @@ class ShuffleMetricsSpec extends SparkSpec {
         s"ledger merge shuffled $daily > full recompute's $full")
     } finally { coarse.unpersist(); stored.unpersist(); () }
   }
+
+  test("frame dedup election shuffles digests, never payloads") {
+    // the q210 scale claim: the keep-first window keys on the frame
+    // DIGEST and the payload is projected away BEFORE the exchange —
+    // at 100 TB of media the shuffle moves 16-byte digests, not
+    // frames. A/B in ONE session against the un-projected form (the
+    // regression this lane guards: computing frame_bytes after the
+    // window drags the BINARY column through the digest exchange).
+    def frames = operators.Multimodal.sampleFrames(
+      operators.Multimodal.withPayload(docs, "doc_id", "text"),
+      "doc_id", frameSize = 64, stride = 1)
+    val disciplined = shuffleBytes {
+      operators.Multimodal.frameDupCensus(
+          operators.Multimodal.dedupFrames(frames, "doc_id"), "doc_id")
+        .agg(sum(col("n_dup_frames")), sum(col("dup_bytes")))
+        .collect(); ()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("frame")))
+      .orderBy(col("doc_id").asc, col("frame_idx").asc)
+    val naive = shuffleBytes {
+      frames.select(col("doc_id"), col("frame_idx"), col("frame"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("keep"), 0L)
+          .otherwise(octet_length(col("frame")))).as("dup_bytes"))
+        .agg(sum(col("dup_bytes")))
+        .collect(); ()
+    }
+    assert(disciplined < naive,
+      s"digest-projected election shuffled $disciplined B, " +
+        s"payload-through-exchange $naive B — projection discipline lost")
+    // and the plan proof: no BINARY column below the election window
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = operators.Multimodal.dedupFrames(frames, "doc_id")
+      .queryExecution.optimizedPlan.collect { case win: LWindow => win }
+    assert(wins.nonEmpty)
+    wins.foreach { win =>
+      val bin = win.child.output.filter(
+        _.dataType == org.apache.spark.sql.types.BinaryType).map(_.name)
+      assert(bin.isEmpty, s"election window carries payloads: $bin")
+    }
+  }
 }
