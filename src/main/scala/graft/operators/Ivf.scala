@@ -182,6 +182,30 @@ object Ivf {
         when(col("n_vectors") > 0,
           expr("residual_energy DIV n_vectors")).otherwise(lit(0L)))
 
+  /** O(deleted) PURGE form of [[cellHealth]] — the ledger absorbing a
+    * DELETE (a takedown, a right-to-be-forgotten request, a
+    * decontamination verdict evicting vectors from the index): the
+    * tombstoned vectors assign + energy-score in ONE broadcast pass
+    * over O(deleted) rows — exactly [[cellHealth]] run on the doomed
+    * slice — and their per-cell (count, energy) contributions
+    * SUBTRACT from the stored ledger ([[Ledger.retract]]); the
+    * average re-derives. History is never re-read: under a FIXED
+    * codebook each vector's cell assignment is a pure function of the
+    * vector, so the contribution being removed is recomputable from
+    * the deleted rows alone, and integer sums make the subtraction
+    * exact — the purged ledger is bit-identical to a full recompute
+    * over the surviving corpus. The codebook spine inside
+    * [[cellHealth]] keeps every cid present, so cells untouched by
+    * the delete subtract zeros and cells emptied BY it report
+    * (0, 0, 0) instead of vanishing. */
+  def purgeCellHealth(codebook: DataFrame, priorHealth: DataFrame,
+      deleted: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Ledger.retract(priorHealth, cellHealth(codebook, deleted, idCol, vecCol),
+        "cid", Seq("n_vectors", "residual_energy"))
+      .withColumn("avg_residual_energy",
+        when(col("n_vectors") > 0,
+          expr("residual_energy DIV n_vectors")).otherwise(lit(0L)))
+
   /** Incremental index maintenance — the q65/q108 O(new) discipline
     * extended to the ANN pillar. STORED STATE in, O(new) work per
     * call: `codebook` (cid, cent) and `priorCensus` (cid, n_hist) are

@@ -29,4 +29,21 @@ private[operators] object Ledger {
           coalesce(col(s"__d_$c"), lit(0L)))
     }.select(col(keyCol) +: sumCols.map(col): _*)
   }
+
+  /** RETRACTION — the ledger absorbing a DELETE: the delta's sums
+    * SUBTRACT instead of add, so removing a slice of the indexed
+    * corpus (right-to-be-forgotten, a decontamination verdict, a
+    * source takedown) costs one O(deleted) scoring pass plus a
+    * ledger-sized merge, never a history re-read. Additive sufficient
+    * statistics are a group under +/−, which is the whole reason the
+    * ledger family stores sums and re-derives averages: the same
+    * full-outer spine serves append and delete. A key the prior never
+    * saw subtracts from zero and goes negative — the loud wrong
+    * answer (callers delete rows they previously ledgered; the
+    * oracle's full recompute over the remaining corpus gates it). */
+  def retract(prior: DataFrame, deleted: DataFrame, keyCol: String,
+      sumCols: Seq[String]): DataFrame =
+    merge(prior,
+      sumCols.foldLeft(deleted) { (df, c) => df.withColumn(c, -col(c)) },
+      keyCol, sumCols)
 }

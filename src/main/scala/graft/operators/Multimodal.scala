@@ -131,6 +131,67 @@ object Multimodal {
         sum(when(col("keep"), lit(0L)).otherwise(col("frame_bytes")))
           .as("dup_bytes"))
 
+  /** Frame-digest LEDGER — [[dedupFrames]]' election state made
+    * STORABLE, one row per distinct digest: the earliest
+    * (doc, frame_idx) coordinate (provenance: where this frame first
+    * appeared) and the occurrence count. Rows project to digests
+    * before the groupBy, so the exchange carries 16-byte keys plus
+    * two scalars — never payloads (the [[dedupFrames]] discipline). */
+  def frameLedger(frames: DataFrame, idCol: String): DataFrame =
+    frames.select(md5(col("frame")).as("frame_digest"),
+        col(idCol), col("frame_idx"))
+      .groupBy(col("frame_digest"))
+      .agg(min(struct(col(idCol), col("frame_idx"))).as("__f"),
+        count(lit(1)).as("n_occ"))
+      .select(col("frame_digest"),
+        col(s"__f.$idCol").as("first_doc"),
+        col("__f.frame_idx").as("first_idx"),
+        col("n_occ"))
+
+  /** O(new) ledger MERGE: first-occurrence coordinates combine by
+    * MIN — (doc, frame_idx) pairs form a semilattice under least, the
+    * order-free property that makes the merge exact whatever the
+    * batch cut — and occurrence counts ADD. Union + re-group keeps
+    * both sides ledger-sized through the exchange; the day's delta is
+    * batch-proportional, history frames are never re-read. */
+  def mergeFrameLedger(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.unionByName(delta)
+      .groupBy(col("frame_digest"))
+      .agg(min(struct(col("first_doc"), col("first_idx"))).as("__f"),
+        sum(col("n_occ")).as("n_occ"))
+      .select(col("frame_digest"),
+        col("__f.first_doc").as("first_doc"),
+        col("__f.first_idx").as("first_idx"),
+        col("n_occ"))
+
+  /** [[dedupFrames]] against STORED history — arrival-order keep-first
+    * (the incremental/streaming reality: the copy already in the
+    * ledger wins, a new arrival of a seen digest is the retread
+    * regardless of its id — unlike the batch election, which orders
+    * the whole corpus by (doc, frame_idx)): a day frame keeps iff its
+    * digest is ABSENT from the ledger and it is the day's internal
+    * first occurrence. The day's distinct digest set BROADCASTS into
+    * a semi-join on the ledger's digest column (the q190 novelty
+    * discipline — the history-proportional ledger never shuffles
+    * whole), and the surviving seen-set re-broadcasts onto the day's
+    * frames; the election window runs over the day only. */
+  def dedupFramesAgainstLedger(ledger: DataFrame, frames: DataFrame,
+      idCol: String): DataFrame = {
+    val dg = frames.select(col(idCol), col("frame_idx"),
+      col("frame_bytes"), md5(col("frame")).as("frame_digest"))
+    val seen = ledger.select(col("frame_digest"))
+      .join(broadcast(dg.select(col("frame_digest")).distinct()),
+        Seq("frame_digest"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("frame_digest"))
+      .orderBy(col(idCol).asc, col("frame_idx").asc)
+    dg.join(broadcast(seen.withColumn("__seen", lit(true))),
+        Seq("frame_digest"), "left")
+      .withColumn("keep",
+        col("__seen").isNull && row_number().over(w) === 1)
+      .drop("__seen")
+  }
+
   /** Typed end-to-end: text frame → payload → stub decode. */
   def extractFeatures(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String): Dataset[MediaFeatures] = {

@@ -358,6 +358,43 @@ object Pq {
         when(col("n_vectors") > 0,
           expr("err_sum DIV n_vectors")).otherwise(lit(0L)))
 
+  /** O(deleted) PURGE form of the error audit — the retraction twin
+    * of [[incrementalQuantizationError]], same contract as
+    * [[graft.operators.Ivf.purgeCellHealth]]: the tombstoned vectors
+    * re-score against the FIXED stored codebooks (one broadcast pass
+    * over O(deleted) rows — assignment is a pure function of the
+    * vector, so the contribution being removed is recomputable from
+    * the deleted rows alone) and their per-subspace (count, floored
+    * error) sums SUBTRACT from the stored ledger; avg_err re-derives.
+    * Integer sums make the subtraction exact: the purged ledger is
+    * bit-identical to [[quantizationErrorAgainst]] over the
+    * surviving corpus. */
+  def purgeQuantizationError(cbs: DataFrame, priorError: DataFrame,
+      deleted: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame =
+    Ledger.retract(priorError,
+        quantizationErrorAgainst(cbs, deleted, idCol, vecCol, m),
+        "sub", Seq("n_vectors", "err_sum"))
+      .withColumn("avg_err",
+        when(col("n_vectors") > 0,
+          expr("err_sum DIV n_vectors")).otherwise(lit(0L)))
+
+  /** DELETE from a stored codes/assignment table: drop the tombstoned
+    * ids' rows. A LEFT ANTI join — the tombstone side is
+    * deleted-proportional, so AQE broadcasts it in the common case
+    * and the stored table never re-encodes or re-shuffles whole; the
+    * surviving rows are untouched (codes are valid under the fixed
+    * codebooks regardless of what else the index holds — deletion
+    * never triggers re-encoding, the property that makes PQ purges
+    * O(deleted) where a graph index (HNSW) would re-link). Pair with
+    * [[purgeQuantizationError]] / [[graft.operators.Ivf
+    * .purgeCellHealth]] so the audit ledgers stay consistent with the
+    * shrunk table. */
+  def purgeCodes(stored: DataFrame, tombstones: DataFrame,
+      idCol: String): DataFrame =
+    stored.join(tombstones.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** BALANCED dimension permutation — the cheap deterministic cousin
     * of OPQ's learned rotation, and the fix [[quantizationError]]'s
     * doc points at when one subspace hoards the error: rank

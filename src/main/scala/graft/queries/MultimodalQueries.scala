@@ -140,5 +140,115 @@ object MultimodalQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q27, q28, q206, q210)
+  // ---------------------------------------------------------------- q213
+  // The frame-digest LEDGER + its O(new) merge — q210's election state
+  // made storable (the q192 discipline on the media axis): history
+  // (doc_id % 3 = 1) builds a per-digest (first_doc, first_idx, n_occ)
+  // ledger, day 1 (doc_id % 3 = 2) absorbs by MIN on the coordinate —
+  // (doc, idx) pairs form a semilattice under least, so the merge is
+  // exact whatever the batch cut — and ADD on the count; history
+  // frames are never re-read. Output: the duplicate-provenance report
+  // (digests seen ≥ 2 times, where each first appeared — the "which
+  // intro card is this" read). Oracle = the full recompute over
+  // history ∪ day 1.
+  private val q213 = Q(
+    "q213_frame_ledger_merge",
+    (s, dir) => {
+      def frames(p: Int) = Multimodal.sampleFrames(
+        Multimodal.withPayload(
+          Tables(s, dir, "documents").filter(col("doc_id") % 3 === p),
+          "doc_id", "text"),
+        "doc_id", frameSize = 64, stride = 1)
+      Multimodal.mergeFrameLedger(
+          Multimodal.frameLedger(frames(1), "doc_id"),
+          Multimodal.frameLedger(frames(2), "doc_id"))
+        .filter(col("n_occ") > 1)
+        .orderBy(col("frame_digest"))
+    },
+    Some("""
+      WITH fr AS (
+        SELECT doc_id, i, md5(f) AS dg
+        FROM (
+          SELECT doc_id, i, substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+          FROM documents,
+               UNNEST(generate_series(0,
+                 CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1))
+                 t(i)
+          WHERE doc_id % 3 <> 0)),
+      fst AS (
+        SELECT dg, doc_id, i,
+               ROW_NUMBER() OVER (PARTITION BY dg
+                 ORDER BY doc_id ASC, i ASC) AS rn
+        FROM fr),
+      agg AS (SELECT dg, COUNT(*) AS n FROM fr GROUP BY dg)
+      SELECT f.dg AS frame_digest,
+             CAST(f.doc_id AS BIGINT) AS first_doc,
+             CAST(f.i AS INTEGER) AS first_idx,
+             CAST(a.n AS BIGINT) AS n_occ
+      FROM fst f JOIN agg a USING (dg)
+      WHERE f.rn = 1 AND a.n > 1
+      ORDER BY f.dg
+    """))
+
+  // ---------------------------------------------------------------- q214
+  // Day-2 frame NOVELTY census against the merged ledger — the O(new)
+  // daily read: a day-2 (doc_id % 3 = 0) frame is a retread iff its
+  // digest sits in the stored ledger (ARRIVAL-order keep-first: the
+  // copy already ledgered wins, whatever its id — the incremental
+  // semantics, distinct from q210's whole-corpus (doc, idx) election)
+  // or an earlier day-2 frame already carries it. The day's distinct
+  // digest set broadcasts into a semi-join on the ledger; history
+  // never shuffles whole. Oracle replays the membership + in-day
+  // election; testdata carries cross-slice duplicate frames, so the
+  // retread columns are live.
+  private val q214 = Q(
+    "q214_frame_novelty_census",
+    (s, dir) => {
+      def frames(where: org.apache.spark.sql.Column) =
+        Multimodal.sampleFrames(
+          Multimodal.withPayload(
+            Tables(s, dir, "documents").filter(where),
+            "doc_id", "text"),
+          "doc_id", frameSize = 64, stride = 1)
+      val merged = Multimodal.mergeFrameLedger(
+        Multimodal.frameLedger(frames(col("doc_id") % 3 === 1), "doc_id"),
+        Multimodal.frameLedger(frames(col("doc_id") % 3 === 2), "doc_id"))
+      Multimodal.frameDupCensus(
+          Multimodal.dedupFramesAgainstLedger(merged,
+            frames(col("doc_id") % 3 === 0), "doc_id"),
+          "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH fr AS (
+        SELECT doc_id, i,
+               CAST(octet_length(encode(f)) AS BIGINT) AS fb,
+               md5(f) AS dg
+        FROM (
+          SELECT doc_id, i, substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+          FROM documents,
+               UNNEST(generate_series(0,
+                 CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1))
+                 t(i))),
+      led AS (SELECT DISTINCT dg FROM fr WHERE doc_id % 3 <> 0),
+      d2 AS (SELECT * FROM fr WHERE doc_id % 3 = 0),
+      el AS (
+        SELECT doc_id, fb,
+               (dg NOT IN (SELECT dg FROM led)
+                AND ROW_NUMBER() OVER (PARTITION BY dg
+                      ORDER BY doc_id ASC, i ASC) = 1) AS keep
+        FROM d2)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_frames,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dup_frames,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE fb END) AS BIGINT)
+               AS dup_bytes
+      FROM el GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q27, q28, q206, q210, q213, q214)
 }

@@ -2060,7 +2060,178 @@ ${coarseCtes("vec_id % 3 > 0")},
       ORDER BY c.d
     """))
 
+  // --------------------------------------------------------------- q211
+  // Index PURGE — the lifecycle verb the append-only ANN family was
+  // missing (takedowns, right-to-be-forgotten, decontamination
+  // verdicts evicting vectors): tombstoned rows leave the stored
+  // assignment table by LEFT ANTI join (codes stay valid under fixed
+  // codebooks — no re-encode, no re-link, the property that makes PQ
+  // purges O(deleted) where a graph index would re-wire), and the
+  // stored health ledger RETRACTS their per-cell (count, energy)
+  // contributions — scored from the deleted rows alone in one
+  // broadcast pass, then subtracted through the shared full-outer
+  // Ledger spine. Integer sums make the subtraction exact, so the
+  // oracle is the full health recompute over the SURVIVING corpus
+  // (codebook still the one trained on pre-delete history — deletion
+  // never retrains). n_codes comes from the independently-purged
+  // assignment table and must agree with the retracted n_vectors.
+  private val q211 = Q(
+    "q211_index_purge",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val doomed = history.filter(col("vec_id") % 5 === 0)
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      val stored = graft.operators.Ivf.cellHealth(coarse, history,
+        "vec_id", "embedding")
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(history, "vec_id", "embedding"),
+          coarse)
+        .select(col("vec_id"), col("cid"))
+      val kept = graft.operators.Pq.purgeCodes(assigned, doomed, "vec_id")
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_codes"))
+      graft.operators.Ivf.purgeCellHealth(coarse, stored, doomed,
+          "vec_id", "embedding")
+        .join(kept, Seq("cid"), "left")
+        .select(col("cid"), col("n_vectors"), col("residual_energy"),
+          col("avg_residual_energy"),
+          coalesce(col("n_codes"), lit(0L)).as("n_codes"))
+        .orderBy(col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      rv AS (
+        SELECT v.vec_id, a.cid,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid
+        WHERE v.vec_id % 3 > 0 AND v.vec_id % 5 <> 0),
+      h AS (
+        SELECT cid, COUNT(*) AS n,
+               SUM(CAST(list_dot_product(rvec, rvec) AS BIGINT)) AS e
+        FROM rv GROUP BY cid)
+      SELECT c.cid,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_vectors,
+             CAST(COALESCE(h.e, 0) AS BIGINT) AS residual_energy,
+             CAST(CASE WHEN COALESCE(h.n, 0) > 0
+                  THEN COALESCE(h.e, 0) // h.n ELSE 0 END AS BIGINT)
+               AS avg_residual_energy,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_codes
+      FROM co2 c LEFT JOIN h USING (cid)
+      ORDER BY c.cid
+    """))
+
+  // --------------------------------------------------------------- q212
+  // The purge on the PQ axis — q203's error ledger RETRACTING the
+  // tombstoned rows' per-subspace (count, floored-error) sums: the
+  // doomed slice re-scores against the FIXED stored codebooks (one
+  // O(deleted) broadcast pass — assignment is a pure function of the
+  // vector, so the contribution to remove is recomputable from the
+  // deleted rows alone) and subtracts through the same Ledger spine;
+  // avg_err re-derives. With q211 this closes the delete lifecycle
+  // for both audit families: build → append (q202/q203) → purge,
+  // every generation bit-identical to the full recompute over
+  // whatever corpus the index currently holds.
+  private val q212 = Q(
+    "q212_purge_quantization_error",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val doomed = history.filter(col("vec_id") % 5 === 0)
+      val cbs = graft.operators.Pq.codebooks(history, "vec_id",
+        "embedding", m = 4, k = 8, iterations = 2)
+      val stored = graft.operators.Pq.quantizationErrorAgainst(cbs,
+        history, "vec_id", "embedding", 4)
+      graft.operators.Pq.purgeQuantizationError(cbs, stored, doomed,
+          "vec_id", "embedding", 4)
+        .orderBy(col("sub"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ${pqSubChains("vec_id % 3 > 0")},
+      err AS (
+            SELECT 0 AS sub, COUNT(*) AS n,
+                   SUM(CAST(floor(d2) AS BIGINT)) AS e FROM enc0
+            WHERE vec_id % 3 > 0 AND vec_id % 5 <> 0
+        UNION ALL
+            SELECT 1, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc1
+            WHERE vec_id % 3 > 0 AND vec_id % 5 <> 0
+        UNION ALL
+            SELECT 2, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc2
+            WHERE vec_id % 3 > 0 AND vec_id % 5 <> 0
+        UNION ALL
+            SELECT 3, COUNT(*), SUM(CAST(floor(d2) AS BIGINT)) FROM enc3
+            WHERE vec_id % 3 > 0 AND vec_id % 5 <> 0)
+      SELECT sub, CAST(n AS BIGINT) AS n_vectors,
+             CAST(e AS BIGINT) AS err_sum,
+             CAST(e // n AS BIGINT) AS avg_err
+      FROM err ORDER BY sub
+    """))
+
+  // --------------------------------------------------------------- q216
+  // STREAMING encode in the PERMUTED layout — q201 composed with the
+  // q207 lifecycle, the last permutation seam: the history-derived
+  // snake-deal order and the permuted-trained codebooks BOTH embed as
+  // plan literals, arriving vectors reorder in-row then encode, and
+  // each micro-batch emits exactly the rows a q207 batch append would
+  // write. Still a stateless Append projection (no state store, no
+  // shuffle). The oracle replays history energies → permutation →
+  // permuted corpus → history-trained PQ chains → the arriving
+  // slice's codes.
+  private val q216 = Q(
+    "q216_stream_permuted_encode",
+    (s, dir) => {
+      graft.streaming.StreamingOps.streamPermutedPqEncode(s, dir,
+          "q216_perm_encode_sink")
+        .orderBy(col("vec_id"))
+    },
+    Some(raw"""
+      WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec0
+        FROM embeddings),
+      pe AS (
+        SELECT d,
+               SUM(CAST(qvec0[d] * qvec0[d] AS BIGINT) // 1000000)
+                 AS energy
+        FROM base, UNNEST(generate_series(1, 64)) t(d)
+        WHERE vec_id % 3 > 0
+        GROUP BY d),
+      pr AS (
+        SELECT d, energy,
+               ROW_NUMBER() OVER (ORDER BY energy DESC, d ASC) AS rnk
+        FROM pe),
+      ps AS (
+        SELECT d,
+               CASE WHEN ((rnk - 1) // 4) % 2 = 0 THEN (rnk - 1) % 4
+                    ELSE 3 - (rnk - 1) % 4 END AS sub
+        FROM pr),
+      pl AS (SELECT list(d ORDER BY sub, d) AS perm FROM ps),
+      vx AS (
+        SELECT b.vec_id, list_transform(p.perm, i -> b.qvec0[i]) AS qvec
+        FROM base b, pl p),
+      ${pqSubChains("vec_id % 3 > 0")},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id))
+      SELECT vec_id, cb0, cb1, cb2, cb3 FROM enc
+      WHERE vec_id % 3 = 0
+      ORDER BY vec_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
-    q201, q202, q203, q204, q205, q207, q208, q209)
+    q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216)
 }

@@ -387,6 +387,40 @@ object StreamingQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q215
+  // Streaming frame-retread gate — the first streaming consumer of the
+  // multimodal column: arriving documents cut into 64-byte BINARY
+  // frames IN-ROW (sampleFrames is pure column expressions, so it
+  // streams unchanged), each frame's digest probes the static
+  // history-frame digest set (stream-static broadcast join), and only
+  // RETREADS emit — the "this upload is stock footage" alert feed a
+  // pipeline tails before paying to store an arriving payload.
+  // Stateless Append (per-frame verdict against stored history — no
+  // within-stream election, no state store); the payload projects to
+  // a digest before the join, the q210 discipline. Oracle = the batch
+  // recompute of the arriving slice's retread frames.
+  private val q215 = Q(
+    "q215_stream_frame_gate",
+    (s, dir) => {
+      StreamingOps.streamFrameGate(s, dir, "q215_frame_gate_sink")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      WITH fr AS (
+        SELECT doc_id, i, md5(f) AS dg
+        FROM (
+          SELECT doc_id, i, substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+          FROM documents,
+               UNNEST(generate_series(0,
+                 CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1))
+                 t(i))),
+      led AS (SELECT DISTINCT dg FROM fr WHERE doc_id % 3 <> 0)
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, dg AS frame_digest
+      FROM fr
+      WHERE doc_id % 3 = 0 AND dg IN (SELECT dg FROM led)
+      ORDER BY doc_id, frame_idx
+    """))
+
   def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103, q105,
-    q145, q146, q165, q188)
+    q145, q146, q165, q188, q215)
 }

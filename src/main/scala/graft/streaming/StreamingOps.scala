@@ -706,6 +706,111 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** STREAMING frame-retread gate — the q214 ledger probe run
+    * IN-FLIGHT, and the first streaming consumer of the multimodal
+    * column: arriving documents cut into 64-byte BINARY frames in-row
+    * (pure generator projection — [[graft.operators.Multimodal
+    * .sampleFrames]] is column expressions, so it streams unchanged),
+    * each frame's digest probes the STATIC history-frame digest set,
+    * and only RETREADS emit — the "this upload is stock footage /
+    * a re-encode of stored media" alert feed a pipeline tails before
+    * paying to store or train on an arriving payload. Stateless
+    * Append: the verdict is per-frame against stored history, so
+    * there is no within-stream election, no state store, no shuffle —
+    * the stream side never aggregates (novel-first-arrival semantics
+    * would need state; that is q146's job on the text axis). The
+    * payload never reaches the join: rows project to digests first
+    * (the q210 discipline). Oracle = the batch recompute of the
+    * arriving slice's retread frames. */
+  def streamFrameGate(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_frame_gate",
+      "documents.parquet" -> s"$dir/documents.parquet")
+    val docsSchema = spark.read.parquet(streamDir.toString).schema
+    require(docsSchema.exists(f => f.name == "doc_id" &&
+        f.dataType == LongType) &&
+      docsSchema.exists(f => f.name == "text" && f.dataType == StringType),
+      "documents schema drifted: expected (doc_id LONG, text STRING) " +
+        s"among ${docsSchema.treeString}")
+    val historyDigests = graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.withPayload(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text"),
+        "doc_id", frameSize = 64, stride = 1)
+      .select(md5(col("frame")).as("frame_digest"))
+      .distinct()
+    val alerts = spark.readStream.schema(docsSchema)
+      .parquet(streamDir.toString)
+      .filter(col("doc_id") % 3 === 0)
+      .transform(d => graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.withPayload(d, "doc_id", "text"),
+        "doc_id", frameSize = 64, stride = 1))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_digest"))
+      .join(broadcast(historyDigests), Seq("frame_digest"))
+      .select(col("doc_id"), col("frame_idx"), col("frame_digest"))
+    drainToMemory(spark, alerts, queryName, OutputMode.Append(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
+  /** STREAMING encode in the PERMUTED layout — [[streamPqEncode]]
+    * composed with the q207 OPQ-lite lifecycle, closing the last seam
+    * between the permutation and the index it improves: the
+    * history-derived snake-deal order embeds as a 64-entry plan
+    * literal ([[graft.operators.Pq.applyPermutation]] — a pure in-row
+    * projection, so it streams unchanged), arriving vectors reorder
+    * THEN encode against codebooks trained on the permuted history,
+    * and the micro-batch rows are exactly what a permuted-layout
+    * batch append (q207's appendCodes leg) would write. Still a
+    * stateless Append projection: permutation and codebook are both
+    * plan literals, no state store, no shuffle. Oracle = the batch
+    * permuted encode of the arriving slice. */
+  def streamPermutedPqEncode(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_pq_perm_encode",
+      "embeddings.parquet" -> s"$dir/embeddings.parquet")
+    val embSchema = spark.read.parquet(streamDir.toString).schema
+    require(embSchema.exists(f => f.name == "vec_id" &&
+        f.dataType == LongType) &&
+      embSchema.exists(_.name == "embedding"),
+      "embeddings schema drifted: expected (vec_id LONG, embedding) " +
+        s"among ${embSchema.treeString}")
+    val history = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 3 > 0)
+    val m = 4
+    // both bounded driver actions: the 64-row permutation and the
+    // k·m-row codebook — the plan-literal embeds that keep the
+    // stream plan stateless
+    val order = graft.operators.Pq.permutationOrder(
+      graft.operators.Pq.balancedPermutation(history, "vec_id",
+        "embedding", m))
+    val cbs = graft.operators.Pq.codebooks(
+      graft.operators.Pq.applyPermutation(history, "vec_id",
+        "embedding", order),
+      "vec_id", "embedding", m, k = 8, iterations = 2)
+    val cbsLocal = graft.operators.Pq.localCodebook(cbs, m)
+    val out = spark.readStream.schema(embSchema)
+      .parquet(streamDir.toString)
+      .filter(col("vec_id") % 3 === 0)
+      .transform(d => graft.operators.Pq.applyPermutation(d, "vec_id",
+        "embedding", order))
+      .select(col("vec_id"),
+        graft.operators.Ivf.quantize(col("embedding")).as("qvec"))
+      .select(col("vec_id"),
+        graft.operators.Pq.encodeCodesExpr(col("qvec"), cbsLocal)
+          .as("codes"))
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("cb0"),
+        element_at(col("codes"), 2).as("cb1"),
+        element_at(col("codes"), 3).as("cb2"),
+        element_at(col("codes"), 4).as("cb3"))
+    drainToMemory(spark, out, queryName, OutputMode.Append(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** Shared harness head for the novelty gates: stage the documents
     * file for the directory-monitoring source, PROBE the batch footer
     * for the declared stream schema (the [[eventsStream]] discipline —

@@ -75,6 +75,10 @@ class PlanAuditSpec extends SparkSpec {
       // class; the health aggregates exchange per-vector scalars then
       // cell keys, and q202's ledger merge is ledger-sized
       "q198_ann_index_health", "q202_incremental_index_health",
+      // q211 runs q198's cellHealth fan twice (stored build + the
+      // O(deleted) retraction score) — same ≤8-row codebook class;
+      // the ledger retract and the codes anti-join are key-equi
+      "q211_index_purge",
       // q189's assignment fans the ≤8-row codebook — q36/q110's class
       "q189_topic_census")
       // q120 left this list in round 8: its 1-row corpus total now rides
@@ -89,7 +93,8 @@ class PlanAuditSpec extends SparkSpec {
       "q103_stream_outer_join", "q105_stream_sessionize",
       "q145_stream_novelty_gate", "q146_stream_novelty_first_arrival",
       "q165_stream_corpus_health", "q188_stream_decontam_gate",
-      "q201_stream_pq_encode")
+      "q201_stream_pq_encode", "q215_stream_frame_gate",
+      "q216_stream_permuted_encode")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"

@@ -573,6 +573,57 @@ class MultimodalSpec extends SparkSpec {
     // doc 2: frames 0,1,2 exist; stride 2 keeps 0 and 2
     assert(frames.filter(_._1 == 2L).map(_._2).sorted == Seq(0, 2))
   }
+
+  test("frame ledger: min-merge over an arbitrary cut ≡ full recompute") {
+    // the q213 exactness claim: (first_doc, first_idx) is a least-
+    // semilattice and n_occ is additive, so ANY 2-cut of the corpus
+    // merges to the same ledger the full pass builds
+    val dir = "/root/testdata/sf0.001"
+    def framesOf(p: org.apache.spark.sql.Column) = Multimodal.sampleFrames(
+      Multimodal.withPayload(
+        spark.read.parquet(s"$dir/documents.parquet").filter(p),
+        "doc_id", "text"),
+      "doc_id", frameSize = 64, stride = 1)
+    val merged = Multimodal.mergeFrameLedger(
+        Multimodal.frameLedger(framesOf(col("doc_id") % 7 < 3), "doc_id"),
+        Multimodal.frameLedger(framesOf(col("doc_id") % 7 >= 3), "doc_id"))
+      .orderBy("frame_digest").collect().toSeq
+    val full = Multimodal.frameLedger(framesOf(lit(true)), "doc_id")
+      .orderBy("frame_digest").collect().toSeq
+    assert(merged == full, "cut-merged ledger diverged from full pass")
+    assert(full.nonEmpty)
+  }
+
+  test("ledger census pins ARRIVAL-order keep-first, not id order") {
+    val s = spark
+    import s.implicits._
+    // the semantic line between q210 (whole-corpus (doc, idx)
+    // election) and q214 (the ledgered copy wins): the ledger holds a
+    // frame first seen in doc 5; the day's doc 0 re-sends the same
+    // 64 bytes with a SMALLER id. A batch election would crown doc 0;
+    // the incremental census must call it a retread — the stored copy
+    // is already paid for.
+    val sharedText = "x" * 64
+    val ledger = Multimodal.frameLedger(
+      Multimodal.sampleFrames(
+        Multimodal.withPayload(Seq((5L, sharedText)).toDF("doc_id", "text"),
+          "doc_id", "text"),
+        "doc_id", frameSize = 64, stride = 1), "doc_id")
+    val day = Multimodal.sampleFrames(
+      Multimodal.withPayload(
+        Seq((0L, sharedText + ("y" * 64)), (2L, "y" * 64))
+          .toDF("doc_id", "text"),
+        "doc_id", "text"),
+      "doc_id", frameSize = 64, stride = 1)
+    val verdicts = Multimodal.dedupFramesAgainstLedger(ledger, day, "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("frame_idx"), r.getAs[Boolean]("keep"))).toSet
+    assert(verdicts == Set(
+      (0L, 0, false), // ledgered in doc 5 — retread despite id 0 < 5
+      (0L, 1, true),  // novel digest, day-internal first occurrence
+      (2L, 0, false)  // same novel digest, later (doc, idx) — retread
+    ), s"arrival-order verdicts wrong: $verdicts")
+  }
 }
 
 class StreamingOpsSpec extends SparkSpec {

@@ -663,4 +663,58 @@ class PqSpec extends SparkSpec {
     assert(a.nonEmpty && a.size <= 8 * m)
     assert(cb() == a, "high-rounds codebook not rerun-stable")
   }
+
+  test("purge: both ledgers retract ≡ full recompute over the survivors") {
+    // the q211/q212 contract at spec scale: scoring ONLY the doomed
+    // rows and subtracting through the Ledger spine must land
+    // bit-identical to recomputing the report over what remains —
+    // integer sums make the retraction exact, fixed codebooks make
+    // the doomed rows' contribution recomputable from them alone
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val doomed = history.filter(col("vec_id") % 5 === 0)
+    val survivors = history.filter(col("vec_id") % 5 =!= 0)
+    assert(doomed.count() > 0, "vacuous purge fixture")
+    val coarse = Ivf.centroids(history, "vec_id", "embedding", 8, 2)
+    val stored = Ivf.cellHealth(coarse, history, "vec_id", "embedding")
+    val purged = Ivf.purgeCellHealth(coarse, stored, doomed,
+      "vec_id", "embedding").orderBy("cid").collect().toSeq
+    val full = Ivf.cellHealth(coarse, survivors, "vec_id", "embedding")
+      .orderBy("cid").collect().toSeq
+    assert(purged == full, "health retraction diverged from recompute")
+
+    val cbs = Pq.codebooks(history, "vec_id", "embedding", m = 4,
+      k = 8, iterations = 2)
+    val storedE = Pq.quantizationErrorAgainst(cbs, history, "vec_id",
+      "embedding", 4)
+    val purgedE = Pq.purgeQuantizationError(cbs, storedE, doomed,
+      "vec_id", "embedding", 4).orderBy("sub").collect().toSeq
+    val fullE = Pq.quantizationErrorAgainst(cbs, survivors, "vec_id",
+      "embedding", 4).orderBy("sub").collect().toSeq
+    assert(purgedE == fullE, "error retraction diverged from recompute")
+  }
+
+  test("purge: total delete zeros the ledger on the full spine; purgeCodes drops exactly the tombstones") {
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val coarse = Ivf.centroids(history, "vec_id", "embedding", 8, 2)
+    val stored = Ivf.cellHealth(coarse, history, "vec_id", "embedding")
+    // deleting the whole indexed population: every cell must report
+    // (0, 0, 0) and STAY PRESENT (the spine survives the purge — an
+    // empty index is an index, not an empty report)
+    val wiped = Ivf.purgeCellHealth(coarse, stored, history,
+      "vec_id", "embedding").collect()
+    assert(wiped.length == stored.count(),
+      s"spine shrank: ${wiped.length} of ${stored.count()} cells")
+    assert(wiped.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getLong(3) == 0L), "total delete left nonzero ledger mass")
+
+    val doomed = history.filter(col("vec_id") % 5 === 0)
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(history, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid"))
+    val kept = Pq.purgeCodes(assigned, doomed, "vec_id")
+    assert(kept.count() == assigned.count() - doomed.count(),
+      "purgeCodes row accounting off")
+    assert(kept.join(doomed.select("vec_id"), Seq("vec_id"),
+      "left_semi").isEmpty, "a tombstoned id survived the purge")
+  }
 }
