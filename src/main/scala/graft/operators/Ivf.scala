@@ -63,6 +63,57 @@ object Ivf {
       .agg(min(struct(col("d2"), col("cid"))).as("__m"))
       .select(col("vec_id"), col("__m.cid").as("cid"), col("__m.d2").as("d2"))
 
+  /** Collect a coarse codebook into [[assignEnergyExpr]]'s driver-side
+    * shape — k rows, the bounded-action class (the
+    * [[graft.operators.Pq.localCodebook]] discipline). */
+  def localCentroids(codebook: DataFrame): Seq[(Long, Seq[Double])] =
+    codebook.select(col("cid"), col("cent")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  /** IN-ROW coarse assignment + floor-residual energy against a
+    * LITERAL centroid list — struct(cid, energy), the per-row half of
+    * [[cellHealth]] as a pure projection: no cross-fan, no argmin
+    * aggregation, no exchange, which is what lets a STREAM score
+    * arriving vectors statelessly (per-vector groupBy state would be
+    * unbounded) and a batch path skip the assignment shuffle
+    * entirely. The fold keeps the full (d2, cid, cent) running-min
+    * struct — (d2, cid) decides (distinct cids make every comparison
+    * decisive, so the trailing cent never participates in the
+    * ordering), and carrying the winner's centroid lets the residual
+    * energy compute in the same row without a codebook re-probe.
+    * Energy is exactly [[cellHealth]]'s: Σ floor(x − cent)², cast to
+    * BIGINT per row. `qvec` must be the [[quantize]]d vector. The
+    * `best` struct is referenced twice (cid + energy), so the k
+    * distance evaluations may run twice per row — bounded by k,
+    * the same order as the batch cross-fan's per-row work. */
+  def assignEnergyExpr(qvec: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "assignEnergyExpr needs >= 1 centroid")
+    val d = cents.head._2.size
+    require(cents.forall(_._2.size == d),
+      "ragged centroid list in assignEnergyExpr")
+    val guarded = when(size(qvec) === d, qvec)
+      .otherwise(raise_error(concat(
+        lit("IVF: vector length "), size(qvec),
+        lit(s" != $d = centroid dim of the literal codebook"))))
+    val best = aggregate(typedLit(cents),
+      struct(lit(Double.MaxValue).as("d2"),
+        lit(Long.MaxValue).as("cid"),
+        typedLit(Seq.empty[Double]).as("cent")),
+      (acc, c) => {
+        val cand = struct(
+          dist2(guarded, c.getField("_2")).as("d2"),
+          c.getField("_1").as("cid"),
+          c.getField("_2").as("cent"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+    val res = zip_with(guarded.cast("array<double>"),
+      best.getField("cent"), (x, c) => floor(x - c))
+    struct(best.getField("cid").as("cid"),
+      VectorFunctions.dot(res, res).cast("long").as("energy"))
+  }
+
   /** Mean of assigned vectors per centroid, element-wise. Exact integer
     * sums (order-free) divided by counts. Clusters that lose every
     * vector drop out (standard k-means behavior; k can shrink).

@@ -51,6 +51,53 @@ object Quantize {
       .select(col(idCol), col("codes"),
         sqrt(intDot(col("codes"), col("codes")).cast("double")).as("qnrm"))
 
+  /** Per-dimension CALIBRATION bounds — the statistics a clipped
+    * (asymmetric / per-dim) int8 scheme is calibrated from, and the
+    * outlier report the symmetric scheme's maintainer reads (one hot
+    * dimension inflates every vector's scale, crushing the other 63
+    * into a few code levels — the classic reason to clip at a
+    * percentile instead of max): per dim, the population count,
+    * exact min/max, and the EXACT order statistics at loPermille /
+    * hiPermille (value at 0-based rank (n−1)·p DIV 1000 in ascending
+    * order — integer rank arithmetic, so the pick is deterministic
+    * and engine-portable; duplicates make any tie-order irrelevant
+    * because the value AT a global rank is unique).
+    *
+    * Scale shape: no corpus-sized window and no sort of the corpus —
+    * the explode groups to a (dim, grid-value) CENSUS first (the q74
+    * histogram discipline: the census is bounded by 64 × the distinct
+    * grid values, typically orders of magnitude below 64 × n), the
+    * cumulative count runs per-dim over the census, and each dim's n
+    * comes from its own census total, so no 1-row corpus-count fan is
+    * ever planned. Everything rides the integral grid — exact longs
+    * end to end. */
+  def calibrationBounds(embeddings: DataFrame, idCol: String,
+      vecCol: String, loPermille: Int = 10,
+      hiPermille: Int = 990): DataFrame = {
+    require(0 <= loPermille && loPermille <= hiPermille &&
+      hiPermille <= 1000, s"bad permilles [$loPermille, $hiPermille]")
+    val census = Ivf.quantized(embeddings, idCol, vecCol)
+      .select(posexplode(col("qvec")).as(Seq("p", "x")))
+      .select((col("p") + 1).cast("int").as("d"),
+        col("x").cast("long").as("x"))
+      .groupBy(col("d"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("d")).orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("d"))))
+      // value at 0-based rank r = the smallest x whose cumulative
+      // count exceeds r
+      .withColumn("r_lo", expr(s"(n - 1) * $loPermille DIV 1000"))
+      .withColumn("r_hi", expr(s"(n - 1) * $hiPermille DIV 1000"))
+      .groupBy(col("d"))
+      .agg(max(col("n")).as("n"),
+        min(col("x")).as("vmin"), max(col("x")).as("vmax"),
+        min(when(col("cum") > col("r_lo"), col("x"))).as("p_lo"),
+        min(when(col("cum") > col("r_hi"), col("x"))).as("p_hi"))
+  }
+
   /** 1-bit (sign) quantization, 32 dims per packed BIGINT half: the
     * 4-byte-per-vector extreme of the quantization ladder. Each half is
     * a sum of 32 disjoint power-of-two terms (= bitwise OR, can't

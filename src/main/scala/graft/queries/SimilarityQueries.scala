@@ -2231,7 +2231,169 @@ ${coarseCtes("vec_id % 3 > 0")},
       ORDER BY vec_id
     """))
 
+  // --------------------------------------------------------------- q217
+  // Per-dim int8 CALIBRATION bounds — exact order statistics (p1/p99
+  // at integer-rank arithmetic), min/max, and counts per dimension:
+  // what a clipped/asymmetric int8 scheme is calibrated from, and the
+  // outlier report the symmetric q75 scheme's maintainer reads (one
+  // hot dim inflates every scale). No corpus sort and no corpus
+  // window: the explode folds to a (dim, grid-value) CENSUS first
+  // (the q74 histogram discipline), the cumulative count runs per-dim
+  // over the census, and each dim's n comes from its own census
+  // total. The oracle replays the rank pick via ROW_NUMBER — the
+  // value AT a global rank is unique whatever the tie order.
+  private val q217 = Q(
+    "q217_int8_calibration",
+    (s, dir) => {
+      graft.operators.Quantize.calibrationBounds(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          loPermille = 10, hiPermille = 990)
+        .orderBy(col("d"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ex AS (
+        SELECT d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (
+        SELECT d, COUNT(*) AS n, MIN(x) AS vmin, MAX(x) AS vmax
+        FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      lo AS (
+        SELECT rk.d, MIN(rk.x) AS p_lo
+        FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000
+        GROUP BY rk.d),
+      hi AS (
+        SELECT rk.d, MIN(rk.x) AS p_hi
+        FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000
+        GROUP BY rk.d)
+      SELECT CAST(st.d AS INTEGER) AS d, CAST(n AS BIGINT) AS n,
+             CAST(vmin AS BIGINT) AS vmin, CAST(vmax AS BIGINT) AS vmax,
+             CAST(p_lo AS BIGINT) AS p_lo, CAST(p_hi AS BIGINT) AS p_hi
+      FROM st JOIN lo USING (d) JOIN hi USING (d)
+      ORDER BY st.d
+    """))
+
+  // --------------------------------------------------------------- q218
+  // STREAMING index-health monitor — q198's occupancy/energy report
+  // over the ARRIVING slice, live: assignment runs IN-ROW against the
+  // plan-literal history codebook (Ivf.assignEnergyExpr — a per-vector
+  // argmin groupBy would hold unbounded keyed state), then a
+  // Complete-mode per-CELL tally whose state is ≤ k rows (the q165
+  // bounded-group class). Cells the stream never hits don't report —
+  // a monitor shows activity, the spine lives in the stored q202
+  // ledger. Oracle = batch cellHealth restricted to active cells.
+  private val q218 = Q(
+    "q218_stream_index_health",
+    (s, dir) => {
+      graft.streaming.StreamingOps.streamIndexHealth(s, dir,
+          "q218_index_health_sink")
+        .orderBy(col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      rv AS (
+        SELECT v.vec_id, a.cid,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid
+        WHERE v.vec_id % 3 = 0)
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(list_dot_product(rvec, rvec) AS BIGINT))
+               AS BIGINT) AS residual_energy,
+             CAST(SUM(CAST(list_dot_product(rvec, rvec) AS BIGINT))
+               // COUNT(*) AS BIGINT) AS avg_residual_energy
+      FROM rv GROUP BY cid
+      ORDER BY cid
+    """))
+
+  // --------------------------------------------------------------- q219
+  // DECONTAMINATION-driven index purge — the composition that says WHY
+  // deletes happen: docs sharing ≥ 1 distinct 3-gram with the
+  // benchmark slice (the q72/q188 contamination verdict, text stack)
+  // are tombstoned, their VECTORS leave the index, and the health
+  // ledger retracts their mass (q211's machinery) — the text
+  // pipeline's verdict propagating into the ANN pillar under one hash
+  // gate. The benchmark shingle set broadcasts (eval-suite bounded);
+  // the contaminated-id set is incidence-proportional and semi-joins
+  // the embeddings without a pin.
+  private val q219 = Q(
+    "q219_decontam_index_purge",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val bench = graft.operators.Dedup.explodedShingles(
+          docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", 3)
+        .select(col("sh")).distinct()
+      val contaminated = graft.operators.Dedup.explodedShingles(
+          docs.filter(col("doc_id") % 25 =!= 0), "doc_id", "text", 3)
+        .join(broadcast(bench), Seq("sh"), "left_semi")
+        .select(col("doc_id").as("vec_id")).distinct()
+      val doomed = e.join(contaminated, Seq("vec_id"), "left_semi")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val stored = graft.operators.Ivf.cellHealth(coarse, e,
+        "vec_id", "embedding")
+      graft.operators.Ivf.purgeCellHealth(coarse, stored, doomed,
+          "vec_id", "embedding")
+        .orderBy(col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      norm AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+      bad AS (
+        SELECT DISTINCT c.doc_id FROM sh c JOIN bench USING (s)
+        WHERE c.doc_id % 25 <> 0),
+      rv AS (
+        SELECT v.vec_id, a.cid,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid
+        WHERE v.vec_id NOT IN (SELECT doc_id FROM bad)),
+      h AS (
+        SELECT cid, COUNT(*) AS n,
+               SUM(CAST(list_dot_product(rvec, rvec) AS BIGINT)) AS e
+        FROM rv GROUP BY cid)
+      SELECT c.cid,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_vectors,
+             CAST(COALESCE(h.e, 0) AS BIGINT) AS residual_energy,
+             CAST(CASE WHEN COALESCE(h.n, 0) > 0
+                  THEN COALESCE(h.e, 0) // h.n ELSE 0 END AS BIGINT)
+               AS avg_residual_energy
+      FROM co2 c LEFT JOIN h USING (cid)
+      ORDER BY c.cid
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
-    q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216)
+    q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
+    q217, q218, q219)
 }

@@ -811,6 +811,51 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** STREAMING index-health monitor — q198's occupancy/residual-energy
+    * report over the ARRIVING vectors, live: each vector assigns to the
+    * fixed history-trained coarse codebook IN-ROW
+    * ([[graft.operators.Ivf.assignEnergyExpr]] — the codebook is a plan
+    * literal, so assignment is a stateless projection: a per-vector
+    * argmin groupBy would hold unbounded keyed state), then a
+    * Complete-mode per-CELL aggregation tallies (count, energy) — state
+    * is ≤ numCentroids rows, the q165 bounded-group class. The feed an
+    * index maintainer watches between ledger generations: a cell whose
+    * arriving mass diverges from its stored share signals drift before
+    * the nightly q202 merge lands. Cells the stream never hits don't
+    * report (a monitor shows activity; the SPINE lives in the stored
+    * ledger). AvailableNow drain ≡ the batch [[graft.operators.Ivf
+    * .cellHealth]] restricted to active cells — the oracle. */
+  def streamIndexHealth(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_index_health",
+      "embeddings.parquet" -> s"$dir/embeddings.parquet")
+    val embSchema = spark.read.parquet(streamDir.toString).schema
+    require(embSchema.exists(f => f.name == "vec_id" &&
+        f.dataType == LongType) &&
+      embSchema.exists(_.name == "embedding"),
+      "embeddings schema drifted: expected (vec_id LONG, embedding) " +
+        s"among ${embSchema.treeString}")
+    val history = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 3 > 0)
+    val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+      "embedding", 8, 2)
+    // bounded driver action: k codebook rows → plan literal
+    val cents = graft.operators.Ivf.localCentroids(coarse)
+    val health = spark.readStream.schema(embSchema)
+      .parquet(streamDir.toString)
+      .filter(col("vec_id") % 3 === 0)
+      .select(graft.operators.Ivf.assignEnergyExpr(
+        graft.operators.Ivf.quantize(col("embedding")), cents).as("a"))
+      .groupBy(col("a.cid").as("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("a.energy")).as("residual_energy"))
+      .withColumn("avg_residual_energy",
+        expr("residual_energy DIV n_vectors"))
+    drainToMemory(spark, health, queryName, OutputMode.Complete(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** Shared harness head for the novelty gates: stage the documents
     * file for the directory-monitoring source, PROBE the batch footer
     * for the declared stream schema (the [[eventsStream]] discipline —

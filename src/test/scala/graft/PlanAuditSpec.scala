@@ -79,6 +79,9 @@ class PlanAuditSpec extends SparkSpec {
       // O(deleted) retraction score) — same ≤8-row codebook class;
       // the ledger retract and the codes anti-join are key-equi
       "q211_index_purge",
+      // q219 = q211's health fans with decontamination-derived
+      // tombstones — the shingle side is all equi/semi joins
+      "q219_decontam_index_purge",
       // q189's assignment fans the ≤8-row codebook — q36/q110's class
       "q189_topic_census")
       // q120 left this list in round 8: its 1-row corpus total now rides
@@ -94,7 +97,7 @@ class PlanAuditSpec extends SparkSpec {
       "q145_stream_novelty_gate", "q146_stream_novelty_first_arrival",
       "q165_stream_corpus_health", "q188_stream_decontam_gate",
       "q201_stream_pq_encode", "q215_stream_frame_gate",
-      "q216_stream_permuted_encode")
+      "q216_stream_permuted_encode", "q218_stream_index_health")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"

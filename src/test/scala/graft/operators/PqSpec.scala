@@ -693,6 +693,59 @@ class PqSpec extends SparkSpec {
     assert(purgedE == fullE, "error retraction diverged from recompute")
   }
 
+  test("assignEnergyExpr ≡ batch assignment; per-cell sums ≡ cellHealth") {
+    // the in-row (plan-literal) assignment is what lets a stream score
+    // arriving vectors statelessly — it must be bit-equivalent to the
+    // cross-fan + argmin-aggregate batch path, cid AND energy
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val cents = Ivf.localCentroids(coarse)
+    assert(cents.nonEmpty && cents.size <= 8)
+    val inRow = Ivf.quantized(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        Ivf.assignEnergyExpr(col("qvec"), cents).as("a"))
+      .select(col("vec_id"), col("a.cid").as("cid"),
+        col("a.energy").as("energy"))
+    val batch = Ivf.assignIds(
+        Ivf.quantized(emb, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid"))
+    assert(inRow.select("vec_id", "cid").orderBy("vec_id").collect().toSeq ==
+      batch.orderBy("vec_id").collect().toSeq,
+      "in-row cid diverged from the batch argmin")
+    val perCell = inRow.groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("energy")).as("residual_energy"))
+      .orderBy("cid").collect().toSeq
+    val health = Ivf.cellHealth(coarse, emb, "vec_id", "embedding")
+      .filter(col("n_vectors") > 0)
+      .select(col("cid"), col("n_vectors"), col("residual_energy"))
+      .orderBy("cid").collect().toSeq
+    assert(perCell == health, "in-row energies diverged from cellHealth")
+  }
+
+  test("calibrationBounds: exact rank picks on a known census") {
+    val s = spark
+    import s.implicits._
+    // raw values 1,1,2,2,2,3,4,6,7,8,9 (n = 11; whole floats → exact
+    // grid v·10⁶): rank (n−1)·10 DIV 1000 = 0 → p_lo = value at sorted
+    // index 0 = 1; rank (n−1)·990 DIV 1000 = 9 → p_hi = 8
+    val xs = Seq(3, 1, 1, 2, 2, 2, 7, 9, 4, 6, 8)
+    val e = xs.zipWithIndex
+      .map { case (v, i) => (i.toLong, Array(v.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val r = Quantize.calibrationBounds(e, "vec_id", "embedding",
+      loPermille = 10, hiPermille = 990).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val M = 1000000L
+    assert(row.getAs[Long]("n") == 11L)
+    assert(row.getAs[Long]("vmin") == 1L * M &&
+      row.getAs[Long]("vmax") == 9L * M)
+    assert(row.getAs[Long]("p_lo") == 1L * M,
+      s"p_lo = ${row.getAs[Long]("p_lo")}")
+    assert(row.getAs[Long]("p_hi") == 8L * M,
+      s"p_hi = ${row.getAs[Long]("p_hi")}")
+  }
+
   test("purge: total delete zeros the ledger on the full spine; purgeCodes drops exactly the tombstones") {
     val history = emb.filter(col("vec_id") % 3 > 0)
     val coarse = Ivf.centroids(history, "vec_id", "embedding", 8, 2)
