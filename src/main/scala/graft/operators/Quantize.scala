@@ -73,15 +73,38 @@ object Quantize {
     * end to end. */
   def calibrationBounds(embeddings: DataFrame, idCol: String,
       vecCol: String, loPermille: Int = 10,
-      hiPermille: Int = 990): DataFrame = {
-    require(0 <= loPermille && loPermille <= hiPermille &&
-      hiPermille <= 1000, s"bad permilles [$loPermille, $hiPermille]")
-    val census = Ivf.quantized(embeddings, idCol, vecCol)
+      hiPermille: Int = 990): DataFrame =
+    boundsFromCensus(valueCensus(embeddings, idCol, vecCol),
+      loPermille, hiPermille)
+
+  /** The (dim, grid-value) CENSUS [[calibrationBounds]] runs on — and
+    * a mergeable sufficient statistic in its own right: counts at the
+    * same (d, x) ADD, so a stored census absorbs a day's batch at
+    * O(batch) cost ([[mergeValueCensus]]) and the calibration bounds
+    * re-derive as a VIEW — order statistics join the incremental
+    * family without any sketch approximation, because the census IS
+    * the exact distribution. */
+  def valueCensus(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    Ivf.quantized(embeddings, idCol, vecCol)
       .select(posexplode(col("qvec")).as(Seq("p", "x")))
       .select((col("p") + 1).cast("int").as("d"),
         col("x").cast("long").as("x"))
       .groupBy(col("d"), col("x"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** O(new) census merge: union + re-group — both sides census-sized
+    * through the exchange, history vectors never re-read. */
+  def mergeValueCensus(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.unionByName(delta)
+      .groupBy(col("d"), col("x"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** [[calibrationBounds]] as a view over a census. */
+  def boundsFromCensus(census: DataFrame, loPermille: Int,
+      hiPermille: Int): DataFrame = {
+    require(0 <= loPermille && loPermille <= hiPermille &&
+      hiPermille <= 1000, s"bad permilles [$loPermille, $hiPermille]")
     val w = Window.partitionBy(col("d")).orderBy(col("x").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     census
@@ -96,6 +119,53 @@ object Quantize {
         min(col("x")).as("vmin"), max(col("x")).as("vmax"),
         min(when(col("cum") > col("r_lo"), col("x"))).as("p_lo"),
         min(when(col("cum") > col("r_hi"), col("x"))).as("p_hi"))
+  }
+
+  /** Calibrated (clipped, per-dim affine) int8 encode + its per-dim
+    * error audit — what [[calibrationBounds]] exists to feed: each
+    * dimension clamps to its [p_lo, p_hi] window and maps affinely to
+    * the 256 code levels, so one outlier dim no longer crushes the
+    * rest (the symmetric [[int8Codes]]' failure mode the bounds
+    * report flags). All arithmetic is integer on the grid —
+    * code = (clamp(x) − lo)·255 DIV (hi − lo) (non-negative
+    * numerators, so floor-DIV is portable), dequant = lo +
+    * code·(hi − lo) DIV 255 — and the audit reports per dim the
+    * exact reconstruction error Σ (x − dequant)² (clipping error
+    * included: that is the signal) plus how many values each clip
+    * edge caught. `bounds` embeds as TWO 64-entry plan literals (the
+    * q205 bounded-collect class), so the encode is a pure projection;
+    * the only exchange carries d-keyed partial sums. A degenerate dim
+    * (hi = lo) codes to 0 and dequants to lo. */
+  def calibratedErrorAudit(embeddings: DataFrame, idCol: String,
+      vecCol: String, bounds: DataFrame): DataFrame = {
+    val b = bounds.select(col("d"), col("p_lo"), col("p_hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(b.nonEmpty, "empty bounds table")
+    val lo = typedLit(b.map(_._2).toSeq)
+    val hi = typedLit(b.map(_._3).toSeq)
+    Ivf.quantized(embeddings, idCol, vecCol)
+      .select(when(size(col("qvec")) === b.length, col("qvec"))
+        .otherwise(raise_error(concat(
+          lit("calibration: vector length "), size(col("qvec")),
+          lit(s" != ${b.length} bounded dims")))).as("qvec"))
+      .select(posexplode(col("qvec")).as(Seq("p", "x")))
+      .select((col("p") + 1).cast("int").as("d"),
+        col("x").cast("long").as("x"),
+        element_at(lo, col("p") + 1).as("lo"),
+        element_at(hi, col("p") + 1).as("hi"))
+      .withColumn("clamped", greatest(least(col("x"), col("hi")), col("lo")))
+      .withColumn("code",
+        when(col("hi") > col("lo"),
+          expr("(clamped - lo) * 255 DIV (hi - lo)")).otherwise(lit(0L)))
+      .withColumn("dq",
+        when(col("hi") > col("lo"),
+          expr("lo + code * (hi - lo) DIV 255")).otherwise(col("lo")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") - col("dq")) * (col("x") - col("dq"))).as("err_sum"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
   }
 
   /** 1-bit (sign) quantization, 32 dims per packed BIGINT half: the

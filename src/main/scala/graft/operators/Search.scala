@@ -128,6 +128,50 @@ object Search {
       .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
   }
 
+  /** Exact PHRASE search — terms at CONSECUTIVE positions, the
+    * positional query class the doc-level [[invertedIndex]] cannot
+    * answer: a document matches where some start position p has
+    * word(p + i) = phrase(i) for every offset i. The anchor trick
+    * makes it one aggregation: each hit token emits (doc, pos − o)
+    * for every offset o the term occupies IN THE PHRASE (repeated
+    * phrase terms fan to each of their offsets), and a group
+    * (doc, anchor) holding ALL |phrase| offsets is an occurrence —
+    * (doc, pos, o) triples are unique, so a plain count suffices and
+    * partial-aggregates map-side.
+    *
+    * Scale shape: the token stream filters to the phrase's terms
+    * BEFORE any exchange (the q93 discipline — O(hit tokens ×
+    * phrase multiplicity) shuffles, never O(corpus tokens)); the
+    * offset fan is a ≤ |phrase|-element literal map lookup in-row;
+    * the top-N is TakeOrderedAndProject, the rank window sits above
+    * the global limit. Output: (idCol, n_occurrences, rnk). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val offsets: Map[String, Seq[Int]] =
+      phrase.zipWithIndex.groupBy(_._1).map { case (t, os) =>
+        (t, os.map(_._2))
+      }
+    val offLit = typedLit(offsets)
+    val ord = Seq(col("n_occurrences").desc, col(idCol).asc)
+    docs
+      .select(col(idCol), Dedup.words(col(textCol)).as("w"))
+      .select(col(idCol), posexplode(col("w")).as(Seq("pos", "token")))
+      .filter(col("token").isin(phrase.distinct: _*))
+      .select(col(idCol), col("pos"),
+        explode(element_at(offLit, col("token"))).as("o"))
+      .select(col(idCol), (col("pos") - col("o")).as("anchor"))
+      .groupBy(col(idCol), col("anchor"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") === phrase.size)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(ord: _*)
+      .limit(topN)
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+  }
+
   /** BM25-ranked disjunctive search: documents matching ANY query term,
     * ranked by Okapi BM25 (k1, b in centi-units so the parameters are
     * integer-exact in any engine; idf is the Lucene

@@ -160,5 +160,44 @@ object SearchQueries extends QueryPack {
       ORDER BY c.token
     """))
 
-  def all: Seq[Q] = Seq(q92, q93, q106, q147)
+  // --------------------------------------------------------------- q222
+  // Exact PHRASE search — the positional query class q93's doc-level
+  // conjunction can't answer: terms at CONSECUTIVE positions via the
+  // anchor trick (each hit token emits (doc, pos − offset) for every
+  // offset its term occupies in the phrase; a (doc, anchor) group
+  // holding all |phrase| offsets is an occurrence). The phrase
+  // deliberately REPEATS a term ("order big order") so the
+  // multi-offset fan is exercised, not just the 1:1 path. Token
+  // stream filters to the phrase terms before any exchange (the q93
+  // discipline); top-N is TakeOrderedAndProject. The oracle checks
+  // consecutive positions directly — two different algorithms, one
+  // answer.
+  private val q222 = Q(
+    "q222_phrase_search",
+    (s, dir) => {
+      Search.phraseSearch(Tables(s, dir, "documents"), "doc_id", "text",
+          phrase = Seq("order", "big", "order"), topN = 25)
+        .orderBy(col("rnk"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      occ AS (
+        SELECT doc_id, COUNT(*) AS n_occurrences
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) t(i)
+        WHERE len(w) >= 3
+          AND w[i] = 'order' AND w[i+1] = 'big' AND w[i+2] = 'order'
+        GROUP BY doc_id)
+      SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT doc_id, n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, doc_id ASC)
+                 AS rnk
+        FROM occ)
+      WHERE rnk <= 25
+      ORDER BY rnk
+    """))
+
+  def all: Seq[Q] = Seq(q92, q93, q106, q147, q222)
 }

@@ -2392,8 +2392,128 @@ ${coarseCtes()},
       ORDER BY c.cid
     """))
 
+  // --------------------------------------------------------------- q220
+  // Calibrated int8 encode + per-dim error audit — what q217's bounds
+  // EXIST to feed: each dim clamps to [p_lo, p_hi] and maps affinely
+  // onto the 256 code levels (integer arithmetic end to end,
+  // non-negative numerators so floor-DIV is engine-portable), and the
+  // audit reports exact reconstruction error (clipping included —
+  // that IS the signal) plus how many values each clip edge caught.
+  // Bounds embed as two 64-entry plan literals, so the encode is a
+  // pure projection; the only exchange carries d-keyed partial sums.
+  private val q220 = Q(
+    "q220_calibrated_int8_audit",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      graft.operators.Quantize.calibratedErrorAudit(e, "vec_id",
+          "embedding", bounds)
+        .orderBy(col("d"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ex AS (
+        SELECT d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (
+        SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo
+        FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000
+        GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi
+        FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000
+        GROUP BY rk.d),
+      enc AS (
+        SELECT e.d, e.x, b.lo, c.hi,
+               GREATEST(LEAST(e.x, c.hi), b.lo) AS cl
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      cd AS (
+        SELECT d, x, lo, hi,
+               CASE WHEN hi > lo THEN (cl - lo) * 255 // (hi - lo)
+                    ELSE 0 END AS code
+        FROM enc),
+      dqt AS (
+        SELECT d, x, lo, hi,
+               CASE WHEN hi > lo THEN lo + code * (hi - lo) // 255
+                    ELSE lo END AS dq
+        FROM cd)
+      SELECT CAST(d AS INTEGER) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((x - dq) * (x - dq)) AS BIGINT) AS err_sum,
+             CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_lo,
+             CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_hi
+      FROM dqt GROUP BY d
+      ORDER BY d
+    """))
+
+  // --------------------------------------------------------------- q221
+  // O(new) calibration-census ledger — order statistics join the
+  // incremental family WITHOUT a sketch: the (dim, grid-value) census
+  // is an exact distribution whose counts ADD, so the stored census
+  // absorbs a day's batch at O(batch) cost and the q217 bounds
+  // re-derive as a VIEW over the merge. Oracle = the full-corpus
+  // q217 recompute — equality proves the merged census IS the full
+  // census.
+  private val q221 = Q(
+    "q221_incremental_calibration",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val stored = graft.operators.Quantize.valueCensus(
+        e.filter(col("vec_id") % 3 > 0), "vec_id", "embedding")
+      val merged = graft.operators.Quantize.mergeValueCensus(stored,
+        graft.operators.Quantize.valueCensus(
+          e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding"))
+      graft.operators.Quantize.boundsFromCensus(merged,
+          loPermille = 10, hiPermille = 990)
+        .orderBy(col("d"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ex AS (
+        SELECT d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (
+        SELECT d, COUNT(*) AS n, MIN(x) AS vmin, MAX(x) AS vmax
+        FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      lo AS (
+        SELECT rk.d, MIN(rk.x) AS p_lo
+        FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000
+        GROUP BY rk.d),
+      hi AS (
+        SELECT rk.d, MIN(rk.x) AS p_hi
+        FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000
+        GROUP BY rk.d)
+      SELECT CAST(st.d AS INTEGER) AS d, CAST(n AS BIGINT) AS n,
+             CAST(vmin AS BIGINT) AS vmin, CAST(vmax AS BIGINT) AS vmax,
+             CAST(p_lo AS BIGINT) AS p_lo, CAST(p_hi AS BIGINT) AS p_hi
+      FROM st JOIN lo USING (d) JOIN hi USING (d)
+      ORDER BY st.d
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
-    q217, q218, q219)
+    q217, q218, q219, q220, q221)
 }

@@ -746,6 +746,54 @@ class PqSpec extends SparkSpec {
       s"p_hi = ${row.getAs[Long]("p_hi")}")
   }
 
+  test("value census: merge over an arbitrary cut ≡ full calibration") {
+    // the q221 exactness claim on a DIFFERENT cut than the gated one:
+    // the census is an exact distribution whose counts add, so bounds
+    // over any merged cut equal the full-corpus calibration
+    val merged = Quantize.boundsFromCensus(
+      Quantize.mergeValueCensus(
+        Quantize.valueCensus(emb.filter(col("vec_id") % 7 < 2),
+          "vec_id", "embedding"),
+        Quantize.valueCensus(emb.filter(col("vec_id") % 7 >= 2),
+          "vec_id", "embedding")),
+      10, 990).orderBy("d").collect().toSeq
+    val full = Quantize.calibrationBounds(emb, "vec_id", "embedding",
+      10, 990).orderBy("d").collect().toSeq
+    assert(merged == full, "cut-merged census diverged from full")
+  }
+
+  test("calibrated audit: degenerate dim codes to zero, clip edges count") {
+    val s = spark
+    import s.implicits._
+    // dim 1 constant (hi = lo — the degenerate lane: code 0, dequant
+    // lo, zero error); dim 2 spans 0..10 with permille bounds at
+    // 0/1000 → lo = min, hi = max, nothing clips and the affine
+    // round-trip error is bounded by the step size
+    val e = (0 to 10).map(i => (i.toLong, Array(5f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val bounds = Quantize.calibrationBounds(e, "vec_id", "embedding",
+      0, 1000)
+    val audit = Quantize.calibratedErrorAudit(e, "vec_id", "embedding",
+        bounds)
+      .orderBy("d").collect()
+    assert(audit.length == 2)
+    val d1 = audit(0)
+    assert(d1.getAs[Long]("err_sum") == 0L &&
+      d1.getAs[Long]("n_clip_lo") == 0L &&
+      d1.getAs[Long]("n_clip_hi") == 0L,
+      s"degenerate dim not clean: $d1")
+    val d2 = audit(1)
+    assert(d2.getAs[Long]("n_clip_lo") == 0L &&
+      d2.getAs[Long]("n_clip_hi") == 0L, s"full-range bounds clipped: $d2")
+    // tight bounds MUST clip: permille 100/900 on 0..10 → lo = 1e6,
+    // hi = 9e6, exactly one value under and one over
+    val tight = Quantize.calibratedErrorAudit(e, "vec_id", "embedding",
+        Quantize.calibrationBounds(e, "vec_id", "embedding", 100, 900))
+      .orderBy("d").collect()(1)
+    assert(tight.getAs[Long]("n_clip_lo") == 1L &&
+      tight.getAs[Long]("n_clip_hi") == 1L, s"clip census wrong: $tight")
+  }
+
   test("purge: total delete zeros the ledger on the full spine; purgeCodes drops exactly the tombstones") {
     val history = emb.filter(col("vec_id") % 3 > 0)
     val coarse = Ivf.centroids(history, "vec_id", "embedding", 8, 2)

@@ -120,6 +120,36 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("Generate explode"), plan)
   }
 
+  test("phrase search: overlapping + repeated-term occurrences, order sensitivity") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),      // "a b a" at pos 0 AND 2 (overlap counts)
+      (2L, "a b c a b a"),    // one occurrence at pos 3
+      (3L, "b a a b"),        // terms present, order wrong — no hit
+      (4L, "a b")             // too short for the trigram
+    ).toDF("doc_id", "text")
+    val got = Search.phraseSearch(df, "doc_id", "text",
+        Seq("a", "b", "a"), topN = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_occurrences"))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L),
+      s"phrase hits wrong: $got")
+  }
+
+  test("phrase search filters the token stream below the exchange") {
+    // the q93 discipline carried over: the isin filter on the phrase
+    // terms must appear in the plan on the generated token side, and
+    // the offset fan is an in-row literal map lookup (element_at),
+    // not a join
+    val plan = Search.phraseSearch(docs, "doc_id", "text",
+      Seq("order", "big", "order"), 25).queryExecution.executedPlan.toString
+    assert(plan.contains("order"), plan)
+    assert(plan.contains("Generate posexplode"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "the offset fan must not plan a join")
+  }
+
   test("bm25: hand-checked score, rare-term match outranks common-term match") {
     val s = spark
     import s.implicits._
