@@ -131,6 +131,18 @@ object Multimodal {
         sum(when(col("keep"), lit(0L)).otherwise(col("frame_bytes")))
           .as("dup_bytes"))
 
+  /** The CURATION view of [[dedupFrames]]' verdicts — per document,
+    * total/retread frame counts plus the byte mass a store would
+    * actually pay for (the KEPT frames' bytes): the inputs the media
+    * budget stage admits on, where the text pipeline admits on
+    * tokens. Map-side combined; the exchange carries doc keys. */
+  def mediaCurationCensus(flagged: DataFrame, idCol: String): DataFrame =
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_frames"),
+        sum(when(col("keep"), col("frame_bytes")).otherwise(lit(0L)))
+          .as("kept_bytes"))
+
   /** Frame-digest LEDGER — [[dedupFrames]]' election state made
     * STORABLE, one row per distinct digest: the earliest
     * (doc, frame_idx) coordinate (provenance: where this frame first

@@ -250,5 +250,84 @@ object MultimodalQueries extends QueryPack {
       ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q27, q28, q206, q210, q213, q214)
+  // ---------------------------------------------------------------- q223
+  // The MEDIA curation pipeline — the q191 composition discipline on
+  // the multimodal axis, and the first query where the media column
+  // flows through dedup AND curation under one hash gate: frames cut
+  // (stride 1) → whole-corpus keep-first election (q210) → per-doc
+  // census with KEPT byte mass → retread gate (docs whose duplicate
+  // share exceeds 300‰ drop — stock-footage re-uploads) → per-KIND
+  // byte budget (the q159 admission machinery fed bytes for tokens:
+  // within image/audio/video, docs admit largest-unique-first until
+  // the kind's 25 000-byte budget crosses — mid-distribution at
+  // sf0.01, so both verdict branches are live) → per-doc accounting.
+  // Integer arithmetic throughout (permille gate, byte sums).
+  private val q223 = Q(
+    "q223_media_curation_pipeline",
+    (s, dir) => {
+      val census = Multimodal.mediaCurationCensus(
+        Multimodal.dedupFrames(
+          Multimodal.sampleFrames(
+            Multimodal.withPayload(Tables(s, dir, "documents"),
+              "doc_id", "text"),
+            "doc_id", frameSize = 64, stride = 1),
+          "doc_id"),
+        "doc_id")
+      val gated = census
+        .filter(col("n_dup_frames") * 1000 <= col("n_frames") * 300)
+        .withColumn("kind",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video"))
+      graft.operators.Curation.hostTokenBudget(gated, "kind", "doc_id",
+          "kept_bytes", "kept_bytes", budgetTokens = 25000L)
+        .select(col("doc_id"), col("kind"), col("n_frames"),
+          col("n_dup_frames"), col("kept_bytes"),
+          col("cum_tokens").as("cum_bytes"), col("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH fr AS (
+        SELECT doc_id, i,
+               CAST(octet_length(encode(f)) AS BIGINT) AS fb,
+               md5(f) AS dg
+        FROM (
+          SELECT doc_id, i, substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+          FROM documents,
+               UNNEST(generate_series(0,
+                 CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1))
+                 t(i))),
+      el AS (
+        SELECT doc_id, i, fb,
+               ROW_NUMBER() OVER (PARTITION BY dg
+                 ORDER BY doc_id ASC, i ASC) AS rn
+        FROM fr),
+      cen AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_frames,
+               CAST(SUM(CASE WHEN rn = 1 THEN fb ELSE 0 END) AS BIGINT)
+                 AS kept_bytes
+        FROM el GROUP BY doc_id),
+      g AS (
+        SELECT *,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind
+        FROM cen
+        WHERE n_dup_frames * 1000 <= n_frames * 300),
+      cum AS (
+        SELECT doc_id, kind, n_frames, n_dup_frames, kept_bytes,
+               SUM(kept_bytes) OVER (PARTITION BY kind
+                 ORDER BY kept_bytes DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS cum_bytes
+        FROM g)
+      SELECT doc_id, kind, n_frames, n_dup_frames, kept_bytes,
+             CAST(cum_bytes AS BIGINT) AS cum_bytes,
+             cum_bytes <= 25000 AS kept
+      FROM cum ORDER BY doc_id
+    """))
+
+  def all: Seq[Q] = Seq(q27, q28, q206, q210, q213, q214, q223)
 }

@@ -574,6 +574,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(_._1 == 2L).map(_._2).sorted == Seq(0, 2))
   }
 
+  test("media census complements the dup census on bytes") {
+    // kept_bytes + dup_bytes must tile each doc's total frame mass —
+    // the two census views (audit: what dedup RECLAIMS; curation:
+    // what a store PAYS FOR) are complements by construction
+    val dir = "/root/testdata/sf0.001"
+    val flagged = Multimodal.dedupFrames(
+      Multimodal.sampleFrames(
+        Multimodal.withPayload(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+        "doc_id", frameSize = 64, stride = 1), "doc_id")
+    val total = flagged.groupBy("doc_id")
+      .agg(sum(col("frame_bytes")).as("tb"))
+    val bad = Multimodal.mediaCurationCensus(flagged, "doc_id")
+      .join(Multimodal.frameDupCensus(flagged, "doc_id")
+        .select(col("doc_id"), col("dup_bytes")), Seq("doc_id"))
+      .join(total, Seq("doc_id"))
+      .filter(col("kept_bytes") + col("dup_bytes") =!= col("tb"))
+    assert(bad.isEmpty, "kept + dup bytes did not tile the frame mass")
+  }
+
   test("frame ledger: min-merge over an arbitrary cut ≡ full recompute") {
     // the q213 exactness claim: (first_doc, first_idx) is a least-
     // semilattice and n_occ is additive, so ANY 2-cut of the corpus
