@@ -176,6 +176,49 @@ object Multimodal {
         col("__f.first_idx").as("first_idx"),
         col("n_occ"))
 
+  /** The OCCURRENCE index behind the ledger — one (digest, doc, idx,
+    * bytes) row per frame, the positional table a deletion-capable
+    * deployment stores alongside the [[frameLedger]] aggregate
+    * (payloads project to digests before the write, as everywhere in
+    * this family). */
+  def frameOccurrences(frames: DataFrame, idCol: String): DataFrame =
+    frames.select(md5(col("frame")).as("frame_digest"),
+      col(idCol), col("frame_idx"), col("frame_bytes"))
+
+  /** DELETE from the frame ledger — the semilattice's deletion
+    * discipline, and deliberately NOT [[graft.operators.Ledger
+    * .retract]]: counts subtract, but a MIN cannot un-merge (the
+    * evicted doc may BE the first occurrence, and the runner-up is
+    * not in the aggregate), so deletion needs the stored occurrence
+    * index and the q183 affected-group rule — only digests with ≥ 1
+    * occurrence in a deleted doc RE-ELECT, from their surviving
+    * occurrences; every other ledger row passes through untouched.
+    * Work is O(affected digests' occurrences), never a corpus
+    * re-scan: the affected set is deleted-proportional and broadcasts
+    * into a semi-join on the occurrence index (map-side filter) and
+    * an anti-join on the ledger; a digest whose every occurrence was
+    * deleted vanishes — an empty election has no winner. */
+  def purgeFrameLedger(ledger: DataFrame, occurrences: DataFrame,
+      deletedDocs: DataFrame, idCol: String): DataFrame = {
+    val affected = occurrences
+      .join(broadcast(deletedDocs.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col("frame_digest")).distinct()
+    val reelected = occurrences
+      .join(broadcast(affected), Seq("frame_digest"), "left_semi")
+      .join(deletedDocs.select(col(idCol)).distinct(), Seq(idCol),
+        "left_anti")
+      .groupBy(col("frame_digest"))
+      .agg(min(struct(col(idCol), col("frame_idx"))).as("__f"),
+        count(lit(1)).as("n_occ"))
+      .select(col("frame_digest"),
+        col(s"__f.$idCol").as("first_doc"),
+        col("__f.frame_idx").as("first_idx"),
+        col("n_occ"))
+    ledger.join(broadcast(affected), Seq("frame_digest"), "left_anti")
+      .unionByName(reelected)
+  }
+
   /** [[dedupFrames]] against STORED history — arrival-order keep-first
     * (the incremental/streaming reality: the copy already in the
     * ledger wins, a new arrival of a seen digest is the retread

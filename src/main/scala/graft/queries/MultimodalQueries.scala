@@ -329,5 +329,56 @@ object MultimodalQueries extends QueryPack {
       FROM cum ORDER BY doc_id
     """))
 
-  def all: Seq[Q] = Seq(q27, q28, q206, q210, q213, q214, q223)
+  // ---------------------------------------------------------------- q224
+  // Frame-ledger DELETE — the deletion discipline the min-semilattice
+  // forces, distinct from the additive ledgers' subtraction (q211/
+  // q212): a MIN cannot un-merge (the evicted doc may BE the first
+  // occurrence and the runner-up is not in the aggregate), so digests
+  // touched by the deleted docs RE-ELECT from the stored occurrence
+  // index — the q183 affected-group rule, O(affected occurrences),
+  // never a corpus re-scan — while untouched rows pass through. With
+  // q213 (append) this closes the frame ledger's lifecycle; the
+  // oracle recomputes the ledger over the surviving docs. Output: the
+  // post-delete duplicate-provenance report (n_occ > 1).
+  private val q224 = Q(
+    "q224_frame_ledger_purge",
+    (s, dir) => {
+      val frames = Multimodal.sampleFrames(
+        Multimodal.withPayload(Tables(s, dir, "documents"),
+          "doc_id", "text"),
+        "doc_id", frameSize = 64, stride = 1)
+      val ledger = Multimodal.frameLedger(frames, "doc_id")
+      val occ = Multimodal.frameOccurrences(frames, "doc_id")
+      val deleted = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 11 === 0).select(col("doc_id"))
+      Multimodal.purgeFrameLedger(ledger, occ, deleted, "doc_id")
+        .filter(col("n_occ") > 1)
+        .orderBy(col("frame_digest"))
+    },
+    Some("""
+      WITH fr AS (
+        SELECT doc_id, i, md5(f) AS dg
+        FROM (
+          SELECT doc_id, i, substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+          FROM documents,
+               UNNEST(generate_series(0,
+                 CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1))
+                 t(i))
+        WHERE doc_id % 11 <> 0),
+      fst AS (
+        SELECT dg, doc_id, i,
+               ROW_NUMBER() OVER (PARTITION BY dg
+                 ORDER BY doc_id ASC, i ASC) AS rn
+        FROM fr),
+      agg AS (SELECT dg, COUNT(*) AS n FROM fr GROUP BY dg)
+      SELECT f.dg AS frame_digest,
+             CAST(f.doc_id AS BIGINT) AS first_doc,
+             CAST(f.i AS INTEGER) AS first_idx,
+             CAST(a.n AS BIGINT) AS n_occ
+      FROM fst f JOIN agg a USING (dg)
+      WHERE f.rn = 1 AND a.n > 1
+      ORDER BY f.dg
+    """))
+
+  def all: Seq[Q] = Seq(q27, q28, q206, q210, q213, q214, q223, q224)
 }

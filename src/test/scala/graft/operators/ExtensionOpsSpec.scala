@@ -614,6 +614,44 @@ class MultimodalSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("frame-ledger purge ≡ recompute over survivors; evicted winners re-elect") {
+    val dir = "/root/testdata/sf0.001"
+    def frames(p: org.apache.spark.sql.Column) = Multimodal.sampleFrames(
+      Multimodal.withPayload(
+        spark.read.parquet(s"$dir/documents.parquet").filter(p),
+        "doc_id", "text"),
+      "doc_id", frameSize = 64, stride = 1)
+    val all = frames(lit(true))
+    val purged = Multimodal.purgeFrameLedger(
+        Multimodal.frameLedger(all, "doc_id"),
+        Multimodal.frameOccurrences(all, "doc_id"),
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        "doc_id")
+      .orderBy("frame_digest").collect().toSeq
+    val full = Multimodal.frameLedger(frames(col("doc_id") % 5 =!= 0),
+      "doc_id").orderBy("frame_digest").collect().toSeq
+    assert(purged == full, "purged ledger diverged from survivor recompute")
+
+    // micro-case: the first occurrence is IN the deleted doc — the
+    // runner-up must win the re-election; a digest whose every
+    // occurrence dies must vanish
+    val s = spark
+    import s.implicits._
+    val shared = "z" * 64
+    val tiny = Seq((1L, shared), (4L, shared), (1L, "")).toDF("doc_id", "text")
+      .filter(col("text") =!= "")
+    val tf = Multimodal.sampleFrames(
+      Multimodal.withPayload(tiny, "doc_id", "text"), "doc_id", 64, 1)
+    val after = Multimodal.purgeFrameLedger(
+        Multimodal.frameLedger(tf, "doc_id"),
+        Multimodal.frameOccurrences(tf, "doc_id"),
+        Seq(1L).toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(after.length == 1 && after.head._2 == 4L && after.head._3 == 1L,
+      s"re-election wrong: ${after.toSeq}")
+  }
+
   test("ledger census pins ARRIVAL-order keep-first, not id order") {
     val s = spark
     import s.implicits._
