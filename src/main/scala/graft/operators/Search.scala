@@ -146,18 +146,40 @@ object Search {
     * the top-N is TakeOrderedAndProject, the rank window sits above
     * the global limit. Output: (idCol, n_occurrences, rnk). */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], topN: Int): DataFrame =
+    phraseSearchIndexed(positionalIndex(docs, idCol, textCol), idCol,
+      phrase, topN)
+
+  /** The POSITIONAL index behind [[phraseSearch]] — one (token, doc,
+    * pos) posting per token occurrence, the stored table a phrase-
+    * capable deployment keeps where [[invertedIndex]] keeps doc-level
+    * postings. Append-only corpora maintain it by plain UNION of the
+    * day's postings (ids disjoint → the union IS the exact merge, no
+    * aggregation to reconcile); at rest it parquet-sorts by token so
+    * a phrase query's `isin` filter prunes at the scan via dictionary
+    * pushdown instead of re-tokenizing a corpus. */
+  def positionalIndex(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), Dedup.words(col(textCol)).as("w"))
+      .select(col(idCol), posexplode(col("w")).as(Seq("pos", "token")))
+      .select(col("token"), col(idCol), col("pos"))
+
+  /** [[phraseSearch]] served from a STORED [[positionalIndex]] — the
+    * q194/q208 build/apply discipline on the search axis: no
+    * tokenization happens here, the phrase terms filter the posting
+    * scan (pushdown-friendly), and the anchor trick runs unchanged.
+    * Same output contract as [[phraseSearch]]. */
+  def phraseSearchIndexed(index: DataFrame, idCol: String,
       phrase: Seq[String], topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    require(phrase.nonEmpty, "phraseSearchIndexed needs a non-empty phrase")
     val offsets: Map[String, Seq[Int]] =
       phrase.zipWithIndex.groupBy(_._1).map { case (t, os) =>
         (t, os.map(_._2))
       }
     val offLit = typedLit(offsets)
     val ord = Seq(col("n_occurrences").desc, col(idCol).asc)
-    docs
-      .select(col(idCol), Dedup.words(col(textCol)).as("w"))
-      .select(col(idCol), posexplode(col("w")).as(Seq("pos", "token")))
+    index
       .filter(col("token").isin(phrase.distinct: _*))
       .select(col(idCol), col("pos"),
         explode(element_at(offLit, col("token"))).as("o"))

@@ -199,5 +199,46 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
-  def all: Seq[Q] = Seq(q92, q93, q106, q147, q222)
+  // --------------------------------------------------------------- q225
+  // Phrase search over the STORED positional index — the q194/q208
+  // build/apply discipline on the search axis: history's (token, doc,
+  // pos) postings are the persisted table, the day's batch appends by
+  // plain UNION (append-only ids make the union the exact merge — no
+  // aggregation to reconcile, unlike q147's df/cf/postings), and the
+  // query tokenizes NOTHING — the phrase terms filter the posting
+  // scan. Oracle = q222's direct-recompute SQL: the stored-index path
+  // and the tokenize-everything path must land the same answer.
+  private val q225 = Q(
+    "q225_phrase_search_indexed",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val stored = Search.positionalIndex(
+        docs.filter(col("doc_id") % 3 > 0), "doc_id", "text")
+      val day = Search.positionalIndex(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      Search.phraseSearchIndexed(stored.unionByName(day), "doc_id",
+          phrase = Seq("order", "big", "order"), topN = 25)
+        .orderBy(col("rnk"))
+    },
+    Some(raw"""
+      WITH norm AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      occ AS (
+        SELECT doc_id, COUNT(*) AS n_occurrences
+        FROM norm, UNNEST(generate_series(1, len(w) - 2)) t(i)
+        WHERE len(w) >= 3
+          AND w[i] = 'order' AND w[i+1] = 'big' AND w[i+2] = 'order'
+        GROUP BY doc_id)
+      SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT doc_id, n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, doc_id ASC)
+                 AS rnk
+        FROM occ)
+      WHERE rnk <= 25
+      ORDER BY rnk
+    """))
+
+  def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225)
 }
