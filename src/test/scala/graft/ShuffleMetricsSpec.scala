@@ -436,4 +436,38 @@ class ShuffleMetricsSpec extends SparkSpec {
       assert(bin.isEmpty, s"election window carries payloads: $bin")
     }
   }
+
+  test("frame ledger family: no BINARY column survives to any aggregate") {
+    // the q213/q214/q224 scale claim, plan-proven across the whole
+    // family: ledger build, min-merge, the against-ledger election,
+    // and the purge re-election all project the payload away before
+    // their aggregation/window operators — at 100 TB of media every
+    // exchange in the lifecycle carries digests and scalars
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.types.BinaryType
+    def frames = operators.Multimodal.sampleFrames(
+      operators.Multimodal.withPayload(docs, "doc_id", "text"),
+      "doc_id", frameSize = 64, stride = 1)
+    def assertNoBinary(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case a: Aggregate =>
+          a.child.output.filter(_.dataType == BinaryType).map(_.name)
+        case w: LWindow =>
+          w.child.output.filter(_.dataType == BinaryType).map(_.name)
+      }.flatten
+      assert(offenders.isEmpty, s"$what carries payloads: $offenders")
+    }
+    val ledger = operators.Multimodal.frameLedger(frames, "doc_id")
+    assertNoBinary(ledger, "ledger build")
+    assertNoBinary(operators.Multimodal.mergeFrameLedger(ledger,
+      operators.Multimodal.frameLedger(frames, "doc_id")), "ledger merge")
+    assertNoBinary(operators.Multimodal.dedupFramesAgainstLedger(
+      ledger, frames, "doc_id"), "against-ledger election")
+    val s = spark
+    import s.implicits._
+    assertNoBinary(operators.Multimodal.purgeFrameLedger(ledger,
+      operators.Multimodal.frameOccurrences(frames, "doc_id"),
+      Seq(0L).toDF("doc_id"), "doc_id"), "purge re-election")
+  }
 }
