@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * groups the batch didn't touch. Derived columns (averages) are the
   * caller's — they re-derive from the merged sums, they don't merge.
   * Exchanges are ledger-sized on both sides. */
-private[operators] object Ledger {
+private[graft] object Ledger {
 
   def merge(prior: DataFrame, delta: DataFrame, keyCol: String,
       sumCols: Seq[String]): DataFrame = {

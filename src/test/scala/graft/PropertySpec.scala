@@ -435,4 +435,54 @@ class PropertySpec extends SparkSpec {
         s"no cluster covers all $carriers carriers: $out")
     }
   }
+
+  test("ledger algebra: retract inverts merge; merge is cut-invariant") {
+    // the sufficient-statistics group law the whole O(new)/purge
+    // family leans on, on RANDOM ledgers: merging a delta then
+    // retracting it restores the prior's sums on every key (keys the
+    // delta introduced survive as explicit zeros — the full-outer
+    // spine never drops a key), and any 2-cut of a row set merges to
+    // the full aggregation
+    val s = spark
+    import s.implicits._
+    val rowGen: Gen[(Long, Long, Long)] = for {
+      k <- Gen.choose(0L, 6L)
+      a <- Gen.choose(-50L, 50L)
+      b <- Gen.choose(0L, 100L)
+    } yield (k, a, b)
+    forAllSampled(Gen.zip(Gen.nonEmptyListOf(rowGen),
+        Gen.nonEmptyListOf(rowGen))) { case (p, d) =>
+      def ledger(rows: Seq[(Long, Long, Long)]) =
+        rows.toDF("k", "s1", "s2").groupBy("k")
+          .agg(sum("s1").as("s1"), sum("s2").as("s2"))
+      val prior = ledger(p)
+      val delta = ledger(d)
+      val back = graft.operators.Ledger.retract(
+          graft.operators.Ledger.merge(prior, delta, "k", Seq("s1", "s2")),
+          delta, "k", Seq("s1", "s2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = prior.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ++
+        (d.map(_._1).toSet -- p.map(_._1).toSet).map(k => (k, 0L, 0L))
+      assert(back == want, s"retract∘merge ≠ prior: $back vs $want")
+
+      val cut = p.zipWithIndex
+      val merged = graft.operators.Ledger.merge(
+          ledger(cut.filter(_._2 % 2 == 0).map(_._1)),
+          ledger(cut.filter(_._2 % 2 == 1).map(_._1)),
+          "k", Seq("s1", "s2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val full = prior.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // an all-even or all-odd cut leaves one side empty → keys only
+      // on the populated side; zero-fill the absent-side keys
+      val fullKeys = p.map(_._1).toSet
+      val evenKeys = cut.filter(_._2 % 2 == 0).map(_._1._1).toSet
+      val oddKeys = cut.filter(_._2 % 2 == 1).map(_._1._1).toSet
+      assert(evenKeys ++ oddKeys == fullKeys)
+      assert(merged == full, s"cut merge ≠ full: $merged vs $full")
+    }
+  }
 }
