@@ -1186,6 +1186,89 @@ object TextQueries extends QueryPack {
       FROM sp GROUP BY split ORDER BY split
     """))
 
+  // --------------------------------------------------------------- q226
+  // The EXPORT pipeline — q191's curation chain continued to what a
+  // training job actually mounts: dedup → quality gate → token budget
+  // → split, then the TRAIN split's text rejoins (id-keyed equi-join)
+  // and flows through token-balanced sharding into the integrity
+  // MANIFEST (q120 + q141 machinery over the curated subset, not the
+  // raw corpus — the shard cut re-derives from the budgeted train
+  // mass). One hash gate covers curate → export; the checksum column
+  // means a corrupted export of the curated set cannot silently pass.
+  private val q226 = Q(
+    "q226_export_pipeline",
+    (s, dir) => {
+      val t = TextAnalysis
+      val docs = Tables(s, dir, "documents")
+      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = docs
+        .join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("__w", graft.operators.Dedup.words(col("text")))
+        .withColumn("q_micro", t.qualityMicro(col("text"), col("__w")))
+        .filter(col("q_micro") >= 600000L)
+        .withColumn("n_tokens", t.tokenCount(col("text")))
+        .select(col("doc_id"), col("n_tokens"))
+      val budgeted = graft.operators.Sampling.tokenBudgetSubset(
+        survivors, "doc_id", "n_tokens", budgetTokens = 5000L)
+      val train = graft.operators.Sampling.withSplit(budgeted, "doc_id",
+          valPct = 5, testPct = 5)
+        .filter(col("split") === "train")
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      graft.operators.Sampling.shardManifest(train, "doc_id",
+        "n_tokens", "text", nShards = 4)
+    },
+    Some(raw"""
+      WITH $qmicroCtes,
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+      sv AS (
+        SELECT q.doc_id, b.n_tokens
+        FROM q
+        JOIN base b USING (doc_id)
+        JOIN keepers k ON k.doc_id = q.doc_id
+        WHERE q.qm >= 600000),
+      bud AS (
+        SELECT doc_id, n_tokens FROM (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                            doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM sv)
+        WHERE cum - n_tokens < 5000),
+      trn AS (
+        SELECT doc_id, n_tokens FROM (
+          SELECT doc_id, n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b2
+          FROM bud)
+        WHERE b2 >= 10),
+      fp AS (
+        SELECT t.doc_id, t.n_tokens,
+               ('0x' || substr(md5(
+                 regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')), 1, 15))::BIGINT
+                 AS fp60
+        FROM trn t JOIN documents d USING (doc_id)),
+      c AS (
+        SELECT doc_id, n_tokens, fp60,
+               CAST(SUM(n_tokens) OVER (
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                          doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM fp),
+      tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM fp)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(bit_xor(fp60) AS BIGINT) AS checksum
+      FROM (
+        SELECT CAST(((GREATEST(cum, 1) - 1) * 4) // GREATEST(total, 1) AS BIGINT)
+                 AS shard,
+               n_tokens, fp60
+        FROM c CROSS JOIN tt)
+      GROUP BY shard ORDER BY shard
+    """))
+
   // --------------------------------------------------------------- q193
   // q191 with the EXPENSIVE half composed in: exact dedup → q187's
   // TOTAL substring redaction (pair lane df=2 ∪ cluster lane df≥3,
@@ -1603,5 +1686,5 @@ object TextQueries extends QueryPack {
   def all: Seq[Q] = Seq(q23, q24, q25, q26, q33, q44, q45, q46, q47, q50,
     q56, q57, q91, q101, q111, q113, q123, q126, q130, q134, q135, q136,
     q137, q140, q142, q150, q159, q163, q164, q170, q172, q174, q191,
-    q193, q200)
+    q193, q200, q226)
 }
