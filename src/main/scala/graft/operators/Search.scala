@@ -26,11 +26,20 @@ object Search {
     * df = documents containing the token, cf = total occurrences, and
     * postings = the first `maxPostings` doc ids ascending. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int): DataFrame =
+    indexFromPostings(
+      docs.select(col(idCol), Dedup.words(col(textCol)).as("w"))
+        .select(col(idCol), explode(col("w")).as("token")),
+      idCol, maxPostings)
+
+  /** The [[invertedIndex]] aggregation from an ALREADY-TOKENIZED
+    * (token, id) posting stream — the shared tail the delete path
+    * needs, because re-electing an affected token's postings must run
+    * from the stored occurrence table, never from text. */
+  def indexFromPostings(occ: DataFrame, idCol: String,
       maxPostings: Int): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val toks = docs
-      .select(col(idCol), Dedup.words(col(textCol)).as("w"))
-      .select(col(idCol), explode(col("w")).as("token"))
+    val toks = occ
     // NOT collect_set+slice: that caps the output row but the set buffer
     // underneath still holds every distinct doc id of a hot token — the
     // bounded aggregate keeps the k smallest ids in an O(k) buffer that
@@ -53,6 +62,36 @@ object Search {
         count_distinct(col(idCol)).as("df"),
         postings.as("postings"))
       .select(col("token"), col("df"), col("cf"), col("postings"))
+  }
+
+  /** DELETE from the stored [[invertedIndex]] — the q224
+    * affected-group discipline on the search pillar: a bounded-min
+    * posting list cannot un-merge (an evicted doc may head the list
+    * and the runner-up fell off the k cap years ago), so tokens with
+    * ≥ 1 occurrence in a deleted doc RE-ELECT — df, cf, and postings
+    * together — from the surviving rows of the stored POSITIONAL
+    * occurrence table ([[positionalIndex]], the table a
+    * deletion-capable deployment keeps anyway for [[phraseSearchIndexed]]);
+    * untouched tokens pass through bit-identical, and a token whose
+    * every document died vanishes. Work is O(occurrences of affected
+    * tokens) — the honest deletion cost of posting lists (a deleted
+    * doc containing a stopword re-aggregates that stopword's
+    * postings, exactly as a segment merge would); the affected set is
+    * deleted-proportional and broadcasts into map-side semi/anti
+    * filters, so history never shuffles whole. */
+  def purgeInvertedIndex(storedIndex: DataFrame, postings: DataFrame,
+      deletedDocs: DataFrame, idCol: String,
+      maxPostings: Int): DataFrame = {
+    val dels = deletedDocs.select(col(idCol)).distinct()
+    val affected = postings
+      .join(broadcast(dels), Seq(idCol), "left_semi")
+      .select(col("token")).distinct()
+    val reposted = indexFromPostings(
+      postings.join(broadcast(affected), Seq("token"), "left_semi")
+        .join(dels, Seq(idCol), "left_anti"),
+      idCol, maxPostings)
+    storedIndex.join(broadcast(affected), Seq("token"), "left_anti")
+      .unionByName(reposted)
   }
 
   /** O(new)-per-day maintenance of the [[invertedIndex]] snapshot —

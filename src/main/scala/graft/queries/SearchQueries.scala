@@ -240,5 +240,47 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
-  def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225)
+  // --------------------------------------------------------------- q227
+  // DELETE from the stored inverted index — the affected-group
+  // re-election discipline (q224) on the search pillar: a bounded-min
+  // posting list cannot un-merge, so tokens touched by the deleted
+  // docs re-elect df/cf/postings from the surviving rows of the
+  // stored positional table (no text is ever re-tokenized), untouched
+  // tokens pass through, a fully-dead token vanishes. With q147
+  // (append) this closes the search index's lifecycle. Oracle = the
+  // q92 snapshot recomputed over the surviving corpus.
+  private val q227 = Q(
+    "q227_inverted_index_purge",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val postings = Search.positionalIndex(docs, "doc_id", "text")
+      val stored = Search.indexFromPostings(postings, "doc_id",
+        maxPostings = 20)
+      val deleted = docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"))
+      Search.purgeInvertedIndex(stored, postings, deleted, "doc_id",
+          maxPostings = 20)
+        .select(col("token"), col("df"), col("cf"),
+          to_json(col("postings")).as("postings"))
+        .orderBy(col("token"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM documents
+        WHERE doc_id % 9 <> 0),
+      counts AS (
+        SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token),
+      posts AS (
+        SELECT token,
+               CAST(to_json((list(doc_id ORDER BY doc_id ASC))[1:20]) AS VARCHAR)
+                 AS postings
+        FROM (SELECT DISTINCT token, doc_id FROM toks)
+        GROUP BY token)
+      SELECT c.token, c.df, c.cf, p.postings
+      FROM counts c JOIN posts p USING (token)
+      ORDER BY c.token
+    """))
+
+  def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227)
 }

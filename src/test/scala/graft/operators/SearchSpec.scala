@@ -150,6 +150,34 @@ class SearchSpec extends SparkSpec {
       "the offset fan must not plan a join")
   }
 
+  test("inverted-index purge: passthrough, vanish, re-election ≡ rebuild") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aa bb"), (2L, "bb cc"), (3L, "cc dd"))
+      .toDF("doc_id", "text")
+    val postings = Search.positionalIndex(df, "doc_id", "text")
+    val stored = Search.indexFromPostings(postings, "doc_id", 20)
+    val purged = Search.purgeInvertedIndex(stored, postings,
+      Seq(3L).toDF("doc_id"), "doc_id", 20)
+    // full equality with a rebuild over the survivors
+    val rebuilt = Search.invertedIndex(
+      df.filter(col("doc_id") =!= 3L), "doc_id", "text", 20)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("token"), col("df"), col("cf"),
+        to_json(col("postings"))).orderBy("token").collect().toSeq
+    assert(rows(purged) == rows(rebuilt),
+      "purged index diverged from survivor rebuild")
+    val byTok = rows(purged).map(r => r.getString(0) -> r).toMap
+    // untouched token: bit-identical to the STORED row (no re-election)
+    assert(byTok("aa") == rows(stored).find(_.getString(0) == "aa").get,
+      "untouched token did not pass through bit-identical")
+    // affected token: doc 3 left cc's postings, df/cf shrank
+    assert(byTok("cc").getLong(1) == 1L &&
+      byTok("cc").getString(3) == "[2]", s"cc re-election: ${byTok("cc")}")
+    // a token living only in the deleted doc vanishes
+    assert(!byTok.contains("dd"), "dead token survived the purge")
+  }
+
   test("bm25: hand-checked score, rare-term match outranks common-term match") {
     val s = spark
     import s.implicits._
