@@ -124,22 +124,32 @@ object Multimodal {
     * how many bytes the dedup would reclaim. Map-side combined; the
     * exchange carries doc keys. */
   def frameDupCensus(flagged: DataFrame, idCol: String): DataFrame =
-    flagged.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept_frames"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_frames"),
-        sum(when(col("keep"), lit(0L)).otherwise(col("frame_bytes")))
-          .as("dup_bytes"))
+    fullFrameCensus(flagged, idCol)
+      .select(col(idCol), col("n_frames"), col("n_kept_frames"),
+        col("n_dup_frames"), col("dup_bytes"))
 
   /** The CURATION view of [[dedupFrames]]' verdicts — per document,
     * total/retread frame counts plus the byte mass a store would
     * actually pay for (the KEPT frames' bytes): the inputs the media
     * budget stage admits on, where the text pipeline admits on
-    * tokens. Map-side combined; the exchange carries doc keys. */
+    * tokens. */
   def mediaCurationCensus(flagged: DataFrame, idCol: String): DataFrame =
+    fullFrameCensus(flagged, idCol)
+      .select(col(idCol), col("n_frames"), col("n_dup_frames"),
+        col("kept_bytes"))
+
+  /** One aggregation behind both census views — kept and dup masses
+    * tile each doc's total BY CONSTRUCTION (a single sum splits on
+    * the keep flag), so the audit view (what dedup reclaims) and the
+    * curation view (what a store pays for) cannot drift. Map-side
+    * combined; the exchange carries doc keys. */
+  private def fullFrameCensus(flagged: DataFrame, idCol: String): DataFrame =
     flagged.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept_frames"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_frames"),
+        sum(when(col("keep"), lit(0L)).otherwise(col("frame_bytes")))
+          .as("dup_bytes"),
         sum(when(col("keep"), col("frame_bytes")).otherwise(lit(0L)))
           .as("kept_bytes"))
 
@@ -150,8 +160,15 @@ object Multimodal {
     * before the groupBy, so the exchange carries 16-byte keys plus
     * two scalars — never payloads (the [[dedupFrames]] discipline). */
   def frameLedger(frames: DataFrame, idCol: String): DataFrame =
-    frames.select(md5(col("frame")).as("frame_digest"),
-        col(idCol), col("frame_idx"))
+    ledgerFromOccurrences(frameOccurrences(frames, idCol), idCol)
+
+  /** The election aggregation both the ledger BUILD and the purge's
+    * RE-ELECTION run — one definition, so the tie-break struct and
+    * the count semantics cannot drift between the two paths the
+    * q213/q224 oracle equality compares. */
+  private def ledgerFromOccurrences(occ: DataFrame,
+      idCol: String): DataFrame =
+    occ
       .groupBy(col("frame_digest"))
       .agg(min(struct(col(idCol), col("frame_idx"))).as("__f"),
         count(lit(1)).as("n_occ"))
@@ -200,21 +217,20 @@ object Multimodal {
     * deleted vanishes — an empty election has no winner. */
   def purgeFrameLedger(ledger: DataFrame, occurrences: DataFrame,
       deletedDocs: DataFrame, idCol: String): DataFrame = {
+    val dels = deletedDocs.select(col(idCol)).distinct()
+    // persisted, not re-derived per consumer: `affected` feeds BOTH
+    // the re-election semi-join and the passthrough anti-join — a
+    // missed exchange-reuse would otherwise scan the occurrence index
+    // twice (the structural-single-scan discipline)
     val affected = occurrences
-      .join(broadcast(deletedDocs.select(col(idCol)).distinct()),
-        Seq(idCol), "left_semi")
+      .join(broadcast(dels), Seq(idCol), "left_semi")
       .select(col("frame_digest")).distinct()
-    val reelected = occurrences
-      .join(broadcast(affected), Seq("frame_digest"), "left_semi")
-      .join(deletedDocs.select(col(idCol)).distinct(), Seq(idCol),
-        "left_anti")
-      .groupBy(col("frame_digest"))
-      .agg(min(struct(col(idCol), col("frame_idx"))).as("__f"),
-        count(lit(1)).as("n_occ"))
-      .select(col("frame_digest"),
-        col(s"__f.$idCol").as("first_doc"),
-        col("__f.frame_idx").as("first_idx"),
-        col("n_occ"))
+      .transform(graft.util.CacheScope.persist)
+    val reelected = ledgerFromOccurrences(
+      occurrences
+        .join(broadcast(affected), Seq("frame_digest"), "left_semi")
+        .join(dels, Seq(idCol), "left_anti"),
+      idCol)
     ledger.join(broadcast(affected), Seq("frame_digest"), "left_anti")
       .unionByName(reelected)
   }

@@ -142,6 +142,10 @@ object Quantize {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     require(b.nonEmpty, "empty bounds table")
+    // the literal arrays bind dims by POSITION — a 0-based or gappy d
+    // column would silently clamp every dim to its neighbor's window
+    require(b.map(_._1).toSeq == (1 to b.length),
+      s"bounds dims must be exactly 1..${b.length}, got ${b.map(_._1).toSeq}")
     val lo = typedLit(b.map(_._2).toSeq)
     val hi = typedLit(b.map(_._3).toSeq)
     Ivf.quantized(embeddings, idCol, vecCol)

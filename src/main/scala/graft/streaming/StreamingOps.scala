@@ -670,8 +670,19 @@ object StreamingOps {
     * same stored index. Oracle = the batch encode of the arriving
     * slice against history-trained codebooks. */
   def streamPqEncode(spark: SparkSession, dir: String,
-      queryName: String): DataFrame = {
-    val streamDir = scratchDir("graft_pq_encode",
+      queryName: String): DataFrame =
+    pqEncodeStream(spark, dir, queryName, "graft_pq_encode",
+      permuted = false)
+
+  /** Shared body of the two stream encoders — the q201 plain form
+    * and the q216 permuted form differ ONLY in the in-row reorder
+    * applied to BOTH the training history and the arriving vectors,
+    * so one definition keeps their stateless plans provably identical
+    * except for the permutation projection. */
+  private def pqEncodeStream(spark: SparkSession, dir: String,
+      queryName: String, scratchPrefix: String,
+      permuted: Boolean): DataFrame = {
+    val streamDir = scratchDir(scratchPrefix,
       "embeddings.parquet" -> s"$dir/embeddings.parquet")
     val embSchema = spark.read.parquet(streamDir.toString).schema
     require(embSchema.exists(f => f.name == "vec_id" &&
@@ -682,15 +693,25 @@ object StreamingOps {
     val history = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") % 3 > 0)
     val m = 4
-    val cbs = graft.operators.Pq.codebooks(history, "vec_id",
+    // bounded driver actions: the optional 64-row permutation and the
+    // k·m codebook rows (the PageRank node-count class), NOT corpus
+    // collects — the literal embeds are the point of the stateless plan
+    val reorder: DataFrame => DataFrame =
+      if (!permuted) identity
+      else {
+        val order = graft.operators.Pq.permutationOrder(
+          graft.operators.Pq.balancedPermutation(history, "vec_id",
+            "embedding", m))
+        df => graft.operators.Pq.applyPermutation(df, "vec_id",
+          "embedding", order)
+      }
+    val cbs = graft.operators.Pq.codebooks(reorder(history), "vec_id",
       "embedding", m, k = 8, iterations = 2)
-    // bounded driver action: k·m codebook rows (the PageRank
-    // node-count class), NOT a corpus collect — the literal embed is
-    // the point of the stateless plan
     val cbsLocal = graft.operators.Pq.localCodebook(cbs, m)
     val out = spark.readStream.schema(embSchema)
       .parquet(streamDir.toString)
       .filter(col("vec_id") % 3 === 0)
+      .transform(reorder)
       .select(col("vec_id"),
         graft.operators.Ivf.quantize(col("embedding")).as("qvec"))
       .select(col("vec_id"),
@@ -768,48 +789,9 @@ object StreamingOps {
     * plan literals, no state store, no shuffle. Oracle = the batch
     * permuted encode of the arriving slice. */
   def streamPermutedPqEncode(spark: SparkSession, dir: String,
-      queryName: String): DataFrame = {
-    val streamDir = scratchDir("graft_pq_perm_encode",
-      "embeddings.parquet" -> s"$dir/embeddings.parquet")
-    val embSchema = spark.read.parquet(streamDir.toString).schema
-    require(embSchema.exists(f => f.name == "vec_id" &&
-        f.dataType == LongType) &&
-      embSchema.exists(_.name == "embedding"),
-      "embeddings schema drifted: expected (vec_id LONG, embedding) " +
-        s"among ${embSchema.treeString}")
-    val history = spark.read.parquet(s"$dir/embeddings.parquet")
-      .filter(col("vec_id") % 3 > 0)
-    val m = 4
-    // both bounded driver actions: the 64-row permutation and the
-    // k·m-row codebook — the plan-literal embeds that keep the
-    // stream plan stateless
-    val order = graft.operators.Pq.permutationOrder(
-      graft.operators.Pq.balancedPermutation(history, "vec_id",
-        "embedding", m))
-    val cbs = graft.operators.Pq.codebooks(
-      graft.operators.Pq.applyPermutation(history, "vec_id",
-        "embedding", order),
-      "vec_id", "embedding", m, k = 8, iterations = 2)
-    val cbsLocal = graft.operators.Pq.localCodebook(cbs, m)
-    val out = spark.readStream.schema(embSchema)
-      .parquet(streamDir.toString)
-      .filter(col("vec_id") % 3 === 0)
-      .transform(d => graft.operators.Pq.applyPermutation(d, "vec_id",
-        "embedding", order))
-      .select(col("vec_id"),
-        graft.operators.Ivf.quantize(col("embedding")).as("qvec"))
-      .select(col("vec_id"),
-        graft.operators.Pq.encodeCodesExpr(col("qvec"), cbsLocal)
-          .as("codes"))
-      .select(col("vec_id"),
-        element_at(col("codes"), 1).as("cb0"),
-        element_at(col("codes"), 2).as("cb1"),
-        element_at(col("codes"), 3).as("cb2"),
-        element_at(col("codes"), 4).as("cb3"))
-    drainToMemory(spark, out, queryName, OutputMode.Append(),
-      noDataBatches = false)
-    spark.table(queryName)
-  }
+      queryName: String): DataFrame =
+    pqEncodeStream(spark, dir, queryName, "graft_pq_perm_encode",
+      permuted = true)
 
   /** STREAMING index-health monitor — q198's occupancy/residual-energy
     * report over the ARRIVING vectors, live: each vector assigns to the
