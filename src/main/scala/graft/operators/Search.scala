@@ -83,9 +83,13 @@ object Search {
       deletedDocs: DataFrame, idCol: String,
       maxPostings: Int): DataFrame = {
     val dels = deletedDocs.select(col(idCol)).distinct()
+    // persisted: `affected` feeds both the re-election semi-join and
+    // the passthrough anti-join — single-scan of the occurrence index
+    // is structural, not an exchange-reuse accident
     val affected = postings
       .join(broadcast(dels), Seq(idCol), "left_semi")
       .select(col("token")).distinct()
+      .transform(graft.util.CacheScope.persist)
     val reposted = indexFromPostings(
       postings.join(broadcast(affected), Seq("token"), "left_semi")
         .join(dels, Seq(idCol), "left_anti"),
