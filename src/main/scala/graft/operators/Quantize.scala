@@ -136,23 +136,91 @@ object Quantize {
     * q205 bounded-collect class), so the encode is a pure projection;
     * the only exchange carries d-keyed partial sums. A degenerate dim
     * (hi = lo) codes to 0 and dequants to lo. */
-  def calibratedErrorAudit(embeddings: DataFrame, idCol: String,
-      vecCol: String, bounds: DataFrame): DataFrame = {
+  /** The bounds table collapsed to position-bound plan literals —
+    * shared by the audit, the encode, and the search; the require
+    * keeps positional binding loud (a 0-based or gappy d column would
+    * silently clamp every dim to its neighbor's window). */
+  private def boundsLiterals(bounds: DataFrame): (Int, Column, Column) = {
     val b = bounds.select(col("d"), col("p_lo"), col("p_hi"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     require(b.nonEmpty, "empty bounds table")
-    // the literal arrays bind dims by POSITION — a 0-based or gappy d
-    // column would silently clamp every dim to its neighbor's window
     require(b.map(_._1).toSeq == (1 to b.length),
       s"bounds dims must be exactly 1..${b.length}, got ${b.map(_._1).toSeq}")
-    val lo = typedLit(b.map(_._2).toSeq)
-    val hi = typedLit(b.map(_._3).toSeq)
+    (b.length, typedLit(b.map(_._2).toSeq), typedLit(b.map(_._3).toSeq))
+  }
+
+  /** Calibrated per-dim int8 CODES, in-row: dim d clamps to its
+    * [p_lo, p_hi] window and maps affinely onto 0..255 — a pure
+    * projection (bounds are plan literals), no shuffle. The float
+    * divide inside `floor` is exact here: numerators ≤ (hi−lo)·255 ≲
+    * 5·10⁸ and the true quotient is ≥ 1/(hi−lo) away from any integer
+    * it doesn't hit exactly, orders of magnitude above double ulp, so
+    * floor(÷) ≡ integer DIV (the oracle's `//`). Degenerate dims
+    * (hi = lo) code to 0. Output: (idCol, codes ARRAY<BIGINT>). */
+  def calibratedCodes(embeddings: DataFrame, idCol: String,
+      vecCol: String, bounds: DataFrame): DataFrame = {
+    val (d, lo, hi) = boundsLiterals(bounds)
+    val guarded = guardDims(Ivf.quantize(col(vecCol)), d)
+    embeddings.select(col(idCol),
+      transform(guarded, (x, i) => {
+        val l = element_at(lo, i + 1)
+        val h = element_at(hi, i + 1)
+        when(h > l,
+          floor((greatest(least(x, h), l) - l) * lit(255L) / (h - l))
+            .cast("long"))
+          .otherwise(lit(0L))
+      }).as("codes"))
+  }
+
+  /** Exact top-k search over DEQUANTIZED calibrated codes — q217's
+    * bounds and q220's codes actually SERVING retrieval: the stored
+    * corpus is the (id, codes) table, each code dequantizes in-row
+    * (dq = lo + code·(hi−lo) DIV 255, integer-exact like the encode),
+    * the raw query grid-quantizes, and the L2 distance over
+    * (query − dq) pairs is an exact long — so even the distance
+    * column hash-gates. The bounded query panel broadcasts onto one
+    * pass over the codes table (the q20/q184 class); per-query rank
+    * is an id-tie-broken window. Output: (q_id, n_id, d2, rnk ≤ topK),
+    * self-matches excluded. */
+  def calibratedSearchTopK(embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, bounds: DataFrame,
+      topK: Int): DataFrame = {
+    val (d, lo, hi) = boundsLiterals(bounds)
+    val base = calibratedCodes(embeddings, idCol, vecCol, bounds)
+      .select(col(idCol).as("n_id"),
+        transform(col("codes"), (c, i) => {
+          val l = element_at(lo, i + 1)
+          val h = element_at(hi, i + 1)
+          when(h > l, l + floor(c * (h - l) / lit(255L)).cast("long"))
+            .otherwise(l)
+        }).as("dvec"))
+    val q = queries.select(col(idCol).as("q_id"),
+      guardDims(Ivf.quantize(col(vecCol)), d).as("qvec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id").asc)
+    base.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("d2",
+        aggregate(zip_with(col("qvec"), col("dvec"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("n_id"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  private def guardDims(qvec: Column, d: Int): Column =
+    when(size(qvec) === d, qvec)
+      .otherwise(raise_error(concat(
+        lit("calibration: vector length "), size(qvec),
+        lit(s" != $d bounded dims"))))
+
+  def calibratedErrorAudit(embeddings: DataFrame, idCol: String,
+      vecCol: String, bounds: DataFrame): DataFrame = {
+    val (d, lo, hi) = boundsLiterals(bounds)
     Ivf.quantized(embeddings, idCol, vecCol)
-      .select(when(size(col("qvec")) === b.length, col("qvec"))
-        .otherwise(raise_error(concat(
-          lit("calibration: vector length "), size(col("qvec")),
-          lit(s" != ${b.length} bounded dims")))).as("qvec"))
+      .select(guardDims(col("qvec"), d).as("qvec"))
       .select(posexplode(col("qvec")).as(Seq("p", "x")))
       .select((col("p") + 1).cast("int").as("d"),
         col("x").cast("long").as("x"),

@@ -254,7 +254,6 @@ object Search {
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], topN: Int, k1Centi: Int = 120,
       bCenti: Int = 75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty, "bm25Search needs at least one term")
     // ONE persisted tokenized frame: dl and tf both derive from it, so
     // the normalize+split corpus scan (the dominant map-side cost) runs
@@ -264,13 +263,59 @@ object Search {
       .transform(graft.util.CacheScope.persist)
     val dl = withWords
       .select(col(idCol), size(col("w")).cast("long").as("dl"))
-    val nAvg = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tf = withWords
       .select(col(idCol), explode(col("w")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+    bm25Tail(tf, dl, idCol, topN, k1Centi, bCenti)
+  }
+
+  /** Per-doc token counts — the second table a stored-BM25 deployment
+    * keeps next to the term frequencies (computed from text at index
+    * BUILD time, including zero-token docs, which a postings-derived
+    * length table would silently drop from n_docs/avgdl). */
+  def docLengths(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(Dedup.words(col(textCol))).cast("long").as("dl"))
+
+  /** Per-(token, doc) frequencies from the stored positional table —
+    * no text touched. */
+  def termFrequencies(postings: DataFrame, idCol: String): DataFrame =
+    postings.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 served from STORED statistics tables — the build/apply
+    * split on the ranked-search axis: `tfTable` (id, token, tf) and
+    * `dlTable` (id, dl) persist at index-build time
+    * ([[termFrequencies]] over the positional table +
+    * [[docLengths]]); the query filters the tf scan to its terms
+    * (pushdown-friendly — at rest the table parquet-sorts by token)
+    * and re-derives df from the filtered rows, so NOTHING is
+    * re-tokenized at query time. Identical scoring tail to
+    * [[bm25Search]] — one formula, two serving paths. */
+  def bm25SearchIndexed(tfTable: DataFrame, dlTable: DataFrame,
+      idCol: String, terms: Seq[String], topN: Int, k1Centi: Int = 120,
+      bCenti: Int = 75): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchIndexed needs at least one term")
+    bm25Tail(tfTable.filter(col("token").isin(terms: _*)), dlTable,
+      idCol, topN, k1Centi, bCenti)
+  }
+
+  /** The shared BM25 scoring tail over an aggregated (id, token, tf)
+    * frame already restricted to the query terms, plus the (id, dl)
+    * length table: Okapi with centi-unit k1/b (integer-exact
+    * parameters), Lucene idf, scores rounded to 6 decimals before
+    * ranking (the q68 discipline for ln-derived floats). df re-derives
+    * from the restricted tf rows — identical to a stored df column
+    * because term-filtering preserves per-term doc sets. avgdl fans
+    * back as a 1-row broadcast; top-N is TakeOrderedAndProject. */
+  private def bm25Tail(tf: DataFrame, dl: DataFrame, idCol: String,
+      topN: Int, k1Centi: Int, bCenti: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nAvg = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     val k1 = k1Centi / 100.0

@@ -282,5 +282,60 @@ object SearchQueries extends QueryPack {
       ORDER BY c.token
     """))
 
-  def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227)
+  // --------------------------------------------------------------- q228
+  // BM25 served from STORED statistics tables — the build/apply split
+  // on the ranked-search axis: term frequencies derive from the
+  // positional table (no text), doc lengths persist at build time
+  // (from text, so zero-token docs keep their place in n_docs/avgdl),
+  // and the query filters the tf scan to its terms and re-derives df
+  // — nothing re-tokenizes at query time. One scoring tail shared
+  // with q106's direct form; different terms here so the two gates
+  // don't collapse into one answer.
+  private val q228 = Q(
+    "q228_bm25_indexed",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val postings = Search.positionalIndex(docs, "doc_id", "text")
+      Search.bm25SearchIndexed(
+          Search.termFrequencies(postings, "doc_id"),
+          Search.docLengths(docs, "doc_id", "text"),
+          "doc_id", terms = Seq("stream", "window", "merge"), topN = 20)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM documents),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('stream', 'window', 'merge')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      scored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score,
+               COUNT(*) AS n_terms
+        FROM parts GROUP BY doc_id)
+      SELECT doc_id, score, n_terms, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT doc_id, score, n_terms,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 20
+      ORDER BY rnk
+    """))
+
+  def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228)
 }

@@ -2512,8 +2512,77 @@ ${coarseCtes()},
       ORDER BY st.d
     """))
 
+  // --------------------------------------------------------------- q229
+  // Calibrated-int8 SEARCH — q217's bounds and q220's codes serving
+  // retrieval: the stored corpus is the (id, codes) table, codes
+  // dequantize in-row against the literal per-dim windows, the raw
+  // query grid-quantizes, and the L2 distance over (query − dequant)
+  // pairs is an exact long — even the distance column hash-gates.
+  // This closes the calibration family the way q207 closed the
+  // permutation's: bounds → codes → audit → SEARCH, each stage under
+  // its own gate, the deployment path end to end. Bounded query panel
+  // broadcast onto one pass over the codes table (the q20/q184 class).
+  private val q229 = Q(
+    "q229_calibrated_int8_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      graft.operators.Quantize.calibratedSearchTopK(e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", bounds,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo
+        FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000
+        GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi
+        FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000
+        GROUP BY rk.d),
+      dq AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               SUM((q.x - c.dq) * (q.x - c.dq)) AS d2
+        FROM dq c
+        JOIN ex q ON q.d = c.d AND q.vec_id < 10
+        WHERE q.vec_id <> c.vec_id
+        GROUP BY q.vec_id, c.vec_id)
+      SELECT q_id, n_id, CAST(d2 AS BIGINT) AS d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
-    q217, q218, q219, q220, q221)
+    q217, q218, q219, q220, q221, q229)
 }

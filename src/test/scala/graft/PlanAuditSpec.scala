@@ -28,6 +28,9 @@ class PlanAuditSpec extends SparkSpec {
       // q106's 1-row (n_docs, avgdl) broadcast fan — q68/q91's
       // corpus-constant class
       "q106_bm25_search",
+      // q228 = q106's scoring tail over stored tables — same 1-row
+      // avgdl fan
+      "q228_bm25_indexed",
       // q110's ≤ numCentroids codebook fan — q36/q76's bounded class
       "q110_incremental_ivf",
       // q118's n × bounded-query-panel scan — q20/q75's bounded class
@@ -82,6 +85,9 @@ class PlanAuditSpec extends SparkSpec {
       // q219 = q211's health fans with decontamination-derived
       // tombstones — the shingle side is all equi/semi joins
       "q219_decontam_index_purge",
+      // q229 fans the bounded query panel over the codes table —
+      // q20/q184's class
+      "q229_calibrated_int8_search",
       // q189's assignment fans the ≤8-row codebook — q36/q110's class
       "q189_topic_census")
       // q120 left this list in round 8: its 1-row corpus total now rides

@@ -794,6 +794,34 @@ class PqSpec extends SparkSpec {
       tight.getAs[Long]("n_clip_hi") == 1L, s"clip census wrong: $tight")
   }
 
+  test("calibrated search is lossless on the code lattice ≡ exact L2") {
+    val s = spark
+    import s.implicits._
+    // every dim spans exactly [0, 255] in whole floats, so the 256
+    // code levels hit the grid values exactly: encode→dequant is the
+    // identity and the calibrated distances must equal exact
+    // integral-grid L2 — the quantization-error-free base case
+    val vecs = Seq(
+      0L -> Array(0f, 0f, 0f, 0f), 1L -> Array(255f, 255f, 255f, 255f),
+      2L -> Array(10f, 20f, 30f, 40f), 3L -> Array(200f, 5f, 100f, 50f),
+      4L -> Array(1f, 254f, 7f, 99f))
+    val e = vecs.toDF("vec_id", "embedding")
+    val bounds = Quantize.calibrationBounds(e, "vec_id", "embedding",
+      0, 1000)
+    val got = Quantize.calibratedSearchTopK(e, e.filter(col("vec_id") < 2),
+        "vec_id", "embedding", bounds, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    def g(v: Array[Float]) = v.map(x => math.floor(x * 1e6).toLong)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = (for {
+      (qi, qv) <- vecs.take(2)
+      (ni, nv) <- vecs if ni != qi
+    } yield (qi, ni, d2(g(qv), g(nv)))).toSet
+    assert(got == want, s"lossless lattice diverged: $got vs $want")
+  }
+
   test("purge: total delete zeros the ledger on the full spine; purgeCodes drops exactly the tombstones") {
     val history = emb.filter(col("vec_id") % 3 > 0)
     val coarse = Ivf.centroids(history, "vec_id", "embedding", 8, 2)
