@@ -2581,8 +2581,80 @@ ${coarseCtes()},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q230
+  // Calibration DRIFT report — the q209 `moved`-flag discipline on the
+  // bounds axis, read at ledger cost: the stored census absorbs the
+  // day's batch (q221), bounds re-derive from the merge, and every dim
+  // whose clip window moved vs the bounds the CODES WERE BUILT WITH
+  // (the history-only view) is flagged — the recalibrate/re-encode
+  // trigger, since a drifted window silently changes what q229's
+  // stored codes mean. History is never re-read; both bound views are
+  // windows over d-row censuses.
+  private val q230 = Q(
+    "q230_calibration_drift",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val stored = graft.operators.Quantize.valueCensus(
+        e.filter(col("vec_id") % 3 > 0), "vec_id", "embedding")
+      val built = graft.operators.Quantize.boundsFromCensus(stored,
+          loPermille = 10, hiPermille = 990)
+        .select(col("d"), col("p_lo").as("p_lo_built"),
+          col("p_hi").as("p_hi_built"))
+      val merged = graft.operators.Quantize.boundsFromCensus(
+        graft.operators.Quantize.mergeValueCensus(stored,
+          graft.operators.Quantize.valueCensus(
+            e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")),
+        loPermille = 10, hiPermille = 990)
+      merged.join(built, Seq("d")) // d-row ledger join
+        .select(col("d"), col("n"), col("p_lo"), col("p_hi"),
+          col("p_lo_built"), col("p_hi_built"),
+          (col("p_lo") =!= col("p_lo_built") ||
+            col("p_hi") =!= col("p_hi_built")).as("moved"))
+        .orderBy(col("d"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      lo AS (
+        SELECT rk.d, MIN(rk.x) AS p_lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      hi AS (
+        SELECT rk.d, MIN(rk.x) AS p_hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      exh AS (SELECT * FROM ex WHERE vec_id % 3 > 0),
+      sth AS (SELECT d, COUNT(*) AS n FROM exh GROUP BY d),
+      rkh AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM exh),
+      loh AS (
+        SELECT rkh.d, MIN(rkh.x) AS p_lo_built FROM rkh JOIN sth USING (d)
+        WHERE rkh.r = (sth.n - 1) * 10 // 1000 GROUP BY rkh.d),
+      hih AS (
+        SELECT rkh.d, MIN(rkh.x) AS p_hi_built FROM rkh JOIN sth USING (d)
+        WHERE rkh.r = (sth.n - 1) * 990 // 1000 GROUP BY rkh.d)
+      SELECT CAST(st.d AS INTEGER) AS d, CAST(st.n AS BIGINT) AS n,
+             CAST(p_lo AS BIGINT) AS p_lo, CAST(p_hi AS BIGINT) AS p_hi,
+             CAST(p_lo_built AS BIGINT) AS p_lo_built,
+             CAST(p_hi_built AS BIGINT) AS p_hi_built,
+             p_lo <> p_lo_built OR p_hi <> p_hi_built AS moved
+      FROM st JOIN lo USING (d) JOIN hi USING (d)
+      JOIN loh USING (d) JOIN hih USING (d)
+      ORDER BY st.d
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
-    q217, q218, q219, q220, q221, q229)
+    q217, q218, q219, q220, q221, q229, q230)
 }
