@@ -202,6 +202,12 @@ object Curation {
       tokensCol: String, qualityCol: String, budgetTokens: Long,
       sliceRowBound: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the bound sizes the ranged lane's chunk count (divisor below);
+    // 0 would arm the lane for every nonempty slice and then divide
+    // by zero — reject loudly instead of crashing mid-plan
+    require(sliceRowBound > 0,
+      s"sliceRowBound must be positive (Long.MaxValue disables the " +
+        s"probe), got $sliceRowBound")
     // NOT persisted: each lane caches its own repartitioned `part`
     // (the frame both branches read), and persisting here too would
     // hold a second corpus-sized cache copy for the lifetime of the
@@ -263,10 +269,14 @@ object Curation {
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
         math.min(Int.MaxValue.toLong,
           2L * probe.get._2 / sliceRowBound + 1L).toInt)
-      val part = sliced
-        .repartitionByRange(numChunks, col("__slice"), col(idCol))
-        .withColumn("__chunk", spark_partition_id())
-        .localCheckpoint()
+      // registerCheckpointed: Dataset.unpersist cannot release
+      // checkpoint blocks, so the gate harness's CacheScope drops
+      // them on scope exit instead of waiting for Dataset GC
+      val part = graft.util.CacheScope.registerCheckpointed(
+        sliced
+          .repartitionByRange(numChunks, col("__slice"), col(idCol))
+          .withColumn("__chunk", spark_partition_id())
+          .localCheckpoint())
       val wLocal = Window.partitionBy(col("__slice"), col("__chunk"))
         .orderBy(col(idCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -173,21 +173,35 @@ object Quantize {
       }).as("codes"))
   }
 
-  /** Exact top-k search over DEQUANTIZED calibrated codes — q217's
-    * bounds and q220's codes actually SERVING retrieval: the stored
-    * corpus is the (id, codes) table, each code dequantizes in-row
-    * (dq = lo + code·(hi−lo) DIV 255, integer-exact like the encode),
-    * the raw query grid-quantizes, and the L2 distance over
-    * (query − dq) pairs is an exact long — so even the distance
-    * column hash-gates. The bounded query panel broadcasts onto one
-    * pass over the codes table (the q20/q184 class); per-query rank
-    * is an id-tie-broken window. Output: (q_id, n_id, d2, rnk ≤ topK),
-    * self-matches excluded. */
+  /** Convenience INLINE form of [[calibratedSearch]] — encodes the
+    * raw corpus and searches in one plan (fixture/ad-hoc use; a
+    * deployment stores the codes and calls [[calibratedSearch]]). */
   def calibratedSearchTopK(embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, bounds: DataFrame,
+      topK: Int): DataFrame =
+    calibratedSearch(calibratedCodes(embeddings, idCol, vecCol, bounds),
+      queries, idCol, vecCol, bounds, topK)
+
+  /** Exact top-k search over DEQUANTIZED calibrated codes — q217's
+    * bounds and q220's codes actually SERVING retrieval, from the
+    * PERSISTED (id, codes) table ([[calibratedCodes]]' output at
+    * index-build time; the same serving contract as `adcSearch`/
+    * `ivfPqSearch`/`bm25SearchIndexed` — nothing re-encodes at query
+    * time). Each code dequantizes in-row (dq = lo + code·(hi−lo) DIV
+    * 255, integer-exact like the encode), the raw query
+    * grid-quantizes, and the L2 distance over (query − dq) pairs is
+    * an exact long — so even the distance column hash-gates. The
+    * bounds the codes were BUILT with must be passed (a drifted
+    * window changes what the codes mean — the q230 report watches
+    * exactly this). The bounded query panel broadcasts onto one pass
+    * over the codes table (the q20/q184 class); per-query rank is an
+    * id-tie-broken window. Output: (q_id, n_id, d2, rnk ≤ topK),
+    * self-matches excluded. */
+  def calibratedSearch(codes: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, bounds: DataFrame,
       topK: Int): DataFrame = {
     val (d, lo, hi) = boundsLiterals(bounds)
-    val base = calibratedCodes(embeddings, idCol, vecCol, bounds)
+    val base = codes
       .select(col(idCol).as("n_id"),
         transform(col("codes"), (c, i) => {
           val l = element_at(lo, i + 1)

@@ -1998,8 +1998,11 @@ ${coarseCtes("vec_id % 3 > 0")},
       val e = Tables(s, dir, "embeddings")
       val history = e.filter(col("vec_id") % 3 > 0)
       val batch = e.filter(col("vec_id") % 3 === 0)
+      // persisted: the stored ledger feeds BOTH the built-layout view
+      // and the merge — single history scan, structurally
       val stored = graft.operators.Pq.dimEnergy(history, "vec_id",
-        "embedding")
+          "embedding")
+        .transform(graft.util.CacheScope.persist)
       val merged = graft.operators.Pq.incrementalDimEnergy(stored,
         batch, "vec_id", "embedding")
       val built = graft.operators.Pq
@@ -2528,7 +2531,11 @@ ${coarseCtes()},
       val e = Tables(s, dir, "embeddings")
       val bounds = graft.operators.Quantize.calibrationBounds(e,
         "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      graft.operators.Quantize.calibratedSearchTopK(e,
+      // the STORED-table shape: codes persist at build, the search
+      // consumes them — nothing re-encodes at query time
+      val codes = graft.operators.Quantize.calibratedCodes(e,
+        "vec_id", "embedding", bounds)
+      graft.operators.Quantize.calibratedSearch(codes,
           e.filter(col("vec_id") < 10), "vec_id", "embedding", bounds,
           topK = 5)
         .orderBy(col("q_id"), col("rnk"))
@@ -2594,8 +2601,12 @@ ${coarseCtes()},
     "q230_calibration_drift",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
+      // persisted: the history census feeds BOTH the built-bounds view
+      // and the merge — the structural-single-scan discipline, not a
+      // CacheManager plan-equality accident
       val stored = graft.operators.Quantize.valueCensus(
-        e.filter(col("vec_id") % 3 > 0), "vec_id", "embedding")
+          e.filter(col("vec_id") % 3 > 0), "vec_id", "embedding")
+        .transform(graft.util.CacheScope.persist)
       val built = graft.operators.Quantize.boundsFromCensus(stored,
           loPermille = 10, hiPermille = 990)
         .select(col("d"), col("p_lo").as("p_lo_built"),

@@ -29,28 +29,43 @@ import scala.collection.mutable.ArrayBuffer
   */
 object CacheScope {
 
-  private val active = new ThreadLocal[ArrayBuffer[Dataset[_]]]
+  private val active = new ThreadLocal[ArrayBuffer[() => Unit]]
 
   /** Persist at MEMORY_AND_DISK and register with the innermost active
     * scope (no-op registration when no scope is active). */
   def persist[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist(StorageLevel.MEMORY_AND_DISK)
-    Option(active.get()).foreach(_ += ds)
+    Option(active.get()).foreach(_ += (() => {
+      ds.unpersist(blocking = false); ()
+    }))
     ds
   }
 
-  /** Run `body`, then unpersist every frame persisted through
-    * [[persist]] during it. The action consuming the frames must happen
-    * INSIDE the body — after the scope closes the plans still compute
-    * correctly but lose cache reuse. */
+  /** Register an eagerly-localCheckpoint'ed frame for scope cleanup —
+    * `Dataset.unpersist` does NOT release checkpoint RDD blocks (only
+    * [[org.apache.spark.sql.graft.Bridge.unpersistCheckpoint]] does),
+    * so a checkpointed corpus-sized frame would otherwise survive
+    * until the ContextCleaner GCs the Dataset. Outside a scope the
+    * caller owns the release, as with [[persist]]. */
+  def registerCheckpointed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    Option(active.get()).foreach(_ += (() =>
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df)))
+    df
+  }
+
+  /** Run `body`, then release every frame registered (persisted or
+    * checkpointed) during it. The action consuming the frames must
+    * happen INSIDE the body — after the scope closes the plans still
+    * compute correctly but lose cache reuse. */
   def withScope[T](body: => T): T = {
     val prev = active.get()
-    val buf = ArrayBuffer.empty[Dataset[_]]
+    val buf = ArrayBuffer.empty[() => Unit]
     active.set(buf)
     try body
     finally {
       if (prev == null) active.remove() else active.set(prev)
-      buf.foreach(_.unpersist(blocking = false))
+      buf.foreach(_.apply())
     }
   }
 }
