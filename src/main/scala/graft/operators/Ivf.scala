@@ -233,6 +233,23 @@ object Ivf {
         when(col("n_vectors") > 0,
           expr("residual_energy DIV n_vectors")).otherwise(lit(0L)))
 
+  /** UPSERT — a RESTATED document (same id, new content) is a DELETE
+    * composed with an APPEND, and the ledger algebra makes that
+    * literal: the old rows' per-cell contributions retract
+    * ([[purgeCellHealth]]) and the new rows' contributions merge
+    * ([[incrementalCellHealth]]), both O(changed) broadcast passes
+    * under the FIXED codebook — history untouched, no retrain. The
+    * caller supplies the old rows from the stored raw-vector table
+    * (the retraction needs the values the ledger originally absorbed;
+    * ids alone cannot un-sum) and the new rows from the restatement
+    * feed. Exactness is inherited from both halves. */
+  def upsertCellHealth(codebook: DataFrame, priorHealth: DataFrame,
+      oldRows: DataFrame, newRows: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    incrementalCellHealth(codebook,
+      purgeCellHealth(codebook, priorHealth, oldRows, idCol, vecCol),
+      newRows, idCol, vecCol)
+
   /** O(deleted) PURGE form of [[cellHealth]] — the ledger absorbing a
     * DELETE (a takedown, a right-to-be-forgotten request, a
     * decontamination verdict evicting vectors from the index): the

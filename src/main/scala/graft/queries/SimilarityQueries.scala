@@ -2664,8 +2664,100 @@ ${coarseCtes()},
       ORDER BY st.d
     """))
 
+  // --------------------------------------------------------------- q231
+  // Index UPSERT — the last CRUD verb: a RESTATED document (same id,
+  // new content — here each restated vector deterministically
+  // REVERSES, so the oracle can replay it) is a DELETE composed with
+  // an APPEND, and the ledger algebra makes that literal: the old
+  // rows retract from the stored health ledger, the new rows merge
+  // in, and the assignment table swaps rows by anti-join ∪ append —
+  // all O(changed) under the FIXED codebook, history untouched, no
+  // retrain. With build (q36/q198), search (q185/q208/q229), append
+  // (q194/q197/q202), and delete (q211/q219), the stored-index family
+  // now has create/read/update/delete each under its own gate.
+  // Oracle = the full health recompute over history with the
+  // restated ids' vectors replaced.
+  private val q231 = Q(
+    "q231_index_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val oldRows = history.filter(col("vec_id") % 7 === 0)
+      val newRows = oldRows.select(col("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      val stored = graft.operators.Ivf.cellHealth(coarse, history,
+        "vec_id", "embedding")
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(history, "vec_id", "embedding"),
+          coarse)
+        .select(col("vec_id"), col("cid"))
+      val upAssigned = graft.operators.Pq.purgeCodes(assigned,
+          oldRows.select(col("vec_id")), "vec_id")
+        .unionByName(graft.operators.Ivf.assignIds(
+            graft.operators.Ivf.quantized(newRows, "vec_id", "embedding"),
+            coarse)
+          .select(col("vec_id"), col("cid")))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_codes"))
+      graft.operators.Ivf.upsertCellHealth(coarse, stored, oldRows,
+          newRows, "vec_id", "embedding")
+        .join(upAssigned, Seq("cid"), "left")
+        .select(col("cid"), col("n_vectors"), col("residual_energy"),
+          col("avg_residual_energy"),
+          coalesce(col("n_codes"), lit(0L)).as("n_codes"))
+        .orderBy(col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx
+        WHERE vec_id % 3 > 0),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+      rv AS (
+        SELECT v.vec_id, a.cid,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx2 v
+        JOIN cellof2 a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid),
+      h AS (
+        SELECT cid, COUNT(*) AS n,
+               SUM(CAST(list_dot_product(rvec, rvec) AS BIGINT)) AS e
+        FROM rv GROUP BY cid)
+      SELECT c.cid,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_vectors,
+             CAST(COALESCE(h.e, 0) AS BIGINT) AS residual_energy,
+             CAST(CASE WHEN COALESCE(h.n, 0) > 0
+                  THEN COALESCE(h.e, 0) // h.n ELSE 0 END AS BIGINT)
+               AS avg_residual_energy,
+             CAST(COALESCE(h.n, 0) AS BIGINT) AS n_codes
+      FROM co2 c LEFT JOIN h USING (cid)
+      ORDER BY c.cid
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
-    q217, q218, q219, q220, q221, q229, q230)
+    q217, q218, q219, q220, q221, q229, q230, q231)
 }

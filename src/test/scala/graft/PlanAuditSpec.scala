@@ -88,6 +88,10 @@ class PlanAuditSpec extends SparkSpec {
       // q229 fans the bounded query panel over the codes table —
       // q20/q184's class
       "q229_calibrated_int8_search",
+      // q231 runs the q198 cellHealth/assign fans three times (stored
+      // build, retract score, new-rows score) — same ≤8-row codebook
+      // class
+      "q231_index_upsert",
       // q189's assignment fans the ≤8-row codebook — q36/q110's class
       "q189_topic_census")
       // q120 left this list in round 8: its 1-row corpus total now rides

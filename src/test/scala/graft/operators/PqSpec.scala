@@ -794,6 +794,26 @@ class PqSpec extends SparkSpec {
       tight.getAs[Long]("n_clip_hi") == 1L, s"clip census wrong: $tight")
   }
 
+  test("upsert ≡ recompute over the restated corpus; delete∘append composes") {
+    // the q231 contract at spec scale, with a different restatement
+    // cut and transform than the gated query: retract-old + merge-new
+    // must equal a from-scratch health pass over the modified corpus
+    val history = emb.filter(col("vec_id") % 3 > 0)
+    val oldRows = history.filter(col("vec_id") % 4 === 1)
+    val newRows = oldRows.select(col("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    val coarse = Ivf.centroids(history, "vec_id", "embedding", 8, 2)
+    val stored = Ivf.cellHealth(coarse, history, "vec_id", "embedding")
+    val up = Ivf.upsertCellHealth(coarse, stored, oldRows, newRows,
+      "vec_id", "embedding").orderBy("cid").collect().toSeq
+    val modified = history.filter(col("vec_id") % 4 =!= 1)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(newRows)
+    val full = Ivf.cellHealth(coarse, modified, "vec_id", "embedding")
+      .orderBy("cid").collect().toSeq
+    assert(up == full, "upsert diverged from restated-corpus recompute")
+  }
+
   test("calibrated search is lossless on the code lattice ≡ exact L2") {
     val s = spark
     import s.implicits._
