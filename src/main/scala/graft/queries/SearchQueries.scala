@@ -337,5 +337,60 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
-  def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228)
+  // --------------------------------------------------------------- q232
+  // Inverted-index UPSERT — q231's restatement discipline on the
+  // search pillar, composed from the two verbs that already exist:
+  // the restated docs' old occurrences leave via q227's
+  // affected-token re-election, and their NEW text (deterministically
+  // prefixed, so the oracle can replay it) absorbs via q147's
+  // incremental merge — whose append-only precondition the purge
+  // re-establishes (the restated ids are gone from the purged index,
+  // so re-adding them IS a new-id append). History text is never
+  // re-tokenized; work is O(occurrences of affected tokens) + O(new
+  // text). Oracle = the q92 snapshot over the corpus with the
+  // restated docs' text replaced.
+  private val q232 = Q(
+    "q232_inverted_index_upsert",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val postings = Search.positionalIndex(docs, "doc_id", "text")
+      val stored = Search.indexFromPostings(postings, "doc_id",
+        maxPostings = 20)
+      val restatedIds = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"))
+      val restatedNew = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          concat(lit("restated "), col("text")).as("text"))
+      Search.incrementalIndex(
+          Search.purgeInvertedIndex(stored, postings, restatedIds,
+            "doc_id", maxPostings = 20),
+          restatedNew, "doc_id", "text", maxPostings = 20)
+        .select(col("token"), col("df"), col("cf"),
+          to_json(col("postings")).as("postings"))
+        .orderBy(col("token"))
+    },
+    Some(s"""
+      WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN 'restated ' || text
+                    ELSE text END AS text
+        FROM documents),
+      toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM docs2),
+      counts AS (
+        SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token),
+      posts AS (
+        SELECT token,
+               CAST(to_json((list(doc_id ORDER BY doc_id ASC))[1:20]) AS VARCHAR)
+                 AS postings
+        FROM (SELECT DISTINCT token, doc_id FROM toks)
+        GROUP BY token)
+      SELECT c.token, c.df, c.cf, p.postings
+      FROM counts c JOIN posts p USING (token)
+      ORDER BY c.token
+    """))
+
+  def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
+    q232)
 }
