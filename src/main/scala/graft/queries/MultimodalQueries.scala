@@ -380,5 +380,68 @@ object MultimodalQueries extends QueryPack {
       ORDER BY f.dg
     """))
 
-  def all: Seq[Q] = Seq(q27, q28, q206, q210, q213, q214, q223, q224)
+  // ---------------------------------------------------------------- q233
+  // Frame-ledger UPSERT — a re-uploaded media document (same id, new
+  // payload: here the text deterministically REVERSES, so the oracle
+  // can replay the new frames) is the q224 purge composed with the
+  // q213 merge: the old payload's digests re-elect or vanish, the new
+  // payload's digests min-merge in — O(affected occurrences) +
+  // O(new frames), history never re-cut. With q213 (append) and q224
+  // (delete) this closes the media ledger's lifecycle; the oracle
+  // recomputes the ledger over the corpus with the restated docs'
+  // payloads replaced. Output: the post-upsert duplicate-provenance
+  // report.
+  private val q233 = Q(
+    "q233_frame_ledger_upsert",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def frames(d: org.apache.spark.sql.DataFrame) =
+        Multimodal.sampleFrames(
+          Multimodal.withPayload(d, "doc_id", "text"),
+          "doc_id", frameSize = 64, stride = 1)
+      val all = frames(docs)
+      val restatedIds = docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"))
+      val restatedNew = docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), reverse(col("text")).as("text"))
+      Multimodal.mergeFrameLedger(
+          Multimodal.purgeFrameLedger(
+            Multimodal.frameLedger(all, "doc_id"),
+            Multimodal.frameOccurrences(all, "doc_id"),
+            restatedIds, "doc_id"),
+          Multimodal.frameLedger(frames(restatedNew), "doc_id"))
+        .filter(col("n_occ") > 1)
+        .orderBy(col("frame_digest"))
+    },
+    Some("""
+      WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN reverse(text)
+                    ELSE text END AS text
+        FROM documents),
+      fr AS (
+        SELECT doc_id, i, md5(f) AS dg
+        FROM (
+          SELECT doc_id, i, substring(text, CAST(i * 64 + 1 AS INT), 64) AS f
+          FROM docs2,
+               UNNEST(generate_series(0,
+                 CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1))
+                 t(i))),
+      fst AS (
+        SELECT dg, doc_id, i,
+               ROW_NUMBER() OVER (PARTITION BY dg
+                 ORDER BY doc_id ASC, i ASC) AS rn
+        FROM fr),
+      agg AS (SELECT dg, COUNT(*) AS n FROM fr GROUP BY dg)
+      SELECT f.dg AS frame_digest,
+             CAST(f.doc_id AS BIGINT) AS first_doc,
+             CAST(f.i AS INTEGER) AS first_idx,
+             CAST(a.n AS BIGINT) AS n_occ
+      FROM fst f JOIN agg a USING (dg)
+      WHERE f.rn = 1 AND a.n > 1
+      ORDER BY f.dg
+    """))
+
+  def all: Seq[Q] = Seq(q27, q28, q206, q210, q213, q214, q223, q224,
+    q233)
 }
