@@ -436,6 +436,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("phrase search ≡ brute-force position scan on random corpora") {
+    // the anchor trick's subtle case is a phrase with REPEATED terms
+    // (each hit token fans to several offsets); a tiny alphabet makes
+    // repeats and overlapping occurrences common, and the reference
+    // is the definition itself: count the start positions whose
+    // window equals the phrase
+    val s = spark
+    import s.implicits._
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))
+      .map(_.mkString(" "))
+    val phraseGen = Gen.choose(2, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    forAllSampled(Gen.zip(Gen.nonEmptyListOf(docGen), phraseGen)) {
+      case (texts, phrase) =>
+        val df = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val got = graft.operators.Search.phraseSearch(df, "doc_id",
+            "text", phrase, topN = 1000)
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences"))
+          .toMap
+        val want = texts.zipWithIndex.flatMap { case (t, i) =>
+          val w = t.split(" ").toSeq
+          val n = w.indices.count(p =>
+            p + phrase.size <= w.size && w.slice(p, p + phrase.size) == phrase)
+          if (n > 0) Some(i.toLong -> n.toLong) else None
+        }.toMap
+        assert(got == want, s"phrase=$phrase: $got vs $want on $texts")
+    }
+  }
+
+  test("calibrated roundtrip: dequant stays in-window, error bounded by step") {
+    // for any corpus and any permille pair: dq ∈ [lo, hi] always, and
+    // for UNCLIPPED values |x − dq| < step where step = the affine
+    // cell width ceil((hi−lo)/255) — the quantization-error contract
+    // a 256-level scheme must honor
+    val s = spark
+    import s.implicits._
+    val vecGen = Gen.listOfN(2, Gen.choose(-100, 100))
+      .map(_.map(_.toFloat).toArray)
+    forAllSampled(Gen.nonEmptyListOf(vecGen), n = 3) { vecs =>
+      val e = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", 100, 900)
+      val b = bounds.orderBy("d").collect()
+        .map(r => (r.getAs[Long]("p_lo"), r.getAs[Long]("p_hi")))
+      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
+          "embedding", bounds)
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Long](1))
+      vecs.zip(codes).foreach { case (v, cs) =>
+        v.zip(cs).zip(b).foreach { case ((x, c), (lo, hi)) =>
+          assert(c >= 0 && c <= 255, s"code $c out of 8-bit range")
+          val dq = if (hi > lo) lo + c * (hi - lo) / 255 else lo
+          assert(dq >= lo && dq <= hi, s"dequant $dq outside [$lo, $hi]")
+          val xg = math.floor(x * 1e6).toLong
+          if (xg >= lo && xg <= hi && hi > lo) {
+            val step = (hi - lo + 254) / 255
+            assert(math.abs(xg - dq) <= step,
+              s"|$xg - $dq| > step $step in [$lo, $hi]")
+          }
+        }
+      }
+    }
+  }
+
   test("ledger algebra: retract inverts merge; merge is cut-invariant") {
     // the sufficient-statistics group law the whole O(new)/purge
     // family leans on, on RANDOM ledgers: merging a delta then
