@@ -355,6 +355,42 @@ class PqSpec extends SparkSpec {
       s"fold encoder plan grew an aggregate:\n$exec")
   }
 
+  test("encodeCodesExpr at PRODUCTION size k = 256 × m = 16 ≡ batch encode") {
+    // the exact deployment shape round 11 flagged as the ceiling:
+    // 4096 centroids total. The codebook is CRAFTED (training 256
+    // centroids needs a bigger corpus than the spec fixture), which
+    // is all this lane needs — the claims are (a) the expression
+    // COMPILES at this size (tree is O(m), not O(k·m)) and (b) it
+    // matches the batch broadcast-codebook assign bit-for-bit on the
+    // same codebook
+    val s = spark
+    import s.implicits._
+    val m = 16
+    val dsub = 4
+    val k = 256
+    val local: IndexedSeq[Seq[(Long, Seq[Double])]] =
+      (0 until m).map { sub =>
+        (0 until k).map { c =>
+          (c.toLong, (0 until dsub).map(j =>
+            (((c * 7 + sub * 13 + j * 29) % 512) - 256) * 1e6))
+        }
+      }
+    val cbs = local.zipWithIndex.flatMap { case (cents, sub) =>
+      cents.map { case (cid, cent) => (sub, cid, cent) }
+    }.toDF("sub", "cid", "cent")
+    val inRow = Ivf.quantized(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        Pq.encodeCodesExpr(col("qvec"), local).as("codes"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    val batch = Pq.encode(emb, "vec_id", "embedding", m, cbs)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    assert(inRow == batch,
+      "k=256×m=16 fold encoder diverged from batch encode")
+    assert(inRow.forall(_._2.size == m))
+  }
+
   test("appendCodes ≡ encode(history ∪ batch) against the fixed codebooks") {
     val m = 4
     val history = emb.filter(col("vec_id") % 3 > 0)
