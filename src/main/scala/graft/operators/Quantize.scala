@@ -224,6 +224,56 @@ object Quantize {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** IVF-ROUTED calibrated search — the scale path for the calibrated
+    * codes, [[graft.operators.Ivf]]'s coarse routing composed with
+    * [[calibratedSearch]]'s exact dequantized scoring: queries probe
+    * their `nprobe` nearest coarse cells, and only those cells'
+    * members dequantize and score — the corpus × query fan becomes a
+    * cell-keyed equi-join, the q185 discipline. `assigned` is the
+    * stored (id, cid) coarse assignment and `codes` the stored
+    * calibrated table; nothing re-encodes or re-assigns at query
+    * time. Probing all cells reproduces [[calibratedSearch]] exactly
+    * (spec-pinned) — the recall/nprobe tradeoff is the only
+    * difference, which is the point. */
+  def calibratedIvfSearch(coarse: DataFrame, assigned: DataFrame,
+      codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, bounds: DataFrame, nprobe: Int,
+      topK: Int): DataFrame = {
+    val (d, lo, hi) = boundsLiterals(bounds)
+    val qq = queries.select(col(idCol).as("q_id"),
+      guardDims(Ivf.quantize(col(vecCol)), d).as("qvec"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("__pd2").asc, col("cid").asc)
+    val probes = qq
+      .crossJoin(broadcast(coarse))
+      .withColumn("__pd2",
+        aggregate(zip_with(col("qvec").cast("array<double>"), col("cent"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("qvec"), col("cid"))
+    val dq = codes
+      .select(col(idCol).as("n_id"),
+        transform(col("codes"), (c, i) => {
+          val l = element_at(lo, i + 1)
+          val h = element_at(hi, i + 1)
+          when(h > l, l + floor(c * (h - l) / lit(255L)).cast("long"))
+            .otherwise(l)
+        }).as("dvec"))
+      .join(assigned.select(col(idCol).as("n_id"), col("cid")), Seq("n_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id").asc)
+    probes.join(dq, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("d2",
+        aggregate(zip_with(col("qvec"), col("dvec"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("n_id"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   private def guardDims(qvec: Column, d: Int): Column =
     when(size(qvec) === d, qvec)
       .otherwise(raise_error(concat(

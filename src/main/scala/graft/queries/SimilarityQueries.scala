@@ -2756,8 +2756,100 @@ ${coarseCtes("vec_id % 3 > 0")},
       ORDER BY c.cid
     """))
 
+  // --------------------------------------------------------------- q234
+  // IVF-ROUTED calibrated search — the SCALE path for the calibrated
+  // codes (q229 is the exact brute-force baseline; this is what a
+  // deployment runs): queries probe their nprobe nearest coarse
+  // cells and only those cells' members dequantize and score — the
+  // corpus × query fan becomes a cell-keyed equi-join, q185's
+  // discipline on the calibrated axis. All three corpus-side tables
+  // (coarse, assignment, codes) are the stored index; nothing
+  // re-encodes or re-assigns at query time, and a PqSpec probing-all
+  // lane pins this ≡ the q229 brute force. Grid squares and their
+  // 64-term sums are exact integers in doubles, so even the probe
+  // distances tie-break identically in both engines.
+  private val q234 = Q(
+    "q234_calibrated_ivf_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
+        "embedding", bounds)
+      graft.operators.Quantize.calibratedIvfSearch(coarse, assigned,
+          codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          bounds, nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      dqt AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               SUM((qx.x - dd.dq) * (qx.x - dd.dq)) AS d2
+        FROM cand c
+        JOIN dqt dd ON dd.vec_id = c.n_id
+        JOIN ex qx ON qx.vec_id = c.q_id AND qx.d = dd.d
+        GROUP BY c.q_id, c.n_id)
+      SELECT q_id, n_id, CAST(d2 AS BIGINT) AS d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
-    q217, q218, q219, q220, q221, q229, q230, q231)
+    q217, q218, q219, q220, q221, q229, q230, q231, q234)
 }

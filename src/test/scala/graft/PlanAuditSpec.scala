@@ -92,6 +92,10 @@ class PlanAuditSpec extends SparkSpec {
       // build, retract score, new-rows score) — same ≤8-row codebook
       // class
       "q231_index_upsert",
+      // q234 routes through coarse cells — the probe fans the ≤8-row
+      // codebook over the bounded query panel; the scorer is a
+      // cell-keyed equi-join (q185's class)
+      "q234_calibrated_ivf_search",
       // q189's assignment fans the ≤8-row codebook — q36/q110's class
       "q189_topic_census")
       // q120 left this list in round 8: its 1-row corpus total now rides

@@ -830,6 +830,31 @@ class PqSpec extends SparkSpec {
       tight.getAs[Long]("n_clip_hi") == 1L, s"clip census wrong: $tight")
   }
 
+  test("calibrated IVF search probing all cells ≡ brute-force calibrated search") {
+    // the q185 discipline on the calibrated axis: routing must cost
+    // recall only through nprobe — probing every cell reproduces the
+    // exact brute force bit-for-bit
+    val k = 4
+    val bounds = Quantize.calibrationBounds(emb, "vec_id", "embedding",
+      10, 990)
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", k, 2)
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(emb, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid"))
+    val codes = Quantize.calibratedCodes(emb, "vec_id", "embedding",
+      bounds)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("q_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq
+    val routed = rows(Quantize.calibratedIvfSearch(coarse, assigned,
+      codes, q, "vec_id", "embedding", bounds, nprobe = k, topK = 5))
+    val brute = rows(Quantize.calibratedSearch(codes, q, "vec_id",
+      "embedding", bounds, topK = 5))
+    assert(routed == brute, "probing-all routed search diverged from brute")
+  }
+
   test("upsert ≡ recompute over the restated corpus; delete∘append composes") {
     // the q231 contract at spec scale, with a different restatement
     // cut and transform than the gated query: retract-old + merge-new
