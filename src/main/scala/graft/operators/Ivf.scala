@@ -339,4 +339,74 @@ object Ivf {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
+
+  /** IVF-FLAT index BUILD: the stored table a filtered-search
+    * deployment keeps — every vector's exact grid coordinates
+    * cell-clustered alongside its FILTERABLE ATTRIBUTES (language,
+    * source, license, date — whatever predicates queries will carry).
+    * The attributes live IN the index row on purpose: at query time a
+    * predicate becomes a plain column filter on the index scan (plus
+    * parquet pushdown once the table persists), never a join back to
+    * the corpus. One exchange total: attributes ride the same argmin
+    * aggregate as the assignment (the [[assign]] struct form — the
+    * (d2, cid) prefix is unique per vector, so the trailing payload
+    * fields never influence the min), rather than a second
+    * corpus-keyed join to fetch them afterwards. Output:
+    * (vec_id, cid, qvec, attrs*). */
+  def flatIndex(coarse: DataFrame, embeddings: DataFrame, idCol: String,
+      vecCol: String, attrCols: Seq[String]): DataFrame = {
+    val attrs = attrCols.map(col)
+    val v = embeddings.select(col(idCol).as("vec_id") +:
+      quantize(col(vecCol)).as("qvec") +: attrs: _*)
+    v.crossJoin(broadcast(coarse))
+      .withColumn("__d2", dist2(col("qvec"), col("cent")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__d2") +: col("cid") +: col("qvec") +:
+        attrs: _*)).as("__m"))
+      .select(col("vec_id") +: col("__m.cid").as("cid") +:
+        col("__m.qvec").as("qvec") +:
+        attrCols.map(a => col(s"__m.$a").as(a)): _*)
+  }
+
+  /** FILTERED IVF-Flat search — attribute-predicated retrieval, the
+    * seam every production vector store exposes ("nearest neighbors
+    * WHERE lang = 'en'"): queries probe their `nprobe` nearest coarse
+    * cells and score only cell members that SATISFY THE PREDICATE.
+    * The filter applies to the index scan BEFORE the probe join —
+    * selectivity shrinks the candidate stream at the source (and
+    * pushes to parquet on a persisted index), instead of scoring
+    * everything and discarding after, which is what a post-filter on
+    * a plain top-k would do (and which also under-fills k when the
+    * predicate is selective — the classic filtered-ANN bug this
+    * operator exists to avoid). Scoring is the exact integral-grid L2
+    * of [[topK]]'s quantized space, cast to BIGINT (dots ≤ 64·10¹²,
+    * far inside 2⁵³), so ranks AND distances hash-gate against the
+    * oracle. Probing all cells ≡ brute force over the filtered corpus
+    * (spec-pinned) — nprobe trades recall exactly as in the
+    * unfiltered case. Output: (q_id, n_id, d2, rnk ≤ topK),
+    * self-matches excluded. */
+  def filteredSearch(coarse: DataFrame, index: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, nprobe: Int, topK: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("__pd2").asc, col("cid").asc)
+    val probes = quantized(queries, idCol, vecCol)
+      .select(col("vec_id").as("q_id"), col("qvec").as("__qv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("__pd2", dist2(col("__qv"), col("cent")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("__qv"), col("cid"))
+    val cand = index.filter(predicate)
+      .select(col("vec_id").as("n_id"), col("cid"), col("qvec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id").asc)
+    probes.join(cand, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("d2", dist2(col("__qv"), col("qvec")).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("n_id"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
 }

@@ -55,4 +55,42 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** SEGMENT COMPACTION — the maintenance pass every append-mostly
+    * stored table needs once restatement segments pile up (the q231
+    * upsert family WRITES new segments precisely so the daily path
+    * stays O(new); this is the amortized rewrite that keeps reads
+    * from degrading): elect the LATEST segment's row per id (max
+    * `segCol` wins — later segments restate earlier ones), then
+    * rewrite the survivors clustered by `clusterCol` and sorted
+    * (`clusterCol`, `idCol`) within partitions, so the compacted
+    * table serves cell-local scans (IVF probes, cid-keyed joins) from
+    * contiguous, min/max-prunable runs again.
+    *
+    * One corpus exchange for the election (id-keyed window) and one
+    * for the rewrite (the clustering IS the product — same count as
+    * any compactor) — no join, no corpus broadcast, segment count
+    * never matters beyond its row count. The same window that elects
+    * also GUARDS: a duplicate (id, seg) pair is a corrupt ledger
+    * (two restatements of one id in one segment — latest-wins is
+    * undefined), and the `lead` probe raises loudly instead of
+    * letting an arbitrary row win. Contract: `segCol` is unique per
+    * id; all original columns pass through. */
+  def compactLatest(segments: DataFrame, idCol: String, segCol: String,
+      clusterCol: String, numPartitions: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(segCol).desc)
+    segments
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nxt", lead(col(segCol), 1).over(w))
+      .filter(col("__rn") === 1)
+      .filter(when(col("__nxt").isNotNull && col("__nxt") === col(segCol),
+        raise_error(concat(
+          lit(s"compactLatest: duplicate ($idCol, $segCol) for id "),
+          col(idCol).cast("string"))))
+        .otherwise(lit(true)))
+      .drop("__rn", "__nxt")
+      .repartition(numPartitions, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol), col(idCol))
+  }
 }

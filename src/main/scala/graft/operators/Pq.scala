@@ -799,7 +799,7 @@ object Pq {
     * base scan — full vectors never cross an exchange; the only
     * exchange is the final per-query top-k window over
     * nq·shortlistK scored rows. */
-  private def exactRerank(base: DataFrame, queries: DataFrame,
+  private[operators] def exactRerank(base: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, short: DataFrame,
       topK: Int): DataFrame = {
     val baseQ = Ivf.quantized(base, idCol, vecCol)

@@ -274,6 +274,31 @@ object Quantize {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Calibrated FUNNEL — [[calibratedIvfSearch]]'s routed shortlist
+    * rescored with exact full-grid distances, the deployment shape
+    * the PQ axis already carries ([[graft.operators.Pq
+    * .ivfPqRerankSearch]]) completed for the calibrated index:
+    * the int8 codes dequantize and rank a generous shortlistK per
+    * query from the stored tables, then ONLY those nq·shortlistK
+    * candidates touch full vectors on one `base` scan (the shared
+    * [[graft.operators.Pq.exactRerank]] tail — shortlist + query
+    * panel broadcast, no vector crosses an exchange). Calibration
+    * error decides only WHICH candidates reach the rerank, never
+    * their final order — with probing-all and shortlistK = corpus
+    * this reproduces the exact brute force (spec-pinned). Output:
+    * (q_id, n_id, exact_d2, rnk ≤ topK). */
+  def calibratedIvfRerank(coarse: DataFrame, assigned: DataFrame,
+      codes: DataFrame, base: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, bounds: DataFrame, nprobe: Int,
+      shortlistK: Int, topK: Int): DataFrame = {
+    require(shortlistK >= topK,
+      s"shortlistK=$shortlistK must be >= topK=$topK")
+    val short = calibratedIvfSearch(coarse, assigned, codes, queries,
+        idCol, vecCol, bounds, nprobe, shortlistK)
+      .select(col("q_id"), col("n_id"))
+    Pq.exactRerank(base, queries, idCol, vecCol, short, topK)
+  }
+
   private def guardDims(qvec: Column, d: Int): Column =
     when(size(qvec) === d, qvec)
       .otherwise(raise_error(concat(

@@ -441,4 +441,29 @@ object Similarity {
       .filter(col("rnk") <= perBucket)
       .select(col("vec_id"), col("bucket"), col("rnk"))
   }
+
+  /** RECALL@k audit — the evaluation every approximate-retrieval
+    * deployment runs before picking nprobe / code width / shortlist
+    * size: per query, how many of the EXACT top-k did the approximate
+    * path return. Both inputs are (q_id, n_id, …) result sets (any of
+    * the search operators' outputs); the exact side's query spine
+    * drives the report, so a query the approximate path returned
+    * NOTHING for still reports 0 — the silent-miss class an
+    * inner-join audit would hide. The hit probe is a LEFT SEMI join
+    * on (q_id, n_id) — result sets are O(queries·k), bounded, so this
+    * is trivially broadcastable at any corpus scale; recall lands in
+    * exact micro-units (hits·10⁶ DIV k), the suite's engine-portable
+    * fixed-point convention. Output: (q_id, n_hits, recall_micro). */
+  def recallAudit(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"recallAudit: k must be positive, got $k")
+    val hits = approx.select(col("q_id"), col("n_id"))
+      .join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+        "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("q_id"), col("n_hits"),
+        expr(s"n_hits * 1000000 DIV $k").as("recall_micro"))
+  }
 }

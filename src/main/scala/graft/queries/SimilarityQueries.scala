@@ -2848,8 +2848,730 @@ ${coarseCtes()},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q235
+  // FILTERED vector search — the attribute-predicate seam every
+  // production vector store exposes ("nearest WHERE label = 3"): the
+  // stored IVF-Flat index carries the filterable attribute IN the
+  // index row (Ivf.flatIndex — one argmin exchange builds assignment
+  // + payload together), and at query time the predicate is a plain
+  // column filter on the index scan BEFORE the probe join — the
+  // candidate stream shrinks at the source instead of scoring
+  // everything and discarding, and k never under-fills the way a
+  // post-filtered top-k does. Scoring is the exact integral-grid L2,
+  // so distances hash-gate; a PqSpec lane pins probing-all ≡ brute
+  // force over the filtered corpus (the q185 discipline).
+  private val q235 = Q(
+    "q235_filtered_ivf_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val index = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
+        "embedding", Seq("label"))
+      graft.operators.Ivf.filteredSearch(coarse, index,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          col("label") === 3, nprobe = 3, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 3),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p
+        JOIN cellof a ON a.cid = p.cid AND a.vec_id <> p.q_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE e.label = 3),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               list_dot_product(q.qvec, q.qvec)
+               - 2.0 * list_dot_product(q.qvec, n.qvec)
+               + list_dot_product(n.qvec, n.qvec) AS d2
+        FROM cand c
+        JOIN vx q ON q.vec_id = c.q_id
+        JOIN vx n ON n.vec_id = c.n_id)
+      SELECT q_id, n_id, CAST(d2 AS BIGINT) AS d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q236
+  // TOMBSTONE-MASKED serving — the gap between q231's upsert (which
+  // REWRITES stored state) and what a serving tier does between
+  // compactions: deletes land as a tombstone set and search must stop
+  // returning them NOW, without touching the index. The mask is one
+  // O(deleted) anti-join on the 2-column assignment table
+  // (Pq.purgeCodes — the codes table, m× wider, is never rewritten);
+  // the routed search then composes unchanged, so a delete is visible
+  // at the next query with zero index maintenance. Querying WITH a
+  // tombstoned vector still works (queries come from outside the
+  // index) — only the NEIGHBOR side is masked, which is the contract.
+  private val q236 = Q(
+    "q236_tombstone_masked_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
+        "embedding", bounds)
+      val live = graft.operators.Pq.purgeCodes(assigned,
+        e.filter(col("vec_id") % 5 === 0).select(col("vec_id")), "vec_id")
+      graft.operators.Quantize.calibratedIvfSearch(coarse, live,
+          codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          bounds, nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      dqt AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id
+        WHERE a.vec_id % 5 <> 0),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               SUM((qx.x - dd.dq) * (qx.x - dd.dq)) AS d2
+        FROM cand c
+        JOIN dqt dd ON dd.vec_id = c.n_id
+        JOIN ex qx ON qx.vec_id = c.q_id AND qx.d = dd.d
+        GROUP BY c.q_id, c.n_id)
+      SELECT q_id, n_id, CAST(d2 AS BIGINT) AS d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q237
+  // SEGMENT COMPACTION — the maintenance pass that closes the
+  // append/delete loop: q231-style restatements land as new SEGMENTS
+  // (history seg 0, then two restatement days), reads degrade as
+  // segments pile up, and the compactor elects the latest segment's
+  // row per id and rewrites the survivors clustered by cell
+  // (Layout.compactLatest — one id-keyed election window whose lead()
+  // probe also guards against duplicate (id, seg) corruption, one
+  // clustering exchange). The gate checks the compacted CONTENT
+  // per-element (codes exploded to (d, code) rows); the physical
+  // claims — cid-hash partitioning, (cid, id) sort within partitions
+  // — are LayoutSpec lanes, since a hash gate can't see layout.
+  private val q237 = Q(
+    "q237_segment_compaction",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      def seg(rows: org.apache.spark.sql.DataFrame, ord: Int) =
+        graft.operators.Quantize.calibratedCodes(rows, "vec_id",
+            "embedding", bounds)
+          .join(graft.operators.Ivf.assignIds(
+              graft.operators.Ivf.quantized(rows, "vec_id", "embedding"),
+              coarse)
+            .select(col("vec_id"), col("cid")), Seq("vec_id"))
+          .withColumn("seg", lit(ord))
+      val seg0 = seg(e, 0)
+      val seg1 = seg(e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")), 1)
+      val seg2 = seg(e.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id"), concat(slice(col("embedding"), 2, 63),
+          slice(col("embedding"), 1, 1)).as("embedding")), 2)
+      graft.operators.Layout.compactLatest(
+          seg0.unionByName(seg1).unionByName(seg2),
+          "vec_id", "seg", "cid", numPartitions = 8)
+        .select(col("vec_id"), col("cid"), col("seg"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .withColumn("d", (col("pos") + 1).cast("int"))
+        .drop("pos")
+        .orderBy(col("vec_id"), col("d"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      sv AS (
+        SELECT vec_id, 0 AS seg, qvec FROM vx
+        UNION ALL
+        SELECT vec_id, 1 AS seg,
+               list_transform(generate_series(1, 64), i -> qvec[65 - i])
+        FROM vx WHERE vec_id % 7 = 0
+        UNION ALL
+        SELECT vec_id, 2 AS seg,
+               list_transform(generate_series(1, 64), i -> qvec[(i % 64) + 1])
+        FROM vx WHERE vec_id % 11 = 0),
+      lt AS (SELECT vec_id, MAX(seg) AS seg FROM sv GROUP BY vec_id),
+      pick AS (
+        SELECT sv.vec_id, sv.seg, sv.qvec
+        FROM sv JOIN lt USING (vec_id, seg)),
+      pcid AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT p.vec_id, c.cid,
+                   list_dot_product(p.qvec, p.qvec)
+                   - 2.0 * list_dot_product(p.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM pick p, co2 c))
+        WHERE rn = 1),
+      pd AS (
+        SELECT vec_id, seg, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM pick, UNNEST(generate_series(1, 64)) t(d)),
+      cd AS (
+        SELECT vec_id, seg, d,
+               CASE WHEN c.hi > b.lo THEN
+                 (GREATEST(LEAST(x, c.hi), b.lo) - b.lo) * 255
+                   // (c.hi - b.lo)
+               ELSE 0 END AS code
+        FROM pd JOIN blo b USING (d) JOIN bhi c USING (d))
+      SELECT p.vec_id, pc.cid, CAST(p.seg AS INTEGER) AS seg,
+             CAST(p.d AS INTEGER) AS d, CAST(p.code AS BIGINT) AS code
+      FROM cd p JOIN pcid pc USING (vec_id)
+      ORDER BY p.vec_id, p.d
+    """))
+
+  // --------------------------------------------------------------- q238
+  // The SERVING STACK — q235/q236/q237's three verbs composed in the
+  // order a vector-search tier actually runs them: restatement
+  // segments COMPACT (latest wins), the tombstone set MASKS the
+  // compacted index (O(deleted) anti-join, nothing rewritten), the
+  // attribute predicate FILTERS the index scan, and only then do the
+  // probes route and the exact grid distances rank. Each verb is
+  // individually gated (q235–q237); this gate proves they compose —
+  // a neighbor must be its LATEST restated vector, not tombstoned,
+  // label-matching, and inside a probed cell, all at once.
+  private val q238 = Q(
+    "q238_serving_stack",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val seg0 = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
+        "embedding", Seq("label")).withColumn("seg", lit(0))
+      val seg1 = graft.operators.Ivf.flatIndex(coarse,
+          e.filter(col("vec_id") % 7 === 0)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+              col("label")),
+          "vec_id", "embedding", Seq("label"))
+        .withColumn("seg", lit(1))
+      val compacted = graft.operators.Layout.compactLatest(
+        seg0.unionByName(seg1), "vec_id", "seg", "cid", numPartitions = 8)
+      val live = graft.operators.Pq.purgeCodes(compacted,
+        e.filter(col("vec_id") % 5 === 0).select(col("vec_id")), "vec_id")
+      graft.operators.Ivf.filteredSearch(coarse, live,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          col("label") === 3, nprobe = 3, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      sv AS (
+        SELECT vec_id, 0 AS seg, qvec FROM vx
+        UNION ALL
+        SELECT vec_id, 1 AS seg,
+               list_transform(generate_series(1, 64), i -> qvec[65 - i])
+        FROM vx WHERE vec_id % 7 = 0),
+      lt AS (SELECT vec_id, MAX(seg) AS seg FROM sv GROUP BY vec_id),
+      pick AS (
+        SELECT sv.vec_id, sv.qvec FROM sv JOIN lt USING (vec_id, seg)),
+      pcid AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT p.vec_id, c.cid,
+                   list_dot_product(p.qvec, p.qvec)
+                   - 2.0 * list_dot_product(p.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM pick p, co2 c))
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 3),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p
+        JOIN pcid a ON a.cid = p.cid AND a.vec_id <> p.q_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id % 5 <> 0 AND e.label = 3),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               list_dot_product(q.qvec, q.qvec)
+               - 2.0 * list_dot_product(q.qvec, n.qvec)
+               + list_dot_product(n.qvec, n.qvec) AS d2
+        FROM cand c
+        JOIN vx q ON q.vec_id = c.q_id
+        JOIN pick n ON n.vec_id = c.n_id)
+      SELECT q_id, n_id, CAST(d2 AS BIGINT) AS d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q239
+  // RECALL@k audit — the evaluation a deployment runs BEFORE picking
+  // nprobe: per query, how many of the exact top-k did the routed
+  // calibrated path (q234's serving shape, quantization + routing
+  // losses compounded) actually return. The exact side is the new
+  // filteredSearch probing ALL cells with a TRUE predicate — routing
+  // degenerates to brute force, so the baseline reuses the serving
+  // operator instead of a second code path. The audit join runs over
+  // two O(queries·k) result sets (Similarity.recallAudit — exact-side
+  // spine, so an all-miss query reports 0 instead of vanishing);
+  // recall lands in exact micro-units, hash-gated like every score in
+  // the suite. At sf0.01 the routed path lands 0.4–1.0 recall@5
+  // (mean ~0.78) — the number this report exists to surface.
+  private val q239 = Q(
+    "q239_recall_audit",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
+        "embedding", bounds)
+      val q = e.filter(col("vec_id") < 10)
+      val approx = graft.operators.Quantize.calibratedIvfSearch(coarse,
+        assigned, codes, q, "vec_id", "embedding", bounds, nprobe = 2,
+        topK = 5)
+      val exact = graft.operators.Ivf.filteredSearch(coarse,
+        graft.operators.Ivf.flatIndex(coarse, e, "vec_id", "embedding",
+          Nil),
+        q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+      graft.operators.Similarity.recallAudit(approx, exact, 5)
+        .orderBy(col("q_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      dqt AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      acand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      ascored AS (
+        SELECT c.q_id, c.n_id,
+               SUM((qx.x - dd.dq) * (qx.x - dd.dq)) AS d2
+        FROM acand c
+        JOIN dqt dd ON dd.vec_id = c.n_id
+        JOIN ex qx ON qx.vec_id = c.q_id AND qx.d = dd.d
+        GROUP BY c.q_id, c.n_id),
+      routed AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, n_id ASC) AS rnk
+          FROM ascored)
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      hits AS (
+        SELECT e.q_id, COUNT(r.n_id) AS n_hits
+        FROM exact e
+        LEFT JOIN routed r ON r.q_id = e.q_id AND r.n_id = e.n_id
+        GROUP BY e.q_id)
+      SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro
+      FROM hits
+      ORDER BY q_id
+    """))
+
+  // --------------------------------------------------------------- q240
+  // NPROBE SWEEP — q239 turned into the tuning CURVE: mean recall@5
+  // across the query panel at nprobe ∈ {1, 2, 4}, the artifact an
+  // index operator actually reads to site the recall/latency knee.
+  // Every stored table (coarse, assignment, codes, bounds) and the
+  // exact baseline persist ONCE under CacheScope — the three sweep
+  // branches are plan copies, and without the pins each branch would
+  // re-train the coarse codebook and re-derive the calibration census
+  // (bounds COLLECT at plan build, so an unpinned bounds frame pays
+  // the census once per branch).
+  private val q240 = Q(
+    "q240_nprobe_sweep",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+          "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+        .transform(graft.util.CacheScope.persist)
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+          "embedding", 8, 2)
+        .transform(graft.util.CacheScope.persist)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+        .transform(graft.util.CacheScope.persist)
+      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
+          "embedding", bounds)
+        .transform(graft.util.CacheScope.persist)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Ivf.filteredSearch(coarse,
+          graft.operators.Ivf.flatIndex(coarse, e, "vec_id", "embedding",
+            Nil),
+          q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+        .transform(graft.util.CacheScope.persist)
+      Seq(1, 2, 4).map { np =>
+        graft.operators.Similarity.recallAudit(
+            graft.operators.Quantize.calibratedIvfSearch(coarse,
+              assigned, codes, q, "vec_id", "embedding", bounds,
+              nprobe = np, topK = 5),
+            exact, 5)
+          .withColumn("nprobe", lit(np))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("hits_total"))
+        .withColumn("recall_micro_mean",
+          expr("hits_total * 1000000 DIV (5 * n_queries)"))
+        .orderBy(col("nprobe"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+      probes AS (
+        SELECT vec_id AS q_id, cid, rn FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 4),
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      dqt AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      acand AS (
+        SELECT t.np, p.q_id, a.vec_id AS n_id
+        FROM nps t
+        JOIN probes p ON p.rn <= t.np
+        JOIN cellof a ON a.cid = p.cid AND a.vec_id <> p.q_id
+        GROUP BY t.np, p.q_id, a.vec_id),
+      ascored AS (
+        SELECT c.np, c.q_id, c.n_id,
+               SUM((qx.x - dd.dq) * (qx.x - dd.dq)) AS d2
+        FROM acand c
+        JOIN dqt dd ON dd.vec_id = c.n_id
+        JOIN ex qx ON qx.vec_id = c.q_id AND qx.d = dd.d
+        GROUP BY c.np, c.q_id, c.n_id),
+      routed AS (
+        SELECT np, q_id, n_id FROM (
+          SELECT np, q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY np, q_id
+                   ORDER BY d2 ASC, n_id ASC) AS rnk
+          FROM ascored)
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      hits AS (
+        SELECT t.np, e.q_id, COUNT(r.n_id) AS n_hits
+        FROM nps t
+        CROSS JOIN exact e
+        LEFT JOIN routed r
+          ON r.np = t.np AND r.q_id = e.q_id AND r.n_id = e.n_id
+        GROUP BY t.np, e.q_id)
+      SELECT CAST(np AS INTEGER) AS nprobe,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(n_hits) AS BIGINT) AS hits_total,
+             CAST(SUM(n_hits) * 1000000 // (5 * COUNT(*)) AS BIGINT)
+               AS recall_micro_mean
+      FROM hits GROUP BY np ORDER BY np
+    """))
+
+  // --------------------------------------------------------------- q241
+  // Calibrated RERANK funnel — the deployment shape the PQ axis
+  // carries (q195/q208) completed for the calibrated index: the
+  // routed int8 shortlist (generous shortlistK) decides only WHICH
+  // candidates reach the exact rescore; the final order comes from
+  // full-grid distances on ONE base scan (the shared exactRerank
+  // tail — shortlist + query panel broadcast, no vector crosses an
+  // exchange). Quantization error that q239 measures as lost recall
+  // is exactly what the funnel buys back whenever the true neighbor
+  // lands anywhere in the shortlist.
+  private val q241 = Q(
+    "q241_calibrated_rerank_funnel",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
+        "embedding", bounds)
+      graft.operators.Quantize.calibratedIvfRerank(coarse, assigned,
+          codes, e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          bounds, nprobe = 2, shortlistK = 20, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      dqt AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               SUM((qx.x - dd.dq) * (qx.x - dd.dq)) AS d2
+        FROM cand c
+        JOIN dqt dd ON dd.vec_id = c.n_id
+        JOIN ex qx ON qx.vec_id = c.q_id AND qx.d = dd.d
+        GROUP BY c.q_id, c.n_id),
+      short AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, n_id ASC) AS rnk
+          FROM scored)
+        WHERE rnk <= 20),
+      rr AS (
+        SELECT sh.q_id, sh.n_id,
+               list_dot_product(qv.qvec, qv.qvec)
+               - 2.0 * list_dot_product(qv.qvec, nv.qvec)
+               + list_dot_product(nv.qvec, nv.qvec) AS exact_d2
+        FROM short sh
+        JOIN vx qv ON qv.vec_id = sh.q_id
+        JOIN vx nv ON nv.vec_id = sh.n_id)
+      SELECT q_id, n_id, exact_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, exact_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY exact_d2 ASC, n_id ASC) AS rnk
+        FROM rr)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
-    q217, q218, q219, q220, q221, q229, q230, q231, q234)
+    q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
+    q237, q238, q239, q240, q241)
 }

@@ -97,7 +97,27 @@ class PlanAuditSpec extends SparkSpec {
       // cell-keyed equi-join (q185's class)
       "q234_calibrated_ivf_search",
       // q189's assignment fans the ≤8-row codebook — q36/q110's class
-      "q189_topic_census")
+      "q189_topic_census",
+      // q235/q238 probe + flatIndex assignment fan the ≤8-row coarse
+      // codebook (q36/q110's class); the candidate scorer is a
+      // cell-keyed equi-join (q185's class)
+      "q235_filtered_ivf_search",
+      "q238_serving_stack",
+      // q236 = q234's fans with the tombstone anti-join added — the
+      // mask is an equi anti-join, nothing new crosses
+      "q236_tombstone_masked_search",
+      // q237's per-segment assignment fans the ≤8-row coarse codebook
+      // over each (bounded-count) segment — q36/q110's class
+      "q237_segment_compaction",
+      // q239/q240 run the q234 routed chain and the probing-all exact
+      // baseline side by side (sweep: per nprobe value) — every cross
+      // fan is the ≤8-row codebook or the bounded query panel; the
+      // recall join is an O(queries·k) equi semi-join
+      "q239_recall_audit",
+      "q240_nprobe_sweep",
+      // q241 = q234's fans + the rerank tail's broadcast shortlist /
+      // query panel onto one base scan (q195/q208's class)
+      "q241_calibrated_rerank_funnel")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -94,4 +94,53 @@ class LayoutSpec extends SparkSpec {
       files.forall(f => (5 to 7).exists(d => f.contains(f"2024-01-$d%02d"))),
       files.mkString("\n"))
   }
+
+  test("compactLatest: latest segment wins; layout is cell-clustered and sorted") {
+    val s = spark
+    import s.implicits._
+    // ids 1..100 in seg 0; 1..50 restated in seg 1; 1..20 in seg 2 —
+    // payload encodes (id, seg) so the winner is verifiable
+    val segs = Seq(
+      (1 to 100).map(i => (i.toLong, 0, i % 7L, s"v0-$i")),
+      (1 to 50).map(i => (i.toLong, 1, (i + 1) % 7L, s"v1-$i")),
+      (1 to 20).map(i => (i.toLong, 2, (i + 2) % 7L, s"v2-$i"))
+    ).flatten.toDF("id", "seg", "cell", "payload")
+    val numParts = 4
+    val got = Layout.compactLatest(segs, "id", "seg", "cell", numParts)
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getString(3))).toSeq
+    assert(rows.length == 100, "compaction must emit exactly one row per id")
+    rows.foreach { case (id, seg, _, payload) =>
+      val want = if (id <= 20) 2 else if (id <= 50) 1 else 0
+      assert(seg == want && payload == s"v$want-$id",
+        s"id $id served seg $seg/$payload, wanted seg $want")
+    }
+    // physical claims: exactly numParts partitions, each cell wholly
+    // inside one partition, rows sorted (cell, id) within partitions
+    val perPart = got.select(spark_partition_id().as("p"), col("cell"),
+        col("id")).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(perPart.map(_._1).distinct.length <= numParts)
+    assert(perPart.groupBy(_._2).forall(_._2.map(_._1).distinct.length == 1),
+      "a cell was split across partitions")
+    perPart.groupBy(_._1).foreach { case (_, ps) =>
+      // collect() preserves within-partition order per partition
+      val keys = ps.map(t => (t._2, t._3)).toSeq
+      assert(keys == keys.sorted, "rows not sorted (cell, id) within a partition")
+    }
+  }
+
+  test("compactLatest raises on a duplicate (id, seg) pair") {
+    val s = spark
+    import s.implicits._
+    val corrupt = Seq((1L, 0, 1L, "a"), (1L, 0, 1L, "b"), (2L, 0, 1L, "c"))
+      .toDF("id", "seg", "cell", "payload")
+    val e = intercept[Exception] {
+      Layout.compactLatest(corrupt, "id", "seg", "cell", 2).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("duplicate"))),
+      s"expected the duplicate guard to fire, got: $e")
+  }
 }

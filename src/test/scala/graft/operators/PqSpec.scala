@@ -927,4 +927,151 @@ class PqSpec extends SparkSpec {
     assert(kept.join(doomed.select("vec_id"), Seq("vec_id"),
       "left_semi").isEmpty, "a tombstoned id survived the purge")
   }
+
+  test("filtered search probing all cells ≡ brute force over the filtered corpus") {
+    // the q185 discipline on the filtered axis (q235): the predicate
+    // restricts WHICH vectors can be neighbors, the routing restricts
+    // only recall — probing every cell must reproduce the brute-force
+    // top-k over the predicate-filtered corpus bit-for-bit
+    val k = 4
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", k, 2)
+    val index = Ivf.flatIndex(coarse, emb, "vec_id", "embedding",
+      Seq("label"))
+    val q = emb.filter(col("vec_id") < 5)
+    val routed = Ivf.filteredSearch(coarse, index, q, "vec_id",
+        "embedding", col("label") === 3, nprobe = k, topK = 5)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    val qv = Ivf.quantized(q, "vec_id", "embedding")
+      .select(col("vec_id").as("q_id"), col("qvec").as("qv"))
+    val nv = Ivf.quantized(emb.filter(col("label") === 3), "vec_id",
+        "embedding")
+      .select(col("vec_id").as("n_id"), col("qvec").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+    val brute = nv.crossJoin(broadcast(qv))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("d2", aggregate(zip_with(col("qv"), col("nv"),
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
+        .cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Long]("d2"), r.getAs[Int]("rnk")))
+      .toSeq
+    assert(routed == brute, "probing-all filtered search diverged from brute")
+    // and every returned neighbor satisfies the predicate
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(routed.forall(t => labels(t._2) == 3),
+      "a neighbor escaped the predicate")
+  }
+
+  test("flatIndex: assignment matches assignIds; attributes ride unchanged") {
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 4, 2)
+    val index = Ivf.flatIndex(coarse, emb, "vec_id", "embedding",
+      Seq("label"))
+    val viaIds = Ivf.assignIds(
+        Ivf.quantized(emb, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid").as("cid2"))
+    assert(index.join(viaIds, Seq("vec_id"))
+      .filter(col("cid") =!= col("cid2")).isEmpty,
+      "flatIndex assignment diverged from assignIds")
+    val attrs = emb.select(col("vec_id"), col("label").as("label2"))
+    assert(index.join(attrs, Seq("vec_id"))
+      .filter(col("label") =!= col("label2")).isEmpty,
+      "an attribute was corrupted by the argmin ride-along")
+    assert(index.count() == emb.count(), "index row count off")
+  }
+
+  test("tombstone mask: deleted ids never served; probing-all ≡ brute over live set") {
+    // the q236 contract: masking the assignment table hides exactly
+    // the tombstoned ids from search, and the routed masked search
+    // probing every cell equals the brute calibrated search over the
+    // purged corpus
+    val k = 4
+    val bounds = Quantize.calibrationBounds(emb, "vec_id", "embedding",
+      10, 990)
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", k, 2)
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(emb, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid"))
+    val codes = Quantize.calibratedCodes(emb, "vec_id", "embedding",
+      bounds)
+    val tomb = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+    val live = Pq.purgeCodes(assigned, tomb, "vec_id")
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("q_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq
+    val masked = rows(Quantize.calibratedIvfSearch(coarse, live, codes,
+      q, "vec_id", "embedding", bounds, nprobe = k, topK = 5))
+    assert(masked.forall(_._2 % 4 != 0), "a tombstoned id was served")
+    val brute = rows(Quantize.calibratedSearch(
+      Pq.purgeCodes(codes, tomb, "vec_id"), q, "vec_id", "embedding",
+      bounds, topK = 5))
+    assert(masked == brute, "masked probing-all diverged from brute over live set")
+  }
+
+  test("recallAudit: self-comparison is 1.0; all-miss queries report 0, not nothing") {
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 4, 2)
+    val index = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Ivf.filteredSearch(coarse, index, q, "vec_id",
+      "embedding", lit(true), nprobe = 4, topK = 5)
+    val self = Similarity.recallAudit(exact, exact, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(self.length == 5 && self.forall(t =>
+      t._2 == 5L && t._3 == 1000000L), self.mkString(", "))
+    // an approximate side that returned NOTHING for any query must
+    // still report every exact-side query, at zero
+    val empty = exact.filter(lit(false))
+    val zero = Similarity.recallAudit(empty, exact, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(zero.length == 5 && zero.forall(t => t._2 == 0L && t._3 == 0L),
+      zero.mkString(", "))
+  }
+
+  test("calibrated rerank funnel: probing-all + corpus-wide shortlist ≡ exact brute") {
+    // the funnel's contract: calibration error decides only WHICH
+    // candidates reach the rerank — with every cell probed and the
+    // shortlist as wide as the corpus, nothing is excluded and the
+    // funnel must reproduce the exact search bit-for-bit (including
+    // distances: both sides are integral-grid L2)
+    val k = 4
+    val n = emb.count().toInt
+    val bounds = Quantize.calibrationBounds(emb, "vec_id", "embedding",
+      10, 990)
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", k, 2)
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(emb, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid"))
+    val codes = Quantize.calibratedCodes(emb, "vec_id", "embedding",
+      bounds)
+    val q = emb.filter(col("vec_id") < 5)
+    val funnel = Quantize.calibratedIvfRerank(coarse, assigned, codes,
+        emb, q, "vec_id", "embedding", bounds, nprobe = k,
+        shortlistK = n, topK = 5)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val exact = Ivf.filteredSearch(coarse,
+        Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil),
+        q, "vec_id", "embedding", lit(true), nprobe = k, topK = 5)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble,
+        r.getInt(3)))
+      .toSeq
+    assert(funnel == exact,
+      "probing-all corpus-shortlist funnel diverged from exact brute")
+    // and a shortlist narrower than topK is a loud contract violation
+    intercept[IllegalArgumentException] {
+      Quantize.calibratedIvfRerank(coarse, assigned, codes, emb, q,
+        "vec_id", "embedding", bounds, nprobe = 1, shortlistK = 2,
+        topK = 5)
+    }
+  }
 }
