@@ -340,6 +340,30 @@ object Ivf {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
 
+  /** Exact integral-grid L2 top-k for a BOUNDED query set — the brute
+    * baseline on the distance axis ([[graft.operators.Similarity
+    * .bruteForceTopK]]'s L2 sibling, and what [[filteredSearch]]
+    * degenerates to when probing every cell): the query panel
+    * broadcasts onto one corpus scan (the audited q20/q184
+    * constant-broadcast class), distances are exact longs, the only
+    * exchange is the per-query top-k window. */
+  def bruteTopK(embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int): DataFrame = {
+    val n = quantized(embeddings, idCol, vecCol)
+      .select(col("vec_id").as("n_id"), col("qvec"))
+    val q = quantized(queries, idCol, vecCol)
+      .select(col("vec_id").as("q_id"), col("qvec").as("__qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("n_id").asc)
+    n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("d2", dist2(col("__qv"), col("qvec")).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("n_id"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** IVF-FLAT index BUILD: the stored table a filtered-search
     * deployment keeps — every vector's exact grid coordinates
     * cell-clustered alongside its FILTERABLE ATTRIBUTES (language,

@@ -339,4 +339,34 @@ object Search {
       .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
       .select(col(idCol), col("score"), col("n_terms"), col("rnk"))
   }
+
+  /** RECIPROCAL RANK FUSION — the standard hybrid-retrieval combiner
+    * (Cormack et al.: score(d) = Σ_lists 1/(k + rank_d)), fusing any
+    * number of per-list rankings (BM25, vector top-k, …) WITHOUT
+    * comparable scores: only ranks matter, which is the point — a
+    * BM25 log-score and an L2 distance share no scale, their ranks
+    * do. Contributions are exact integer micro-units
+    * (10⁶ DIV (k + rank)), so the fused score is engine-portable and
+    * hash-gates; ties break by id. Inputs are (idCol, rnk) result
+    * sets — O(topN) rows each by construction, so the union and the
+    * fused aggregate are bounded regardless of corpus size; a doc
+    * absent from a list simply contributes nothing (the RRF
+    * convention). Output: (idCol, rrf_micro, n_lists, rnk ≤ topN). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kRrf: Int,
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 0, s"kRrf must be non-negative, got $kRrf")
+    val u = rankings
+      .map(_.select(col(idCol), col("rnk").cast("long").as("__r")))
+      .reduce(_.unionByName(_))
+    val ord = Seq(col("rrf_micro").desc, col(idCol).asc)
+    u.withColumn("__c", expr(s"1000000 DIV ($kRrf + __r)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(ord: _*)
+      .limit(topN)
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+      .select(col(idCol), col("rrf_micro"), col("n_lists"), col("rnk"))
+  }
 }

@@ -391,6 +391,100 @@ object SearchQueries extends QueryPack {
       ORDER BY c.token
     """))
 
+  // --------------------------------------------------------------- q242
+  // HYBRID retrieval — reciprocal rank fusion of the lexical and
+  // semantic rankings, the shape every RAG/serving stack runs: BM25
+  // answers "which docs use these words", the vector top-k answers
+  // "which docs mean this", and RRF fuses them through RANKS alone
+  // (a log-score and an L2 distance share no scale — that is why RRF
+  // exists). Contributions are exact integer micro-units
+  // (10⁶ DIV (60 + rank), the standard k=60), so the fused ranking
+  // hash-gates; docs in BOTH lists float to the top, which is the
+  // hybrid payoff. Both input rankings are O(topN) by construction —
+  // the fusion is bounded regardless of corpus size.
+  private val q242 = Q(
+    "q242_hybrid_rrf_search",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val text = Search.bm25Search(docs, "doc_id", "text",
+        terms = Seq("spark", "vector", "hash"), topN = 20)
+      val vec = graft.operators.Ivf.bruteTopK(e,
+          e.filter(col("vec_id") === 7), "vec_id", "embedding", topK = 20)
+        .select(col("n_id").as("doc_id"), col("rnk"))
+      Search.rrfFuse(
+          Seq(text.select(col("doc_id"), col("rnk")), vec),
+          "doc_id", kRrf = 60, topN = 10)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM documents),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('spark', 'vector', 'hash')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      bmscored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score
+        FROM parts GROUP BY doc_id),
+      bm AS (
+        SELECT doc_id, rnk FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rnk
+          FROM bmscored)
+        WHERE rnk <= 20),
+      vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      vr AS (
+        SELECT doc_id, rnk FROM (
+          SELECT n.vec_id AS doc_id,
+                 ROW_NUMBER() OVER (ORDER BY
+                     list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id = 7 AND n.vec_id <> 7)
+        WHERE rnk <= 20),
+      u AS (
+        SELECT doc_id, rnk FROM bm
+        UNION ALL
+        SELECT doc_id, rnk FROM vr),
+      f AS (
+        SELECT doc_id, SUM(1000000 // (60 + rnk)) AS rrf_micro,
+               COUNT(*) AS n_lists
+        FROM u GROUP BY doc_id)
+      SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+             CAST(n_lists AS BIGINT) AS n_lists,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT doc_id, rrf_micro, n_lists,
+               ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+                 AS rnk
+        FROM f)
+      WHERE rnk <= 10
+      ORDER BY rnk
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
-    q232)
+    q232, q242)
 }

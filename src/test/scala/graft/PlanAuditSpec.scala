@@ -117,7 +117,11 @@ class PlanAuditSpec extends SparkSpec {
       "q240_nprobe_sweep",
       // q241 = q234's fans + the rerank tail's broadcast shortlist /
       // query panel onto one base scan (q195/q208's class)
-      "q241_calibrated_rerank_funnel")
+      "q241_calibrated_rerank_funnel",
+      // q242 fans the 1-row query panel (bruteTopK, q20's class) and
+      // bm25's 1-row (n_docs, avgdl) total (q106's class); the fusion
+      // itself is a bounded union + aggregate
+      "q242_hybrid_rrf_search")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

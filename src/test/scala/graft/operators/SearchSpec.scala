@@ -202,4 +202,23 @@ class SearchSpec extends SparkSpec {
     assert(out.forall(_.getDouble(1) > 0))
     assert(out.map(_.getInt(3)).toSeq == (1 to 4))
   }
+
+  test("rrfFuse: hand-checked micro contributions; both-list docs outrank") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rnk")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rnk")
+    val got = Search.rrfFuse(Seq(a, b), "id", kRrf = 60, topN = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    // 10⁶ DIV 61 = 16393, DIV 62 = 16129, DIV 63 = 15873; doc 2 sits
+    // in both lists (61 + 62) and must fuse above every single-list doc
+    assert(got == Seq(
+      (2L, 32522L, 2L, 1), (1L, 16393L, 1L, 2),
+      (4L, 16129L, 1L, 3), (3L, 15873L, 1L, 4)), got.mkString(", "))
+    // topN truncates the fused list, not the inputs
+    val top2 = Search.rrfFuse(Seq(a, b), "id", 60, 2).collect()
+    assert(top2.length == 2 && top2.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+  }
 }
