@@ -340,6 +340,109 @@ object Search {
       .select(col(idCol), col("score"), col("n_terms"), col("rnk"))
   }
 
+  /** MORE-LIKE-THIS — document-as-query retrieval (Lucene's MLT
+    * shape): the query document's top-`nTerms` TF-IDF tokens become
+    * the BM25 query, so "find documents like this one" needs no
+    * hand-written terms. Term selection is fully distributed: the
+    * per-token ranking window runs over ONE document's vocabulary
+    * (bounded by its length, never the corpus), and the selected
+    * terms restrict the corpus tf table through a broadcast semi-join
+    * — the same O(hits) shuffle discipline as [[bm25Search]]'s isin
+    * filter, with the term set coming from data instead of code. The
+    * query document is excluded from the candidate set AND from the
+    * restricted df (it trivially contains every query term; keeping
+    * it would shift each df by one uniformly). One persisted
+    * tokenized frame feeds dl, the df census, the query tf, and the
+    * corpus tf — the normalize+split scan runs once. Output:
+    * [[bm25Search]]'s (idCol, score, n_terms, rnk ≤ topN). */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      queryId: Long, nTerms: Int, topN: Int, k1Centi: Int = 120,
+      bCenti: Int = 75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nTerms > 0, s"nTerms must be positive, got $nTerms")
+    val withWords = docs
+      .select(col(idCol), Dedup.words(col(textCol)).as("w"))
+      .transform(graft.util.CacheScope.persist)
+    val dl = withWords
+      .select(col(idCol), size(col("w")).cast("long").as("dl"))
+    val toks = withWords
+      .select(col(idCol), explode(col("w")).as("token"))
+    val dfAll = toks.select(col(idCol), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df_all"))
+    val nDocs = docs.agg(count(lit(1)).as("n_all"))
+    // TF-IDF rank over the ONE query document's vocabulary — the
+    // partitionless window's input is bounded by a single doc's
+    // distinct tokens (PlanAuditSpec-allowlisted, doc-bounded class)
+    val wTerm = Window.orderBy(col("tscore").desc, col("token").asc)
+    // the ONE-doc query tf (bounded) broadcasts into the corpus df
+    // census — never the reverse: the vocabulary is corpus-sized
+    val terms = dfAll
+      .join(broadcast(toks.filter(col(idCol) === queryId)
+        .groupBy(col("token")).agg(count(lit(1)).as("qtf"))),
+        Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tscore",
+        round(col("qtf").cast("double") *
+          log(col("n_all").cast("double") / col("df_all").cast("double")),
+          6))
+      .withColumn("trnk", row_number().over(wTerm))
+      .filter(col("trnk") <= nTerms)
+      .select(col("token"))
+    val tf = toks.filter(col(idCol) =!= queryId)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(terms), Seq("token"), "left_semi")
+    bm25Tail(tf, dl.filter(col(idCol) =!= queryId), idCol, topN,
+      k1Centi, bCenti)
+  }
+
+  /** BEST-SNIPPET extraction — the "highlight" every search serving
+    * tier renders: per document matching any query term, the
+    * `windowTokens`-wide token window holding the MOST query-term
+    * hits (earliest window on ties), returned with its text. Candidate
+    * windows anchor at hit positions only (a window not starting at a
+    * hit is dominated by one that does), so the per-doc cost is
+    * O(hits), not O(tokens): hit positions count their in-range
+    * successors through ONE doc-partitioned RANGE window — no
+    * per-window explode, no self-join. The token stream filters to
+    * query terms below the first exchange ([[bm25Search]]'s
+    * discipline), and only the topN WINNING docs join back to their
+    * word arrays to render text (a broadcast of topN rows onto the
+    * persisted tokenized frame). Output: (idCol, start_pos 0-based,
+    * n_hits, snippet, rnk ≤ topN), ranked by (n_hits desc, id asc). */
+  def bestSnippet(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], windowTokens: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bestSnippet needs at least one term")
+    require(windowTokens > 0,
+      s"windowTokens must be positive, got $windowTokens")
+    val withWords = docs
+      .select(col(idCol), Dedup.words(col(textCol)).as("w"))
+      .transform(graft.util.CacheScope.persist)
+    val hits = withWords
+      .select(col(idCol), posexplode(col("w")).as(Seq("p", "token")))
+      .filter(col("token").isin(terms: _*))
+      .select(col(idCol), col("p").cast("long").as("start_pos"))
+    val wRange = Window.partitionBy(col(idCol)).orderBy(col("start_pos"))
+      .rangeBetween(Window.currentRow, windowTokens - 1)
+    val wBest = Window.partitionBy(col(idCol))
+      .orderBy(col("n_hits").desc, col("start_pos").asc)
+    val ord = Seq(col("n_hits").desc, col(idCol).asc)
+    val winners = hits
+      .withColumn("n_hits", count(lit(1)).over(wRange))
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .orderBy(ord: _*)
+      .limit(topN)
+    withWords.join(broadcast(winners), Seq(idCol))
+      .withColumn("snippet", concat_ws(" ",
+        slice(col("w"), col("start_pos") + lit(1), lit(windowTokens))))
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+      .select(col(idCol), col("start_pos"), col("n_hits"),
+        col("snippet"), col("rnk").cast("int").as("rnk"))
+  }
+
   /** RECIPROCAL RANK FUSION — the standard hybrid-retrieval combiner
     * (Cormack et al.: score(d) = Σ_lists 1/(k + rank_d)), fusing any
     * number of per-list rankings (BM25, vector top-k, …) WITHOUT

@@ -485,6 +485,134 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
+  // --------------------------------------------------------------- q243
+  // MORE-LIKE-THIS — document-as-query retrieval (Lucene's MLT shape):
+  // the query document's top-3 TF-IDF tokens become the BM25 query,
+  // so "find documents like this one" needs no hand-written terms.
+  // Term selection stays distributed — the one-doc query tf broadcasts
+  // into the corpus df census (never the reverse: vocabulary is
+  // corpus-sized), the ranking window runs over that single document's
+  // vocabulary, and the winners restrict the corpus tf table through a
+  // broadcast semi-join. The query document is excluded from
+  // candidates AND the restricted df (it trivially contains every
+  // query term). One scoring tail with q106 — same formula, the terms
+  // now come from data.
+  private val q243 = Q(
+    "q243_more_like_this",
+    (s, dir) => {
+      Search.moreLikeThis(Tables(s, dir, "documents"), "doc_id", "text",
+          queryId = 7L, nTerms = 3, topN = 10)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM documents),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      dfall AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df_all
+        FROM toks GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_all FROM documents),
+      qtf AS (
+        SELECT token, COUNT(*) AS qtf FROM toks
+        WHERE doc_id = 7 GROUP BY token),
+      tsc AS (
+        SELECT q.token,
+               ROUND(CAST(q.qtf AS DOUBLE) *
+                 ln(CAST(n.n_all AS DOUBLE) / CAST(d.df_all AS DOUBLE)),
+                 6) AS tscore
+        FROM qtf q JOIN dfall d USING (token) CROSS JOIN n),
+      qterms AS (
+        SELECT token FROM (
+          SELECT token,
+                 ROW_NUMBER() OVER (ORDER BY tscore DESC, token ASC)
+                   AS trnk
+          FROM tsc)
+        WHERE trnk <= 3),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks
+        WHERE doc_id <> 7 AND token IN (SELECT token FROM qterms)
+        GROUP BY doc_id, token),
+      dl2 AS (SELECT * FROM dl WHERE doc_id <> 7),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl2),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (v.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / v.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl2 d USING (doc_id)
+        CROSS JOIN navg v),
+      scored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score,
+               COUNT(*) AS n_terms
+        FROM parts GROUP BY doc_id)
+      SELECT doc_id, score, n_terms, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT doc_id, score, n_terms,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 10
+      ORDER BY rnk
+    """))
+
+  // --------------------------------------------------------------- q244
+  // BEST-SNIPPET extraction — the "highlight" a search tier renders
+  // next to every hit: the 8-token window holding the most query-term
+  // hits per document (earliest on ties), with its text. Candidate
+  // windows anchor at HIT positions only, so per-doc cost is O(hits)
+  // through one doc-partitioned RANGE window — no per-window explode,
+  // no self-join; only the 10 winning docs join back to their word
+  // arrays to render text.
+  private val q244 = Q(
+    "q244_best_snippet",
+    (s, dir) => {
+      Search.bestSnippet(Tables(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "vector", "hash"), windowTokens = 8,
+          topN = 10)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      pos AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS start_pos, w[i] AS token
+        FROM words, UNNEST(generate_series(1, len(w))) t(i)),
+      hits AS (
+        SELECT doc_id, start_pos FROM pos
+        WHERE token IN ('spark', 'vector', 'hash')),
+      sc AS (
+        SELECT doc_id, start_pos,
+               COUNT(*) OVER (PARTITION BY doc_id ORDER BY start_pos
+                 RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n_hits
+        FROM hits),
+      best AS (
+        SELECT doc_id, start_pos, n_hits FROM (
+          SELECT doc_id, start_pos, n_hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n_hits DESC, start_pos ASC) AS rn
+          FROM sc)
+        WHERE rn = 1),
+      top AS (
+        SELECT doc_id, start_pos, n_hits,
+               ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id ASC)
+                 AS rnk
+        FROM best)
+      SELECT t.doc_id, CAST(t.start_pos AS BIGINT) AS start_pos,
+             CAST(t.n_hits AS BIGINT) AS n_hits,
+             array_to_string(w[t.start_pos + 1:t.start_pos + 8], ' ')
+               AS snippet,
+             CAST(t.rnk AS INTEGER) AS rnk
+      FROM top t JOIN words USING (doc_id)
+      WHERE t.rnk <= 10
+      ORDER BY t.rnk
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
-    q232, q242)
+    q232, q242, q243, q244)
 }

@@ -121,7 +121,10 @@ class PlanAuditSpec extends SparkSpec {
       // q242 fans the 1-row query panel (bruteTopK, q20's class) and
       // bm25's 1-row (n_docs, avgdl) total (q106's class); the fusion
       // itself is a bounded union + aggregate
-      "q242_hybrid_rrf_search")
+      "q242_hybrid_rrf_search",
+      // q243 fans two 1-row totals (n_all for the tf-idf, the bm25
+      // tail's navg) — q68/q106's class
+      "q243_more_like_this")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
@@ -168,7 +171,16 @@ class PlanAuditSpec extends SparkSpec {
       "q204_balanced_permutation",
       // q209: both ranking windows (merged + built layouts) run over
       // per-DIMENSION energy LEDGERS — ≤ 64 rows each, q204's class
-      "q209_dim_energy_ledger")
+      "q209_dim_energy_ledger",
+      // q243: the TF-IDF term-ranking window runs over ONE document's
+      // vocabulary (the qtf aggregate is filtered to the query doc
+      // before grouping) — bounded by a single doc's length
+      "q243_more_like_this",
+      // q244: the final rank window sits above `limit(topN)` but ALSO
+      // above the winners→words join, so the mechanical limit
+      // detection can't see through it; the join is topN-row broadcast
+      // × unique-id words, row-preserving — still ≤ topN rows
+      "q244_best_snippet")
 
   test("no registered plan windows over a single partition") {
     // A Window/WindowGroupLimit with an EMPTY partitionSpec plans an

@@ -221,4 +221,48 @@ class SearchSpec extends SparkSpec {
     val top2 = Search.rrfFuse(Seq(a, b), "id", 60, 2).collect()
     assert(top2.length == 2 && top2.map(_.getLong(0)).toSeq == Seq(2L, 1L))
   }
+
+  test("bestSnippet: hit-anchored window, earliest tie wins, tail clamps") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x spark y z spark vector q q"),
+      (2L, "vector a b c d e f g h spark")
+    ).toDF("doc_id", "text")
+    val out = Search.bestSnippet(docs, "doc_id", "text",
+        Seq("spark", "vector"), windowTokens = 8, topN = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getInt(4)))
+      .sortBy(_._1)
+    // doc 1: anchors at 1 (3 hits in [1,8]) and 4/5 (2/1) — window
+    // from 1 wins and clamps at the text tail (7 tokens, not 8)
+    assert(out(0) == (1L, 1L, 3L, "spark y z spark vector q q", 1),
+      out(0).toString)
+    // doc 2: anchors at 0 and 9 tie at 1 hit — earliest start wins;
+    // the window is exactly 8 tokens (indices 0..7)
+    assert(out(1) == (2L, 0L, 1L, "vector a b c d e f g", 2),
+      out(1).toString)
+  }
+
+  test("moreLikeThis: query doc excluded; terms derive from its tf-idf") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple apple banana"),
+      (3L, "cherry zebra cherry"),
+      (4L, "banana plum")
+    ).toDF("doc_id", "text")
+    val out = Search.moreLikeThis(docs, "doc_id", "text", queryId = 1L,
+        nTerms = 2, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSeq
+    // the query doc itself must never be served
+    assert(!out.exists(_._1 == 1L), out.mkString(", "))
+    // doc 2 carries BOTH derived terms (apple, banana) and must lead;
+    // doc 3 carries neither and must be absent
+    assert(out.head._1 == 2L, out.mkString(", "))
+    assert(!out.exists(_._1 == 3L), out.mkString(", "))
+    assert(out.exists(_._1 == 4L), out.mkString(", "))
+  }
 }
