@@ -423,22 +423,63 @@ object Search {
       .select(col(idCol), posexplode(col("w")).as(Seq("p", "token")))
       .filter(col("token").isin(terms: _*))
       .select(col(idCol), col("p").cast("long").as("start_pos"))
+    withWords.join(broadcast(snippetElect(hits, idCol, windowTokens,
+        topN)), Seq(idCol))
+      .withColumn("snippet", concat_ws(" ",
+        slice(col("w"), col("start_pos") + lit(1), lit(windowTokens))))
+      .transform(snippetRank(idCol))
+  }
+
+  /** [[bestSnippet]] served from a STORED [[positionalIndex]] — the
+    * q225 build/apply discipline on the highlight axis: hit positions
+    * come from the persisted postings (the term filter pushes to the
+    * index scan — NOTHING re-tokenizes to find the windows), and only
+    * the topN WINNING docs tokenize, just to render their snippet
+    * text (a broadcast of topN rows restricts the docs scan). Same
+    * output contract as [[bestSnippet]], oracle = the direct
+    * recompute. */
+  def bestSnippetIndexed(index: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, terms: Seq[String],
+      windowTokens: Int, topN: Int): DataFrame = {
+    require(terms.nonEmpty, "bestSnippetIndexed needs at least one term")
+    require(windowTokens > 0,
+      s"windowTokens must be positive, got $windowTokens")
+    val hits = index.filter(col("token").isin(terms: _*))
+      .select(col(idCol), col("pos").cast("long").as("start_pos"))
+    docs.join(broadcast(snippetElect(hits, idCol, windowTokens, topN)),
+        Seq(idCol))
+      .withColumn("snippet", concat_ws(" ",
+        slice(Dedup.words(col(textCol)), col("start_pos") + lit(1),
+          lit(windowTokens))))
+      .transform(snippetRank(idCol))
+  }
+
+  /** Shared snippet election: per doc, the hit-anchored window with
+    * the most in-range hits (earliest on ties), then the global topN
+    * by (n_hits desc, id asc). One doc-partitioned RANGE window —
+    * O(hits) per doc, never O(tokens). */
+  private def snippetElect(hits: DataFrame, idCol: String,
+      windowTokens: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wRange = Window.partitionBy(col(idCol)).orderBy(col("start_pos"))
       .rangeBetween(Window.currentRow, windowTokens - 1)
     val wBest = Window.partitionBy(col(idCol))
       .orderBy(col("n_hits").desc, col("start_pos").asc)
-    val ord = Seq(col("n_hits").desc, col(idCol).asc)
-    val winners = hits
+    hits
       .withColumn("n_hits", count(lit(1)).over(wRange))
       .withColumn("__rn", row_number().over(wBest))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .orderBy(ord: _*)
+      .orderBy(col("n_hits").desc, col(idCol).asc)
       .limit(topN)
-    withWords.join(broadcast(winners), Seq(idCol))
-      .withColumn("snippet", concat_ws(" ",
-        slice(col("w"), col("start_pos") + lit(1), lit(windowTokens))))
-      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
+  }
+
+  /** Shared snippet rank-and-project tail (≤ topN rows by
+    * construction — the election's limit bounds the window). */
+  private def snippetRank(idCol: String)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("n_hits").desc, col(idCol).asc)
+    df.withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
       .select(col(idCol), col("start_pos"), col("n_hits"),
         col("snippet"), col("rnk").cast("int").as("rnk"))
   }

@@ -613,6 +613,64 @@ object SearchQueries extends QueryPack {
       ORDER BY t.rnk
     """))
 
+  // --------------------------------------------------------------- q245
+  // Snippets from the STORED positional index — q244's highlight
+  // served the way a deployment serves it (the q225 discipline on the
+  // snippet axis): hit positions come from the persisted postings
+  // (history + the day's appended batch — append-only ids make the
+  // union the exact merge), NOTHING re-tokenizes to find the windows,
+  // and only the 10 winning docs tokenize to render their snippet
+  // text. Oracle = q244's direct recompute, so the hash match proves
+  // stored-index serving ≡ recompute.
+  private val q245 = Q(
+    "q245_snippet_indexed",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val stored = Search.positionalIndex(
+        docs.filter(col("doc_id") % 3 > 0), "doc_id", "text")
+      val day = Search.positionalIndex(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      Search.bestSnippetIndexed(stored.unionByName(day), docs,
+          "doc_id", "text", terms = Seq("spark", "vector", "hash"),
+          windowTokens = 8, topN = 10)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      pos AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS start_pos, w[i] AS token
+        FROM words, UNNEST(generate_series(1, len(w))) t(i)),
+      hits AS (
+        SELECT doc_id, start_pos FROM pos
+        WHERE token IN ('spark', 'vector', 'hash')),
+      sc AS (
+        SELECT doc_id, start_pos,
+               COUNT(*) OVER (PARTITION BY doc_id ORDER BY start_pos
+                 RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n_hits
+        FROM hits),
+      best AS (
+        SELECT doc_id, start_pos, n_hits FROM (
+          SELECT doc_id, start_pos, n_hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n_hits DESC, start_pos ASC) AS rn
+          FROM sc)
+        WHERE rn = 1),
+      top AS (
+        SELECT doc_id, start_pos, n_hits,
+               ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id ASC)
+                 AS rnk
+        FROM best)
+      SELECT t.doc_id, CAST(t.start_pos AS BIGINT) AS start_pos,
+             CAST(t.n_hits AS BIGINT) AS n_hits,
+             array_to_string(w[t.start_pos + 1:t.start_pos + 8], ' ')
+               AS snippet,
+             CAST(t.rnk AS INTEGER) AS rnk
+      FROM top t JOIN words USING (doc_id)
+      WHERE t.rnk <= 10
+      ORDER BY t.rnk
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
-    q232, q242, q243, q244)
+    q232, q242, q243, q244, q245)
 }

@@ -180,7 +180,10 @@ class PlanAuditSpec extends SparkSpec {
       // above the winners→words join, so the mechanical limit
       // detection can't see through it; the join is topN-row broadcast
       // × unique-id words, row-preserving — still ≤ topN rows
-      "q244_best_snippet")
+      "q244_best_snippet",
+      // q245: q244's rank window, winners drawn from the stored
+      // postings instead of a fresh tokenization — same ≤ topN bound
+      "q245_snippet_indexed")
 
   test("no registered plan windows over a single partition") {
     // A Window/WindowGroupLimit with an EMPTY partitionSpec plans an
