@@ -421,6 +421,55 @@ object StreamingQueries extends QueryPack {
       ORDER BY doc_id, frame_idx
     """))
 
+  // --------------------------------------------------------------- q246
+  // Streaming snippet gate — q244's best-window election IN-FLIGHT
+  // and IN-ROW: an arriving document computes its own best query-term
+  // window entirely inside the row (hit positions, anchored counts,
+  // the (max hits, earliest start) argmax — higher-order array
+  // functions), so the stream plan is a stateless Append projection +
+  // filter: no state store, no shuffle, not even the batch form's
+  // per-doc window exchange. No global topN in-flight (a
+  // cross-document rank would need state — q244 ranks at rest); each
+  // emitted row is exactly the batch election's row for that doc,
+  // which is what the oracle pins.
+  private val q246 = Q(
+    "q246_stream_snippet",
+    (s, dir) => {
+      StreamingOps.streamBestSnippet(s, dir, "q246_snippet_sink")
+        .orderBy(col("doc_id"))
+    },
+    Some(raw"""
+      WITH words AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+        WHERE doc_id % 3 = 0),
+      pos AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS start_pos, w[i] AS token
+        FROM words, UNNEST(generate_series(1, len(w))) t(i)),
+      hits AS (
+        SELECT doc_id, start_pos FROM pos
+        WHERE token IN ('spark', 'vector', 'hash')),
+      sc AS (
+        SELECT doc_id, start_pos,
+               COUNT(*) OVER (PARTITION BY doc_id ORDER BY start_pos
+                 RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n_hits
+        FROM hits),
+      best AS (
+        SELECT doc_id, start_pos, n_hits FROM (
+          SELECT doc_id, start_pos, n_hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n_hits DESC, start_pos ASC) AS rn
+          FROM sc)
+        WHERE rn = 1)
+      SELECT b.doc_id, CAST(b.start_pos AS BIGINT) AS start_pos,
+             CAST(b.n_hits AS BIGINT) AS n_hits,
+             array_to_string(w[b.start_pos + 1:b.start_pos + 8], ' ')
+               AS snippet
+      FROM best b JOIN words USING (doc_id)
+      ORDER BY b.doc_id
+    """))
+
   def all: Seq[Q] = Seq(q29, q30, q38, q49, q86, q96, q99, q103, q105,
-    q145, q146, q165, q188, q215)
+    q145, q146, q165, q188, q215, q246)
 }

@@ -776,6 +776,62 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** STREAMING snippet gate — q244's best-window election run
+    * IN-FLIGHT and IN-ROW: an arriving document computes its own best
+    * query-term window entirely inside the row (hit positions, each
+    * anchor's in-range hit count, the (max hits, earliest start)
+    * argmax — all higher-order array functions over the words array),
+    * so the stream plan is a stateless Append projection + filter: no
+    * state store, no shuffle, not even the batch form's per-doc
+    * window exchange. The per-row cost is O(hits²) bounded by the
+    * document's OWN hit count — the right per-doc shape at any scale;
+    * docs with no hit emit nothing (the gate). There is no global
+    * topN in-flight (a cross-document rank would need state — the
+    * batch q244 ranks at rest); each emitted row is exactly the batch
+    * election's row for that document, which is what the oracle pins.
+    * Output: (doc_id, start_pos, n_hits, snippet). */
+  def streamBestSnippet(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_snippet",
+      "documents.parquet" -> s"$dir/documents.parquet")
+    val docsSchema = spark.read.parquet(streamDir.toString).schema
+    require(docsSchema.exists(f => f.name == "doc_id" &&
+        f.dataType == LongType) &&
+      docsSchema.exists(f => f.name == "text" && f.dataType == StringType),
+      "documents schema drifted: expected (doc_id LONG, text STRING) " +
+        s"among ${docsSchema.treeString}")
+    val terms = Seq("spark", "vector", "hash")
+    val win = 8
+    val snippets = spark.readStream.schema(docsSchema)
+      .parquet(streamDir.toString)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        graft.operators.Dedup.words(col("text")).as("__w"))
+      // hit positions, in-row: index every token, keep query-term slots
+      .withColumn("__parr", filter(
+        transform(sequence(lit(0), size(col("__w")) - 1),
+          i => when(element_at(col("__w"), i + 1)
+            .isin(terms: _*), i).otherwise(lit(-1))),
+        p => p >= 0))
+      .filter(size(col("__parr")) > 0)
+      // per anchor: hits in [p, p+win); argmax by (hits, earliest) via
+      // struct ordering — negated start makes lexicographic max pick
+      // the smallest start among tied hit counts
+      .withColumn("__best", array_max(transform(col("__parr"),
+        p => struct(
+          size(filter(col("__parr"),
+            q => q >= p && q < p + lit(win))).as("n_hits"),
+          (-p).as("negp")))))
+      .select(col("doc_id"),
+        (-col("__best.negp")).cast("long").as("start_pos"),
+        col("__best.n_hits").cast("long").as("n_hits"),
+        concat_ws(" ", slice(col("__w"),
+          (-col("__best.negp")) + lit(1), lit(win))).as("snippet"))
+    drainToMemory(spark, snippets, queryName, OutputMode.Append(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** STREAMING encode in the PERMUTED layout — [[streamPqEncode]]
     * composed with the q207 OPQ-lite lifecycle, closing the last seam
     * between the permutation and the index it improves: the

@@ -138,7 +138,8 @@ class PlanAuditSpec extends SparkSpec {
       "q145_stream_novelty_gate", "q146_stream_novelty_first_arrival",
       "q165_stream_corpus_health", "q188_stream_decontam_gate",
       "q201_stream_pq_encode", "q215_stream_frame_gate",
-      "q216_stream_permuted_encode", "q218_stream_index_health")
+      "q216_stream_permuted_encode", "q218_stream_index_health",
+      "q246_stream_snippet")
 
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"
