@@ -470,4 +470,28 @@ class ShuffleMetricsSpec extends SparkSpec {
       operators.Multimodal.frameOccurrences(frames, "doc_id"),
       Seq(0L).toDF("doc_id"), "doc_id"), "purge re-election")
   }
+
+  test("flatIndex: attributes ride the argmin exchange — one corpus pass") {
+    // the q235 scale claim: the filterable attribute lives IN the
+    // index row by riding the assignment argmin's struct, so building
+    // the index shuffles the corpus ONCE — a regression that fetches
+    // attributes through a second id-keyed join-back at least doubles
+    // the exchanged rows and blows this bound
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val coarse = operators.Ivf.centroids(emb, "vec_id", "embedding",
+      k = 4, iterations = 2).persist()
+    try {
+      coarse.count()
+      val n = emb.count()
+      val flat = shuffleRecords {
+        // consume the attribute so column pruning can't fake the win
+        operators.Ivf.flatIndex(coarse, emb, "vec_id", "embedding",
+            Seq("label"))
+          .agg(sum(col("label"))).collect(); ()
+      }
+      assert(flat <= n + 64,
+        s"flatIndex shuffled $flat rows for an $n-row corpus — " +
+          "attributes are not riding the argmin exchange")
+    } finally { coarse.unpersist(); () }
+  }
 }
