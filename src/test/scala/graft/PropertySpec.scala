@@ -552,4 +552,61 @@ class PropertySpec extends SparkSpec {
       assert(merged == full, s"cut merge ≠ full: $merged vs $full")
     }
   }
+
+  test("compactLatest ≡ driver-side max-segment election on random restatement tables") {
+    // random (id, seg) tables with unique pairs: the compacted table
+    // must hold exactly each id's max-seg row, whatever the segment
+    // layout — the q237 election as an algebraic property
+    val s = spark
+    import s.implicits._
+    val tableGen: Gen[Seq[(Long, Int)]] = for {
+      nIds <- Gen.choose(1, 20)
+      rows <- Gen.sequence[Seq[(Long, Int)], (Long, Int)](
+        (1 to nIds).map(id => Gen.choose(0, 4).flatMap(top =>
+          Gen.const((id.toLong, top)))))
+    } yield rows.flatMap { case (id, top) =>
+      (0 to top).map(seg => (id, seg))
+    }
+    forAllSampled(tableGen, n = 4) { rows =>
+      val df = rows.map { case (id, seg) => (id, seg, id % 3, s"p$id-$seg") }
+        .toDF("id", "seg", "cell", "payload")
+      val got = graft.operators.Layout
+        .compactLatest(df, "id", "seg", "cell", 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+        .toSeq.sorted
+      val want = rows.groupBy(_._1).map { case (id, rs) =>
+        val top = rs.map(_._2).max
+        (id, top, s"p$id-$top")
+      }.toSeq.sorted
+      assert(got == want, s"election diverged: $got vs $want")
+    }
+  }
+
+  test("rrfFuse is input-order invariant and monotone in list membership") {
+    val s = spark
+    import s.implicits._
+    val rankingGen: Gen[Seq[(Long, Int)]] = Gen.choose(1, 8).flatMap(n =>
+      Gen.pick(n, 1L to 20L).map(ids =>
+        ids.toSeq.zipWithIndex.map { case (id, i) => (id, i + 1) }))
+    forAllSampled(Gen.zip(rankingGen, rankingGen), n = 4) { case (ra, rb) =>
+      val a = ra.toDF("id", "rnk")
+      val b = rb.toDF("id", "rnk")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSeq
+      val ab = rows(graft.operators.Search.rrfFuse(Seq(a, b), "id", 60, 50))
+      val ba = rows(graft.operators.Search.rrfFuse(Seq(b, a), "id", 60, 50))
+      assert(ab == ba, "fusion depends on input list order")
+      // membership monotonicity: every two-list doc scores strictly
+      // above what either of its single-list contributions alone gives
+      val inBoth = ra.map(_._1).toSet.intersect(rb.map(_._1).toSet)
+      val aOnly = rows(graft.operators.Search.rrfFuse(Seq(a), "id", 60, 50))
+        .map(t => t._1 -> t._2).toMap
+      ab.filter(t => inBoth(t._1)).foreach { t =>
+        assert(t._3 == 2L, s"doc ${t._1} in both lists reported n_lists=${t._3}")
+        assert(t._2 > aOnly.getOrElse(t._1, 0L),
+          s"fused score not monotone for doc ${t._1}")
+      }
+    }
+  }
 }
