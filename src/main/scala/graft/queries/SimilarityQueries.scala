@@ -3569,9 +3569,238 @@ ${coarseCtes()},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q247
+  // The INDEX LIFECYCLE pipeline — the ANN sibling of q200's text
+  // pipeline: every stored-index verb composed in deployment order
+  // under ONE hash gate. Coarse codebook and calibration bounds train
+  // once on HISTORY and stay fixed; the full corpus encodes under
+  // them (history build + the day's append are the same content under
+  // fixed tables — the O(new) property itself is q194/q221's gate);
+  // a restatement day lands as segment 1 (reversed vectors for the
+  // %7 cohort) and COMPACTS latest-wins; deletes land as tombstones
+  // and MASK the compacted assignment at O(deleted); queries then
+  // route through the probed cells of whatever the index NOW holds.
+  // A neighbor must simultaneously be its latest restated self, not
+  // deleted, and inside a probed cell — the composition is the claim.
+  private val q247 = Q(
+    "q247_index_lifecycle",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val bounds = graft.operators.Quantize.calibrationBounds(history,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      def seg(rows: org.apache.spark.sql.DataFrame, ord: Int) =
+        graft.operators.Quantize.calibratedCodes(rows, "vec_id",
+            "embedding", bounds)
+          .join(graft.operators.Ivf.assignIds(
+              graft.operators.Ivf.quantized(rows, "vec_id", "embedding"),
+              coarse)
+            .select(col("vec_id"), col("cid")), Seq("vec_id"))
+          .withColumn("seg", lit(ord))
+      val seg0 = seg(e, 0)
+      val seg1 = seg(e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")), 1)
+      val live = graft.operators.Pq.purgeCodes(
+        graft.operators.Layout.compactLatest(seg0.unionByName(seg1),
+          "vec_id", "seg", "cid", numPartitions = 8),
+        e.filter(col("vec_id") % 5 === 0).select(col("vec_id")), "vec_id")
+      graft.operators.Quantize.calibratedIvfSearch(coarse,
+          live.select(col("vec_id"), col("cid")),
+          live.select(col("vec_id"), col("codes")),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          bounds, nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      exh AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)
+        WHERE vec_id % 3 > 0),
+      st AS (SELECT d, COUNT(*) AS n FROM exh GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM exh),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      sv AS (
+        SELECT vec_id, 0 AS seg, qvec FROM vx
+        UNION ALL
+        SELECT vec_id, 1 AS seg,
+               list_transform(generate_series(1, 64), i -> qvec[65 - i])
+        FROM vx WHERE vec_id % 7 = 0),
+      lt AS (SELECT vec_id, MAX(seg) AS seg FROM sv GROUP BY vec_id),
+      pick AS (
+        SELECT sv.vec_id, sv.qvec FROM sv JOIN lt USING (vec_id, seg)),
+      pcid AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT p.vec_id, c.cid,
+                   list_dot_product(p.qvec, p.qvec)
+                   - 2.0 * list_dot_product(p.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM pick p, co2 c))
+        WHERE rn = 1),
+      pd AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM pick, UNNEST(generate_series(1, 64)) t(d)),
+      dqt AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM pd e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      exq AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)
+        WHERE vec_id < 10),
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN pcid a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id
+        WHERE a.vec_id % 5 <> 0),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               SUM((qx.x - dd.dq) * (qx.x - dd.dq)) AS d2
+        FROM cand c
+        JOIN dqt dd ON dd.vec_id = c.n_id
+        JOIN exq qx ON qx.vec_id = c.q_id AND qx.d = dd.d
+        GROUP BY c.q_id, c.n_id)
+      SELECT q_id, n_id, CAST(d2 AS BIGINT) AS d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q248
+  // FILTERED search on the COMPRESSED index — q235's attribute
+  // predicate completing the filter × index-family matrix: the
+  // calibrated int8 index stores its filterable attribute IN the
+  // assignment table (Ivf.flatIndex builds it in the argmin exchange;
+  // the codes table carries the geometry, so the assignment stays a
+  // 3-column frame), and the predicate filters that scan BEFORE the
+  // probe join — pure composition of existing verbs, zero new plan
+  // shapes, which is itself the claim: a user filters ANY index
+  // family the same way.
+  private val q248 = Q(
+    "q248_filtered_calibrated_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
+          "embedding", Seq("label"))
+        .select(col("vec_id"), col("cid"), col("label"))
+      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
+        "embedding", bounds)
+      graft.operators.Quantize.calibratedIvfSearch(coarse,
+          assigned.filter(col("label") === 3), codes,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          bounds, nprobe = 3, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 3),
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      dqt AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p
+        JOIN cellof a ON a.cid = p.cid AND a.vec_id <> p.q_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE e.label = 3),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               SUM((qx.x - dd.dq) * (qx.x - dd.dq)) AS d2
+        FROM cand c
+        JOIN dqt dd ON dd.vec_id = c.n_id
+        JOIN ex qx ON qx.vec_id = c.q_id AND qx.d = dd.d
+        GROUP BY c.q_id, c.n_id)
+      SELECT q_id, n_id, CAST(d2 AS BIGINT) AS d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
-    q237, q238, q239, q240, q241)
+    q237, q238, q239, q240, q241, q247, q248)
 }

@@ -118,6 +118,15 @@ class PlanAuditSpec extends SparkSpec {
       // q241 = q234's fans + the rerank tail's broadcast shortlist /
       // query panel onto one base scan (q195/q208's class)
       "q241_calibrated_rerank_funnel",
+      // q247 composes q237's per-segment assignment fans with q234's
+      // probe fan — every cross is the ≤8-row coarse codebook or the
+      // bounded query panel; compaction, mask, and scoring are
+      // id/cell-keyed equi-joins
+      "q247_index_lifecycle",
+      // q248 = q234's fans with the attributed flatIndex build (one
+      // more ≤8-row codebook fan) and a predicate on the assignment
+      // scan — q235's class on the calibrated axis
+      "q248_filtered_calibrated_search",
       // q242 fans the 1-row query panel (bruteTopK, q20's class) and
       // bm25's 1-row (n_docs, avgdl) total (q106's class); the fusion
       // itself is a bounded union + aggregate
