@@ -74,8 +74,13 @@ object Quantize {
   def calibrationBounds(embeddings: DataFrame, idCol: String,
       vecCol: String, loPermille: Int = 10,
       hiPermille: Int = 990): DataFrame =
+    // pinned (d-row frame, CacheScope-released): consumers collect the
+    // bounds once per encode/search/audit call (boundsLiterals), and
+    // an unpinned frame would replay the corpus census per collect —
+    // the [[graft.operators.Ivf.centroids]] discipline
     boundsFromCensus(valueCensus(embeddings, idCol, vecCol),
       loPermille, hiPermille)
+      .transform(graft.util.CacheScope.persist)
 
   /** The (dim, grid-value) CENSUS [[calibrationBounds]] runs on — and
     * a mergeable sufficient statistic in its own right: counts at the
