@@ -3335,22 +3335,19 @@ ${coarseCtes()},
   // NPROBE SWEEP — q239 turned into the tuning CURVE: mean recall@5
   // across the query panel at nprobe ∈ {1, 2, 4}, the artifact an
   // index operator actually reads to site the recall/latency knee.
-  // Every stored table (coarse, assignment, codes, bounds) and the
-  // exact baseline persist ONCE under CacheScope — the three sweep
-  // branches are plan copies, and without the pins each branch would
-  // re-train the coarse codebook and re-derive the calibration census
-  // (bounds COLLECT at plan build, so an unpinned bounds frame pays
-  // the census once per branch).
+  // The assignment, codes, and exact baseline persist ONCE under
+  // CacheScope — the three sweep branches are plan copies, and
+  // without the pins each branch would re-assign, re-encode, and
+  // re-score from scratch (coarse and bounds pin inside their own
+  // operators — the centroids/calibrationBounds discipline).
   private val q240 = Q(
     "q240_nprobe_sweep",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val bounds = graft.operators.Quantize.calibrationBounds(e,
-          "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-        .transform(graft.util.CacheScope.persist)
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
       val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-          "embedding", 8, 2)
-        .transform(graft.util.CacheScope.persist)
+        "embedding", 8, 2)
       val assigned = graft.operators.Ivf.assignIds(
           graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
         .select(col("vec_id"), col("cid"))
