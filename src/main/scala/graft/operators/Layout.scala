@@ -76,6 +76,20 @@ object Layout {
     * undefined), and the `lead` probe raises loudly instead of
     * letting an arbitrary row win. Contract: `segCol` is unique per
     * id; all original columns pass through. */
+  /** TIME-TRAVEL form of [[compactLatest]]: reconstruct the table AS
+    * OF segment `asOf` — the latest row per id among segments ≤ asOf,
+    * later restatements invisible. This is what makes a stored index
+    * REPRODUCIBLE: a training run pinned to day N re-reads exactly
+    * the index day N served, whatever landed since (the lakehouse
+    * snapshot-read semantic, expressed over the same restatement
+    * segments the upsert family writes). The cutoff is a plain
+    * predicate on the segment column — at rest it prunes whole
+    * segment files before any election work. */
+  def compactAsOf(segments: DataFrame, idCol: String, segCol: String,
+      clusterCol: String, numPartitions: Int, asOf: Int): DataFrame =
+    compactLatest(segments.filter(col(segCol) <= asOf), idCol, segCol,
+      clusterCol, numPartitions)
+
   def compactLatest(segments: DataFrame, idCol: String, segCol: String,
       clusterCol: String, numPartitions: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -127,6 +127,9 @@ class PlanAuditSpec extends SparkSpec {
       // more ≤8-row codebook fan) and a predicate on the assignment
       // scan — q235's class on the calibrated axis
       "q248_filtered_calibrated_search",
+      // q249 = q247's segment fans with an as-of cutoff predicate —
+      // same ≤8-row codebook class, nothing new crosses
+      "q249_time_travel_search",
       // q242 fans the 1-row query panel (bruteTopK, q20's class) and
       // bm25's 1-row (n_docs, avgdl) total (q106's class); the fusion
       // itself is a bounded union + aggregate

@@ -129,6 +129,25 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactAsOf: snapshot reads ignore later restatements; as-of max ≡ latest") {
+    val s = spark
+    import s.implicits._
+    val segs = Seq(
+      (1L, 0, 1L, "v0"), (2L, 0, 1L, "v0"),
+      (1L, 1, 1L, "v1"),
+      (1L, 2, 1L, "v2"), (2L, 2, 1L, "v2"))
+      .toDF("id", "seg", "cell", "payload")
+    def rows(asOf: Int) = Layout
+      .compactAsOf(segs, "id", "seg", "cell", 2, asOf)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq.sorted
+    assert(rows(0) == Seq((1L, "v0"), (2L, "v0")))
+    assert(rows(1) == Seq((1L, "v1"), (2L, "v0")),
+      "as-of 1 must see seg 1's restatement of id 1 but NOT seg 2's")
+    val latest = Layout.compactLatest(segs, "id", "seg", "cell", 2)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq.sorted
+    assert(rows(2) == latest, "as-of the max segment must equal latest")
+  }
+
   test("compactLatest raises on a duplicate (id, seg) pair") {
     val s = spark
     import s.implicits._
