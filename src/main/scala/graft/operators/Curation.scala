@@ -265,8 +265,13 @@ object Curation {
       // lineage: the assignment CANNOT be recomputed, and a lost
       // checkpoint block is a loud task failure, never silent
       // divergence.
-      val numChunks = math.max(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      // shuffle.partitions can hold a non-numeric value on some
+      // platforms ("auto") — parse defensively, falling back to the
+      // cluster's default parallelism rather than dying opaquely
+      val confChunks = docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toIntOption
+        .getOrElse(docs.sparkSession.sparkContext.defaultParallelism)
+      val numChunks = math.max(confChunks,
         math.min(Int.MaxValue.toLong,
           2L * probe.get._2 / sliceRowBound + 1L).toInt)
       // registerCheckpointed: Dataset.unpersist cannot release

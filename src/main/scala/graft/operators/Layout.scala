@@ -71,11 +71,15 @@ object Layout {
     * for the rewrite (the clustering IS the product — same count as
     * any compactor) — no join, no corpus broadcast, segment count
     * never matters beyond its row count. The same window that elects
-    * also GUARDS: a duplicate (id, seg) pair is a corrupt ledger
-    * (two restatements of one id in one segment — latest-wins is
-    * undefined), and the `lead` probe raises loudly instead of
-    * letting an arbitrary row win. Contract: `segCol` is unique per
-    * id; all original columns pass through. */
+    * also GUARDS the WHOLE ledger: a duplicate (id, seg) pair is a
+    * corrupt ledger (two restatements of one id in one segment —
+    * latest-wins is undefined), and since duplicates are ADJACENT in
+    * the seg-descending sort, a per-row `lead` probe folded through a
+    * full-frame max over the same id partition (same partitioning +
+    * ordering — one Window exec, zero extra exchanges) detects a
+    * duplicate at ANY segment, not just the electing one, and raises
+    * loudly instead of letting an arbitrary row win. Contract:
+    * `segCol` is unique per id; all original columns pass through. */
   /** TIME-TRAVEL form of [[compactLatest]]: reconstruct the table AS
     * OF segment `asOf` — the latest row per id among segments ≤ asOf,
     * later restatements invisible. This is what makes a stored index
@@ -94,16 +98,25 @@ object Layout {
       clusterCol: String, numPartitions: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(segCol).desc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(segCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     segments
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__nxt", lead(col(segCol), 1).over(w))
+      // any duplicate (id, seg) pair is adjacent under this sort; max
+      // over the full frame surfaces it on the elected row
+      .withColumn("__dupseg",
+        max(when(lead(col(segCol), 1).over(w) === col(segCol),
+          col(segCol))).over(wAll))
       .filter(col("__rn") === 1)
-      .filter(when(col("__nxt").isNotNull && col("__nxt") === col(segCol),
+      .filter(when(col("__dupseg").isNotNull,
         raise_error(concat(
           lit(s"compactLatest: duplicate ($idCol, $segCol) for id "),
-          col(idCol).cast("string"))))
+          col(idCol).cast("string"),
+          lit(s" at $segCol "), col("__dupseg").cast("string"))))
         .otherwise(lit(true)))
-      .drop("__rn", "__nxt")
+      .drop("__rn", "__dupseg")
       .repartition(numPartitions, col(clusterCol))
       .sortWithinPartitions(col(clusterCol), col(idCol))
   }

@@ -229,7 +229,7 @@ object Multimodal {
     val reelected = ledgerFromOccurrences(
       occurrences
         .join(broadcast(affected), Seq("frame_digest"), "left_semi")
-        .join(dels, Seq(idCol), "left_anti"),
+        .join(broadcast(dels), Seq(idCol), "left_anti"),
       idCol)
     ledger.join(broadcast(affected), Seq("frame_digest"), "left_anti")
       .unionByName(reelected)

@@ -152,6 +152,19 @@ object Quantize {
     require(b.nonEmpty, "empty bounds table")
     require(b.map(_._1).toSeq == (1 to b.length),
       s"bounds dims must be exactly 1..${b.length}, got ${b.map(_._1).toSeq}")
+    // the floor(÷) ≡ integer-DIV exactness argument in the encode /
+    // dequant paths holds only while grid magnitudes stay far below
+    // ~1e13 (numerators ≤ |hi−lo|·255 must clear double-ulp of the
+    // quotient); clamping bounds every encoded value by [lo, hi], so
+    // guarding the collected bounds guards the whole domain — loudly,
+    // at the single driver-side choke point, instead of silently
+    // diverging from the oracle's `//` semantics
+    val gridBound = 1000000000000L // 1e12, 10× the documented margin
+    b.foreach { case (d, lo, hi) =>
+      require(math.abs(lo) <= gridBound && math.abs(hi) <= gridBound,
+        s"calibration bounds for dim $d ([$lo, $hi]) exceed |grid| ≤ " +
+          s"$gridBound — floor-division exactness no longer holds")
+    }
     (b.length, typedLit(b.map(_._2).toSeq), typedLit(b.map(_._3).toSeq))
   }
 

@@ -92,7 +92,7 @@ object Search {
       .transform(graft.util.CacheScope.persist)
     val reposted = indexFromPostings(
       postings.join(broadcast(affected), Seq("token"), "left_semi")
-        .join(dels, Seq(idCol), "left_anti"),
+        .join(broadcast(dels), Seq(idCol), "left_anti"),
       idCol, maxPostings)
     storedIndex.join(broadcast(affected), Seq("token"), "left_anti")
       .unionByName(reposted)

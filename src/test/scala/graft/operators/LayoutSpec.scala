@@ -162,4 +162,23 @@ class LayoutSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("duplicate"))),
       s"expected the duplicate guard to fire, got: $e")
   }
+
+  test("compactLatest raises on a duplicate pair among OLDER segments") {
+    val s = spark
+    import s.implicits._
+    // id 1's duplicate is at seg 0 while seg 2 wins the election — the
+    // whole-ledger guard must still fire (the elected row itself is
+    // unambiguous, but the ledger is corrupt)
+    val corrupt = Seq((1L, 0, 1L, "a"), (1L, 0, 1L, "b"), (1L, 2, 1L, "c"),
+        (2L, 0, 1L, "d"))
+      .toDF("id", "seg", "cell", "payload")
+    val e = intercept[Exception] {
+      Layout.compactLatest(corrupt, "id", "seg", "cell", 2).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("duplicate"))),
+      s"expected the whole-ledger duplicate guard to fire, got: $e")
+  }
 }
