@@ -52,19 +52,22 @@ object Pq {
     * the trailing dims (d=64, m=5 scores only 60 dims) and return
     * wrong distances with no error — a task-side raise_error turns
     * that data bug into a loud failure instead. */
-  private def subvectorsOf(vecs: DataFrame, m: Int): DataFrame = {
+  private def subvectorsOf(vecs: DataFrame, m: Int,
+      attrCols: Seq[String] = Nil): DataFrame = {
     require(m >= 1, s"m=$m subspaces must be >= 1")
     vecs
-      .select(col("vec_id"),
+      .select(col("vec_id") +:
         when(size(col("qvec")) % m === 0, col("qvec"))
           .otherwise(raise_error(concat(
             lit("PQ: vector length "), size(col("qvec")),
             lit(s" is not divisible by m=$m subspaces"))))
-          .as("qvec"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(col("vec_id"), col("sub"),
+          .as("qvec") +:
+        explode(sequence(lit(0), lit(m - 1))).as("sub") +:
+        attrCols.map(col): _*)
+      .select(col("vec_id") +: col("sub") +:
         expr(s"slice(qvec, sub * (size(qvec) DIV $m) + 1, " +
-          s"size(qvec) DIV $m)").as("svec"))
+          s"size(qvec) DIV $m)").as("svec") +:
+        attrCols.map(col): _*)
   }
 
   private def dist2(q: Column, c: Column): Column =
@@ -77,21 +80,22 @@ object Pq {
     * `withVec` keeps the subvector on the row (training recompute
     * needs it; encoding doesn't, and drops ~16× the payload). */
   private def assign(sv: DataFrame, cbs: DataFrame,
-      withVec: Boolean): DataFrame = {
+      withVec: Boolean, attrCols: Seq[String] = Nil): DataFrame = {
     val joined = sv.join(broadcast(cbs), Seq("sub"))
       .withColumn("d2", dist2(col("svec"), col("cent")))
-    val m =
-      if (withVec) min(struct(col("d2"), col("cid"), col("svec"))).as("__m")
-      else min(struct(col("d2"), col("cid"))).as("__m")
+    // attrs trail the (d2, cid) prefix, which is unique per group key
+    // (one d2 per cid, cids distinct), so payload never decides the
+    // min — the Ivf.flatIndex argmin-payload argument verbatim
+    val payload = (if (withVec) Seq(col("svec")) else Nil) ++
+      attrCols.map(col)
+    val m = min(struct(col("d2") +: col("cid") +: payload: _*)).as("__m")
     val agg = joined.groupBy(col("vec_id"), col("sub")).agg(m)
     // d2 rides the argmin struct anyway — exposing it is free, and
     // quantizationError consumes it (other callers just drop it)
-    if (withVec)
-      agg.select(col("vec_id"), col("sub"), col("__m.cid").as("cid"),
-        col("__m.d2").as("d2"), col("__m.svec").as("svec"))
-    else
-      agg.select(col("vec_id"), col("sub"), col("__m.cid").as("cid"),
-        col("__m.d2").as("d2"))
+    val vecOut = if (withVec) Seq(col("__m.svec").as("svec")) else Nil
+    agg.select(col("vec_id") +: col("sub") +: col("__m.cid").as("cid") +:
+      col("__m.d2").as("d2") +: (vecOut ++
+        attrCols.map(a => col(s"__m.$a").as(a))): _*)
   }
 
   /** Per-subspace codebooks (sub, cid, cent) by joint Lloyd iteration:
@@ -162,13 +166,17 @@ object Pq {
     cbs.transform(graft.util.CacheScope.persist)
   }
 
-  /** Fold per-(vec, sub) assignments into the stored code row. */
-  private def codesFrom(sv: DataFrame, cbs: DataFrame): DataFrame =
-    assign(sv, cbs, withVec = false)
+  /** Fold per-(vec, sub) assignments into the stored code row.
+    * Attrs are constant per vec_id (they rode the subvector explode),
+    * so the per-attr `min` is the identity — never a choice. */
+  private def codesFrom(sv: DataFrame, cbs: DataFrame,
+      attrCols: Seq[String] = Nil): DataFrame =
+    assign(sv, cbs, withVec = false, attrCols)
       .groupBy(col("vec_id"))
       .agg(transform(
         sort_array(collect_list(struct(col("sub"), col("cid")))),
-        s => s.getField("cid")).as("codes"))
+        s => s.getField("cid")).as("codes"),
+        attrCols.map(a => min(col(a)).as(a)): _*)
 
   /** PQ codes per vector: (vec_id, codes) where codes[s] is the 1-based
     * s-th subspace's nearest centroid id — the stored index row (m
@@ -176,6 +184,31 @@ object Pq {
   def encode(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int, cbs: DataFrame): DataFrame =
     codesFrom(subvectors(embeddings, idCol, vecCol, m), cbs)
+
+  /** [[encode]] with FILTERABLE ATTRIBUTES stored IN the code row —
+    * [[Ivf.flatIndex]]'s discipline applied to the COMPRESSED layout
+    * (the one that actually serves at billion scale: m bytes/vector
+    * instead of the flat index's full grid vector): language, source,
+    * license — whatever predicates queries will carry — ride the
+    * subvector explode and both aggregates as constant payload, never
+    * a join back to the corpus. At query time a predicate becomes a
+    * plain column filter on the codes scan (plus parquet pushdown once
+    * the table persists) BEFORE any scoring: `codes.filter(pred)` into
+    * [[adcSearch]] restricts the exhaustive compressed scan, and the
+    * same filtered frame as [[ivfPqSearch]]'s `assigned`/`codes` input
+    * restricts candidates before the probe join — so selective
+    * predicates never under-fill k (the classic post-filter ANN bug).
+    * Attr columns must be orderable (they ride `min` aggregates whose
+    * (d2, cid) prefix is unique, so the payload never decides).
+    * Output: (vec_id, codes, attrs*). */
+  def encodeIndexed(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, cbs: DataFrame, attrCols: Seq[String]): DataFrame =
+    codesFrom(
+      subvectorsOf(
+        embeddings.select(col(idCol).as("vec_id") +:
+          Ivf.quantize(col(vecCol)).as("qvec") +: attrCols.map(col): _*),
+        m, attrCols),
+      cbs, attrCols)
 
   /** In-row PQ encoder against a DRIVER-LITERAL codebook — the
     * map-only form of [[encode]] for stateless streaming: the stored
@@ -541,17 +574,24 @@ object Pq {
     * the IVFADC layout (one cell id + m small ints). Broadcast
     * passes only; the id-keyed cid reattach join is AQE-gated. */
   def residualEncode(embeddings: DataFrame, idCol: String,
-      vecCol: String, coarse: DataFrame, cbs: DataFrame,
-      m: Int): DataFrame = {
+      vecCol: String, coarse: DataFrame, cbs: DataFrame, m: Int,
+      attrCols: Seq[String] = Nil): DataFrame = {
     // computed once, persisted: feeds BOTH the residual build and the
     // cid reattach — a second assignIds pass over the corpus would
-    // double the broadcast-codebook argmin work
-    val assigned = coarseAssign(embeddings, idCol, vecCol, coarse)
-      .transform(graft.util.CacheScope.persist)
+    // double the broadcast-codebook argmin work. Attrs (the
+    // [[encodeIndexed]] filterable-attribute discipline on the IVFADC
+    // row) ride the assignment argmin via Ivf.flatIndex — never a
+    // join back to the corpus.
+    val assigned = (attrCols match {
+      case Nil => coarseAssign(embeddings, idCol, vecCol, coarse)
+      case as => Ivf.flatIndex(coarse, embeddings, idCol, vecCol, as)
+        .select(col("vec_id") +: col("cid") +: as.map(col): _*)
+    }).transform(graft.util.CacheScope.persist)
     codesFrom(residualSubvectors(embeddings, idCol, vecCol, coarse, m,
-        assigned), cbs)
+        assigned.select(col("vec_id"), col("cid"))), cbs)
       .join(assigned, Seq("vec_id"))
-      .select(col("vec_id"), col("cid"), col("codes"))
+      .select(col("vec_id") +: col("cid") +: col("codes") +:
+        attrCols.map(col): _*)
   }
 
   /** O(new) DAILY maintenance for the stored RESIDUAL index —
@@ -565,6 +605,85 @@ object Pq {
       m: Int): DataFrame =
     storedCodes.unionByName(
       residualEncode(batch, idCol, vecCol, coarse, cbs, m))
+
+  /** Residual IVFADC search over the STORED index — the deployment
+    * entry point for the residual family, completing the
+    * build/apply split ([[ivfPqSearch]]'s contract on the residual
+    * layout): `coarse`/`cbs` are the fixed codebooks and
+    * `storedCodes` the (vec_id, cid, codes[, attrs*]) table
+    * [[residualEncode]] builds and [[appendResidualCodes]] maintains
+    * daily — assignment and codes live in ONE row here because the
+    * residual codes are only meaningful relative to their cell. No
+    * training happens in this plan; [[residualIvfPqTopK]] is exactly
+    * build + this, and per-row determinism against fixed codebooks
+    * makes search over daily-merged tables equal the full recompute.
+    *
+    * FILTERED serving: pass `storedCodes.filter(pred)` — the
+    * predicate is a plain column filter on the index scan (parquet
+    * pushdown at rest), applied BEFORE the probe join, so candidates
+    * shrink at the source and k never under-fills (the
+    * [[Ivf.filteredSearch]] discipline; attrs come from
+    * [[residualEncode]]'s `attrCols`). Probing all cells with a TRUE
+    * predicate ≡ the unfiltered search (spec-pinned).
+    *
+    * Scale shape: the per-(query, probed-cell) lookup tables are
+    * nq·nprobe·m·k rows, broadcast-tiny; candidates come from a
+    * cell-keyed equi-join of the probe table against the stored scan;
+    * the only corpus-sized exchange is that join plus the final
+    * per-query top-k window. Output: (q_id, n_id, adc_d2, rnk). */
+  def residualSearch(coarse: DataFrame, cbs: DataFrame,
+      storedCodes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, nprobe: Int, topK: Int): DataFrame = {
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
+    val probes = Ivf.quantized(queries, idCol, vecCol)
+      .crossJoin(broadcast(coarse))
+      .withColumn("d2", dist2(col("qvec"), col("cent")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"), col("cent"),
+        col("qvec"))
+      .transform(graft.util.CacheScope.persist)
+    // per-(query, probed cell) residual → per-subspace lookup table
+    val qd = probes
+      .select(col("q_id"), col("cid").as("ccell"),
+        zip_with(col("qvec").cast("array<double>"), col("cent"),
+          (x, c) => floor(x - c)).as("qvec"))
+      .select(col("q_id"), col("ccell"), col("qvec"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("q_id"), col("ccell"), col("sub"),
+        expr(s"slice(qvec, sub * (size(qvec) DIV $m) + 1, " +
+          s"size(qvec) DIV $m)").as("svec"))
+      .join(broadcast(cbs), Seq("sub"))
+      .select(col("q_id"), col("ccell"), col("sub"),
+        col("cid").as("pqcid"), dist2(col("svec"), col("cent")).as("d2"))
+      .transform(graft.util.CacheScope.persist)
+    val cand = probes.select(col("q_id"), col("cid"))
+      .join(storedCodes.select(col("vec_id"), col("cid"), col("codes")),
+        Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cid").as("ccell"), col("vec_id"),
+        col("codes"))
+    var scored = cand
+    for (s <- 0 until m)
+      scored = scored.join(
+        broadcast(qd.filter(col("sub") === s)
+          .select(col("q_id").as("__q"), col("ccell").as("__c"),
+            col("pqcid").as("__p"), col("d2").as(s"__d$s"))),
+        col("q_id") === col("__q") && col("ccell") === col("__c") &&
+          element_at(col("codes"), s + 1) === col("__p"))
+        .drop("__q", "__c", "__p")
+    val adc = (0 until m).map(s => col(s"__d$s")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    scored
+      .withColumn("adc_d2", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("adc_d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
 
   /** RESIDUAL IVF-PQ top-k — the classic IVFADC layout ([[ivfPqTopK]]'s
     * documented refinement): PQ codebooks train on the residual
@@ -607,54 +726,12 @@ object Pq {
       .transform(graft.util.CacheScope.persist)
     val cbs = trainCodebooks(sv, seedIds(embeddings, idCol, numCentroids),
       pqIterations)
-    val codes = codesFrom(sv, cbs)
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)
-    val probes = Ivf.quantized(queries, idCol, vecCol)
-      .crossJoin(broadcast(coarse))
-      .withColumn("d2", dist2(col("qvec"), col("cent")))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("cid"), col("cent"),
-        col("qvec"))
-      .transform(graft.util.CacheScope.persist)
-    // per-(query, probed cell) residual → per-subspace lookup table
-    val qd = probes
-      .select(col("q_id"), col("cid").as("ccell"),
-        zip_with(col("qvec").cast("array<double>"), col("cent"),
-          (x, c) => floor(x - c)).as("qvec"))
-      .select(col("q_id"), col("ccell"), col("qvec"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(col("q_id"), col("ccell"), col("sub"),
-        expr(s"slice(qvec, sub * (size(qvec) DIV $m) + 1, " +
-          s"size(qvec) DIV $m)").as("svec"))
-      .join(broadcast(cbs), Seq("sub"))
-      .select(col("q_id"), col("ccell"), col("sub"),
-        col("cid").as("pqcid"), dist2(col("svec"), col("cent")).as("d2"))
-      .transform(graft.util.CacheScope.persist)
-    val cand = probes.select(col("q_id"), col("cid"))
-      .join(assigned, Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("cid").as("ccell"), col("vec_id"))
-    var scored = cand.join(codes, Seq("vec_id"))
-    for (s <- 0 until m)
-      scored = scored.join(
-        broadcast(qd.filter(col("sub") === s)
-          .select(col("q_id").as("__q"), col("ccell").as("__c"),
-            col("pqcid").as("__p"), col("d2").as(s"__d$s"))),
-        col("q_id") === col("__q") && col("ccell") === col("__c") &&
-          element_at(col("codes"), s + 1) === col("__p"))
-        .drop("__q", "__c", "__p")
-    val adc = (0 until m).map(s => col(s"__d$s")).reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("adc_d2").asc, col("vec_id").asc)
-    scored
-      .withColumn("adc_d2", adc)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("adc_d2"),
-        col("rnk").cast("int").as("rnk"))
+    // the stored (vec_id, cid, codes) row residualEncode would write —
+    // the search tail is exactly the deployment path over it
+    val stored = codesFrom(sv, cbs).join(assigned, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), col("codes"))
+    residualSearch(coarse, cbs, stored, queries, idCol, vecCol, m,
+      nprobe, topK)
   }
 
   /** IVF-PQ top-k — the canonical billion-scale ANN layout: a COARSE
@@ -698,7 +775,16 @@ object Pq {
     * (plus a per-batch [[Ivf.assignIds]] pass) maintains daily; no
     * training happens here, so searches against the daily-merged
     * tables equal the full-recompute ordering by per-row determinism.
-    * [[ivfPqTopK]] is exactly build + this. */
+    * [[ivfPqTopK]] is exactly build + this.
+    *
+    * FILTERED serving: build `assigned` with [[Ivf.flatIndex]] (attrs
+    * ride the argmin exchange) and pass `assigned.filter(pred)` — the
+    * predicate restricts the assignment SCAN before the probe join
+    * (parquet pushdown at rest), so candidates shrink at the source
+    * and k never under-fills (the [[Ivf.filteredSearch]] discipline).
+    * Probing all cells with a TRUE predicate ≡ [[adcSearch]] over the
+    * same codes (spec-pinned), so the filtered form inherits the
+    * probing-all ≡ brute-ADC equivalence over the filtered corpus. */
   def ivfPqSearch(coarse: DataFrame, cbs: DataFrame,
       assigned: DataFrame, codes: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, nprobe: Int,
@@ -839,7 +925,13 @@ object Pq {
     * broadcast map row; scoring the codes table is m integer-keyed
     * map lookups summed in fixed subspace order, and the only
     * exchange is the final per-query top-k window. [[adcTopK]] is
-    * exactly train + encode + this. */
+    * exactly train + encode + this.
+    *
+    * FILTERED serving: encode with [[encodeIndexed]] (attrs stored IN
+    * the code row) and pass `codes.filter(pred)` — the predicate is a
+    * plain column filter on the compressed scan, applied before any
+    * scoring; extra attr columns pass through the scorer untouched
+    * and drop at the final select. */
   def adcSearch(cbs: DataFrame, codes: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, topK: Int): DataFrame = {
     val qtab = subvectors(queries, idCol, vecCol, m)

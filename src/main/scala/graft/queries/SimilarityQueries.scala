@@ -3924,9 +3924,179 @@ ${coarseCtes()},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q250
+  // FILTERED search on the PQ/ADC index — q248's predicate discipline
+  // on the layout that actually serves at billion scale (m bytes per
+  // vector): the attributed assignment comes from Ivf.flatIndex
+  // (attrs ride the argmin exchange) and the predicate filters that
+  // scan BEFORE the probe join in Pq.ivfPqSearch, so candidates
+  // shrink at the source and k never under-fills. This closes the
+  // filter × index-family matrix on the compressed axis — PqSpec pins
+  // probing-all + predicate ≡ brute ADC over the filtered corpus.
+  private val q250 = Q(
+    "q250_filtered_pq_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val cbs = graft.operators.Pq.codebooks(e, "vec_id", "embedding",
+        m = 4, k = 8, iterations = 2)
+      val assigned = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
+          "embedding", Seq("label"))
+        .select(col("vec_id"), col("cid"), col("label"))
+      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding",
+        4, cbs)
+      graft.operators.Pq.ivfPqSearch(coarse, cbs,
+          assigned.filter(col("label") === 3)
+            .select(col("vec_id"), col("cid")),
+          codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          m = 4, nprobe = 3, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 3),
+      ${pqSubChains()},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p
+        JOIN cellof a ON a.cid = p.cid AND a.vec_id <> p.q_id
+        JOIN embeddings em ON em.vec_id = a.vec_id
+        WHERE em.label = 3),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM cand c
+        JOIN enc e ON e.vec_id = c.n_id
+        JOIN qd0 d0 ON d0.q_id = c.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = c.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = c.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = c.q_id AND d3.cid = e.cb3)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q251
+  // FILTERED search on the RESIDUAL IVFADC index — the last cell of
+  // the filter × index-family matrix: the stored (vec_id, cid, codes,
+  // label) row carries its attribute from Pq.residualEncode's
+  // flatIndex-argmin ride-along, the predicate filters the stored
+  // scan BEFORE the probe join in Pq.residualSearch, and the
+  // per-(query, probed-cell) lookup tables stay broadcast-tiny.
+  // PqSpec pins predicate ≡ physical corpus restriction under fixed
+  // codebooks, and the stored round-trip ≡ the inline q186 chain.
+  private val q251 = Q(
+    "q251_filtered_residual_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val cbs = graft.operators.Pq.residualCodebooks(e, "vec_id",
+        "embedding", coarse, m = 4, numCentroids = 8, pqIterations = 2)
+      val stored = graft.operators.Pq.residualEncode(e, "vec_id",
+        "embedding", coarse, cbs, 4, Seq("label"))
+      graft.operators.Pq.residualSearch(coarse, cbs,
+          stored.filter(col("label") === 3),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", m = 4,
+          nprobe = 3, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 3),
+      rv AS (
+        SELECT v.vec_id,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid),
+      qrv AS (
+        SELECT p.q_id, p.cid AS ccell,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM probes p
+        JOIN vx v ON v.vec_id = p.q_id
+        JOIN co2 c ON c.cid = p.cid),
+      ${pqResChains()},
+      renc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM renc0 e0 JOIN renc1 e1 USING (vec_id)
+        JOIN renc2 e2 USING (vec_id) JOIN renc3 e3 USING (vec_id)),
+      cand AS (
+        SELECT p.q_id, p.cid AS ccell, a.vec_id AS n_id
+        FROM probes p
+        JOIN cellof a ON a.cid = p.cid AND a.vec_id <> p.q_id
+        JOIN embeddings em ON em.vec_id = a.vec_id
+        WHERE em.label = 3),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM cand c
+        JOIN renc e ON e.vec_id = c.n_id
+        JOIN rqd0 d0 ON d0.q_id = c.q_id AND d0.ccell = c.ccell
+                    AND d0.pqcid = e.cb0
+        JOIN rqd1 d1 ON d1.q_id = c.q_id AND d1.ccell = c.ccell
+                    AND d1.pqcid = e.cb1
+        JOIN rqd2 d2x ON d2x.q_id = c.q_id AND d2x.ccell = c.ccell
+                    AND d2x.pqcid = e.cb2
+        JOIN rqd3 d3 ON d3.q_id = c.q_id AND d3.ccell = c.ccell
+                    AND d3.pqcid = e.cb3)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
-    q237, q238, q239, q240, q241, q247, q248, q249)
+    q237, q238, q239, q240, q241, q247, q248, q249, q250, q251)
 }

@@ -136,7 +136,18 @@ class PlanAuditSpec extends SparkSpec {
       "q242_hybrid_rrf_search",
       // q243 fans two 1-row totals (n_all for the tf-idf, the bm25
       // tail's navg) — q68/q106's class
-      "q243_more_like_this")
+      "q243_more_like_this",
+      // q250 = q185's fans (≤8-row coarse probe, sub-keyed codebook
+      // join, per-query broadcast lookup maps) with the flatIndex
+      // attribute build (one more ≤8-row codebook fan) and a
+      // predicate on the assignment scan — q248's class on the PQ
+      // axis; the candidate scorer stays a cell-keyed equi-join
+      "q250_filtered_pq_search",
+      // q251 = q186's fans (≤8-row coarse probe/assign, residual
+      // sub-keyed codebook joins, nq·nprobe·m·k broadcast lookup
+      // tables) with the attributed residualEncode and a predicate on
+      // the stored scan — nothing new crosses
+      "q251_filtered_residual_search")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -1074,4 +1074,125 @@ class PqSpec extends SparkSpec {
         topK = 5)
     }
   }
+
+  test("encodeIndexed: codes ≡ encode; attributes ride unchanged") {
+    val m = 4
+    val cbs = Pq.codebooks(emb, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val plain = Pq.encode(emb, "vec_id", "embedding", m, cbs)
+      .select(col("vec_id"), col("codes").as("codes2"))
+    val indexed = Pq.encodeIndexed(emb, "vec_id", "embedding", m, cbs,
+      Seq("label"))
+    assert(indexed.join(plain, Seq("vec_id"))
+      .filter(col("codes") =!= col("codes2")).isEmpty,
+      "encodeIndexed codes diverged from encode")
+    val attrs = emb.select(col("vec_id"), col("label").as("label2"))
+    assert(indexed.join(attrs, Seq("vec_id"))
+      .filter(col("label") =!= col("label2")).isEmpty,
+      "an attribute was corrupted by the code-row ride-along")
+    assert(indexed.count() == emb.count(), "indexed row count off")
+  }
+
+  test("filtered IVF-PQ probing all cells ≡ brute ADC over the filtered corpus") {
+    // the q235 no-under-fill discipline on the COMPRESSED family:
+    // with every cell probed, the predicate-filtered routed search
+    // must equal adcSearch over codes of the predicate-filtered
+    // corpus bit-for-bit (fixed codebooks make encode(filtered) ≡
+    // filter(encode), so this also proves the predicate ≡ a physical
+    // corpus restriction)
+    val numCoarse = 4
+    val m = 4
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", numCoarse, 2)
+    val cbs = Pq.codebooks(emb, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val assigned = Ivf.flatIndex(coarse, emb, "vec_id", "embedding",
+        Seq("label"))
+      .select(col("vec_id"), col("cid"), col("label"))
+    val codes = Pq.encode(emb, "vec_id", "embedding", m, cbs)
+    val q = emb.filter(col("vec_id") < 5)
+    val routed = Pq.ivfPqSearch(coarse, cbs,
+        assigned.filter(col("label") === 3).select("vec_id", "cid"),
+        codes, q, "vec_id", "embedding", m, nprobe = numCoarse, topK = 5)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val brute = Pq.adcSearch(cbs,
+        Pq.encode(emb.filter(col("label") === 3), "vec_id", "embedding",
+          m, cbs),
+        q, "vec_id", "embedding", m, topK = 5)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(routed == brute,
+      "probing-all filtered IVF-PQ diverged from brute ADC over the filtered corpus")
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(routed.forall(t => labels(t._2) == 3),
+      "a neighbor escaped the predicate")
+  }
+
+  test("filtered ADC: codes.filter(pred) ≡ encode over the filtered corpus") {
+    val m = 4
+    val cbs = Pq.codebooks(emb, "vec_id", "embedding", m, k = 8,
+      iterations = 2)
+    val q = emb.filter(col("vec_id") < 5)
+    val viaFilter = Pq.adcSearch(cbs,
+        Pq.encodeIndexed(emb, "vec_id", "embedding", m, cbs, Seq("label"))
+          .filter(col("label") === 3),
+        q, "vec_id", "embedding", m, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val viaRestrict = Pq.adcSearch(cbs,
+        Pq.encode(emb.filter(col("label") === 3), "vec_id", "embedding",
+          m, cbs),
+        q, "vec_id", "embedding", m, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(viaFilter == viaRestrict,
+      "filtered compressed scan diverged from physical corpus restriction")
+  }
+
+  test("residual stored round-trip: residualSearch over residualEncode ≡ inline topK") {
+    val numCoarse = 4
+    val m = 4
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", numCoarse, 2)
+    val cbs = Pq.residualCodebooks(emb, "vec_id", "embedding", coarse,
+      m, numCentroids = 8, pqIterations = 2)
+    val stored = Pq.residualEncode(emb, "vec_id", "embedding", coarse,
+      cbs, m)
+    val q = emb.filter(col("vec_id") < 5)
+    val viaStored = Pq.residualSearch(coarse, cbs, stored, q, "vec_id",
+        "embedding", m, nprobe = 2, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val inline = Pq.residualIvfPqTopK(emb, q, "vec_id", "embedding",
+        numCoarse, coarseIterations = 2, m, numCentroids = 8,
+        pqIterations = 2, nprobe = 2, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(viaStored == inline,
+      "stored residual search diverged from the inline build+search")
+  }
+
+  test("filtered residual search: predicate ≡ corpus restriction under fixed codebooks") {
+    val numCoarse = 4
+    val m = 4
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", numCoarse, 2)
+    val cbs = Pq.residualCodebooks(emb, "vec_id", "embedding", coarse,
+      m, numCentroids = 8, pqIterations = 2)
+    val stored = Pq.residualEncode(emb, "vec_id", "embedding", coarse,
+      cbs, m, Seq("label"))
+    val q = emb.filter(col("vec_id") < 5)
+    val viaFilter = Pq.residualSearch(coarse, cbs,
+        stored.filter(col("label") === 3), q, "vec_id", "embedding", m,
+        nprobe = numCoarse, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val viaRestrict = Pq.residualSearch(coarse, cbs,
+        Pq.residualEncode(emb.filter(col("label") === 3), "vec_id",
+          "embedding", coarse, cbs, m),
+        q, "vec_id", "embedding", m, nprobe = numCoarse, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(viaFilter == viaRestrict,
+      "filtered residual serving diverged from physical corpus restriction")
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaFilter.forall(r => labels(r.getLong(1)) == 3),
+      "a neighbor escaped the predicate")
+  }
 }
