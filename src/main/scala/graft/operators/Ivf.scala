@@ -433,4 +433,51 @@ object Ivf {
       .select(col("q_id"), col("n_id"), col("d2"),
         col("rnk").cast("int").as("rnk"))
   }
+
+  /** Per-query serving-COST audit for an IVF-routed search — the
+    * denominator of the recall/latency knee a recall@k report alone
+    * can't site: `cells_probed` (how many coarse cells the router
+    * opened, ≤ nprobe) and `candidates` (how many stored rows the
+    * scorer then touched — exactly the cell members minus a
+    * self-match, the rows [[graft.operators.Quantize
+    * .calibratedIvfSearch]]/[[graft.operators.Pq.ivfPqSearch]] score
+    * at that nprobe). Composed next to [[graft.operators.Similarity
+    * .recallAudit]], the pair emits the full recall/cost CURVE per
+    * nprobe.
+    *
+    * Scale shape: cell occupancy aggregates BEFORE the probe join —
+    * the k-row occupancy table joins the nq·nprobe probe rows, so the
+    * corpus-sized assignment is touched by ONE partial-combining
+    * count, never fanned per query; the self-cell probe is an
+    * O(queries) equi-join. Empty probed cells count as probed with 0
+    * candidates (left join — the router still opened them). Output:
+    * (q_id, cells_probed, candidates). */
+  def probeCost(coarse: DataFrame, assigned: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("__pd2").asc, col("cid").asc)
+    val probes = quantized(queries, idCol, vecCol)
+      .select(col("vec_id").as("q_id"), col("qvec").as("__qv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("__pd2", dist2(col("__qv"), col("cent")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("cid"))
+    val occ = assigned.groupBy(col("cid")).agg(count(lit(1)).as("__occ"))
+    // the self-cell table restricts to the bounded query panel FIRST
+    // (broadcast semi-join on the assignment scan), so the probe join
+    // sees an O(queries) frame, never the corpus
+    val self = assigned
+      .join(broadcast(queries.select(col(idCol).as("vec_id"))),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("cid"), lit(1L).as("__self"))
+    probes
+      .join(broadcast(occ), Seq("cid"), "left")
+      .join(broadcast(self), Seq("q_id", "cid"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("cells_probed"),
+        sum(coalesce(col("__occ"), lit(0L)) -
+          coalesce(col("__self"), lit(0L))).as("candidates"))
+  }
 }

@@ -3226,7 +3226,12 @@ ${coarseCtes()},
   // spine, so an all-miss query reports 0 instead of vanishing);
   // recall lands in exact micro-units, hash-gated like every score in
   // the suite. At sf0.01 the routed path lands 0.4–1.0 recall@5
-  // (mean ~0.78) — the number this report exists to surface.
+  // (mean ~0.78) — the number this report exists to surface. Each row
+  // also carries the COST of that recall (Ivf.probeCost: cells the
+  // router opened, candidate rows the scorer touched — occupancy
+  // aggregates before the probe join, so the corpus is never fanned
+  // per query), so the audit reports the recall/cost pair, not half
+  // the tuning artifact.
   private val q239 = Q(
     "q239_recall_audit",
     (s, dir) => {
@@ -3249,6 +3254,8 @@ ${coarseCtes()},
           Nil),
         q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
       graft.operators.Similarity.recallAudit(approx, exact, 5)
+        .join(graft.operators.Ivf.probeCost(coarse, assigned, q,
+          "vec_id", "embedding", nprobe = 2), Seq("q_id"))
         .orderBy(col("q_id"))
     },
     Some(raw"""
@@ -3324,17 +3331,32 @@ ${coarseCtes()},
         SELECT e.q_id, COUNT(r.n_id) AS n_hits
         FROM exact e
         LEFT JOIN routed r ON r.q_id = e.q_id AND r.n_id = e.n_id
-        GROUP BY e.q_id)
-      SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
-             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro
-      FROM hits
-      ORDER BY q_id
+        GROUP BY e.q_id),
+      occ AS (SELECT cid, COUNT(*) AS n FROM cellof GROUP BY cid),
+      cost AS (
+        SELECT p.q_id, COUNT(*) AS cells_probed,
+               SUM(COALESCE(o.n, 0)
+                   - (CASE WHEN sc.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+                 AS candidates
+        FROM probes p
+        LEFT JOIN occ o ON o.cid = p.cid
+        LEFT JOIN cellof sc ON sc.vec_id = p.q_id AND sc.cid = p.cid
+        GROUP BY p.q_id)
+      SELECT h.q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro,
+             CAST(c.cells_probed AS BIGINT) AS cells_probed,
+             CAST(c.candidates AS BIGINT) AS candidates
+      FROM hits h JOIN cost c ON c.q_id = h.q_id
+      ORDER BY h.q_id
     """))
 
   // --------------------------------------------------------------- q240
   // NPROBE SWEEP — q239 turned into the tuning CURVE: mean recall@5
-  // across the query panel at nprobe ∈ {1, 2, 4}, the artifact an
-  // index operator actually reads to site the recall/latency knee.
+  // across the query panel at nprobe ∈ {1, 2, 4} WITH the cost side
+  // (cells probed, candidates scored — Ivf.probeCost summed per
+  // sweep point), the artifact an index operator actually reads to
+  // site the recall/latency knee: recall per candidate touched, not
+  // recall alone.
   // The assignment, codes, and exact baseline persist ONCE under
   // CacheScope — the three sweep branches are plan copies, and
   // without the pins each branch would re-assign, re-encode, and
@@ -3367,11 +3389,15 @@ ${coarseCtes()},
               assigned, codes, q, "vec_id", "embedding", bounds,
               nprobe = np, topK = 5),
             exact, 5)
+          .join(graft.operators.Ivf.probeCost(coarse, assigned, q,
+            "vec_id", "embedding", np), Seq("q_id"))
           .withColumn("nprobe", lit(np))
       }.reduce(_.unionByName(_))
         .groupBy(col("nprobe"))
         .agg(count(lit(1)).as("n_queries"),
-          sum(col("n_hits")).as("hits_total"))
+          sum(col("n_hits")).as("hits_total"),
+          sum(col("cells_probed")).as("cells_total"),
+          sum(col("candidates")).as("candidates_total"))
         .withColumn("recall_micro_mean",
           expr("hits_total * 1000000 DIV (5 * n_queries)"))
         .orderBy(col("nprobe"))
@@ -3454,13 +3480,34 @@ ${coarseCtes()},
         CROSS JOIN exact e
         LEFT JOIN routed r
           ON r.np = t.np AND r.q_id = e.q_id AND r.n_id = e.n_id
-        GROUP BY t.np, e.q_id)
-      SELECT CAST(np AS INTEGER) AS nprobe,
-             CAST(COUNT(*) AS BIGINT) AS n_queries,
-             CAST(SUM(n_hits) AS BIGINT) AS hits_total,
-             CAST(SUM(n_hits) * 1000000 // (5 * COUNT(*)) AS BIGINT)
+        GROUP BY t.np, e.q_id),
+      occ AS (SELECT cid, COUNT(*) AS n FROM cellof GROUP BY cid),
+      cost AS (
+        SELECT t.np, p.q_id, COUNT(*) AS cells_probed,
+               SUM(COALESCE(o.n, 0)
+                   - (CASE WHEN sc.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+                 AS candidates
+        FROM nps t
+        JOIN probes p ON p.rn <= t.np
+        LEFT JOIN occ o ON o.cid = p.cid
+        LEFT JOIN cellof sc ON sc.vec_id = p.q_id AND sc.cid = p.cid
+        GROUP BY t.np, p.q_id),
+      agg AS (
+        SELECT np, COUNT(*) AS n_queries, SUM(n_hits) AS hits_total
+        FROM hits GROUP BY np),
+      cagg AS (
+        SELECT np, SUM(cells_probed) AS cells_total,
+               SUM(candidates) AS candidates_total
+        FROM cost GROUP BY np)
+      SELECT CAST(a.np AS INTEGER) AS nprobe,
+             CAST(a.n_queries AS BIGINT) AS n_queries,
+             CAST(a.hits_total AS BIGINT) AS hits_total,
+             CAST(c.cells_total AS BIGINT) AS cells_total,
+             CAST(c.candidates_total AS BIGINT) AS candidates_total,
+             CAST(a.hits_total * 1000000 // (5 * a.n_queries) AS BIGINT)
                AS recall_micro_mean
-      FROM hits GROUP BY np ORDER BY np
+      FROM agg a JOIN cagg c ON c.np = a.np
+      ORDER BY a.np
     """))
 
   // --------------------------------------------------------------- q241

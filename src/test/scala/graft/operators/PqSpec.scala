@@ -1195,4 +1195,35 @@ class PqSpec extends SparkSpec {
     assert(viaFilter.forall(r => labels(r.getLong(1)) == 3),
       "a neighbor escaped the predicate")
   }
+
+  test("probeCost: cells = min(nprobe, k); candidates monotone; full probe = N-1") {
+    val k = 4
+    val n = emb.count()
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", k, 2)
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(emb, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid"))
+    val q = emb.filter(col("vec_id") < 5)
+    val byNp = Seq(1, 2, k, k + 3).map { np =>
+      np -> Ivf.probeCost(coarse, assigned, q, "vec_id", "embedding", np)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }.toMap
+    val qids = byNp(1).keySet
+    assert(qids == Set(0L, 1L, 2L, 3L, 4L), "query spine off")
+    for (np <- Seq(1, 2, k, k + 3); qid <- qids) {
+      val (cells, _) = byNp(np)(qid)
+      assert(cells == math.min(np, k).toLong,
+        s"cells_probed=$cells at nprobe=$np (k=$k)")
+    }
+    // candidates grow (weakly) with nprobe and cap at N-1 when every
+    // cell is probed — the query's own row is the only exclusion
+    for (qid <- qids) {
+      val cand = Seq(1, 2, k).map(np => byNp(np)(qid)._2)
+      assert(cand == cand.sorted, s"candidates not monotone for $qid")
+      assert(byNp(k)(qid)._2 == n - 1,
+        s"full probe should score all ${n - 1} others, got ${byNp(k)(qid)._2}")
+      assert(byNp(k + 3)(qid)._2 == n - 1, "nprobe > k changed the full probe")
+    }
+  }
 }
