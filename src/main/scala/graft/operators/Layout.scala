@@ -94,6 +94,40 @@ object Layout {
     compactLatest(segments.filter(col(segCol) <= asOf), idCol, segCol,
       clusterCol, numPartitions)
 
+  /** INTEGRITY MANIFEST over a set of STORED INDEX tables — the q141
+    * shard-manifest discipline (row count + an order-invariant
+    * content checksum) applied to the ANN/search pillar, the
+    * verify-before-serve step that turns a dropped part-file in the
+    * codes table from silently wrong neighbors into a loud mismatch:
+    * derive the manifest at index BUILD time, persist it next to the
+    * tables, re-derive before serving (or before burning
+    * cluster-hours on a training run against the index) and compare.
+    *
+    * Each entry is (name, table, rowKey) where `rowKey` is a STRING
+    * rendering of the row's content (the caller picks the columns —
+    * and therefore what "content" means — because only it knows the
+    * table's schema); the checksum is the bit-XOR of 60-bit md5
+    * fingerprints of that rendering. XOR commutes, so the value is
+    * partition/order/merge-invariant — exactly what a distributed
+    * re-derivation needs; fingerprints compute map-side and each
+    * table contributes ONE partial-combining aggregate, so the
+    * manifest costs one scan per table and exchanges k·1 rows. An
+    * empty table manifests as (0, 0), not a null. Output:
+    * (table_name, n_rows, checksum), one row per entry. */
+  def indexManifest(tables: Seq[(String, DataFrame, Column)]): DataFrame = {
+    require(tables.nonEmpty, "indexManifest needs at least one table")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "indexManifest table names must be distinct")
+    tables.map { case (name, df, rowKey) =>
+      df.select(conv(substring(md5(rowKey), 1, 15), 16, 10)
+          .cast("long").as("__fp60"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(__fp60)"), lit(0L)).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("checksum"))
+    }.reduce(_.unionByName(_))
+  }
+
   def compactLatest(segments: DataFrame, idCol: String, segCol: String,
       clusterCol: String, numPartitions: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

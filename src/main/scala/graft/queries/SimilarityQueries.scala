@@ -4141,9 +4141,116 @@ ${coarseCtes()},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q252
+  // INDEX integrity MANIFEST — q141's verify-before-serve discipline
+  // on the stored ANN/search pillar: per stored table (coarse
+  // assignment, calibration bounds, calibrated codes, positional
+  // postings), row count + an order-invariant bit-XOR content
+  // checksum, derived at build and re-derived before serving so a
+  // dropped part-file surfaces as a loud mismatch instead of silently
+  // wrong neighbors. XOR commutes — the checksum is partition/order/
+  // merge-invariant, exactly what a distributed re-derivation needs;
+  // each table costs one scan and one partial-combining aggregate.
+  // (The coarse CENTROID table holds non-integral doubles — means —
+  // whose string rendering is not engine-portable; its integrity is
+  // covered transitively, since every assignment row derives from it.)
+  private val q252 = Q(
+    "q252_index_manifest",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val docs = Tables(s, dir, "documents")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
+        "embedding", bounds)
+      val postings = graft.operators.Search.positionalIndex(docs,
+        "doc_id", "text")
+      graft.operators.Layout.indexManifest(Seq(
+        ("assigned", assigned,
+          concat_ws("|", col("vec_id"), col("cid"))),
+        ("bounds", bounds,
+          concat_ws("|", col("d"), col("p_lo"), col("p_hi"))),
+        ("codes", codes,
+          concat_ws("|", col("vec_id"),
+            concat_ws(",", col("codes").cast("array<string>")))),
+        ("postings", postings,
+          concat_ws("|", col("token"), col("doc_id"), col("pos")))))
+        .orderBy(col("table_name"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      codesv AS (
+        SELECT e.vec_id,
+               list(CASE WHEN c.hi > b.lo THEN
+                 (GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                   // (c.hi - b.lo)
+                 ELSE 0 END ORDER BY e.d) AS codes
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)
+        GROUP BY e.vec_id),
+      posti AS (
+        SELECT n.w[t.i] AS token, n.doc_id, t.i - 1 AS pos
+        FROM (SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+              FROM documents) n,
+             UNNEST(generate_series(1, len(n.w))) t(i)),
+      ma AS (
+        SELECT 'assigned' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(vec_id || '|' || cid), 1, 15))::BIGINT),
+                 0) AS checksum
+        FROM cellof),
+      mb AS (
+        SELECT 'bounds' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(b.d || '|' || b.lo || '|' || c.hi),
+                   1, 15))::BIGINT), 0) AS checksum
+        FROM blo b JOIN bhi c USING (d)),
+      mc AS (
+        SELECT 'codes' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(vec_id || '|' ||
+                   array_to_string(codes, ',')), 1, 15))::BIGINT),
+                 0) AS checksum
+        FROM codesv),
+      mp AS (
+        SELECT 'postings' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(token || '|' || doc_id || '|' || pos),
+                   1, 15))::BIGINT), 0) AS checksum
+        FROM posti)
+      SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(checksum AS BIGINT) AS checksum
+      FROM (SELECT * FROM ma UNION ALL SELECT * FROM mb
+            UNION ALL SELECT * FROM mc UNION ALL SELECT * FROM mp)
+      ORDER BY table_name
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
-    q237, q238, q239, q240, q241, q247, q248, q249, q250, q251)
+    q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252)
 }

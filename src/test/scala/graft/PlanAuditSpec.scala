@@ -147,7 +147,12 @@ class PlanAuditSpec extends SparkSpec {
       // sub-keyed codebook joins, nq·nprobe·m·k broadcast lookup
       // tables) with the attributed residualEncode and a predicate on
       // the stored scan — nothing new crosses
-      "q251_filtered_residual_search")
+      "q251_filtered_residual_search",
+      // q252 builds the pillar it manifests: the ≤8-row coarse
+      // codebook fan (q36/q110's class) feeds the assignment table;
+      // the manifests themselves are one partial-combining aggregate
+      // per table — no fan
+      "q252_index_manifest")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

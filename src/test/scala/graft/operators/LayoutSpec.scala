@@ -181,4 +181,33 @@ class LayoutSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("duplicate"))),
       s"expected the whole-ledger duplicate guard to fire, got: $e")
   }
+
+  test("indexManifest: one-row edit flips exactly the checksum; counts hold; order-invariant; empty = (0,0)") {
+    val s = spark
+    import s.implicits._
+    val t = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Layout.indexManifest(Seq(("t", df,
+          concat_ws("|", col("id"), col("v")))))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .head
+    val base = manifest(t)
+    assert(base._2 == 3L)
+    // a one-row content edit keeps the count but flips the checksum
+    val edited = manifest(
+      Seq((1L, 10L), (2L, 21L), (3L, 30L)).toDF("id", "v"))
+    assert(edited._2 == 3L, "count must hold under a content edit")
+    assert(edited._3 != base._3, "checksum must flip on a one-row edit")
+    // a dropped row changes the count AND the checksum
+    val dropped = manifest(Seq((1L, 10L), (3L, 30L)).toDF("id", "v"))
+    assert(dropped._2 == 2L && dropped._3 != base._3)
+    // row order / partitioning never matters (XOR commutes)
+    val shuffled = manifest(
+      Seq((3L, 30L), (1L, 10L), (2L, 20L)).toDF("id", "v")
+        .repartition(7))
+    assert(shuffled == base, "manifest must be order/partition-invariant")
+    // an empty table manifests as (0, 0), not null
+    val empty = manifest(t.filter(col("id") > 99))
+    assert(empty._2 == 0L && empty._3 == 0L)
+  }
 }
