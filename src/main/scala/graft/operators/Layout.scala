@@ -128,6 +128,46 @@ object Layout {
     }.reduce(_.unionByName(_))
   }
 
+  /** [[compactLatest]] for MULTI-ROW-per-id segment tables — the
+    * posting-list case: a restated document re-tokenizes ONLY itself
+    * and writes ALL its (token, doc, pos) rows as one new segment
+    * (the daily path stays O(new)), so election is per GROUP, not per
+    * row — the latest segment's whole row-set per id wins, earlier
+    * segments' rows for that id vanish (including tokens the new
+    * version no longer contains, which a row-level latest-wins could
+    * never remove). Survivors rewrite clustered by `clusterCol`
+    * (token, for the postings table) so term scans read contiguous,
+    * min/max-prunable runs.
+    *
+    * Same cost shape as [[compactLatest]]: one id-keyed window
+    * exchange for the election (max segment per id fans back over the
+    * same partitioning — no join), one exchange for the clustered
+    * rewrite that IS the product. No duplicate guard here — multiple
+    * rows per (id, seg) are the table's normal shape. Contract: a
+    * segment restates an id COMPLETELY (all rows of the id's list). */
+  def compactLatestMulti(segments: DataFrame, idCol: String,
+      segCol: String, clusterCol: String,
+      numPartitions: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    segments
+      .withColumn("__winner", max(col(segCol)).over(w))
+      .filter(col(segCol) === col("__winner"))
+      .drop("__winner")
+      .repartition(numPartitions, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol), col(idCol))
+  }
+
+  /** TIME-TRAVEL form of [[compactLatestMulti]] — [[compactAsOf]]'s
+    * snapshot semantic on the multi-row (postings) axis: the latest
+    * row-set per id among segments ≤ asOf; the cutoff is a plain
+    * segment predicate, pruning whole segment files at rest. */
+  def compactAsOfMulti(segments: DataFrame, idCol: String,
+      segCol: String, clusterCol: String, numPartitions: Int,
+      asOf: Int): DataFrame =
+    compactLatestMulti(segments.filter(col(segCol) <= asOf), idCol,
+      segCol, clusterCol, numPartitions)
+
   def compactLatest(segments: DataFrame, idCol: String, segCol: String,
       clusterCol: String, numPartitions: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -303,6 +303,53 @@ object Search {
       idCol, topN, k1Centi, bCenti)
   }
 
+  /** The 1-row GLOBAL-STATS ledger a stored-BM25 deployment keeps
+    * next to tf/dl: (n_docs, sum_dl) as exact longs, computed once at
+    * index build. sum_dl stays integral so later retractions subtract
+    * exactly — the [[graft.operators.Ledger]] additive-group
+    * discipline on the search pillar. */
+  def corpusStats(dlTable: DataFrame): DataFrame =
+    dlTable.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl"))
+
+  /** TOMBSTONE-MASKED BM25 — the q236 serving semantic on the SEARCH
+    * pillar: deleted documents stop appearing in ranked results NOW,
+    * before the q227 re-election rewrites any stored state. The mask
+    * is ONE broadcast anti-join on the term-filtered tf rows
+    * (O(hits), deleted-proportional — history never shuffles), df
+    * re-derives from the surviving rows (so each term's df correction
+    * is exactly its tombstoned postings), and the global (n_docs,
+    * avgdl) pair comes from the STORED stats ledger corrected by the
+    * tombstoned rows alone — a broadcast semi-join on the dl table
+    * reads O(deleted) lengths (id-keyed pruning at rest), subtracted
+    * from the exact integral ledger, never a corpus re-aggregate
+    * (the retract discipline). Scoring is [[bm25Search]]'s tail
+    * verbatim: masked serving ≡ the index rebuilt without the
+    * tombstoned docs, bit-for-bit (spec-pinned). Phrase and snippet
+    * serving mask by composition — the same anti-join on the stored
+    * postings before [[phraseSearchIndexed]]/[[bestSnippetIndexed]] —
+    * BM25 alone needs this operator because its GLOBALS shift with a
+    * delete. */
+  def bm25SearchMasked(tfTable: DataFrame, dlTable: DataFrame,
+      stats: DataFrame, tombstones: DataFrame, idCol: String,
+      terms: Seq[String], topN: Int, k1Centi: Int = 120,
+      bCenti: Int = 75): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchMasked needs at least one term")
+    val dead = tombstones.select(col(idCol)).distinct()
+    val deadStats = dlTable
+      .join(broadcast(dead), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("__dn"),
+        coalesce(sum(col("dl")), lit(0L)).as("__dsum"))
+    val corrected = stats.crossJoin(deadStats)
+      .select((col("n_docs") - col("__dn")).as("n_docs"),
+        ((col("sum_dl") - col("__dsum")).cast("double") /
+          (col("n_docs") - col("__dn"))).as("avgdl"))
+    val tfLive = tfTable.filter(col("token").isin(terms: _*))
+      .join(broadcast(dead), Seq(idCol), "left_anti")
+    bm25TailWithStats(tfLive, dlTable, corrected, idCol, topN,
+      k1Centi, bCenti)
+  }
+
   /** The shared BM25 scoring tail over an aggregated (id, token, tf)
     * frame already restricted to the query terms, plus the (id, dl)
     * length table: Okapi with centi-unit k1/b (integer-exact
@@ -312,10 +359,20 @@ object Search {
     * because term-filtering preserves per-term doc sets. avgdl fans
     * back as a 1-row broadcast; top-N is TakeOrderedAndProject. */
   private def bm25Tail(tf: DataFrame, dl: DataFrame, idCol: String,
-      topN: Int, k1Centi: Int, bCenti: Int): DataFrame = {
+      topN: Int, k1Centi: Int, bCenti: Int): DataFrame =
+    bm25TailWithStats(tf, dl,
+      dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")),
+      idCol, topN, k1Centi, bCenti)
+
+  /** [[bm25Tail]] with the global (n_docs, avgdl) pair supplied by
+    * the caller — the seam the tombstone-masked path needs, because
+    * its globals come from the stored stats ledger CORRECTED by the
+    * deleted rows, never re-aggregated over the corpus. */
+  private def bm25TailWithStats(tf: DataFrame, dl: DataFrame,
+      nAvg: DataFrame, idCol: String, topN: Int, k1Centi: Int,
+      bCenti: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nAvg = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     val k1 = k1Centi / 100.0

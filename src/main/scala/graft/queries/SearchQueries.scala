@@ -671,6 +671,145 @@ object SearchQueries extends QueryPack {
       ORDER BY t.rnk
     """))
 
+  // --------------------------------------------------------------- q253
+  // SEGMENT LIFECYCLE for the positional postings index — q237's
+  // compaction discipline on the SEARCH pillar: a restated document
+  // re-tokenizes only itself and lands as a new segment (all its
+  // (token, doc, pos) rows — the daily path stays O(new)); once
+  // segments pile up, Layout.compactLatestMulti elects each doc's
+  // latest row-SET (group election, so tokens the new version dropped
+  // actually vanish — a row-level latest-wins never could) and
+  // rewrites TOKEN-clustered, so term scans read contiguous,
+  // min/max-prunable runs again. BM25 then serves from the compacted
+  // table alone — tf from the surviving postings, dl as the per-doc
+  // posting count (exactly docLengths: the tokenizer emits one
+  // posting per word incl. the empty-text sentinel, so no doc drops
+  // from n_docs/avgdl). Oracle = direct BM25 recompute over the
+  // latest text of every doc.
+  private val q253 = Q(
+    "q253_postings_compaction",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val restated = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(lit("restated "), col("text")).as("text"))
+      val seg0 = Search.positionalIndex(docs, "doc_id", "text")
+        .withColumn("seg", lit(0))
+      val seg1 = Search.positionalIndex(restated, "doc_id", "text")
+        .withColumn("seg", lit(1))
+      val compacted = graft.operators.Layout.compactLatestMulti(
+          seg0.unionByName(seg1), "doc_id", "seg", "token",
+          numPartitions = 8)
+        .select(col("token"), col("doc_id"), col("pos"))
+      val tf = Search.termFrequencies(compacted, "doc_id")
+      val dl = compacted.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"))
+      Search.bm25SearchIndexed(tf, dl, "doc_id",
+          terms = Seq("stream", "window", "merge"), topN = 20)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'restated ' || text
+                    ELSE text END AS text
+        FROM documents),
+      toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM docs2),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('stream', 'window', 'merge')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      scored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score,
+               COUNT(*) AS n_terms
+        FROM parts GROUP BY doc_id)
+      SELECT doc_id, score, n_terms, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT doc_id, score, n_terms,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 20
+      ORDER BY rnk
+    """))
+
+  // --------------------------------------------------------------- q254
+  // TOMBSTONE-MASKED text serving — q236's semantic on the search
+  // pillar: deleted docs stop appearing in BM25 results NOW, via one
+  // O(deleted) broadcast anti-join on the term-filtered tf rows,
+  // BEFORE the q227 re-election rewrites any stored state. df
+  // re-derives from the surviving rows; n_docs/avgdl come from the
+  // stored 1-row stats ledger corrected by the tombstoned docs'
+  // lengths alone (exact integral subtraction — the retract
+  // discipline), never a corpus re-aggregate. Oracle = BM25 rebuilt
+  // from scratch over the live corpus — masked serving must equal it
+  // bit-for-bit, including the ln-derived score column.
+  private val q254 = Q(
+    "q254_tombstone_masked_bm25",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val postings = Search.positionalIndex(docs, "doc_id", "text")
+      val tf = Search.termFrequencies(postings, "doc_id")
+      val dl = Search.docLengths(docs, "doc_id", "text")
+      val stats = Search.corpusStats(dl)
+      val tombs = docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"))
+      Search.bm25SearchMasked(tf, dl, stats, tombs, "doc_id",
+          terms = Seq("stream", "window", "merge"), topN = 20)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH live AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0),
+      toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM live),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('stream', 'window', 'merge')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      scored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score,
+               COUNT(*) AS n_terms
+        FROM parts GROUP BY doc_id)
+      SELECT doc_id, score, n_terms, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT doc_id, score, n_terms,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 20
+      ORDER BY rnk
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
-    q232, q242, q243, q244, q245)
+    q232, q242, q243, q244, q245, q253, q254)
 }

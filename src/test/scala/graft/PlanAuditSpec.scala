@@ -152,7 +152,16 @@ class PlanAuditSpec extends SparkSpec {
       // codebook fan (q36/q110's class) feeds the assignment table;
       // the manifests themselves are one partial-combining aggregate
       // per table — no fan
-      "q252_index_manifest")
+      "q252_index_manifest",
+      // q253 serves q228's scoring tail from the compacted postings —
+      // the same 1-row (n_docs, avgdl) fan (q106's corpus-constant
+      // class); election and clustering are id/token-keyed exchanges
+      "q253_postings_compaction",
+      // q254 fans TWO 1-row frames (the stored stats ledger × the
+      // O(deleted) correction, then the corrected pair into scoring)
+      // — q106's corpus-constant class; the mask itself is a
+      // broadcast anti equi-join
+      "q254_tombstone_masked_bm25")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

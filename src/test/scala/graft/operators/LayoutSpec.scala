@@ -210,4 +210,62 @@ class LayoutSpec extends SparkSpec {
     val empty = manifest(t.filter(col("id") > 99))
     assert(empty._2 == 0L && empty._3 == 0L)
   }
+
+  test("compactLatestMulti: group election drops vanished rows; as-of restores the old list") {
+    val s = spark
+    import s.implicits._
+    // doc 1's seg-0 list has tokens (a, b); its seg-1 restatement has
+    // (a, c) — after compaction, b must be GONE (the row-level
+    // latest-wins failure mode) and c present; doc 2 is untouched
+    val segs = Seq(
+        (1L, 0, "a", 0), (1L, 0, "b", 1),
+        (2L, 0, "a", 0),
+        (1L, 1, "a", 0), (1L, 1, "c", 1))
+      .toDF("doc_id", "seg", "token", "pos")
+    val latest = Layout.compactLatestMulti(segs, "doc_id", "seg",
+        "token", 2)
+      .select("doc_id", "token", "pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(latest == Set((1L, "a", 0), (1L, "c", 1), (2L, "a", 0)),
+      s"group election wrong: $latest")
+    // as-of 0 reconstructs exactly the seg-0 row-sets
+    val asOf0 = Layout.compactAsOfMulti(segs, "doc_id", "seg", "token",
+        2, asOf = 0)
+      .select("doc_id", "token", "pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(asOf0 == Set((1L, "a", 0), (1L, "b", 1), (2L, "a", 0)),
+      s"as-of snapshot wrong: $asOf0")
+  }
+
+  test("text-axis as-of: phrase search over the as-of postings ≡ the original corpus") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Search
+    val docs = Seq(
+        (1L, "big order big order now"),
+        (2L, "no match here"),
+        (3L, "big order again")).toDF("doc_id", "text")
+    val restated = Seq((1L, "nothing to see")).toDF("doc_id", "text")
+    val segs = Search.positionalIndex(docs, "doc_id", "text")
+      .withColumn("seg", lit(0))
+      .unionByName(Search.positionalIndex(restated, "doc_id", "text")
+        .withColumn("seg", lit(1)))
+    def phrase(idx: org.apache.spark.sql.DataFrame) =
+      Search.phraseSearchIndexed(idx.select("token", "doc_id", "pos"),
+          "doc_id", Seq("big", "order"), topN = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at LATEST, doc 1's restatement removed the phrase
+    val latest = phrase(Layout.compactLatestMulti(segs, "doc_id", "seg",
+      "token", 2))
+    assert(latest == Set((3L, 1L)), s"latest serving wrong: $latest")
+    // as-of 0, the original phrase occurrences are all visible
+    val asOf0 = phrase(Layout.compactAsOfMulti(segs, "doc_id", "seg",
+      "token", 2, asOf = 0))
+    val direct = phrase(Search.positionalIndex(docs, "doc_id", "text")
+      .withColumn("seg", lit(0)))
+    assert(asOf0 == direct && asOf0 == Set((1L, 2L), (3L, 1L)),
+      s"as-of text serving diverged: $asOf0 vs $direct")
+  }
 }

@@ -265,4 +265,45 @@ class SearchSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L), out.mkString(", "))
     assert(out.exists(_._1 == 4L), out.mkString(", "))
   }
+
+  test("tombstone-masked bm25 ≡ index rebuilt without the dead docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+        (1L, "stream stream window filler filler"),
+        (2L, "stream merge"),
+        (3L, "window window stream merge merge"),
+        (4L, "nothing relevant at all"),
+        (5L, "merge window stream")).toDF("doc_id", "text")
+    val postings = Search.positionalIndex(docs, "doc_id", "text")
+    val tf = Search.termFrequencies(postings, "doc_id")
+    val dl = Search.docLengths(docs, "doc_id", "text")
+    val stats = Search.corpusStats(dl)
+    val tombs = Seq(3L, 4L).toDF("doc_id")
+    val masked = Search.bm25SearchMasked(tf, dl, stats, tombs,
+        "doc_id", Seq("stream", "window", "merge"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    // dead docs never surface, and every surviving score/rank equals
+    // the search over an index that never contained them (globals,
+    // df, everything) — bit-for-bit
+    assert(!masked.exists(r => r._1 == 3L || r._1 == 4L),
+      s"a tombstoned doc was served: $masked")
+    val live = docs.filter(!col("doc_id").isin(3L, 4L))
+    val rebuilt = Search.bm25Search(live, "doc_id", "text",
+        Seq("stream", "window", "merge"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(masked == rebuilt,
+      s"masked serving diverged from the purged rebuild: $masked vs $rebuilt")
+    // phrase masking is pure composition: the same anti-join on the
+    // stored postings hides the dead doc's occurrences
+    val phraseMasked = Search.phraseSearchIndexed(
+        postings.join(broadcast(tombs), Seq("doc_id"), "left_anti"),
+        "doc_id", Seq("stream", "merge"), topN = 10)
+      .collect().map(_.getLong(0)).toSet
+    // docs 2 and 3 contain adjacent "stream merge"; 3 is tombstoned
+    // (doc 5's terms are non-adjacent — never a phrase hit)
+    assert(phraseMasked == Set(2L), s"phrase mask wrong: $phraseMasked")
+  }
 }
