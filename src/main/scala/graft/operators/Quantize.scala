@@ -317,6 +317,57 @@ object Quantize {
     Pq.exactRerank(base, queries, idCol, vecCol, short, topK)
   }
 
+  /** AS-OF the FULL calibrated serving stack — the reproducibility
+    * semantic a pinned training run actually needs from its index
+    * (q249 covered the code segments alone; this covers everything a
+    * delete or recalibration can move): serve the q238 stack exactly
+    * as it stood at segment `asOf` —
+    *  - SEGMENTS ≤ asOf elect latest-per-id ([[Layout.compactAsOf]];
+    *    the cutoff is a plain segment predicate, pruning whole
+    *    segment files at rest),
+    *  - the TOMBSTONE set as-of asOf (tombstones carry a segment
+    *    stamp; a post-asOf delete is INVISIBLE to the snapshot —
+    *    masking is one O(deleted-as-of) broadcast anti-join),
+    *  - the BOUNDS GENERATION the surviving codes were built with
+    *    (`boundsVersions` is the versioned (gen, d, p_lo, p_hi)
+    *    ledger; a recalibration rewrites the whole table as a new
+    *    segment under a new generation, so a serveable snapshot
+    *    encodes under exactly ONE — enforced loudly: serving gen-0
+    *    codes with gen-1 bounds is the silent-corruption class q230's
+    *    drift report exists to catch),
+    *  - and the attribute PREDICATE on the snapshot scan (the q235
+    *    filtered discipline — pass lit(true) for unfiltered).
+    *
+    * The generation probe is a ≤-|generations|-row distinct on the
+    * persisted snapshot (the bounded-action class — it sizes like the
+    * codebook collect, never like a data column). `segments` rows:
+    * (vec_id, cid, codes, segCol, genCol, attrs*). Output:
+    * [[calibratedIvfSearch]]'s (q_id, n_id, d2, rnk ≤ topK). */
+  def calibratedServeAsOf(coarse: DataFrame, segments: DataFrame,
+      tombstones: DataFrame, boundsVersions: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, segCol: String, genCol: String, asOf: Int,
+      numPartitions: Int, nprobe: Int, topK: Int): DataFrame = {
+    val snap = Layout.compactAsOf(segments, "vec_id", segCol, "cid",
+        numPartitions, asOf)
+      .transform(graft.util.CacheScope.persist)
+    val gens = snap.select(col(genCol)).distinct().collect()
+      .map(_.getInt(0)).sorted
+    require(gens.length == 1,
+      s"as-of $asOf snapshot spans ${gens.length} bounds generations " +
+        s"(${gens.mkString(", ")}) — a serveable snapshot encodes " +
+        "under exactly one; recalibrate as a full segment")
+    val bounds = boundsVersions.filter(col(genCol) === gens.head)
+      .select(col("d"), col("p_lo"), col("p_hi"))
+    val deadAsOf = tombstones.filter(col(segCol) <= asOf)
+      .select(col("vec_id")).distinct()
+    val live = snap.filter(predicate)
+      .join(broadcast(deadAsOf), Seq("vec_id"), "left_anti")
+    calibratedIvfSearch(coarse, live.select(col("vec_id"), col("cid")),
+      live.select(col("vec_id"), col("codes")), queries, idCol, vecCol,
+      bounds, nprobe, topK)
+  }
+
   private def guardDims(qvec: Column, d: Int): Column =
     when(size(qvec) === d, qvec)
       .otherwise(raise_error(concat(

@@ -4248,9 +4248,158 @@ ${coarseCtes()},
       ORDER BY table_name
     """))
 
+  // --------------------------------------------------------------- q255
+  // AS-OF the FULL serving stack — q249 snapshot-read the code
+  // segments alone; this pins EVERYTHING a delete or recalibration
+  // can move, "serve q238 exactly as it stood at segment 1":
+  // segments ≤ 1 elect latest-per-id (seg 2 — a full RECALIBRATION
+  // re-encode under generation-1 bounds — is invisible), the
+  // tombstone set as-of 1 (the %5 deletes stamped seg 1 mask out; the
+  // %11 deletes stamped seg 2 are POST-snapshot and must NOT mask —
+  // the reproducibility point), the bounds GENERATION the surviving
+  // codes were built with (all gen 0 here — the operator probes the
+  // snapshot and raises on a mixed-generation state), and the q235
+  // attribute predicate on the snapshot scan. Oracle = full recompute
+  // over exactly that state: segs {0,1}, gen-0 bounds, %5 mask only,
+  // label = 3.
+  private val q255 = Q(
+    "q255_serving_stack_asof",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val bounds0 = graft.operators.Quantize.calibrationBounds(history,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val bounds1 = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      def seg(rows: org.apache.spark.sql.DataFrame, ord: Int, gen: Int,
+          b: org.apache.spark.sql.DataFrame) =
+        graft.operators.Quantize.calibratedCodes(rows, "vec_id",
+            "embedding", b)
+          .join(graft.operators.Ivf.flatIndex(coarse, rows, "vec_id",
+              "embedding", Seq("label"))
+            .select(col("vec_id"), col("cid"), col("label")),
+            Seq("vec_id"))
+          .withColumn("seg", lit(ord)).withColumn("gen", lit(gen))
+      val seg0 = seg(e, 0, 0, bounds0)
+      val seg1 = seg(e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          col("label")), 1, 0, bounds0)
+      // seg 2: recalibration — the WHOLE corpus re-encodes under the
+      // gen-1 bounds as one segment (that is what makes a generation
+      // serveable: no snapshot can straddle it)
+      val seg2 = seg(e, 2, 1, bounds1)
+      val tombs = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id")).withColumn("seg", lit(1))
+        .unionByName(e.filter(col("vec_id") % 11 === 0)
+          .select(col("vec_id")).withColumn("seg", lit(2)))
+      val boundsVers = bounds0.withColumn("gen", lit(0))
+        .unionByName(bounds1.withColumn("gen", lit(1)))
+      graft.operators.Quantize.calibratedServeAsOf(coarse,
+          seg0.unionByName(seg1).unionByName(seg2), tombs, boundsVers,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          col("label") === 3, "seg", "gen", asOf = 1,
+          numPartitions = 8, nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      exh AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)
+        WHERE vec_id % 3 > 0),
+      st AS (SELECT d, COUNT(*) AS n FROM exh GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM exh),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      sv AS (
+        SELECT vec_id, 0 AS seg, qvec FROM vx
+        UNION ALL
+        SELECT vec_id, 1 AS seg,
+               list_transform(generate_series(1, 64), i -> qvec[65 - i])
+        FROM vx WHERE vec_id % 7 = 0),
+      lt AS (SELECT vec_id, MAX(seg) AS seg FROM sv GROUP BY vec_id),
+      pick AS (
+        SELECT sv.vec_id, sv.qvec FROM sv JOIN lt USING (vec_id, seg)),
+      pcid AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT p.vec_id, c.cid,
+                   list_dot_product(p.qvec, p.qvec)
+                   - 2.0 * list_dot_product(p.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM pick p, co2 c))
+        WHERE rn = 1),
+      pd AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM pick, UNNEST(generate_series(1, 64)) t(d)),
+      dqt AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM pd e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      exq AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)
+        WHERE vec_id < 10),
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p
+        JOIN pcid a ON a.cid = p.cid AND a.vec_id <> p.q_id
+        JOIN embeddings em ON em.vec_id = a.vec_id
+        WHERE a.vec_id % 5 <> 0 AND em.label = 3),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               SUM((qx.x - dd.dq) * (qx.x - dd.dq)) AS d2
+        FROM cand c
+        JOIN dqt dd ON dd.vec_id = c.n_id
+        JOIN exq qx ON qx.vec_id = c.q_id AND qx.d = dd.d
+        GROUP BY c.q_id, c.n_id)
+      SELECT q_id, n_id, CAST(d2 AS BIGINT) AS d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
-    q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252)
+    q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
+    q255)
 }

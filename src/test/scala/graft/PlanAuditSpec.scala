@@ -161,7 +161,12 @@ class PlanAuditSpec extends SparkSpec {
       // O(deleted) correction, then the corrected pair into scoring)
       // — q106's corpus-constant class; the mask itself is a
       // broadcast anti equi-join
-      "q254_tombstone_masked_bm25")
+      "q254_tombstone_masked_bm25",
+      // q255 composes q247/q249's per-segment assignment fans (the
+      // ≤8-row coarse codebook, three segments + the probe) under the
+      // as-of cutoff; election, generation pin, mask, and scoring are
+      // id/cell-keyed equi-joins — nothing new crosses
+      "q255_serving_stack_asof")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -1226,4 +1226,81 @@ class PqSpec extends SparkSpec {
       assert(byNp(k + 3)(qid)._2 == n - 1, "nprobe > k changed the full probe")
     }
   }
+
+  test("full-stack as-of: post-N delete invisible; generation pins; mixed-gen raises") {
+    val s = spark
+    import s.implicits._
+    val k = 4
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val bounds0 = Quantize.calibrationBounds(
+      emb.filter(col("vec_id") % 3 > 0), "vec_id", "embedding", 10, 990)
+    val bounds1 = Quantize.calibrationBounds(emb, "vec_id", "embedding",
+      10, 990)
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", k, 2)
+    def seg(rows: org.apache.spark.sql.DataFrame, ord: Int, gen: Int,
+        b: org.apache.spark.sql.DataFrame) =
+      Quantize.calibratedCodes(rows, "vec_id", "embedding", b)
+        .join(Ivf.assignIds(Ivf.quantized(rows, "vec_id", "embedding"),
+            coarse).select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .withColumn("seg", lit(ord)).withColumn("gen", lit(gen))
+    val segments = seg(emb, 0, 0, bounds0)
+      .unionByName(seg(emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          reverse(col("embedding")).as("embedding")), 1, 0, bounds0))
+      .unionByName(seg(emb, 2, 1, bounds1)) // recalibration segment
+    val tombs = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id")).withColumn("seg", lit(1))
+      .unionByName(emb.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id")).withColumn("seg", lit(2)))
+    val vers = bounds0.withColumn("gen", lit(0))
+      .unionByName(bounds1.withColumn("gen", lit(1)))
+    val q = emb.filter(col("vec_id") < 3)
+    val n = allIds.size
+    // probing all cells with topK = corpus surfaces the ENTIRE live
+    // set — the visibility probe
+    def served(asOf: Int) = Quantize.calibratedServeAsOf(coarse,
+        segments, tombs, vers, q, "vec_id", "embedding", lit(true),
+        "seg", "gen", asOf, numPartitions = 4, nprobe = k, topK = n)
+      .select("n_id").distinct().collect().map(_.getLong(0)).toSet
+    // with 3 queries probing every cell at topK = corpus, the union of
+    // neighbors IS the live set (self-exclusion removes a vector only
+    // from its own query's list, never from the union)
+    val asOf1 = served(1)
+    assert(asOf1 == allIds.filter(_ % 5 != 0),
+      "as-of 1 must hide exactly the seg-1 tombstones (post-N deletes visible)")
+    // the %11 victims deleted at seg 2 are STILL SERVED as-of 1
+    assert(asOf1.exists(i => i % 11 == 0 && i % 5 != 0),
+      "a post-snapshot delete leaked back into the as-of read")
+    val asOf2 = served(2)
+    assert(asOf2.forall(i => i % 5 != 0 && i % 11 != 0),
+      "at latest, both tombstone stamps must mask")
+    // generation pinning: the as-of 2 snapshot (all gen 1) must equal
+    // a hand-composed serve under bounds1 — and the operator must have
+    // picked gen 1, not gen 0
+    val hand = Quantize.calibratedIvfSearch(coarse,
+        seg(emb, 2, 1, bounds1).filter(col("vec_id") % 5 =!= 0)
+          .filter(col("vec_id") % 11 =!= 0)
+          .select(col("vec_id"), col("cid")),
+        seg(emb, 2, 1, bounds1).filter(col("vec_id") % 5 =!= 0)
+          .filter(col("vec_id") % 11 =!= 0)
+          .select(col("vec_id"), col("codes")),
+        q, "vec_id", "embedding", bounds1, nprobe = k, topK = n)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val opAsOf2 = Quantize.calibratedServeAsOf(coarse, segments, tombs,
+        vers, q, "vec_id", "embedding", lit(true), "seg", "gen", 2,
+        numPartitions = 4, nprobe = k, topK = n)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(opAsOf2 == hand,
+      "as-of latest diverged from the hand-composed gen-1 serve")
+    // a snapshot straddling two generations is unserveable — loud
+    val straddle = seg(emb, 0, 0, bounds0)
+      .unionByName(seg(emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          reverse(col("embedding")).as("embedding")), 1, 1, bounds1))
+    intercept[IllegalArgumentException] {
+      Quantize.calibratedServeAsOf(coarse, straddle, tombs, vers, q,
+        "vec_id", "embedding", lit(true), "seg", "gen", 1,
+        numPartitions = 4, nprobe = k, topK = n)
+    }
+  }
 }
