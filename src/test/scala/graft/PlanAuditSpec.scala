@@ -183,6 +183,76 @@ class PlanAuditSpec extends SparkSpec {
       "q216_stream_permuted_encode", "q218_stream_index_health",
       "q246_stream_snippet")
 
+  // The allowlist above documents WHY each fan is bounded; this test
+  // stops trusting the comments — it EXECUTES every allowlisted query
+  // at sf0.001 and measures each cross-shaped join's smaller input via
+  // runtime metrics. A fan whose constant side is in fact
+  // corpus-sized (the regression the allowlist-by-name discipline
+  // could let in) fails here with the measured row count, so a new
+  // allowlist entry must be bounded in FACT, not just in prose. The
+  // bound sits an order of magnitude above every legitimate constant
+  // side in the suite (codebooks k·m ≤ 32, query panels ≤ 10 with
+  // nprobe fans ≤ 80, 1-row totals, group-aggregate pairs) and well
+  // below the 500-row sf0.001 corpus.
+  test("allowlisted cross fans are bounded IN FACT: build sides measured, not trusted") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val dir = "/root/testdata/sf0.001"
+    val bound = 128L
+    def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+      f(p)
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+        case _ => p.children
+      }
+      kids.foreach(walk(_)(f))
+      p.subqueries.foreach(walk(_)(f))
+    }
+    // numOutputRows of a subtree: on the node itself, else down the
+    // single-child spine (codegen/exchange wrappers)
+    def rows(p: SparkPlan): Option[Long] = p match {
+      // stage/reuse wrappers nest via fields, not children — recurse
+      // through them BEFORE reading metrics (ReusedExchange is a leaf
+      // whose own metric map is empty; the original exchange has the
+      // count)
+      case q: QueryStageExec => rows(q.plan)
+      case r: ReusedExchangeExec => rows(r.child)
+      case other =>
+        other.metrics.get("numOutputRows").map(_.value).orElse {
+          if (other.children.size == 1) rows(other.children.head)
+          else None
+        }
+    }
+    val offenders = boundedCrossJoinAllowed.toSeq.sorted.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      graft.util.CacheScope.withScope {
+        val df = fn(spark, dir)
+        df.collect() // execute so metrics populate (small gate outputs)
+        val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+        walk(df.queryExecution.executedPlan) {
+          case j @ (_: CartesianProductExec | _: BroadcastNestedLoopJoinExec) =>
+            val sides = j.children.map(c => rows(c).getOrElse(-1L))
+            val small = if (sides.exists(_ < 0)) -1L else sides.min
+            if (small < 0 || small > bound)
+              bad += s"$name: ${j.nodeName} smaller side = $small"
+          case _ =>
+        }
+        bad.toSeq
+      }
+    }
+    assert(offenders.isEmpty,
+      s"cross fans exceeding the $bound-row constant bound:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("no query plans CartesianProduct or BroadcastNestedLoopJoin") {
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
