@@ -128,6 +128,80 @@ object Layout {
     }.reduce(_.unionByName(_))
   }
 
+  /** O(new) MAINTENANCE of an [[indexManifest]] — the manifest is a
+    * LEDGER, not a snapshot-only artifact: n_rows adds and the XOR
+    * checksum is its own inverse (a group), so an append-only table's
+    * manifest merges from the batch's manifest alone and a delete
+    * RETRACTS by merging the deleted rows' manifest with negated
+    * count — history is never re-fingerprinted (the
+    * [[graft.operators.Ledger]] discipline on the integrity axis).
+    * Inputs/output are (table_name, n_rows, checksum) frames; tables
+    * absent from one side pass through. */
+  def manifestMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("table_name"), col("n_rows"), col("checksum"))
+      .unionByName(
+        b.select(col("table_name"), col("n_rows"), col("checksum")))
+      .groupBy(col("table_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        expr("bit_xor(checksum)").as("checksum"))
+
+  /** [[manifestMerge]]'s delete direction: XOR is self-inverse, so
+    * retracting = merging the DELETED rows' manifest with its row
+    * count negated. `full` minus `deleted` must be a true superset
+    * relationship — the caller's contract, exactly [[graft.operators
+    * .Ledger.retract]]'s. */
+  def manifestRetract(full: DataFrame, deleted: DataFrame): DataFrame =
+    manifestMerge(full,
+      deleted.select(col("table_name"),
+        (-col("n_rows")).as("n_rows"), col("checksum")))
+
+  /** SNAPSHOT DIFF — the provenance report between two as-of reads of
+    * a segmented, tombstoned stored table ("what changed between the
+    * index my last run trained on and today's"): per id, `added`
+    * (live at new, absent/dead at old), `deleted` (the reverse),
+    * `restated` (live in both, a newer segment elected), or
+    * `unchanged`; ids live in neither snapshot are omitted. Liveness
+    * matches the serving semantic exactly ([[compactAsOf]] election +
+    * the as-of tombstone mask of the q255 stack), so the diff IS the
+    * difference between the two serveable states.
+    *
+    * Scale shape: ONE corpus aggregation computes both elections (max
+    * segment ≤ old and ≤ new ride the same groupBy — no second pass,
+    * no join between snapshots), and the tombstone stamps join as
+    * deleted-proportional broadcasts. Output: (idCol, status,
+    * seg_old, seg_new) — segs null on the absent side. */
+  def snapshotDiff(segments: DataFrame, tombstones: DataFrame,
+      idCol: String, segCol: String, asOfOld: Int,
+      asOfNew: Int): DataFrame = {
+    require(asOfNew >= asOfOld,
+      s"snapshotDiff: asOfNew=$asOfNew must be >= asOfOld=$asOfOld")
+    val elected = segments.filter(col(segCol) <= asOfNew)
+      .groupBy(col(idCol))
+      .agg(max(when(col(segCol) <= asOfOld, col(segCol))).as("seg_old"),
+        max(col(segCol)).as("seg_new"))
+    val deadOld = tombstones.filter(col(segCol) <= asOfOld)
+      .select(col(idCol)).distinct().withColumn("__dead_old", lit(true))
+    val deadNew = tombstones.filter(col(segCol) <= asOfNew)
+      .select(col(idCol)).distinct().withColumn("__dead_new", lit(true))
+    elected
+      .join(broadcast(deadOld), Seq(idCol), "left")
+      .join(broadcast(deadNew), Seq(idCol), "left")
+      .withColumn("__lo",
+        col("seg_old").isNotNull && !coalesce(col("__dead_old"), lit(false)))
+      .withColumn("__ln",
+        col("seg_new").isNotNull && !coalesce(col("__dead_new"), lit(false)))
+      .withColumn("status",
+        when(col("__lo") && !col("__ln"), lit("deleted"))
+          .when(!col("__lo") && col("__ln"), lit("added"))
+          .when(col("__lo") && col("__ln") &&
+            col("seg_new") > col("seg_old"), lit("restated"))
+          .when(col("__lo") && col("__ln"), lit("unchanged")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"),
+        when(col("__lo"), col("seg_old")).as("seg_old"),
+        when(col("__ln"), col("seg_new")).as("seg_new"))
+  }
+
   /** [[compactLatest]] for MULTI-ROW-per-id segment tables — the
     * posting-list case: a restated document re-tokenizes ONLY itself
     * and writes ALL its (token, doc, pos) rows as one new segment

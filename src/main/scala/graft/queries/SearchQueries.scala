@@ -810,6 +810,60 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
+  // --------------------------------------------------------------- q258
+  // INCREMENTAL integrity manifest — q252's manifest treated as the
+  // LEDGER it algebraically is: n_rows adds and the XOR checksum is
+  // its own inverse (a group), so the postings manifest maintains at
+  // O(new) per append (merge the batch's manifest — history is never
+  // re-fingerprinted) and O(deleted) per delete (retract = merge the
+  // deleted rows' manifest with negated count). The gate proves both
+  // directions against direct re-derivation: merged(history, batch) ≡
+  // manifest(full), and retract(full, deleted docs' rows) ≡
+  // manifest(survivors) — bit-for-bit on the 60-bit XOR.
+  private val q258 = Q(
+    "q258_incremental_manifest",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def manifest(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Layout.indexManifest(Seq(
+          ("postings", Search.positionalIndex(d, "doc_id", "text"),
+            concat_ws("|", col("token"), col("doc_id"), col("pos")))))
+      val merged = graft.operators.Layout.manifestMerge(
+        manifest(docs.filter(col("doc_id") % 3 > 0)),
+        manifest(docs.filter(col("doc_id") % 3 === 0)))
+      val retracted = graft.operators.Layout.manifestRetract(
+        manifest(docs),
+        manifest(docs.filter(col("doc_id") % 9 === 0)))
+      merged.withColumn("phase", lit("merged"))
+        .unionByName(retracted.withColumn("phase", lit("retracted")))
+        .orderBy(col("phase"))
+    },
+    Some(s"""
+      WITH posti AS (
+        SELECT n.doc_id, n.w[t.i] AS token, t.i - 1 AS pos
+        FROM (SELECT doc_id, $wordsSql AS w FROM documents) n,
+             UNNEST(generate_series(1, len(n.w))) t(i)),
+      mfull AS (
+        SELECT 'postings' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(token || '|' || doc_id || '|' || pos),
+                   1, 15))::BIGINT), 0) AS checksum
+        FROM posti),
+      msurv AS (
+        SELECT 'postings' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(token || '|' || doc_id || '|' || pos),
+                   1, 15))::BIGINT), 0) AS checksum
+        FROM posti WHERE doc_id % 9 <> 0)
+      SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(checksum AS BIGINT) AS checksum, phase
+      FROM (
+        SELECT table_name, n_rows, checksum, 'merged' AS phase FROM mfull
+        UNION ALL
+        SELECT table_name, n_rows, checksum, 'retracted' AS phase FROM msurv)
+      ORDER BY phase
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
-    q232, q242, q243, q244, q245, q253, q254)
+    q232, q242, q243, q244, q245, q253, q254, q258)
 }

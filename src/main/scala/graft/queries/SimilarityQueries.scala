@@ -4396,10 +4396,176 @@ ${coarseCtes("vec_id % 3 > 0")},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q256
+  // FILTERED rerank funnel — the last serving composition on the
+  // filter axis: the attribute predicate (q248/q250's discipline,
+  // applied to the assignment scan BEFORE the probe join) restricts
+  // WHICH candidates can enter the int8 shortlist, and the exact
+  // rescore then touches full vectors only for those
+  // predicate-satisfying nq·shortlistK ids on one base scan. The
+  // filter can never be outrun by the funnel: shortlist ids already
+  // satisfy the predicate, so the rerank tail needs no re-check — the
+  // composition is the claim.
+  private val q256 = Q(
+    "q256_filtered_rerank_funnel",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bounds = graft.operators.Quantize.calibrationBounds(e,
+        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
+          "embedding", Seq("label"))
+        .select(col("vec_id"), col("cid"), col("label"))
+      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
+        "embedding", bounds)
+      graft.operators.Quantize.calibratedIvfRerank(coarse,
+          assigned.filter(col("label") === 3)
+            .select(col("vec_id"), col("cid")),
+          codes, e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          bounds, nprobe = 3, shortlistK = 10, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 3),
+      ex AS (
+        SELECT vec_id, d, CAST(qvec[d] AS BIGINT) AS x
+        FROM vx, UNNEST(generate_series(1, 64)) t(d)),
+      st AS (SELECT d, COUNT(*) AS n FROM ex GROUP BY d),
+      rk AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY x ASC) - 1 AS r
+        FROM ex),
+      blo AS (
+        SELECT rk.d, MIN(rk.x) AS lo FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 10 // 1000 GROUP BY rk.d),
+      bhi AS (
+        SELECT rk.d, MIN(rk.x) AS hi FROM rk JOIN st USING (d)
+        WHERE rk.r = (st.n - 1) * 990 // 1000 GROUP BY rk.d),
+      dqt AS (
+        SELECT e.vec_id, e.d,
+               CASE WHEN c.hi > b.lo THEN
+                 b.lo + ((GREATEST(LEAST(e.x, c.hi), b.lo) - b.lo) * 255
+                         // (c.hi - b.lo)) * (c.hi - b.lo) // 255
+               ELSE b.lo END AS dq
+        FROM ex e JOIN blo b USING (d) JOIN bhi c USING (d)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p
+        JOIN cellof a ON a.cid = p.cid AND a.vec_id <> p.q_id
+        JOIN embeddings em ON em.vec_id = a.vec_id
+        WHERE em.label = 3),
+      scored AS (
+        SELECT c.q_id, c.n_id,
+               SUM((qx.x - dd.dq) * (qx.x - dd.dq)) AS d2
+        FROM cand c
+        JOIN dqt dd ON dd.vec_id = c.n_id
+        JOIN ex qx ON qx.vec_id = c.q_id AND qx.d = dd.d
+        GROUP BY c.q_id, c.n_id),
+      short AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, n_id ASC) AS rnk
+          FROM scored)
+        WHERE rnk <= 10),
+      rr AS (
+        SELECT sh.q_id, sh.n_id,
+               list_dot_product(qv.qvec, qv.qvec)
+               - 2.0 * list_dot_product(qv.qvec, nv.qvec)
+               + list_dot_product(nv.qvec, nv.qvec) AS exact_d2
+        FROM short sh
+        JOIN vx qv ON qv.vec_id = sh.q_id
+        JOIN vx nv ON nv.vec_id = sh.n_id)
+      SELECT q_id, n_id, exact_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, exact_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY exact_d2 ASC, n_id ASC) AS rnk
+        FROM rr)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q257
+  // SNAPSHOT DIFF — the provenance report between two as-of reads of
+  // the segmented, tombstoned index ("what changed between the index
+  // my last run trained on and today's"): one corpus aggregation
+  // computes BOTH elections (max segment ≤ old and ≤ new ride the
+  // same groupBy), tombstone stamps join as deleted-proportional
+  // broadcasts, and liveness matches the q255 serving semantic
+  // exactly — so the diff IS the difference between the two
+  // serveable states. Fixture: seg 0 = history build (%3 > 0), seg 1
+  // = the %3 = 0 cohort APPENDS + the %7 cohort restates; deletes
+  // stamp %5 at seg 0's mask and %11 at seg 1's. Every status
+  // appears: added, deleted, restated, unchanged.
+  private val q257 = Q(
+    "q257_snapshot_diff",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val seg0 = e.filter(col("vec_id") % 3 > 0)
+        .select(col("vec_id")).withColumn("seg", lit(0))
+      val seg1 = e.filter(col("vec_id") % 3 === 0 ||
+          col("vec_id") % 7 === 0)
+        .select(col("vec_id")).withColumn("seg", lit(1))
+      val tombs = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id")).withColumn("seg", lit(0))
+        .unionByName(e.filter(col("vec_id") % 11 === 0)
+          .select(col("vec_id")).withColumn("seg", lit(1)))
+      graft.operators.Layout.snapshotDiff(seg0.unionByName(seg1),
+          tombs, "vec_id", "seg", asOfOld = 0, asOfNew = 1)
+        .orderBy(col("vec_id"))
+    },
+    Some(raw"""
+      WITH ids AS (SELECT vec_id FROM embeddings),
+      segs AS (
+        SELECT vec_id, 0 AS seg FROM ids WHERE vec_id % 3 > 0
+        UNION ALL
+        SELECT vec_id, 1 AS seg FROM ids
+        WHERE vec_id % 3 = 0 OR vec_id % 7 = 0),
+      el AS (
+        SELECT vec_id,
+               MAX(CASE WHEN seg <= 0 THEN seg END) AS seg_old,
+               MAX(seg) AS seg_new
+        FROM segs GROUP BY vec_id),
+      st AS (
+        SELECT e.vec_id, e.seg_old, e.seg_new,
+               (e.seg_old IS NOT NULL AND e.vec_id % 5 <> 0) AS lo,
+               (e.seg_new IS NOT NULL AND e.vec_id % 5 <> 0
+                AND e.vec_id % 11 <> 0) AS ln
+        FROM el e)
+      SELECT vec_id,
+             CASE WHEN lo AND NOT ln THEN 'deleted'
+                  WHEN NOT lo AND ln THEN 'added'
+                  WHEN lo AND ln AND seg_new > seg_old THEN 'restated'
+                  WHEN lo AND ln THEN 'unchanged' END AS status,
+             CAST(CASE WHEN lo THEN seg_old END AS INTEGER) AS seg_old,
+             CAST(CASE WHEN ln THEN seg_new END AS INTEGER) AS seg_new
+      FROM st
+      WHERE (lo OR ln)
+      ORDER BY vec_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
-    q255)
+    q255, q256, q257)
 }

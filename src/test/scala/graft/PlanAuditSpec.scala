@@ -166,7 +166,12 @@ class PlanAuditSpec extends SparkSpec {
       // ≤8-row coarse codebook, three segments + the probe) under the
       // as-of cutoff; election, generation pin, mask, and scoring are
       // id/cell-keyed equi-joins — nothing new crosses
-      "q255_serving_stack_asof")
+      "q255_serving_stack_asof",
+      // q256 = q241's fans (≤8-row coarse probe + the attributed
+      // flatIndex build) with the predicate on the assignment scan;
+      // the rerank tail broadcasts the ≤ |Q|·shortlistK survivor
+      // frame (q195/q208's class)
+      "q256_filtered_rerank_funnel")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -211,6 +211,57 @@ class LayoutSpec extends SparkSpec {
     assert(empty._2 == 0L && empty._3 == 0L)
   }
 
+  test("manifest ledger: merge ≡ full derivation; retract is merge's exact inverse") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 40L).map(i => (i, i * 7 % 13)).toDF("id", "v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Layout.indexManifest(Seq(("t", df,
+        concat_ws("|", col("id"), col("v")))))
+    def one(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).head
+    val full = one(m(rows))
+    // append direction: history ⊕ batch ≡ full — history never re-read
+    val merged = one(Layout.manifestMerge(
+      m(rows.filter(col("id") <= 25)), m(rows.filter(col("id") > 25))))
+    assert(merged == full, s"merge diverged: $merged vs $full")
+    // delete direction: full ⊖ deleted ≡ survivors
+    val retracted = one(Layout.manifestRetract(
+      m(rows), m(rows.filter(col("id") % 4 === 0))))
+    val survivors = one(m(rows.filter(col("id") % 4 =!= 0)))
+    assert(retracted == survivors,
+      s"retract diverged: $retracted vs $survivors")
+    // and retracting everything lands exactly on the empty manifest
+    val zero = one(Layout.manifestRetract(m(rows), m(rows)))
+    assert(zero._2 == 0L && zero._3 == 0L, s"full retract not zero: $zero")
+  }
+
+  test("snapshotDiff: all four statuses; liveness matches the serving mask") {
+    val s = spark
+    import s.implicits._
+    // ids: 1 unchanged, 2 restated at seg 1, 3 added at seg 1,
+    // 4 deleted at stamp 1, 5 dead in BOTH snapshots (absent),
+    // 6 added at seg 1 but dead at stamp 1 (absent)
+    val segs = Seq((1L, 0), (2L, 0), (2L, 1), (3L, 1), (4L, 0),
+        (5L, 0), (6L, 1))
+      .toDF("id", "seg")
+    val tombs = Seq((4L, 1), (5L, 0), (6L, 1)).toDF("id", "seg")
+    val got = Layout.snapshotDiff(segs, tombs, "id", "seg", 0, 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(2)).map(_.toString.toInt),
+        Option(r.get(3)).map(_.toString.toInt))).toMap
+    assert(got == Map(
+      1L -> ("unchanged", Some(0), Some(0)),
+      2L -> ("restated", Some(0), Some(1)),
+      3L -> ("added", None, Some(1)),
+      4L -> ("deleted", Some(0), None)),
+      s"diff wrong: $got")
+    intercept[IllegalArgumentException] {
+      Layout.snapshotDiff(segs, tombs, "id", "seg", 2, 1)
+    }
+  }
+
   test("compactLatestMulti: group election drops vanished rows; as-of restores the old list") {
     val s = spark
     import s.implicits._
