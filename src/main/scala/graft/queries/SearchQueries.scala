@@ -864,6 +864,34 @@ object SearchQueries extends QueryPack {
       ORDER BY phase
     """))
 
+  // --------------------------------------------------------------- q259
+  // STREAMING integrity manifest — q252/q258's ledger maintained
+  // IN-FLIGHT: posting fingerprints compute in-row on each arriving
+  // document (pure projection), and the running (n_rows, checksum)
+  // pair is a Complete-mode global aggregate with ONE row of state
+  // (count adds, XOR folds — manifestMerge's algebra is exactly why
+  // micro-batch partials compose), so the verify-before-serve
+  // artifact is ready the moment the drain finishes. Oracle = the
+  // batch manifest over the same corpus.
+  private val q259 = Q(
+    "q259_stream_manifest",
+    (s, dir) => {
+      graft.streaming.StreamingOps.streamManifest(s, dir,
+        "q259_manifest_sink")
+    },
+    Some(s"""
+      WITH posti AS (
+        SELECT n.doc_id, n.w[t.i] AS token, t.i - 1 AS pos
+        FROM (SELECT doc_id, $wordsSql AS w FROM documents) n,
+             UNNEST(generate_series(1, len(n.w))) t(i))
+      SELECT 'postings' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(bit_xor(
+               ('0x' || substr(md5(token || '|' || doc_id || '|' || pos),
+                 1, 15))::BIGINT), 0) AS BIGINT) AS checksum
+      FROM posti
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
-    q232, q242, q243, q244, q245, q253, q254, q258)
+    q232, q242, q243, q244, q245, q253, q254, q258, q259)
 }

@@ -894,6 +894,42 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** STREAMING integrity manifest — [[graft.operators.Layout
+    * .indexManifest]] maintained IN-FLIGHT: each arriving document's
+    * posting rows fingerprint in-row (pure projection), and the
+    * running (n_rows, checksum) pair is a Complete-mode global
+    * aggregate whose state is ONE row — count adds and bit-XOR is
+    * commutative/associative, so the partial aggregates fold across
+    * micro-batches exactly like the batch ledger
+    * ([[graft.operators.Layout.manifestMerge]]'s algebra, which is
+    * also why an AvailableNow drain ≡ the batch manifest, the gate's
+    * oracle). The verify-before-serve artifact is ready the moment
+    * the drain finishes — no post-hoc corpus re-fingerprint. */
+  def streamManifest(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_stream_manifest",
+      "documents.parquet" -> s"$dir/documents.parquet")
+    val docsSchema = spark.read.parquet(streamDir.toString).schema
+    require(docsSchema.exists(f => f.name == "doc_id" &&
+        f.dataType == LongType) &&
+      docsSchema.exists(f => f.name == "text" && f.dataType == StringType),
+      "documents schema drifted: expected (doc_id LONG, text STRING) " +
+        s"among ${docsSchema.treeString}")
+    val manifest = spark.readStream.schema(docsSchema)
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), graft.operators.Dedup.words(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "token")))
+      .select(conv(substring(md5(
+          concat_ws("|", col("token"), col("doc_id"), col("pos"))),
+          1, 15), 16, 10).cast("long").as("fp"))
+      .groupBy(lit("postings").as("table_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(fp)").as("checksum"))
+    drainToMemory(spark, manifest, queryName, OutputMode.Complete(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** Shared harness head for the novelty gates: stage the documents
     * file for the directory-monitoring source, PROBE the batch footer
     * for the declared stream schema (the [[eventsStream]] discipline —

@@ -186,7 +186,7 @@ class PlanAuditSpec extends SparkSpec {
       "q165_stream_corpus_health", "q188_stream_decontam_gate",
       "q201_stream_pq_encode", "q215_stream_frame_gate",
       "q216_stream_permuted_encode", "q218_stream_index_health",
-      "q246_stream_snippet")
+      "q246_stream_snippet", "q259_stream_manifest")
 
   // The allowlist above documents WHY each fan is bounded; this test
   // stops trusting the comments — it EXECUTES every allowlisted query
