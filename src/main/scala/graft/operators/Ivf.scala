@@ -454,7 +454,22 @@ object Ivf {
     * (q_id, cells_probed, candidates). */
   def probeCost(coarse: DataFrame, assigned: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    probeCostSweep(coarse, assigned, queries, idCol, vecCol,
+      Seq(nprobe)).drop("nprobe")
+
+  /** [[probeCost]] across a WHOLE nprobe sweep from ONE probe
+    * ranking — the q240 shape ("cost at nprobe ∈ {1, 2, 4}") without
+    * re-fanning the codebook per sweep point: the coarse argsort
+    * computes once to the largest nprobe, each sweep value reads its
+    * rank prefix (a per-row filter on the tiny probe frame), and the
+    * occupancy/self-cell joins amortize across all points. Output:
+    * (nprobe, q_id, cells_probed, candidates). */
+  def probeCostSweep(coarse: DataFrame, assigned: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"probeCostSweep: nprobes must be >= 1, got $nprobes")
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("__pd2").asc, col("cid").asc)
     val probes = quantized(queries, idCol, vecCol)
@@ -462,8 +477,8 @@ object Ivf {
       .crossJoin(broadcast(coarse))
       .withColumn("__pd2", dist2(col("__qv"), col("cent")))
       .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("cid"))
+      .filter(col("__rn") <= nprobes.max)
+      .select(col("q_id"), col("cid"), col("__rn"))
     val occ = assigned.groupBy(col("cid")).agg(count(lit(1)).as("__occ"))
     // the self-cell table restricts to the bounded query panel FIRST
     // (broadcast semi-join on the assignment scan), so the probe join
@@ -475,9 +490,13 @@ object Ivf {
     probes
       .join(broadcast(occ), Seq("cid"), "left")
       .join(broadcast(self), Seq("q_id", "cid"), "left")
-      .groupBy(col("q_id"))
+      .select(col("q_id"), col("__rn"),
+        coalesce(col("__occ"), lit(0L)).as("__occ"),
+        coalesce(col("__self"), lit(0L)).as("__self"),
+        explode(typedLit(nprobes.distinct.sorted)).as("nprobe"))
+      .filter(col("__rn") <= col("nprobe"))
+      .groupBy(col("nprobe"), col("q_id"))
       .agg(count(lit(1)).as("cells_probed"),
-        sum(coalesce(col("__occ"), lit(0L)) -
-          coalesce(col("__self"), lit(0L))).as("candidates"))
+        sum(col("__occ") - col("__self")).as("candidates"))
   }
 }

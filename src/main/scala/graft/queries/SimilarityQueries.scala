@@ -3383,14 +3383,20 @@ ${coarseCtes()},
             Nil),
           q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
         .transform(graft.util.CacheScope.persist)
+      // ONE probe ranking serves every sweep point's cost columns
+      // (rank-prefix reads — no per-np codebook re-fan); persisted so
+      // the three branch joins read it, not recompute it
+      val cost = graft.operators.Ivf.probeCostSweep(coarse, assigned,
+          q, "vec_id", "embedding", Seq(1, 2, 4))
+        .transform(graft.util.CacheScope.persist)
       Seq(1, 2, 4).map { np =>
         graft.operators.Similarity.recallAudit(
             graft.operators.Quantize.calibratedIvfSearch(coarse,
               assigned, codes, q, "vec_id", "embedding", bounds,
               nprobe = np, topK = 5),
             exact, 5)
-          .join(graft.operators.Ivf.probeCost(coarse, assigned, q,
-            "vec_id", "embedding", np), Seq("q_id"))
+          .join(cost.filter(col("nprobe") === np).drop("nprobe"),
+            Seq("q_id"))
           .withColumn("nprobe", lit(np))
       }.reduce(_.unionByName(_))
         .groupBy(col("nprobe"))
