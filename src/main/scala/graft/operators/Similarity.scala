@@ -454,6 +454,56 @@ object Similarity {
     * is trivially broadcastable at any corpus scale; recall lands in
     * exact micro-units (hits·10⁶ DIV k), the suite's engine-portable
     * fixed-point convention. Output: (q_id, n_hits, recall_micro). */
+  /** LATE-INTERACTION (MaxSim) top-k — multi-vector retrieval, the
+    * ColBERT scoring shape a modern retrieval stack serves next to
+    * single-vector ANN: a document is a BAG of vectors (one per token
+    * span / frame / chunk), a query likewise, and
+    * score(q, d) = Σ_i max_j ⟨q_i, d_j⟩ — each query vector finds its
+    * best-matching document vector, and the per-query-vector maxima
+    * add. Token-level interaction survives where one pooled vector
+    * washes out (the reason the shape exists).
+    *
+    * Inputs are exploded multi-vector tables (idCol, vecIdxCol,
+    * vecCol) — the storage layout itself (one row per vector, id
+    * ascending within a doc). Dots ride the integral grid
+    * (floor(x·10⁶), exact longs), so scores AND ranks hash-gate.
+    *
+    * Scale shape: the bounded query bag (|Q|·m_q rows) BROADCASTS
+    * onto one pass over the document-vector table (the q20
+    * constant-broadcast class); the per-(query-vector, doc) max is an
+    * aggregate that partial-combines map-side BEFORE its exchange —
+    * the shuffle carries (q, q_idx, doc) maxima, never the
+    * m_q·m_d dot fan; the MaxSim sum then folds those m_q rows per
+    * (q, doc) and the final top-k is one per-query window. At corpus
+    * scale, route first (assign each doc bag a coarse cell by its
+    * pooled vector — [[graft.operators.Ivf]]'s machinery verbatim)
+    * and MaxSim only probed cells; the scorer here is
+    * routing-agnostic: pass the restricted table. Self-matches
+    * excluded. Output: (q_id, n_id, score, rnk ≤ topK), score =
+    * exact long Σ of maxima. */
+  def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame,
+      idCol: String, vecIdxCol: String, vecCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"maxSimTopK: topK must be >= 1, got $topK")
+    val d = docVecs.select(col(idCol).as("n_id"),
+      Ivf.quantize(col(vecCol)).as("__dv"))
+    val q = queryVecs.select(col(idCol).as("q_id"),
+      col(vecIdxCol).as("__qi"), Ivf.quantize(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    d.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("__dot", dot(col("__qv"), col("__dv")).cast("long"))
+      .groupBy(col("q_id"), col("n_id"), col("__qi"))
+      .agg(max(col("__dot")).as("__m"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("__m")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("n_id"), col("score"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   def recallAudit(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"recallAudit: k must be positive, got $k")
     val hits = approx.select(col("q_id"), col("n_id"))

@@ -4568,10 +4568,66 @@ ${coarseCtes()},
       ORDER BY vec_id
     """))
 
+  // --------------------------------------------------------------- q260
+  // LATE-INTERACTION (MaxSim) retrieval — the multi-vector scoring
+  // shape (ColBERT) a modern stack serves NEXT TO single-vector ANN:
+  // a document is a BAG of vectors, score(q, d) = Σ_i max_j ⟨q_i, d_j⟩
+  // — each query vector finds its best document vector and the maxima
+  // add, so token-level interaction survives where one pooled vector
+  // washes out. The bag fixture slices each 64-dim embedding into
+  // 4 × 16-dim vectors (deterministic, engine-replayable). The
+  // per-(query-vector, doc) max partial-combines map-side BEFORE its
+  // exchange — the shuffle carries maxima, never the m_q·m_d dot fan;
+  // the bounded query bag broadcasts (q20's class). Exact-long grid
+  // dots, so scores AND ranks hash-gate.
+  private val q260 = Q(
+    "q260_maxsim_topk",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      graft.operators.Similarity.maxSimTopK(bag(e),
+          bag(e.filter(col("vec_id") < 5)), "vec_id", "vec_idx", "vec",
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      sv AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT q.vec_id AS q_id, d.vec_id AS n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM sv q JOIN sv d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+        GROUP BY q.vec_id, d.vec_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
-    q255, q256, q257)
+    q255, q256, q257, q260)
 }

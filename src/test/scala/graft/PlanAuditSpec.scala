@@ -171,7 +171,11 @@ class PlanAuditSpec extends SparkSpec {
       // flatIndex build) with the predicate on the assignment scan;
       // the rerank tail broadcasts the ≤ |Q|·shortlistK survivor
       // frame (q195/q208's class)
-      "q256_filtered_rerank_funnel")
+      "q256_filtered_rerank_funnel",
+      // q260 fans the bounded query BAG (|Q|·m_q ≤ 20 rows) over one
+      // pass of the document-vector table — q20's constant-broadcast
+      // class; both aggregates partial-combine before their exchanges
+      "q260_maxsim_topk")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

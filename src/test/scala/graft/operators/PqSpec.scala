@@ -1227,6 +1227,56 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("maxSim: single-vector bags ≡ plain dot ranking; hand-checked maxima add") {
+    val s = spark
+    import s.implicits._
+    // hand fixture: 2-dim vectors, 2 per bag. score(q, d) =
+    // Σ_i max_j <q_i, d_j> over the 1e6 grid
+    val docs = Seq(
+      (10L, 0, Array(1f, 0f)), (10L, 1, Array(0f, 1f)),
+      (20L, 0, Array(2f, 0f)), (20L, 1, Array(0f, 0f)),
+      (30L, 0, Array(1f, 1f)), (30L, 1, Array(-1f, 2f)))
+      .toDF("id", "vi", "v")
+    val q = Seq((1L, 0, Array(1f, 0f)), (1L, 1, Array(0f, 1f)))
+      .toDF("id", "vi", "v")
+    val got = Similarity.maxSimTopK(docs, q, "id", "vi", "v", topK = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq.sortBy(_._3)
+    val g = 1e6.toLong * 1e6.toLong // one grid unit squared
+    // q0=(1,0): best of doc10 = 1g (vec 0); q1=(0,1): best = 1g → 2g
+    // doc20: q0 best = 2g, q1 best = 0 → 2g (tie with 10, id asc)
+    // doc30: q0 best = 1g (vec 0), q1 best = 2g (vec 1) → 3g
+    assert(got == Seq((30L, 3 * g, 1), (10L, 2 * g, 2), (20L, 2 * g, 3)),
+      s"maxsim hand fixture wrong: $got")
+    // single-vector bags collapse MaxSim to the plain dot ranking
+    val single = emb.select(col("vec_id"), lit(0).as("vi"),
+      col("embedding").as("v"))
+    val viaMaxSim = Similarity.maxSimTopK(single,
+        single.filter(col("vec_id") < 5), "vec_id", "vi", "v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._3))
+    val qv = Ivf.quantized(emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding")
+      .select(col("vec_id").as("q_id"), col("qvec").as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("__dot").desc, col("n_id").asc)
+    val viaDot = Ivf.quantized(emb, "vec_id", "embedding")
+      .select(col("vec_id").as("n_id"), col("qvec"))
+      .crossJoin(broadcast(qv))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("__dot",
+        graft.functions.VectorFunctions.dot(col("__qv"), col("qvec"))
+          .cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rnk")))
+      .toSeq.sortBy(t => (t._1, t._3))
+    assert(viaMaxSim == viaDot,
+      "single-vector MaxSim diverged from the plain dot ranking")
+  }
+
   test("full-stack as-of: post-N delete invisible; generation pins; mixed-gen raises") {
     val s = spark
     import s.implicits._
