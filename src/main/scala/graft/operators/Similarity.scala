@@ -504,6 +504,66 @@ object Similarity {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** IVF-ROUTED MaxSim — [[maxSimTopK]]'s corpus-scale path: each
+    * document bag routes by its POOLED vector (the stored
+    * [[Ivf.assignIds]] assignment a deployment keeps anyway), queries
+    * probe their `nprobe` nearest coarse cells, and ONLY probed-cell
+    * bags reach the MaxSim scorer — the q185 candidate-restriction
+    * discipline on the late-interaction axis. The scorer is
+    * [[maxSimTopK]]'s verbatim aggregate pair over the restricted
+    * (query, doc) pairs; routing trades recall for cost and changes
+    * nothing else (probing all cells ≡ the unrouted scorer on the
+    * same panel — spec-pinned). `queriesPooled` carries the pooled
+    * query vectors for the probe; bags carry (idCol, vecIdxCol,
+    * vecCol); `assigned` is the stored (vec_id, cid) table keyed by
+    * the same ids as `docVecs`. Self-matches excluded. Output:
+    * (q_id, n_id, score, rnk ≤ topK). */
+  def maxSimRouted(coarse: DataFrame, assigned: DataFrame,
+      docVecs: DataFrame, queryVecs: DataFrame,
+      queriesPooled: DataFrame, idCol: String, vecIdxCol: String,
+      vecCol: String, pooledVecCol: String, nprobe: Int,
+      topK: Int): DataFrame = {
+    require(nprobe >= 1 && topK >= 1,
+      s"maxSimRouted: nprobe=$nprobe, topK=$topK must be >= 1")
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("__pd2").asc, col("cid").asc)
+    val probes = queriesPooled
+      .select(col(idCol).as("q_id"),
+        Ivf.quantize(col(pooledVecCol)).as("__qv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("__pd2",
+        dot(col("__qv"), col("__qv"))
+          - lit(2.0) * dot(col("__qv"), col("cent"))
+          + dot(col("cent"), col("cent")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("cid"))
+    // candidate DOC ids per query — the restriction happens at the id
+    // level on the 2-column assignment, before any vector work
+    val cand = probes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("__cq"), col("vec_id").as("__nid"))
+      .distinct()
+    val dBags = docVecs.select(col(idCol).as("__nid"),
+        col(vecIdxCol).as("__di"), Ivf.quantize(col(vecCol)).as("__dv"))
+      .join(cand, Seq("__nid"))
+    val qBags = queryVecs.select(col(idCol).as("__cq"),
+      col(vecIdxCol).as("__qi"), Ivf.quantize(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    dBags.join(broadcast(qBags), Seq("__cq"))
+      .withColumn("__dot", dot(col("__qv"), col("__dv")).cast("long"))
+      .groupBy(col("__cq").as("q_id"), col("__nid").as("n_id"),
+        col("__qi"))
+      .agg(max(col("__dot")).as("__m"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("__m")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("n_id"), col("score"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   def recallAudit(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"recallAudit: k must be positive, got $k")
     val hits = approx.select(col("q_id"), col("n_id"))

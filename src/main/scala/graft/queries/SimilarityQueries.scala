@@ -4624,10 +4624,91 @@ ${coarseCtes()},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q261
+  // ROUTED MaxSim — q260's scale path made concrete: at corpus scale
+  // the multi-vector scorer cannot touch every document bag, so each
+  // doc routes by its POOLED vector (the whole embedding — exactly
+  // the single vector the bag was sliced from; Ivf.assignIds, the
+  // stored assignment a deployment keeps anyway), queries probe their
+  // nprobe nearest cells, and ONLY probed-cell bags reach the MaxSim
+  // scorer — the q185 candidate-restriction discipline on the
+  // late-interaction axis. The scorer is the identical maxSimTopK
+  // over the restricted table: routing trades recall for cost and
+  // changes nothing else (probing all cells ≡ q260 on the shared
+  // panel, by construction).
+  private val q261 = Q(
+    "q261_routed_maxsim",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      graft.operators.Similarity.maxSimRouted(coarse, assigned,
+          bag(e), bag(e.filter(col("vec_id") < 5)),
+          e.filter(col("vec_id") < 5), "vec_id", "vec_idx", "vec",
+          "embedding", nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 5))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      sv AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT c.q_id, c.n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM cand c
+        JOIN sv q ON q.vec_id = c.q_id
+        JOIN sv d ON d.vec_id = c.n_id
+        GROUP BY c.q_id, c.n_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
-    q255, q256, q257, q260)
+    q255, q256, q257, q260, q261)
 }

@@ -175,7 +175,11 @@ class PlanAuditSpec extends SparkSpec {
       // q260 fans the bounded query BAG (|Q|·m_q ≤ 20 rows) over one
       // pass of the document-vector table — q20's constant-broadcast
       // class; both aggregates partial-combine before their exchanges
-      "q260_maxsim_topk")
+      "q260_maxsim_topk",
+      // q261 = q260's scorer behind the ≤8-row coarse probe fan
+      // (q185's class); the candidate restriction and bag joins are
+      // id/cell-keyed equi-joins
+      "q261_routed_maxsim")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -1277,6 +1277,31 @@ class PqSpec extends SparkSpec {
       "single-vector MaxSim diverged from the plain dot ranking")
   }
 
+  test("routed MaxSim probing all cells ≡ the unrouted scorer") {
+    val s = spark
+    val k = 4
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+          explode(sequence(lit(0), lit(3))).as("vec_idx"),
+          col("embedding"))
+        .select(col("vec_id"), col("vec_idx"),
+          expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", k, 2)
+    val assigned = Ivf.assignIds(
+        Ivf.quantized(emb, "vec_id", "embedding"), coarse)
+      .select(col("vec_id"), col("cid"))
+    val q = emb.filter(col("vec_id") < 5)
+    val routed = Similarity.maxSimRouted(coarse, assigned, bag(emb),
+        bag(q), q, "vec_id", "vec_idx", "vec", "embedding",
+        nprobe = k, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val plain = Similarity.maxSimTopK(bag(emb), bag(q), "vec_id",
+        "vec_idx", "vec", topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(routed == plain,
+      "probing-all routed MaxSim diverged from the unrouted scorer")
+  }
+
   test("full-stack as-of: post-N delete invisible; generation pins; mixed-gen raises") {
     val s = spark
     import s.implicits._
