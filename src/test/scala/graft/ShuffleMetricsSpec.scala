@@ -494,4 +494,31 @@ class ShuffleMetricsSpec extends SparkSpec {
           "attributes are not riding the argmin exchange")
     } finally { coarse.unpersist(); () }
   }
+
+  test("MaxSim: the exchange carries per-(query-vec, doc) maxima, never the dot fan") {
+    // the q260 scale claim: the per-(query-vector, doc) max
+    // partial-combines map-side BEFORE its exchange, so the shuffle
+    // carries ≤ |Q|·m_q·docs + |Q|·docs rows (first and second
+    // aggregate), never the |Q|·m_q·m_d·docs dot fan a naive
+    // explode-then-window plan would move (4× more at m_d = 4)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+          explode(sequence(lit(0), lit(3))).as("vec_idx"),
+          col("embedding"))
+        .select(col("vec_id"), col("vec_idx"),
+          expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+    val n = emb.count()
+    val nq = 5L
+    val moved = shuffleRecords {
+      operators.Similarity.maxSimTopK(bag(emb),
+          bag(emb.filter(col("vec_id") < nq)), "vec_id", "vec_idx",
+          "vec", topK = 5)
+        .collect(); ()
+    }
+    val bound = nq * 4 * n + nq * n + 4096 // both agg exchanges + top-k slack
+    assert(moved <= bound,
+      s"MaxSim shuffled $moved rows (bound $bound) — the dot fan is " +
+        "crossing the exchange instead of partial-combining")
+  }
 }
