@@ -78,8 +78,14 @@ object Layout {
     * full-frame max over the same id partition (same partitioning +
     * ordering — one Window exec, zero extra exchanges) detects a
     * duplicate at ANY segment, not just the electing one, and raises
-    * loudly instead of letting an arbitrary row win. Contract:
-    * `segCol` is unique per id; all original columns pass through. */
+    * loudly instead of letting an arbitrary row win. The raise fires
+    * LAZILY — at whatever action first touches the corrupt id's row —
+    * so inside a long serving chain it surfaces as a mid-job task
+    * failure with this message, not a plan-time fail-fast; a wrapper
+    * that must fail before launching work should force a cheap action
+    * (e.g. `.limit(1).count()`) on the compacted frame first.
+    * Contract: `segCol` is unique per id; all original columns pass
+    * through. */
   /** TIME-TRAVEL form of [[compactLatest]]: reconstruct the table AS
     * OF segment `asOf` — the latest row per id among segments ≤ asOf,
     * later restatements invisible. This is what makes a stored index

@@ -1302,6 +1302,66 @@ class PqSpec extends SparkSpec {
       "probing-all routed MaxSim diverged from the unrouted scorer")
   }
 
+  test("multi-vector lifecycle verbs ride the multi-row machinery unchanged") {
+    // the SURVEY §8 claim for the MaxSim family: its storage shape is
+    // the multi-row-per-id table, so tombstone masking is the same
+    // broadcast anti-join and segment compaction/as-of is
+    // compactLatestMulti — no family-specific verbs needed
+    val s = spark
+    import s.implicits._
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+          explode(sequence(lit(0), lit(3))).as("vec_idx"),
+          col("embedding"))
+        .select(col("vec_id"), col("vec_idx"),
+          expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+    val q = emb.filter(col("vec_id") < 3)
+    val tombs = emb.filter(col("vec_id") % 4 === 0).select("vec_id")
+    // tombstone mask: one anti-join on the bag, then the same scorer
+    val masked = Similarity.maxSimTopK(
+        bag(emb).join(broadcast(tombs), Seq("vec_id"), "left_anti"),
+        bag(q), "vec_id", "vec_idx", "vec", topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val rebuilt = Similarity.maxSimTopK(
+        bag(emb.filter(col("vec_id") % 4 =!= 0)), bag(q), "vec_id",
+        "vec_idx", "vec", topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(masked == rebuilt,
+      "masked multi-vector serving diverged from the purged rebuild")
+    assert(masked.forall(_.getLong(1) % 4 != 0),
+      "a tombstoned bag was served")
+    // segment restatement: a doc's whole bag restates; the group
+    // election serves the latest bag and as-of 0 the original
+    val seg0 = bag(emb).withColumn("seg", lit(0))
+    val restated = bag(emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      .withColumn("seg", lit(1))
+    val segs = seg0.unionByName(restated)
+    val latest = Similarity.maxSimTopK(
+        Layout.compactLatestMulti(segs, "vec_id", "seg", "vec_idx", 4)
+          .select("vec_id", "vec_idx", "vec"),
+        bag(q), "vec_id", "vec_idx", "vec", topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val direct = Similarity.maxSimTopK(
+        bag(emb.select(col("vec_id"),
+          when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))),
+        bag(q), "vec_id", "vec_idx", "vec", topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(latest == direct,
+      "compacted multi-vector serving diverged from the restated corpus")
+    val asOf0 = Similarity.maxSimTopK(
+        Layout.compactAsOfMulti(segs, "vec_id", "seg", "vec_idx", 4, 0)
+          .select("vec_id", "vec_idx", "vec"),
+        bag(q), "vec_id", "vec_idx", "vec", topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val original = Similarity.maxSimTopK(bag(emb), bag(q), "vec_id",
+        "vec_idx", "vec", topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(asOf0 == original,
+      "as-of multi-vector serving diverged from the original corpus")
+  }
+
   test("full-stack as-of: post-N delete invisible; generation pins; mixed-gen raises") {
     val s = spark
     import s.implicits._
