@@ -203,9 +203,28 @@ object Search {
     * pushdown instead of re-tokenizing a corpus. */
   def positionalIndex(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol), Dedup.words(col(textCol)).as("w"))
-      .select(col(idCol), posexplode(col("w")).as(Seq("pos", "token")))
-      .select(col("token"), col(idCol), col("pos"))
+    positionalIndexed(docs, idCol, textCol, Nil)
+
+  /** [[positionalIndex]] with FILTERABLE ATTRIBUTES stored in the
+    * posting row — [[graft.operators.Ivf.flatIndex]]'s discipline on
+    * the text pillar (language, source, license ride the tokenize
+    * explode as constant per-doc payload, never a join back to the
+    * corpus at query time): an attribute predicate becomes a plain
+    * column filter on the posting scan (parquet pushdown at rest),
+    * composable in front of [[phraseSearchIndexed]]/
+    * [[bestSnippetIndexed]] and — through [[termFrequencies]]'s
+    * attr ride-along plus a filtered [[docLengths]] — the BM25 path,
+    * where the filtered dl table makes n_docs/avgdl the FILTERED
+    * corpus's globals (an attribute restricts the ranking universe,
+    * which a post-filter on scores would get wrong). */
+  def positionalIndexed(docs: DataFrame, idCol: String,
+      textCol: String, attrCols: Seq[String]): DataFrame =
+    docs.select(col(idCol) +: Dedup.words(col(textCol)).as("w") +:
+        attrCols.map(col): _*)
+      .select(col(idCol) +: posexplode(col("w")).as(Seq("pos", "token")) +:
+        attrCols.map(col): _*)
+      .select(col("token") +: col(idCol) +: col("pos") +:
+        attrCols.map(col): _*)
 
   /** [[phraseSearch]] served from a STORED [[positionalIndex]] — the
     * q194/q208 build/apply discipline on the search axis: no
@@ -276,15 +295,21 @@ object Search {
     * BUILD time, including zero-token docs, which a postings-derived
     * length table would silently drop from n_docs/avgdl). */
   def docLengths(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol),
-      size(Dedup.words(col(textCol))).cast("long").as("dl"))
+      textCol: String, attrCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol) +:
+      size(Dedup.words(col(textCol))).cast("long").as("dl") +:
+      attrCols.map(col): _*)
 
   /** Per-(token, doc) frequencies from the stored positional table —
-    * no text touched. */
-  def termFrequencies(postings: DataFrame, idCol: String): DataFrame =
+    * no text touched. Attrs (constant per doc, riding the posting
+    * rows from [[positionalIndexed]]) fold through `min` — the
+    * identity on a constant, the [[graft.operators.Pq.encodeIndexed]]
+    * argument. */
+  def termFrequencies(postings: DataFrame, idCol: String,
+      attrCols: Seq[String] = Nil): DataFrame =
     postings.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        attrCols.map(a => min(col(a)).as(a)): _*)
 
   /** BM25 served from STORED statistics tables — the build/apply
     * split on the ranked-search axis: `tfTable` (id, token, tf) and

@@ -892,6 +892,68 @@ object SearchQueries extends QueryPack {
       FROM posti
     """))
 
+  // --------------------------------------------------------------- q262
+  // ATTRIBUTE-FILTERED BM25 — the filter × text cell done honestly
+  // (an attribute is NOT a term: "rank matches WHERE source = 'src3'"
+  // restricts the ranking UNIVERSE, so n_docs/avgdl/df must be the
+  // filtered corpus's — a post-filter on scores ranks against the
+  // wrong globals): the stored tf/dl tables carry the attribute from
+  // build time (positionalIndexed/docLengths ride-alongs — never a
+  // query-time join back to the corpus), the predicate filters BOTH
+  // scans (parquet pushdown at rest), and the unchanged bm25 tail
+  // then derives df and the globals from exactly the filtered
+  // universe. Oracle = BM25 over the source-restricted corpus.
+  private val q262 = Q(
+    "q262_filtered_bm25",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val postings = Search.positionalIndexed(docs, "doc_id", "text",
+        Seq("source"))
+      val tf = Search.termFrequencies(postings, "doc_id", Seq("source"))
+      val dl = Search.docLengths(docs, "doc_id", "text", Seq("source"))
+      Search.bm25SearchIndexed(
+          tf.filter(col("source") === "src3").drop("source"),
+          dl.filter(col("source") === "src3").drop("source"),
+          "doc_id", terms = Seq("stream", "window", "merge"), topN = 20)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH live AS (
+        SELECT doc_id, text FROM documents WHERE source = 'src3'),
+      toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM live),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('stream', 'window', 'merge')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      scored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score,
+               COUNT(*) AS n_terms
+        FROM parts GROUP BY doc_id)
+      SELECT doc_id, score, n_terms, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT doc_id, score, n_terms,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 20
+      ORDER BY rnk
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
-    q232, q242, q243, q244, q245, q253, q254, q258, q259)
+    q232, q242, q243, q244, q245, q253, q254, q258, q259, q262)
 }

@@ -179,7 +179,10 @@ class PlanAuditSpec extends SparkSpec {
       // q261 = q260's scorer behind the ≤8-row coarse probe fan
       // (q185's class); the candidate restriction and bag joins are
       // id/cell-keyed equi-joins
-      "q261_routed_maxsim")
+      "q261_routed_maxsim",
+      // q262 = q228's scoring tail over the attribute-filtered stored
+      // tables — the same 1-row (n_docs, avgdl) fan (q106's class)
+      "q262_filtered_bm25")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
