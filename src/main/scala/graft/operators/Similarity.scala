@@ -564,6 +564,102 @@ object Similarity {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** kNN-GRAPH SEED — cell-local exact top-k: every vector's k
+    * nearest within its OWN coarse cell (the nprobe = 1 self-join;
+    * [[graft.operators.Ivf.flatIndex]] rows joined cell-keyed, never
+    * an all-pairs fan — pair work is Σ cell², the bucketed-pairs
+    * bound). The cheap, deliberately imperfect starting graph
+    * [[nnDescentRound]] refines: cell borders are exactly where the
+    * seed is wrong, and neighbor-of-neighbor exploration is what
+    * fixes borders without ever probing globally. Output: (src, dst,
+    * d2, rnk ≤ k), exact integral-grid L2. */
+  def knnGraphSeed(coarse: DataFrame, embeddings: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"knnGraphSeed: k must be >= 1, got $k")
+    val idx = Ivf.flatIndex(coarse, embeddings, idCol, vecCol, Nil)
+    val a = idx.select(col("vec_id").as("src"), col("cid"),
+      col("qvec").as("__sv"))
+    val b = idx.select(col("vec_id").as("dst"), col("cid"),
+      col("qvec").as("__dv"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    a.join(b, Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("d2",
+        aggregate(zip_with(col("__sv"), col("__dv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+          .cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** One NN-DESCENT round — distributed kNN-graph refinement, the
+    * construction algorithm behind graph ANN indexes (HNSW/NSG build
+    * pipelines at corpus scale): a vector's next candidates are its
+    * current UNDIRECTED neighborhood's neighbors ("a neighbor of my
+    * neighbor is probably my neighbor"), scored exactly, and each
+    * vertex keeps its k best — the current edges are candidates too,
+    * so per-vertex top-k distance mass is MONOTONE non-increasing
+    * (spec-pinned), and a fixed point is a locally-optimal kNN graph.
+    *
+    * Scale shape: everything is id-keyed — the undirected edge set is
+    * a union + distinct (≤ 2nk rows), the hop join fans each vertex
+    * to ≤ (2k)² candidates (k-bounded, never corpus-bounded), and
+    * vectors attach through two id-keyed joins against one base scan
+    * each; the only corpus-wide exchanges carry k²-fanned id pairs
+    * and the final per-vertex top-k window. No broadcast of anything
+    * corpus-sized, no cross join. Output: (src, dst, d2, rnk ≤ k). */
+  def nnDescentRound(embeddings: DataFrame, edges: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"nnDescentRound: k must be >= 1, got $k")
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .transform(graft.util.CacheScope.persist)
+    val hop = und.select(col("src"), col("dst").as("__mid"))
+      .join(und.select(col("src").as("__mid"), col("dst")), Seq("__mid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val cand = e.unionByName(hop).distinct()
+    val baseQ = Ivf.quantized(embeddings, idCol, vecCol)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    cand
+      .join(baseQ.select(col("vec_id").as("src"),
+        col("qvec").as("__sv")), Seq("src"))
+      .join(baseQ.select(col("vec_id").as("dst"),
+        col("qvec").as("__dv")), Seq("dst"))
+      .withColumn("d2",
+        aggregate(zip_with(col("__sv"), col("__dv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+          .cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Seed + `rounds` NN-descent refinements — the whole kNN-graph
+    * build. Each round's output is a plan over the previous; rounds
+    * are few by construction (NN-descent converges in a handful), and
+    * each round's edge frame persists so the undirected-set and
+    * candidate branches read it once. */
+  def knnGraph(embeddings: DataFrame, idCol: String, vecCol: String,
+      numCoarse: Int, coarseIterations: Int, k: Int,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"knnGraph: rounds must be >= 0, got $rounds")
+    val coarse = Ivf.centroids(embeddings, idCol, vecCol, numCoarse,
+      coarseIterations)
+    var g = knnGraphSeed(coarse, embeddings, idCol, vecCol, k)
+    for (_ <- 1 to rounds)
+      g = nnDescentRound(embeddings,
+        graft.util.CacheScope.persist(g), idCol, vecCol, k)
+    g
+  }
+
   def recallAudit(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"recallAudit: k must be positive, got $k")
     val hits = approx.select(col("q_id"), col("n_id"))

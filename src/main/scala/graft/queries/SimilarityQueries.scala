@@ -4705,10 +4705,81 @@ ${coarseCtes()},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q263
+  // kNN-GRAPH construction by NN-DESCENT — the distributed build
+  // algorithm behind graph ANN indexes (HNSW/NSG pipelines): a cheap
+  // cell-local seed (each vector's top-k within its own coarse cell —
+  // cell-keyed self-join, Σ cell² pair work) refines one round by
+  // neighbor-of-neighbor exploration over the UNDIRECTED edge set,
+  // each vertex keeping its k best. Current edges stay candidates, so
+  // per-vertex top-k distance mass is monotone non-increasing
+  // (spec-pinned); everything is id-keyed — the hop fan is k-bounded,
+  // never corpus-bounded, and no broadcast carries anything
+  // corpus-sized. Oracle replays seed, undirected hop, and the exact
+  // rescore bit-for-bit on the integral grid.
+  private val q263 = Q(
+    "q263_nn_descent_graph",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
+          numCoarse = 8, coarseIterations = 2, k = 5, rounds = 1)
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      seedsc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vb ON vb.vec_id = b.vec_id),
+      seed AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc)
+        WHERE rnk <= 5),
+      und AS (
+        SELECT src, dst FROM seed
+        UNION
+        SELECT dst AS src, src AS dst FROM seed),
+      hop AS (
+        SELECT u1.src, u2.dst
+        FROM und u1 JOIN und u2 ON u2.src = u1.dst
+        WHERE u1.src <> u2.dst),
+      cand AS (
+        SELECT src, dst FROM seed
+        UNION
+        SELECT src, dst FROM hop),
+      resc AS (
+        SELECT c.src, c.dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cand c
+        JOIN vx va ON va.vec_id = c.src
+        JOIN vx vb ON vb.vec_id = c.dst)
+      SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM resc)
+      WHERE rnk <= 5
+      ORDER BY src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
-    q255, q256, q257, q260, q261)
+    q255, q256, q257, q260, q261, q263)
 }

@@ -182,7 +182,12 @@ class PlanAuditSpec extends SparkSpec {
       "q261_routed_maxsim",
       // q262 = q228's scoring tail over the attribute-filtered stored
       // tables — the same 1-row (n_docs, avgdl) fan (q106's class)
-      "q262_filtered_bm25")
+      "q262_filtered_bm25",
+      // q263's only cross fans are the ≤8-row coarse codebook
+      // (training + flatIndex assignment — q36/q110's class); the
+      // seed self-join is cell-keyed, the hop and rescore joins are
+      // id-keyed with k-bounded fans
+      "q263_nn_descent_graph")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

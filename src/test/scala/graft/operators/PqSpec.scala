@@ -1302,6 +1302,37 @@ class PqSpec extends SparkSpec {
       "probing-all routed MaxSim diverged from the unrouted scorer")
   }
 
+  test("NN-descent: per-vertex top-k mass monotone non-increasing; one cell converges to exact") {
+    val k = 5
+    // monotone: current edges stay candidates, so each refine round's
+    // per-vertex top-k distance sum can only shrink or hold
+    def mass(g: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      g.groupBy("src").agg(sum("d2").as("m")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val seed = Similarity.knnGraphSeed(coarse, emb, "vec_id",
+      "embedding", k)
+    val r1 = Similarity.nnDescentRound(emb, seed, "vec_id",
+      "embedding", k)
+    val r2 = Similarity.nnDescentRound(emb,
+      graft.util.CacheScope.persist(r1), "vec_id", "embedding", k)
+    val (m0, m1, m2) = (mass(seed), mass(r1), mass(r2))
+    for (src <- m0.keys) {
+      assert(m1(src) <= m0(src), s"round 1 regressed vertex $src")
+      assert(m2(src) <= m1(src), s"round 2 regressed vertex $src")
+    }
+    // with ONE coarse cell the seed already sees the whole corpus —
+    // it IS the exact graph, and a refine round is a fixed point
+    val one = Ivf.centroids(emb, "vec_id", "embedding", 1, 1)
+    val exactSeed = Similarity.knnGraphSeed(one, emb, "vec_id",
+      "embedding", k)
+    val refined = Similarity.nnDescentRound(emb, exactSeed, "vec_id",
+        "embedding", k)
+      .orderBy("src", "rnk").collect().toSeq
+    assert(refined == exactSeed.orderBy("src", "rnk").collect().toSeq,
+      "the exact graph must be a fixed point of NN-descent")
+  }
+
   test("multi-vector lifecycle verbs ride the multi-row machinery unchanged") {
     // the SURVEY §8 claim for the MaxSim family: its storage shape is
     // the multi-row-per-id table, so tombstone masking is the same
