@@ -660,6 +660,72 @@ object Similarity {
     g
   }
 
+  /** GRAPH-ANN search — BEAM SEARCH over a STORED kNN graph (the
+    * serve verb matching [[knnGraph]]'s build): each query starts at
+    * the `entryK` smallest-id vertices (the deterministic seed rule),
+    * and each hop expands the current beam's out-neighbors through
+    * the stored edge table, rescores exactly, and keeps the `beam`
+    * best — the fixed-fanout walk that makes graph indexes answer in
+    * O(hops·beam·k) distance evaluations instead of probing cells.
+    * The beam is MONOTONE (previous members stay candidates), so best
+    * distances never regress across hops; determinism comes from the
+    * (d2, id) tie-broken ranks everywhere.
+    *
+    * Scale shape: the per-query state (beam·|Q| rows) is bounded and
+    * BROADCASTS — each hop is one map-side join over the edge-table
+    * scan (expansion) plus one over the base scan (rescore); nothing
+    * corpus-sized shuffles, and hops is a small constant. Output:
+    * (q_id, n_id, d2, rnk ≤ topK), self-matches excluded. */
+  def graphSearch(graph: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, entryK: Int,
+      beam: Int, hops: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hops >= 0 && topK >= 1,
+      s"graphSearch: entryK=$entryK, beam=$beam, hops=$hops, " +
+        s"topK=$topK must all be >= 1 (hops >= 0)")
+    val baseQ = Ivf.quantized(base, idCol, vecCol)
+      .transform(graft.util.CacheScope.persist)
+    val qp = queries.select(col(idCol).as("q_id"),
+      Ivf.quantize(col(vecCol)).as("__qv"))
+    val edges = graph.select(col("src"), col("dst"))
+    def score(cand: DataFrame): DataFrame =
+      baseQ.select(col("vec_id").as("dst"), col("qvec").as("__dv"))
+        .join(broadcast(cand), Seq("dst"))
+        .join(broadcast(qp), Seq("q_id"))
+        .withColumn("d2",
+          aggregate(zip_with(col("__qv"), col("__dv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0d),
+            (acc, v) => acc + v).cast("long"))
+        .select(col("q_id"), col("dst"), col("d2"))
+    def keep(scored: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2").asc, col("dst").asc)
+      scored.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= n).drop("__rnk")
+    }
+    val entries = base.select(col(idCol).as("dst"))
+      .orderBy(col("dst").asc).limit(entryK)
+    var best = keep(score(
+      qp.select(col("q_id")).crossJoin(broadcast(entries))
+        .filter(col("dst") =!= col("q_id"))), beam)
+    for (_ <- 1 to hops) {
+      val pinned = graft.util.CacheScope.persist(best)
+      val exp = edges
+        .join(broadcast(pinned.select(col("q_id"),
+          col("dst").as("src"))), Seq("src"))
+        .select(col("q_id"), col("dst"))
+        .filter(col("dst") =!= col("q_id"))
+      val cand = pinned.select(col("q_id"), col("dst"))
+        .unionByName(exp).distinct()
+      best = keep(score(cand), beam)
+    }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    best.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("dst").as("n_id"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   def recallAudit(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"recallAudit: k must be positive, got $k")
     val hits = approx.select(col("q_id"), col("n_id"))

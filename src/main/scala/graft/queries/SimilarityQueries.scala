@@ -4776,10 +4776,122 @@ ${coarseCtes()},
       ORDER BY src, rnk
     """))
 
+  // --------------------------------------------------------------- q264
+  // GRAPH-ANN SERVING — beam search over the STORED q263 graph, the
+  // serve verb that makes graph indexes an index family rather than
+  // an artifact: queries enter at the deterministic smallest-id
+  // vertices, each hop expands the beam's out-neighbors through the
+  // stored edge table and rescores exactly, keeping `beam` best
+  // (monotone — previous members stay candidates). The per-query
+  // state broadcasts; each hop is one map-side pass over the edge
+  // scan plus one over the base scan — nothing corpus-sized shuffles.
+  // Oracle replays entries, both hops, and every rescore.
+  private val q264 = Q(
+    "q264_graph_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
+        "vec_id", "embedding", k = 5)
+      graft.operators.Similarity.graphSearch(g, e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          entryK = 2, beam = 5, hops = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      seedsc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vb ON vb.vec_id = b.vec_id),
+      g AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc)
+        WHERE rnk <= 5),
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 5),
+      c0 AS (
+        SELECT q.q_id, e.dst FROM qs q, ent e WHERE e.dst <> q.q_id),
+      s0 AS (
+        SELECT c.q_id, c.dst,
+               CAST(list_dot_product(q.qvec, q.qvec)
+                 - 2.0 * list_dot_product(q.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM c0 c JOIN qs q ON q.q_id = c.q_id
+        JOIN vx vb ON vb.vec_id = c.dst),
+      b0 AS (
+        SELECT q_id, dst, d2 FROM (
+          SELECT q_id, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM s0)
+        WHERE rnk <= 5),
+      e1 AS (
+        SELECT b.q_id, gg.dst FROM b0 b
+        JOIN g gg ON gg.src = b.dst
+        WHERE gg.dst <> b.q_id),
+      c1 AS (
+        SELECT q_id, dst FROM b0 UNION SELECT q_id, dst FROM e1),
+      s1 AS (
+        SELECT c.q_id, c.dst,
+               CAST(list_dot_product(q.qvec, q.qvec)
+                 - 2.0 * list_dot_product(q.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM c1 c JOIN qs q ON q.q_id = c.q_id
+        JOIN vx vb ON vb.vec_id = c.dst),
+      b1 AS (
+        SELECT q_id, dst, d2 FROM (
+          SELECT q_id, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM s1)
+        WHERE rnk <= 5),
+      e2 AS (
+        SELECT b.q_id, gg.dst FROM b1 b
+        JOIN g gg ON gg.src = b.dst
+        WHERE gg.dst <> b.q_id),
+      c2 AS (
+        SELECT q_id, dst FROM b1 UNION SELECT q_id, dst FROM e2),
+      s2 AS (
+        SELECT c.q_id, c.dst,
+               CAST(list_dot_product(q.qvec, q.qvec)
+                 - 2.0 * list_dot_product(q.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM c2 c JOIN qs q ON q.q_id = c.q_id
+        JOIN vx vb ON vb.vec_id = c.dst),
+      b2 AS (
+        SELECT q_id, dst, d2 FROM (
+          SELECT q_id, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM s2)
+        WHERE rnk <= 5)
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM b2)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
-    q255, q256, q257, q260, q261, q263)
+    q255, q256, q257, q260, q261, q263, q264)
 }

@@ -187,7 +187,12 @@ class PlanAuditSpec extends SparkSpec {
       // (training + flatIndex assignment — q36/q110's class); the
       // seed self-join is cell-keyed, the hop and rescore joins are
       // id-keyed with k-bounded fans
-      "q263_nn_descent_graph")
+      "q263_nn_descent_graph",
+      // q264 fans the bounded query panel × the entryK-row entry set
+      // (both bounded — q20's class) plus q263's coarse-codebook
+      // build fans; every hop is a broadcast equi-join over the edge
+      // and base scans
+      "q264_graph_search")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -1333,6 +1333,26 @@ class PqSpec extends SparkSpec {
       "the exact graph must be a fixed point of NN-descent")
   }
 
+  test("graph search walks the line: hop count bounds progress, enough hops arrive") {
+    val s = spark
+    import s.implicits._
+    // 1-D corpus 0..9, exact 2-NN graph (one cell sees everything) —
+    // from entry vertex 0, a beam-2 walk toward 9.4 advances one
+    // vertex per hop: after h >= 1 hops the beam is {h+1, h}
+    val base = (0L to 9L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val one = Ivf.centroids(base, "vec_id", "embedding", 1, 1)
+    val g = Similarity.knnGraphSeed(one, base, "vec_id", "embedding", 2)
+    val q = Seq((100L, Array(9.4f))).toDF("vec_id", "embedding")
+    def walk(hops: Int) = Similarity.graphSearch(g, base, q, "vec_id",
+        "embedding", entryK = 1, beam = 2, hops = hops, topK = 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(walk(3) == Seq(4L, 3L), s"3 hops should reach {4,3}: ${walk(3)}")
+    assert(walk(8) == Seq(9L, 8L), s"8 hops should arrive: ${walk(8)}")
+    // arrival is a fixed point — extra hops change nothing
+    assert(walk(10) == Seq(9L, 8L), "the walk left the optimum")
+  }
+
   test("multi-vector lifecycle verbs ride the multi-row machinery unchanged") {
     // the SURVEY §8 claim for the MaxSim family: its storage shape is
     // the multi-row-per-id table, so tombstone masking is the same
