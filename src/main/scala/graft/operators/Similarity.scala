@@ -595,6 +595,72 @@ object Similarity {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** O(new) APPEND for the stored [[knnGraphSeed]] graph — the
+    * incremental-family treatment on the graph pillar: under a FIXED
+    * coarse codebook the seed graph is per-cell exact top-k, which
+    * MERGES exactly (any true top-k member of the grown cell is
+    * either a batch arrival — all batch cell-mates are candidates —
+    * or already in the stored top-k, the incremental-index posting
+    * argument), so the day's batch absorbs without re-scoring
+    * history against itself:
+    *  - NEW vertices get exact top-k against their whole (grown)
+    *    cell — one cell-keyed join, batch-proportional on the left;
+    *  - OLD vertices in TOUCHED cells re-elect from stored edges ∪
+    *    their batch cell-mates (work = touched-cell members × batch
+    *    occupancy, batch-proportional under balance);
+    *  - old vertices in untouched cells pass through bit-identical.
+    * `storedIndex`/`batchIndex` are [[graft.operators.Ivf.flatIndex]]
+    * rows (vec_id, cid, qvec) of history and batch; `storedGraph` is
+    * the (src, dst, d2, rnk) seed table. Output ≡ the full seed
+    * rebuild over history ∪ batch (the gate oracle). NN-descent
+    * rounds then refine whenever, as on any seed. */
+  def appendKnnSeed(storedGraph: DataFrame, storedIndex: DataFrame,
+      batchIndex: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"appendKnnSeed: k must be >= 1, got $k")
+    val b = batchIndex.select(col("vec_id").as("dst"), col("cid"),
+      col("qvec").as("__dv"))
+      .transform(graft.util.CacheScope.persist)
+    val full = storedIndex.select(col("vec_id").as("dst"), col("cid"),
+      col("qvec").as("__dv"))
+      .unionByName(b)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    def sq(df: DataFrame): DataFrame = df
+      .filter(col("src") =!= col("dst"))
+      .withColumn("d2",
+        aggregate(zip_with(col("__sv"), col("__dv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+          .cast("long"))
+      .select(col("src"), col("dst"), col("d2"))
+    // new vertices: exact top-k within the grown cell
+    val newEdges = sq(batchIndex.select(col("vec_id").as("src"),
+        col("cid"), col("qvec").as("__sv"))
+      .join(full, Seq("cid")))
+    // old vertices in touched cells: stored top-k ∪ batch cell-mates
+    val touched = storedIndex
+      .join(b.select(col("cid")).distinct(), Seq("cid"), "left_semi")
+      .select(col("vec_id").as("src"), col("cid"),
+        col("qvec").as("__sv"))
+      .transform(graft.util.CacheScope.persist)
+    val vsBatch = sq(touched.join(b, Seq("cid")))
+    val reElect = storedGraph
+      .join(touched.select(col("src")), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("d2"))
+      .unionByName(vsBatch)
+    // untouched rows keep their STORED ranks verbatim — re-windowing
+    // them would both waste a corpus exchange and recompute what is
+    // bit-identical by construction
+    val passthrough = storedGraph
+      .join(touched.select(col("src")), Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+    reElect.unionByName(newEdges)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+      .unionByName(passthrough)
+  }
+
   /** One NN-DESCENT round — distributed kNN-graph refinement, the
     * construction algorithm behind graph ANN indexes (HNSW/NSG build
     * pipelines at corpus scale): a vector's next candidates are its

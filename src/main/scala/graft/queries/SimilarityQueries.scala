@@ -4888,10 +4888,64 @@ ${coarseCtes()},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q265
+  // O(new) kNN-GRAPH APPEND — the incremental-family gate on the
+  // graph pillar: under the FIXED history-trained coarse codebook the
+  // seed graph is per-cell exact top-k, which MERGES exactly (a true
+  // top-k member of the grown cell is either a batch arrival — all
+  // batch cell-mates are candidates — or already in the stored
+  // top-k), so the day's batch absorbs without history re-scoring
+  // itself: new vertices score their grown cell, old vertices in
+  // touched cells re-elect from stored edges ∪ batch cell-mates, and
+  // untouched cells pass through bit-identical WITH their stored
+  // ranks (no re-window). Oracle = the full seed rebuild over
+  // history ∪ batch.
+  private val q265 = Q(
+    "q265_incremental_knn_graph",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      val storedIndex = graft.operators.Ivf.flatIndex(coarse, history,
+        "vec_id", "embedding", Nil)
+      val storedGraph = graft.operators.Similarity.knnGraphSeed(coarse,
+        history, "vec_id", "embedding", k = 5)
+      val batchIndex = graft.operators.Ivf.flatIndex(coarse, batch,
+        "vec_id", "embedding", Nil)
+      graft.operators.Similarity.appendKnnSeed(storedGraph,
+          storedIndex, batchIndex, k = 5)
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      seedsc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vb ON vb.vec_id = b.vec_id)
+      SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM seedsc)
+      WHERE rnk <= 5
+      ORDER BY src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
-    q255, q256, q257, q260, q261, q263, q264)
+    q255, q256, q257, q260, q261, q263, q264, q265)
 }

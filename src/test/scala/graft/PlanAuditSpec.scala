@@ -192,7 +192,11 @@ class PlanAuditSpec extends SparkSpec {
       // (both bounded — q20's class) plus q263's coarse-codebook
       // build fans; every hop is a broadcast equi-join over the edge
       // and base scans
-      "q264_graph_search")
+      "q264_graph_search",
+      // q265's only cross fans are the ≤8-row coarse codebook build/
+      // assignment (q36's class); the merge itself is cell/id-keyed
+      // equi-joins with batch-proportional left sides
+      "q265_incremental_knn_graph")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
