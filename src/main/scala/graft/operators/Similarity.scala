@@ -720,9 +720,21 @@ object Similarity {
     val coarse = Ivf.centroids(embeddings, idCol, vecCol, numCoarse,
       coarseIterations)
     var g = knnGraphSeed(coarse, embeddings, idCol, vecCol, k)
-    for (_ <- 1 to rounds)
-      g = nnDescentRound(embeddings,
-        graft.util.CacheScope.persist(g), idCol, vecCol, k)
+    // each round reads the previous graph through the undirected set
+    // AND the candidate union — lazy chaining doubles the plan per
+    // round, so rounds materialize (n·k rows, what a real build
+    // pipeline checkpoints between rounds anyway) and superseded
+    // checkpoints release eagerly (the graphSearch/trainCodebooks
+    // rotation discipline)
+    var lastCheckpoint: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val cp = g.localCheckpoint()
+      lastCheckpoint.foreach(
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
+      lastCheckpoint = Some(cp)
+      g = nnDescentRound(embeddings, cp, idCol, vecCol, k)
+    }
+    lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
     g
   }
 
@@ -773,17 +785,28 @@ object Similarity {
     var best = keep(score(
       qp.select(col("q_id")).crossJoin(broadcast(entries))
         .filter(col("dst") =!= col("q_id"))), beam)
+    // each hop reads the previous beam TWICE (expansion + candidate
+    // union), so a lazy chain DOUBLES the plan per hop — 10 hops is a
+    // ~2¹⁰-node tree whose mere rendering OOMs. The beam is |Q|·beam
+    // rows: an eager localCheckpoint per hop is near-free and keeps
+    // plan depth constant (the trainCodebooks rotation discipline);
+    // superseded checkpoints release eagerly.
+    var lastCheckpoint: Option[DataFrame] = None
     for (_ <- 1 to hops) {
-      val pinned = graft.util.CacheScope.persist(best)
+      val cp = best.localCheckpoint()
+      lastCheckpoint.foreach(
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
+      lastCheckpoint = Some(cp)
       val exp = edges
-        .join(broadcast(pinned.select(col("q_id"),
+        .join(broadcast(cp.select(col("q_id"),
           col("dst").as("src"))), Seq("src"))
         .select(col("q_id"), col("dst"))
         .filter(col("dst") =!= col("q_id"))
-      val cand = pinned.select(col("q_id"), col("dst"))
+      val cand = cp.select(col("q_id"), col("dst"))
         .unionByName(exp).distinct()
       best = keep(score(cand), beam)
     }
+    lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("d2").asc, col("dst").asc)
     best.withColumn("rnk", row_number().over(w))
