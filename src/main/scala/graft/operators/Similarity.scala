@@ -573,22 +573,36 @@ object Similarity {
     * seed is wrong, and neighbor-of-neighbor exploration is what
     * fixes borders without ever probing globally. Output: (src, dst,
     * d2, rnk ≤ k), exact integral-grid L2. */
+  /** Exact pair distance from precomputed self-dots + ONE native
+    * cross-dot — the graph family's hot loop: ‖s−d‖² = s·s + d·d −
+    * 2 s·d, every term an exact integer on the grid (all ≪ 2⁵³), so
+    * the value is bit-equal to any other exact form while the
+    * per-pair work is a single codegen'd dot instead of an
+    * interpreted per-element fold (measured ~3× on the Σ cell²
+    * seed). */
+  private def gridDist2(sn: Column, sv: Column, dn: Column,
+      dv: Column): Column =
+    (sn + dn - lit(2.0) * dot(sv, dv)).cast("long")
+
   def knnGraphSeed(coarse: DataFrame, embeddings: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"knnGraphSeed: k must be >= 1, got $k")
     val idx = Ivf.flatIndex(coarse, embeddings, idCol, vecCol, Nil)
+      .withColumn("__n2", dot(col("qvec"), col("qvec")))
     val a = idx.select(col("vec_id").as("src"), col("cid"),
-      col("qvec").as("__sv"))
+      col("qvec").as("__sv"), col("__n2").as("__sn"))
     val b = idx.select(col("vec_id").as("dst"), col("cid"),
-      col("qvec").as("__dv"))
+      col("qvec").as("__dv"), col("__n2").as("__dn"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("d2").asc, col("dst").asc)
     a.join(b, Seq("cid"))
       .filter(col("src") =!= col("dst"))
-      .withColumn("d2",
-        aggregate(zip_with(col("__sv"), col("__dv"),
-          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
-          .cast("long"))
+      .withColumn("d2", gridDist2(col("__sn"), col("__sv"),
+        col("__dn"), col("__dv")))
+      // drop the vectors BEFORE the rank exchange — the window input
+      // is Σ cell² rows, and two 64-element arrays per row would be
+      // ~40× the (src, dst, d2) payload (the flatIndex lesson)
+      .select(col("src"), col("dst"), col("d2"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("src"), col("dst"), col("d2"),
@@ -617,40 +631,51 @@ object Similarity {
   def appendKnnSeed(storedGraph: DataFrame, storedIndex: DataFrame,
       batchIndex: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"appendKnnSeed: k must be >= 1, got $k")
-    val b = batchIndex.select(col("vec_id").as("dst"), col("cid"),
-      col("qvec").as("__dv"))
+    // both stored inputs feed two branches each (graph: re-elect semi
+    // + passthrough anti; index: grown-cell union + touched slice) —
+    // pinned so in-plan fixtures don't rebuild them per branch
+    // (stored tables just get scan reuse)
+    val sg = storedGraph
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
       .transform(graft.util.CacheScope.persist)
-    val full = storedIndex.select(col("vec_id").as("dst"), col("cid"),
-      col("qvec").as("__dv"))
+    val si = storedIndex.select(col("vec_id"), col("cid"), col("qvec"))
+      .transform(graft.util.CacheScope.persist)
+    val b = batchIndex.select(col("vec_id").as("dst"), col("cid"),
+      col("qvec").as("__dv"),
+      dot(col("qvec"), col("qvec")).as("__dn"))
+      .transform(graft.util.CacheScope.persist)
+    val full = si.select(col("vec_id").as("dst"), col("cid"),
+      col("qvec").as("__dv"),
+      dot(col("qvec"), col("qvec")).as("__dn"))
       .unionByName(b)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("d2").asc, col("dst").asc)
     def sq(df: DataFrame): DataFrame = df
       .filter(col("src") =!= col("dst"))
-      .withColumn("d2",
-        aggregate(zip_with(col("__sv"), col("__dv"),
-          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
-          .cast("long"))
+      .withColumn("d2", gridDist2(col("__sn"), col("__sv"),
+        col("__dn"), col("__dv")))
       .select(col("src"), col("dst"), col("d2"))
     // new vertices: exact top-k within the grown cell
     val newEdges = sq(batchIndex.select(col("vec_id").as("src"),
-        col("cid"), col("qvec").as("__sv"))
+        col("cid"), col("qvec").as("__sv"),
+        dot(col("qvec"), col("qvec")).as("__sn"))
       .join(full, Seq("cid")))
     // old vertices in touched cells: stored top-k ∪ batch cell-mates
-    val touched = storedIndex
+    val touched = si
       .join(b.select(col("cid")).distinct(), Seq("cid"), "left_semi")
       .select(col("vec_id").as("src"), col("cid"),
-        col("qvec").as("__sv"))
+        col("qvec").as("__sv"),
+        dot(col("qvec"), col("qvec")).as("__sn"))
       .transform(graft.util.CacheScope.persist)
     val vsBatch = sq(touched.join(b, Seq("cid")))
-    val reElect = storedGraph
+    val reElect = sg
       .join(touched.select(col("src")), Seq("src"), "left_semi")
       .select(col("src"), col("dst"), col("d2"))
       .unionByName(vsBatch)
     // untouched rows keep their STORED ranks verbatim — re-windowing
     // them would both waste a corpus exchange and recompute what is
     // bit-identical by construction
-    val passthrough = storedGraph
+    val passthrough = sg
       .join(touched.select(col("src")), Seq("src"), "left_anti")
       .select(col("src"), col("dst"), col("d2"), col("rnk"))
     reElect.unionByName(newEdges)
@@ -691,17 +716,19 @@ object Similarity {
       .select(col("src"), col("dst"))
     val cand = e.unionByName(hop).distinct()
     val baseQ = Ivf.quantized(embeddings, idCol, vecCol)
+      .withColumn("__n2", dot(col("qvec"), col("qvec")))
+      .transform(graft.util.CacheScope.persist)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("d2").asc, col("dst").asc)
     cand
       .join(baseQ.select(col("vec_id").as("src"),
-        col("qvec").as("__sv")), Seq("src"))
+        col("qvec").as("__sv"), col("__n2").as("__sn")), Seq("src"))
       .join(baseQ.select(col("vec_id").as("dst"),
-        col("qvec").as("__dv")), Seq("dst"))
-      .withColumn("d2",
-        aggregate(zip_with(col("__sv"), col("__dv"),
-          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
-          .cast("long"))
+        col("qvec").as("__dv"), col("__n2").as("__dn")), Seq("dst"))
+      .withColumn("d2", gridDist2(col("__sn"), col("__sv"),
+        col("__dn"), col("__dv")))
+      // vectors off before the rank exchange (the knnGraphSeed note)
+      .select(col("src"), col("dst"), col("d2"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("src"), col("dst"), col("d2"),
@@ -761,18 +788,23 @@ object Similarity {
       s"graphSearch: entryK=$entryK, beam=$beam, hops=$hops, " +
         s"topK=$topK must all be >= 1 (hops >= 0)")
     val baseQ = Ivf.quantized(base, idCol, vecCol)
+      .withColumn("__n2", dot(col("qvec"), col("qvec")))
       .transform(graft.util.CacheScope.persist)
     val qp = queries.select(col(idCol).as("q_id"),
-      Ivf.quantize(col(vecCol)).as("__qv"))
+        Ivf.quantize(col(vecCol)).as("__qv"))
+      .withColumn("__qn", dot(col("__qv"), col("__qv")))
+    // pinned: every hop's expansion reads the edge table — against a
+    // stored table this is a cheap rescan, but an in-plan graph (the
+    // fixture shape) would otherwise REBUILD per hop
     val edges = graph.select(col("src"), col("dst"))
+      .transform(graft.util.CacheScope.persist)
     def score(cand: DataFrame): DataFrame =
-      baseQ.select(col("vec_id").as("dst"), col("qvec").as("__dv"))
+      baseQ.select(col("vec_id").as("dst"), col("qvec").as("__dv"),
+          col("__n2").as("__dn"))
         .join(broadcast(cand), Seq("dst"))
         .join(broadcast(qp), Seq("q_id"))
-        .withColumn("d2",
-          aggregate(zip_with(col("__qv"), col("__dv"),
-            (x, y) => (x - y) * (x - y)), lit(0.0d),
-            (acc, v) => acc + v).cast("long"))
+        .withColumn("d2", gridDist2(col("__qn"), col("__qv"),
+          col("__dn"), col("__dv")))
         .select(col("q_id"), col("dst"), col("d2"))
     def keep(scored: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy(col("q_id"))
