@@ -4942,10 +4942,139 @@ ${coarseCtes("vec_id % 3 > 0")},
       ORDER BY src, rnk
     """))
 
+  // --------------------------------------------------------------- q266
+  // GRAPH-SERVING recall audit — the q239 evaluation on the graph
+  // family, completing its matrix row: how much of the exact top-5
+  // does the 2-hop beam walk recover, per query, with the exact side
+  // served by the probing-all flat index (the operator-reuse
+  // discipline — no second baseline code path). The walk's recall is
+  // bounded by entry placement and hop count — exactly the knobs this
+  // report exists to tune (q240's nprobe story on the graph axis).
+  private val q266 = Q(
+    "q266_graph_recall_audit",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
+        "vec_id", "embedding", k = 5)
+      val q = e.filter(col("vec_id") < 10)
+      val approx = graft.operators.Similarity.graphSearch(g, e, q,
+        "vec_id", "embedding", entryK = 2, beam = 5, hops = 2,
+        topK = 5)
+      val exact = graft.operators.Ivf.filteredSearch(coarse,
+        graft.operators.Ivf.flatIndex(coarse, e, "vec_id", "embedding",
+          Nil),
+        q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+      graft.operators.Similarity.recallAudit(approx, exact, 5)
+        .orderBy(col("q_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      seedsc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vb ON vb.vec_id = b.vec_id),
+      g AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc)
+        WHERE rnk <= 5),
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+      c0 AS (
+        SELECT q.q_id, e.dst FROM qs q, ent e WHERE e.dst <> q.q_id),
+      s0 AS (
+        SELECT c.q_id, c.dst,
+               CAST(list_dot_product(q.qvec, q.qvec)
+                 - 2.0 * list_dot_product(q.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM c0 c JOIN qs q ON q.q_id = c.q_id
+        JOIN vx vb ON vb.vec_id = c.dst),
+      b0 AS (
+        SELECT q_id, dst, d2 FROM (
+          SELECT q_id, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM s0)
+        WHERE rnk <= 5),
+      e1 AS (
+        SELECT b.q_id, gg.dst FROM b0 b
+        JOIN g gg ON gg.src = b.dst
+        WHERE gg.dst <> b.q_id),
+      c1 AS (
+        SELECT q_id, dst FROM b0 UNION SELECT q_id, dst FROM e1),
+      s1 AS (
+        SELECT c.q_id, c.dst,
+               CAST(list_dot_product(q.qvec, q.qvec)
+                 - 2.0 * list_dot_product(q.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM c1 c JOIN qs q ON q.q_id = c.q_id
+        JOIN vx vb ON vb.vec_id = c.dst),
+      b1 AS (
+        SELECT q_id, dst, d2 FROM (
+          SELECT q_id, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM s1)
+        WHERE rnk <= 5),
+      e2 AS (
+        SELECT b.q_id, gg.dst FROM b1 b
+        JOIN g gg ON gg.src = b.dst
+        WHERE gg.dst <> b.q_id),
+      c2 AS (
+        SELECT q_id, dst FROM b1 UNION SELECT q_id, dst FROM e2),
+      s2 AS (
+        SELECT c.q_id, c.dst,
+               CAST(list_dot_product(q.qvec, q.qvec)
+                 - 2.0 * list_dot_product(q.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM c2 c JOIN qs q ON q.q_id = c.q_id
+        JOIN vx vb ON vb.vec_id = c.dst),
+      walk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM s2)
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      hits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits
+        FROM exact e
+        LEFT JOIN walk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id)
+      SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro
+      FROM hits
+      ORDER BY q_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
-    q255, q256, q257, q260, q261, q263, q264, q265)
+    q255, q256, q257, q260, q261, q263, q264, q265, q266)
 }

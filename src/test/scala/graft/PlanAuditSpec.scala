@@ -196,7 +196,10 @@ class PlanAuditSpec extends SparkSpec {
       // q265's only cross fans are the ≤8-row coarse codebook build/
       // assignment (q36's class); the merge itself is cell/id-keyed
       // equi-joins with batch-proportional left sides
-      "q265_incremental_knn_graph")
+      "q265_incremental_knn_graph",
+      // q266 = q264's walk fans + q239's probing-all exact baseline
+      // (≤8-row coarse probe); the audit join is O(queries·k)
+      "q266_graph_recall_audit")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
