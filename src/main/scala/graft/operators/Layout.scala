@@ -125,8 +125,14 @@ object Layout {
     require(tables.map(_._1).distinct.size == tables.size,
       "indexManifest table names must be distinct")
     tables.map { case (name, df, rowKey) =>
-      df.select(conv(substring(md5(rowKey), 1, 15), 16, 10)
-          .cast("long").as("__fp60"))
+      // a null rowKey would md5 to null and silently VANISH from the
+      // bit_xor while still counting in n_rows — corruption that nulls
+      // a key column must fail loudly, not dodge the checksum
+      df.select(when(rowKey.isNull, raise_error(lit(
+            s"indexManifest($name): null row key — a manifested row " +
+              "must render every content column non-null")))
+          .otherwise(conv(substring(md5(rowKey), 1, 15), 16, 10)
+            .cast("long")).as("__fp60"))
         .agg(count(lit(1)).as("n_rows"),
           coalesce(expr("bit_xor(__fp60)"), lit(0L)).as("checksum"))
         .select(lit(name).as("table_name"), col("n_rows"),

@@ -349,20 +349,30 @@ object Quantize {
       predicate: Column, segCol: String, genCol: String, asOf: Int,
       numPartitions: Int, nprobe: Int, topK: Int): DataFrame = {
     val snap = Layout.compactAsOf(segments, "vec_id", segCol, "cid",
-        numPartitions, asOf)
-      .transform(graft.util.CacheScope.persist)
-    val gens = snap.select(col(genCol)).distinct().collect()
-      .map(_.getInt(0)).sorted
-    require(gens.length == 1,
-      s"as-of $asOf snapshot spans ${gens.length} bounds generations " +
-        s"(${gens.mkString(", ")}) — a serveable snapshot encodes " +
-        "under exactly one; recalibrate as a full segment")
-    val bounds = boundsVersions.filter(col(genCol) === gens.head)
-      .select(col("d"), col("p_lo"), col("p_hi"))
+      numPartitions, asOf)
     val deadAsOf = tombstones.filter(col(segCol) <= asOf)
       .select(col("vec_id")).distinct()
     val live = snap.filter(predicate)
       .join(broadcast(deadAsOf), Seq("vec_id"), "left_anti")
+      .transform(graft.util.CacheScope.persist)
+    // the generation probe runs on the LIVE set — what is actually
+    // served — so a snapshot whose stale-generation rows are all
+    // tombstoned (or predicate-excluded) serves fine; only rows that
+    // can reach the scorer pin a generation. Long-tolerant accessor:
+    // the gen column may land as int or bigint depending on the
+    // segment writer.
+    val gens = live.select(col(genCol)).distinct().collect()
+      .map(_.getAs[Number](0).intValue).sorted
+    require(gens.length <= 1,
+      s"as-of $asOf live snapshot spans ${gens.length} bounds " +
+        s"generations (${gens.mkString(", ")}) — a serveable snapshot " +
+        "encodes under exactly one; recalibrate as a full segment")
+    require(gens.nonEmpty,
+      s"as-of $asOf snapshot has no live rows under the predicate — " +
+        "nothing to serve (every surviving row is tombstoned or " +
+        "filtered out)")
+    val bounds = boundsVersions.filter(col(genCol) === gens.head)
+      .select(col("d"), col("p_lo"), col("p_hi"))
     calibratedIvfSearch(coarse, live.select(col("vec_id"), col("cid")),
       live.select(col("vec_id"), col("codes")), queries, idCol, vecCol,
       bounds, nprobe, topK)

@@ -365,8 +365,14 @@ object Search {
       .join(broadcast(dead), Seq(idCol), "left_semi")
       .agg(count(lit(1)).as("__dn"),
         coalesce(sum(col("dl")), lit(0L)).as("__dsum"))
+    // tombstones covering EVERY document would make avgdl a 0/0 null
+    // and propagate null scores — an empty live corpus must be loud,
+    // not silently score-less
     val corrected = stats.crossJoin(deadStats)
-      .select((col("n_docs") - col("__dn")).as("n_docs"),
+      .select(when(col("n_docs") - col("__dn") <= 0, raise_error(lit(
+            "bm25SearchMasked: tombstones cover every document — " +
+              "no live corpus to serve")))
+          .otherwise(col("n_docs") - col("__dn")).as("n_docs"),
         ((col("sum_dl") - col("__dsum")).cast("double") /
           (col("n_docs") - col("__dn"))).as("avgdl"))
     val tfLive = tfTable.filter(col("token").isin(terms: _*))

@@ -572,7 +572,14 @@ object Similarity {
     * [[nnDescentRound]] refines: cell borders are exactly where the
     * seed is wrong, and neighbor-of-neighbor exploration is what
     * fixes borders without ever probing globally. Output: (src, dst,
-    * d2, rnk ≤ k), exact integral-grid L2. */
+    * d2, rnk ≤ k), exact integral-grid L2.
+    *
+    * The Σ cell² seed cost is bounded only while the coarse codebook
+    * stays BALANCED — a hot cell makes the term quadratic in that
+    * cell — so monitor builds with the q198/q202 occupancy health
+    * report ([[graft.operators.Ivf.cellHealth]]); a skewed report
+    * means re-train the coarse codebook (or lean on [[nnDescentRound]]
+    * refinement, whose hop fan is k-bounded regardless of balance). */
   /** Exact pair distance from precomputed self-dots + ONE native
     * cross-dot — the graph family's hot loop: ‖s−d‖² = s·s + d·d −
     * 2 s·d, every term an exact integer on the grid (all ≪ 2⁵³), so
@@ -781,12 +788,24 @@ object Similarity {
     * scan (expansion) plus one over the base scan (rescore); nothing
     * corpus-sized shuffles, and hops is a small constant. Output:
     * (q_id, n_id, d2, rnk ≤ topK), self-matches excluded. */
-  def graphSearch(graph: DataFrame, base: DataFrame,
+  /** The walk core shared by every graph-serve verb: the final beam,
+    * plus (when `keepHops`) every hop's SCORED-candidate frame
+    * s_0..s_hops and every hop-input beam b_0..b_(hops-1). The beam is
+    * monotone under the (d2, dst) total order — each hop keeps the
+    * best `beam` of a set CONTAINING the previous beam — so a
+    * candidate dropped at hop h sorts after beam h's worst, which
+    * sorts after the FINAL beam's worst: the final beam is exactly the
+    * top-`beam` of everything the walk ever scored. That equivalence
+    * is what lets the masked/filtered verbs rank over the seen-union
+    * while plain [[graphSearch]] ranks over the final beam — same
+    * result for topK ≤ beam, and the union back-fills k when a mask
+    * or predicate knocks beam members out. */
+  private final case class GraphWalk(best: DataFrame,
+      scored: Seq[DataFrame], beams: Seq[DataFrame])
+
+  private def graphWalk(graph: DataFrame, base: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, entryK: Int,
-      beam: Int, hops: Int, topK: Int): DataFrame = {
-    require(entryK >= 1 && beam >= 1 && hops >= 0 && topK >= 1,
-      s"graphSearch: entryK=$entryK, beam=$beam, hops=$hops, " +
-        s"topK=$topK must all be >= 1 (hops >= 0)")
+      beam: Int, hops: Int, keepHops: Boolean): GraphWalk = {
     val baseQ = Ivf.quantized(base, idCol, vecCol)
       .withColumn("__n2", dot(col("qvec"), col("qvec")))
       .transform(graft.util.CacheScope.persist)
@@ -814,21 +833,31 @@ object Similarity {
     }
     val entries = base.select(col(idCol).as("dst"))
       .orderBy(col("dst").asc).limit(entryK)
-    var best = keep(score(
+    val s0 = score(
       qp.select(col("q_id")).crossJoin(broadcast(entries))
-        .filter(col("dst") =!= col("q_id"))), beam)
+        .filter(col("dst") =!= col("q_id")))
+    var best = keep(s0, beam)
+    val scoredAcc = scala.collection.mutable.ListBuffer(s0)
+    val beamAcc = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // each hop reads the previous beam TWICE (expansion + candidate
     // union), so a lazy chain DOUBLES the plan per hop — 10 hops is a
     // ~2¹⁰-node tree whose mere rendering OOMs. The beam is |Q|·beam
     // rows: an eager localCheckpoint per hop is near-free and keeps
-    // plan depth constant (the trainCodebooks rotation discipline);
-    // superseded checkpoints release eagerly.
+    // plan depth constant (the trainCodebooks rotation discipline).
+    // Superseded checkpoints release eagerly UNLESS the caller keeps
+    // the per-hop frames — a localCheckpoint cannot recompute after
+    // release, and the seen-union/cost frames read every hop.
     var lastCheckpoint: Option[DataFrame] = None
     for (_ <- 1 to hops) {
       val cp = best.localCheckpoint()
-      lastCheckpoint.foreach(
-        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
-      lastCheckpoint = Some(cp)
+      if (keepHops) {
+        graft.util.CacheScope.registerCheckpointed(cp)
+        beamAcc += cp
+      } else {
+        lastCheckpoint.foreach(
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
+        lastCheckpoint = Some(cp)
+      }
       val exp = edges
         .join(broadcast(cp.select(col("q_id"),
           col("dst").as("src"))), Seq("src"))
@@ -836,15 +865,226 @@ object Similarity {
         .filter(col("dst") =!= col("q_id"))
       val cand = cp.select(col("q_id"), col("dst"))
         .unionByName(exp).distinct()
-      best = keep(score(cand), beam)
+      val sh = score(cand)
+      if (keepHops) scoredAcc += sh
+      best = keep(sh, beam)
     }
     lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
+    GraphWalk(best, scoredAcc.toSeq, beamAcc.toSeq)
+  }
+
+  /** (q_id, dst, d2) → the suite's (q_id, n_id, d2, rnk ≤ topK). */
+  private def rankWalk(scored: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("d2").asc, col("dst").asc)
-    best.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("dst").as("n_id"), col("d2"),
         col("rnk").cast("int").as("rnk"))
+  }
+
+  /** Everything the walk EVALUATED, deduped — d2 is deterministic per
+    * (q_id, dst), so the distinct collapses re-scores exactly. Size is
+    * O(|Q|·(entryK + hops·beam·k)): bounded, never corpus-shaped. */
+  private def seenUnion(walk: GraphWalk): DataFrame =
+    walk.scored.reduce(_.unionByName(_)).distinct()
+
+  def graphSearch(graph: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, entryK: Int,
+      beam: Int, hops: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hops >= 0 && topK >= 1,
+      s"graphSearch: entryK=$entryK, beam=$beam, hops=$hops, " +
+        s"topK=$topK must all be >= 1 (hops >= 0)")
+    require(topK <= beam,
+      s"graphSearch: topK=$topK > beam=$beam — the final rank runs " +
+        "over the beam-capped frame, so k past the beam can never fill")
+    rankWalk(graphWalk(graph, base, queries, idCol, vecCol, entryK,
+      beam, hops, keepHops = false).best, topK)
+  }
+
+  /** TOMBSTONE-MASKED beam search — the q236 serving semantic on the
+    * graph pillar: deleted vectors stop appearing in results NOW,
+    * without touching the stored graph. The walk runs over the FULL
+    * graph — dead vertices still route (an edge through a tombstoned
+    * vertex is often the only path across a cell border; dropping dead
+    * vertices from traversal disconnects the graph, the filtered-ANN
+    * under-reach bug restated for walks) — and the mask is ONE
+    * O(deleted) broadcast anti-join on the walk's evaluated-candidate
+    * union at rank time. Ranking over the seen-union (not the final
+    * beam) back-fills k from live candidates the beam evaluated but
+    * dead members crowded out; with no tombstones it equals
+    * [[graphSearch]] exactly (the beam-monotonicity argument on
+    * [[GraphWalk]]). Masked probing-all ≡ brute force over the live
+    * set (spec-pinned). Queries may themselves be tombstoned — queries
+    * come from outside the index; only the NEIGHBOR side masks.
+    * `tombstones`: (vec_id) rows. Output: (q_id, n_id, d2, rnk ≤ topK). */
+  def graphSearchMasked(graph: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      tombstones: DataFrame, entryK: Int, beam: Int, hops: Int,
+      topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hops >= 0 && topK >= 1,
+      s"graphSearchMasked: entryK=$entryK, beam=$beam, hops=$hops, " +
+        s"topK=$topK must all be >= 1 (hops >= 0)")
+    val seen = seenUnion(graphWalk(graph, base, queries, idCol, vecCol,
+      entryK, beam, hops, keepHops = true))
+    val dead = tombstones.select(col("vec_id").as("dst")).distinct()
+    rankWalk(seen.join(broadcast(dead), Seq("dst"), "left_anti"), topK)
+  }
+
+  /** ATTRIBUTE-FILTERED beam search — the q235 seam on the graph
+    * pillar ("nearest WHERE label = 3" over the stored kNN graph):
+    * walk UNFILTERED, return FILTERED. A predicate-restricted walk
+    * disconnects the graph (non-matching vertices are the waypoints
+    * between matching regions), so the predicate applies only at rank
+    * time: matching ids from the base scan (predicate pushes to
+    * parquet at rest) inner-join the walk's bounded evaluated-candidate
+    * union — one map-side pass, the seen side broadcasts — and the
+    * top-k fills from every matching candidate the walk evaluated,
+    * the no-under-fill property q235 documents restated for walks.
+    * Filtered probing-all ≡ brute force over the filtered corpus
+    * (spec-pinned). Output: (q_id, n_id, d2, rnk ≤ topK). */
+  def graphSearchFiltered(graph: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, entryK: Int, beam: Int, hops: Int,
+      topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hops >= 0 && topK >= 1,
+      s"graphSearchFiltered: entryK=$entryK, beam=$beam, hops=$hops, " +
+        s"topK=$topK must all be >= 1 (hops >= 0)")
+    val seen = seenUnion(graphWalk(graph, base, queries, idCol, vecCol,
+      entryK, beam, hops, keepHops = true))
+    val keepIds = base.filter(predicate).select(col(idCol).as("dst"))
+    rankWalk(keepIds.join(broadcast(seen), Seq("dst")), topK)
+  }
+
+  /** Per-query serving-COST audit for the beam walk — [[graft
+    * .operators.Ivf.probeCost]]'s denominator on the graph axis, the
+    * numbers an operator reads NEXT TO recall@k to site the
+    * (beam, hops) knee: `dist_evals` = rows the scorer touched across
+    * every hop (Σ_h |candidates_h|, hop 0's entry fan included —
+    * carried beam members re-score each hop and COUNT each hop,
+    * because that is what the serve plan actually evaluates) and
+    * `frontier` = NEW candidates the expansions contributed
+    * (Σ_h (|candidates_h| − |beam_(h-1)|)). Exact integers replayed
+    * from the same walk the serve verbs run, so the audit hash-gates;
+    * composed next to [[recallAudit]] it emits the recall/cost pair.
+    * Queries whose walk evaluated nothing report 0 (query spine).
+    * Output: (q_id, dist_evals, frontier). */
+  def graphProbeCost(graph: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, entryK: Int,
+      beam: Int, hops: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hops >= 0,
+      s"graphProbeCost: entryK=$entryK, beam=$beam must be >= 1 " +
+        s"(hops=$hops >= 0)")
+    val walk = graphWalk(graph, base, queries, idCol, vecCol, entryK,
+      beam, hops, keepHops = true)
+    def counts(dfs: Seq[DataFrame], as: String): DataFrame =
+      dfs.map(_.groupBy(col("q_id")).agg(count(lit(1)).as("__n")))
+        .reduce(_.unionByName(_))
+        .groupBy(col("q_id")).agg(sum(col("__n")).as(as))
+    val evals = counts(walk.scored, "dist_evals")
+    val spine = queries.select(col(idCol).as("q_id"))
+    if (hops == 0)
+      spine.join(evals, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("dist_evals"), lit(0L)).as("dist_evals"),
+          lit(0L).as("frontier"))
+    else {
+      val later = counts(walk.scored.drop(1), "__later")
+      val beams = counts(walk.beams, "__beams")
+      spine.join(evals, Seq("q_id"), "left")
+        .join(later, Seq("q_id"), "left")
+        .join(beams, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("dist_evals"), lit(0L)).as("dist_evals"),
+          (coalesce(col("__later"), lit(0L))
+            - coalesce(col("__beams"), lit(0L))).as("frontier"))
+    }
+  }
+
+  /** Vertex PURGE with affected-neighbor RE-ELECTION — the q227
+    * bounded-min discipline on the graph pillar, the maintenance verb
+    * that rewrites the stored kNN graph after deletes (masking —
+    * [[graphSearchMasked]] — serves the gap until this runs): deleted
+    * vertices drop as sources AND as edge endpoints, and a survivor
+    * that LOST an edge cannot re-fill from stored state — the evicted
+    * dst may head its rank list and the true runner-up fell off the k
+    * cap — so affected vertices re-elect exact top-k from their cell's
+    * SURVIVORS (the [[appendKnnSeed]] touched-set machinery pointed at
+    * deletes). Untouched live vertices pass through bit-identical with
+    * their stored ranks. Work: O(deleted) broadcast anti-joins on the
+    * stored scans + re-scoring only affected vertices' cells — never a
+    * corpus self-join. `storedIndex` = [[graft.operators.Ivf
+    * .flatIndex]] rows (vec_id, cid, qvec); output ≡ the full
+    * [[knnGraphSeed]] rebuild over the surviving corpus under the
+    * fixed coarse codebook (the gate oracle). */
+  def purgeKnnGraph(storedGraph: DataFrame, storedIndex: DataFrame,
+      tombstones: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"purgeKnnGraph: k must be >= 1, got $k")
+    val dead = tombstones.select(col("vec_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    val sg = storedGraph
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    val live = storedIndex.select(col("vec_id"), col("cid"), col("qvec"))
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .transform(graft.util.CacheScope.persist)
+    // survivors that lost an edge: adjacent to a deleted dst —
+    // O(deleted · reverse-degree), a bounded touched set
+    val affected = sg
+      .join(broadcast(dead.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_semi")
+      .select(col("src")).distinct()
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .transform(graft.util.CacheScope.persist)
+    val a = live
+      .join(affected.select(col("src").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+      .select(col("vec_id").as("src"), col("cid"),
+        col("qvec").as("__sv"),
+        dot(col("qvec"), col("qvec")).as("__sn"))
+    val b = live.select(col("vec_id").as("dst"), col("cid"),
+      col("qvec").as("__dv"),
+      dot(col("qvec"), col("qvec")).as("__dn"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    val reElect = a.join(b, Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("d2", gridDist2(col("__sn"), col("__sv"),
+        col("__dn"), col("__dv")))
+      .select(col("src"), col("dst"), col("d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+    // untouched live vertices keep their STORED rows verbatim — their
+    // top-k over the survivors IS the stored top-k (deletion only
+    // removes candidates, and none of theirs was removed)
+    val passthrough = sg
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(affected, Seq("src"), "left_anti")
+    reElect.unionByName(passthrough)
+  }
+
+  /** Graph UPSERT — the q231 composition on the graph pillar, closing
+    * CRUD for the stored kNN-graph family: a RESTATED vector (same id,
+    * new embedding) is a DELETE composed with an APPEND, both under
+    * the FIXED coarse codebook — [[purgeKnnGraph]] drops the old rows
+    * and re-elects the survivors they touched, then [[appendKnnSeed]]
+    * absorbs the new rows batch-proportionally. All O(changed):
+    * history never re-scores itself. `batchIndex` = the restated ids'
+    * NEW [[graft.operators.Ivf.flatIndex]] rows. Output ≡ the full
+    * seed rebuild over the restated corpus (the gate oracle). */
+  def upsertKnnSeed(storedGraph: DataFrame, storedIndex: DataFrame,
+      batchIndex: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"upsertKnnSeed: k must be >= 1, got $k")
+    val ids = batchIndex.select(col("vec_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    val purged = purgeKnnGraph(storedGraph, storedIndex, ids, k)
+    val liveIndex = storedIndex
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+    appendKnnSeed(purged, liveIndex, batchIndex, k)
   }
 
   def recallAudit(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {

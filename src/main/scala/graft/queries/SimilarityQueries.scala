@@ -4150,8 +4150,9 @@ ${coarseCtes()},
   // --------------------------------------------------------------- q252
   // INDEX integrity MANIFEST — q141's verify-before-serve discipline
   // on the stored ANN/search pillar: per stored table (coarse
-  // assignment, calibration bounds, calibrated codes, positional
-  // postings), row count + an order-invariant bit-XOR content
+  // assignment, calibration bounds, calibrated codes, the stored kNN
+  // GRAPH (src, dst, d2, rnk), positional postings), row count + an
+  // order-invariant bit-XOR content
   // checksum, derived at build and re-derived before serving so a
   // dropped part-file surfaces as a loud mismatch instead of silently
   // wrong neighbors. XOR commutes — the checksum is partition/order/
@@ -4176,6 +4177,8 @@ ${coarseCtes()},
         "embedding", bounds)
       val postings = graft.operators.Search.positionalIndex(docs,
         "doc_id", "text")
+      val graph = graft.operators.Similarity.knnGraphSeed(coarse, e,
+        "vec_id", "embedding", k = 5)
       graft.operators.Layout.indexManifest(Seq(
         ("assigned", assigned,
           concat_ws("|", col("vec_id"), col("cid"))),
@@ -4184,6 +4187,8 @@ ${coarseCtes()},
         ("codes", codes,
           concat_ws("|", col("vec_id"),
             concat_ws(",", col("codes").cast("array<string>")))),
+        ("graph", graph,
+          concat_ws("|", col("src"), col("dst"), col("d2"), col("rnk"))),
         ("postings", postings,
           concat_ws("|", col("token"), col("doc_id"), col("pos")))))
         .orderBy(col("table_name"))
@@ -4246,11 +4251,34 @@ ${coarseCtes()},
                COALESCE(bit_xor(
                  ('0x' || substr(md5(token || '|' || doc_id || '|' || pos),
                    1, 15))::BIGINT), 0) AS checksum
-        FROM posti)
+        FROM posti),
+      seedsc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vb ON vb.vec_id = b.vec_id),
+      seedg AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc)
+        WHERE rnk <= 5),
+      mg AS (
+        SELECT 'graph' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(src || '|' || dst || '|' || d2
+                   || '|' || rnk), 1, 15))::BIGINT), 0) AS checksum
+        FROM seedg)
       SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
              CAST(checksum AS BIGINT) AS checksum
       FROM (SELECT * FROM ma UNION ALL SELECT * FROM mb
-            UNION ALL SELECT * FROM mc UNION ALL SELECT * FROM mp)
+            UNION ALL SELECT * FROM mc UNION ALL SELECT * FROM mg
+            UNION ALL SELECT * FROM mp)
       ORDER BY table_name
     """))
 
@@ -4949,7 +4977,11 @@ ${coarseCtes("vec_id % 3 > 0")},
   // served by the probing-all flat index (the operator-reuse
   // discipline — no second baseline code path). The walk's recall is
   // bounded by entry placement and hop count — exactly the knobs this
-  // report exists to tune (q240's nprobe story on the graph axis).
+  // report exists to tune (q240's nprobe story on the graph axis) —
+  // and each row carries the COST of that recall (Similarity
+  // .graphProbeCost: distance evaluations across every hop, frontier
+  // rows the expansions contributed), so the audit reports the
+  // recall/cost pair, not half the tuning artifact; q271 sweeps it.
   private val q266 = Q(
     "q266_graph_recall_audit",
     (s, dir) => {
@@ -4967,6 +4999,9 @@ ${coarseCtes("vec_id % 3 > 0")},
           Nil),
         q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
       graft.operators.Similarity.recallAudit(approx, exact, 5)
+        .join(graft.operators.Similarity.graphProbeCost(g, e, q,
+          "vec_id", "embedding", entryK = 2, beam = 5, hops = 2),
+          Seq("q_id"))
         .orderBy(col("q_id"))
     },
     Some(raw"""
@@ -5064,11 +5099,651 @@ ${coarseCtes()},
         SELECT e.q_id, COUNT(w.n_id) AS n_hits
         FROM exact e
         LEFT JOIN walk w ON w.q_id = e.q_id AND w.n_id = e.n_id
-        GROUP BY e.q_id)
-      SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
-             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro
-      FROM hits
-      ORDER BY q_id
+        GROUP BY e.q_id),
+${walkCostSql("", 2)}
+      SELECT h.q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro,
+             c.dist_evals, c.frontier
+      FROM hits h JOIN cost c ON c.q_id = h.q_id
+      ORDER BY h.q_id
+    """))
+
+  // ------------------------------------------------------- graph helpers
+  /** Full-corpus kNN-graph SEED replay, k = 5 — q263's seedsc chain as
+    * one definition: callers define `vx` + [[coarseCtes]] and consume
+    * `g` (src, dst). The q263/q264/q265/q266 inline copies predate the
+    * helper and are frozen. `liveWhere` is a full predicate over the
+    * `a`/`b` endpoint aliases (the purge-rebuild oracle's surviving
+    * corpus). */
+  private def seedGraphCtes(liveWhere: String = "TRUE",
+      cellofName: String = "cellof", vxName: String = "vx"): String = raw"""
+      seedsc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM $cellofName a
+        JOIN $cellofName b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN $vxName va ON va.vec_id = a.vec_id
+        JOIN $vxName vb ON vb.vec_id = b.vec_id
+        WHERE ($liveWhere)),
+      g AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc)
+        WHERE rnk <= 5)"""
+
+  /** Beam-walk replay (q264's chain as one parameterized definition):
+    * given `g` (src, dst), `ent` (dst) and `qs` (q_id, qvec) CTEs,
+    * emits ${p}c0/${p}s0/${p}b0 … ${p}s$hops/${p}b$hops — candidate,
+    * scored, and beam-kept frames per hop with the rnk <= `beam` cap.
+    * The q264/q266 inline copies predate the helper and are frozen. */
+  private def walkCtes(p: String, hops: Int, beam: Int): String = {
+    def scored(h: Int) = raw"""
+      ${p}s$h AS (
+        SELECT c.q_id, c.dst,
+               CAST(list_dot_product(q.qvec, q.qvec)
+                 - 2.0 * list_dot_product(q.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM ${p}c$h c JOIN qs q ON q.q_id = c.q_id
+        JOIN vx vb ON vb.vec_id = c.dst),
+      ${p}b$h AS (
+        SELECT q_id, dst, d2 FROM (
+          SELECT q_id, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM ${p}s$h)
+        WHERE rnk <= $beam)"""
+    val hop0 = raw"""
+      ${p}c0 AS (
+        SELECT q.q_id, e.dst FROM qs q, ent e WHERE e.dst <> q.q_id),""" +
+      scored(0)
+    val rounds = (1 to hops).map { h =>
+      raw"""
+      ${p}e$h AS (
+        SELECT b.q_id, gg.dst FROM ${p}b${h - 1} b
+        JOIN g gg ON gg.src = b.dst
+        WHERE gg.dst <> b.q_id),
+      ${p}c$h AS (
+        SELECT q_id, dst FROM ${p}b${h - 1}
+        UNION SELECT q_id, dst FROM ${p}e$h),""" + scored(h)
+    }
+    (hop0 +: rounds).mkString(",")
+  }
+
+  /** Everything the walk EVALUATED: the distinct union of every hop's
+    * scored frame — d2 is deterministic per (q_id, dst), so UNION
+    * dedupes exactly (the seen-union the masked/filtered verbs rank). */
+  private def seenSql(p: String, hops: Int): String =
+    (0 to hops).map(h => s"SELECT q_id, dst, d2 FROM ${p}s$h")
+      .mkString("\n        UNION\n        ")
+
+  /** The walk's COST columns replayed from [[walkCtes]]' frames:
+    * dist_evals = Σ_h |${p}s_h| per query (carried beam members
+    * re-score each hop and count each hop — what the plan evaluates),
+    * frontier = Σ_h (|${p}s_h| − |${p}b_(h-1)|). Query spine from qs,
+    * so an all-self-entry query reports 0. */
+  private def walkCostSql(p: String, hops: Int): String = {
+    val sJoins = (0 to hops).map(h =>
+      s"""LEFT JOIN (SELECT q_id, COUNT(*) AS n FROM ${p}s$h
+          GROUP BY q_id) ${p}sn$h ON ${p}sn$h.q_id = q.q_id""")
+      .mkString("\n        ")
+    val bJoins = (0 until hops).map(h =>
+      s"""LEFT JOIN (SELECT q_id, COUNT(*) AS n FROM ${p}b$h
+          GROUP BY q_id) ${p}bn$h ON ${p}bn$h.q_id = q.q_id""")
+      .mkString("\n        ")
+    val evals = (0 to hops).map(h => s"COALESCE(${p}sn$h.n, 0)")
+      .mkString(" + ")
+    val frontier =
+      if (hops == 0) "0"
+      else (1 to hops).map(h =>
+        s"(COALESCE(${p}sn$h.n, 0) - COALESCE(${p}bn${h - 1}.n, 0))")
+        .mkString(" + ")
+    raw"""
+      ${p}cost AS (
+        SELECT q.q_id,
+               CAST($evals AS BIGINT) AS dist_evals,
+               CAST($frontier AS BIGINT) AS frontier
+        FROM qs q
+        $sJoins
+        $bJoins)"""
+  }
+
+  // --------------------------------------------------------------- q267
+  // TOMBSTONE-MASKED graph serving — the q236 semantic on the graph
+  // pillar: deletes land as a tombstone set and beam search must stop
+  // returning them NOW, with zero graph maintenance. The walk runs
+  // over the FULL stored graph — dead vertices still ROUTE (an edge
+  // through a tombstoned vertex is often the only path across a cell
+  // border; a masked traversal disconnects the graph) — and the mask
+  // is ONE O(deleted) broadcast anti-join at rank time over the walk's
+  // bounded evaluated-candidate union, which also back-fills k from
+  // live candidates dead beam members crowded out. Oracle replays the
+  // walk, unions every hop's scored frame, and masks.
+  private val q267 = Q(
+    "q267_masked_graph_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
+        "vec_id", "embedding", k = 5)
+      graft.operators.Similarity.graphSearchMasked(g, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
+          entryK = 2, beam = 5, hops = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("", 2, 5)},
+      seen AS (
+        ${seenSql("", 2)}),
+      live AS (
+        SELECT q_id, dst, d2 FROM seen WHERE dst % 5 <> 0)
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM live)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q268
+  // Graph vertex PURGE with affected-neighbor RE-ELECTION — the q227
+  // bounded-min discipline on the graph pillar, the maintenance verb
+  // behind q267's mask: deleted vertices drop as sources AND as edge
+  // endpoints, and a survivor that LOST an edge cannot re-fill from
+  // stored state (the evicted dst may head its rank list and the true
+  // runner-up fell off the k cap), so affected vertices re-elect exact
+  // top-k from their cell's SURVIVORS — O(deleted) anti-joins plus
+  // touched-cell re-scoring, never a corpus self-join. Untouched live
+  // vertices pass through bit-identical WITH their stored ranks.
+  // Oracle = the full seed rebuild over the surviving corpus.
+  private val q268 = Q(
+    "q268_graph_purge",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val storedIndex = graft.operators.Ivf.flatIndex(coarse, e,
+        "vec_id", "embedding", Nil)
+      val storedGraph = graft.operators.Similarity.knnGraphSeed(coarse,
+        e, "vec_id", "embedding", k = 5)
+      graft.operators.Similarity.purgeKnnGraph(storedGraph, storedIndex,
+          e.filter(col("vec_id") % 5 === 0).select(col("vec_id")), k = 5)
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      seedsc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vb ON vb.vec_id = b.vec_id
+        WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 <> 0)
+      SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM seedsc)
+      WHERE rnk <= 5
+      ORDER BY src, rnk
+    """))
+
+  // --------------------------------------------------------------- q269
+  // Graph UPSERT — the q231 composition on the graph pillar, closing
+  // CRUD for the stored kNN-graph family: each restated vector (same
+  // id, new embedding — deterministically REVERSED so the oracle can
+  // replay it) is a DELETE composed with an APPEND under the FIXED
+  // coarse codebook — purgeKnnGraph drops the old rows and re-elects
+  // the survivors they touched, appendKnnSeed absorbs the new rows
+  // batch-proportionally; history never re-scores itself. Oracle = the
+  // full seed rebuild over the restated corpus.
+  private val q269 = Q(
+    "q269_graph_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val storedIndex = graft.operators.Ivf.flatIndex(coarse, e,
+        "vec_id", "embedding", Nil)
+      val storedGraph = graft.operators.Similarity.knnGraphSeed(coarse,
+        e, "vec_id", "embedding", k = 5)
+      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
+        e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      graft.operators.Similarity.upsertKnnSeed(storedGraph, storedIndex,
+          batchIndex, k = 5)
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+      seedsc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof2 a
+        JOIN cellof2 b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx2 va ON va.vec_id = a.vec_id
+        JOIN vx2 vb ON vb.vec_id = b.vec_id)
+      SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM seedsc)
+      WHERE rnk <= 5
+      ORDER BY src, rnk
+    """))
+
+  // --------------------------------------------------------------- q270
+  // ATTRIBUTE-FILTERED graph serving — the q235 seam on the graph
+  // pillar, completing the filter × index-family matrix (flat q235,
+  // int8 q248, PQ q250, residual q251, graph here): walk UNFILTERED,
+  // return FILTERED. A predicate-restricted traversal disconnects the
+  // graph (non-matching vertices are the waypoints between matching
+  // regions), so the predicate applies only at rank time — matching
+  // ids from the base scan inner-join the walk's bounded
+  // evaluated-candidate union, and the top-k fills from every matching
+  // candidate the walk evaluated (q235's no-under-fill property
+  // restated for walks). Oracle replays the walk, unions every hop's
+  // scored frame, and filters.
+  private val q270 = Q(
+    "q270_filtered_graph_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
+        "vec_id", "embedding", k = 5)
+      graft.operators.Similarity.graphSearchFiltered(g, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          col("label") === 3, entryK = 2, beam = 5, hops = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("", 2, 5)},
+      seen AS (
+        ${seenSql("", 2)}),
+      kept AS (
+        SELECT sn.q_id, sn.dst, sn.d2
+        FROM seen sn JOIN embeddings em ON em.vec_id = sn.dst
+        WHERE em.label = 3)
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM kept)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q271
+  // (beam, hops) SWEEP — q240's recall/cost tuning curve on the graph
+  // axis, the artifact an operator reads to site the walk's knee: mean
+  // recall@5 across the query panel at (beam, hops) ∈ {(5,1), (5,2),
+  // (8,2)} WITH the cost side (distance evaluations, frontier rows —
+  // Similarity.graphProbeCost summed per sweep point) against the
+  // probing-all exact baseline. The graph and the exact side persist
+  // ONCE under CacheScope; each sweep branch walks the SAME stored
+  // graph (what a deployment tunes against).
+  private val q271 = Q(
+    "q271_graph_beam_sweep",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
+          "vec_id", "embedding", k = 5)
+        .transform(graft.util.CacheScope.persist)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Ivf.filteredSearch(coarse,
+          graft.operators.Ivf.flatIndex(coarse, e, "vec_id", "embedding",
+            Nil),
+          q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+        .transform(graft.util.CacheScope.persist)
+      Seq((5, 1), (5, 2), (8, 2)).map { case (beam, hops) =>
+        graft.operators.Similarity.recallAudit(
+            graft.operators.Similarity.graphSearch(g, e, q, "vec_id",
+              "embedding", entryK = 2, beam = beam, hops = hops,
+              topK = 5),
+            exact, 5)
+          .join(graft.operators.Similarity.graphProbeCost(g, e, q,
+            "vec_id", "embedding", entryK = 2, beam = beam,
+            hops = hops), Seq("q_id"))
+          .withColumn("beam", lit(beam)).withColumn("hops", lit(hops))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("beam"), col("hops"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("hits_total"),
+          sum(col("dist_evals")).as("evals_total"),
+          sum(col("frontier")).as("frontier_total"))
+        .withColumn("recall_micro_mean",
+          expr("hits_total * 1000000 DIV (5 * n_queries)"))
+        .orderBy(col("beam"), col("hops"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("wa", 1, 5)},
+${walkCtes("wb", 2, 5)},
+${walkCtes("wc", 2, 8)},
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      wawalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM was1)
+        WHERE rnk <= 5),
+      wbwalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM wbs2)
+        WHERE rnk <= 5),
+      wcwalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM wcs2)
+        WHERE rnk <= 5),
+      wahits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN wawalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+      wbhits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN wbwalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+      wchits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN wcwalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+${walkCostSql("wa", 1)},
+${walkCostSql("wb", 2)},
+${walkCostSql("wc", 2)},
+      rows_ AS (
+        SELECT CAST(5 AS INTEGER) AS beam, CAST(1 AS INTEGER) AS hops,
+               (SELECT COUNT(*) FROM wahits) AS n_queries,
+               (SELECT SUM(n_hits) FROM wahits) AS hits_total,
+               (SELECT SUM(dist_evals) FROM wacost) AS evals_total,
+               (SELECT SUM(frontier) FROM wacost) AS frontier_total
+        UNION ALL
+        SELECT CAST(5 AS INTEGER), CAST(2 AS INTEGER),
+               (SELECT COUNT(*) FROM wbhits),
+               (SELECT SUM(n_hits) FROM wbhits),
+               (SELECT SUM(dist_evals) FROM wbcost),
+               (SELECT SUM(frontier) FROM wbcost)
+        UNION ALL
+        SELECT CAST(8 AS INTEGER), CAST(2 AS INTEGER),
+               (SELECT COUNT(*) FROM wchits),
+               (SELECT SUM(n_hits) FROM wchits),
+               (SELECT SUM(dist_evals) FROM wccost),
+               (SELECT SUM(frontier) FROM wccost))
+      SELECT beam, hops,
+             CAST(n_queries AS BIGINT) AS n_queries,
+             CAST(hits_total AS BIGINT) AS hits_total,
+             CAST(evals_total AS BIGINT) AS evals_total,
+             CAST(frontier_total AS BIGINT) AS frontier_total,
+             CAST(hits_total * 1000000 // (5 * n_queries) AS BIGINT)
+               AS recall_micro_mean
+      FROM rows_
+      ORDER BY beam, hops
+    """))
+
+  // --------------------------------------------------------------- q272
+  // MULTI-ROUND NN-descent — q263 gated ONE refinement round; the
+  // algorithm's value is the multi-round TRAJECTORY (each round's
+  // candidates derive from the previous round's data-dependent graph),
+  // so this gates rounds = 2 with the oracle unrolling BOTH rounds —
+  // the q137 full-trajectory discipline on the graph-build axis. Each
+  // round's edge frame localCheckpoints between rounds (plan-depth
+  // rotation), which is exactly what this query exercises end-to-end.
+  private val q272 = Q(
+    "q272_nn_descent_two_rounds",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
+          numCoarse = 8, coarseIterations = 2, k = 5, rounds = 2)
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      seedsc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vb ON vb.vec_id = b.vec_id),
+      g0 AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc)
+        WHERE rnk <= 5),
+      und1 AS (
+        SELECT src, dst FROM g0
+        UNION
+        SELECT dst AS src, src AS dst FROM g0),
+      hop1 AS (
+        SELECT u1.src, u2.dst
+        FROM und1 u1 JOIN und1 u2 ON u2.src = u1.dst
+        WHERE u1.src <> u2.dst),
+      cand1 AS (
+        SELECT src, dst FROM g0
+        UNION
+        SELECT src, dst FROM hop1),
+      resc1 AS (
+        SELECT c.src, c.dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cand1 c
+        JOIN vx va ON va.vec_id = c.src
+        JOIN vx vb ON vb.vec_id = c.dst),
+      g1 AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM resc1)
+        WHERE rnk <= 5),
+      und2 AS (
+        SELECT src, dst FROM g1
+        UNION
+        SELECT dst AS src, src AS dst FROM g1),
+      hop2 AS (
+        SELECT u1.src, u2.dst
+        FROM und2 u1 JOIN und2 u2 ON u2.src = u1.dst
+        WHERE u1.src <> u2.dst),
+      cand2 AS (
+        SELECT src, dst FROM g1
+        UNION
+        SELECT src, dst FROM hop2),
+      resc2 AS (
+        SELECT c.src, c.dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cand2 c
+        JOIN vx va ON va.vec_id = c.src
+        JOIN vx vb ON vb.vec_id = c.dst)
+      SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM resc2)
+      WHERE rnk <= 5
+      ORDER BY src, rnk
+    """))
+
+  // --------------------------------------------------------------- q273
+  // STORED / O(new) MaxSim — the q194 no-retrain contract on the
+  // late-interaction pillar: the day's batch of document BAGS absorbs
+  // into the stored multi-vector index without history re-encoding —
+  // the batch's pooled vectors assign under the FIXED history-trained
+  // coarse codebook in ONE broadcast pass (batch-proportional), the
+  // token-vector rows append as plain rows (the multi-row storage
+  // shape q260 documents), and maxSimRouted serves the merged tables
+  // unchanged. Oracle = the full routed recompute over history ∪
+  // batch under the history-trained codebook.
+  private val q273 = Q(
+    "q273_incremental_maxsim",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      val storedAssigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(history, "vec_id", "embedding"),
+          coarse)
+        .select(col("vec_id"), col("cid"))
+      // the O(new) append: one broadcast assign of the batch's pooled
+      // vectors under the fixed codebook, unioned onto the stored
+      // assignment — history rows never rescore
+      val appended = storedAssigned.unionByName(
+        graft.operators.Ivf.assignIds(
+            graft.operators.Ivf.quantized(batch, "vec_id", "embedding"),
+            coarse)
+          .select(col("vec_id"), col("cid")))
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val docVecs = bag(history).unionByName(bag(batch))
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.Similarity.maxSimRouted(coarse, appended,
+          docVecs, bag(q), q, "vec_id", "vec_idx", "vec", "embedding",
+          nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 5))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      sv AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT c.q_id, c.n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM cand c
+        JOIN sv q ON q.vec_id = c.q_id
+        JOIN sv d ON d.vec_id = c.n_id
+        GROUP BY c.q_id, c.n_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
     """))
 
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
@@ -5076,5 +5751,6 @@ ${coarseCtes()},
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
-    q255, q256, q257, q260, q261, q263, q264, q265, q266)
+    q255, q256, q257, q260, q261, q263, q264, q265, q266, q267, q268,
+    q269, q270, q271, q272, q273)
 }

@@ -199,7 +199,28 @@ class PlanAuditSpec extends SparkSpec {
       "q265_incremental_knn_graph",
       // q266 = q264's walk fans + q239's probing-all exact baseline
       // (≤8-row coarse probe); the audit join is O(queries·k)
-      "q266_graph_recall_audit")
+      "q266_graph_recall_audit",
+      // q267/q270 = q264's walk fans (bounded query panel × entryK
+      // entries + per-hop broadcast beam state); the mask/predicate is
+      // an id-keyed anti/inner join over the bounded seen-union
+      "q267_masked_graph_search",
+      "q270_filtered_graph_search",
+      // q268/q269's only cross fans are the ≤8-row coarse codebook
+      // build/assignment (q36's class); purge/re-election/append are
+      // cell/id-keyed equi-joins with deleted/batch-proportional sides
+      "q268_graph_purge",
+      "q269_graph_upsert",
+      // q271 = three q264-class walks + the probing-all exact baseline
+      // over the SAME pinned graph; every fan is the bounded query
+      // panel, entry set, or per-hop beam state
+      "q271_graph_beam_sweep",
+      // q272 = q263's fans run for two refinement rounds — the hop and
+      // rescore joins stay id-keyed with k-bounded fans
+      "q272_nn_descent_two_rounds",
+      // q273 = q261's fans (≤8-row coarse probe + the bounded query
+      // bag); the append is one broadcast assign of the batch pooled
+      // vectors — q194's class on the multi-vector axis
+      "q273_incremental_maxsim")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
