@@ -209,6 +209,16 @@ class LayoutSpec extends SparkSpec {
     // an empty table manifests as (0, 0), not null
     val empty = manifest(t.filter(col("id") > 99))
     assert(empty._2 == 0L && empty._3 == 0L)
+    // a NULL row key must fail loudly — md5(null) = null would count
+    // in n_rows yet silently vanish from the bit_xor, the exact
+    // corruption class the checksum exists to catch
+    val nullable = Seq((1L, Some("a")), (2L, None))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      Layout.indexManifest(Seq(("t", nullable, col("v")))).collect()
+    }
+    assert(e.getMessage.contains("null row key"),
+      s"wrong failure: ${e.getMessage}")
   }
 
   test("manifest ledger: merge ≡ full derivation; retract is merge's exact inverse") {

@@ -1489,4 +1489,201 @@ class PqSpec extends SparkSpec {
         numPartitions = 4, nprobe = k, topK = n)
     }
   }
+
+  test("as-of serve: stale-generation rows all tombstoned still serves (probe runs on the live set)") {
+    // the round-13 generation probe ran on the snapshot BEFORE the
+    // tombstone mask, so a snapshot whose stale-gen rows were all
+    // deleted refused to serve — the probe now sees only what can
+    // reach the scorer
+    val s = spark
+    import s.implicits._
+    val k = 4
+    val bounds0 = Quantize.calibrationBounds(emb, "vec_id", "embedding",
+      10, 990)
+    val bounds1 = Quantize.calibrationBounds(emb, "vec_id", "embedding",
+      5, 995)
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", k, 2)
+    def seg(rows: org.apache.spark.sql.DataFrame, ord: Int, gen: Int,
+        b: org.apache.spark.sql.DataFrame) =
+      Quantize.calibratedCodes(rows, "vec_id", "embedding", b)
+        .join(Ivf.assignIds(Ivf.quantized(rows, "vec_id", "embedding"),
+            coarse).select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .withColumn("seg", lit(ord)).withColumn("gen", lit(gen))
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+    // seg 0 = even cohort under gen-0 bounds; seg 1 = odd cohort under
+    // gen-1 bounds; every even id tombstoned at seg 1 → the LIVE as-of
+    // 1 snapshot is single-generation (gen 1) even though the raw
+    // snapshot straddles
+    val segments = seg(evens, 0, 0, bounds0)
+      .unionByName(seg(odds, 1, 1, bounds1))
+    val tombs = evens.select(col("vec_id")).withColumn("seg", lit(1))
+    val vers = bounds0.withColumn("gen", lit(0))
+      .unionByName(bounds1.withColumn("gen", lit(1)))
+    val q = emb.filter(col("vec_id") < 3)
+    val served = Quantize.calibratedServeAsOf(coarse, segments, tombs,
+        vers, q, "vec_id", "embedding", lit(true), "seg", "gen", 1,
+        numPartitions = 4, nprobe = k, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val hand = Quantize.calibratedIvfSearch(coarse,
+        seg(odds, 1, 1, bounds1).select(col("vec_id"), col("cid")),
+        seg(odds, 1, 1, bounds1).select(col("vec_id"), col("codes")),
+        q, "vec_id", "embedding", bounds1, nprobe = k, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(served == hand,
+      "stale-gen-all-deleted snapshot refused to serve or diverged " +
+        "from the hand-composed gen-1 serve")
+  }
+
+  test("masked graph serving: probing-all ≡ brute force over the live set; empty mask ≡ plain walk") {
+    val k = 5
+    val n = emb.count().toInt
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val g = Similarity.knnGraphSeed(coarse, emb, "vec_id", "embedding", k)
+    val q = emb.filter(col("vec_id") < 5)
+    val tombs = emb.filter(col("vec_id") % 4 === 0).select("vec_id")
+    // probing-all: every vertex is an entry, zero hops — the walk
+    // evaluates the whole corpus, so the masked result must be the
+    // exact top-k over the survivors
+    val masked = Similarity.graphSearchMasked(g, emb, q, "vec_id",
+        "embedding", tombs, entryK = n, beam = n, hops = 0, topK = k)
+      .orderBy("q_id", "rnk").collect().toSeq
+    // exact over the live set via the filtered flat path: one cell,
+    // one probe = brute force (same integral-grid d2)
+    val one = Ivf.centroids(emb, "vec_id", "embedding", 1, 1)
+    val idx = Ivf.flatIndex(one,
+      emb.withColumn("live", col("vec_id") % 4 =!= 0),
+      "vec_id", "embedding", Seq("live"))
+    val brute = Ivf.filteredSearch(one, idx, q, "vec_id", "embedding",
+        col("live"), nprobe = 1, topK = k)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(masked == brute,
+      "masked probing-all diverged from brute force over the live set")
+    assert(masked.forall(_.getLong(1) % 4 != 0),
+      "a tombstoned vector was served")
+    // empty tombstone set: the seen-union ranking must equal the plain
+    // final-beam ranking (the beam-monotonicity equivalence)
+    val none = emb.filter(lit(false)).select("vec_id")
+    val viaMask = Similarity.graphSearchMasked(g, emb, q, "vec_id",
+        "embedding", none, entryK = 2, beam = 5, hops = 2, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val plain = Similarity.graphSearch(g, emb, q, "vec_id", "embedding",
+        entryK = 2, beam = 5, hops = 2, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(viaMask == plain, "empty mask diverged from the plain walk")
+  }
+
+  test("filtered graph serving: walk-everything ≡ brute force over the filtered corpus") {
+    val k = 5
+    val n = emb.count().toInt
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val g = Similarity.knnGraphSeed(coarse, emb, "vec_id", "embedding", k)
+    val q = emb.filter(col("vec_id") < 5)
+    val filtered = Similarity.graphSearchFiltered(g, emb, q, "vec_id",
+        "embedding", col("label") === 3, entryK = n, beam = n, hops = 0,
+        topK = k)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val one = Ivf.centroids(emb, "vec_id", "embedding", 1, 1)
+    val idx = Ivf.flatIndex(one, emb, "vec_id", "embedding", Seq("label"))
+    val brute = Ivf.filteredSearch(one, idx, q, "vec_id", "embedding",
+        col("label") === 3, nprobe = 1, topK = k)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(filtered == brute,
+      "filtered walk-everything diverged from brute force over the " +
+        "filtered corpus")
+  }
+
+  test("graph purge ≡ seed rebuild over survivors; upsert ≡ rebuild over the restated corpus") {
+    val k = 4
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val storedIndex = Ivf.flatIndex(coarse, emb, "vec_id", "embedding",
+      Nil)
+    val stored = Similarity.knnGraphSeed(coarse, emb, "vec_id",
+      "embedding", k)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src", "rnk").collect().toSeq
+    val tombs = emb.filter(col("vec_id") % 4 === 0).select("vec_id")
+    val purged = rows(Similarity.purgeKnnGraph(stored, storedIndex,
+      tombs, k))
+    val rebuilt = rows(Similarity.knnGraphSeed(coarse,
+      emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding", k))
+    assert(purged == rebuilt,
+      "purge diverged from the full seed rebuild over the survivors")
+    assert(purged.forall(r =>
+      r.getLong(0) % 4 != 0 && r.getLong(1) % 4 != 0),
+      "a dead vertex survived as a source or an edge endpoint")
+    // upsert: restated ids (deterministically reversed embeddings) =
+    // delete ∘ append under the fixed codebook
+    val newRows = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val up = rows(Similarity.upsertKnnSeed(stored, storedIndex,
+      Ivf.flatIndex(coarse, newRows, "vec_id", "embedding", Nil), k))
+    val restated = emb.select(col("vec_id"),
+      when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    assert(up == rows(Similarity.knnGraphSeed(coarse, restated,
+      "vec_id", "embedding", k)),
+      "upsert diverged from the full seed rebuild over the restated corpus")
+  }
+
+  test("graph serving from the stored parquet graph ≡ in-plan; no training in the serve plan") {
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val g = Similarity.knnGraphSeed(coarse, emb, "vec_id", "embedding",
+      k = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stored_graph").toString
+    g.write.parquet(s"$dir/graph")
+    val storedG = spark.read.parquet(s"$dir/graph")
+    val q = emb.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rnk").collect().toSeq
+    val servedStored = Similarity.graphSearch(storedG, emb, q, "vec_id",
+      "embedding", entryK = 2, beam = 4, hops = 2, topK = 4)
+    assert(rows(servedStored) ==
+      rows(Similarity.graphSearch(g, emb, q, "vec_id", "embedding",
+        entryK = 2, beam = 4, hops = 2, topK = 4)),
+      "stored-graph serving diverged from the in-plan serve")
+    // the stored serve must be training-free (no Lloyd stage)
+    val plan = servedStored.queryExecution.executedPlan.toString
+    assert(!plan.contains("VecSumAgg") && !plan.contains("vec_sum"),
+      s"a training stage leaked into the stored-graph serve plan:\n$plan")
+    val tombs = emb.filter(col("vec_id") % 4 === 0).select("vec_id")
+    assert(rows(Similarity.graphSearchMasked(storedG, emb, q, "vec_id",
+        "embedding", tombs, entryK = 2, beam = 4, hops = 2, topK = 4)) ==
+      rows(Similarity.graphSearchMasked(g, emb, q, "vec_id",
+        "embedding", tombs, entryK = 2, beam = 4, hops = 2, topK = 4)),
+      "stored-graph masked serving diverged from the in-plan serve")
+  }
+
+  test("graphProbeCost: exact evaluation/frontier counts on the 1-D line walk; topK > beam refused") {
+    val s = spark
+    import s.implicits._
+    // the 1-D line fixture: corpus 0..9, exact 2-NN graph, one entry
+    // (vertex 0), beam 2, 3 hops toward 9.4 — every hop's candidate
+    // set is hand-enumerable: c0={0} (1), c1={0,1,2} (3),
+    // c2={0,1,2,3} (4), c3={1,2,3,4} (4) → 12 evaluations;
+    // frontier = (3-1) + (4-2) + (4-2) = 6
+    val base = (0L to 9L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val one = Ivf.centroids(base, "vec_id", "embedding", 1, 1)
+    val g = Similarity.knnGraphSeed(one, base, "vec_id", "embedding", 2)
+    val q = Seq((100L, Array(9.4f))).toDF("vec_id", "embedding")
+    val cost = Similarity.graphProbeCost(g, base, q, "vec_id",
+        "embedding", entryK = 1, beam = 2, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(cost == Seq((100L, 12L, 6L)),
+      s"cost counts diverged from the hand count: $cost")
+    // zero hops: evaluations = the entry fan, frontier 0
+    val cost0 = Similarity.graphProbeCost(g, base, q, "vec_id",
+        "embedding", entryK = 3, beam = 2, hops = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(cost0 == Seq((100L, 3L, 0L)), s"hop-0 cost wrong: $cost0")
+    // an under-fillable k is loud, not silently beam-capped
+    intercept[IllegalArgumentException] {
+      Similarity.graphSearch(g, base, q, "vec_id", "embedding",
+        entryK = 1, beam = 2, hops = 0, topK = 3)
+    }
+  }
 }

@@ -306,4 +306,31 @@ class SearchSpec extends SparkSpec {
     // (doc 5's terms are non-adjacent — never a phrase hit)
     assert(phraseMasked == Set(2L), s"phrase mask wrong: $phraseMasked")
   }
+
+  test("masked bm25: all docs tombstoned is empty; a stale stats ledger fails loudly, not null scores") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "stream merge"), (2L, "stream window"))
+      .toDF("doc_id", "text")
+    val postings = Search.positionalIndex(docs, "doc_id", "text")
+    val tf = Search.termFrequencies(postings, "doc_id")
+    val dl = Search.docLengths(docs, "doc_id", "text")
+    val stats = Search.corpusStats(dl)
+    // every doc tombstoned: every surviving posting is dead, so the
+    // result is structurally EMPTY — never a null-scored row
+    val all = Seq(1L, 2L).toDF("doc_id")
+    assert(Search.bm25SearchMasked(tf, dl, stats, all, "doc_id",
+      Seq("stream"), topN = 10).isEmpty)
+    // the guard's real target: a STALE stored ledger under-counting
+    // the corpus (n_docs = 1 while dl holds 2) makes the corrected
+    // count hit zero WHILE live rows still flow — 0/0 avgdl would
+    // propagate null scores; it must raise instead
+    val stale = Seq((1L, 4L)).toDF("n_docs", "sum_dl")
+    val e = intercept[Exception] {
+      Search.bm25SearchMasked(tf, dl, stale, Seq(1L).toDF("doc_id"),
+        "doc_id", Seq("stream"), topN = 10).collect()
+    }
+    assert(e.getMessage.contains("tombstones cover every document"),
+      s"wrong failure: ${e.getMessage}")
+  }
 }
