@@ -5746,11 +5746,270 @@ ${coarseCtes("vec_id % 3 > 0")},
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q274
+  // ATTRIBUTE-FILTERED MaxSim — the q235 seam on the late-interaction
+  // pillar, extending the filter × index-family matrix to its newest
+  // row (flat q235, int8 q248, PQ q250, residual q251, graph q270,
+  // multi-vector here): the filterable attribute rides the stored
+  // assignment row (Ivf.flatIndex — built WITH the attribute, q235's
+  // at-source discipline), the predicate is a plain column filter on
+  // that scan BEFORE the probe join — candidates shrink at the source
+  // and k fills from matching bags, never a post-filtered under-fill —
+  // and maxSimRouted composes unchanged over the restricted
+  // assignment (the q236 composition shape).
+  private val q274 = Q(
+    "q274_filtered_maxsim",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val live = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
+          "embedding", Seq("label"))
+        .filter(col("label") === 3)
+        .select(col("vec_id"), col("cid"))
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.Similarity.maxSimRouted(coarse, live, bag(e),
+          bag(q), q, "vec_id", "vec_idx", "vec", "embedding",
+          nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 5))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id
+        JOIN embeddings em ON em.vec_id = a.vec_id
+        WHERE em.label = 3),
+      sv AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT c.q_id, c.n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM cand c
+        JOIN sv q ON q.vec_id = c.q_id
+        JOIN sv d ON d.vec_id = c.n_id
+        GROUP BY c.q_id, c.n_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q275
+  // Graph SEGMENT lifecycle — the q237/q253 restatement machinery on
+  // the graph pillar: the stored kNN graph is a multi-row-per-source
+  // table, so a maintenance day that rewrites some sources' bags (here
+  // the %3 == 0 sources, re-derived from the %7-restated corpus) lands
+  // as a new SEGMENT, and the GROUP election (Layout
+  // .compactLatestMulti — latest segment per source wins with its
+  // WHOLE bag, sources absent from the new segment keep their old
+  // bag) composes the serveable graph — one id-keyed window, one
+  // clustering exchange, history bags never rewritten. Oracle replays
+  // both seeds and the election.
+  private val q275 = Q(
+    "q275_graph_segments",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val g0 = graft.operators.Similarity.knnGraphSeed(coarse, e,
+          "vec_id", "embedding", k = 5)
+        .withColumn("seg", lit(0))
+      val restated = e.select(col("vec_id"),
+        when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val g1 = graft.operators.Similarity.knnGraphSeed(coarse, restated,
+          "vec_id", "embedding", k = 5)
+        .filter(col("src") % 3 === 0)
+        .withColumn("seg", lit(1))
+      graft.operators.Layout.compactLatestMulti(g0.unionByName(g1),
+          "src", "seg", "src", 8)
+        .select(col("src"), col("dst"), col("d2"), col("rnk"))
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+      s0 AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vb ON vb.vec_id = b.vec_id),
+      g0r AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM s0)
+        WHERE rnk <= 5),
+      s1 AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof2 a
+        JOIN cellof2 b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx2 va ON va.vec_id = a.vec_id
+        JOIN vx2 vb ON vb.vec_id = b.vec_id),
+      g1r AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM s1)
+        WHERE rnk <= 5)
+      SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT src, dst, d2, rnk FROM g0r WHERE src % 3 <> 0
+        UNION ALL
+        SELECT src, dst, d2, rnk FROM g1r WHERE src % 3 = 0)
+      ORDER BY src, rnk
+    """))
+
+  // --------------------------------------------------------------- q276
+  // Graph INDEX HEALTH — the q198/q202 occupancy discipline on the
+  // graph pillar, the watch surface the Σ cell² seed cost is monitored
+  // by (knnGraphSeed's balance note): per coarse cell, the vertex
+  // count (the balance term whose square is the seed's pair work),
+  // the stored edge count, the RECIPROCAL edge count (both directions
+  // stored — NN-descent's convergence signal: reciprocity rises as the
+  // graph approaches the exact kNN graph), and the exact integral d2
+  // mass. One id-keyed join to attach cells, one self-semi-join for
+  // reciprocity (cell-local by construction — the seed never crosses
+  // cells), pure integer logic, q257's cheap-gate class.
+  private val q276 = Q(
+    "q276_graph_health",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+        .transform(graft.util.CacheScope.persist)
+      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
+          "vec_id", "embedding", k = 5)
+        .transform(graft.util.CacheScope.persist)
+      val srcCell = assigned.select(col("vec_id").as("src"), col("cid"))
+      val edgeStats = g.join(srcCell, Seq("src"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_edges"), sum(col("d2")).as("sum_d2"))
+      val reciprocal = g.select(col("src"), col("dst"))
+        .join(g.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        .join(srcCell, Seq("src"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_reciprocal"))
+      assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .join(edgeStats, Seq("cid"), "left")
+        .join(reciprocal, Seq("cid"), "left")
+        .select(col("cid"),
+          col("n_vectors"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"),
+          coalesce(col("sum_d2"), lit(0L)).as("sum_d2"))
+        .orderBy(col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+      gr AS (
+        SELECT src, dst, d2 FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc)
+        WHERE rnk <= 5),
+      occ AS (SELECT cid, COUNT(*) AS n_vectors FROM cellof GROUP BY cid),
+      es AS (
+        SELECT c.cid, COUNT(*) AS n_edges, SUM(g1.d2) AS sum_d2
+        FROM gr g1 JOIN cellof c ON c.vec_id = g1.src
+        GROUP BY c.cid),
+      rc AS (
+        SELECT c.cid, COUNT(*) AS n_reciprocal
+        FROM gr g1
+        JOIN cellof c ON c.vec_id = g1.src
+        WHERE EXISTS (SELECT 1 FROM gr g2
+                      WHERE g2.src = g1.dst AND g2.dst = g1.src)
+        GROUP BY c.cid)
+      SELECT o.cid, CAST(o.n_vectors AS BIGINT) AS n_vectors,
+             CAST(COALESCE(es.n_edges, 0) AS BIGINT) AS n_edges,
+             CAST(COALESCE(rc.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+             CAST(COALESCE(es.sum_d2, 0) AS BIGINT) AS sum_d2
+      FROM occ o
+      LEFT JOIN es ON es.cid = o.cid
+      LEFT JOIN rc ON rc.cid = o.cid
+      ORDER BY o.cid
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
     q255, q256, q257, q260, q261, q263, q264, q265, q266, q267, q268,
-    q269, q270, q271, q272, q273)
+    q269, q270, q271, q272, q273, q274, q275, q276)
 }

@@ -220,7 +220,18 @@ class PlanAuditSpec extends SparkSpec {
       // q273 = q261's fans (≤8-row coarse probe + the bounded query
       // bag); the append is one broadcast assign of the batch pooled
       // vectors — q194's class on the multi-vector axis
-      "q273_incremental_maxsim")
+      "q273_incremental_maxsim",
+      // q274 = q261's fans with the attributed flatIndex build (one
+      // more ≤8-row codebook fan) and a predicate on the assignment
+      // scan — q235's class on the multi-vector axis
+      "q274_filtered_maxsim",
+      // q275's only cross fans are the ≤8-row coarse codebook build/
+      // assignment feeding the two seeds; election and clustering are
+      // id-keyed exchanges
+      "q275_graph_segments",
+      // q276 = the seed build fans; the health report itself is
+      // id/cell-keyed joins + partial-combining aggregates
+      "q276_graph_health")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
