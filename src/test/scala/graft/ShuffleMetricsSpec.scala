@@ -521,4 +521,41 @@ class ShuffleMetricsSpec extends SparkSpec {
       s"MaxSim shuffled $moved rows (bound $bound) — the dot fan is " +
         "crossing the exchange instead of partial-combining")
   }
+
+  test("graph purge shuffles less than the full seed rebuild") {
+    // the q268 maintenance contract: a small delete may only re-score
+    // the AFFECTED vertices' cells — dead/affected sets ride broadcast
+    // anti/semi joins and untouched rows pass through without a rank
+    // exchange, so the purge's shuffle must stay under the full
+    // Σ cell² rebuild's
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val coarse = operators.Ivf.centroids(emb, "vec_id", "embedding",
+      k = 8, iterations = 2).persist()
+    val storedIndex = operators.Ivf.flatIndex(coarse, emb, "vec_id",
+      "embedding", Nil).persist()
+    val storedGraph = operators.Similarity.knnGraphSeed(coarse, emb,
+      "vec_id", "embedding", k = 5).persist()
+    val tombs = emb.orderBy(col("vec_id")).limit(2).select("vec_id")
+    try {
+      coarse.count(); storedIndex.count(); storedGraph.count()
+      val full = shuffleRecords {
+        util.CacheScope.withScope {
+          operators.Similarity.knnGraphSeed(coarse,
+            emb.join(broadcast(tombs), Seq("vec_id"), "left_anti"),
+            "vec_id", "embedding", k = 5).count()
+        }; ()
+      }
+      val daily = shuffleRecords {
+        util.CacheScope.withScope {
+          operators.Similarity.purgeKnnGraph(storedGraph, storedIndex,
+            tombs, k = 5).count()
+        }; ()
+      }
+      assert(daily < full,
+        s"graph purge shuffled $daily ≥ full rebuild's $full")
+    } finally {
+      coarse.unpersist(); storedIndex.unpersist()
+      storedGraph.unpersist(); ()
+    }
+  }
 }
