@@ -975,8 +975,12 @@ object Similarity {
     require(entryK >= 1 && beam >= 1 && hops >= 0,
       s"graphProbeCost: entryK=$entryK, beam=$beam must be >= 1 " +
         s"(hops=$hops >= 0)")
-    val walk = graphWalk(graph, base, queries, idCol, vecCol, entryK,
-      beam, hops, keepHops = true)
+    costFromWalk(graphWalk(graph, base, queries, idCol, vecCol, entryK,
+      beam, hops, keepHops = true), queries, idCol, hops)
+  }
+
+  private def costFromWalk(walk: GraphWalk, queries: DataFrame,
+      idCol: String, hops: Int): DataFrame = {
     def counts(dfs: Seq[DataFrame], as: String): DataFrame =
       dfs.map(_.groupBy(col("q_id")).agg(count(lit(1)).as("__n")))
         .reduce(_.unionByName(_))
@@ -999,6 +1003,30 @@ object Similarity {
           (coalesce(col("__later"), lit(0L))
             - coalesce(col("__beams"), lit(0L))).as("frontier"))
     }
+  }
+
+  /** [[recallAudit]] + [[graphProbeCost]] from ONE walk — the audit a
+    * deployment actually runs reads the serve result AND the cost
+    * columns off the SAME hop frames (the walk is the expensive part
+    * of the graph family, unlike the IVF router where [[graft
+    * .operators.Ivf.probeCost]] is a near-free occupancy join — so
+    * composing two separate walks would double the audit's cost for
+    * nothing). `exact` is the baseline result set (q_id, n_id, …).
+    * Output: (q_id, n_hits, recall_micro, dist_evals, frontier). */
+  def graphRecallCost(graph: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      exact: DataFrame, k: Int, entryK: Int, beam: Int, hops: Int,
+      topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hops >= 0 && topK >= 1,
+      s"graphRecallCost: entryK=$entryK, beam=$beam, hops=$hops, " +
+        s"topK=$topK must all be >= 1 (hops >= 0)")
+    require(topK <= beam,
+      s"graphRecallCost: topK=$topK > beam=$beam — the serve rank " +
+        "runs over the beam-capped frame")
+    val walk = graphWalk(graph, base, queries, idCol, vecCol, entryK,
+      beam, hops, keepHops = true)
+    recallAudit(rankWalk(walk.best, topK), exact, k)
+      .join(costFromWalk(walk, queries, idCol, hops), Seq("q_id"))
   }
 
   /** Vertex PURGE with affected-neighbor RE-ELECTION — the q227

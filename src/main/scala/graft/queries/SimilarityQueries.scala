@@ -4991,17 +4991,15 @@ ${coarseCtes("vec_id % 3 > 0")},
       val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
         "vec_id", "embedding", k = 5)
       val q = e.filter(col("vec_id") < 10)
-      val approx = graft.operators.Similarity.graphSearch(g, e, q,
-        "vec_id", "embedding", entryK = 2, beam = 5, hops = 2,
-        topK = 5)
       val exact = graft.operators.Ivf.filteredSearch(coarse,
         graft.operators.Ivf.flatIndex(coarse, e, "vec_id", "embedding",
           Nil),
         q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
-      graft.operators.Similarity.recallAudit(approx, exact, 5)
-        .join(graft.operators.Similarity.graphProbeCost(g, e, q,
-          "vec_id", "embedding", entryK = 2, beam = 5, hops = 2),
-          Seq("q_id"))
+      // ONE walk serves the audit and its cost columns
+      // (Similarity.graphRecallCost — the walk is the expensive part)
+      graft.operators.Similarity.graphRecallCost(g, e, q, "vec_id",
+          "embedding", exact, 5, entryK = 2, beam = 5, hops = 2,
+          topK = 5)
         .orderBy(col("q_id"))
     },
     Some(raw"""
@@ -5454,14 +5452,11 @@ ${walkCtes("", 2, 5)},
           q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
         .transform(graft.util.CacheScope.persist)
       Seq((5, 1), (5, 2), (8, 2)).map { case (beam, hops) =>
-        graft.operators.Similarity.recallAudit(
-            graft.operators.Similarity.graphSearch(g, e, q, "vec_id",
-              "embedding", entryK = 2, beam = beam, hops = hops,
-              topK = 5),
-            exact, 5)
-          .join(graft.operators.Similarity.graphProbeCost(g, e, q,
-            "vec_id", "embedding", entryK = 2, beam = beam,
-            hops = hops), Seq("q_id"))
+        // ONE walk per sweep point serves both the recall and the
+        // cost columns (graphRecallCost)
+        graft.operators.Similarity.graphRecallCost(g, e, q, "vec_id",
+            "embedding", exact, 5, entryK = 2, beam = beam,
+            hops = hops, topK = 5)
           .withColumn("beam", lit(beam)).withColumn("hops", lit(hops))
       }.reduce(_.unionByName(_))
         .groupBy(col("beam"), col("hops"))
