@@ -1095,6 +1095,113 @@ object Similarity {
     reElect.unionByName(passthrough)
   }
 
+  /** LAYERED kNN graph — the HNSW shape on the stored-table substrate:
+    * layer ℓ contains the vectors with id ≡ 0 (mod 2^ℓ) — the
+    * DETERMINISTIC promotion rule (geometric layer sizes like HNSW's
+    * random level draw, but engine-replayable and stable under
+    * append), each layer carrying its own cell-local exact top-k graph
+    * over its members under the ONE shared coarse codebook. Layers
+    * NEST (2^(ℓ+1) | id ⇒ 2^ℓ | id), so a descending search's beam
+    * always has out-edges in the next layer down; total build work is
+    * a geometric series ≈ 2× the base seed. Upper layers are what fix
+    * the base walk's documented weakness — recall bounded by ENTRY
+    * placement (q266's tuning note): coarse long-range hops place the
+    * beam near the target before the dense layer refines. Output:
+    * (layer, src, dst, d2, rnk ≤ k). */
+  def layeredKnnGraph(embeddings: DataFrame, idCol: String,
+      vecCol: String, numCoarse: Int, coarseIterations: Int, k: Int,
+      maxLayer: Int): DataFrame = {
+    require(k >= 1 && maxLayer >= 0,
+      s"layeredKnnGraph: k=$k must be >= 1, maxLayer=$maxLayer >= 0")
+    val coarse = Ivf.centroids(embeddings, idCol, vecCol, numCoarse,
+      coarseIterations)
+    (0 to maxLayer).map { l =>
+      knnGraphSeed(coarse,
+          embeddings.filter(col(idCol) % lit(1L << l) === 0),
+          idCol, vecCol, k)
+        .withColumn("layer", lit(l))
+    }.reduce(_.unionByName(_))
+      .select(col("layer"), col("src"), col("dst"), col("d2"),
+        col("rnk"))
+  }
+
+  /** DESCENDING beam search over a [[layeredKnnGraph]] — the HNSW
+    * serve verb: queries enter at the `entryK` smallest-id members of
+    * the TOP layer (the promotion rule is part of the index contract),
+    * walk `hopsPerLayer` hops on each layer's edges from the top down,
+    * and the beam CARRIES ACROSS layers (nesting guarantees every beam
+    * member has out-edges one layer down) — upper layers make coarse
+    * long-range moves over few vertices, the base layer refines
+    * locally, so arrival needs O(maxLayer · hopsPerLayer) hops where
+    * the flat walk needs a hop per traversed vertex. Per-hop state and
+    * exchanges are exactly [[graphSearch]]'s (beam-bounded broadcast
+    * state, one map-side pass over the layer's edge scan + one over
+    * the base scan; checkpoint-rotated). With maxLayer = 0 this IS
+    * [[graphSearch]] (spec-pinned). Output: (q_id, n_id, d2,
+    * rnk ≤ topK). */
+  def layeredGraphSearch(layeredGraph: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, maxLayer: Int,
+      entryK: Int, beam: Int, hopsPerLayer: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hopsPerLayer >= 0 &&
+        topK >= 1 && maxLayer >= 0,
+      s"layeredGraphSearch: entryK=$entryK, beam=$beam, topK=$topK " +
+        s"must be >= 1 (hopsPerLayer=$hopsPerLayer, " +
+        s"maxLayer=$maxLayer >= 0)")
+    require(topK <= beam,
+      s"layeredGraphSearch: topK=$topK > beam=$beam — the final rank " +
+        "runs over the beam-capped frame")
+    val baseQ = Ivf.quantized(base, idCol, vecCol)
+      .withColumn("__n2", dot(col("qvec"), col("qvec")))
+      .transform(graft.util.CacheScope.persist)
+    val qp = queries.select(col(idCol).as("q_id"),
+        Ivf.quantize(col(vecCol)).as("__qv"))
+      .withColumn("__qn", dot(col("__qv"), col("__qv")))
+    val lg = layeredGraph.select(col("layer"), col("src"), col("dst"))
+      .transform(graft.util.CacheScope.persist)
+    def score(cand: DataFrame): DataFrame =
+      baseQ.select(col("vec_id").as("dst"), col("qvec").as("__dv"),
+          col("__n2").as("__dn"))
+        .join(broadcast(cand), Seq("dst"))
+        .join(broadcast(qp), Seq("q_id"))
+        .withColumn("d2", gridDist2(col("__qn"), col("__qv"),
+          col("__dn"), col("__dv")))
+        .select(col("q_id"), col("dst"), col("d2"))
+    def keep(scored: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2").asc, col("dst").asc)
+      scored.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= n).drop("__rnk")
+    }
+    val entries = base
+      .filter(col(idCol) % lit(1L << maxLayer) === 0)
+      .select(col(idCol).as("dst"))
+      .orderBy(col("dst").asc).limit(entryK)
+    var best = keep(score(
+      qp.select(col("q_id")).crossJoin(broadcast(entries))
+        .filter(col("dst") =!= col("q_id"))), beam)
+    // the graphSearch rotation discipline: checkpoint per hop, release
+    // superseded eagerly — plan depth stays constant over the whole
+    // (maxLayer+1)·hopsPerLayer descent
+    var lastCheckpoint: Option[DataFrame] = None
+    for (l <- maxLayer to 0 by -1; _ <- 1 to hopsPerLayer) {
+      val cp = best.localCheckpoint()
+      lastCheckpoint.foreach(
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
+      lastCheckpoint = Some(cp)
+      val exp = lg.filter(col("layer") === l)
+        .select(col("src"), col("dst"))
+        .join(broadcast(cp.select(col("q_id"),
+          col("dst").as("src"))), Seq("src"))
+        .select(col("q_id"), col("dst"))
+        .filter(col("dst") =!= col("q_id"))
+      val cand = cp.select(col("q_id"), col("dst"))
+        .unionByName(exp).distinct()
+      best = keep(score(cand), beam)
+    }
+    lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
+    rankWalk(best, topK)
+  }
+
   /** Graph UPSERT — the q231 composition on the graph pillar, closing
     * CRUD for the stored kNN-graph family: a RESTATED vector (same id,
     * new embedding) is a DELETE composed with an APPEND, both under

@@ -5134,11 +5134,16 @@ ${walkCostSql("", 2)}
         WHERE rnk <= 5)"""
 
   /** Beam-walk replay (q264's chain as one parameterized definition):
-    * given `g` (src, dst), `ent` (dst) and `qs` (q_id, qvec) CTEs,
-    * emits ${p}c0/${p}s0/${p}b0 … ${p}s$hops/${p}b$hops — candidate,
-    * scored, and beam-kept frames per hop with the rnk <= `beam` cap.
-    * The q264/q266 inline copies predate the helper and are frozen. */
-  private def walkCtes(p: String, hops: Int, beam: Int): String = {
+    * given a graph CTE (`gName`, (src, dst)), `ent` (dst) and `qs`
+    * (q_id, qvec) CTEs, emits ${p}c0/${p}s0/${p}b0 … ${p}s$hops/
+    * ${p}b$hops — candidate, scored, and beam-kept frames per hop with
+    * the rnk <= `beam` cap. `init` (a (q_id, dst, d2) CTE name)
+    * replaces the entry fan with a CARRIED beam — the layered-descent
+    * form, where a lower layer's walk starts from the layer above's
+    * final beam. The q264/q266 inline copies predate the helper and
+    * are frozen. */
+  private def walkCtes(p: String, hops: Int, beam: Int,
+      gName: String = "g", init: Option[String] = None): String = {
     def scored(h: Int) = raw"""
       ${p}s$h AS (
         SELECT c.q_id, c.dst,
@@ -5154,15 +5159,19 @@ ${walkCostSql("", 2)}
                    ORDER BY d2 ASC, dst ASC) AS rnk
           FROM ${p}s$h)
         WHERE rnk <= $beam)"""
-    val hop0 = raw"""
+    val hop0 = init match {
+      case Some(carried) => raw"""
+      ${p}b0 AS (SELECT q_id, dst, d2 FROM $carried)"""
+      case None => raw"""
       ${p}c0 AS (
         SELECT q.q_id, e.dst FROM qs q, ent e WHERE e.dst <> q.q_id),""" +
-      scored(0)
+        scored(0)
+    }
     val rounds = (1 to hops).map { h =>
       raw"""
       ${p}e$h AS (
         SELECT b.q_id, gg.dst FROM ${p}b${h - 1} b
-        JOIN g gg ON gg.src = b.dst
+        JOIN $gName gg ON gg.src = b.dst
         WHERE gg.dst <> b.q_id),
       ${p}c$h AS (
         SELECT q_id, dst FROM ${p}b${h - 1}
@@ -5170,6 +5179,29 @@ ${walkCostSql("", 2)}
     }
     (hop0 +: rounds).mkString(",")
   }
+
+  /** Per-layer seed replay for the LAYERED graph: ${p}sc (scored
+    * in-cell pairs over the layer members) and ${p}g (src, dst,
+    * rnk <= k) — [[seedGraphCtes]] with prefixed names and a member
+    * predicate over the `a`/`b` endpoint aliases. */
+  private def layerSeedCtes(p: String, memberWhere: String): String = raw"""
+      ${p}sc AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vb ON vb.vec_id = b.vec_id
+        WHERE ($memberWhere)),
+      ${p}g AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM ${p}sc)
+        WHERE rnk <= 5)"""
 
   /** Everything the walk EVALUATED: the distinct union of every hop's
     * scored frame — d2 is deterministic per (q_id, dst), so UNION
@@ -6000,11 +6032,108 @@ ${seedGraphCtes()},
       ORDER BY o.cid
     """))
 
+  // --------------------------------------------------------------- q277
+  // LAYERED kNN-graph BUILD — the HNSW shape on the stored-table
+  // substrate: layer ℓ holds the vectors with id ≡ 0 (mod 2^ℓ), the
+  // DETERMINISTIC promotion rule (geometric layer sizes like HNSW's
+  // random level draw, but engine-replayable and append-stable), each
+  // layer its own cell-local exact top-k graph over its members under
+  // the ONE shared coarse codebook. Layers nest, so a descending
+  // search's beam always has out-edges one layer down; build work is
+  // a geometric series ≈ 2× the base seed. Oracle replays every
+  // layer's member slice through the shared seed chain.
+  private val q277 = Q(
+    "q277_layered_graph_build",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
+          "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
+          maxLayer = 2)
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      ranked AS (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l0sc
+        UNION ALL
+        SELECT 1 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l1sc
+        UNION ALL
+        SELECT 2 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l2sc)
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM ranked
+      WHERE rnk <= 5
+      ORDER BY layer, src, rnk
+    """))
+
+  // --------------------------------------------------------------- q278
+  // LAYERED (descending) graph search — the HNSW serve verb: queries
+  // enter at the top layer's smallest-id members, walk hopsPerLayer
+  // hops on each layer's edges top-down, and the BEAM CARRIES ACROSS
+  // layers (nesting guarantees out-edges below) — upper layers make
+  // coarse long-range moves over few vertices, the base layer refines
+  // locally, fixing the flat walk's entry-placement recall bound
+  // (q266's tuning note) at O(maxLayer · hopsPerLayer) hops. Per-hop
+  // state and exchanges are exactly q264's. Oracle chains one walk
+  // replay per layer, each seeded by the layer above's final beam.
+  private val q278 = Q(
+    "q278_layered_graph_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lg = graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
+        "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
+        maxLayer = 2)
+      graft.operators.Similarity.layeredGraphSearch(lg, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          maxLayer = 2, entryK = 2, beam = 5, hopsPerLayer = 1,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      ent AS (SELECT vec_id AS dst FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("t", 1, 5, gName = "l2g")},
+${walkCtes("m", 1, 5, gName = "l1g", init = Some("tb1"))},
+${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))}
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM wb1)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
     q255, q256, q257, q260, q261, q263, q264, q265, q266, q267, q268,
-    q269, q270, q271, q272, q273, q274, q275, q276)
+    q269, q270, q271, q272, q273, q274, q275, q276, q277, q278)
 }

@@ -231,7 +231,14 @@ class PlanAuditSpec extends SparkSpec {
       "q275_graph_segments",
       // q276 = the seed build fans; the health report itself is
       // id/cell-keyed joins + partial-combining aggregates
-      "q276_graph_health")
+      "q276_graph_health",
+      // q277 = three q263-class layer seeds under one ≤8-row coarse
+      // codebook; every pair join stays cell-keyed within a layer
+      "q277_layered_graph_build",
+      // q278 = q277's build fans + q264's walk fans (bounded query
+      // panel × the top layer's entryK entries, per-hop broadcast beam
+      // state carried across layers)
+      "q278_layered_graph_search")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

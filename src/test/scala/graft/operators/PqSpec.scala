@@ -1686,4 +1686,46 @@ class PqSpec extends SparkSpec {
         entryK = 1, beam = 2, hops = 0, topK = 3)
     }
   }
+
+  test("layered graph: maxLayer 0 ≡ flat walk; members nest; descent beats the flat hop bound") {
+    val s = spark
+    import s.implicits._
+    val q5 = emb.filter(col("vec_id") < 5)
+    // maxLayer = 0: one layer over everyone — the descent IS graphSearch
+    val lg0 = Similarity.layeredKnnGraph(emb, "vec_id", "embedding",
+      numCoarse = 8, coarseIterations = 2, k = 5, maxLayer = 0)
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val flat = Similarity.knnGraphSeed(coarse, emb, "vec_id",
+      "embedding", 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rnk").collect().toSeq
+    assert(rows(Similarity.layeredGraphSearch(lg0, emb, q5, "vec_id",
+        "embedding", maxLayer = 0, entryK = 2, beam = 5,
+        hopsPerLayer = 2, topK = 5)) ==
+      rows(Similarity.graphSearch(flat, emb, q5, "vec_id", "embedding",
+        entryK = 2, beam = 5, hops = 2, topK = 5)),
+      "single-layer descent diverged from the flat walk")
+    // layer ℓ's edges connect only id ≡ 0 (mod 2^ℓ) members (nesting)
+    val lg2 = Similarity.layeredKnnGraph(emb, "vec_id", "embedding",
+      numCoarse = 8, coarseIterations = 2, k = 5, maxLayer = 2)
+    val badMembers = lg2.filter(
+      expr("src % (1 << layer) != 0 OR dst % (1 << layer) != 0"))
+      .count()
+    assert(badMembers == 0, s"$badMembers edges violate the promotion rule")
+    // the POINT of layers, on the 1-D line: from entry vertex 0 the
+    // flat beam-2 walk advances ONE vertex per hop (3 hops → {4,3},
+    // the existing line lane), while the 3-layer descent's upper
+    // layers stride 4 then 2 — THREE total hops arrive at {9,8}
+    val base = (0L to 9L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val lgLine = Similarity.layeredKnnGraph(base, "vec_id", "embedding",
+      numCoarse = 1, coarseIterations = 1, k = 2, maxLayer = 2)
+    val qLine = Seq((100L, Array(9.4f))).toDF("vec_id", "embedding")
+    val arrived = Similarity.layeredGraphSearch(lgLine, base, qLine,
+        "vec_id", "embedding", maxLayer = 2, entryK = 1, beam = 2,
+        hopsPerLayer = 1, topK = 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(arrived == Seq(9L, 8L),
+      s"3-hop layered descent should arrive at {9,8}: $arrived")
+  }
 }
