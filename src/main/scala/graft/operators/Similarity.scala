@@ -1202,6 +1202,62 @@ object Similarity {
     rankWalk(best, topK)
   }
 
+  /** O(new) APPEND for the stored LAYERED graph — [[appendKnnSeed]]
+    * applied per layer: the deterministic promotion rule (id ≡ 0 mod
+    * 2^ℓ) is APPEND-STABLE (an arriving id's layers are a pure
+    * function of the id, so no stored vertex ever changes layer — the
+    * property HNSW's random level draw also has, here replayable), so
+    * layer ℓ absorbs exactly the batch rows divisible by 2^ℓ and
+    * every layer's merge is the gated [[appendKnnSeed]] contract:
+    * new vertices score their grown cell, touched-cell members
+    * re-elect, untouched bags pass through bit-identical. A layer the
+    * batch misses passes through whole. `storedIndex`/`batchIndex`
+    * are full-corpus [[graft.operators.Ivf.flatIndex]] rows — the
+    * layer slices are id-arithmetic filters on the scan. Output ≡ the
+    * full [[layeredKnnGraph]] rebuild over history ∪ batch. */
+  def appendLayeredKnnSeed(storedLayered: DataFrame,
+      storedIndex: DataFrame, batchIndex: DataFrame, k: Int,
+      maxLayer: Int): DataFrame = {
+    require(k >= 1 && maxLayer >= 0,
+      s"appendLayeredKnnSeed: k=$k must be >= 1, maxLayer=$maxLayer >= 0")
+    (0 to maxLayer).map { l =>
+      appendKnnSeed(
+          storedLayered.filter(col("layer") === l)
+            .select(col("src"), col("dst"), col("d2"), col("rnk")),
+          storedIndex.filter(col("vec_id") % lit(1L << l) === 0),
+          batchIndex.filter(col("vec_id") % lit(1L << l) === 0), k)
+        .withColumn("layer", lit(l))
+    }.reduce(_.unionByName(_))
+      .select(col("layer"), col("src"), col("dst"), col("d2"),
+        col("rnk"))
+  }
+
+  /** Vertex PURGE for the stored LAYERED graph — [[purgeKnnGraph]]
+    * applied per layer: a tombstoned id leaves every layer it was
+    * promoted to, each layer re-electing only ITS affected survivors
+    * from that layer's cell members (upper layers are sparser, so
+    * their re-elections touch fewer vertices — the geometric series
+    * again). Tombstone ids absent from a layer no-op there. Output ≡
+    * the full [[layeredKnnGraph]] rebuild over the survivors. */
+  def purgeLayeredKnnGraph(storedLayered: DataFrame,
+      storedIndex: DataFrame, tombstones: DataFrame, k: Int,
+      maxLayer: Int): DataFrame = {
+    require(k >= 1 && maxLayer >= 0,
+      s"purgeLayeredKnnGraph: k=$k must be >= 1, maxLayer=$maxLayer >= 0")
+    val dead = tombstones.select(col("vec_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    (0 to maxLayer).map { l =>
+      purgeKnnGraph(
+          storedLayered.filter(col("layer") === l)
+            .select(col("src"), col("dst"), col("d2"), col("rnk")),
+          storedIndex.filter(col("vec_id") % lit(1L << l) === 0),
+          dead, k)
+        .withColumn("layer", lit(l))
+    }.reduce(_.unionByName(_))
+      .select(col("layer"), col("src"), col("dst"), col("d2"),
+        col("rnk"))
+  }
+
   /** Graph UPSERT — the q231 composition on the graph pillar, closing
     * CRUD for the stored kNN-graph family: a RESTATED vector (same id,
     * new embedding) is a DELETE composed with an APPEND, both under

@@ -6129,11 +6129,132 @@ ${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))}
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q279
+  // O(new) LAYERED graph append — q265's incremental contract on the
+  // layered index: the promotion rule (id ≡ 0 mod 2^ℓ) is
+  // APPEND-STABLE (an arriving id's layers are a pure function of the
+  // id — no stored vertex ever changes layer, the property HNSW's
+  // random level draw also has, here replayable), so layer ℓ absorbs
+  // exactly the batch rows divisible by 2^ℓ through the gated
+  // appendKnnSeed merge — new vertices score their grown cell,
+  // touched-cell members re-elect, untouched bags pass through with
+  // stored ranks, and a layer the batch misses passes through whole.
+  // Oracle = the full layered rebuild over history ∪ batch under the
+  // history-trained codebook.
+  private val q279 = Q(
+    "q279_layered_graph_append",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val history = e.filter(col("vec_id") % 3 > 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+        "embedding", 8, 2)
+      val storedLayered = graft.operators.Similarity.layeredKnnGraph(
+        history, "vec_id", "embedding", numCoarse = 8,
+        coarseIterations = 2, k = 5, maxLayer = 2)
+      val storedIndex = graft.operators.Ivf.flatIndex(coarse, history,
+        "vec_id", "embedding", Nil)
+      val batchIndex = graft.operators.Ivf.flatIndex(coarse, batch,
+        "vec_id", "embedding", Nil)
+      graft.operators.Similarity.appendLayeredKnnSeed(storedLayered,
+          storedIndex, batchIndex, k = 5, maxLayer = 2)
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      ranked AS (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l0sc
+        UNION ALL
+        SELECT 1 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l1sc
+        UNION ALL
+        SELECT 2 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l2sc)
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM ranked
+      WHERE rnk <= 5
+      ORDER BY layer, src, rnk
+    """))
+
+  // --------------------------------------------------------------- q280
+  // LAYERED graph purge — q268's re-election contract per layer: a
+  // tombstoned id leaves EVERY layer it was promoted to, each layer
+  // re-electing only its own affected survivors from that layer's
+  // cell members (upper layers are sparser — their re-elections touch
+  // geometrically fewer vertices); untouched bags pass through with
+  // stored ranks. Oracle = the full layered rebuild over the
+  // survivors.
+  private val q280 = Q(
+    "q280_layered_graph_purge",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val storedLayered = graft.operators.Similarity.layeredKnnGraph(e,
+        "vec_id", "embedding", numCoarse = 8, coarseIterations = 2,
+        k = 5, maxLayer = 2)
+      val storedIndex = graft.operators.Ivf.flatIndex(coarse, e,
+        "vec_id", "embedding", Nil)
+      graft.operators.Similarity.purgeLayeredKnnGraph(storedLayered,
+          storedIndex,
+          e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
+          k = 5, maxLayer = 2)
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "a.vec_id % 5 <> 0 AND b.vec_id % 5 <> 0")},
+${layerSeedCtes("l1",
+      "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0 AND a.vec_id % 5 <> 0 AND b.vec_id % 5 <> 0")},
+${layerSeedCtes("l2",
+      "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0 AND a.vec_id % 5 <> 0 AND b.vec_id % 5 <> 0")},
+      ranked AS (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l0sc
+        UNION ALL
+        SELECT 1 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l1sc
+        UNION ALL
+        SELECT 2 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l2sc)
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM ranked
+      WHERE rnk <= 5
+      ORDER BY layer, src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
     q217, q218, q219, q220, q221, q229, q230, q231, q234, q235, q236,
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
     q255, q256, q257, q260, q261, q263, q264, q265, q266, q267, q268,
-    q269, q270, q271, q272, q273, q274, q275, q276, q277, q278)
+    q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
+    q280)
 }

@@ -238,7 +238,12 @@ class PlanAuditSpec extends SparkSpec {
       // q278 = q277's build fans + q264's walk fans (bounded query
       // panel × the top layer's entryK entries, per-hop broadcast beam
       // state carried across layers)
-      "q278_layered_graph_search")
+      "q278_layered_graph_search",
+      // q279/q280 = q277's per-layer build fans; the merge/purge
+      // themselves are cell/id-keyed equi-joins with batch/deleted-
+      // proportional sides (q265/q268's class per layer)
+      "q279_layered_graph_append",
+      "q280_layered_graph_purge")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
