@@ -1139,17 +1139,10 @@ object Similarity {
     * the base scan; checkpoint-rotated). With maxLayer = 0 this IS
     * [[graphSearch]] (spec-pinned). Output: (q_id, n_id, d2,
     * rnk ≤ topK). */
-  def layeredGraphSearch(layeredGraph: DataFrame, base: DataFrame,
+  private def layeredWalk(layeredGraph: DataFrame, base: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, maxLayer: Int,
-      entryK: Int, beam: Int, hopsPerLayer: Int, topK: Int): DataFrame = {
-    require(entryK >= 1 && beam >= 1 && hopsPerLayer >= 0 &&
-        topK >= 1 && maxLayer >= 0,
-      s"layeredGraphSearch: entryK=$entryK, beam=$beam, topK=$topK " +
-        s"must be >= 1 (hopsPerLayer=$hopsPerLayer, " +
-        s"maxLayer=$maxLayer >= 0)")
-    require(topK <= beam,
-      s"layeredGraphSearch: topK=$topK > beam=$beam — the final rank " +
-        "runs over the beam-capped frame")
+      entryK: Int, beam: Int, hopsPerLayer: Int,
+      keepHops: Boolean): GraphWalk = {
     val baseQ = Ivf.quantized(base, idCol, vecCol)
       .withColumn("__n2", dot(col("qvec"), col("qvec")))
       .transform(graft.util.CacheScope.persist)
@@ -1176,18 +1169,27 @@ object Similarity {
       .filter(col(idCol) % lit(1L << maxLayer) === 0)
       .select(col(idCol).as("dst"))
       .orderBy(col("dst").asc).limit(entryK)
-    var best = keep(score(
+    val s0 = score(
       qp.select(col("q_id")).crossJoin(broadcast(entries))
-        .filter(col("dst") =!= col("q_id"))), beam)
+        .filter(col("dst") =!= col("q_id")))
+    var best = keep(s0, beam)
+    val scoredAcc = scala.collection.mutable.ListBuffer(s0)
+    val beamAcc = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // the graphSearch rotation discipline: checkpoint per hop, release
     // superseded eagerly — plan depth stays constant over the whole
-    // (maxLayer+1)·hopsPerLayer descent
+    // (maxLayer+1)·hopsPerLayer descent (keepHops retains them all,
+    // exactly the graphWalk contract)
     var lastCheckpoint: Option[DataFrame] = None
     for (l <- maxLayer to 0 by -1; _ <- 1 to hopsPerLayer) {
       val cp = best.localCheckpoint()
-      lastCheckpoint.foreach(
-        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
-      lastCheckpoint = Some(cp)
+      if (keepHops) {
+        graft.util.CacheScope.registerCheckpointed(cp)
+        beamAcc += cp
+      } else {
+        lastCheckpoint.foreach(
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
+        lastCheckpoint = Some(cp)
+      }
       val exp = lg.filter(col("layer") === l)
         .select(col("src"), col("dst"))
         .join(broadcast(cp.select(col("q_id"),
@@ -1196,10 +1198,92 @@ object Similarity {
         .filter(col("dst") =!= col("q_id"))
       val cand = cp.select(col("q_id"), col("dst"))
         .unionByName(exp).distinct()
-      best = keep(score(cand), beam)
+      val sh = score(cand)
+      if (keepHops) scoredAcc += sh
+      best = keep(sh, beam)
     }
     lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
-    rankWalk(best, topK)
+    GraphWalk(best, scoredAcc.toSeq, beamAcc.toSeq)
+  }
+
+  def layeredGraphSearch(layeredGraph: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, maxLayer: Int,
+      entryK: Int, beam: Int, hopsPerLayer: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hopsPerLayer >= 0 &&
+        topK >= 1 && maxLayer >= 0,
+      s"layeredGraphSearch: entryK=$entryK, beam=$beam, topK=$topK " +
+        s"must be >= 1 (hopsPerLayer=$hopsPerLayer, " +
+        s"maxLayer=$maxLayer >= 0)")
+    require(topK <= beam,
+      s"layeredGraphSearch: topK=$topK > beam=$beam — the final rank " +
+        "runs over the beam-capped frame")
+    rankWalk(layeredWalk(layeredGraph, base, queries, idCol, vecCol,
+      maxLayer, entryK, beam, hopsPerLayer, keepHops = false).best,
+      topK)
+  }
+
+  /** [[graphSearchMasked]] on the LAYERED descent: the walk routes
+    * through dead vertices on every layer (they are the long-range
+    * waypoints — masking traversal disconnects the upper layers first,
+    * where vertices are scarcest), and ONE O(deleted) anti-join masks
+    * the descent's evaluated-candidate union at rank time; k
+    * back-fills from live candidates. The same beam-monotonicity
+    * argument applies across layers (each keep's candidate set
+    * contains the carried beam), so with no tombstones this equals
+    * [[layeredGraphSearch]] exactly (spec-pinned). */
+  def layeredGraphSearchMasked(layeredGraph: DataFrame,
+      base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, tombstones: DataFrame, maxLayer: Int,
+      entryK: Int, beam: Int, hopsPerLayer: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hopsPerLayer >= 0 &&
+        topK >= 1 && maxLayer >= 0,
+      s"layeredGraphSearchMasked: entryK=$entryK, beam=$beam, " +
+        s"topK=$topK must be >= 1 (hopsPerLayer=$hopsPerLayer, " +
+        s"maxLayer=$maxLayer >= 0)")
+    val seen = seenUnion(layeredWalk(layeredGraph, base, queries,
+      idCol, vecCol, maxLayer, entryK, beam, hopsPerLayer,
+      keepHops = true))
+    val dead = tombstones.select(col("vec_id").as("dst")).distinct()
+    rankWalk(seen.join(broadcast(dead), Seq("dst"), "left_anti"), topK)
+  }
+
+  /** [[graphSearchFiltered]] on the LAYERED descent: walk every layer
+    * unfiltered (non-matching vertices are the waypoints), predicate
+    * at rank time over the bounded evaluated-candidate union — k
+    * fills from every matching candidate the descent evaluated. */
+  def layeredGraphSearchFiltered(layeredGraph: DataFrame,
+      base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, predicate: Column, maxLayer: Int, entryK: Int,
+      beam: Int, hopsPerLayer: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hopsPerLayer >= 0 &&
+        topK >= 1 && maxLayer >= 0,
+      s"layeredGraphSearchFiltered: entryK=$entryK, beam=$beam, " +
+        s"topK=$topK must be >= 1 (hopsPerLayer=$hopsPerLayer, " +
+        s"maxLayer=$maxLayer >= 0)")
+    val seen = seenUnion(layeredWalk(layeredGraph, base, queries,
+      idCol, vecCol, maxLayer, entryK, beam, hopsPerLayer,
+      keepHops = true))
+    val keepIds = base.filter(predicate).select(col(idCol).as("dst"))
+    rankWalk(keepIds.join(broadcast(seen), Seq("dst")), topK)
+  }
+
+  /** LAYERED upsert — [[upsertKnnSeed]] per layer: restated ids purge
+    * from and re-append to exactly the layers the promotion rule puts
+    * them in (append-stable, so the layer sets themselves never
+    * change). Output ≡ the full [[layeredKnnGraph]] rebuild over the
+    * restated corpus. */
+  def upsertLayeredKnnSeed(storedLayered: DataFrame,
+      storedIndex: DataFrame, batchIndex: DataFrame, k: Int,
+      maxLayer: Int): DataFrame = {
+    require(k >= 1 && maxLayer >= 0,
+      s"upsertLayeredKnnSeed: k=$k must be >= 1, maxLayer=$maxLayer >= 0")
+    val purged = purgeLayeredKnnGraph(storedLayered, storedIndex,
+      batchIndex.select(col("vec_id")), k, maxLayer)
+    val ids = batchIndex.select(col("vec_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    appendLayeredKnnSeed(purged,
+      storedIndex.join(broadcast(ids), Seq("vec_id"), "left_anti"),
+      batchIndex, k, maxLayer)
   }
 
   /** O(new) APPEND for the stored LAYERED graph — [[appendKnnSeed]]

@@ -5184,16 +5184,17 @@ ${walkCostSql("", 2)}
     * in-cell pairs over the layer members) and ${p}g (src, dst,
     * rnk <= k) — [[seedGraphCtes]] with prefixed names and a member
     * predicate over the `a`/`b` endpoint aliases. */
-  private def layerSeedCtes(p: String, memberWhere: String): String = raw"""
+  private def layerSeedCtes(p: String, memberWhere: String,
+      cellofName: String = "cellof", vxName: String = "vx"): String = raw"""
       ${p}sc AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                CAST(list_dot_product(va.qvec, va.qvec)
                  - 2.0 * list_dot_product(va.qvec, vb.qvec)
                  + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
-        FROM cellof a
-        JOIN cellof b ON b.cid = a.cid AND b.vec_id <> a.vec_id
-        JOIN vx va ON va.vec_id = a.vec_id
-        JOIN vx vb ON vb.vec_id = b.vec_id
+        FROM $cellofName a
+        JOIN $cellofName b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN $vxName va ON va.vec_id = a.vec_id
+        JOIN $vxName vb ON vb.vec_id = b.vec_id
         WHERE ($memberWhere)),
       ${p}g AS (
         SELECT src, dst FROM (
@@ -6249,6 +6250,189 @@ ${layerSeedCtes("l2",
       ORDER BY layer, src, rnk
     """))
 
+  // --------------------------------------------------------------- q281
+  // TOMBSTONE-MASKED layered descent — q267's serving semantic on the
+  // layered index: the walk routes through dead vertices on EVERY
+  // layer (upper layers are sparsest, so masking traversal
+  // disconnects them first), and one O(deleted) anti-join masks the
+  // descent's evaluated-candidate union at rank time, back-filling k
+  // from live candidates. Oracle = the q278 chains + the seen union +
+  // the mask.
+  private val q281 = Q(
+    "q281_masked_layered_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lg = graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
+        "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
+        maxLayer = 2)
+      graft.operators.Similarity.layeredGraphSearchMasked(lg, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
+          maxLayer = 2, entryK = 2, beam = 5, hopsPerLayer = 1,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      ent AS (SELECT vec_id AS dst FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("t", 1, 5, gName = "l2g")},
+${walkCtes("m", 1, 5, gName = "l1g", init = Some("tb1"))},
+${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))},
+      seen AS (
+        SELECT q_id, dst, d2 FROM ts0
+        UNION SELECT q_id, dst, d2 FROM ts1
+        UNION SELECT q_id, dst, d2 FROM ms1
+        UNION SELECT q_id, dst, d2 FROM ws1),
+      live AS (
+        SELECT q_id, dst, d2 FROM seen WHERE dst % 5 <> 0)
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM live)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q282
+  // ATTRIBUTE-FILTERED layered descent — q270's contract on the
+  // layered index: every layer walks unfiltered (non-matching
+  // vertices are the long-range waypoints), the predicate applies at
+  // rank time over the descent's evaluated-candidate union, and k
+  // fills from every matching candidate evaluated.
+  private val q282 = Q(
+    "q282_filtered_layered_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lg = graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
+        "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
+        maxLayer = 2)
+      graft.operators.Similarity.layeredGraphSearchFiltered(lg, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          col("label") === 3, maxLayer = 2, entryK = 2, beam = 5,
+          hopsPerLayer = 1, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      ent AS (SELECT vec_id AS dst FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("t", 1, 5, gName = "l2g")},
+${walkCtes("m", 1, 5, gName = "l1g", init = Some("tb1"))},
+${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))},
+      seen AS (
+        SELECT q_id, dst, d2 FROM ts0
+        UNION SELECT q_id, dst, d2 FROM ts1
+        UNION SELECT q_id, dst, d2 FROM ms1
+        UNION SELECT q_id, dst, d2 FROM ws1),
+      kept AS (
+        SELECT sn.q_id, sn.dst, sn.d2
+        FROM seen sn JOIN embeddings em ON em.vec_id = sn.dst
+        WHERE em.label = 3)
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM kept)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q283
+  // LAYERED upsert — q269's delete ∘ append composition per layer:
+  // restated ids (deterministically reversed embeddings) purge from
+  // and re-append to exactly the layers the promotion rule puts them
+  // in (append-stable — the layer sets never change), each layer
+  // running the gated purge/append contracts. Oracle = the full
+  // layered rebuild over the restated corpus.
+  private val q283 = Q(
+    "q283_layered_graph_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val storedLayered = graft.operators.Similarity.layeredKnnGraph(e,
+        "vec_id", "embedding", numCoarse = 8, coarseIterations = 2,
+        k = 5, maxLayer = 2)
+      val storedIndex = graft.operators.Ivf.flatIndex(coarse, e,
+        "vec_id", "embedding", Nil)
+      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
+        e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      graft.operators.Similarity.upsertLayeredKnnSeed(storedLayered,
+          storedIndex, batchIndex, k = 5, maxLayer = 2)
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+${layerSeedCtes("l0", "TRUE", cellofName = "cellof2", vxName = "vx2")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0",
+      cellofName = "cellof2", vxName = "vx2")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0",
+      cellofName = "cellof2", vxName = "vx2")},
+      ranked AS (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l0sc
+        UNION ALL
+        SELECT 1 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l1sc
+        UNION ALL
+        SELECT 2 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l2sc)
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM ranked
+      WHERE rnk <= 5
+      ORDER BY layer, src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -6256,5 +6440,5 @@ ${layerSeedCtes("l2",
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
     q255, q256, q257, q260, q261, q263, q264, q265, q266, q267, q268,
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
-    q280)
+    q280, q281, q282, q283)
 }

@@ -243,7 +243,15 @@ class PlanAuditSpec extends SparkSpec {
       // themselves are cell/id-keyed equi-joins with batch/deleted-
       // proportional sides (q265/q268's class per layer)
       "q279_layered_graph_append",
-      "q280_layered_graph_purge")
+      "q280_layered_graph_purge",
+      // q281/q282 = q278's descent fans; the mask/predicate is an
+      // id-keyed anti/inner join over the bounded seen-union (q267/
+      // q270's class on the layered axis)
+      "q281_masked_layered_search",
+      "q282_filtered_layered_search",
+      // q283 composes q280's purge and q279's append fans — the
+      // ≤8-row coarse codebook per layer, nothing new crosses
+      "q283_layered_graph_upsert")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

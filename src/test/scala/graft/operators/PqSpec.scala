@@ -1727,5 +1727,15 @@ class PqSpec extends SparkSpec {
       .orderBy("rnk").collect().map(_.getLong(1)).toSeq
     assert(arrived == Seq(9L, 8L),
       s"3-hop layered descent should arrive at {9,8}: $arrived")
+    // masked descent with no tombstones ≡ the plain descent (the
+    // seen-union/final-beam equivalence across layers)
+    val none = emb.filter(lit(false)).select("vec_id")
+    assert(rows(Similarity.layeredGraphSearchMasked(lg2, emb, q5,
+        "vec_id", "embedding", none, maxLayer = 2, entryK = 2,
+        beam = 5, hopsPerLayer = 1, topK = 5)) ==
+      rows(Similarity.layeredGraphSearch(lg2, emb, q5, "vec_id",
+        "embedding", maxLayer = 2, entryK = 2, beam = 5,
+        hopsPerLayer = 1, topK = 5)),
+      "empty mask diverged from the plain layered descent")
   }
 }
