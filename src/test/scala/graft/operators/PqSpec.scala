@@ -1737,5 +1737,23 @@ class PqSpec extends SparkSpec {
         "embedding", maxLayer = 2, entryK = 2, beam = 5,
         hopsPerLayer = 1, topK = 5)),
       "empty mask diverged from the plain layered descent")
+    // stored round-trip: the descent over the parquet-persisted
+    // layered table ≡ the in-plan serve, training-free plan (the
+    // flat-graph stored lane's discipline on the layered axis)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stored_layered").toString
+    lg2.write.parquet(s"$dir/layered")
+    val storedLg = spark.read.parquet(s"$dir/layered")
+    val servedStored = Similarity.layeredGraphSearch(storedLg, emb, q5,
+      "vec_id", "embedding", maxLayer = 2, entryK = 2, beam = 5,
+      hopsPerLayer = 1, topK = 5)
+    assert(rows(servedStored) ==
+      rows(Similarity.layeredGraphSearch(lg2, emb, q5, "vec_id",
+        "embedding", maxLayer = 2, entryK = 2, beam = 5,
+        hopsPerLayer = 1, topK = 5)),
+      "stored layered serving diverged from the in-plan serve")
+    val plan = servedStored.queryExecution.executedPlan.toString
+    assert(!plan.contains("VecSumAgg") && !plan.contains("vec_sum"),
+      s"a training stage leaked into the stored layered serve plan:\n$plan")
   }
 }
