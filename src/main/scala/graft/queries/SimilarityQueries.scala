@@ -6433,6 +6433,119 @@ ${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0",
       ORDER BY layer, src, rnk
     """))
 
+  // --------------------------------------------------------------- q284
+  // LAYERED graph health — q276's report per (layer, cell): member
+  // occupancy (whose square is layer ℓ's seed cost — the geometric-
+  // series budget the layered build claims), stored edge count,
+  // reciprocity, and exact d2 mass. The report is what an operator
+  // reads to verify the promotion rule actually produced geometric
+  // layers and that no layer's cells went hot. Pure integer logic over
+  // the stored tables — the q257 near-free gate class.
+  private val q284 = Q(
+    "q284_layered_graph_health",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
+        "embedding", 8, 2)
+      val assigned = graft.operators.Ivf.assignIds(
+          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+        .select(col("vec_id"), col("cid"))
+        .transform(graft.util.CacheScope.persist)
+      val lg = graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
+          "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
+          maxLayer = 2)
+        .transform(graft.util.CacheScope.persist)
+      (0 to 2).map { l =>
+        val members = assigned
+          .filter(col("vec_id") % lit(1L << l) === 0)
+        val g = lg.filter(col("layer") === l)
+        val srcCell = members.select(col("vec_id").as("src"), col("cid"))
+        val edgeStats = g.join(srcCell, Seq("src"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_edges"), sum(col("d2")).as("sum_d2"))
+        val reciprocal = g.select(col("src"), col("dst"))
+          .join(g.select(col("dst").as("src"), col("src").as("dst")),
+            Seq("src", "dst"), "left_semi")
+          .join(srcCell, Seq("src"))
+          .groupBy(col("cid")).agg(count(lit(1)).as("n_reciprocal"))
+        members.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .join(edgeStats, Seq("cid"), "left")
+          .join(reciprocal, Seq("cid"), "left")
+          .select(lit(l).as("layer"), col("cid"),
+            col("n_vectors"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"),
+            coalesce(col("sum_d2"), lit(0L)).as("sum_d2"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("layer"), col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      g0r AS (SELECT src, dst, d2 FROM (
+          SELECT src, dst, d2, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY d2 ASC, dst ASC) AS rnk FROM l0sc) WHERE rnk <= 5),
+      g1r AS (SELECT src, dst, d2 FROM (
+          SELECT src, dst, d2, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY d2 ASC, dst ASC) AS rnk FROM l1sc) WHERE rnk <= 5),
+      g2r AS (SELECT src, dst, d2 FROM (
+          SELECT src, dst, d2, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY d2 ASC, dst ASC) AS rnk FROM l2sc) WHERE rnk <= 5),
+      occ AS (
+        SELECT 0 AS layer, cid, COUNT(*) AS n_vectors FROM cellof
+        GROUP BY cid
+        UNION ALL
+        SELECT 1 AS layer, cid, COUNT(*) FROM cellof
+        WHERE vec_id % 2 = 0 GROUP BY cid
+        UNION ALL
+        SELECT 2 AS layer, cid, COUNT(*) FROM cellof
+        WHERE vec_id % 4 = 0 GROUP BY cid),
+      es AS (
+        SELECT 0 AS layer, c.cid, COUNT(*) AS n_edges,
+               SUM(g.d2) AS sum_d2
+        FROM g0r g JOIN cellof c ON c.vec_id = g.src GROUP BY c.cid
+        UNION ALL
+        SELECT 1 AS layer, c.cid, COUNT(*), SUM(g.d2)
+        FROM g1r g JOIN cellof c ON c.vec_id = g.src GROUP BY c.cid
+        UNION ALL
+        SELECT 2 AS layer, c.cid, COUNT(*), SUM(g.d2)
+        FROM g2r g JOIN cellof c ON c.vec_id = g.src GROUP BY c.cid),
+      rc AS (
+        SELECT 0 AS layer, c.cid, COUNT(*) AS n_reciprocal
+        FROM g0r g JOIN cellof c ON c.vec_id = g.src
+        WHERE EXISTS (SELECT 1 FROM g0r h
+                      WHERE h.src = g.dst AND h.dst = g.src)
+        GROUP BY c.cid
+        UNION ALL
+        SELECT 1 AS layer, c.cid, COUNT(*)
+        FROM g1r g JOIN cellof c ON c.vec_id = g.src
+        WHERE EXISTS (SELECT 1 FROM g1r h
+                      WHERE h.src = g.dst AND h.dst = g.src)
+        GROUP BY c.cid
+        UNION ALL
+        SELECT 2 AS layer, c.cid, COUNT(*)
+        FROM g2r g JOIN cellof c ON c.vec_id = g.src
+        WHERE EXISTS (SELECT 1 FROM g2r h
+                      WHERE h.src = g.dst AND h.dst = g.src)
+        GROUP BY c.cid)
+      SELECT CAST(o.layer AS INTEGER) AS layer, o.cid,
+             CAST(o.n_vectors AS BIGINT) AS n_vectors,
+             CAST(COALESCE(es.n_edges, 0) AS BIGINT) AS n_edges,
+             CAST(COALESCE(rc.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+             CAST(COALESCE(es.sum_d2, 0) AS BIGINT) AS sum_d2
+      FROM occ o
+      LEFT JOIN es ON es.layer = o.layer AND es.cid = o.cid
+      LEFT JOIN rc ON rc.layer = o.layer AND rc.cid = o.cid
+      ORDER BY o.layer, o.cid
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -6440,5 +6553,5 @@ ${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0",
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
     q255, q256, q257, q260, q261, q263, q264, q265, q266, q267, q268,
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
-    q280, q281, q282, q283)
+    q280, q281, q282, q283, q284)
 }

@@ -251,7 +251,11 @@ class PlanAuditSpec extends SparkSpec {
       "q282_filtered_layered_search",
       // q283 composes q280's purge and q279's append fans — the
       // ≤8-row coarse codebook per layer, nothing new crosses
-      "q283_layered_graph_upsert")
+      "q283_layered_graph_upsert",
+      // q284 = q277's build fans; the per-layer health report itself
+      // is id/cell-keyed joins + partial-combining aggregates (q276's
+      // class per layer)
+      "q284_layered_graph_health")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
