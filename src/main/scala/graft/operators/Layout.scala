@@ -233,15 +233,28 @@ object Layout {
     * segment restates an id COMPLETELY (all rows of the id's list). */
   def compactLatestMulti(segments: DataFrame, idCol: String,
       segCol: String, clusterCol: String,
+      numPartitions: Int): DataFrame =
+    compactLatestMulti(segments, Seq(idCol), segCol, clusterCol,
+      numPartitions)
+
+  /** COMPOSITE-KEY form of [[compactLatestMulti]] — the election key
+    * is a column TUPLE (e.g. (layer, src) for the layered kNN graph,
+    * where a maintenance segment restates a source's bag PER LAYER and
+    * the same src may carry different bags on different layers). Same
+    * operator, same cost shape — the window just partitions by every
+    * key column. */
+  def compactLatestMulti(segments: DataFrame, idCols: Seq[String],
+      segCol: String, clusterCol: String,
       numPartitions: Int): DataFrame = {
+    require(idCols.nonEmpty, "compactLatestMulti needs a key column")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
+      .partitionBy(idCols.map(col): _*)
     segments
       .withColumn("__winner", max(col(segCol)).over(w))
       .filter(col(segCol) === col("__winner"))
       .drop("__winner")
       .repartition(numPartitions, col(clusterCol))
-      .sortWithinPartitions(col(clusterCol), col(idCol))
+      .sortWithinPartitions((clusterCol +: idCols).distinct.map(col): _*)
   }
 
   /** TIME-TRAVEL form of [[compactLatestMulti]] — [[compactAsOf]]'s

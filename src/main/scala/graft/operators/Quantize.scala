@@ -367,10 +367,17 @@ object Quantize {
       s"as-of $asOf live snapshot spans ${gens.length} bounds " +
         s"generations (${gens.mkString(", ")}) — a serveable snapshot " +
         "encodes under exactly one; recalibrate as a full segment")
-    require(gens.nonEmpty,
-      s"as-of $asOf snapshot has no live rows under the predicate — " +
-        "nothing to serve (every surviving row is tombstoned or " +
-        "filtered out)")
+    // zero live rows is a NORMAL serve with an empty result — a user
+    // predicate matching nothing (or a fully-tombstoned snapshot) must
+    // behave like every other filtered/masked serve verb in the family
+    // (Ivf.filteredSearch, graphSearchFiltered, bm25SearchMasked); the
+    // generation is irrelevant with no servable rows. The loud failure
+    // stays reserved for the mixed-generation state above.
+    if (gens.isEmpty)
+      return queries.select(col(idCol).as("q_id")).limit(0)
+        .withColumn("n_id", col("q_id"))
+        .withColumn("d2", lit(0L))
+        .withColumn("rnk", lit(0).cast("int"))
     val bounds = boundsVersions.filter(col(genCol) === gens.head)
       .select(col("d"), col("p_lo"), col("p_hi"))
     calibratedIvfSearch(coarse, live.select(col("vec_id"), col("cid")),

@@ -361,24 +361,43 @@ object Search {
       bCenti: Int = 75): DataFrame = {
     require(terms.nonEmpty, "bm25SearchMasked needs at least one term")
     val dead = tombstones.select(col(idCol)).distinct()
-    val deadStats = dlTable
-      .join(broadcast(dead), Seq(idCol), "left_semi")
-      .agg(count(lit(1)).as("__dn"),
-        coalesce(sum(col("dl")), lit(0L)).as("__dsum"))
-    // tombstones covering EVERY document would make avgdl a 0/0 null
-    // and propagate null scores — an empty live corpus must be loud,
-    // not silently score-less
-    val corrected = stats.crossJoin(deadStats)
-      .select(when(col("n_docs") - col("__dn") <= 0, raise_error(lit(
-            "bm25SearchMasked: tombstones cover every document — " +
-              "no live corpus to serve")))
-          .otherwise(col("n_docs") - col("__dn")).as("n_docs"),
-        ((col("sum_dl") - col("__dsum")).cast("double") /
-          (col("n_docs") - col("__dn"))).as("avgdl"))
+      .transform(graft.util.CacheScope.persist)
     val tfLive = tfTable.filter(col("token").isin(terms: _*))
       .join(broadcast(dead), Seq(idCol), "left_anti")
-    bm25TailWithStats(tfLive, dlTable, corrected, idCol, topN,
-      k1Centi, bCenti)
+    // corrected globals resolve DRIVER-SIDE (two 1-row aggregates —
+    // the bounded-action class, like the as-of generation probe): the
+    // empty/stale guard must be PLAN-INDEPENDENT. An in-plan
+    // raise_error previously survived only because AQE's
+    // empty-relation propagation pruned the stats branch before its
+    // 1-row projection evaluated — correctness by optimizer accident.
+    val sRow = stats.select(col("n_docs").cast("long"),
+      col("sum_dl").cast("long")).collect().head
+    val dRow = dlTable.join(broadcast(dead), Seq(idCol), "left_semi")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .collect().head
+    val nLive = sRow.getLong(0) - dRow.getLong(0)
+    val sumLive = sRow.getLong(1) - dRow.getLong(1)
+    def oneRow(nDocs: Long, avgdl: Double): DataFrame =
+      stats.sparkSession.range(1)
+        .select(lit(nDocs).as("n_docs"), lit(avgdl).as("avgdl"))
+    if (nLive <= 0) {
+      // tombstones covering EVERY document is a legitimate serve with
+      // a structurally EMPTY result (every posting is dead). A
+      // corrected count hitting <= 0 WHILE live postings still flow
+      // means the stored ledger under-counts the corpus — 0/0 avgdl
+      // would propagate null scores, so THAT is the loud failure.
+      if (nLive < 0 || !tfLive.isEmpty)
+        throw new IllegalStateException(
+          s"bm25SearchMasked: stale stats ledger — corrected n_docs " +
+            s"= $nLive (ledger ${sRow.getLong(0)} - tombstoned " +
+            s"${dRow.getLong(0)}) with live postings still present; " +
+            "rebuild the (n_docs, sum_dl) ledger")
+      bm25TailWithStats(tfLive, dlTable, oneRow(1L, 1.0), idCol, topN,
+        k1Centi, bCenti)
+    } else
+      bm25TailWithStats(tfLive, dlTable,
+        oneRow(nLive, sumLive.toDouble / nLive), idCol, topN,
+        k1Centi, bCenti)
   }
 
   /** The shared BM25 scoring tail over an aggregated (id, token, tf)

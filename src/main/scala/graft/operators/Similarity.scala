@@ -564,6 +564,32 @@ object Similarity {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** TOMBSTONE-MASKED routed MaxSim — the q236 serving semantic on the
+    * late-interaction pillar: deleted document bags stop appearing NOW,
+    * with the stored assignment and bag tables untouched. Unlike the
+    * graph walk (where dead vertices must still ROUTE), IVF routing
+    * probes cells by centroid distance — excluding a dead candidate
+    * cannot disconnect anything — so the mask lands at the SOURCE: one
+    * O(deleted) broadcast anti-join on the 2-column assignment scan
+    * before the probe join, and no dead bag's vectors ever reach the
+    * scorer (cheaper than rank-time masking, same result). Masked
+    * serving ≡ [[maxSimRouted]] over the purged tables, bit-for-bit
+    * (spec-pinned; the purge itself is the same anti-join applied to
+    * the stored tables — the multi-row shape needs no re-election,
+    * q287's gate). Queries may themselves be tombstoned — only the
+    * document side masks. Output: (q_id, n_id, score, rnk ≤ topK). */
+  def maxSimRoutedMasked(coarse: DataFrame, assigned: DataFrame,
+      docVecs: DataFrame, queryVecs: DataFrame,
+      queriesPooled: DataFrame, idCol: String, vecIdxCol: String,
+      vecCol: String, pooledVecCol: String, tombstones: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    val dead = tombstones.select(col("vec_id")).distinct()
+    maxSimRouted(coarse,
+      assigned.join(broadcast(dead), Seq("vec_id"), "left_anti"),
+      docVecs, queryVecs, queriesPooled, idCol, vecIdxCol, vecCol,
+      pooledVecCol, nprobe, topK)
+  }
+
   /** kNN-GRAPH SEED — cell-local exact top-k: every vector's k
     * nearest within its OWN coarse cell (the nprobe = 1 self-join;
     * [[graft.operators.Ivf.flatIndex]] rows joined cell-keyed, never
@@ -1110,16 +1136,62 @@ object Similarity {
     * (layer, src, dst, d2, rnk ≤ k). */
   def layeredKnnGraph(embeddings: DataFrame, idCol: String,
       vecCol: String, numCoarse: Int, coarseIterations: Int, k: Int,
-      maxLayer: Int): DataFrame = {
+      maxLayer: Int): DataFrame =
+    layeredKnnGraphWith(
+      Ivf.centroids(embeddings, idCol, vecCol, numCoarse,
+        coarseIterations),
+      embeddings, idCol, vecCol, k, maxLayer)
+
+  /** [[layeredKnnGraph]] under a CALLER-SUPPLIED coarse codebook — the
+    * seam a stored deployment builds through: the codebook is itself a
+    * stored table (trained once, read from parquet), so the layered
+    * build must compose from it rather than retrain per invocation
+    * (the q194 fixed-codebook discipline on the build side). */
+  def layeredKnnGraphWith(coarse: DataFrame, embeddings: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxLayer: Int): DataFrame = {
     require(k >= 1 && maxLayer >= 0,
       s"layeredKnnGraph: k=$k must be >= 1, maxLayer=$maxLayer >= 0")
-    val coarse = Ivf.centroids(embeddings, idCol, vecCol, numCoarse,
-      coarseIterations)
     (0 to maxLayer).map { l =>
       knnGraphSeed(coarse,
           embeddings.filter(col(idCol) % lit(1L << l) === 0),
           idCol, vecCol, k)
         .withColumn("layer", lit(l))
+    }.reduce(_.unionByName(_))
+      .select(col("layer"), col("src"), col("dst"), col("d2"),
+        col("rnk"))
+  }
+
+  /** LAYERED build + NN-DESCENT refinement — [[knnGraph]]'s multi-round
+    * trajectory applied per layer under the ONE shared coarse codebook:
+    * each layer's seed refines through `rounds` of [[nnDescentRound]]
+    * over that layer's members (the neighbor-of-neighbor fan never
+    * crosses layers — layer ℓ's graph is a graph over its own member
+    * set, exactly the flat contract on the slice). Upper layers are
+    * geometrically small, so the refinement work is the same geometric
+    * series as the seed (≈ 2× the base layer's descent). Each round's
+    * edge frame localCheckpoints (the [[knnGraph]] rotation
+    * discipline), per layer. Output: (layer, src, dst, d2, rnk ≤ k). */
+  def layeredKnnGraphRefined(embeddings: DataFrame, idCol: String,
+      vecCol: String, numCoarse: Int, coarseIterations: Int, k: Int,
+      maxLayer: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && maxLayer >= 0 && rounds >= 0,
+      s"layeredKnnGraphRefined: k=$k must be >= 1, " +
+        s"maxLayer=$maxLayer >= 0, rounds=$rounds >= 0")
+    val coarse = Ivf.centroids(embeddings, idCol, vecCol, numCoarse,
+      coarseIterations)
+    (0 to maxLayer).map { l =>
+      val members = embeddings.filter(col(idCol) % lit(1L << l) === 0)
+      var g = knnGraphSeed(coarse, members, idCol, vecCol, k)
+      var lastCheckpoint: Option[DataFrame] = None
+      for (_ <- 1 to rounds) {
+        val cp = g.localCheckpoint()
+        lastCheckpoint.foreach(
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
+        lastCheckpoint = Some(cp)
+        g = nnDescentRound(members, cp, idCol, vecCol, k)
+      }
+      lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
+      g.withColumn("layer", lit(l))
     }.reduce(_.unionByName(_))
       .select(col("layer"), col("src"), col("dst"), col("d2"),
         col("rnk"))
@@ -1169,6 +1241,15 @@ object Similarity {
       .filter(col(idCol) % lit(1L << maxLayer) === 0)
       .select(col(idCol).as("dst"))
       .orderBy(col("dst").asc).limit(entryK)
+    // fail-loud, not silently empty: a top layer with no members (a
+    // caller's maxLayer beyond the built graph's promotion range, or a
+    // corpus with no id ≡ 0 mod 2^maxLayer) would empty the entry set
+    // and therefore EVERY result. One bounded probe (≤ entryK rows —
+    // the generation-guard action class), once per descent.
+    require(entries.take(1).nonEmpty,
+      s"layeredWalk: top layer $maxLayer has no members (no id ≡ 0 " +
+        s"mod ${1L << maxLayer} in the corpus) — maxLayer exceeds the " +
+        "built graph's promotion range")
     val s0 = score(
       qp.select(col("q_id")).crossJoin(broadcast(entries))
         .filter(col("dst") =!= col("q_id")))
@@ -1265,6 +1346,36 @@ object Similarity {
       keepHops = true))
     val keepIds = base.filter(predicate).select(col(idCol).as("dst"))
     rankWalk(keepIds.join(broadcast(seen), Seq("dst")), topK)
+  }
+
+  /** [[graphRecallCost]] on the LAYERED descent — the layered family's
+    * VALUE audit, recall AND cost from ONE walk: the descent runs with
+    * keepHops=true, the serve result ranks off its final beam, and the
+    * cost columns replay its hop frames ([[costFromWalk]] over
+    * (maxLayer+1)·hopsPerLayer hops — the entry fan is hop 0, carried
+    * beams re-score and COUNT each hop, exactly what the serve plan
+    * evaluates). This is the number pair that justifies the layers:
+    * at equal eval budget the descent's upper-layer strides buy recall
+    * the flat walk's entry placement caps (compare against the flat
+    * [[graphRecallCost]] at the same dist_evals). Output: (q_id,
+    * n_hits, recall_micro, dist_evals, frontier). */
+  def layeredRecallCost(layeredGraph: DataFrame, base: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      exact: DataFrame, k: Int, maxLayer: Int, entryK: Int, beam: Int,
+      hopsPerLayer: Int, topK: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hopsPerLayer >= 0 &&
+        topK >= 1 && maxLayer >= 0,
+      s"layeredRecallCost: entryK=$entryK, beam=$beam, topK=$topK " +
+        s"must be >= 1 (hopsPerLayer=$hopsPerLayer, " +
+        s"maxLayer=$maxLayer >= 0)")
+    require(topK <= beam,
+      s"layeredRecallCost: topK=$topK > beam=$beam — the serve rank " +
+        "runs over the beam-capped frame")
+    val walk = layeredWalk(layeredGraph, base, queries, idCol, vecCol,
+      maxLayer, entryK, beam, hopsPerLayer, keepHops = true)
+    recallAudit(rankWalk(walk.best, topK), exact, k)
+      .join(costFromWalk(walk, queries, idCol,
+        (maxLayer + 1) * hopsPerLayer), Seq("q_id"))
   }
 
   /** LAYERED upsert — [[upsertKnnSeed]] per layer: restated ids purge

@@ -4168,17 +4168,19 @@ ${coarseCtes()},
       val docs = Tables(s, dir, "documents")
       val bounds = graft.operators.Quantize.calibrationBounds(e,
         "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val assigned = graft.operators.Ivf.assignIds(
-          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
         .select(col("vec_id"), col("cid"))
       val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
         "embedding", bounds)
       val postings = graft.operators.Search.positionalIndex(docs,
         "doc_id", "text")
-      val graph = graft.operators.Similarity.knnGraphSeed(coarse, e,
-        "vec_id", "embedding", k = 5)
+      // the stored layered table (SimFixtures) covers BOTH graph rows:
+      // its layer-0 slice IS the flat kNN graph (the promotion rule —
+      // every id ≡ 0 mod 2⁰), so the manifest fingerprints the serve
+      // tables a deployment actually reads, not per-query rebuilds
+      val layered = graft.queries.SimFixtures.layeredSeed(s, dir)
+      val graph = layered.filter(col("layer") === 0)
+        .select(col("src"), col("dst"), col("d2"), col("rnk"))
       graft.operators.Layout.indexManifest(Seq(
         ("assigned", assigned,
           concat_ws("|", col("vec_id"), col("cid"))),
@@ -4189,6 +4191,9 @@ ${coarseCtes()},
             concat_ws(",", col("codes").cast("array<string>")))),
         ("graph", graph,
           concat_ws("|", col("src"), col("dst"), col("d2"), col("rnk"))),
+        ("layered", layered,
+          concat_ws("|", col("layer"), col("src"), col("dst"),
+            col("d2"), col("rnk"))),
         ("postings", postings,
           concat_ws("|", col("token"), col("doc_id"), col("pos")))))
         .orderBy(col("table_name"))
@@ -4273,12 +4278,33 @@ ${coarseCtes()},
                COALESCE(bit_xor(
                  ('0x' || substr(md5(src || '|' || dst || '|' || d2
                    || '|' || rnk), 1, 15))::BIGINT), 0) AS checksum
-        FROM seedg)
+        FROM seedg),
+${layerSeedCtes("z1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("z2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      lall AS (
+        SELECT 0 AS layer, src, dst, d2, rnk FROM seedg
+        UNION ALL
+        SELECT 1 AS layer, src, dst, d2, rnk FROM (
+          SELECT src, dst, d2, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY d2 ASC, dst ASC) AS rnk FROM z1sc)
+        WHERE rnk <= 5
+        UNION ALL
+        SELECT 2 AS layer, src, dst, d2, rnk FROM (
+          SELECT src, dst, d2, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY d2 ASC, dst ASC) AS rnk FROM z2sc)
+        WHERE rnk <= 5),
+      ml AS (
+        SELECT 'layered' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(layer || '|' || src || '|' || dst
+                   || '|' || d2 || '|' || rnk), 1, 15))::BIGINT), 0)
+                 AS checksum
+        FROM lall)
       SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
              CAST(checksum AS BIGINT) AS checksum
       FROM (SELECT * FROM ma UNION ALL SELECT * FROM mb
             UNION ALL SELECT * FROM mc UNION ALL SELECT * FROM mg
-            UNION ALL SELECT * FROM mp)
+            UNION ALL SELECT * FROM ml UNION ALL SELECT * FROM mp)
       ORDER BY table_name
     """))
 
@@ -5947,7 +5973,14 @@ ${coarseCtes()},
           FROM s1)
         WHERE rnk <= 5)
       SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
-        SELECT src, dst, d2, rnk FROM g0r WHERE src % 3 <> 0
+        -- the election keeps the OLD bag for a src ABSENT from segment
+        -- 1 (compactLatestMulti: latest segment per src wins only when
+        -- it has rows — e.g. a restated src whose cell is a singleton
+        -- yields no g1 rows), so the g0 branch backs up every src the
+        -- restated segment did not produce
+        SELECT src, dst, d2, rnk FROM g0r
+        WHERE src % 3 <> 0
+           OR src NOT IN (SELECT src FROM g1r)
         UNION ALL
         SELECT src, dst, d2, rnk FROM g1r WHERE src % 3 = 0)
       ORDER BY src, rnk
@@ -6046,10 +6079,11 @@ ${seedGraphCtes()},
   private val q277 = Q(
     "q277_layered_graph_build",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
-          "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
-          maxLayer = 2)
+      // the STORED-fixture lane (SimFixtures): the first family member
+      // to run builds the layered table with the real operator and
+      // writes it once per gate run; the gate reads the parquet — the
+      // deployment shape — while the oracle stays the full rebuild
+      graft.queries.SimFixtures.layeredSeed(s, dir)
         .orderBy(col("layer"), col("src"), col("rnk"))
     },
     Some(raw"""
@@ -6097,9 +6131,7 @@ ${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
     "q278_layered_graph_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val lg = graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
-        "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
-        maxLayer = 2)
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
       graft.operators.Similarity.layeredGraphSearch(lg, e,
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           maxLayer = 2, entryK = 2, beam = 5, hopsPerLayer = 1,
@@ -6146,15 +6178,12 @@ ${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))}
     "q279_layered_graph_append",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val history = e.filter(col("vec_id") % 3 > 0)
       val batch = e.filter(col("vec_id") % 3 === 0)
-      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
-        "embedding", 8, 2)
-      val storedLayered = graft.operators.Similarity.layeredKnnGraph(
-        history, "vec_id", "embedding", numCoarse = 8,
-        coarseIterations = 2, k = 5, maxLayer = 2)
-      val storedIndex = graft.operators.Ivf.flatIndex(coarse, history,
-        "vec_id", "embedding", Nil)
+      // stored history tables (SimFixtures) — only the batch's index
+      // rows build in-plan, the O(new) shape a deployment actually runs
+      val coarse = graft.queries.SimFixtures.coarseH3(s, dir)
+      val storedLayered = graft.queries.SimFixtures.layeredSeedH3(s, dir)
+      val storedIndex = graft.queries.SimFixtures.flatIndexH3(s, dir)
       val batchIndex = graft.operators.Ivf.flatIndex(coarse, batch,
         "vec_id", "embedding", Nil)
       graft.operators.Similarity.appendLayeredKnnSeed(storedLayered,
@@ -6204,13 +6233,8 @@ ${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
     "q280_layered_graph_purge",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val storedLayered = graft.operators.Similarity.layeredKnnGraph(e,
-        "vec_id", "embedding", numCoarse = 8, coarseIterations = 2,
-        k = 5, maxLayer = 2)
-      val storedIndex = graft.operators.Ivf.flatIndex(coarse, e,
-        "vec_id", "embedding", Nil)
+      val storedLayered = graft.queries.SimFixtures.layeredSeed(s, dir)
+      val storedIndex = graft.queries.SimFixtures.flatIndex(s, dir)
       graft.operators.Similarity.purgeLayeredKnnGraph(storedLayered,
           storedIndex,
           e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
@@ -6262,9 +6286,7 @@ ${layerSeedCtes("l2",
     "q281_masked_layered_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val lg = graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
-        "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
-        maxLayer = 2)
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
       graft.operators.Similarity.layeredGraphSearchMasked(lg, e,
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
@@ -6313,9 +6335,7 @@ ${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))},
     "q282_filtered_layered_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val lg = graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
-        "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
-        maxLayer = 2)
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
       graft.operators.Similarity.layeredGraphSearchFiltered(lg, e,
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           col("label") === 3, maxLayer = 2, entryK = 2, beam = 5,
@@ -6366,13 +6386,9 @@ ${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))},
     "q283_layered_graph_upsert",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val storedLayered = graft.operators.Similarity.layeredKnnGraph(e,
-        "vec_id", "embedding", numCoarse = 8, coarseIterations = 2,
-        k = 5, maxLayer = 2)
-      val storedIndex = graft.operators.Ivf.flatIndex(coarse, e,
-        "vec_id", "embedding", Nil)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val storedLayered = graft.queries.SimFixtures.layeredSeed(s, dir)
+      val storedIndex = graft.queries.SimFixtures.flatIndex(s, dir)
       val batchIndex = graft.operators.Ivf.flatIndex(coarse,
         e.filter(col("vec_id") % 7 === 0)
           .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
@@ -6445,15 +6461,15 @@ ${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0",
     "q284_layered_graph_health",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val assigned = graft.operators.Ivf.assignIds(
-          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+      // stored tables (SimFixtures) — the assignment is the flat
+      // index's 2-column projection, the graph reads from parquet;
+      // pins stay (each slice feeds edge stats + both reciprocity
+      // sides — the adjudicated multiply-read exception to the
+      // never-pin-lit-union rule)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
         .select(col("vec_id"), col("cid"))
         .transform(graft.util.CacheScope.persist)
-      val lg = graft.operators.Similarity.layeredKnnGraph(e, "vec_id",
-          "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
-          maxLayer = 2)
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
         .transform(graft.util.CacheScope.persist)
       (0 to 2).map { l =>
         val members = assigned

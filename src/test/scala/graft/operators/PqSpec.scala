@@ -1488,6 +1488,16 @@ class PqSpec extends SparkSpec {
         "vec_id", "embedding", lit(true), "seg", "gen", 1,
         numPartitions = 4, nprobe = k, topK = n)
     }
+    // a predicate (or mask) matching NOTHING is a normal empty serve —
+    // every other filtered/masked verb in the family returns empty;
+    // only the mixed-generation state above is loud
+    val none = Quantize.calibratedServeAsOf(coarse, segments, tombs,
+      vers, q, "vec_id", "embedding", lit(false), "seg", "gen", 1,
+      numPartitions = 4, nprobe = k, topK = n)
+    assert(none.isEmpty,
+      "an empty live snapshot must serve an empty result, not raise")
+    assert(none.columns.toSeq == Seq("q_id", "n_id", "d2", "rnk"),
+      s"empty serve schema drifted: ${none.columns.toSeq}")
   }
 
   test("as-of serve: stale-generation rows all tombstoned still serves (probe runs on the live set)") {

@@ -326,11 +326,20 @@ class SearchSpec extends SparkSpec {
     // count hit zero WHILE live rows still flow — 0/0 avgdl would
     // propagate null scores; it must raise instead
     val stale = Seq((1L, 4L)).toDF("n_docs", "sum_dl")
-    val e = intercept[Exception] {
+    val e = intercept[IllegalStateException] {
       Search.bm25SearchMasked(tf, dl, stale, Seq(1L).toDF("doc_id"),
-        "doc_id", Seq("stream"), topN = 10).collect()
+        "doc_id", Seq("stream"), topN = 10)
     }
-    assert(e.getMessage.contains("tombstones cover every document"),
+    assert(e.getMessage.contains("stale stats ledger"),
       s"wrong failure: ${e.getMessage}")
+    // and the guard is PLAN-INDEPENDENT: with AQE off (no
+    // empty-relation propagation to hide the stats branch) the
+    // all-tombstoned serve is still structurally empty, not a raise
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try
+      assert(Search.bm25SearchMasked(tf, dl, stats, all, "doc_id",
+        Seq("stream"), topN = 10).isEmpty)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 }
