@@ -578,6 +578,19 @@ object Similarity {
     * the stored tables — the multi-row shape needs no re-election,
     * q287's gate). Queries may themselves be tombstoned — only the
     * document side masks. Output: (q_id, n_id, score, rnk ≤ topK). */
+  /** Row PURGE for the stored MaxSim index — the q227 delete verb on
+    * the late-interaction pillar: the index is two PLAIN-ROW tables
+    * (the (vec_id, cid) assignment and the (vec_id, vec_idx, vec) bag
+    * table), and no stored row derives from other rows — unlike the
+    * graph's rank lists, which re-elect — so the purge is ONE
+    * O(deleted) broadcast anti-join per table, applied to each.
+    * Serving the purged tables ≡ [[maxSimRoutedMasked]] over the
+    * originals (spec-pinned); upsert = this ∘ the q273 append. */
+  def purgeMaxSimRows(stored: DataFrame, tombstones: DataFrame): DataFrame =
+    stored.join(
+      broadcast(tombstones.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+
   def maxSimRoutedMasked(coarse: DataFrame, assigned: DataFrame,
       docVecs: DataFrame, queryVecs: DataFrame,
       queriesPooled: DataFrame, idCol: String, vecIdxCol: String,

@@ -5169,7 +5169,8 @@ ${walkCostSql("", 2)}
     * final beam. The q264/q266 inline copies predate the helper and
     * are frozen. */
   private def walkCtes(p: String, hops: Int, beam: Int,
-      gName: String = "g", init: Option[String] = None): String = {
+      gName: String = "g", init: Option[String] = None,
+      entName: String = "ent"): String = {
     def scored(h: Int) = raw"""
       ${p}s$h AS (
         SELECT c.q_id, c.dst,
@@ -5190,7 +5191,8 @@ ${walkCostSql("", 2)}
       ${p}b0 AS (SELECT q_id, dst, d2 FROM $carried)"""
       case None => raw"""
       ${p}c0 AS (
-        SELECT q.q_id, e.dst FROM qs q, ent e WHERE e.dst <> q.q_id),""" +
+        SELECT q.q_id, e.dst FROM qs q, $entName e
+        WHERE e.dst <> q.q_id),""" +
         scored(0)
     }
     val rounds = (1 to hops).map { h =>
@@ -5230,6 +5232,64 @@ ${walkCostSql("", 2)}
           FROM ${p}sc)
         WHERE rnk <= 5)"""
 
+  /** TWO-ROUND NN-descent replay over a member slice — q272's oracle
+    * chain as one parameterized definition: [[layerSeedCtes]]' seed
+    * (${p}sc scored pairs, ${p}g rnk ≤ 5), then two rounds of
+    * undirected-set (${p}u) → neighbor-of-neighbor hop (${p}h) →
+    * candidate union (${p}c) → rescore (${p}r) → top-k (${p}g1);
+    * callers rank ${p}r2. `memberWhere` restricts the seed's in-cell
+    * pairs to the layer's members (hops never leave the member set —
+    * every endpoint descends from seed edges). */
+  private def descentCtes(p: String, memberWhere: String): String = raw"""
+${layerSeedCtes(p, memberWhere)},
+      ${p}u1 AS (
+        SELECT src, dst FROM ${p}g
+        UNION
+        SELECT dst AS src, src AS dst FROM ${p}g),
+      ${p}h1 AS (
+        SELECT u1.src, u2.dst
+        FROM ${p}u1 u1 JOIN ${p}u1 u2 ON u2.src = u1.dst
+        WHERE u1.src <> u2.dst),
+      ${p}c1 AS (
+        SELECT src, dst FROM ${p}g
+        UNION
+        SELECT src, dst FROM ${p}h1),
+      ${p}r1 AS (
+        SELECT c.src, c.dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM ${p}c1 c
+        JOIN vx va ON va.vec_id = c.src
+        JOIN vx vb ON vb.vec_id = c.dst),
+      ${p}g1 AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM ${p}r1)
+        WHERE rnk <= 5),
+      ${p}u2 AS (
+        SELECT src, dst FROM ${p}g1
+        UNION
+        SELECT dst AS src, src AS dst FROM ${p}g1),
+      ${p}h2 AS (
+        SELECT u1.src, u2.dst
+        FROM ${p}u2 u1 JOIN ${p}u2 u2 ON u2.src = u1.dst
+        WHERE u1.src <> u2.dst),
+      ${p}c2 AS (
+        SELECT src, dst FROM ${p}g1
+        UNION
+        SELECT src, dst FROM ${p}h2),
+      ${p}r2 AS (
+        SELECT c.src, c.dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM ${p}c2 c
+        JOIN vx va ON va.vec_id = c.src
+        JOIN vx vb ON vb.vec_id = c.dst)"""
+
   /** Everything the walk EVALUATED: the distinct union of every hop's
     * scored frame — d2 is deterministic per (q_id, dst), so UNION
     * dedupes exactly (the seen-union the masked/filtered verbs rank). */
@@ -5266,6 +5326,42 @@ ${walkCostSql("", 2)}
         FROM qs q
         $sJoins
         $bJoins)"""
+  }
+
+  /** Cost columns for a LAYERED descent replayed from CHAINED
+    * [[walkCtes]] frames — [[walkCostSql]]'s shape when the walk spans
+    * several per-layer chains: `top` is the entry chain's prefix (owns
+    * the hop-0 entry fan s0), `lower` the carried chains' prefixes in
+    * descent order, every chain walking `hops` hops. dist_evals =
+    * |s0| + Σ chains Σ_h |s_h|; frontier = Σ chains Σ_h
+    * (|s_h| − |b_(h-1)|) — a carried chain's b0 IS the layer above's
+    * final beam ([[walkCtes]]' init form), exactly the engine's
+    * hop-input beam sequence. Query spine from qs. */
+  private def layeredCostSql(costName: String, top: String,
+      lower: Seq[String], hops: Int): String = {
+    val chains = top +: lower
+    val sFrames = s"${top}s0" +:
+      chains.flatMap(p => (1 to hops).map(h => s"${p}s$h"))
+    val pairs = chains.flatMap(p =>
+      (1 to hops).map(h => (s"${p}s$h", s"${p}b${h - 1}")))
+    val joins = (sFrames ++ pairs.map(_._2)).distinct.map(f =>
+      s"""LEFT JOIN (SELECT q_id, COUNT(*) AS n FROM $f
+          GROUP BY q_id) ${f}n ON ${f}n.q_id = q.q_id""")
+      .mkString("\n        ")
+    val evals = sFrames.map(f => s"COALESCE(${f}n.n, 0)")
+      .mkString(" + ")
+    val frontier =
+      if (pairs.isEmpty) "0"
+      else pairs.map { case (sf, bf) =>
+        s"(COALESCE(${sf}n.n, 0) - COALESCE(${bf}n.n, 0))"
+      }.mkString(" + ")
+    raw"""
+      $costName AS (
+        SELECT q.q_id,
+               CAST($evals AS BIGINT) AS dist_evals,
+               CAST($frontier AS BIGINT) AS frontier
+        FROM qs q
+        $joins)"""
   }
 
   // --------------------------------------------------------------- q267
@@ -6562,6 +6658,659 @@ ${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
       ORDER BY o.layer, o.cid
     """))
 
+  // --------------------------------------------------------------- q285
+  // LAYERED recall/cost audit — the layered family's VALUE claim,
+  // gated: q266's one-walk treatment (recall@k + exact dist-eval /
+  // frontier counts replayed from the SAME hop frames the serve ranks)
+  // applied to the descending beam search. This is what an operator
+  // tuning (beam, hopsPerLayer, maxLayer) reads — previously the claim
+  // was pinned only on a 1-D line spec lane. Oracle chains one walk
+  // replay per layer (each seeded by the layer above's final beam) and
+  // counts every chained frame.
+  private val q285 = Q(
+    "q285_layered_recall_cost",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      // exact baseline: probing ALL cells ≡ brute force (q266's form)
+      val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
+        "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+      graft.operators.Similarity.layeredRecallCost(lg, e, q, "vec_id",
+          "embedding", exact, 5, maxLayer = 2, entryK = 2, beam = 5,
+          hopsPerLayer = 1, topK = 5)
+        .orderBy(col("q_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      ent AS (SELECT vec_id AS dst FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("t", 1, 5, gName = "l2g")},
+${walkCtes("m", 1, 5, gName = "l1g", init = Some("tb1"))},
+${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))},
+      walk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM wb1)
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      hits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits
+        FROM exact e
+        LEFT JOIN walk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+${layeredCostSql("cost", "t", Seq("m", "w"), 1)}
+      SELECT h.q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro,
+             c.dist_evals, c.frontier
+      FROM hits h JOIN cost c ON c.q_id = h.q_id
+      ORDER BY h.q_id
+    """))
+
+  // --------------------------------------------------------------- q286
+  // (beam, hopsPerLayer, maxLayer) SWEEP — q271's tuning curve on the
+  // layered axis, on the SAME stored graph, with a maxLayer = 0 point
+  // at EQUAL HOP BUDGET (5, 3 hops, flat) sitting next to the layered
+  // (5, 1×3 layers) point: the recall/cost frontier that justifies (or
+  // refutes) the upper layers is read directly off the gate output.
+  // One walk per sweep point serves both columns (layeredRecallCost).
+  // MEASURED READING on this corpus (adjudicated, round 15): the flat
+  // equal-budget point WINS (recall 0.06 vs 0.02 at ~570 evals) — the
+  // testdata embeddings are near-random, graph-ANN's adversarial case,
+  // where upper-layer strides buy nothing because there is no cluster
+  // structure to stride across; the 1-D line spec lane (PqSpec) pins
+  // the mechanism where structure exists (3 layered hops arrive where
+  // flat needs 8). That is exactly what this audit is FOR: an operator
+  // reads this table and turns the layers OFF for a corpus like this.
+  private val q286 = Q(
+    "q286_layered_beam_sweep",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
+        .transform(graft.util.CacheScope.persist)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
+          "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+        .transform(graft.util.CacheScope.persist)
+      Seq((5, 1, 2), (5, 3, 0), (8, 1, 2)).map { case (beam, hpl, ml) =>
+        graft.operators.Similarity.layeredRecallCost(lg, e, q,
+            "vec_id", "embedding", exact, 5, maxLayer = ml, entryK = 2,
+            beam = beam, hopsPerLayer = hpl, topK = 5)
+          .withColumn("beam", lit(beam))
+          .withColumn("hops_per_layer", lit(hpl))
+          .withColumn("max_layer", lit(ml))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("beam"), col("hops_per_layer"), col("max_layer"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("hits_total"),
+          sum(col("dist_evals")).as("evals_total"),
+          sum(col("frontier")).as("frontier_total"))
+        .withColumn("recall_micro_mean",
+          expr("hits_total * 1000000 DIV (5 * n_queries)"))
+        .orderBy(col("beam"), col("hops_per_layer"), col("max_layer"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      ent4 AS (SELECT vec_id AS dst FROM embeddings
+               WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      ent1 AS (SELECT vec_id AS dst FROM embeddings
+               ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("at", 1, 5, gName = "l2g", entName = "ent4")},
+${walkCtes("am", 1, 5, gName = "l1g", init = Some("atb1"))},
+${walkCtes("aw", 1, 5, gName = "l0g", init = Some("amb1"))},
+${walkCtes("f", 3, 5, gName = "l0g", entName = "ent1")},
+${walkCtes("xt", 1, 8, gName = "l2g", entName = "ent4")},
+${walkCtes("xm", 1, 8, gName = "l1g", init = Some("xtb1"))},
+${walkCtes("xw", 1, 8, gName = "l0g", init = Some("xmb1"))},
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      awalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM awb1)
+        WHERE rnk <= 5),
+      fwalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM fb3)
+        WHERE rnk <= 5),
+      xwalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM xwb1)
+        WHERE rnk <= 5),
+      ahits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN awalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+      fhits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN fwalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+      xhits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN xwalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+${layeredCostSql("acost", "at", Seq("am", "aw"), 1)},
+${walkCostSql("f", 3)},
+${layeredCostSql("xcost", "xt", Seq("xm", "xw"), 1)},
+      rows_ AS (
+        SELECT CAST(5 AS INTEGER) AS beam,
+               CAST(1 AS INTEGER) AS hops_per_layer,
+               CAST(2 AS INTEGER) AS max_layer,
+               (SELECT COUNT(*) FROM ahits) AS n_queries,
+               (SELECT SUM(n_hits) FROM ahits) AS hits_total,
+               (SELECT SUM(dist_evals) FROM acost) AS evals_total,
+               (SELECT SUM(frontier) FROM acost) AS frontier_total
+        UNION ALL
+        SELECT CAST(5 AS INTEGER), CAST(3 AS INTEGER),
+               CAST(0 AS INTEGER),
+               (SELECT COUNT(*) FROM fhits),
+               (SELECT SUM(n_hits) FROM fhits),
+               (SELECT SUM(dist_evals) FROM fcost),
+               (SELECT SUM(frontier) FROM fcost)
+        UNION ALL
+        SELECT CAST(8 AS INTEGER), CAST(1 AS INTEGER),
+               CAST(2 AS INTEGER),
+               (SELECT COUNT(*) FROM xhits),
+               (SELECT SUM(n_hits) FROM xhits),
+               (SELECT SUM(dist_evals) FROM xcost),
+               (SELECT SUM(frontier) FROM xcost))
+      SELECT beam, hops_per_layer, max_layer,
+             CAST(n_queries AS BIGINT) AS n_queries,
+             CAST(hits_total AS BIGINT) AS hits_total,
+             CAST(evals_total AS BIGINT) AS evals_total,
+             CAST(frontier_total AS BIGINT) AS frontier_total,
+             CAST(hits_total * 1000000 // (5 * n_queries) AS BIGINT)
+               AS recall_micro_mean
+      FROM rows_
+      ORDER BY beam, hops_per_layer, max_layer
+    """))
+
+  // --------------------------------------------------------------- q287
+  // MaxSim bag PURGE + serve — the q227 delete discipline on the
+  // late-interaction pillar, gated (previously a spec lane): the
+  // stored MaxSim index is two plain-row tables (the 2-column
+  // assignment and the multi-row bag table), and NO stored state
+  // derives from other rows — unlike the graph's rank lists — so the
+  // purge is ONE O(deleted) broadcast anti-join per table, no
+  // re-election. The gate serves the purged tables through
+  // maxSimRouted; oracle = the full routed recompute over the
+  // survivors.
+  private val q287 = Q(
+    "q287_maxsim_purge",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val storedAssigned = graft.queries.SimFixtures.flatIndex(s, dir)
+        .select(col("vec_id"), col("cid"))
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val tombs = e.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+      val liveAssigned = graft.operators.Similarity.purgeMaxSimRows(
+        storedAssigned, tombs)
+      val liveBags = graft.operators.Similarity.purgeMaxSimRows(
+        bag(e), tombs)
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.Similarity.maxSimRouted(coarse, liveAssigned,
+          liveBags, bag(q), q, "vec_id", "vec_idx", "vec", "embedding",
+          nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 5))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id
+        WHERE a.vec_id % 5 <> 0),
+      sv AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT c.q_id, c.n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM cand c
+        JOIN sv q ON q.vec_id = c.q_id
+        JOIN sv d ON d.vec_id = c.n_id
+        GROUP BY c.q_id, c.n_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q288
+  // MaxSim UPSERT + serve — q231's delete ∘ append composition on the
+  // late-interaction pillar, gated: restated document bags (same id,
+  // new vectors — deterministically reversed embeddings) purge their
+  // old rows from both stored tables (q287's anti-joins) and the new
+  // rows absorb through q273's O(new) append — pooled assign under
+  // the FIXED coarse codebook, bag rows as plain appends. History
+  // never re-encodes. Oracle = the full routed recompute over the
+  // restated corpus (query panel keeps its ORIGINAL vectors — queries
+  // come from outside the index).
+  private val q288 = Q(
+    "q288_maxsim_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val storedAssigned = graft.queries.SimFixtures.flatIndex(s, dir)
+        .select(col("vec_id"), col("cid"))
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val restated = e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val ids = restated.select(col("vec_id"))
+      val upAssigned = graft.operators.Similarity.purgeMaxSimRows(
+          storedAssigned, ids)
+        .unionByName(graft.operators.Ivf.assignIds(
+            graft.operators.Ivf.quantized(restated, "vec_id",
+              "embedding"), coarse)
+          .select(col("vec_id"), col("cid")))
+      val upBags = graft.operators.Similarity.purgeMaxSimRows(bag(e), ids)
+        .unionByName(bag(restated))
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.Similarity.maxSimRouted(coarse, upAssigned,
+          upBags, bag(q), q, "vec_id", "vec_idx", "vec", "embedding",
+          nprobe = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 5))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof2 a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      svq AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      svd AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx2, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT c.q_id, c.n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM cand c
+        JOIN svq q ON q.vec_id = c.q_id
+        JOIN svd d ON d.vec_id = c.n_id
+        GROUP BY c.q_id, c.n_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q289
+  // TOMBSTONE-MASKED MaxSim serving — the q236 semantic on the
+  // late-interaction pillar, gated (previously a spec lane): deleted
+  // bags stop appearing NOW with the stored tables untouched. Routing
+  // probes cells by centroid distance — excluding a dead candidate
+  // cannot disconnect anything (unlike the graph walk, where dead
+  // vertices must still route) — so the mask is one O(deleted)
+  // anti-join on the 2-column assignment scan BEFORE the probe join,
+  // and no dead bag's vectors ever reach the scorer. Oracle = the
+  // routed recompute over the live corpus.
+  private val q289 = Q(
+    "q289_masked_maxsim",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val storedAssigned = graft.queries.SimFixtures.flatIndex(s, dir)
+        .select(col("vec_id"), col("cid"))
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.Similarity.maxSimRoutedMasked(coarse,
+          storedAssigned, bag(e), bag(q), q, "vec_id", "vec_idx",
+          "vec", "embedding",
+          e.filter(col("vec_id") % 4 === 0).select(col("vec_id")),
+          nprobe = 3, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 5))
+        WHERE rn <= 3),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id
+        WHERE a.vec_id % 4 <> 0),
+      sv AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT c.q_id, c.n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM cand c
+        JOIN sv q ON q.vec_id = c.q_id
+        JOIN sv d ON d.vec_id = c.n_id
+        GROUP BY c.q_id, c.n_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q290
+  // LAYERED graph SEGMENT lifecycle — q275's restatement machinery on
+  // the layered table, with the COMPOSITE (layer, src) election key: a
+  // maintenance day restates some sources' bags PER LAYER (here the
+  // %3 == 0 sources, re-derived from the %7-restated corpus through
+  // the gated upsert — O(changed), never a rebuild), lands them as a
+  // new segment, and compactLatestMulti elects latest-per-(layer, src)
+  // — the same src may carry different bags on different layers, which
+  // a src-only key would cross-wire. Sources absent from the new
+  // segment keep their old bag (the q275 corner, mirrored in the
+  // oracle). Oracle replays both corpora per layer and the election.
+  private val q290 = Q(
+    "q290_layered_graph_segments",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val lg0 = graft.queries.SimFixtures.layeredSeed(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
+        e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      // the maintenance output (gated ≡ restated rebuild by q283),
+      // restricted to the day's restated sources
+      val g1 = graft.operators.Similarity.upsertLayeredKnnSeed(lg0,
+          idx, batchIndex, k = 5, maxLayer = 2)
+        .filter(col("src") % 3 === 0)
+        .withColumn("seg", lit(1))
+      val segs = lg0.withColumn("seg", lit(0)).unionByName(g1)
+      graft.operators.Layout.compactLatestMulti(segs,
+          Seq("layer", "src"), "seg", "src", 8)
+        .select(col("layer"), col("src"), col("dst"), col("d2"),
+          col("rnk"))
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+${layerSeedCtes("r0", "TRUE", cellofName = "cellof2", vxName = "vx2")},
+${layerSeedCtes("r1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0",
+      cellofName = "cellof2", vxName = "vx2")},
+${layerSeedCtes("r2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0",
+      cellofName = "cellof2", vxName = "vx2")},
+      ogk AS (
+        SELECT layer, src, dst, d2, rnk FROM (
+          SELECT 0 AS layer, src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM l0sc
+          UNION ALL
+          SELECT 1 AS layer, src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM l1sc
+          UNION ALL
+          SELECT 2 AS layer, src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM l2sc)
+        WHERE rnk <= 5),
+      rgk AS (
+        SELECT layer, src, dst, d2, rnk FROM (
+          SELECT 0 AS layer, src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM r0sc
+          UNION ALL
+          SELECT 1 AS layer, src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM r1sc
+          UNION ALL
+          SELECT 2 AS layer, src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM r2sc)
+        WHERE rnk <= 5)
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        -- a (layer, src) absent from the restated segment keeps its
+        -- old bag (the q275 election corner, composite-key form)
+        SELECT o.layer, o.src, o.dst, o.d2, o.rnk FROM ogk o
+        WHERE o.src % 3 <> 0
+           OR NOT EXISTS (SELECT 1 FROM rgk r
+                          WHERE r.layer = o.layer AND r.src = o.src)
+        UNION ALL
+        SELECT layer, src, dst, d2, rnk FROM rgk WHERE src % 3 = 0)
+      ORDER BY layer, src, rnk
+    """))
+
+  // --------------------------------------------------------------- q291
+  // LAYERED two-round NN-DESCENT — q272's refinement-trajectory gate
+  // per layer, closing the last class-covered build cell: each layer's
+  // seed refines through two neighbor-of-neighbor rounds over ITS OWN
+  // member set under the ONE shared coarse codebook (the fan never
+  // crosses layers), with per-round checkpoint rotation. Oracle
+  // unrolls both rounds per layer — three full q272 chains over the
+  // member slices.
+  private val q291 = Q(
+    "q291_layered_nn_descent",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.layeredKnnGraphRefined(e, "vec_id",
+          "embedding", numCoarse = 8, coarseIterations = 2, k = 5,
+          maxLayer = 2, rounds = 2)
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${descentCtes("y0", "TRUE")},
+${descentCtes("y1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${descentCtes("y2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")}
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM y0r2
+        UNION ALL
+        SELECT 1 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM y1r2
+        UNION ALL
+        SELECT 2 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM y2r2)
+      WHERE rnk <= 5
+      ORDER BY layer, src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -6569,5 +7318,6 @@ ${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
     q237, q238, q239, q240, q241, q247, q248, q249, q250, q251, q252,
     q255, q256, q257, q260, q261, q263, q264, q265, q266, q267, q268,
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
-    q280, q281, q282, q283, q284)
+    q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
+    q291)
 }

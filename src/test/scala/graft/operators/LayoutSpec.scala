@@ -300,6 +300,35 @@ class LayoutSpec extends SparkSpec {
       s"as-of snapshot wrong: $asOf0")
   }
 
+  test("compactLatestMulti composite key: (layer, src) elects per layer, not per src") {
+    val s = spark
+    import s.implicits._
+    // src 1 restates its bag ONLY on layer 0 — a src-only key would
+    // wrongly drop its untouched layer-1 bag; the composite key keeps
+    // layer 1's seg-0 rows and elects layer 0's seg-1 rows
+    val segs = Seq(
+        (0, 1L, 2L, 0), (0, 1L, 3L, 0),
+        (1, 1L, 4L, 0),
+        (0, 2L, 5L, 0),
+        (0, 1L, 9L, 1))
+      .toDF("layer", "src", "dst", "seg")
+    val got = Layout.compactLatestMulti(segs, Seq("layer", "src"),
+        "seg", "src", 2)
+      .select("layer", "src", "dst")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((0, 1L, 9L), (1, 1L, 4L), (0, 2L, 5L)),
+      s"composite election wrong: $got")
+    // the single-key overload is the Seq-of-one special case
+    val single = Layout.compactLatestMulti(segs.filter(col("layer") === 0),
+        "src", "seg", "src", 2)
+      .select("layer", "src", "dst")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(single == Set((0, 1L, 9L), (0, 2L, 5L)),
+      s"single-key election drifted: $single")
+  }
+
   test("text-axis as-of: phrase search over the as-of postings ≡ the original corpus") {
     val s = spark
     import s.implicits._

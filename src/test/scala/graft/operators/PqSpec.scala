@@ -1411,6 +1411,34 @@ class PqSpec extends SparkSpec {
       .orderBy("q_id", "rnk").collect().toSeq
     assert(asOf0 == original,
       "as-of multi-vector serving diverged from the original corpus")
+    // the ROUTED verbs (q287/q289): masked serve ≡ serve over the
+    // purged tables ≡ the never-contained rebuild — the purge is one
+    // anti-join per stored table (no re-election on plain-row storage)
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 4, 2)
+    val assigned = Ivf.flatIndex(coarse, emb, "vec_id", "embedding",
+      Nil).select(col("vec_id"), col("cid"))
+    def served(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Similarity.maxSimRouted(coarse, a, b, bag(q), q, "vec_id",
+          "vec_idx", "vec", "embedding", nprobe = 2, topK = 5)
+        .orderBy("q_id", "rnk").collect().toSeq
+    val maskedRouted = Similarity.maxSimRoutedMasked(coarse, assigned,
+        bag(emb), bag(q), q, "vec_id", "vec_idx", "vec", "embedding",
+        tombs, nprobe = 2, topK = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val purgedServe = served(
+      Similarity.purgeMaxSimRows(assigned, tombs),
+      Similarity.purgeMaxSimRows(bag(emb), tombs))
+    val rebuiltServe = served(
+      Ivf.flatIndex(coarse, emb.filter(col("vec_id") % 4 =!= 0),
+        "vec_id", "embedding", Nil).select(col("vec_id"), col("cid")),
+      bag(emb.filter(col("vec_id") % 4 =!= 0)))
+    assert(maskedRouted == purgedServe,
+      "masked routed MaxSim diverged from serving the purged tables")
+    assert(purgedServe == rebuiltServe,
+      "purged-table serving diverged from the never-contained rebuild")
+    assert(maskedRouted.nonEmpty && maskedRouted.forall(_.getLong(1) % 4 != 0),
+      "a tombstoned bag was served by the routed path")
   }
 
   test("full-stack as-of: post-N delete invisible; generation pins; mixed-gen raises") {
@@ -1765,5 +1793,78 @@ class PqSpec extends SparkSpec {
     val plan = servedStored.queryExecution.executedPlan.toString
     assert(!plan.contains("VecSumAgg") && !plan.contains("vec_sum"),
       s"a training stage leaked into the stored layered serve plan:\n$plan")
+    // MANIFEST-VERIFIED serve (q252's verify-before-serve on the
+    // layered table): the stored parquet's manifest must equal the
+    // build's manifest BEFORE anything serves from it — a dropped
+    // part-file surfaces here, not as silently wrong descents
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Layout.indexManifest(Seq(("layered", df,
+          concat_ws("|", col("layer"), col("src"), col("dst"),
+            col("d2"), col("rnk")))))
+        .collect().toSeq
+    assert(manifest(storedLg) == manifest(lg2),
+      "stored layered manifest diverged from the build manifest — " +
+        "refuse to serve")
+  }
+
+  test("layered recall+cost from ONE walk: exact hand counts on the line; flat equivalence; empty top layer is loud") {
+    val s = spark
+    import s.implicits._
+    // 1-D line 0..9, one cell, k = 2 per layer; layers {0,4,8} /
+    // {0,2,4,6,8} / all. Entry {0}, beam 2, one hop per layer toward
+    // 9.4: s0 = {0} (1 eval), l2 hop scores {0,4,8} (3), l1 hop
+    // {2,4,6,8} (4), l0 hop {5,6,7,8,9} (5) → 13 evals; frontier =
+    // (3-1) + (4-2) + (5-2) = 7; the descent arrives → recall@2 = 1
+    val base = (0L to 9L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val lgLine = Similarity.layeredKnnGraph(base, "vec_id", "embedding",
+      numCoarse = 1, coarseIterations = 1, k = 2, maxLayer = 2)
+    val qLine = Seq((100L, Array(9.4f))).toDF("vec_id", "embedding")
+    val exact = Seq((100L, 9L), (100L, 8L)).toDF("q_id", "n_id")
+    val audit = Similarity.layeredRecallCost(lgLine, base, qLine,
+        "vec_id", "embedding", exact, k = 2, maxLayer = 2, entryK = 1,
+        beam = 2, hopsPerLayer = 1, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(audit == Seq((100L, 2L, 1000000L, 13L, 7L)),
+      s"layered audit diverged from the hand count: $audit")
+    // maxLayer = 0 ≡ the flat graphRecallCost (same walk, same counts)
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val flat = Similarity.knnGraphSeed(coarse, emb, "vec_id",
+      "embedding", 5)
+    val lg0 = Similarity.layeredKnnGraph(emb, "vec_id", "embedding",
+      numCoarse = 8, coarseIterations = 2, k = 5, maxLayer = 0)
+    val q5 = emb.filter(col("vec_id") < 5)
+    val ex5 = Ivf.filteredSearch(coarse,
+      Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil),
+      q5, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id").collect().toSeq
+    assert(rows(Similarity.layeredRecallCost(lg0, emb, q5, "vec_id",
+        "embedding", ex5, 5, maxLayer = 0, entryK = 2, beam = 5,
+        hopsPerLayer = 2, topK = 5)) ==
+      rows(Similarity.graphRecallCost(flat, emb, q5, "vec_id",
+        "embedding", ex5, 5, entryK = 2, beam = 5, hops = 2, topK = 5)),
+      "single-layer recall+cost diverged from the flat audit")
+    // an empty top layer (maxLayer beyond the promotion range) is
+    // loud, not silently empty — odd-only corpus has no id % 2 == 0
+    val odd = base.filter(col("vec_id") % 2 === 1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.layeredGraphSearch(lgLine, odd, qLine, "vec_id",
+        "embedding", maxLayer = 1, entryK = 1, beam = 2,
+        hopsPerLayer = 1, topK = 2)
+    }
+    assert(e.getMessage.contains("no members"),
+      s"wrong failure: ${e.getMessage}")
+    // refined layered build, maxLayer = 0 ≡ the flat knnGraph
+    // trajectory (same seed, same rounds)
+    assert(Similarity.layeredKnnGraphRefined(emb, "vec_id", "embedding",
+        numCoarse = 8, coarseIterations = 2, k = 5, maxLayer = 0,
+        rounds = 2)
+        .drop("layer").orderBy("src", "rnk").collect().toSeq ==
+      Similarity.knnGraph(emb, "vec_id", "embedding", numCoarse = 8,
+        coarseIterations = 2, k = 5, rounds = 2)
+        .orderBy("src", "rnk").collect().toSeq,
+      "single-layer refined build diverged from the flat knnGraph")
   }
 }
