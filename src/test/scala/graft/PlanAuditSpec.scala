@@ -255,7 +255,32 @@ class PlanAuditSpec extends SparkSpec {
       // q284 = q277's build fans; the per-layer health report itself
       // is id/cell-keyed joins + partial-combining aggregates (q276's
       // class per layer)
-      "q284_layered_graph_health")
+      "q284_layered_graph_health",
+      // q285 = q278's descent fans (bounded query panel × entryK
+      // entries, per-hop broadcast beam state) + q266's probing-all
+      // exact baseline (≤8-row coarse probe); the audit join is
+      // O(queries·k), the cost counts are partial-combining aggregates
+      // over the bounded hop frames
+      "q285_layered_recall_cost",
+      // q286 = three q285-class audits over the SAME stored graph —
+      // every fan is the bounded query panel, entry set, per-hop beam
+      // state, or the ≤8-row probing-all baseline
+      "q286_layered_beam_sweep",
+      // q287/q288/q289 = q261's routed-MaxSim fans (≤8-row coarse
+      // probe + the bounded query bag); the purge/mask is an id-keyed
+      // anti-join, the upsert append one broadcast assign of the
+      // restated pooled vectors (q273's class)
+      "q287_maxsim_purge",
+      "q288_maxsim_upsert",
+      "q289_masked_maxsim",
+      // q290 = q283's upsert fans (the per-layer purge/append under
+      // the ≤8-row codebook); the (layer, src) election and clustering
+      // are key-partitioned exchanges, no fan
+      "q290_layered_graph_segments",
+      // q291 = q277's per-layer seed fans run through q272's two
+      // descent rounds — hop and rescore joins stay id-keyed with
+      // k-bounded fans per layer
+      "q291_layered_nn_descent")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
