@@ -86,6 +86,15 @@ private[queries] object SimFixtures {
         emb(s, dir), "vec_id", "embedding", k = 5, maxLayer = 2)
     }
 
+  /** The stored FLAT kNN graph = the layered table's layer-0 slice
+    * (the promotion rule: every id ≡ 0 mod 2⁰) — one stored table
+    * serves both graph families; the slice is a pushed parquet filter
+    * on the scan, and the slice ≡ knnGraphSeed identity is definitional
+    * (layer 0 seeds over the unfiltered corpus). */
+  def flatGraph(s: SparkSession, dir: String): DataFrame =
+    layeredSeed(s, dir).filter(col("layer") === 0)
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+
   /** History-corpus (%3 > 0) variants for the O(new) append gate. */
   def coarseH3(s: SparkSession, dir: String): DataFrame =
     stored(s, dir, "coarse_8x2_h3") {
@@ -104,4 +113,8 @@ private[queries] object SimFixtures {
       graft.operators.Similarity.layeredKnnGraphWith(coarseH3(s, dir),
         hist(s, dir), "vec_id", "embedding", k = 5, maxLayer = 2)
     }
+
+  def flatGraphH3(s: SparkSession, dir: String): DataFrame =
+    layeredSeedH3(s, dir).filter(col("layer") === 0)
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
 }

@@ -4844,10 +4844,9 @@ ${coarseCtes()},
     "q264_graph_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
-        "vec_id", "embedding", k = 5)
+      // the stored flat graph (SimFixtures layer-0 slice) — the serve
+      // verbs read parquet, the deployment shape; oracle = full rebuild
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
       graft.operators.Similarity.graphSearch(g, e,
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           entryK = 2, beam = 5, hops = 2, topK = 5)
@@ -4958,14 +4957,12 @@ ${coarseCtes()},
     "q265_incremental_knn_graph",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val history = e.filter(col("vec_id") % 3 > 0)
       val batch = e.filter(col("vec_id") % 3 === 0)
-      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
-        "embedding", 8, 2)
-      val storedIndex = graft.operators.Ivf.flatIndex(coarse, history,
-        "vec_id", "embedding", Nil)
-      val storedGraph = graft.operators.Similarity.knnGraphSeed(coarse,
-        history, "vec_id", "embedding", k = 5)
+      // stored history tables (SimFixtures) — only the batch's index
+      // rows build in-plan, the O(new) shape a deployment actually runs
+      val coarse = graft.queries.SimFixtures.coarseH3(s, dir)
+      val storedIndex = graft.queries.SimFixtures.flatIndexH3(s, dir)
+      val storedGraph = graft.queries.SimFixtures.flatGraphH3(s, dir)
       val batchIndex = graft.operators.Ivf.flatIndex(coarse, batch,
         "vec_id", "embedding", Nil)
       graft.operators.Similarity.appendKnnSeed(storedGraph,
@@ -5012,14 +5009,11 @@ ${coarseCtes("vec_id % 3 > 0")},
     "q266_graph_recall_audit",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
-        "vec_id", "embedding", k = 5)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
       val q = e.filter(col("vec_id") < 10)
       val exact = graft.operators.Ivf.filteredSearch(coarse,
-        graft.operators.Ivf.flatIndex(coarse, e, "vec_id", "embedding",
-          Nil),
+        graft.queries.SimFixtures.flatIndex(s, dir),
         q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
       // ONE walk serves the audit and its cost columns
       // (Similarity.graphRecallCost — the walk is the expensive part)
@@ -5379,10 +5373,7 @@ ${layerSeedCtes(p, memberWhere)},
     "q267_masked_graph_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
-        "vec_id", "embedding", k = 5)
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
       graft.operators.Similarity.graphSearchMasked(g, e,
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
@@ -5427,12 +5418,8 @@ ${walkCtes("", 2, 5)},
     "q268_graph_purge",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val storedIndex = graft.operators.Ivf.flatIndex(coarse, e,
-        "vec_id", "embedding", Nil)
-      val storedGraph = graft.operators.Similarity.knnGraphSeed(coarse,
-        e, "vec_id", "embedding", k = 5)
+      val storedIndex = graft.queries.SimFixtures.flatIndex(s, dir)
+      val storedGraph = graft.queries.SimFixtures.flatGraph(s, dir)
       graft.operators.Similarity.purgeKnnGraph(storedGraph, storedIndex,
           e.filter(col("vec_id") % 5 === 0).select(col("vec_id")), k = 5)
         .orderBy(col("src"), col("rnk"))
@@ -5475,12 +5462,9 @@ ${coarseCtes()},
     "q269_graph_upsert",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val storedIndex = graft.operators.Ivf.flatIndex(coarse, e,
-        "vec_id", "embedding", Nil)
-      val storedGraph = graft.operators.Similarity.knnGraphSeed(coarse,
-        e, "vec_id", "embedding", k = 5)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val storedIndex = graft.queries.SimFixtures.flatIndex(s, dir)
+      val storedGraph = graft.queries.SimFixtures.flatGraph(s, dir)
       val batchIndex = graft.operators.Ivf.flatIndex(coarse,
         e.filter(col("vec_id") % 7 === 0)
           .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
@@ -5548,10 +5532,7 @@ ${coarseCtes()},
     "q270_filtered_graph_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
-        "vec_id", "embedding", k = 5)
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
       graft.operators.Similarity.graphSearchFiltered(g, e,
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
           col("label") === 3, entryK = 2, beam = 5, hops = 2, topK = 5)
@@ -5595,15 +5576,15 @@ ${walkCtes("", 2, 5)},
     "q271_graph_beam_sweep",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
-          "vec_id", "embedding", k = 5)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      // stored-graph read pinned: three walks re-read it per hop (a
+      // pushed parquet filter, NOT a lit-union slice — the pin rule's
+      // multiply-read exception applies)
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
         .transform(graft.util.CacheScope.persist)
       val q = e.filter(col("vec_id") < 10)
       val exact = graft.operators.Ivf.filteredSearch(coarse,
-          graft.operators.Ivf.flatIndex(coarse, e, "vec_id", "embedding",
-            Nil),
+          graft.queries.SimFixtures.flatIndex(s, dir),
           q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
         .transform(graft.util.CacheScope.persist)
       Seq((5, 1), (5, 2), (8, 2)).map { case (beam, hops) =>
@@ -5994,16 +5975,19 @@ ${coarseCtes()},
     "q275_graph_segments",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val g0 = graft.operators.Similarity.knnGraphSeed(coarse, e,
-          "vec_id", "embedding", k = 5)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val g0 = graft.queries.SimFixtures.flatGraph(s, dir)
         .withColumn("seg", lit(0))
-      val restated = e.select(col("vec_id"),
-        when(col("vec_id") % 7 === 0, reverse(col("embedding")))
-          .otherwise(col("embedding")).as("embedding"))
-      val g1 = graft.operators.Similarity.knnGraphSeed(coarse, restated,
-          "vec_id", "embedding", k = 5)
+      // the restated segment derives through the GATED upsert
+      // (≡ full rebuild over the restated corpus, q269) — O(changed),
+      // the maintenance output a deployment actually lands as seg 1
+      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
+        e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      val g1 = graft.operators.Similarity.upsertKnnSeed(
+          graft.queries.SimFixtures.flatGraph(s, dir),
+          graft.queries.SimFixtures.flatIndex(s, dir), batchIndex, k = 5)
         .filter(col("src") % 3 === 0)
         .withColumn("seg", lit(1))
       graft.operators.Layout.compactLatestMulti(g0.unionByName(g1),
@@ -6096,15 +6080,10 @@ ${coarseCtes()},
   private val q276 = Q(
     "q276_graph_health",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val assigned = graft.operators.Ivf.assignIds(
-          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
         .select(col("vec_id"), col("cid"))
         .transform(graft.util.CacheScope.persist)
-      val g = graft.operators.Similarity.knnGraphSeed(coarse, e,
-          "vec_id", "embedding", k = 5)
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
         .transform(graft.util.CacheScope.persist)
       val srcCell = assigned.select(col("vec_id").as("src"), col("cid"))
       val edgeStats = g.join(srcCell, Seq("src"))
@@ -7311,6 +7290,141 @@ ${descentCtes("y2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")}
       ORDER BY layer, src, rnk
     """))
 
+  // --------------------------------------------------------------- q292
+  // MaxSim SEGMENT compaction + serve — q275's restatement machinery
+  // on the late-interaction pillar, gated (previously a spec lane): a
+  // restated document re-embeds and lands its WHOLE bag as a new
+  // segment (the daily path stays O(new)); compactLatestMulti's group
+  // election serves the latest bag per doc — a row-level latest-wins
+  // could never remove vectors the new bag no longer contains. The
+  // gate scores the compacted table through the exact MaxSim scorer;
+  // oracle = the full recompute over the restated corpus.
+  private val q292 = Q(
+    "q292_maxsim_segments",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val seg0 = bag(e).withColumn("seg", lit(0))
+      val seg1 = bag(e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+        .withColumn("seg", lit(1))
+      val latest = graft.operators.Layout.compactLatestMulti(
+          seg0.unionByName(seg1), "vec_id", "seg", "vec_idx", 8)
+        .select(col("vec_id"), col("vec_idx"), col("vec"))
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.Similarity.maxSimTopK(latest, bag(q), "vec_id",
+          "vec_idx", "vec", topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      svq AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)
+        WHERE vec_id < 5),
+      svd AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx2, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT q.vec_id AS q_id, d.vec_id AS n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM svq q JOIN svd d ON d.vec_id <> q.vec_id
+        GROUP BY q.vec_id, d.vec_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q293
+  // MaxSim AS-OF serve — the q255 time-travel semantic on the
+  // late-interaction pillar, gated (previously a spec lane): as-of
+  // segment 0 the restatement is INVISIBLE — compactAsOfMulti's
+  // cutoff is a plain segment predicate (pruning whole segment files
+  // at rest), the election runs over what remains, and the scorer
+  // reproduces the original corpus exactly. Oracle = the recompute
+  // over the ORIGINAL vectors.
+  private val q293 = Q(
+    "q293_maxsim_asof",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val seg0 = bag(e).withColumn("seg", lit(0))
+      val seg1 = bag(e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+        .withColumn("seg", lit(1))
+      val asOf0 = graft.operators.Layout.compactAsOfMulti(
+          seg0.unionByName(seg1), "vec_id", "seg", "vec_idx", 8,
+          asOf = 0)
+        .select(col("vec_id"), col("vec_idx"), col("vec"))
+      val q = e.filter(col("vec_id") < 5)
+      graft.operators.Similarity.maxSimTopK(asOf0, bag(q), "vec_id",
+          "vec_idx", "vec", topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      svq AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)
+        WHERE vec_id < 5),
+      svd AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT q.vec_id AS q_id, d.vec_id AS n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM svq q JOIN svd d ON d.vec_id <> q.vec_id
+        GROUP BY q.vec_id, d.vec_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(score AS BIGINT) AS score,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, n_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, n_id ASC) AS rnk
+        FROM sc)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -7319,5 +7433,5 @@ ${descentCtes("y2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")}
     q255, q256, q257, q260, q261, q263, q264, q265, q266, q267, q268,
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-    q291)
+    q291, q292, q293)
 }

@@ -280,7 +280,12 @@ class PlanAuditSpec extends SparkSpec {
       // q291 = q277's per-layer seed fans run through q272's two
       // descent rounds — hop and rescore joins stay id-keyed with
       // k-bounded fans per layer
-      "q291_layered_nn_descent")
+      "q291_layered_nn_descent",
+      // q292/q293 = q260's exact-MaxSim fan (the bounded query bag —
+      // |Q|·4 rows — broadcast onto one pass over the compacted/as-of
+      // bag table); election and as-of are key-partitioned exchanges
+      "q292_maxsim_segments",
+      "q293_maxsim_asof")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
