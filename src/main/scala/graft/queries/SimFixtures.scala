@@ -95,6 +95,59 @@ private[queries] object SimFixtures {
     layeredSeed(s, dir).filter(col("layer") === 0)
       .select(col("src"), col("dst"), col("d2"), col("rnk"))
 
+  /** Attributed flat index (label rides the row — q235's at-source
+    * discipline), the table every filtered serve verb scans. */
+  def flatIndexLabeled(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "flat_index_8x2_label") {
+      graft.operators.Ivf.flatIndex(coarse(s, dir), emb(s, dir),
+        "vec_id", "embedding", Seq("label"))
+    }
+
+  /** The calibrated-int8 family's stored pair: the (d, p_lo, p_hi)
+    * bounds ledger (10/990 permille — the generation-0 geometry every
+    * full-corpus calibrated gate serves under) and the codes table
+    * encoded with it. */
+  def calBounds(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "cal_bounds_10_990") {
+      graft.operators.Quantize.calibrationBounds(emb(s, dir), "vec_id",
+        "embedding", loPermille = 10, hiPermille = 990)
+    }
+
+  def calCodes(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "cal_codes_10_990") {
+      graft.operators.Quantize.calibratedCodes(emb(s, dir), "vec_id",
+        "embedding", calBounds(s, dir))
+    }
+
+  /** The PQ family's stored pair (m = 4 subspaces, k = 8, 2 Lloyd
+    * iterations — the suite's shared shape). */
+  def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "pq_codebooks_m4_k8") {
+      graft.operators.Pq.codebooks(emb(s, dir), "vec_id", "embedding",
+        m = 4, k = 8, iterations = 2)
+    }
+
+  def pqCodes(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "pq_codes_m4") {
+      graft.operators.Pq.encode(emb(s, dir), "vec_id", "embedding", 4,
+        pqCodebooks(s, dir))
+    }
+
+  /** The residual (IVFADC) family's stored pair under [[coarse]]. */
+  def resCodebooks(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "res_codebooks_m4_k8") {
+      graft.operators.Pq.residualCodebooks(emb(s, dir), "vec_id",
+        "embedding", coarse(s, dir), m = 4, numCentroids = 8,
+        pqIterations = 2)
+    }
+
+  def resEncodedLabeled(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "res_encoded_m4_label") {
+      graft.operators.Pq.residualEncode(emb(s, dir), "vec_id",
+        "embedding", coarse(s, dir), resCodebooks(s, dir), 4,
+        Seq("label"))
+    }
+
   /** History-corpus (%3 > 0) variants for the O(new) append gate. */
   def coarseH3(s: SparkSession, dir: String): DataFrame =
     stored(s, dir, "coarse_8x2_h3") {

@@ -2529,12 +2529,10 @@ ${coarseCtes()},
     "q229_calibrated_int8_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
       // the STORED-table shape: codes persist at build, the search
       // consumes them — nothing re-encodes at query time
-      val codes = graft.operators.Quantize.calibratedCodes(e,
-        "vec_id", "embedding", bounds)
+      val codes = graft.queries.SimFixtures.calCodes(s, dir)
       graft.operators.Quantize.calibratedSearch(codes,
           e.filter(col("vec_id") < 10), "vec_id", "embedding", bounds,
           topK = 5)
@@ -2772,15 +2770,11 @@ ${coarseCtes("vec_id % 3 > 0")},
     "q234_calibrated_ivf_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val assigned = graft.operators.Ivf.assignIds(
-          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
         .select(col("vec_id"), col("cid"))
-      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
-        "embedding", bounds)
+      val codes = graft.queries.SimFixtures.calCodes(s, dir)
       graft.operators.Quantize.calibratedIvfSearch(coarse, assigned,
           codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
           bounds, nprobe = 2, topK = 5)
@@ -2932,15 +2926,11 @@ ${coarseCtes()},
     "q236_tombstone_masked_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val assigned = graft.operators.Ivf.assignIds(
-          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
         .select(col("vec_id"), col("cid"))
-      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
-        "embedding", bounds)
+      val codes = graft.queries.SimFixtures.calCodes(s, dir)
       val live = graft.operators.Pq.purgeCodes(assigned,
         e.filter(col("vec_id") % 5 === 0).select(col("vec_id")), "vec_id")
       graft.operators.Quantize.calibratedIvfSearch(coarse, live,
@@ -3027,10 +3017,8 @@ ${coarseCtes()},
     "q237_segment_compaction",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
       def seg(rows: org.apache.spark.sql.DataFrame, ord: Int) =
         graft.operators.Quantize.calibratedCodes(rows, "vec_id",
             "embedding", bounds)
@@ -3236,22 +3224,17 @@ ${coarseCtes()},
     "q239_recall_audit",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val assigned = graft.operators.Ivf.assignIds(
-          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
         .select(col("vec_id"), col("cid"))
-      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
-        "embedding", bounds)
+      val codes = graft.queries.SimFixtures.calCodes(s, dir)
       val q = e.filter(col("vec_id") < 10)
       val approx = graft.operators.Quantize.calibratedIvfSearch(coarse,
         assigned, codes, q, "vec_id", "embedding", bounds, nprobe = 2,
         topK = 5)
       val exact = graft.operators.Ivf.filteredSearch(coarse,
-        graft.operators.Ivf.flatIndex(coarse, e, "vec_id", "embedding",
-          Nil),
+        graft.queries.SimFixtures.flatIndex(s, dir),
         q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
       graft.operators.Similarity.recallAudit(approx, exact, 5)
         .join(graft.operators.Ivf.probeCost(coarse, assigned, q,
@@ -3366,21 +3349,16 @@ ${coarseCtes()},
     "q240_nprobe_sweep",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val assigned = graft.operators.Ivf.assignIds(
-          graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
         .select(col("vec_id"), col("cid"))
         .transform(graft.util.CacheScope.persist)
-      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
-          "embedding", bounds)
+      val codes = graft.queries.SimFixtures.calCodes(s, dir)
         .transform(graft.util.CacheScope.persist)
       val q = e.filter(col("vec_id") < 10)
       val exact = graft.operators.Ivf.filteredSearch(coarse,
-          graft.operators.Ivf.flatIndex(coarse, e, "vec_id", "embedding",
-            Nil),
+          graft.queries.SimFixtures.flatIndex(s, dir),
           q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
         .transform(graft.util.CacheScope.persist)
       // ONE probe ranking serves every sweep point's cost columns
@@ -3530,15 +3508,12 @@ ${coarseCtes()},
     "q241_calibrated_rerank_funnel",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
       val assigned = graft.operators.Ivf.assignIds(
           graft.operators.Ivf.quantized(e, "vec_id", "embedding"), coarse)
         .select(col("vec_id"), col("cid"))
-      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
-        "embedding", bounds)
+      val codes = graft.queries.SimFixtures.calCodes(s, dir)
       graft.operators.Quantize.calibratedIvfRerank(coarse, assigned,
           codes, e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
           bounds, nprobe = 2, shortlistK = 20, topK = 5)
@@ -3769,15 +3744,11 @@ ${coarseCtes("vec_id % 3 > 0")},
     "q248_filtered_calibrated_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val assigned = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
-          "embedding", Seq("label"))
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndexLabeled(s, dir)
         .select(col("vec_id"), col("cid"), col("label"))
-      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
-        "embedding", bounds)
+      val codes = graft.queries.SimFixtures.calCodes(s, dir)
       graft.operators.Quantize.calibratedIvfSearch(coarse,
           assigned.filter(col("label") === 3), codes,
           e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -3863,10 +3834,8 @@ ${coarseCtes()},
     "q249_time_travel_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
       def seg(rows: org.apache.spark.sql.DataFrame, ord: Int) =
         graft.operators.Quantize.calibratedCodes(rows, "vec_id",
             "embedding", bounds)
@@ -3990,15 +3959,11 @@ ${coarseCtes()},
     "q250_filtered_pq_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val cbs = graft.operators.Pq.codebooks(e, "vec_id", "embedding",
-        m = 4, k = 8, iterations = 2)
-      val assigned = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
-          "embedding", Seq("label"))
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val cbs = graft.queries.SimFixtures.pqCodebooks(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndexLabeled(s, dir)
         .select(col("vec_id"), col("cid"), col("label"))
-      val codes = graft.operators.Pq.encode(e, "vec_id", "embedding",
-        4, cbs)
+      val codes = graft.queries.SimFixtures.pqCodes(s, dir)
       graft.operators.Pq.ivfPqSearch(coarse, cbs,
           assigned.filter(col("label") === 3)
             .select(col("vec_id"), col("cid")),
@@ -4068,12 +4033,9 @@ ${coarseCtes()},
     "q251_filtered_residual_search",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val cbs = graft.operators.Pq.residualCodebooks(e, "vec_id",
-        "embedding", coarse, m = 4, numCentroids = 8, pqIterations = 2)
-      val stored = graft.operators.Pq.residualEncode(e, "vec_id",
-        "embedding", coarse, cbs, 4, Seq("label"))
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val cbs = graft.queries.SimFixtures.resCodebooks(s, dir)
+      val stored = graft.queries.SimFixtures.resEncodedLabeled(s, dir)
       graft.operators.Pq.residualSearch(coarse, cbs,
           stored.filter(col("label") === 3),
           e.filter(col("vec_id") < 10), "vec_id", "embedding", m = 4,
@@ -4170,8 +4132,7 @@ ${coarseCtes()},
         "vec_id", "embedding", loPermille = 10, hiPermille = 990)
       val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
         .select(col("vec_id"), col("cid"))
-      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
-        "embedding", bounds)
+      val codes = graft.queries.SimFixtures.calCodes(s, dir)
       val postings = graft.operators.Search.positionalIndex(docs,
         "doc_id", "text")
       // the stored layered table (SimFixtures) covers BOTH graph rows:
@@ -4329,10 +4290,8 @@ ${layerSeedCtes("z2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
       val history = e.filter(col("vec_id") % 3 > 0)
       val bounds0 = graft.operators.Quantize.calibrationBounds(history,
         "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val bounds1 = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(history, "vec_id",
-        "embedding", 8, 2)
+      val bounds1 = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarseH3(s, dir)
       def seg(rows: org.apache.spark.sql.DataFrame, ord: Int, gen: Int,
           b: org.apache.spark.sql.DataFrame) =
         graft.operators.Quantize.calibratedCodes(rows, "vec_id",
@@ -4470,15 +4429,11 @@ ${coarseCtes("vec_id % 3 > 0")},
     "q256_filtered_rerank_funnel",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bounds = graft.operators.Quantize.calibrationBounds(e,
-        "vec_id", "embedding", loPermille = 10, hiPermille = 990)
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val assigned = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
-          "embedding", Seq("label"))
+      val bounds = graft.queries.SimFixtures.calBounds(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndexLabeled(s, dir)
         .select(col("vec_id"), col("cid"), col("label"))
-      val codes = graft.operators.Quantize.calibratedCodes(e, "vec_id",
-        "embedding", bounds)
+      val codes = graft.queries.SimFixtures.calCodes(s, dir)
       graft.operators.Quantize.calibratedIvfRerank(coarse,
           assigned.filter(col("label") === 3)
             .select(col("vec_id"), col("cid")),
@@ -5892,10 +5847,8 @@ ${coarseCtes("vec_id % 3 > 0")},
     "q274_filtered_maxsim",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.centroids(e, "vec_id",
-        "embedding", 8, 2)
-      val live = graft.operators.Ivf.flatIndex(coarse, e, "vec_id",
-          "embedding", Seq("label"))
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val live = graft.queries.SimFixtures.flatIndexLabeled(s, dir)
         .filter(col("label") === 3)
         .select(col("vec_id"), col("cid"))
       def bag(df: org.apache.spark.sql.DataFrame) =
