@@ -890,13 +890,9 @@ object DedupQueries extends QueryPack {
     "q144_incremental_dup_clusters",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val history = docs.filter(col("doc_id") % 3 > 0)
       val batch = docs.filter(col("doc_id") % 3 === 0)
-      val histSigs = Dedup.minhashSignaturesNative(history, "doc_id",
-        "text", shingleK = 3, numHashes = 6)
-      val ledger = Dedup.dupClusters(
-        Dedup.minhashLsh(history, "doc_id", "text",
-          shingleK = 3, numHashes = 6, rowsPerBand = 2))
+      val histSigs = graft.queries.SimFixtures.minhashSigsH3(s, dir)
+      val ledger = graft.queries.SimFixtures.dupLedgerH3(s, dir)
       Dedup.incrementalDupClusters(ledger, histSigs, batch,
           "doc_id", "text", shingleK = 3, numHashes = 6, rowsPerBand = 2)
         .orderBy(col("doc_id"))
@@ -1149,9 +1145,8 @@ object DedupQueries extends QueryPack {
     "q156_incremental_shared_spans",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val history = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
-      val index = Dedup.positionedShingleFps(history, "doc_id", "text", 5)
+      val index = graft.queries.SimFixtures.spanIndexH(s, dir)
       val census = index.select(col("fp"), col("doc_id")).distinct()
         .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       Dedup.incrementalSharedSpans(index, census, batch, "doc_id", "text",
@@ -1534,10 +1529,8 @@ object DedupQueries extends QueryPack {
     "q179_incremental_winnow_pairs",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val history = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
-      val index = Dedup.winnowFingerprints(history, "doc_id", "text",
-        k = 3, windowW = 4)
+      val index = graft.queries.SimFixtures.winnowIndexH(s, dir)
       Dedup.incrementalWinnowPairs(index, batch, "doc_id", "text",
           k = 3, windowW = 4, minShared = 2)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1657,13 +1650,11 @@ object DedupQueries extends QueryPack {
     "q183_incremental_hot_spans",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val history = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
-      val index = Dedup.positionedShingleFps(history, "doc_id", "text", 5)
+      val index = graft.queries.SimFixtures.spanIndexH(s, dir)
       val census = index.select(col("fp"), col("doc_id")).distinct()
         .groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      val ledger = Dedup.hotSpanLedger(history, "doc_id", "text",
-        k = 5, minSpan = 12, minDf = 3)
+      val ledger = graft.queries.SimFixtures.hotLedgerH(s, dir)
       Dedup.incrementalHotSpanClusters(index, census, ledger, batch,
           "doc_id", "text", k = 5, minSpan = 12, minDf = 3)
         .orderBy(col("doc_id"), col("start_pos"))

@@ -148,6 +148,56 @@ private[queries] object SimFixtures {
         Seq("label"))
     }
 
+  // ---- documents-derived stored indexes (the text pillar's
+  // incremental gates keep these next to the corpus; the oracles stay
+  // full-history recomputes) ----
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Positioned 5-gram shingle index over the %3 == 0 history slice —
+    * the stored input q156/q183's O(new) span verbs merge against. */
+  def spanIndexH(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "span_index_h3eq0_k5") {
+      graft.operators.Dedup.positionedShingleFps(
+        docs(s, dir).filter(col("doc_id") % 3 === 0), "doc_id", "text", 5)
+    }
+
+  /** Winnowed (k=3, w=4) fingerprint index over the %3 == 0 history
+    * slice — q179's stored propose-side input. */
+  def winnowIndexH(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "winnow_index_h3eq0_k3_w4") {
+      graft.operators.Dedup.winnowFingerprints(
+        docs(s, dir).filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        k = 3, windowW = 4)
+    }
+
+  /** Hot-span ledger over the %3 == 0 history slice — q183's stored
+    * retract/merge input (k=5, minSpan=12, minDf=3). */
+  def hotLedgerH(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "hot_ledger_h3eq0_k5") {
+      graft.operators.Dedup.hotSpanLedger(
+        docs(s, dir).filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        k = 5, minSpan = 12, minDf = 3)
+    }
+
+  /** MinHash signatures + dup-cluster ledger over the %3 > 0 history
+    * slice — q144's stored pair (6 hashes, 2 rows/band, 3-shingles). */
+  def minhashSigsH3(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "minhash_sigs_h3gt0") {
+      graft.operators.Dedup.minhashSignaturesNative(
+        docs(s, dir).filter(col("doc_id") % 3 > 0), "doc_id", "text",
+        shingleK = 3, numHashes = 6)
+    }
+
+  def dupLedgerH3(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "dup_ledger_h3gt0") {
+      graft.operators.Dedup.dupClusters(
+        graft.operators.Dedup.minhashLsh(
+          docs(s, dir).filter(col("doc_id") % 3 > 0), "doc_id", "text",
+          shingleK = 3, numHashes = 6, rowsPerBand = 2))
+    }
+
   /** History-corpus (%3 > 0) variants for the O(new) append gate. */
   def coarseH3(s: SparkSession, dir: String): DataFrame =
     stored(s, dir, "coarse_8x2_h3") {
