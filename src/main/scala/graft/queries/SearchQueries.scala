@@ -10,7 +10,7 @@ import graft.operators.Search
   */
 object SearchQueries extends QueryPack {
 
-  private val wordsSql =
+  private[queries] val wordsSql =
     raw"string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')"
 
   // ---------------------------------------------------------------- q92
@@ -954,6 +954,74 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
+  // --------------------------------------------------------------- q300
+  // Postings AS-OF serve — the q255 time-travel semantic on the TEXT
+  // pillar, previously a LayoutSpec-only lane: a restated document
+  // re-tokenizes only itself and lands its whole (token, doc, pos)
+  // row-set as a new segment (q253's daily path); an as-of-0 read
+  // elects each doc's latest row-set among segments ≤ 0 — the cutoff
+  // is a plain segment predicate, pruning whole segment files at
+  // rest — and BM25 served from the elected postings reproduces the
+  // ORIGINAL corpus ranking exactly (tf from surviving postings, dl
+  // as the per-doc posting count, n_docs/avgdl from the same table).
+  // Oracle = direct BM25 recompute over the original text.
+  private val q300 = Q(
+    "q300_postings_asof_serve",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val restated = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(lit("restated "), col("text")).as("text"))
+      val seg0 = Search.positionalIndex(docs, "doc_id", "text")
+        .withColumn("seg", lit(0))
+      val seg1 = Search.positionalIndex(restated, "doc_id", "text")
+        .withColumn("seg", lit(1))
+      val asOf0 = graft.operators.Layout.compactAsOfMulti(
+          seg0.unionByName(seg1), "doc_id", "seg", "token",
+          numPartitions = 8, asOf = 0)
+        .select(col("token"), col("doc_id"), col("pos"))
+      val tf = Search.termFrequencies(asOf0, "doc_id")
+      val dl = asOf0.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dl"))
+      Search.bm25SearchIndexed(tf, dl, "doc_id",
+          terms = Seq("stream", "window", "merge"), topN = 20)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST($wordsSql) AS token FROM documents),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('stream', 'window', 'merge')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      scored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score,
+               COUNT(*) AS n_terms
+        FROM parts GROUP BY doc_id)
+      SELECT doc_id, score, n_terms, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT doc_id, score, n_terms,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 20
+      ORDER BY rnk
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
-    q232, q242, q243, q244, q245, q253, q254, q258, q259, q262)
+    q232, q242, q243, q244, q245, q253, q254, q258, q259, q262, q300)
 }

@@ -133,6 +133,16 @@ private[queries] object SimFixtures {
         pqCodebooks(s, dir))
     }
 
+  /** PQ codes with the label attribute IN the code row
+    * ([[graft.operators.Pq.encodeIndexed]] — the q235 at-source
+    * discipline on the compressed axis): the stored table the
+    * filtered flat-ADC serve scans. */
+  def pqCodesLabeled(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "pq_codes_m4_label") {
+      graft.operators.Pq.encodeIndexed(emb(s, dir), "vec_id",
+        "embedding", 4, pqCodebooks(s, dir), Seq("label"))
+    }
+
   /** The residual (IVFADC) family's stored pair under [[coarse]]. */
   def resCodebooks(s: SparkSession, dir: String): DataFrame =
     stored(s, dir, "res_codebooks_m4_k8") {

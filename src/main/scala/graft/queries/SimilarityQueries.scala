@@ -7378,6 +7378,679 @@ ${descentCtes("y2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")}
       ORDER BY q_id, rnk
     """))
 
+  // --------------------------------------------------------------- q294
+  // FILTERED search on the FLAT ADC index — the last un-gated cell of
+  // the filter row: q250 gates the coarse-routed form; this is the
+  // exhaustive compressed scan ("nearest WHERE label = 3" when no
+  // router exists), where the attribute rides IN the stored code row
+  // (Pq.encodeIndexed) and the predicate is a plain column filter on
+  // the codes scan BEFORE any ADC scoring — selective predicates
+  // shrink the scan at the source and k never under-fills (the
+  // post-filter ANN bug has nothing to under-fill from). Oracle
+  // replays the four PQ chains and scores only label-matching rows.
+  private val q294 = Q(
+    "q294_filtered_adc_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cbs = graft.queries.SimFixtures.pqCodebooks(s, dir)
+      val codes = graft.queries.SimFixtures.pqCodesLabeled(s, dir)
+      graft.operators.Pq.adcSearch(cbs,
+          codes.filter(col("label") === 3),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", m = 4,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ${pqSubChains()},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      qs AS (SELECT DISTINCT q_id FROM qd0),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM qs q CROSS JOIN enc e
+        JOIN embeddings em ON em.vec_id = e.vec_id
+        JOIN qd0 d0 ON d0.q_id = q.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = q.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = q.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = q.q_id AND d3.cid = e.cb3
+        WHERE e.vec_id <> q.q_id AND em.label = 3)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q295
+  // TOMBSTONE-MASKED flat-ADC serving — the q236 semantic on the
+  // compressed axis, previously only "composable": deleted vectors
+  // stop appearing NOW via ONE O(deleted) broadcast anti-join on the
+  // 2-column codes scan (Pq.purgeCodes) BEFORE any ADC scoring. PQ
+  // rows derive from nothing but their own vector — no re-election,
+  // no re-encoding (codebooks are fixed) — so masked serving ≡
+  // serving the physically purged table, bit-for-bit, and k
+  // back-fills from live rows automatically because the scan itself
+  // shrank. Oracle = ADC replay over the live rows.
+  private val q295 = Q(
+    "q295_masked_adc_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cbs = graft.queries.SimFixtures.pqCodebooks(s, dir)
+      val codes = graft.queries.SimFixtures.pqCodes(s, dir)
+      val tombs = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"))
+      graft.operators.Pq.adcSearch(cbs,
+          graft.operators.Pq.purgeCodes(codes, tombs, "vec_id"),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", m = 4,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ${pqSubChains()},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      qs AS (SELECT DISTINCT q_id FROM qd0),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM qs q CROSS JOIN enc e
+        JOIN qd0 d0 ON d0.q_id = q.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = q.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = q.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = q.q_id AND d3.cid = e.cb3
+        WHERE e.vec_id <> q.q_id AND e.vec_id % 5 <> 0)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q296
+  // PQ AS-OF serve — the q255 time-travel semantic on the compressed
+  // axis, previously only "composable": a restatement day re-encodes
+  // ONLY the restated vectors under the FIXED codebooks (the q194
+  // append contract) and lands as a new codes segment; an as-of-0
+  // read elects the pre-restatement codes — the cutoff is a plain
+  // segment predicate (whole segment files prune at rest) — and the
+  // ADC serve over the elected table reproduces the original index
+  // exactly. Oracle = the q184 ADC replay over the original corpus.
+  private val q296 = Q(
+    "q296_pq_asof_serve",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cbs = graft.queries.SimFixtures.pqCodebooks(s, dir)
+      val seg0 = graft.queries.SimFixtures.pqCodes(s, dir)
+        .withColumn("seg", lit(0))
+      val restated = e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val seg1 = graft.operators.Pq.encode(restated, "vec_id",
+          "embedding", 4, cbs)
+        .withColumn("seg", lit(1))
+      val asOf0 = graft.operators.Layout.compactAsOf(
+          seg0.unionByName(seg1), "vec_id", "seg", "vec_id", 8,
+          asOf = 0)
+        .select(col("vec_id"), col("codes"))
+      graft.operators.Pq.adcSearch(cbs, asOf0,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", m = 4,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      ${pqSubChains()},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      qs AS (SELECT DISTINCT q_id FROM qd0),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM qs q CROSS JOIN enc e
+        JOIN qd0 d0 ON d0.q_id = q.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = q.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = q.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = q.q_id AND d3.cid = e.cb3
+        WHERE e.vec_id <> q.q_id)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q297
+  // MaxSim BAG health — the q198 report on the late-interaction
+  // pillar, with the columns a multi-vector deployment actually
+  // watches: per coarse cell, how many BAGS route there (a hot cell
+  // serializes every routed MaxSim probe), how many stored VECTOR
+  // ROWS those bags carry (the real scorer cost — bags have variable
+  // size in production), and the pooled-vector residual energy (poor
+  // pooled fit predicts poor routing recall). Health columns are the
+  // gated cellHealth machinery on the pooled vectors; bag stats join
+  // from the stored assignment + the bag table, exchanges carry cell
+  // keys only. Empty cells report zeros via the codebook spine.
+  private val q297 = Q(
+    "q297_maxsim_bag_health",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
+        .select(col("vec_id"), col("cid"))
+      val bags = e.select(col("vec_id"),
+          explode(sequence(lit(0), lit(3))).as("vec_idx"),
+          col("embedding"))
+        .select(col("vec_id"), col("vec_idx"),
+          expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val bagSizes = bags.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("__nv"))
+      val bagStats = assigned.join(bagSizes, Seq("vec_id"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_bags"), sum(col("__nv")).as("bag_vecs"))
+      graft.operators.Ivf.cellHealth(coarse, e, "vec_id", "embedding")
+        .join(bagStats, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("n_bags"), lit(0L)).as("n_bags"),
+          coalesce(col("bag_vecs"), lit(0L)).as("bag_vecs"),
+          col("residual_energy").as("pooled_energy"),
+          col("avg_residual_energy").as("avg_pooled_energy"))
+        .orderBy(col("cid"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      bv AS (
+        SELECT vec_id, COUNT(*) AS nv
+        FROM (SELECT vec_id, s.i
+              FROM vx, UNNEST(generate_series(0, 3)) s(i))
+        GROUP BY vec_id),
+      bs AS (
+        SELECT a.cid, COUNT(*) AS n_bags, SUM(b.nv) AS bag_vecs
+        FROM cellof a JOIN bv b USING (vec_id)
+        GROUP BY a.cid),
+      rv AS (
+        SELECT v.vec_id, a.cid,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid),
+      h AS (
+        SELECT cid, COUNT(*) AS n,
+               SUM(CAST(list_dot_product(rvec, rvec) AS BIGINT)) AS e
+        FROM rv GROUP BY cid)
+      SELECT c.cid,
+             CAST(COALESCE(bs.n_bags, 0) AS BIGINT) AS n_bags,
+             CAST(COALESCE(bs.bag_vecs, 0) AS BIGINT) AS bag_vecs,
+             CAST(COALESCE(h.e, 0) AS BIGINT) AS pooled_energy,
+             CAST(CASE WHEN COALESCE(h.n, 0) > 0
+                  THEN COALESCE(h.e, 0) // h.n ELSE 0 END AS BIGINT)
+               AS avg_pooled_energy
+      FROM co2 c
+      LEFT JOIN bs USING (cid)
+      LEFT JOIN h USING (cid)
+      ORDER BY c.cid
+    """))
+
+  // --------------------------------------------------------------- q298
+  // MaxSim RECALL/COST audit — the q239/q266 evaluation pair on the
+  // late-interaction pillar, previously only a spec lane: recall@5 of
+  // the nprobe=2 routed scorer against the exact unrouted MaxSim on
+  // the same panel (recallAudit — the number that says whether
+  // pooled-vector routing loses late-interaction matches on THIS
+  // corpus), next to the router's exact serving cost (probeCost:
+  // cells opened, candidate bags scored — the denominator of the
+  // recall/cost knee an operator tunes nprobe against). Oracle
+  // replays routed + exact + the probe-occupancy arithmetic.
+  private val q298 = Q(
+    "q298_maxsim_recall_cost",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
+        .select(col("vec_id"), col("cid"))
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val qPanel = e.filter(col("vec_id") < 5)
+      val exact = graft.operators.Similarity.maxSimTopK(bag(e),
+        bag(qPanel), "vec_id", "vec_idx", "vec", topK = 5)
+      val routed = graft.operators.Similarity.maxSimRouted(coarse,
+        assigned, bag(e), bag(qPanel), qPanel, "vec_id", "vec_idx",
+        "vec", "embedding", nprobe = 2, topK = 5)
+      graft.operators.Similarity.recallAudit(routed, exact, 5)
+        .join(graft.operators.Ivf.probeCost(coarse, assigned, qPanel,
+          "vec_id", "embedding", nprobe = 2), Seq("q_id"))
+        .orderBy(col("q_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 5))
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      sv AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      dotsr AS (
+        SELECT c.q_id, c.n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM cand c
+        JOIN sv q ON q.vec_id = c.q_id
+        JOIN sv d ON d.vec_id = c.n_id
+        GROUP BY c.q_id, c.n_id, q.vec_idx),
+      scr AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dotsr GROUP BY q_id, n_id),
+      routed AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, n_id ASC) AS rnk
+          FROM scr)
+        WHERE rnk <= 5),
+      dotse AS (
+        SELECT q.vec_id AS q_id, d.vec_id AS n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM sv q JOIN sv d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+        GROUP BY q.vec_id, d.vec_id, q.vec_idx),
+      sce AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dotse GROUP BY q_id, n_id),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, n_id ASC) AS rnk
+          FROM sce)
+        WHERE rnk <= 5),
+      hits AS (
+        SELECT r.q_id, COUNT(*) AS n_hits
+        FROM routed r JOIN exact e
+          ON e.q_id = r.q_id AND e.n_id = r.n_id
+        GROUP BY r.q_id),
+      spine AS (SELECT DISTINCT q_id FROM exact),
+      occ AS (SELECT cid, COUNT(*) AS n FROM cellof GROUP BY cid),
+      selfc AS (
+        SELECT vec_id AS q_id, cid FROM cellof WHERE vec_id < 5),
+      pcost AS (
+        SELECT p.q_id, COUNT(*) AS cells_probed,
+               SUM(COALESCE(o.n, 0)
+                 - CASE WHEN sc.cid IS NOT NULL THEN 1 ELSE 0 END)
+                 AS candidates
+        FROM probes p
+        LEFT JOIN occ o ON o.cid = p.cid
+        LEFT JOIN selfc sc ON sc.q_id = p.q_id AND sc.cid = p.cid
+        GROUP BY p.q_id)
+      SELECT s.q_id,
+             CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+             CAST(COALESCE(h.n_hits, 0) * 1000000 // 5 AS BIGINT)
+               AS recall_micro,
+             CAST(p.cells_probed AS BIGINT) AS cells_probed,
+             CAST(p.candidates AS BIGINT) AS candidates
+      FROM spine s
+      LEFT JOIN hits h USING (q_id)
+      JOIN pcost p USING (q_id)
+      ORDER BY s.q_id
+    """))
+
+  // --------------------------------------------------------------- q299
+  // Graph AS-OF serve — the q255 time-travel semantic on the graph
+  // pillar, previously class-covered: a maintenance day restates some
+  // sources' bags (derived through the GATED upsert — purge ∘ append,
+  // O(changed), the q290 discipline on the flat table) and lands them
+  // as a new segment; an as-of-0 read elects the pre-restatement bags
+  // (plain segment predicate — whole segment files prune at rest) and
+  // the beam walk over the elected graph reproduces the original
+  // serve exactly. Oracle = the q264 walk replay over the original
+  // seed graph.
+  private val q299 = Q(
+    "q299_graph_asof_serve",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val g0 = graft.queries.SimFixtures.flatGraph(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
+        e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      val g1 = graft.operators.Similarity.upsertKnnSeed(g0, idx,
+          batchIndex, k = 5)
+        .filter(col("src") % 3 === 0)
+        .withColumn("seg", lit(1))
+      val segs = g0.withColumn("seg", lit(0)).unionByName(g1)
+      val asOf0 = graft.operators.Layout.compactAsOfMulti(segs, "src",
+          "seg", "src", 8, asOf = 0)
+        .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      graft.operators.Similarity.graphSearch(asOf0, e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          entryK = 2, beam = 5, hops = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 5),
+${walkCtes("", 2, 5)}
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM b2)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q301
+  // HYBRID retrieval with the GRAPH index as the vector side — q242's
+  // RRF fusion where the semantic ranking comes from the stored kNN
+  // graph's beam walk instead of a brute scan (the pairing a
+  // deployment actually serves: BM25 + graph-ANN are each sublinear;
+  // the brute side of q242 is the spec baseline). The walk runs wider
+  // (beam = topN = 20) so the fused list draws from a full-length
+  // semantic ranking; fusion is exact integer micro-units over RANKS
+  // alone, so the composition hash-gates. Oracle = the q242 BM25
+  // chain + the q264 walk replay at beam 20 + the RRF arithmetic.
+  private val q301 = Q(
+    "q301_graph_hybrid_rrf",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
+      val text = graft.operators.Search.bm25Search(docs, "doc_id",
+        "text", terms = Seq("spark", "vector", "hash"), topN = 20)
+      val vec = graft.operators.Similarity.graphSearch(g, e,
+          e.filter(col("vec_id") === 7), "vec_id", "embedding",
+          entryK = 2, beam = 20, hops = 2, topK = 20)
+        .select(col("n_id").as("doc_id"), col("rnk"))
+      graft.operators.Search.rrfFuse(
+          Seq(text.select(col("doc_id"), col("rnk")), vec),
+          "doc_id", kRrf = 60, topN = 10)
+        .orderBy(col("rnk"))
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(${SearchQueries.wordsSql}) AS token
+        FROM documents),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('spark', 'vector', 'hash')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      bmscored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score
+        FROM parts GROUP BY doc_id),
+      bm AS (
+        SELECT doc_id, rnk FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rnk
+          FROM bmscored)
+        WHERE rnk <= 20),
+      vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id = 7),
+${walkCtes("", 2, 20)},
+      vr AS (
+        SELECT dst AS doc_id, rnk FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM b2)
+        WHERE rnk <= 20),
+      u AS (
+        SELECT doc_id, rnk FROM bm
+        UNION ALL
+        SELECT doc_id, rnk FROM vr),
+      f AS (
+        SELECT doc_id, SUM(1000000 // (60 + rnk)) AS rrf_micro,
+               COUNT(*) AS n_lists
+        FROM u GROUP BY doc_id)
+      SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+             CAST(n_lists AS BIGINT) AS n_lists,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT doc_id, rrf_micro, n_lists,
+               ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+                 AS rnk
+        FROM f)
+      WHERE rnk <= 10
+      ORDER BY rnk
+    """))
+
+  // --------------------------------------------------------------- q302
+  // STREAMING MaxSim append — the streaming form on the multi-vector
+  // pillar, previously q201-class: the q273 daily append's in-flight
+  // half. An arriving bag routes by its pooled vector IN-ROW against
+  // the plan-literal history codebook (assignEnergyExpr — stateless
+  // Append, no state store, no shuffle; a per-vector argmin groupBy
+  // would hold unbounded keyed state), emitting exactly the
+  // (vec_id, cid) assignment rows the batch append writes plus the
+  // pooled residual energy q297 audits at rest. The bag's token rows
+  // are a stateless pass-through projection, so the assignment is the
+  // in-flight work. Oracle = the batch pooled assign of the arriving
+  // slice under history-trained coarse.
+  private val q302 = Q(
+    "q302_stream_maxsim_assign",
+    (s, dir) => {
+      graft.streaming.StreamingOps.streamMaxSimAssign(s, dir,
+          "q302_maxsim_assign_sink")
+        .orderBy(col("vec_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      rv AS (
+        SELECT v.vec_id, a.cid,
+               list_transform(generate_series(1, 64),
+                 d -> floor(v.qvec[d] - c.cent[d])) AS rvec
+        FROM vx v
+        JOIN cellof a ON a.vec_id = v.vec_id
+        JOIN co2 c ON c.cid = a.cid
+        WHERE v.vec_id % 3 = 0)
+      SELECT vec_id, cid,
+             CAST(list_dot_product(rvec, rvec) AS BIGINT)
+               AS pooled_energy
+      FROM rv
+      ORDER BY vec_id
+    """))
+
+  // --------------------------------------------------------------- q303
+  // IVF-PQ RECALL/COST audit — the q239/q240 evaluation pair on the
+  // COMPRESSED axis, previously class-covered: recall@5 of the
+  // nprobe=2 coarse-routed ADC scorer against the exact integral-grid
+  // top-5 (the number that says what m=4-byte codes + routing lose on
+  // THIS corpus — the compression knob's empirical cost, next to the
+  // q199 error audit's analytic one), joined with probeCost's exact
+  // serving cost (cells opened, candidate codes scored). Everything
+  // serves from the stored fixture tables; oracle replays routed ADC,
+  // the exact baseline, and the probe-occupancy arithmetic.
+  private val q303 = Q(
+    "q303_pq_recall_cost",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val cbs = graft.queries.SimFixtures.pqCodebooks(s, dir)
+      val assigned = graft.queries.SimFixtures.flatIndex(s, dir)
+        .select(col("vec_id"), col("cid"))
+      val codes = graft.queries.SimFixtures.pqCodes(s, dir)
+      val qPanel = e.filter(col("vec_id") < 10)
+      val approx = graft.operators.Pq.ivfPqSearch(coarse, cbs, assigned,
+        codes, qPanel, "vec_id", "embedding", m = 4, nprobe = 2,
+        topK = 5)
+      val exact = graft.operators.Ivf.bruteTopK(e, qPanel, "vec_id",
+        "embedding", topK = 5)
+      graft.operators.Similarity.recallAudit(approx, exact, 5)
+        .join(graft.operators.Ivf.probeCost(coarse, assigned, qPanel,
+          "vec_id", "embedding", nprobe = 2), Seq("q_id"))
+        .orderBy(col("q_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      probes AS (
+        SELECT vec_id AS q_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx v, co2 c
+            WHERE v.vec_id < 10))
+        WHERE rn <= 2),
+      ${pqSubChains()},
+      enc AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN cellof a
+          ON a.cid = p.cid AND a.vec_id <> p.q_id),
+      adcsc AS (
+        SELECT c.q_id, c.n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM cand c
+        JOIN enc e ON e.vec_id = c.n_id
+        JOIN qd0 d0 ON d0.q_id = c.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = c.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = c.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = c.q_id AND d3.cid = e.cb3),
+      approx AS (
+        SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+          FROM adcsc)
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      hits AS (
+        SELECT a.q_id, COUNT(*) AS n_hits
+        FROM approx a JOIN exact e
+          ON e.q_id = a.q_id AND e.n_id = a.n_id
+        GROUP BY a.q_id),
+      spine AS (SELECT DISTINCT q_id FROM exact),
+      occ AS (SELECT cid, COUNT(*) AS n FROM cellof GROUP BY cid),
+      selfc AS (
+        SELECT vec_id AS q_id, cid FROM cellof WHERE vec_id < 10),
+      pcost AS (
+        SELECT p.q_id, COUNT(*) AS cells_probed,
+               SUM(COALESCE(o.n, 0)
+                 - CASE WHEN sc.cid IS NOT NULL THEN 1 ELSE 0 END)
+                 AS candidates
+        FROM probes p
+        LEFT JOIN occ o ON o.cid = p.cid
+        LEFT JOIN selfc sc ON sc.q_id = p.q_id AND sc.cid = p.cid
+        GROUP BY p.q_id)
+      SELECT s.q_id,
+             CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+             CAST(COALESCE(h.n_hits, 0) * 1000000 // 5 AS BIGINT)
+               AS recall_micro,
+             CAST(p.cells_probed AS BIGINT) AS cells_probed,
+             CAST(p.candidates AS BIGINT) AS candidates
+      FROM spine s
+      LEFT JOIN hits h USING (q_id)
+      JOIN pcost p USING (q_id)
+      ORDER BY s.q_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -7386,5 +8059,6 @@ ${descentCtes("y2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")}
     q255, q256, q257, q260, q261, q263, q264, q265, q266, q267, q268,
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
-    q291, q292, q293)
+    q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
+    q303)
 }

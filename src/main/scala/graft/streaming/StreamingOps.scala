@@ -894,6 +894,50 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** STREAMING MaxSim index append — the q273 daily multi-vector
+    * append's interesting half run IN-FLIGHT: an arriving document
+    * bag joins the stored late-interaction index by routing its
+    * POOLED vector (the whole embedding the bag was sliced from) to
+    * its coarse cell, and that assignment happens IN-ROW against the
+    * plan-literal history-trained codebook ([[graft.operators.Ivf
+    * .assignEnergyExpr]] — a per-vector argmin groupBy would hold
+    * unbounded keyed state), so the stream plan is a stateless
+    * Append-mode projection. Each output row is exactly the
+    * (vec_id, cid) assignment row the batch append writes, plus the
+    * pooled residual energy (the routing-fit signal q297 audits at
+    * rest); the bag's token rows append as a pure pass-through
+    * projection and carry no state either, so the assignment IS the
+    * in-flight work. Oracle = the batch pooled assign of the arriving
+    * slice under the history-trained coarse codebook. */
+  def streamMaxSimAssign(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_maxsim_assign",
+      "embeddings.parquet" -> s"$dir/embeddings.parquet")
+    val embSchema = spark.read.parquet(streamDir.toString).schema
+    require(embSchema.exists(f => f.name == "vec_id" &&
+        f.dataType == LongType) &&
+      embSchema.exists(_.name == "embedding"),
+      "embeddings schema drifted: expected (vec_id LONG, embedding) " +
+        s"among ${embSchema.treeString}")
+    val history = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 3 > 0)
+    val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+      "embedding", 8, 2)
+    // bounded driver action: k codebook rows → plan literal
+    val cents = graft.operators.Ivf.localCentroids(coarse)
+    val assigned = spark.readStream.schema(embSchema)
+      .parquet(streamDir.toString)
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        graft.operators.Ivf.assignEnergyExpr(
+          graft.operators.Ivf.quantize(col("embedding")), cents).as("a"))
+      .select(col("vec_id"), col("a.cid").as("cid"),
+        col("a.energy").as("pooled_energy"))
+    drainToMemory(spark, assigned, queryName, OutputMode.Append(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** STREAMING integrity manifest — [[graft.operators.Layout
     * .indexManifest]] maintained IN-FLIGHT: each arriving document's
     * posting rows fingerprint in-row (pure projection), and the

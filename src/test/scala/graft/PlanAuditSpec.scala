@@ -285,7 +285,35 @@ class PlanAuditSpec extends SparkSpec {
       // |Q|·4 rows — broadcast onto one pass over the compacted/as-of
       // bag table); election and as-of are key-partitioned exchanges
       "q292_maxsim_segments",
-      "q293_maxsim_asof")
+      "q293_maxsim_asof",
+      // q294/q295/q296 = q184's ADC serve fans over the STORED codes
+      // table (the per-query lookup-table rows — bounded panel ≤ 10 —
+      // broadcast onto one pass over the compressed scan); the
+      // filter/mask/as-of land as a plain column filter, an id-keyed
+      // anti-join, and a segment election BEFORE the scorer
+      "q294_filtered_adc_search",
+      "q295_masked_adc_search",
+      "q296_pq_asof_serve",
+      // q297 = q198's cellHealth assignment fan (≤8-row codebook);
+      // the bag stats are id/cell-keyed joins + partial-combining
+      // aggregates
+      "q297_maxsim_bag_health",
+      // q298 = q261's routed fans + q260's exact-MaxSim fan (bounded
+      // query bag) + probeCost's ≤8-row probe fan; the recall join is
+      // O(queries·k)
+      "q298_maxsim_recall_cost",
+      // q300 serves q228's scoring tail (1-row stats fan) from the
+      // as-of-elected postings
+      "q300_postings_asof_serve",
+      // q301 = q242's fusion with q264's walk fans as the vector side
+      // (bounded single-query panel × entryK entries, per-hop
+      // broadcast beam state) + the 1-row BM25 stats fan
+      "q301_graph_hybrid_rrf",
+      // q303 = q185's routed-ADC fans (≤8-row coarse probe, bounded
+      // query panel's lookup-table rows) + q20's brute-baseline fan
+      // (bounded panel over one base pass) + probeCost's ≤8-row probe;
+      // the recall join is O(queries·k)
+      "q303_pq_recall_cost")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
@@ -300,7 +328,8 @@ class PlanAuditSpec extends SparkSpec {
       "q165_stream_corpus_health", "q188_stream_decontam_gate",
       "q201_stream_pq_encode", "q215_stream_frame_gate",
       "q216_stream_permuted_encode", "q218_stream_index_health",
-      "q246_stream_snippet", "q259_stream_manifest")
+      "q246_stream_snippet", "q259_stream_manifest",
+      "q302_stream_maxsim_assign")
 
   // The allowlist above documents WHY each fan is bounded; this test
   // stops trusting the comments — it EXECUTES every allowlisted query
