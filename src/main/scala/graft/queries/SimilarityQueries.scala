@@ -689,6 +689,33 @@ object SimilarityQueries extends QueryPack {
         WHERE v.vec_id < 10)"""
   }.mkString(",")
 
+  /** Restated-row PQ encode replay — the q194 fixed-codebook contract
+    * for a RESTATED slice: `svr$s` slices the restated vectors
+    * (callers define `vx2`, the restated corpus view), `encr$s`
+    * argmin-encodes them against the [[pqSubChains]] final codebooks
+    * (c2_$s — trained on the ORIGINAL corpus; restatement never
+    * retrains). `restWhere` picks the restated ids. */
+  private def pqRestatedEncChains(restWhere: String): String =
+    (0 until 4).map { s =>
+      val lo = s * 16 + 1
+      val hi = s * 16 + 16
+      raw"""
+      svr$s AS (
+        SELECT vec_id, qvec[$lo:$hi] AS sv FROM vx2 WHERE $restWhere),
+      encr$s AS (
+        SELECT vec_id, cid AS code FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.sv, v.sv)
+                   - 2.0 * list_dot_product(v.sv, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM svr$s v, c2_$s c))
+        WHERE rn = 1)"""
+    }.mkString(",")
+
   private val q184 = Q(
     "q184_pq_adc_topk",
     (s, dir) => {
@@ -4112,7 +4139,8 @@ ${coarseCtes()},
   // --------------------------------------------------------------- q252
   // INDEX integrity MANIFEST — q141's verify-before-serve discipline
   // on the stored ANN/search pillar: per stored table (coarse
-  // assignment, calibration bounds, calibrated codes, the stored kNN
+  // assignment, the MaxSim BAG table (vec_id, vec_idx, quantized
+  // vec), calibration bounds, calibrated codes, the stored kNN
   // GRAPH (src, dst, d2, rnk), positional postings), row count + an
   // order-invariant bit-XOR content
   // checksum, derived at build and re-derived before serving so a
@@ -4142,9 +4170,22 @@ ${coarseCtes()},
       val layered = graft.queries.SimFixtures.layeredSeed(s, dir)
       val graph = layered.filter(col("layer") === 0)
         .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      // the MaxSim bag table fingerprints its QUANTIZED content (the
+      // exact values the scorer consumes — integral, so the rendering
+      // is engine-portable where raw doubles would not be)
+      val bags = e.select(col("vec_id"),
+          explode(sequence(lit(0), lit(3))).as("vec_idx"),
+          col("embedding"))
+        .select(col("vec_id"), col("vec_idx"),
+          graft.operators.Ivf.quantize(
+            expr("slice(embedding, vec_idx * 16 + 1, 16)")).as("vec"))
       graft.operators.Layout.indexManifest(Seq(
         ("assigned", assigned,
           concat_ws("|", col("vec_id"), col("cid"))),
+        ("bags", bags,
+          concat_ws("|", col("vec_id"), col("vec_idx"),
+            concat_ws(",",
+              col("vec").cast("array<long>").cast("array<string>")))),
         ("bounds", bounds,
           concat_ws("|", col("d"), col("p_lo"), col("p_hi"))),
         ("codes", codes,
@@ -4199,6 +4240,18 @@ ${coarseCtes()},
                  ('0x' || substr(md5(vec_id || '|' || cid), 1, 15))::BIGINT),
                  0) AS checksum
         FROM cellof),
+      bagv AS (
+        SELECT vec_id, s.i AS vec_idx,
+               list_transform(qvec[s.i * 16 + 1 : s.i * 16 + 16],
+                 x -> CAST(x AS BIGINT)) AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      mbag AS (
+        SELECT 'bags' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(vec_id || '|' || vec_idx || '|' ||
+                   array_to_string(v, ',')), 1, 15))::BIGINT), 0)
+                 AS checksum
+        FROM bagv),
       mb AS (
         SELECT 'bounds' AS table_name, COUNT(*) AS n_rows,
                COALESCE(bit_xor(
@@ -4263,7 +4316,8 @@ ${layerSeedCtes("z2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
         FROM lall)
       SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
              CAST(checksum AS BIGINT) AS checksum
-      FROM (SELECT * FROM ma UNION ALL SELECT * FROM mb
+      FROM (SELECT * FROM ma UNION ALL SELECT * FROM mbag
+            UNION ALL SELECT * FROM mb
             UNION ALL SELECT * FROM mc UNION ALL SELECT * FROM mg
             UNION ALL SELECT * FROM ml UNION ALL SELECT * FROM mp)
       ORDER BY table_name
@@ -8051,6 +8105,186 @@ ${coarseCtes()},
       ORDER BY s.q_id
     """))
 
+  // --------------------------------------------------------------- q304
+  // PQ UPSERT — the restatement verb on the compressed axis as a
+  // WORKED gate (previously q231-class): a restated vector's row is
+  // replaced wholesale — one O(restated) anti-join purges the old
+  // code rows (q295's machinery), the restated vectors re-encode
+  // under the FIXED codebooks in one broadcast pass (q194's append
+  // contract; restatement never retrains), and the union is the new
+  // stored table. PQ rows derive from nothing but their own vector,
+  // so upsert needs no re-election — serving the upserted table ≡ a
+  // full re-encode of the restated corpus, which is the oracle
+  // (original chains for untouched rows, fixed-codebook re-encode of
+  // the restated slice).
+  private val q304 = Q(
+    "q304_pq_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cbs = graft.queries.SimFixtures.pqCodebooks(s, dir)
+      val stored = graft.queries.SimFixtures.pqCodes(s, dir)
+      val restated = e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val upserted = graft.operators.Pq.purgeCodes(stored,
+          restated.select(col("vec_id")), "vec_id")
+        .unionByName(graft.operators.Pq.encode(restated, "vec_id",
+          "embedding", 4, cbs))
+      graft.operators.Pq.adcSearch(cbs, upserted,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", m = 4,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      vx2 AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, 64),
+                 i -> qvec[65 - i]) AS qvec
+        FROM vx),
+      ${pqSubChains()},
+      ${pqRestatedEncChains("vec_id % 7 = 0")},
+      encm AS (
+        SELECT e0.vec_id, e0.code AS cb0, e1.code AS cb1,
+               e2.code AS cb2, e3.code AS cb3
+        FROM enc0 e0 JOIN enc1 e1 USING (vec_id)
+        JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)
+        WHERE e0.vec_id % 7 <> 0
+        UNION ALL
+        SELECT r0.vec_id, r0.code, r1.code, r2.code, r3.code
+        FROM encr0 r0 JOIN encr1 r1 USING (vec_id)
+        JOIN encr2 r2 USING (vec_id) JOIN encr3 r3 USING (vec_id)),
+      qs AS (SELECT DISTINCT q_id FROM qd0),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               d0.d2 + d1.d2 + d2x.d2 + d3.d2 AS adc_d2
+        FROM qs q CROSS JOIN encm e
+        JOIN qd0 d0 ON d0.q_id = q.q_id AND d0.cid = e.cb0
+        JOIN qd1 d1 ON d1.q_id = q.q_id AND d1.cid = e.cb1
+        JOIN qd2 d2x ON d2x.q_id = q.q_id AND d2x.cid = e.cb2
+        JOIN qd3 d3 ON d3.q_id = q.q_id AND d3.cid = e.cb3
+        WHERE e.vec_id <> q.q_id)
+      SELECT q_id, n_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, n_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2 ASC, n_id ASC) AS rnk
+        FROM scored)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q305
+  // HYBRID retrieval with the MaxSim scorer as the semantic side —
+  // the fusion cell on the late-interaction pillar as a worked gate
+  // (previously "composable"): BM25's lexical ranking fused by RRF
+  // with the exact multi-vector MaxSim ranking for the same query
+  // document — the ColBERT-style serving composition (lexical recall
+  // + late-interaction precision) a RAG stack actually runs. Fusion
+  // is exact integer micro-units over ranks alone, so the whole
+  // composition hash-gates. Oracle = the q242 BM25 chain + the q260
+  // MaxSim chain at topN 20 + the RRF arithmetic.
+  private val q305 = Q(
+    "q305_maxsim_hybrid_rrf",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+            explode(sequence(lit(0), lit(3))).as("vec_idx"),
+            col("embedding"))
+          .select(col("vec_id"), col("vec_idx"),
+            expr("slice(embedding, vec_idx * 16 + 1, 16)").as("vec"))
+      val text = graft.operators.Search.bm25Search(docs, "doc_id",
+        "text", terms = Seq("spark", "vector", "hash"), topN = 20)
+      val vec = graft.operators.Similarity.maxSimTopK(bag(e),
+          bag(e.filter(col("vec_id") === 7)), "vec_id", "vec_idx",
+          "vec", topK = 20)
+        .select(col("n_id").as("doc_id"), col("rnk"))
+      graft.operators.Search.rrfFuse(
+          Seq(text.select(col("doc_id"), col("rnk")), vec),
+          "doc_id", kRrf = 60, topN = 10)
+        .orderBy(col("rnk"))
+    },
+    Some(raw"""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(${SearchQueries.wordsSql}) AS token
+        FROM documents),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('spark', 'vector', 'hash')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      bmscored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score
+        FROM parts GROUP BY doc_id),
+      bm AS (
+        SELECT doc_id, rnk FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rnk
+          FROM bmscored)
+        WHERE rnk <= 20),
+      vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      sv AS (
+        SELECT vec_id, s.i AS vec_idx,
+               qvec[s.i * 16 + 1 : s.i * 16 + 16] AS v
+        FROM vx, UNNEST(generate_series(0, 3)) s(i)),
+      dots AS (
+        SELECT q.vec_id AS q_id, d.vec_id AS n_id, q.vec_idx AS qi,
+               MAX(CAST(list_dot_product(q.v, d.v) AS BIGINT)) AS m
+        FROM sv q JOIN sv d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id = 7
+        GROUP BY q.vec_id, d.vec_id, q.vec_idx),
+      sc AS (
+        SELECT q_id, n_id, SUM(m) AS score
+        FROM dots GROUP BY q_id, n_id),
+      vr AS (
+        SELECT n_id AS doc_id, rnk FROM (
+          SELECT q_id, n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY score DESC, n_id ASC) AS rnk
+          FROM sc)
+        WHERE rnk <= 20),
+      u AS (
+        SELECT doc_id, rnk FROM bm
+        UNION ALL
+        SELECT doc_id, rnk FROM vr),
+      f AS (
+        SELECT doc_id, SUM(1000000 // (60 + rnk)) AS rrf_micro,
+               COUNT(*) AS n_lists
+        FROM u GROUP BY doc_id)
+      SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+             CAST(n_lists AS BIGINT) AS n_lists,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT doc_id, rrf_micro, n_lists,
+               ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+                 AS rnk
+        FROM f)
+      WHERE rnk <= 10
+      ORDER BY rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -8060,5 +8294,5 @@ ${coarseCtes()},
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
-    q303)
+    q303, q304, q305)
 }

@@ -313,7 +313,14 @@ class PlanAuditSpec extends SparkSpec {
       // query panel's lookup-table rows) + q20's brute-baseline fan
       // (bounded panel over one base pass) + probeCost's ≤8-row probe;
       // the recall join is O(queries·k)
-      "q303_pq_recall_cost")
+      "q303_pq_recall_cost",
+      // q304 = q184's ADC serve fan over the upserted codes table; the
+      // purge is an id-keyed anti-join, the re-encode one broadcast
+      // codebook pass over the restated slice (q194's class)
+      "q304_pq_upsert",
+      // q305 = q260's exact-MaxSim fan (single-query bag — 4 rows —
+      // broadcast onto one base pass) + the 1-row BM25 stats fan
+      "q305_maxsim_hybrid_rrf")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
@@ -376,6 +383,14 @@ class PlanAuditSpec extends SparkSpec {
       case other =>
         other.metrics.get("numOutputRows").map(_.value).orElse {
           if (other.children.size == 1) rows(other.children.head)
+          // a Union has no metric of its own and several children —
+          // its row count is the children's sum (None if any child is
+          // unreadable, so an unmeasurable side still flags)
+          else if (other.isInstanceOf[
+              org.apache.spark.sql.execution.UnionExec]) {
+            val kids = other.children.map(rows)
+            if (kids.forall(_.isDefined)) Some(kids.flatten.sum) else None
+          }
           else None
         }
     }
