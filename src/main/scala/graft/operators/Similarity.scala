@@ -1068,6 +1068,68 @@ object Similarity {
       .join(costFromWalk(walk, queries, idCol, hops), Seq("q_id"))
   }
 
+  /** DIVERSIFIED edge pruning — the neighbor-selection heuristic that
+    * turns a plain top-k kNN graph into a NAVIGABLE one (the
+    * relative-neighborhood rule; DiskANN's RobustPrune and HNSW's
+    * SELECT-NEIGHBORS-HEURISTIC are its α-relaxed form): walk each
+    * vertex's rank list in (d2, dst) order and KEEP an edge
+    * (src → dst) only when no already-kept closer neighbor w COVERS
+    * it — covered ⇔ αNum·d²(w, dst) < αDen·d²(src, dst). Redundant
+    * edges into a tight cluster collapse to the one spanning edge
+    * (the cluster's other members stay reachable THROUGH it), so a
+    * beam walk's fixed per-hop fan spends its budget on distinct
+    * DIRECTIONS instead of re-offering a clique — at equal
+    * (beam, hops) the pruned graph wastes fewer evaluations on
+    * repeats, which is why every production graph index prunes at
+    * build time. Raising αDen/αNum prunes more; 1/1 is the classic
+    * RNG rule. All-integer comparisons on the grid (d² < 2⁵⁵ headroom
+    * for small α), so the greedy is bit-replayable by the oracle.
+    *
+    * Scale shape: iteration r joins the rank-r candidate edges to
+    * their src's kept-so-far set (≤ r−1 rows per src — a k-bounded
+    * fan, never a corpus self-join), fetches both endpoint vectors by
+    * id-keyed equi-joins, and anti-joins the covered pairs out;
+    * total pair work is O(|edges|·k). k is a small constant, so the
+    * k−1 chained steps keep a bounded plan (no checkpoint needed).
+    * Output: (src, dst, d2, rnk) re-ranked dense over the kept edges
+    * — every serve verb walks it unchanged. Rank 1 always survives;
+    * pruning drops edges only, so pruned ⊆ stored (spec-pinned). */
+  def pruneGraphRng(graph: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, k: Int, alphaNum: Long = 1L,
+      alphaDen: Long = 1L): DataFrame = {
+    require(k >= 1, s"pruneGraphRng: k must be >= 1, got $k")
+    require(alphaNum >= 1 && alphaDen >= 1,
+      s"pruneGraphRng: alpha must be a positive rational, got " +
+        s"$alphaNum/$alphaDen")
+    val vecs = Ivf.quantized(base, idCol, vecCol)
+      .select(col("vec_id"), col("qvec"),
+        dot(col("qvec"), col("qvec")).as("__n"))
+      .transform(graft.util.CacheScope.persist)
+    val g = graph.select(col("src"), col("dst"), col("d2"), col("rnk"))
+    var kept = g.filter(col("rnk") === 1)
+      .select(col("src"), col("dst"), col("d2"))
+    for (r <- 2 to k) {
+      val cand = g.filter(col("rnk") === r)
+        .select(col("src"), col("dst"), col("d2"))
+      val covered = cand
+        .join(kept.select(col("src"), col("dst").as("__w")), Seq("src"))
+        .join(vecs.select(col("vec_id").as("__w"),
+          col("qvec").as("__wv"), col("__n").as("__wn")), Seq("__w"))
+        .join(vecs.select(col("vec_id").as("dst"),
+          col("qvec").as("__dv"), col("__n").as("__dn")), Seq("dst"))
+        .filter(lit(alphaNum) * gridDist2(col("__wn"), col("__wv"),
+          col("__dn"), col("__dv")) < lit(alphaDen) * col("d2"))
+        .select(col("src"), col("dst")).distinct()
+      kept = kept.unionByName(
+        cand.join(covered, Seq("src", "dst"), "left_anti"))
+    }
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    kept.withColumn("rnk", row_number().over(w))
+      .select(col("src"), col("dst"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Vertex PURGE with affected-neighbor RE-ELECTION — the q227
     * bounded-min discipline on the graph pillar, the maintenance verb
     * that rewrites the stored kNN graph after deletes (masking —

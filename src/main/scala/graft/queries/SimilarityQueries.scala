@@ -5162,6 +5162,46 @@ ${walkCostSql("", 2)}
           FROM seedsc)
         WHERE rnk <= 5)"""
 
+  /** RNG-prune replay — the q306 greedy unrolled: given a RANKED
+    * graph CTE `gName` ((src, dst, d2, rnk ≤ k)), emits
+    * kept1..kept$k, where keptR adds the rank-R edges no already-kept
+    * closer neighbor covers (αNum·d²(w, dst) < αDen·d²(src, dst));
+    * callers rank kept$k. */
+  private def rngKeptCtes(k: Int, aNum: Long, aDen: Long,
+      gName: String = "seedg", vxName: String = "vx"): String = {
+    val first = raw"""
+      kept1 AS (SELECT src, dst, d2 FROM $gName WHERE rnk = 1)"""
+    val steps = (2 to k).map { r =>
+      raw"""
+      kept$r AS (
+        SELECT src, dst, d2 FROM kept${r - 1}
+        UNION ALL
+        SELECT c.src, c.dst, c.d2 FROM $gName c
+        WHERE c.rnk = $r AND NOT EXISTS (
+          SELECT 1 FROM kept${r - 1} w
+          JOIN $vxName vw ON vw.vec_id = w.dst
+          JOIN $vxName vd ON vd.vec_id = c.dst
+          WHERE w.src = c.src
+            AND $aNum * CAST(list_dot_product(vw.qvec, vw.qvec)
+              - 2.0 * list_dot_product(vw.qvec, vd.qvec)
+              + list_dot_product(vd.qvec, vd.qvec) AS BIGINT)
+              < $aDen * c.d2))"""
+    }
+    (first +: steps).mkString(",")
+  }
+
+  /** Ranked seed-graph CTE (src, dst, d2, rnk ≤ 5) over
+    * [[seedGraphCtes]]' `seedsc` — the prune/recall oracles need the
+    * ranks, not just the edge set. */
+  private val seedgCte: String = raw"""
+      seedg AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc)
+        WHERE rnk <= 5)"""
+
   /** Beam-walk replay (q264's chain as one parameterized definition):
     * given a graph CTE (`gName`, (src, dst)), `ent` (dst) and `qs`
     * (q_id, qvec) CTEs, emits ${p}c0/${p}s0/${p}b0 … ${p}s$hops/
@@ -8285,6 +8325,115 @@ ${coarseCtes()},
       ORDER BY rnk
     """))
 
+  // --------------------------------------------------------------- q306
+  // RNG/α EDGE PRUNING — the neighbor-selection heuristic every
+  // production graph index runs at build time (DiskANN RobustPrune /
+  // HNSW select-neighbors, α = 1 here — the classic
+  // relative-neighborhood rule): walk each rank list in (d2, dst)
+  // order, keep an edge only if no already-kept closer neighbor
+  // covers it (d²(w, dst) < d²(src, dst) drops it). Redundant edges
+  // into a tight cluster collapse to the spanning edge, so the beam
+  // walk's fixed fan buys DIRECTIONS instead of a clique — q307
+  // measures the payoff at equal budget. The greedy is k-bounded
+  // id-keyed joins (never a corpus self-join) and all-integer, so the
+  // oracle unrolls it bit-for-bit (kept1..kept5).
+  private val q306 = Q(
+    "q306_graph_rng_prune",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
+      graft.operators.Similarity.pruneGraphRng(g, e, "vec_id",
+          "embedding", k = 5)
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+${seedgCte},
+${rngKeptCtes(5, 1, 1)}
+      SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM kept5)
+      ORDER BY src, rnk
+    """))
+
+  // --------------------------------------------------------------- q307
+  // PRUNED-graph recall/cost — q266's audit over the q306 PRUNED
+  // edges at the identical (entryK = 2, beam = 5, hops = 2) budget:
+  // the row-for-row comparison against q266 is the pruning heuristic's
+  // measured payoff (or cost) on THIS corpus — fewer stored edges per
+  // vertex means each hop re-offers fewer clique repeats, and the
+  // audit says what that does to recall@5 and to the exact
+  // dist-eval/frontier counts. The exact side reuses the probing-all
+  // flat serve (operator-reuse discipline); ONE walk feeds recall and
+  // cost (graphRecallCost).
+  private val q307 = Q(
+    "q307_pruned_graph_recall_cost",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
+      val pruned = graft.operators.Similarity.pruneGraphRng(g, e,
+        "vec_id", "embedding", k = 5)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Ivf.filteredSearch(coarse,
+        graft.queries.SimFixtures.flatIndex(s, dir),
+        q, "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+      graft.operators.Similarity.graphRecallCost(pruned, e, q,
+          "vec_id", "embedding", exact, 5, entryK = 2, beam = 5,
+          hops = 2, topK = 5)
+        .orderBy(col("q_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+${seedgCte},
+${rngKeptCtes(5, 1, 1)},
+      pg AS (SELECT src, dst FROM kept5),
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("", 2, 5, gName = "pg")},
+      walk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM b2)
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      hits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits
+        FROM exact e
+        LEFT JOIN walk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+${walkCostSql("", 2)}
+      SELECT h.q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro,
+             c.dist_evals, c.frontier
+      FROM hits h JOIN cost c ON c.q_id = h.q_id
+      ORDER BY h.q_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -8294,5 +8443,5 @@ ${coarseCtes()},
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
-    q303, q304, q305)
+    q303, q304, q305, q306, q307)
 }

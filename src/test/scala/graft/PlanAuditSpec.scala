@@ -320,7 +320,12 @@ class PlanAuditSpec extends SparkSpec {
       "q304_pq_upsert",
       // q305 = q260's exact-MaxSim fan (single-query bag — 4 rows —
       // broadcast onto one base pass) + the 1-row BM25 stats fan
-      "q305_maxsim_hybrid_rrf")
+      "q305_maxsim_hybrid_rrf",
+      // q307 = q266's walk fans over the PRUNED graph (bounded query
+      // panel × entryK entries, per-hop broadcast beam state) +
+      // filteredSearch's ≤8-row probing-all baseline; the prune
+      // itself (q306) is k-bounded id-keyed joins with no fan
+      "q307_pruned_graph_recall_cost")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -1353,6 +1353,51 @@ class PqSpec extends SparkSpec {
     assert(walk(10) == Seq(9L, 8L), "the walk left the optimum")
   }
 
+  test("RNG prune: edges only drop, rank-1 survives, same-direction shortcuts thin, line still arrives") {
+    val s = spark
+    import s.implicits._
+    // real corpus: pruned ⊆ stored and every rank-1 edge survives
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val g = Similarity.knnGraphSeed(coarse, emb, "vec_id", "embedding", 5)
+    val pruned = Similarity.pruneGraphRng(g, emb, "vec_id", "embedding", 5)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (gSet, pSet) = (edgeSet(g), edgeSet(pruned))
+    assert(pSet.subsetOf(gSet), "pruning may only drop edges")
+    assert(pSet.size < gSet.size,
+      "the near-random corpus must contain at least one covered edge")
+    assert(edgeSet(g.filter(col("rnk") === 1)).subsetOf(pSet),
+      "every rank-1 edge must survive")
+    // 1-D line, k = 2 — the rule's semantics hand-checked: an interior
+    // vertex keeps BOTH sides (distinct directions — d²(i−1, i+1) = 4
+    // is never < d²(i, i±1) = 1 on the grid), while an endpoint's +2
+    // shortcut is covered through its +1 edge (same direction,
+    // d²(1, 2) = 1 < d²(0, 2) = 4) and drops
+    val base = (0L to 9L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val one = Ivf.centroids(base, "vec_id", "embedding", 1, 1)
+    val lg = Similarity.knnGraphSeed(one, base, "vec_id", "embedding", 2)
+    val lp = Similarity.pruneGraphRng(lg, base, "vec_id", "embedding", 2)
+    val endpoint = lp.filter(col("src") === 0)
+      .select("dst").collect().map(_.getLong(0)).toSeq
+    assert(endpoint == Seq(1L),
+      s"line endpoint must keep only its adjacent edge: $endpoint")
+    val interior = lp.filter(col("src") === 5).orderBy("rnk")
+      .select("dst").collect().map(_.getLong(0)).toSeq
+    assert(interior == Seq(4L, 6L),
+      s"interior vertex keeps both directions: $interior")
+    // the pruned line is the plain adjacency chain — the walk pays ONE
+    // extra hop for the dropped endpoint shortcut (redundancy is what
+    // was pruned) and still arrives at the same fixed point
+    val q = Seq((100L, Array(9.4f))).toDF("vec_id", "embedding")
+    def walkP(hops: Int) = Similarity.graphSearch(lp, base, q, "vec_id",
+        "embedding", entryK = 1, beam = 2, hops = hops, topK = 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(walkP(9) == Seq(9L, 8L), s"pruned walk must arrive: ${walkP(9)}")
+    assert(walkP(11) == Seq(9L, 8L), "the pruned walk left the optimum")
+  }
+
   test("multi-vector lifecycle verbs ride the multi-row machinery unchanged") {
     // the SURVEY §8 claim for the MaxSim family: its storage shape is
     // the multi-row-per-id table, so tombstone masking is the same
