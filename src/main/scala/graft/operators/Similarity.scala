@@ -1130,6 +1130,31 @@ object Similarity {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** [[pruneGraphRng]] across a WHOLE α sweep — the q240/q271 tuning
+    * artifact on the prune axis: per α (a rational on SQUARED
+    * distances, so the DiskANN distance-α corresponds to α² here),
+    * the kept-edge census an operator reads before committing a prune
+    * level to the stored graph — total edges, sources retaining any
+    * edge, and the max out-degree (the walk's worst-case per-vertex
+    * fan). Edge counts need not be monotone in α: the greedy's kept
+    * set feeds later cover checks, so a looser cover can drop an
+    * early edge whose absence then SAVES a later one — which is why
+    * this is measured, not derived. Output: (a_num, a_den, n_edges,
+    * n_srcs, max_degree), one row per α. */
+  def pruneSweep(graph: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, k: Int, alphas: Seq[(Long, Long)]): DataFrame = {
+    require(alphas.nonEmpty, "pruneSweep: need at least one alpha")
+    alphas.map { case (num, den) =>
+      pruneGraphRng(graph, base, idCol, vecCol, k, num, den)
+        .groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .agg(sum(col("__d")).as("n_edges"),
+          count(lit(1)).as("n_srcs"),
+          max(col("__d")).as("max_degree"))
+        .select(lit(num).as("a_num"), lit(den).as("a_den"),
+          col("n_edges"), col("n_srcs"), col("max_degree"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Vertex PURGE with affected-neighbor RE-ELECTION — the q227
     * bounded-min discipline on the graph pillar, the maintenance verb
     * that rewrites the stored kNN graph after deletes (masking —

@@ -5168,17 +5168,18 @@ ${walkCostSql("", 2)}
     * closer neighbor covers (αNum·d²(w, dst) < αDen·d²(src, dst));
     * callers rank kept$k. */
   private def rngKeptCtes(k: Int, aNum: Long, aDen: Long,
-      gName: String = "seedg", vxName: String = "vx"): String = {
+      gName: String = "seedg", vxName: String = "vx",
+      p: String = "kept"): String = {
     val first = raw"""
-      kept1 AS (SELECT src, dst, d2 FROM $gName WHERE rnk = 1)"""
+      ${p}1 AS (SELECT src, dst, d2 FROM $gName WHERE rnk = 1)"""
     val steps = (2 to k).map { r =>
       raw"""
-      kept$r AS (
-        SELECT src, dst, d2 FROM kept${r - 1}
+      ${p}$r AS (
+        SELECT src, dst, d2 FROM ${p}${r - 1}
         UNION ALL
         SELECT c.src, c.dst, c.d2 FROM $gName c
         WHERE c.rnk = $r AND NOT EXISTS (
-          SELECT 1 FROM kept${r - 1} w
+          SELECT 1 FROM ${p}${r - 1} w
           JOIN $vxName vw ON vw.vec_id = w.dst
           JOIN $vxName vd ON vd.vec_id = c.dst
           WHERE w.src = c.src
@@ -8434,6 +8435,54 @@ ${walkCostSql("", 2)}
       ORDER BY h.q_id
     """))
 
+  // --------------------------------------------------------------- q308
+  // PRUNE α SWEEP — the q240/q271 tuning artifact on the prune axis:
+  // the kept-edge census at α ∈ {2/3·, 1·, 3/2·} of the squared
+  // distance (aggressive → classic RNG → conservative), read before
+  // committing a prune level to the stored graph. Non-monotonicity is
+  // possible by construction (the greedy's kept set feeds later cover
+  // checks), which is exactly why the census is measured per α rather
+  // than derived. Oracle replays all three greedy chains.
+  private val q308 = Q(
+    "q308_prune_alpha_sweep",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
+      graft.operators.Similarity.pruneSweep(g, e, "vec_id", "embedding",
+          k = 5, alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+        .orderBy(col("a_num"), col("a_den"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+${seedgCte},
+${rngKeptCtes(5, 1, 1, p = "ka")},
+${rngKeptCtes(5, 2, 3, p = "kb")},
+${rngKeptCtes(5, 3, 2, p = "kc")},
+      dega AS (SELECT src, COUNT(*) AS d FROM ka5 GROUP BY src),
+      degb AS (SELECT src, COUNT(*) AS d FROM kb5 GROUP BY src),
+      degc AS (SELECT src, COUNT(*) AS d FROM kc5 GROUP BY src),
+      stats AS (
+        SELECT 1 AS a_num, 1 AS a_den, SUM(d) AS n_edges,
+               COUNT(*) AS n_srcs, MAX(d) AS max_degree
+        FROM dega
+        UNION ALL
+        SELECT 2, 3, SUM(d), COUNT(*), MAX(d) FROM degb
+        UNION ALL
+        SELECT 3, 2, SUM(d), COUNT(*), MAX(d) FROM degc)
+      SELECT CAST(a_num AS BIGINT) AS a_num,
+             CAST(a_den AS BIGINT) AS a_den,
+             CAST(n_edges AS BIGINT) AS n_edges,
+             CAST(n_srcs AS BIGINT) AS n_srcs,
+             CAST(max_degree AS BIGINT) AS max_degree
+      FROM stats
+      ORDER BY a_num, a_den
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -8443,5 +8492,5 @@ ${walkCostSql("", 2)}
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
-    q303, q304, q305, q306, q307)
+    q303, q304, q305, q306, q307, q308)
 }
