@@ -1096,23 +1096,40 @@ object Similarity {
     * pruning drops edges only, so pruned ⊆ stored (spec-pinned). */
   def pruneGraphRng(graph: DataFrame, base: DataFrame, idCol: String,
       vecCol: String, k: Int, alphaNum: Long = 1L,
-      alphaDen: Long = 1L): DataFrame = {
+      alphaDen: Long = 1L): DataFrame =
+    pruneGraphRngQuantized(graph, Ivf.quantized(base, idCol, vecCol),
+      k, alphaNum, alphaDen)
+
+  /** [[pruneGraphRng]] over an ALREADY-QUANTIZED (vec_id, qvec) frame
+    * — the form the maintenance verbs compose, where the vectors come
+    * from the stored flat-index rows rather than a raw corpus scan. */
+  def pruneGraphRngQuantized(graph: DataFrame, quantized: DataFrame,
+      k: Int, alphaNum: Long = 1L, alphaDen: Long = 1L): DataFrame = {
     require(k >= 1, s"pruneGraphRng: k must be >= 1, got $k")
     require(alphaNum >= 1 && alphaDen >= 1,
       s"pruneGraphRng: alpha must be a positive rational, got " +
         s"$alphaNum/$alphaDen")
-    val vecs = Ivf.quantized(base, idCol, vecCol)
+    val vecs = quantized
       .select(col("vec_id"), col("qvec"),
         dot(col("qvec"), col("qvec")).as("__n"))
       .transform(graft.util.CacheScope.persist)
     val g = graph.select(col("src"), col("dst"), col("d2"), col("rnk"))
     var kept = g.filter(col("rnk") === 1)
       .select(col("src"), col("dst"), col("d2"))
+    // each round reads the kept-so-far set TWICE (the cover join and
+    // the union) — lazy chaining would double the plan per round, so
+    // rounds checkpoint (≤ n·k rows) and superseded checkpoints
+    // release eagerly (the knnGraph rotation discipline)
+    var lastCheckpoint: Option[DataFrame] = None
     for (r <- 2 to k) {
+      val cp = kept.localCheckpoint()
+      lastCheckpoint.foreach(
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
+      lastCheckpoint = Some(cp)
       val cand = g.filter(col("rnk") === r)
         .select(col("src"), col("dst"), col("d2"))
       val covered = cand
-        .join(kept.select(col("src"), col("dst").as("__w")), Seq("src"))
+        .join(cp.select(col("src"), col("dst").as("__w")), Seq("src"))
         .join(vecs.select(col("vec_id").as("__w"),
           col("qvec").as("__wv"), col("__n").as("__wn")), Seq("__w"))
         .join(vecs.select(col("vec_id").as("dst"),
@@ -1120,14 +1137,75 @@ object Similarity {
         .filter(lit(alphaNum) * gridDist2(col("__wn"), col("__wv"),
           col("__dn"), col("__dv")) < lit(alphaDen) * col("d2"))
         .select(col("src"), col("dst")).distinct()
-      kept = kept.unionByName(
+      kept = cp.unionByName(
         cand.join(covered, Seq("src", "dst"), "left_anti"))
     }
+    lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("d2").asc, col("dst").asc)
     kept.withColumn("rnk", row_number().over(w))
       .select(col("src"), col("dst"), col("d2"),
         col("rnk").cast("int").as("rnk"))
+  }
+
+  /** O(changed) maintenance of the PRUNED serving graph — the answer
+    * to "do I re-prune the world after an upsert?": NO, because the
+    * prune is a PURE PER-SOURCE function of the source's rank list
+    * and its neighbors' vectors, and the upsert already re-elected
+    * every source whose list (or any list-member's vector) changed —
+    * a source the upsert passed through verbatim has an unchanged
+    * bag over unchanged vectors, so its pruned rows are unchanged by
+    * determinism. This verb composes [[upsertKnnSeed]] with a
+    * re-prune of ONLY the changed sources (batch ids ∪ sources
+    * adjacent to a batch dst ∪ live members of every cell the batch
+    * touches under the old or new assignment — a conservative
+    * superset of the upsert's own rewrite set, derived from the same
+    * public inputs; re-pruning an unchanged source is a no-op, so the
+    * superset costs work, never correctness), passing every other
+    * source's stored pruned rows through verbatim. ≡ the full
+    * re-prune of the upserted graph (the gate oracle); all joins are
+    * id/cell-keyed with batch-proportional broadcast sides. */
+  def upsertPrunedKnnSeed(storedGraph: DataFrame,
+      storedPruned: DataFrame, storedIndex: DataFrame,
+      batchIndex: DataFrame, k: Int, alphaNum: Long = 1L,
+      alphaDen: Long = 1L): DataFrame = {
+    require(k >= 1, s"upsertPrunedKnnSeed: k must be >= 1, got $k")
+    val ids = batchIndex.select(col("vec_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    val upserted = upsertKnnSeed(storedGraph, storedIndex, batchIndex, k)
+      .transform(graft.util.CacheScope.persist)
+    // the changed-source superset, from the same inputs the upsert
+    // reads: restated/new ids; sources whose stored list contains a
+    // restated dst (their d2s moved); members of every batch-touched
+    // cell under the OLD assignment (storedIndex rows of batch ids)
+    // or the NEW one (batchIndex rows) — the append's re-election set
+    val adj = storedGraph
+      .join(broadcast(ids.select(col("vec_id").as("dst"))), Seq("dst"),
+        "left_semi")
+      .select(col("src"))
+    val cells = storedIndex
+      .join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .select(col("cid"))
+      .unionByName(batchIndex.select(col("cid")))
+      .distinct()
+    val members = storedIndex
+      .join(broadcast(cells), Seq("cid"), "left_semi")
+      .select(col("vec_id").as("src"))
+    val changed = ids.select(col("vec_id").as("src"))
+      .unionByName(adj).unionByName(members).distinct()
+      .transform(graft.util.CacheScope.persist)
+    // post-upsert vector table = live stored rows ∪ the batch rows
+    // (both already quantized flat-index rows — no corpus re-scan)
+    val vecs = storedIndex.select(col("vec_id"), col("qvec"))
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .unionByName(batchIndex.select(col("vec_id"), col("qvec")))
+    val rePruned = pruneGraphRngQuantized(
+      upserted.join(broadcast(changed), Seq("src"), "left_semi"),
+      vecs, k, alphaNum, alphaDen)
+    val passthrough = storedPruned
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .join(broadcast(changed), Seq("src"), "left_anti")
+    rePruned.unionByName(passthrough)
   }
 
   /** [[pruneGraphRng]] across a WHOLE α sweep — the q240/q271 tuning

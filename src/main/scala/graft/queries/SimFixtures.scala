@@ -95,6 +95,15 @@ private[queries] object SimFixtures {
     layeredSeed(s, dir).filter(col("layer") === 0)
       .select(col("src"), col("dst"), col("d2"), col("rnk"))
 
+  /** The stored PRUNED flat graph (k = 5, α = 1/1 — the classic RNG
+    * rule over [[flatGraph]]) — the navigable serve table the q309
+    * incremental maintenance keeps current. */
+  def prunedFlat(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "pruned_flat_k5_a1") {
+      graft.operators.Similarity.pruneGraphRng(flatGraph(s, dir),
+        emb(s, dir), "vec_id", "embedding", k = 5)
+    }
+
   /** Attributed flat index (label rides the row — q235's at-source
     * discipline), the table every filtered serve verb scans. */
   def flatIndexLabeled(s: SparkSession, dir: String): DataFrame =

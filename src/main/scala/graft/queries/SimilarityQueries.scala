@@ -8483,6 +8483,84 @@ ${rngKeptCtes(5, 3, 2, p = "kc")},
       ORDER BY a_num, a_den
     """))
 
+  // --------------------------------------------------------------- q309
+  // O(changed) PRUNED-graph upsert — "do I re-prune the world after a
+  // restatement?" answered NO and gated: the prune is a pure
+  // per-source function of the source's rank list and its neighbors'
+  // vectors, so only the upsert's changed-source superset (batch ids,
+  // sources adjacent to a batch dst, members of batch-touched cells —
+  // derived from the same public inputs, conservative by determinism)
+  // re-prunes; every other source's STORED pruned rows pass through
+  // verbatim, and the vectors come from the stored flat-index rows —
+  // no corpus re-scan anywhere. Oracle = the FULL re-prune of the
+  // full seed rebuild over the restated corpus (q269's restatement,
+  // q306's greedy, composed).
+  private val q309 = Q(
+    "q309_pruned_graph_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val storedIndex = graft.queries.SimFixtures.flatIndex(s, dir)
+      val storedGraph = graft.queries.SimFixtures.flatGraph(s, dir)
+      val storedPruned = graft.queries.SimFixtures.prunedFlat(s, dir)
+      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
+        e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      graft.operators.Similarity.upsertPrunedKnnSeed(storedGraph,
+          storedPruned, storedIndex, batchIndex, k = 5)
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+      seedsc2 AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof2 a
+        JOIN cellof2 b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx2 va ON va.vec_id = a.vec_id
+        JOIN vx2 vb ON vb.vec_id = b.vec_id),
+      seedg AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc2)
+        WHERE rnk <= 5),
+${rngKeptCtes(5, 1, 1, vxName = "vx2")}
+      SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM kept5)
+      ORDER BY src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -8492,5 +8570,5 @@ ${rngKeptCtes(5, 3, 2, p = "kc")},
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
-    q303, q304, q305, q306, q307, q308)
+    q303, q304, q305, q306, q307, q308, q309)
 }

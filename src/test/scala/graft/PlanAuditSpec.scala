@@ -325,7 +325,11 @@ class PlanAuditSpec extends SparkSpec {
       // panel × entryK entries, per-hop broadcast beam state) +
       // filteredSearch's ≤8-row probing-all baseline; the prune
       // itself (q306) is k-bounded id-keyed joins with no fan
-      "q307_pruned_graph_recall_cost")
+      "q307_pruned_graph_recall_cost",
+      // q309 = q269's upsert fans (the batch flatIndex's ≤8-row coarse
+      // assignment); the re-prune and passthrough are id/cell-keyed
+      // joins with batch-proportional broadcast sides
+      "q309_pruned_graph_upsert")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

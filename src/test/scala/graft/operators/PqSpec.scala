@@ -1398,6 +1398,37 @@ class PqSpec extends SparkSpec {
     assert(walkP(11) == Seq(9L, 8L), "the pruned walk left the optimum")
   }
 
+  test("pruned-graph upsert: incremental ≡ full re-prune on two batch shapes") {
+    val s = spark
+    import s.implicits._
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val idx = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val g = Similarity.knnGraphSeed(coarse, emb, "vec_id", "embedding", 5)
+    val pruned = Similarity.pruneGraphRng(g, emb, "vec_id", "embedding", 5)
+    def restatedCorpus(pred: org.apache.spark.sql.Column) =
+      emb.select(col("vec_id"),
+        when(pred, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+    def check(pred: org.apache.spark.sql.Column, label: String): Unit = {
+      val batch = Ivf.flatIndex(coarse,
+        emb.filter(pred)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      val inc = Similarity.upsertPrunedKnnSeed(g, pruned, idx, batch, 5)
+        .orderBy("src", "rnk").collect().toSeq
+      val full = Similarity.pruneGraphRng(
+          Similarity.upsertKnnSeed(g, idx, batch, 5),
+          restatedCorpus(pred), "vec_id", "embedding", 5)
+        .orderBy("src", "rnk").collect().toSeq
+      assert(inc == full,
+        s"$label: incremental pruned upsert diverged from the full re-prune")
+    }
+    // multi-cell restatement (the gate's shape) and a single-id batch
+    // (most sources pass through verbatim — the O(changed) case)
+    check(col("vec_id") % 7 === 0, "multi-cell")
+    check(col("vec_id") === 7, "single-id")
+  }
+
   test("multi-vector lifecycle verbs ride the multi-row machinery unchanged") {
     // the SURVEY §8 claim for the MaxSim family: its storage shape is
     // the multi-row-per-id table, so tombstone masking is the same
