@@ -1208,6 +1208,33 @@ object Similarity {
     rePruned.unionByName(passthrough)
   }
 
+  /** Per-LAYER RNG/α pruning for the layered (HNSW-shape) graph —
+    * HNSW applies its select-neighbors heuristic PER LAYER, and the
+    * prune is a per-source function WITHIN a layer (layers share
+    * nothing but the vectors), so the layered form is exactly
+    * [[pruneGraphRng]] mapped over the layer slices under one shared
+    * quantized-vector table. Upper layers are geometrically small, so
+    * the added work is the usual layered geometric series. Output:
+    * (layer, src, dst, d2, rnk) — [[layeredGraphSearch]] walks it
+    * unchanged. */
+  def pruneLayeredGraphRng(layeredGraph: DataFrame, base: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxLayer: Int,
+      alphaNum: Long = 1L, alphaDen: Long = 1L): DataFrame = {
+    require(maxLayer >= 0,
+      s"pruneLayeredGraphRng: maxLayer must be >= 0, got $maxLayer")
+    val vecs = Ivf.quantized(base, idCol, vecCol)
+      .transform(graft.util.CacheScope.persist)
+    (0 to maxLayer).map { l =>
+      pruneGraphRngQuantized(
+        layeredGraph.filter(col("layer") === l)
+          .select(col("src"), col("dst"), col("d2"), col("rnk")),
+        vecs, k, alphaNum, alphaDen)
+        .withColumn("layer", lit(l))
+    }.reduce(_.unionByName(_))
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+  }
+
   /** [[pruneGraphRng]] across a WHOLE α sweep — the q240/q271 tuning
     * artifact on the prune axis: per α (a rational on SQUARED
     * distances, so the DiskANN distance-α corresponds to α² here),

@@ -8379,9 +8379,9 @@ ${rngKeptCtes(5, 1, 1)}
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val coarse = graft.queries.SimFixtures.coarse(s, dir)
-      val g = graft.queries.SimFixtures.flatGraph(s, dir)
-      val pruned = graft.operators.Similarity.pruneGraphRng(g, e,
-        "vec_id", "embedding", k = 5)
+      // the STORED pruned table (SimFixtures — built once with the
+      // real operator, served from parquet; oracle = full replay)
+      val pruned = graft.queries.SimFixtures.prunedFlat(s, dir)
       val q = e.filter(col("vec_id") < 10)
       val exact = graft.operators.Ivf.filteredSearch(coarse,
         graft.queries.SimFixtures.flatIndex(s, dir),
@@ -8561,6 +8561,76 @@ ${rngKeptCtes(5, 1, 1, vxName = "vx2")}
       ORDER BY src, rnk
     """))
 
+  // --------------------------------------------------------------- q310
+  // LAYERED RNG pruning — q306's heuristic applied the way HNSW
+  // actually applies it: PER LAYER (select-neighbors runs on each
+  // layer's candidate list; layers share nothing but the vectors), so
+  // the layered form maps the gated flat greedy over the layer slices
+  // of the stored table under one shared vector scan. Upper layers
+  // are geometrically small — the usual layered cost series. Oracle
+  // replays all three per-layer greedy chains.
+  private val q310 = Q(
+    "q310_layered_rng_prune",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
+      graft.operators.Similarity.pruneLayeredGraphRng(lg, e, "vec_id",
+          "embedding", k = 5, maxLayer = 2)
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+      l0gr AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM l0sc)
+        WHERE rnk <= 5),
+      l1gr AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM l1sc)
+        WHERE rnk <= 5),
+      l2gr AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM l2sc)
+        WHERE rnk <= 5),
+${rngKeptCtes(5, 1, 1, gName = "l0gr", p = "l0k")},
+${rngKeptCtes(5, 1, 1, gName = "l1gr", p = "l1k")},
+${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")}
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l0k5
+        UNION ALL
+        SELECT 1, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM l1k5
+        UNION ALL
+        SELECT 2, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM l2k5)
+      ORDER BY layer, src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -8570,5 +8640,5 @@ ${rngKeptCtes(5, 1, 1, vxName = "vx2")}
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
-    q303, q304, q305, q306, q307, q308, q309)
+    q303, q304, q305, q306, q307, q308, q309, q310)
 }
