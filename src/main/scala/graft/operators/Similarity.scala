@@ -1085,12 +1085,13 @@ object Similarity {
     * RNG rule. All-integer comparisons on the grid (d² < 2⁵⁵ headroom
     * for small α), so the greedy is bit-replayable by the oracle.
     *
-    * Scale shape: iteration r joins the rank-r candidate edges to
-    * their src's kept-so-far set (≤ r−1 rows per src — a k-bounded
-    * fan, never a corpus self-join), fetches both endpoint vectors by
-    * id-keyed equi-joins, and anti-joins the covered pairs out;
-    * total pair work is O(|edges|·k). k is a small constant, so the
-    * k−1 chained steps keep a bounded plan (no checkpoint needed).
+    * Scale shape: every neighbor-pair distance the greedy can consult
+    * computes ONCE into an O(|edges|·k) pair table (two id-keyed
+    * joins against the vector table — the only corpus-vector work in
+    * the operator); iteration r is then a (src, w)-keyed semi-join of
+    * that table's rank-r slice against the kept-so-far set (≤ r−1
+    * rows per src — k-bounded, never a corpus self-join) plus an
+    * anti-join, and rounds checkpoint so the plan stays linear in k.
     * Output: (src, dst, d2, rnk) re-ranked dense over the kept edges
     * — every serve verb walks it unchanged. Rank 1 always survives;
     * pruning drops edges only, so pruned ⊆ stored (spec-pinned). */
@@ -1112,13 +1113,32 @@ object Similarity {
     val vecs = quantized
       .select(col("vec_id"), col("qvec"),
         dot(col("qvec"), col("qvec")).as("__n"))
-      .transform(graft.util.CacheScope.persist)
     val g = graph.select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    // EVERY neighbor-pair distance the greedy can ever consult,
+    // computed ONCE: for each src, (w, dst) pairs over its rank list
+    // with rank(w) < rank(dst) (only earlier-rank neighbors can be
+    // kept when dst is judged) — O(|edges|·k) rows, and the ONLY two
+    // id-keyed joins against the vector table in the whole operator
+    // (the per-iteration form would re-shuffle the corpus-sized
+    // vector table 2(k−1) times)
+    val pairD2 = g.select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .join(g.select(col("src"), col("dst").as("__w"),
+        col("rnk").as("__wrnk")), Seq("src"))
+      .filter(col("__wrnk") < col("rnk"))
+      .join(vecs.select(col("vec_id").as("__w"),
+        col("qvec").as("__wv"), col("__n").as("__wn")), Seq("__w"))
+      .join(vecs.select(col("vec_id").as("dst"),
+        col("qvec").as("__dv"), col("__n").as("__dn")), Seq("dst"))
+      .select(col("src"), col("dst"), col("d2"), col("rnk"),
+        col("__w"), gridDist2(col("__wn"), col("__wv"),
+          col("__dn"), col("__dv")).as("__wd2"))
+      .transform(graft.util.CacheScope.persist)
     var kept = g.filter(col("rnk") === 1)
       .select(col("src"), col("dst"), col("d2"))
-    // each round reads the kept-so-far set TWICE (the cover join and
-    // the union) — lazy chaining would double the plan per round, so
-    // rounds checkpoint (≤ n·k rows) and superseded checkpoints
+    // each round reads the kept-so-far set TWICE (the cover semi-join
+    // and the union) — lazy chaining would double the plan per round,
+    // so rounds checkpoint (≤ n·k rows) and superseded checkpoints
     // release eagerly (the knnGraph rotation discipline)
     var lastCheckpoint: Option[DataFrame] = None
     for (r <- 2 to k) {
@@ -1126,19 +1146,16 @@ object Similarity {
       lastCheckpoint.foreach(
         org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
       lastCheckpoint = Some(cp)
-      val cand = g.filter(col("rnk") === r)
-        .select(col("src"), col("dst"), col("d2"))
-      val covered = cand
-        .join(cp.select(col("src"), col("dst").as("__w")), Seq("src"))
-        .join(vecs.select(col("vec_id").as("__w"),
-          col("qvec").as("__wv"), col("__n").as("__wn")), Seq("__w"))
-        .join(vecs.select(col("vec_id").as("dst"),
-          col("qvec").as("__dv"), col("__n").as("__dn")), Seq("dst"))
-        .filter(lit(alphaNum) * gridDist2(col("__wn"), col("__wv"),
-          col("__dn"), col("__dv")) < lit(alphaDen) * col("d2"))
+      val covered = pairD2.filter(col("rnk") === r)
+        .join(cp.select(col("src"), col("dst").as("__w")),
+          Seq("src", "__w"), "left_semi")
+        .filter(lit(alphaNum) * col("__wd2") <
+          lit(alphaDen) * col("d2"))
         .select(col("src"), col("dst")).distinct()
       kept = cp.unionByName(
-        cand.join(covered, Seq("src", "dst"), "left_anti"))
+        g.filter(col("rnk") === r)
+          .select(col("src"), col("dst"), col("d2"))
+          .join(covered, Seq("src", "dst"), "left_anti"))
     }
     lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
     val w = Window.partitionBy(col("src"))
