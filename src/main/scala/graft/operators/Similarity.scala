@@ -1189,8 +1189,15 @@ object Similarity {
     require(k >= 1, s"upsertPrunedKnnSeed: k must be >= 1, got $k")
     val ids = batchIndex.select(col("vec_id")).distinct()
       .transform(graft.util.CacheScope.persist)
-    val upserted = upsertKnnSeed(storedGraph, storedIndex, batchIndex, k)
-      .transform(graft.util.CacheScope.persist)
+    // CHECKPOINT (not persist): the prune loop downstream issues one
+    // action per round, and each action re-ANALYZES its full logical
+    // tree — a persist caches execution but the upsert's deep lineage
+    // would still be re-planned per action (measured 13→178 s as the
+    // input lineage deepens). The checkpoint truncates the tree to an
+    // RDD scan, so every downstream plan compiles small.
+    val upserted = graft.util.CacheScope.registerCheckpointed(
+      upsertKnnSeed(storedGraph, storedIndex, batchIndex, k)
+        .localCheckpoint())
     // the changed-source superset, from the same inputs the upsert
     // reads: restated/new ids; sources whose stored list contains a
     // restated dst (their d2s moved); members of every batch-touched
