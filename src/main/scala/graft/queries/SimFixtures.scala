@@ -104,6 +104,16 @@ private[queries] object SimFixtures {
         emb(s, dir), "vec_id", "embedding", k = 5)
     }
 
+  /** The stored PRUNED LAYERED graph (k = 5, α = 1/1 per layer — the
+    * q310 build) — the table the q311 per-layer maintenance keeps
+    * current. */
+  def prunedLayered(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "pruned_layered_k5_a1") {
+      graft.operators.Similarity.pruneLayeredGraphRng(
+        layeredSeed(s, dir), emb(s, dir), "vec_id", "embedding",
+        k = 5, maxLayer = 2)
+    }
+
   /** Attributed flat index (label rides the row — q235's at-source
     * discipline), the table every filtered serve verb scans. */
   def flatIndexLabeled(s: SparkSession, dir: String): DataFrame =

@@ -8631,6 +8631,117 @@ ${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")}
       ORDER BY layer, src, rnk
     """))
 
+  // --------------------------------------------------------------- q311
+  // O(changed) LAYERED pruned-graph upsert — q309's maintenance verb
+  // where HNSW actually lives: per layer (promotion is a pure
+  // function of the id, so a layer's member set is closed under
+  // restatement and the flat verb applies to each slice — stored
+  // layer graph, stored layer prune, member-restricted index and
+  // batch). Each layer re-prunes only its changed-source superset and
+  // passes its other sources' stored pruned rows through verbatim;
+  // upper layers are geometrically small. Oracle = the full per-layer
+  // re-prune of the full restated rebuild (q290's restatement
+  // replay + q306's greedy per layer).
+  private val q311 = Q(
+    "q311_layered_pruned_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val lg0 = graft.queries.SimFixtures.layeredSeed(s, dir)
+      val lp0 = graft.queries.SimFixtures.prunedLayered(s, dir)
+      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
+        e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      (0 to 2).map { l =>
+        val member = col("vec_id") % (1L << l) === 0
+        graft.operators.Similarity.upsertPrunedKnnSeed(
+            lg0.filter(col("layer") === l)
+              .select(col("src"), col("dst"), col("d2"), col("rnk")),
+            lp0.filter(col("layer") === l)
+              .select(col("src"), col("dst"), col("d2"), col("rnk")),
+            idx.filter(member), batchIndex.filter(member), k = 5)
+          .withColumn("layer", lit(l))
+      }.reduce(_.unionByName(_))
+        .select(col("layer").cast("int").as("layer"), col("src"),
+          col("dst"), col("d2"), col("rnk"))
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+${layerSeedCtes("r0", "TRUE", cellofName = "cellof2", vxName = "vx2")},
+${layerSeedCtes("r1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0",
+      cellofName = "cellof2", vxName = "vx2")},
+${layerSeedCtes("r2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0",
+      cellofName = "cellof2", vxName = "vx2")},
+      r0gr AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM r0sc)
+        WHERE rnk <= 5),
+      r1gr AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM r1sc)
+        WHERE rnk <= 5),
+      r2gr AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM r2sc)
+        WHERE rnk <= 5),
+${rngKeptCtes(5, 1, 1, gName = "r0gr", vxName = "vx2", p = "r0k")},
+${rngKeptCtes(5, 1, 1, gName = "r1gr", vxName = "vx2", p = "r1k")},
+${rngKeptCtes(5, 1, 1, gName = "r2gr", vxName = "vx2", p = "r2k")}
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM r0k5
+        UNION ALL
+        SELECT 1, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM r1k5
+        UNION ALL
+        SELECT 2, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM r2k5)
+      ORDER BY layer, src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -8640,5 +8751,5 @@ ${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")}
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
-    q303, q304, q305, q306, q307, q308, q309, q310)
+    q303, q304, q305, q306, q307, q308, q309, q310, q311)
 }

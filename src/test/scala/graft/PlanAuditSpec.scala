@@ -329,7 +329,10 @@ class PlanAuditSpec extends SparkSpec {
       // q309 = q269's upsert fans (the batch flatIndex's ≤8-row coarse
       // assignment); the re-prune and passthrough are id/cell-keyed
       // joins with batch-proportional broadcast sides
-      "q309_pruned_graph_upsert")
+      "q309_pruned_graph_upsert",
+      // q311 = q309's fans applied per layer (the one batch flatIndex
+      // coarse fan; per-layer slices are pushed parquet filters)
+      "q311_layered_pruned_upsert")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
