@@ -1103,26 +1103,68 @@ object Similarity {
 
   /** [[pruneGraphRng]] over an ALREADY-QUANTIZED (vec_id, qvec) frame
     * — the form the maintenance verbs compose, where the vectors come
-    * from the stored flat-index rows rather than a raw corpus scan. */
+    * from the stored flat-index rows rather than a raw corpus scan.
+    *
+    * Preconditions (fail-loud, not silently wrong): `graph.rnk` must
+    * be dense 1..≤k per source — an input whose max rank exceeds `k`
+    * would silently TRUNCATE the pruned graph (ranks past the loop
+    * bound neither keep nor consult as covers), so a bounded 1-row
+    * probe raises instead. α is capped at 256/256: the cover compare
+    * multiplies αNum/αDen into grid d² values (< 2⁵⁵), so bounding α
+    * ≤ 2⁸ makes Long overflow impossible by construction. `quantized`
+    * must cover every vertex the graph references — a missing vector
+    * drops its pairs from the cover table, which would mis-read its
+    * edges as uncovered (kept). */
   def pruneGraphRngQuantized(graph: DataFrame, quantized: DataFrame,
       k: Int, alphaNum: Long = 1L, alphaDen: Long = 1L): DataFrame = {
+    val g = pruneInputChecked(graph, k, alphaNum, alphaDen)
+    val pairD2 = rngPairTable(g, quantized)
+    rngGreedy(g, pairD2, k, alphaNum, alphaDen)
+  }
+
+  /** Shared prune-input validation: parameter requires plus the
+    * bounded 1-row max-rank probe (the ADVICE fail-loud rule — a
+    * stored graph built with a larger k must raise, not truncate).
+    * Returns the persisted (src, dst, d2, rnk) projection every
+    * greedy reads. */
+  private def pruneInputChecked(graph: DataFrame, k: Int,
+      alphaNum: Long, alphaDen: Long): DataFrame = {
     require(k >= 1, s"pruneGraphRng: k must be >= 1, got $k")
     require(alphaNum >= 1 && alphaDen >= 1,
       s"pruneGraphRng: alpha must be a positive rational, got " +
         s"$alphaNum/$alphaDen")
+    require(alphaNum <= 256 && alphaDen <= 256,
+      s"pruneGraphRng: alpha bounded to 256/256 (grid d2 < 2^55 " +
+        s"headroom — larger multipliers could overflow Long and " +
+        s"silently flip the cover compare), got $alphaNum/$alphaDen")
+    val g = graph.select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    // bounded driver action (1 row, partial-combining max over the
+    // persisted edge table): rnk past k would silently drop edges
+    val maxRnk = g.agg(max(col("rnk"))).head()
+    if (!maxRnk.isNullAt(0)) {
+      val m = maxRnk.get(0).asInstanceOf[Number].intValue
+      require(m <= k,
+        s"pruneGraphRng: graph max rnk $m > k=$k — ranks past k " +
+          "would be silently dropped (neither kept nor consulted as " +
+          "covers); pass the k the graph was built with")
+    }
+    g
+  }
+
+  /** EVERY neighbor-pair distance the greedy can ever consult,
+    * computed ONCE: for each src, (w, dst) pairs over its rank list
+    * with rank(w) < rank(dst) (only earlier-rank neighbors can be
+    * kept when dst is judged) — O(|edges|·k) rows, and the ONLY two
+    * id-keyed joins against the vector table in the whole operator
+    * (the per-iteration form would re-shuffle the corpus-sized
+    * vector table 2(k−1) times). α-independent, so a sweep builds it
+    * once and reuses it across every α (the ADVICE factoring). */
+  private def rngPairTable(g: DataFrame, quantized: DataFrame): DataFrame = {
     val vecs = quantized
       .select(col("vec_id"), col("qvec"),
         dot(col("qvec"), col("qvec")).as("__n"))
-    val g = graph.select(col("src"), col("dst"), col("d2"), col("rnk"))
-      .transform(graft.util.CacheScope.persist)
-    // EVERY neighbor-pair distance the greedy can ever consult,
-    // computed ONCE: for each src, (w, dst) pairs over its rank list
-    // with rank(w) < rank(dst) (only earlier-rank neighbors can be
-    // kept when dst is judged) — O(|edges|·k) rows, and the ONLY two
-    // id-keyed joins against the vector table in the whole operator
-    // (the per-iteration form would re-shuffle the corpus-sized
-    // vector table 2(k−1) times)
-    val pairD2 = g.select(col("src"), col("dst"), col("d2"), col("rnk"))
+    g.select(col("src"), col("dst"), col("d2"), col("rnk"))
       .join(g.select(col("src"), col("dst").as("__w"),
         col("rnk").as("__wrnk")), Seq("src"))
       .filter(col("__wrnk") < col("rnk"))
@@ -1134,6 +1176,13 @@ object Similarity {
         col("__w"), gridDist2(col("__wn"), col("__wv"),
           col("__dn"), col("__dv")).as("__wd2"))
       .transform(graft.util.CacheScope.persist)
+  }
+
+  /** The RNG/α greedy over a prebuilt [[rngPairTable]]: rank 1 always
+    * survives; round r keeps the rank-r edges no already-kept closer
+    * neighbor covers. Output re-ranked dense over the kept edges. */
+  private def rngGreedy(g: DataFrame, pairD2: DataFrame, k: Int,
+      alphaNum: Long, alphaDen: Long): DataFrame = {
     var kept = g.filter(col("rnk") === 1)
       .select(col("src"), col("dst"), col("d2"))
     // each round reads the kept-so-far set TWICE (the cover semi-join
@@ -1181,7 +1230,20 @@ object Similarity {
     * superset costs work, never correctness), passing every other
     * source's stored pruned rows through verbatim. ≡ the full
     * re-prune of the upserted graph (the gate oracle); all joins are
-    * id/cell-keyed with batch-proportional broadcast sides. */
+    * id/cell-keyed with batch-proportional broadcast sides.
+    *
+    * Preconditions: `storedPruned` must have been built with the SAME
+    * (alphaNum, alphaDen) passed here — the passthrough copies stored
+    * rows verbatim, so a mismatched α yields a silently
+    * mixed-discipline table (carry α next to the stored table the way
+    * the calibration family carries its bounds generation). And
+    * `storedIndex` must cover every live vertex the stored graph
+    * references — the determinism argument reads "unchanged bag over
+    * unchanged VECTORS", so a vertex missing from the index frame
+    * loses its pairs in the re-prune's cover table and its edges
+    * mis-read as uncovered. Both are state-integrity contracts on the
+    * stored tables (the q252 manifest is the check that catches a
+    * violated one), not per-call validations. */
   def upsertPrunedKnnSeed(storedGraph: DataFrame,
       storedPruned: DataFrame, storedIndex: DataFrame,
       batchIndex: DataFrame, k: Int, alphaNum: Long = 1L,
@@ -1268,13 +1330,28 @@ object Similarity {
     * fan). Edge counts need not be monotone in α: the greedy's kept
     * set feeds later cover checks, so a looser cover can drop an
     * early edge whose absence then SAVES a later one — which is why
-    * this is measured, not derived. Output: (a_num, a_den, n_edges,
-    * n_srcs, max_degree), one row per α. */
+    * this is measured, not derived. The corpus quantizes ONCE and the
+    * α-independent [[rngPairTable]] builds ONCE, shared across every
+    * sweep point — only the k-bounded greedy reruns per α (the
+    * per-α-rebuild form re-paid the two corpus-vector joins for every
+    * point). Output: (a_num, a_den, n_edges, n_srcs, max_degree), one
+    * row per α. */
   def pruneSweep(graph: DataFrame, base: DataFrame, idCol: String,
-      vecCol: String, k: Int, alphas: Seq[(Long, Long)]): DataFrame = {
+      vecCol: String, k: Int, alphas: Seq[(Long, Long)]): DataFrame =
+    pruneSweepQuantized(graph, Ivf.quantized(base, idCol, vecCol), k,
+      alphas)
+
+  /** [[pruneSweep]] over an already-quantized (vec_id, qvec) frame —
+    * the shared-pair-table core, also the per-layer unit of
+    * [[pruneLayeredSweep]]. */
+  def pruneSweepQuantized(graph: DataFrame, quantized: DataFrame,
+      k: Int, alphas: Seq[(Long, Long)]): DataFrame = {
     require(alphas.nonEmpty, "pruneSweep: need at least one alpha")
+    val g = pruneInputChecked(graph, k, alphas.map(_._1).max,
+      alphas.map(_._2).max)
+    val pairD2 = rngPairTable(g, quantized)
     alphas.map { case (num, den) =>
-      pruneGraphRng(graph, base, idCol, vecCol, k, num, den)
+      rngGreedy(g, pairD2, k, num, den)
         .groupBy(col("src")).agg(count(lit(1)).as("__d"))
         .agg(sum(col("__d")).as("n_edges"),
           count(lit(1)).as("n_srcs"),
@@ -1282,6 +1359,34 @@ object Similarity {
         .select(lit(num).as("a_num"), lit(den).as("a_den"),
           col("n_edges"), col("n_srcs"), col("max_degree"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** [[pruneSweep]] PER LAYER — where HNSW's efConstruction/α trade
+    * actually lives: select-neighbors runs per layer, and the right α
+    * can differ by layer (upper layers are sparse long-range scaffolds
+    * — over-pruning there severs the only cross-cell waypoints; the
+    * base layer holds the local structure that tolerates aggressive
+    * pruning). One shared quantized-vector scan; per layer the
+    * α-independent pair table builds once and every α reuses it.
+    * Output: (layer, a_num, a_den, n_edges, n_srcs, max_degree) — the
+    * per-layer kept-edge census an operator reads the knee from
+    * before committing per-layer α levels to the stored graph. */
+  def pruneLayeredSweep(layeredGraph: DataFrame, base: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxLayer: Int,
+      alphas: Seq[(Long, Long)]): DataFrame = {
+    require(maxLayer >= 0,
+      s"pruneLayeredSweep: maxLayer must be >= 0, got $maxLayer")
+    val vecs = Ivf.quantized(base, idCol, vecCol)
+      .transform(graft.util.CacheScope.persist)
+    (0 to maxLayer).map { l =>
+      pruneSweepQuantized(
+        layeredGraph.filter(col("layer") === l)
+          .select(col("src"), col("dst"), col("d2"), col("rnk")),
+        vecs, k, alphas)
+        .withColumn("layer", lit(l))
+    }.reduce(_.unionByName(_))
+      .select(col("layer").cast("int").as("layer"), col("a_num"),
+        col("a_den"), col("n_edges"), col("n_srcs"), col("max_degree"))
   }
 
   /** Vertex PURGE with affected-neighbor RE-ELECTION — the q227
