@@ -8742,6 +8742,233 @@ ${rngKeptCtes(5, 1, 1, gName = "r2gr", vxName = "vx2", p = "r2k")}
       ORDER BY layer, src, rnk
     """))
 
+  /** Per-layer rank CTE over [[layerSeedCtes]]' `${p}sc` scored
+    * pairs: `${p}gr` = (src, dst, d2, rnk ≤ 5) — the ranked form the
+    * per-layer prune replays consume (q310/q311's inline copies
+    * predate the helper and are frozen). */
+  private def layerRankedCte(p: String): String = raw"""
+      ${p}gr AS (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM ${p}sc)
+        WHERE rnk <= 5)"""
+
+  // --------------------------------------------------------------- q312
+  // Descending search over the PRUNED layered graph — the serve verb
+  // the q310 build and q311 maintenance exist to feed, previously
+  // never gated end-to-end: layeredGraphSearch walks the STORED
+  // pruned table (SimFixtures — the parquet a deployment that adopted
+  // per-layer pruning actually reads) with q278's exact budget, so
+  // the row-for-row diff against q278 is the prune's measured effect
+  // on the served result at equal (entryK, beam, hopsPerLayer). The
+  // operator is table-agnostic — same descent, thinner out-edges —
+  // which is exactly the claim: pruning changes the TABLE, never the
+  // serve plan. Oracle = per-layer seed + greedy replay, then q278's
+  // chained walk over the kept edges.
+  private val q312 = Q(
+    "q312_pruned_layered_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lp = graft.queries.SimFixtures.prunedLayered(s, dir)
+      graft.operators.Similarity.layeredGraphSearch(lp, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          maxLayer = 2, entryK = 2, beam = 5, hopsPerLayer = 1,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+${layerRankedCte("l0")},
+${layerRankedCte("l1")},
+${layerRankedCte("l2")},
+${rngKeptCtes(5, 1, 1, gName = "l0gr", p = "l0k")},
+${rngKeptCtes(5, 1, 1, gName = "l1gr", p = "l1k")},
+${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")},
+      ent AS (SELECT vec_id AS dst FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("t", 1, 5, gName = "l2k5")},
+${walkCtes("m", 1, 5, gName = "l1k5", init = Some("tb1"))},
+${walkCtes("w", 1, 5, gName = "l0k5", init = Some("mb1"))}
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM wb1)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q313
+  // TOMBSTONE-MASKED serving over the PRUNED flat graph — q267's
+  // serving semantic composed onto the q306 artifact: deletes land as
+  // a tombstone set and the walk over the STORED pruned table must
+  // stop returning them NOW, with zero re-prune (dead vertices still
+  // ROUTE — on a pruned graph even more so, since each dropped
+  // redundant edge makes the surviving waypoints the ONLY paths; the
+  // mask is the one O(deleted) anti-join over the walk's bounded
+  // evaluated-candidate union at rank time, k back-filling from live
+  // candidates). Proves the mask verb is graph-agnostic: same
+  // operator, pruned table. Oracle = greedy replay + q267's masked
+  // walk over the kept edges.
+  private val q313 = Q(
+    "q313_masked_pruned_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val pruned = graft.queries.SimFixtures.prunedFlat(s, dir)
+      graft.operators.Similarity.graphSearchMasked(pruned, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
+          entryK = 2, beam = 5, hops = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+${seedgCte},
+${rngKeptCtes(5, 1, 1)},
+      pg AS (SELECT src, dst FROM kept5),
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("", 2, 5, gName = "pg")},
+      seen AS (
+        ${seenSql("", 2)}),
+      live AS (
+        SELECT q_id, dst, d2 FROM seen WHERE dst % 5 <> 0)
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM live)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q314
+  // ATTRIBUTE-FILTERED serving over the PRUNED flat graph — q270's
+  // "nearest WHERE label = 3" on the q306 artifact, closing the
+  // filter × index-family matrix's pruned cell: walk the stored
+  // pruned table UNFILTERED (on a pruned graph the non-matching
+  // waypoints are even more load-bearing — redundant paths were
+  // exactly what the prune removed), predicate only at rank time over
+  // the bounded evaluated-candidate union. With q313 this gives the
+  // pruned table the full serving-stack composition every other index
+  // family has (q238's discipline: the stored artifact serves masked
+  // AND filtered without a rebuild). Oracle = greedy replay + q270's
+  // filtered walk over the kept edges.
+  private val q314 = Q(
+    "q314_filtered_pruned_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val pruned = graft.queries.SimFixtures.prunedFlat(s, dir)
+      graft.operators.Similarity.graphSearchFiltered(pruned, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          col("label") === 3, entryK = 2, beam = 5, hops = 2, topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+${seedgCte},
+${rngKeptCtes(5, 1, 1)},
+      pg AS (SELECT src, dst FROM kept5),
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("", 2, 5, gName = "pg")},
+      seen AS (
+        ${seenSql("", 2)}),
+      kept AS (
+        SELECT sn.q_id, sn.dst, sn.d2
+        FROM seen sn JOIN embeddings em ON em.vec_id = sn.dst
+        WHERE em.label = 3)
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM kept)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q315
+  // PER-LAYER prune α sweep — q308's tuning artifact where HNSW's
+  // efConstruction/α trade actually lives: select-neighbors runs PER
+  // LAYER and the right α differs by layer (upper layers are sparse
+  // long-range scaffolds whose few edges are each load-bearing; the
+  // base layer's dense local structure tolerates aggressive pruning),
+  // so the census an operator reads the knee from must be per
+  // (layer, α). The α-independent neighbor-pair table builds once per
+  // layer and all three α greedies reuse it (the shared-scan
+  // factoring); everything reads the STORED layered table. Oracle
+  // replays all nine per-layer greedy chains.
+  private val q315 = Q(
+    "q315_layered_prune_alpha_sweep",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
+      graft.operators.Similarity.pruneLayeredSweep(lg, e, "vec_id",
+          "embedding", k = 5, maxLayer = 2,
+          alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+        .orderBy(col("layer"), col("a_num"), col("a_den"))
+    },
+    Some {
+      val chains = (0 to 2).flatMap { l =>
+        Seq(("a", 1L, 1L), ("b", 2L, 3L), ("c", 3L, 2L)).map {
+          case (t, n, d) =>
+            rngKeptCtes(5, n, d, gName = s"l${l}gr", p = s"l${l}k$t")
+        }
+      }.mkString(",")
+      val census = (0 to 2).flatMap { l =>
+        Seq(("a", 1, 1), ("b", 2, 3), ("c", 3, 2)).map { case (t, n, d) =>
+          s"""SELECT $l AS layer, $n AS a_num, $d AS a_den,
+               SUM(dd) AS n_edges, COUNT(*) AS n_srcs,
+               MAX(dd) AS max_degree
+        FROM (SELECT src, COUNT(*) AS dd FROM l${l}k${t}5 GROUP BY src)"""
+        }
+      }.mkString("\n        UNION ALL\n        ")
+      raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+${layerRankedCte("l0")},
+${layerRankedCte("l1")},
+${layerRankedCte("l2")},
+$chains,
+      stats AS (
+        $census)
+      SELECT CAST(layer AS INTEGER) AS layer,
+             CAST(a_num AS BIGINT) AS a_num,
+             CAST(a_den AS BIGINT) AS a_den,
+             CAST(n_edges AS BIGINT) AS n_edges,
+             CAST(n_srcs AS BIGINT) AS n_srcs,
+             CAST(max_degree AS BIGINT) AS max_degree
+      FROM stats
+      ORDER BY layer, a_num, a_den
+    """
+    })
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -8751,5 +8978,6 @@ ${rngKeptCtes(5, 1, 1, gName = "r2gr", vxName = "vx2", p = "r2k")}
     q269, q270, q271, q272, q273, q274, q275, q276, q277, q278, q279,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
-    q303, q304, q305, q306, q307, q308, q309, q310, q311)
+    q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313,
+    q314, q315)
 }

@@ -332,7 +332,16 @@ class PlanAuditSpec extends SparkSpec {
       "q309_pruned_graph_upsert",
       // q311 = q309's fans applied per layer (the one batch flatIndex
       // coarse fan; per-layer slices are pushed parquet filters)
-      "q311_layered_pruned_upsert")
+      "q311_layered_pruned_upsert",
+      // q312 = q278's descent fans over the STORED pruned layered
+      // table (bounded query panel × entryK entries, per-hop broadcast
+      // beam state carried across layers); the table swap adds nothing
+      "q312_pruned_layered_search",
+      // q313/q314 = q267/q270's walk fans over the stored pruned flat
+      // table; the mask/predicate is an id-keyed anti/inner join over
+      // the bounded seen-union
+      "q313_masked_pruned_search",
+      "q314_filtered_pruned_search")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
