@@ -1127,8 +1127,8 @@ object Similarity {
     * stored graph built with a larger k must raise, not truncate).
     * Returns the persisted (src, dst, d2, rnk) projection every
     * greedy reads. */
-  private def pruneInputChecked(graph: DataFrame, k: Int,
-      alphaNum: Long, alphaDen: Long): DataFrame = {
+  private def pruneParamsChecked(k: Int, alphaNum: Long,
+      alphaDen: Long): Unit = {
     require(k >= 1, s"pruneGraphRng: k must be >= 1, got $k")
     require(alphaNum >= 1 && alphaDen >= 1,
       s"pruneGraphRng: alpha must be a positive rational, got " +
@@ -1137,6 +1137,11 @@ object Similarity {
       s"pruneGraphRng: alpha bounded to 256/256 (grid d2 < 2^55 " +
         s"headroom — larger multipliers could overflow Long and " +
         s"silently flip the cover compare), got $alphaNum/$alphaDen")
+  }
+
+  private def pruneInputChecked(graph: DataFrame, k: Int,
+      alphaNum: Long, alphaDen: Long): DataFrame = {
+    pruneParamsChecked(k, alphaNum, alphaDen)
     val g = graph.select(col("src"), col("dst"), col("d2"), col("rnk"))
       .transform(graft.util.CacheScope.persist)
     // bounded driver action (1 row, partial-combining max over the
@@ -1179,40 +1184,65 @@ object Similarity {
   }
 
   /** The RNG/α greedy over a prebuilt [[rngPairTable]]: rank 1 always
-    * survives; round r keeps the rank-r edges no already-kept closer
-    * neighbor covers. Output re-ranked dense over the kept edges. */
+    * survives; rank r keeps its edge iff no already-kept closer
+    * neighbor covers it. Output re-ranked dense over the kept edges.
+    *
+    * Shape: the greedy is PER-SOURCE sequential — each source's kept
+    * set depends only on its OWN rank list and the pair distances
+    * among its ≤k neighbors — so the whole prune is ONE src-keyed
+    * shuffle plus an in-row rank-ordered fold (`aggregate` over the
+    * collected list, the kept accumulator k-bounded). The earlier
+    * round-per-rank form ran (k−1) driver actions with a checkpoint
+    * each and shuffled the kept set every round; measured on the gate
+    * suite the fold form more than halved the prune families'
+    * wall-clock, and at scale it shuffles the edge table ONCE instead
+    * of k times. Kept order = rank order = (d2, dst) order, so the
+    * output rank is the fold position — no re-rank window needed. */
   private def rngGreedy(g: DataFrame, pairD2: DataFrame, k: Int,
-      alphaNum: Long, alphaDen: Long): DataFrame = {
-    var kept = g.filter(col("rnk") === 1)
-      .select(col("src"), col("dst"), col("d2"))
-    // each round reads the kept-so-far set TWICE (the cover semi-join
-    // and the union) — lazy chaining would double the plan per round,
-    // so rounds checkpoint (≤ n·k rows) and superseded checkpoints
-    // release eagerly (the knnGraph rotation discipline)
-    var lastCheckpoint: Option[DataFrame] = None
-    for (r <- 2 to k) {
-      val cp = kept.localCheckpoint()
-      lastCheckpoint.foreach(
-        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
-      lastCheckpoint = Some(cp)
-      val covered = pairD2.filter(col("rnk") === r)
-        .join(cp.select(col("src"), col("dst").as("__w")),
-          Seq("src", "__w"), "left_semi")
-        .filter(lit(alphaNum) * col("__wd2") <
-          lit(alphaDen) * col("d2"))
-        .select(col("src"), col("dst")).distinct()
-      kept = cp.unionByName(
-        g.filter(col("rnk") === r)
-          .select(col("src"), col("dst"), col("d2"))
-          .join(covered, Seq("src", "dst"), "left_anti"))
-    }
-    lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("d2").asc, col("dst").asc)
-    kept.withColumn("rnk", row_number().over(w))
-      .select(col("src"), col("dst"), col("d2"),
-        col("rnk").cast("int").as("rnk"))
+      alphaNum: Long, alphaDen: Long): DataFrame =
+    rngFold(rngFoldInput(g, pairD2), alphaNum, alphaDen)
+
+  /** The fold's α-INDEPENDENT input: per source, the rank-sorted
+    * neighbor list with each neighbor's earlier-rank pair distances
+    * nested in-row — built once, folded per α (the sweep's shared
+    * artifact; one src-keyed shuffle). */
+  private def rngFoldInput(g: DataFrame, pairD2: DataFrame): DataFrame = {
+    val covers = pairD2.groupBy(col("src"), col("dst"))
+      .agg(collect_list(struct(col("__w").as("w"),
+        col("__wd2").as("wd2"))).as("__covers"))
+    g.join(covers, Seq("src", "dst"), "left")
+      .select(col("src"), struct(col("rnk"), col("dst"), col("d2"),
+        coalesce(col("__covers"),
+          expr("cast(array() as array<struct<w: bigint, wd2: bigint>>)"))
+          .as("covers")).as("__e"))
+      .groupBy(col("src"))
+      .agg(expr(raw"""
+        array_sort(collect_list(__e),
+          (a, b) -> CASE WHEN a.rnk < b.rnk THEN -1
+                         WHEN a.rnk > b.rnk THEN 1
+                         ELSE 0 END)""").as("__es"))
   }
+
+  /** The in-row greedy: rank-ordered fold with the k-bounded kept
+    * accumulator; an edge survives iff no already-kept earlier-rank
+    * neighbor α-covers it. Map-only over [[rngFoldInput]]. */
+  private def rngFold(perSrc: DataFrame, alphaNum: Long,
+      alphaDen: Long): DataFrame =
+    perSrc
+      .select(col("src"), expr(raw"""
+        aggregate(__es,
+          cast(array() as array<struct<dst: bigint, d2: bigint>>),
+          (acc, e) -> CASE WHEN NOT exists(e.covers,
+                             c -> exists(acc, a -> a.dst = c.w)
+                               AND $alphaNum * c.wd2 < $alphaDen * e.d2)
+                      THEN array_append(acc,
+                             named_struct('dst', e.dst, 'd2', e.d2))
+                      ELSE acc END)""").as("__kept"))
+      .select(col("src"),
+        posexplode(col("__kept")).as(Seq("__p", "__k")))
+      .select(col("src"), col("__k.dst").as("dst"),
+        col("__k.d2").as("d2"),
+        (col("__p") + 1).cast("int").as("rnk"))
 
   /** O(changed) maintenance of the PRUNED serving graph — the answer
     * to "do I re-prune the world after an upsert?": NO, because the
@@ -1251,12 +1281,15 @@ object Similarity {
     require(k >= 1, s"upsertPrunedKnnSeed: k must be >= 1, got $k")
     val ids = batchIndex.select(col("vec_id")).distinct()
       .transform(graft.util.CacheScope.persist)
-    // CHECKPOINT (not persist): the prune loop downstream issues one
-    // action per round, and each action re-ANALYZES its full logical
-    // tree — a persist caches execution but the upsert's deep lineage
-    // would still be re-planned per action (measured 13→178 s as the
-    // input lineage deepens). The checkpoint truncates the tree to an
-    // RDD scan, so every downstream plan compiles small.
+    // CHECKPOINT (not persist): truncates the purge∘append tree to an
+    // RDD scan so every downstream plan compiles small. Measured BOTH
+    // ways twice: with the round-based greedy (one action per rank)
+    // removal cost 13→178 s; with the action-free fold greedy a lazy
+    // form STILL cost 7→18 s on the layered gate — the upsert tree is
+    // deep enough that even a few downstream actions (persist
+    // materializations, the final collect) re-pay its analysis, and a
+    // persist would not stop that. The rule survives the greedy
+    // redesign: checkpoint the deep input, not persist it.
     val upserted = graft.util.CacheScope.registerCheckpointed(
       upsertKnnSeed(storedGraph, storedIndex, batchIndex, k)
         .localCheckpoint())
@@ -1285,9 +1318,17 @@ object Similarity {
     val vecs = storedIndex.select(col("vec_id"), col("qvec"))
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
       .unionByName(batchIndex.select(col("vec_id"), col("qvec")))
-    val rePruned = pruneGraphRngQuantized(
-      upserted.join(broadcast(changed), Seq("src"), "left_semi"),
-      vecs, k, alphaNum, alphaDen)
+    // internal greedy, NO max-rank probe: the graph comes from
+    // upsertKnnSeed(k) two lines up, so rnk ≤ k holds by construction
+    // — the probe's action would re-pay the semi-join per layer for a
+    // precondition this verb itself establishes
+    pruneParamsChecked(k, alphaNum, alphaDen)
+    val gChanged = upserted
+      .join(broadcast(changed), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, vecs), k,
+      alphaNum, alphaDen)
     val passthrough = storedPruned
       .select(col("src"), col("dst"), col("d2"), col("rnk"))
       .join(broadcast(changed), Seq("src"), "left_anti")
@@ -1349,9 +1390,12 @@ object Similarity {
     require(alphas.nonEmpty, "pruneSweep: need at least one alpha")
     val g = pruneInputChecked(graph, k, alphas.map(_._1).max,
       alphas.map(_._2).max)
-    val pairD2 = rngPairTable(g, quantized)
+    // the fold input is α-independent: ONE src-keyed shuffle shared
+    // across the whole sweep; each α is then a map-only fold
+    val perSrc = rngFoldInput(g, rngPairTable(g, quantized))
+      .transform(graft.util.CacheScope.persist)
     alphas.map { case (num, den) =>
-      rngGreedy(g, pairD2, k, num, den)
+      rngFold(perSrc, num, den)
         .groupBy(col("src")).agg(count(lit(1)).as("__d"))
         .agg(sum(col("__d")).as("n_edges"),
           count(lit(1)).as("n_srcs"),

@@ -114,6 +114,51 @@ private[queries] object SimFixtures {
         k = 5, maxLayer = 2)
     }
 
+  // ---- FINE-geometry (64-cell) fixture family — the pruned-graph
+  // UPSERT gates' tables. At the suite's 8-cell geometry any
+  // non-trivial batch touches EVERY cell, so the upserts' conservative
+  // changed-source superset degenerates to the whole corpus and the
+  // gates paid full re-prunes (q311 was the suite's heaviest query,
+  // r15 verdict). 64 cells with a small batch makes the superset a
+  // REAL subset, so the O(changed) bound the verbs claim actually
+  // shows in the bench. The serve/audit family stays on the 8-cell
+  // tables; only the upsert gates read these. ----
+
+  def coarseF(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "coarse_64x2") {
+      graft.operators.Ivf.centroids(emb(s, dir), "vec_id", "embedding",
+        64, 2)
+    }
+
+  def flatIndexF(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "flat_index_64x2") {
+      graft.operators.Ivf.flatIndex(coarseF(s, dir), emb(s, dir),
+        "vec_id", "embedding", Nil)
+    }
+
+  def layeredSeedF(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "layered_seed_k5_l2_64") {
+      graft.operators.Similarity.layeredKnnGraphWith(coarseF(s, dir),
+        emb(s, dir), "vec_id", "embedding", k = 5, maxLayer = 2)
+    }
+
+  def flatGraphF(s: SparkSession, dir: String): DataFrame =
+    layeredSeedF(s, dir).filter(col("layer") === 0)
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+
+  def prunedFlatF(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "pruned_flat_k5_a1_64") {
+      graft.operators.Similarity.pruneGraphRng(flatGraphF(s, dir),
+        emb(s, dir), "vec_id", "embedding", k = 5)
+    }
+
+  def prunedLayeredF(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "pruned_layered_k5_a1_64") {
+      graft.operators.Similarity.pruneLayeredGraphRng(
+        layeredSeedF(s, dir), emb(s, dir), "vec_id", "embedding",
+        k = 5, maxLayer = 2)
+    }
+
   /** Attributed flat index (label rides the row — q235's at-source
     * discipline), the table every filtered serve verb scans. */
   def flatIndexLabeled(s: SparkSession, dir: String): DataFrame =

@@ -888,10 +888,11 @@ object SimilarityQueries extends QueryPack {
     * Lloyd arithmetic cannot drift across oracles (used by
     * q197/q198/q202; the q36/q110/q185/q186/q189 copies predate the
     * helper and are frozen). */
-  private def coarseCtes(trainWhere: String = "TRUE"): String = raw"""
+  private def coarseCtes(trainWhere: String = "TRUE",
+      cells: Int = 8): String = raw"""
       vxt AS (SELECT * FROM vx WHERE $trainWhere),
       co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vxt
-              WHERE vec_id IN (SELECT vec_id FROM vxt ORDER BY vec_id ASC LIMIT 8)),
+              WHERE vec_id IN (SELECT vec_id FROM vxt ORDER BY vec_id ASC LIMIT $cells)),
       ca1 AS (
         SELECT vec_id, qvec, cid FROM (
           SELECT vec_id, qvec, cid,
@@ -4141,7 +4142,8 @@ ${coarseCtes()},
   // on the stored ANN/search pillar: per stored table (coarse
   // assignment, the MaxSim BAG table (vec_id, vec_idx, quantized
   // vec), calibration bounds, calibrated codes, the stored kNN
-  // GRAPH (src, dst, d2, rnk), positional postings), row count + an
+  // GRAPH (src, dst, d2, rnk), the layered graph, the PRUNED flat and
+  // layered serve tables, positional postings), row count + an
   // order-invariant bit-XOR content
   // checksum, derived at build and re-derived before serving so a
   // dropped part-file surfaces as a loud mismatch instead of silently
@@ -4197,7 +4199,17 @@ ${coarseCtes()},
           concat_ws("|", col("layer"), col("src"), col("dst"),
             col("d2"), col("rnk"))),
         ("postings", postings,
-          concat_ws("|", col("token"), col("doc_id"), col("pos")))))
+          concat_ws("|", col("token"), col("doc_id"), col("pos"))),
+        // the PRUNED serve tables (q306/q310's artifacts) — a
+        // deployment that adopts pruning serves walks from THESE, so
+        // a dropped part-file here must surface before q307/q312's
+        // reads, not as silently wrong descents
+        ("pruned", graft.queries.SimFixtures.prunedFlat(s, dir),
+          concat_ws("|", col("src"), col("dst"), col("d2"), col("rnk"))),
+        ("pruned_layered",
+          graft.queries.SimFixtures.prunedLayered(s, dir),
+          concat_ws("|", col("layer"), col("src"), col("dst"),
+            col("d2"), col("rnk")))))
         .orderBy(col("table_name"))
     },
     Some(raw"""
@@ -4313,13 +4325,49 @@ ${layerSeedCtes("z2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
                  ('0x' || substr(md5(layer || '|' || src || '|' || dst
                    || '|' || d2 || '|' || rnk), 1, 15))::BIGINT), 0)
                  AS checksum
-        FROM lall)
+        FROM lall),
+${rngKeptCtes(5, 1, 1)},
+      prf AS (
+        SELECT src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM kept5),
+      mgp AS (
+        SELECT 'pruned' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(src || '|' || dst || '|' || d2
+                   || '|' || rnk), 1, 15))::BIGINT), 0) AS checksum
+        FROM prf),
+${layerRankedCte("z1")},
+${layerRankedCte("z2")},
+${rngKeptCtes(5, 1, 1, gName = "z1gr", p = "z1k")},
+${rngKeptCtes(5, 1, 1, gName = "z2gr", p = "z2k")},
+      plall AS (
+        SELECT 0 AS layer, src, dst, d2, rnk FROM prf
+        UNION ALL
+        SELECT 1, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM z1k5
+        UNION ALL
+        SELECT 2, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM z2k5),
+      mlp AS (
+        SELECT 'pruned_layered' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(layer || '|' || src || '|' || dst
+                   || '|' || d2 || '|' || rnk), 1, 15))::BIGINT), 0)
+                 AS checksum
+        FROM plall)
       SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
              CAST(checksum AS BIGINT) AS checksum
       FROM (SELECT * FROM ma UNION ALL SELECT * FROM mbag
             UNION ALL SELECT * FROM mb
             UNION ALL SELECT * FROM mc UNION ALL SELECT * FROM mg
-            UNION ALL SELECT * FROM ml UNION ALL SELECT * FROM mp)
+            UNION ALL SELECT * FROM ml UNION ALL SELECT * FROM mp
+            UNION ALL SELECT * FROM mgp UNION ALL SELECT * FROM mlp)
       ORDER BY table_name
     """))
 
@@ -8492,21 +8540,30 @@ ${rngKeptCtes(5, 3, 2, p = "kc")},
   // derived from the same public inputs, conservative by determinism)
   // re-prunes; every other source's STORED pruned rows pass through
   // verbatim, and the vectors come from the stored flat-index rows —
-  // no corpus re-scan anywhere. Oracle = the FULL re-prune of the
-  // full seed rebuild over the restated corpus (q269's restatement,
-  // q306's greedy, composed).
+  // no corpus re-scan anywhere. Runs on the FINE-geometry (64-cell)
+  // fixture family with a sparse (%307) batch so the changed-source
+  // superset is a REAL subset and the O(changed) bound SHOWS in the
+  // bench (at 8 cells any non-trivial batch touches every cell and
+  // the gate degenerated to three full re-prunes — r15 verdict; the
+  // multi-cell full-superset shape stays spec-pinned in PqSpec).
+  // Oracle = the FULL re-prune of the full seed rebuild over the
+  // restated corpus (q269's restatement, q306's greedy, composed).
   private val q309 = Q(
     "q309_pruned_graph_upsert",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.queries.SimFixtures.coarse(s, dir)
-      val storedIndex = graft.queries.SimFixtures.flatIndex(s, dir)
-      val storedGraph = graft.queries.SimFixtures.flatGraph(s, dir)
-      val storedPruned = graft.queries.SimFixtures.prunedFlat(s, dir)
-      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
-        e.filter(col("vec_id") % 7 === 0)
-          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
-        "vec_id", "embedding", Nil)
+      val coarse = graft.queries.SimFixtures.coarseF(s, dir)
+      val storedIndex = graft.queries.SimFixtures.flatIndexF(s, dir)
+      val storedGraph = graft.queries.SimFixtures.flatGraphF(s, dir)
+      val storedPruned = graft.queries.SimFixtures.prunedFlatF(s, dir)
+      // pinned: the upsert's ids/cells/vecs derivations and the seed
+      // merge each re-read the batch index — without the pin every
+      // read re-runs the assignment (scan + 64-cell fan + rank)
+      val batchIndex = graft.util.CacheScope.persist(
+        graft.operators.Ivf.flatIndex(coarse,
+          e.filter(col("vec_id") % 307 === 0)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+          "vec_id", "embedding", Nil))
       graft.operators.Similarity.upsertPrunedKnnSeed(storedGraph,
           storedPruned, storedIndex, batchIndex, k = 5)
         .orderBy(col("src"), col("rnk"))
@@ -8516,10 +8573,10 @@ ${rngKeptCtes(5, 3, 2, p = "kc")},
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
         FROM embeddings),
-${coarseCtes()},
+${coarseCtes(cells = 64)},
       vx2 AS (
         SELECT vec_id,
-               CASE WHEN vec_id % 7 = 0
+               CASE WHEN vec_id % 307 = 0
                     THEN list_transform(generate_series(1, 64),
                            i -> qvec[65 - i])
                     ELSE qvec END AS qvec
@@ -8639,21 +8696,28 @@ ${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")}
   // layer graph, stored layer prune, member-restricted index and
   // batch). Each layer re-prunes only its changed-source superset and
   // passes its other sources' stored pruned rows through verbatim;
-  // upper layers are geometrically small. Oracle = the full per-layer
-  // re-prune of the full restated rebuild (q290's restatement
-  // replay + q306's greedy per layer).
+  // upper layers are geometrically small. Runs on the FINE-geometry
+  // (64-cell) fixture family with the sparse %307 batch — q309's
+  // gate-hygiene rationale per layer (this was the suite's heaviest
+  // query at the 8-cell geometry, where the superset degenerated to
+  // three full re-prunes). Oracle = the full per-layer re-prune of
+  // the full restated rebuild (q290's restatement replay + q306's
+  // greedy per layer).
   private val q311 = Q(
     "q311_layered_pruned_upsert",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.queries.SimFixtures.coarse(s, dir)
-      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
-      val lg0 = graft.queries.SimFixtures.layeredSeed(s, dir)
-      val lp0 = graft.queries.SimFixtures.prunedLayered(s, dir)
-      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
-        e.filter(col("vec_id") % 7 === 0)
-          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
-        "vec_id", "embedding", Nil)
+      val coarse = graft.queries.SimFixtures.coarseF(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndexF(s, dir)
+      val lg0 = graft.queries.SimFixtures.layeredSeedF(s, dir)
+      val lp0 = graft.queries.SimFixtures.prunedLayeredF(s, dir)
+      // pinned: three layers × the upsert's several batch reads (the
+      // q309 pin rationale, multiplied by the layer count)
+      val batchIndex = graft.util.CacheScope.persist(
+        graft.operators.Ivf.flatIndex(coarse,
+          e.filter(col("vec_id") % 307 === 0)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+          "vec_id", "embedding", Nil))
       (0 to 2).map { l =>
         val member = col("vec_id") % (1L << l) === 0
         graft.operators.Similarity.upsertPrunedKnnSeed(
@@ -8673,10 +8737,10 @@ ${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")}
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
         FROM embeddings),
-${coarseCtes()},
+${coarseCtes(cells = 64)},
       vx2 AS (
         SELECT vec_id,
-               CASE WHEN vec_id % 7 = 0
+               CASE WHEN vec_id % 307 = 0
                     THEN list_transform(generate_series(1, 64),
                            i -> qvec[65 - i])
                     ELSE qvec END AS qvec

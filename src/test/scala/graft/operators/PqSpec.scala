@@ -1396,6 +1396,31 @@ class PqSpec extends SparkSpec {
       .orderBy("rnk").collect().map(_.getLong(1)).toSeq
     assert(walkP(9) == Seq(9L, 8L), s"pruned walk must arrive: ${walkP(9)}")
     assert(walkP(11) == Seq(9L, 8L), "the pruned walk left the optimum")
+    // MANIFEST-VERIFIED serve from the STORED pruned table (q252's
+    // verify-before-serve on the pruned artifact): the parquet
+    // round-trip's manifest must equal the build's manifest BEFORE
+    // anything walks it — a dropped part-file surfaces here, not as
+    // silently wrong neighbors — and the stored walk ≡ the in-plan
+    // walk
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_stored_pruned").toString
+    pruned.write.parquet(s"$sdir/pruned")
+    val storedP = spark.read.parquet(s"$sdir/pruned")
+    def pManifest(df: org.apache.spark.sql.DataFrame) =
+      Layout.indexManifest(Seq(("pruned", df,
+          concat_ws("|", col("src"), col("dst"), col("d2"),
+            col("rnk")))))
+        .collect().toSeq
+    assert(pManifest(storedP) == pManifest(pruned),
+      "stored pruned manifest diverged from the build manifest — " +
+        "refuse to serve")
+    val qp = emb.filter(col("vec_id") < 5)
+    def pServe(graph: org.apache.spark.sql.DataFrame) =
+      Similarity.graphSearch(graph, emb, qp, "vec_id", "embedding",
+          entryK = 2, beam = 5, hops = 2, topK = 5)
+        .orderBy("q_id", "rnk").collect().toSeq
+    assert(pServe(storedP) == pServe(pruned),
+      "stored pruned serving diverged from the in-plan serve")
   }
 
   test("pruned-graph upsert: incremental ≡ full re-prune on two batch shapes") {
