@@ -9033,6 +9033,46 @@ $chains,
     """
     })
 
+  // --------------------------------------------------------------- q316
+  // STREAMING graph-ANN seed candidates — the last class-only cell in
+  // the §8 streaming row, closed with a worked gate (q302's stateless
+  // discipline on the edge axis): an arriving vector routes in-row
+  // against the plan-literal history codebook and emits its
+  // cell-local seed-candidate edges against the STORED index rows,
+  // scored with the exact grid distance — precisely the (src, dst,
+  // d2) rows the batch append's new-vertex election ranks at rest.
+  // No state store, no shuffle on the stream side; the per-row fan is
+  // the cell occupancy, the same work the batch election does per new
+  // vertex. Oracle = the batch cell-local candidate scoring of the
+  // arriving slice under history-trained coarse.
+  private val q316 = Q(
+    "q316_stream_graph_seed_candidates",
+    (s, dir) => {
+      graft.streaming.StreamingOps.streamGraphSeedCandidates(s, dir,
+          "q316_graph_seed_cand_sink")
+        .orderBy(col("vec_id"), col("n_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes("vec_id % 3 > 0")},
+      cand AS (
+        SELECT a.vec_id, a.cid, h.vec_id AS n_id,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vh.qvec)
+                 + list_dot_product(vh.qvec, vh.qvec) AS BIGINT) AS d2
+        FROM cellof a
+        JOIN cellof h ON h.cid = a.cid AND h.vec_id % 3 > 0
+        JOIN vx va ON va.vec_id = a.vec_id
+        JOIN vx vh ON vh.vec_id = h.vec_id
+        WHERE a.vec_id % 3 = 0)
+      SELECT vec_id, cid, n_id, d2
+      FROM cand
+      ORDER BY vec_id, n_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -9043,5 +9083,5 @@ $chains,
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
     q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313,
-    q314, q315)
+    q314, q315, q316)
 }

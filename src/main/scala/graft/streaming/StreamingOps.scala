@@ -938,6 +938,64 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** STREAMING graph-ANN seed candidates — the q302 discipline on the
+    * EDGE axis, the in-flight half of [[graft.operators.Similarity
+    * .appendKnnSeed]]: an arriving vector routes IN-ROW against the
+    * plan-literal history codebook (stateless Append — no state
+    * store; a per-vector argmin groupBy would hold unbounded keyed
+    * state) and emits its CELL-LOCAL seed-candidate edges against the
+    * STORED flat-index rows (one stream-static equi-join on cid — the
+    * static side is the history index a deployment keeps next to the
+    * graph), each scored with the exact grid distance in-row. These
+    * are precisely the (src, dst, d2) candidate rows the batch
+    * append's new-vertex election ranks at rest — the stream does the
+    * fan-out and scoring in flight, the nightly top-k stays a batch
+    * verb (a streaming top-k would need per-src state; the candidate
+    * emission is the stateless part, exactly like q302 emitting
+    * assignments, not reclustered cells). Per arriving row the fan is
+    * its cell's occupancy — the SAME work the batch election does per
+    * new vertex, so the stream adds no asymptotic cost over the verb
+    * it feeds. Oracle = the batch cell-local candidate scoring of the
+    * arriving slice under the history-trained coarse codebook. */
+  def streamGraphSeedCandidates(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val streamDir = scratchDir("graft_graph_seed_cand",
+      "embeddings.parquet" -> s"$dir/embeddings.parquet")
+    val embSchema = spark.read.parquet(streamDir.toString).schema
+    require(embSchema.exists(f => f.name == "vec_id" &&
+        f.dataType == LongType) &&
+      embSchema.exists(_.name == "embedding"),
+      "embeddings schema drifted: expected (vec_id LONG, embedding) " +
+        s"among ${embSchema.treeString}")
+    val history = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 3 > 0)
+    val coarse = graft.operators.Ivf.centroids(history, "vec_id",
+      "embedding", 8, 2)
+    // bounded driver action: k codebook rows → plan literal
+    val cents = graft.operators.Ivf.localCentroids(coarse)
+    val storedIndex = graft.operators.Ivf.flatIndex(coarse, history,
+      "vec_id", "embedding", Nil)
+    import graft.functions.VectorFunctions.dot
+    val arriving = spark.readStream.schema(embSchema)
+      .parquet(streamDir.toString)
+      .filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"),
+        graft.operators.Ivf.quantize(col("embedding")).as("__qv"),
+        graft.operators.Ivf.assignEnergyExpr(
+          graft.operators.Ivf.quantize(col("embedding")), cents).as("a"))
+      .select(col("vec_id"), col("a.cid").as("cid"), col("__qv"))
+    val cands = arriving
+      .join(storedIndex.select(col("vec_id").as("n_id"), col("cid"),
+        col("qvec").as("__nv")), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("n_id"),
+        (dot(col("__qv"), col("__qv"))
+          - lit(2.0) * dot(col("__qv"), col("__nv"))
+          + dot(col("__nv"), col("__nv"))).cast("long").as("d2"))
+    drainToMemory(spark, cands, queryName, OutputMode.Append(),
+      noDataBatches = false)
+    spark.table(queryName)
+  }
+
   /** STREAMING integrity manifest — [[graft.operators.Layout
     * .indexManifest]] maintained IN-FLIGHT: each arriving document's
     * posting rows fingerprint in-row (pure projection), and the

@@ -357,7 +357,7 @@ class PlanAuditSpec extends SparkSpec {
       "q201_stream_pq_encode", "q215_stream_frame_gate",
       "q216_stream_permuted_encode", "q218_stream_index_health",
       "q246_stream_snippet", "q259_stream_manifest",
-      "q302_stream_maxsim_assign")
+      "q302_stream_maxsim_assign", "q316_stream_graph_seed_candidates")
 
   // The allowlist above documents WHY each fan is bounded; this test
   // stops trusting the comments — it EXECUTES every allowlisted query
