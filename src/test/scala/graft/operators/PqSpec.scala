@@ -1421,6 +1421,38 @@ class PqSpec extends SparkSpec {
         .orderBy("q_id", "rnk").collect().toSeq
     assert(pServe(storedP) == pServe(pruned),
       "stored pruned serving diverged from the in-plan serve")
+    // fail-loud preconditions: a k smaller than the stored graph's
+    // build k must raise (ranks past k would silently vanish from the
+    // pruned graph — neither kept nor consulted as covers), and α
+    // past the 2⁸ Long-overflow bound must raise
+    intercept[IllegalArgumentException] {
+      Similarity.pruneGraphRng(g, emb, "vec_id", "embedding", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pruneGraphRng(g, emb, "vec_id", "embedding", 5,
+        alphaNum = 257L)
+    }
+    // the layered α sweep is exactly the flat sweep mapped over the
+    // layer slices (select-neighbors is per-layer; layers share only
+    // the vectors)
+    val lg1 = Similarity.layeredKnnGraph(emb, "vec_id", "embedding",
+      numCoarse = 8, coarseIterations = 2, k = 5, maxLayer = 1)
+    val sweepAlphas = Seq((1L, 1L), (3L, 2L))
+    val layeredCensus = Similarity.pruneLayeredSweep(lg1, emb,
+        "vec_id", "embedding", k = 5, maxLayer = 1, sweepAlphas)
+      .orderBy("layer", "a_num", "a_den").collect().toSeq
+    val perLayer = (0 to 1).flatMap { l =>
+      Similarity.pruneSweep(
+          lg1.filter(col("layer") === l)
+            .select(col("src"), col("dst"), col("d2"), col("rnk")),
+          emb, "vec_id", "embedding", k = 5, sweepAlphas)
+        .withColumn("layer", lit(l))
+        .select("layer", "a_num", "a_den", "n_edges", "n_srcs",
+          "max_degree")
+        .orderBy("a_num", "a_den").collect().toSeq
+    }
+    assert(layeredCensus == perLayer,
+      "layered sweep diverged from the per-layer flat sweep")
   }
 
   test("pruned-graph upsert: incremental ≡ full re-prune on two batch shapes") {
