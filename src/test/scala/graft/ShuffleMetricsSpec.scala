@@ -394,6 +394,60 @@ class ShuffleMetricsSpec extends SparkSpec {
     } finally { coarse.unpersist(); stored.unpersist(); () }
   }
 
+  test("pruned-graph maintenance: upsert shuffles less than the full re-prune; sweep alphas are near-free") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val coarse = operators.Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    // STORED-table shape (the verbs' contract): parquet round-trip so
+    // a re-read is a scan, not an in-plan index rebuild whose window
+    // re-shuffles per consumer
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_shuffle_pruned").toString
+    operators.Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+      .write.parquet(s"$sdir/idx")
+    val idx = spark.read.parquet(s"$sdir/idx")
+    operators.Similarity.knnGraphSeed(coarse, emb, "vec_id",
+      "embedding", 5).write.parquet(s"$sdir/g")
+    val g = spark.read.parquet(s"$sdir/g")
+    operators.Similarity.pruneGraphRng(g, emb, "vec_id", "embedding", 5)
+      .write.parquet(s"$sdir/pruned")
+    val pruned = spark.read.parquet(s"$sdir/pruned")
+    val batch = operators.Ivf.flatIndex(coarse,
+      emb.filter(col("vec_id") === 7)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      "vec_id", "embedding", Nil)
+    // the O(changed) contract, measured: a single-id restatement must
+    // move strictly fewer records than re-pruning the whole upserted
+    // graph (which shuffles every edge into the pair table + fold)
+    val full = shuffleRecords {
+      operators.Similarity.pruneGraphRng(
+        operators.Similarity.upsertKnnSeed(g, idx, batch, 5),
+        emb.select(col("vec_id"),
+          when(col("vec_id") === 7, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding")),
+        "vec_id", "embedding", 5).count(); ()
+    }
+    val inc = shuffleRecords {
+      operators.Similarity.upsertPrunedKnnSeed(g, pruned, idx, batch,
+        5).count(); ()
+    }
+    assert(inc < full,
+      s"incremental pruned upsert shuffled $inc ≥ full re-prune's $full")
+    // the sweep's marginal α is map-only over the shared fold input
+    // plus a census aggregate: three αs must cost well under three
+    // independent prunes' movement (< 2× one sweep point)
+    val one = shuffleRecords {
+      operators.Similarity.pruneSweep(g, emb, "vec_id", "embedding", 5,
+        Seq((1L, 1L))).count(); ()
+    }
+    val three = shuffleRecords {
+      operators.Similarity.pruneSweep(g, emb, "vec_id", "embedding", 5,
+        Seq((1L, 1L), (2L, 3L), (3L, 2L))).count(); ()
+    }
+    assert(three < 2 * one,
+      s"3-α sweep shuffled $three ≥ 2× the single-α sweep's $one — " +
+        "the shared fold input is not being reused")
+  }
+
   test("frame dedup election shuffles digests, never payloads") {
     // the q210 scale claim: the keep-first window keys on the frame
     // DIGEST and the payload is projected away BEFORE the exchange —
