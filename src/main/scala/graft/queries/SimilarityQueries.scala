@@ -9073,6 +9073,91 @@ ${coarseCtes("vec_id % 3 > 0")},
       ORDER BY vec_id, n_id
     """))
 
+  // --------------------------------------------------------------- q317
+  // PRUNED-LAYERED recall/cost audit — q285's one-walk value audit
+  // over the stored PRUNED layered table (q312's serve, instrumented):
+  // the number pair that says what per-layer pruning did to the
+  // descent on THIS corpus — fewer stored edges per vertex means each
+  // hop re-offers fewer clique repeats, and the audit reads recall@5
+  // against the exact baseline NEXT TO the exact dist-eval/frontier
+  // counts at q285's identical budget, so the q285-vs-q317 row diff
+  // is the prune's measured payoff (or cost). Everything serves from
+  // the stored fixtures; oracle = per-layer greedy replay + the
+  // chained walk + frame counts.
+  private val q317 = Q(
+    "q317_pruned_layered_recall_cost",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lp = graft.queries.SimFixtures.prunedLayered(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
+        "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+      graft.operators.Similarity.layeredRecallCost(lp, e, q, "vec_id",
+          "embedding", exact, 5, maxLayer = 2, entryK = 2, beam = 5,
+          hopsPerLayer = 1, topK = 5)
+        .orderBy(col("q_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+${layerRankedCte("l0")},
+${layerRankedCte("l1")},
+${layerRankedCte("l2")},
+${rngKeptCtes(5, 1, 1, gName = "l0gr", p = "l0k")},
+${rngKeptCtes(5, 1, 1, gName = "l1gr", p = "l1k")},
+${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")},
+      -- MATERIALIZED: the cost block references every chained walk
+      -- frame, and DuckDB inlines single-reference CTEs — without the
+      -- hint each cost join re-evaluates its full upstream INCLUDING
+      -- all three greedy chains (measured minutes instead of seconds)
+      l0km AS MATERIALIZED (SELECT src, dst FROM l0k5),
+      l1km AS MATERIALIZED (SELECT src, dst FROM l1k5),
+      l2km AS MATERIALIZED (SELECT src, dst FROM l2k5),
+      ent AS (SELECT vec_id AS dst FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("t", 1, 5, gName = "l2km")},
+${walkCtes("m", 1, 5, gName = "l1km", init = Some("tb1"))},
+${walkCtes("w", 1, 5, gName = "l0km", init = Some("mb1"))},
+      walk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM wb1)
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      hits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits
+        FROM exact e
+        LEFT JOIN walk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+${layeredCostSql("cost", "t", Seq("m", "w"), 1)}
+      SELECT h.q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro,
+             c.dist_evals, c.frontier
+      FROM hits h JOIN cost c ON c.q_id = h.q_id
+      ORDER BY h.q_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -9083,5 +9168,5 @@ ${coarseCtes("vec_id % 3 > 0")},
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
     q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313,
-    q314, q315, q316)
+    q314, q315, q316, q317)
 }

@@ -341,7 +341,11 @@ class PlanAuditSpec extends SparkSpec {
       // table; the mask/predicate is an id-keyed anti/inner join over
       // the bounded seen-union
       "q313_masked_pruned_search",
-      "q314_filtered_pruned_search")
+      "q314_filtered_pruned_search",
+      // q317 = q285's descent fans over the stored pruned layered
+      // table + the ≤8-row probing-all exact baseline; the audit join
+      // is O(queries·k), the cost counts partial-combining aggregates
+      "q317_pruned_layered_recall_cost")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 
