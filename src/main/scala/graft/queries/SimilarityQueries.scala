@@ -6551,19 +6551,28 @@ ${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))},
   // restated ids (deterministically reversed embeddings) purge from
   // and re-append to exactly the layers the promotion rule puts them
   // in (append-stable — the layer sets never change), each layer
-  // running the gated purge/append contracts. Oracle = the full
-  // layered rebuild over the restated corpus.
+  // running the gated purge/append contracts. Runs on the
+  // FINE-geometry (64-cell) fixture family with the sparse %307 batch
+  // — the q309/q311 gate-hygiene rationale applied to the SEED
+  // upsert: at 8 cells a %7 batch touched every cell, so the
+  // per-layer re-election degenerated to a full rebuild and the gate
+  // paid O(corpus) for an O(changed) claim (the full-superset shape
+  // stays spec-pinned). Oracle = the full layered rebuild over the
+  // restated corpus under the 64-cell codebook.
   private val q283 = Q(
     "q283_layered_graph_upsert",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.queries.SimFixtures.coarse(s, dir)
-      val storedLayered = graft.queries.SimFixtures.layeredSeed(s, dir)
-      val storedIndex = graft.queries.SimFixtures.flatIndex(s, dir)
-      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
-        e.filter(col("vec_id") % 7 === 0)
-          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
-        "vec_id", "embedding", Nil)
+      val coarse = graft.queries.SimFixtures.coarseF(s, dir)
+      val storedLayered = graft.queries.SimFixtures.layeredSeedF(s, dir)
+      val storedIndex = graft.queries.SimFixtures.flatIndexF(s, dir)
+      // pinned: the per-layer purge/append machinery re-reads the
+      // batch index several times per layer (the q309 pin rationale)
+      val batchIndex = graft.util.CacheScope.persist(
+        graft.operators.Ivf.flatIndex(coarse,
+          e.filter(col("vec_id") % 307 === 0)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+          "vec_id", "embedding", Nil))
       graft.operators.Similarity.upsertLayeredKnnSeed(storedLayered,
           storedIndex, batchIndex, k = 5, maxLayer = 2)
         .orderBy(col("layer"), col("src"), col("rnk"))
@@ -6573,10 +6582,10 @@ ${walkCtes("w", 1, 5, gName = "l0g", init = Some("mb1"))},
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
         FROM embeddings),
-${coarseCtes()},
+${coarseCtes(cells = 64)},
       vx2 AS (
         SELECT vec_id,
-               CASE WHEN vec_id % 7 = 0
+               CASE WHEN vec_id % 307 = 0
                     THEN list_transform(generate_series(1, 64),
                            i -> qvec[65 - i])
                     ELSE qvec END AS qvec
@@ -7238,13 +7247,17 @@ ${coarseCtes()},
     "q290_layered_graph_segments",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val coarse = graft.queries.SimFixtures.coarse(s, dir)
-      val lg0 = graft.queries.SimFixtures.layeredSeed(s, dir)
-      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
-      val batchIndex = graft.operators.Ivf.flatIndex(coarse,
-        e.filter(col("vec_id") % 7 === 0)
-          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
-        "vec_id", "embedding", Nil)
+      // FINE-geometry fixtures + sparse batch (the q283 rationale:
+      // the restatement segment derives through the gated upsert, so
+      // the same O(changed)-must-show argument applies here)
+      val coarse = graft.queries.SimFixtures.coarseF(s, dir)
+      val lg0 = graft.queries.SimFixtures.layeredSeedF(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndexF(s, dir)
+      val batchIndex = graft.util.CacheScope.persist(
+        graft.operators.Ivf.flatIndex(coarse,
+          e.filter(col("vec_id") % 307 === 0)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+          "vec_id", "embedding", Nil))
       // the maintenance output (gated ≡ restated rebuild by q283),
       // restricted to the day's restated sources
       val g1 = graft.operators.Similarity.upsertLayeredKnnSeed(lg0,
@@ -7263,10 +7276,10 @@ ${coarseCtes()},
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
         FROM embeddings),
-${coarseCtes()},
+${coarseCtes(cells = 64)},
       vx2 AS (
         SELECT vec_id,
-               CASE WHEN vec_id % 7 = 0
+               CASE WHEN vec_id % 307 = 0
                     THEN list_transform(generate_series(1, 64),
                            i -> qvec[65 - i])
                     ELSE qvec END AS qvec

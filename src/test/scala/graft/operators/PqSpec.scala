@@ -1455,6 +1455,35 @@ class PqSpec extends SparkSpec {
       "layered sweep diverged from the per-layer flat sweep")
   }
 
+  test("layered upsert: incremental ≡ full rebuild on a multi-cell batch") {
+    // the FULL-SUPERSET shape (a batch touching every cell): the q283
+    // gate moved to a fine geometry + sparse batch where the
+    // O(changed) bound shows, so this lane keeps the worst-case batch
+    // pinned — every layer re-elects everything and the result must
+    // still equal the full rebuild over the restated corpus
+    val s = spark
+    import s.implicits._
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val idx = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val lg = Similarity.layeredKnnGraphWith(coarse, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 2)
+    val batch = Ivf.flatIndex(coarse,
+      emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      "vec_id", "embedding", Nil)
+    val restated = emb.select(col("vec_id"),
+      when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    val inc = Similarity.upsertLayeredKnnSeed(lg, idx, batch, k = 5,
+        maxLayer = 2)
+      .orderBy("layer", "src", "rnk").collect().toSeq
+    val full = Similarity.layeredKnnGraphWith(coarse, restated,
+        "vec_id", "embedding", k = 5, maxLayer = 2)
+      .orderBy("layer", "src", "rnk").collect().toSeq
+    assert(inc == full,
+      "layered upsert diverged from the full restated rebuild")
+  }
+
   test("pruned-graph upsert: incremental ≡ full re-prune on two batch shapes") {
     val s = spark
     import s.implicits._
