@@ -1388,8 +1388,10 @@ object Similarity {
   def pruneSweepQuantized(graph: DataFrame, quantized: DataFrame,
       k: Int, alphas: Seq[(Long, Long)]): DataFrame = {
     require(alphas.nonEmpty, "pruneSweep: need at least one alpha")
-    val g = pruneInputChecked(graph, k, alphas.map(_._1).max,
-      alphas.map(_._2).max)
+    // EVERY sweep point validates (checking only the max would let an
+    // α like (0, 1) slip through next to a valid one)
+    alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
+    val g = pruneInputChecked(graph, k, alphas.head._1, alphas.head._2)
     // the fold input is α-independent: ONE src-keyed shuffle shared
     // across the whole sweep; each α is then a map-only fold
     val perSrc = rngFoldInput(g, rngPairTable(g, quantized))

@@ -5214,15 +5214,19 @@ ${walkCostSql("", 2)}
     * graph CTE `gName` ((src, dst, d2, rnk ≤ k)), emits
     * kept1..kept$k, where keptR adds the rank-R edges no already-kept
     * closer neighbor covers (αNum·d²(w, dst) < αDen·d²(src, dst));
-    * callers rank kept$k. */
+    * callers rank kept$k. Steps are AS MATERIALIZED: DuckDB inlines
+    * CTEs, and each step references its predecessor TWICE (union +
+    * NOT EXISTS), so an inlined chain re-evaluates exponentially when
+    * a downstream audit references several frames (q317 read minutes;
+    * materialized it reads seconds — result-identical, verified). */
   private def rngKeptCtes(k: Int, aNum: Long, aDen: Long,
       gName: String = "seedg", vxName: String = "vx",
       p: String = "kept"): String = {
     val first = raw"""
-      ${p}1 AS (SELECT src, dst, d2 FROM $gName WHERE rnk = 1)"""
+      ${p}1 AS MATERIALIZED (SELECT src, dst, d2 FROM $gName WHERE rnk = 1)"""
     val steps = (2 to k).map { r =>
       raw"""
-      ${p}$r AS (
+      ${p}$r AS MATERIALIZED (
         SELECT src, dst, d2 FROM ${p}${r - 1}
         UNION ALL
         SELECT c.src, c.dst, c.d2 FROM $gName c
@@ -5264,14 +5268,14 @@ ${walkCostSql("", 2)}
       gName: String = "g", init: Option[String] = None,
       entName: String = "ent"): String = {
     def scored(h: Int) = raw"""
-      ${p}s$h AS (
+      ${p}s$h AS MATERIALIZED (
         SELECT c.q_id, c.dst,
                CAST(list_dot_product(q.qvec, q.qvec)
                  - 2.0 * list_dot_product(q.qvec, vb.qvec)
                  + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
         FROM ${p}c$h c JOIN qs q ON q.q_id = c.q_id
         JOIN vx vb ON vb.vec_id = c.dst),
-      ${p}b$h AS (
+      ${p}b$h AS MATERIALIZED (
         SELECT q_id, dst, d2 FROM (
           SELECT q_id, dst, d2,
                  ROW_NUMBER() OVER (PARTITION BY q_id
@@ -5280,7 +5284,7 @@ ${walkCostSql("", 2)}
         WHERE rnk <= $beam)"""
     val hop0 = init match {
       case Some(carried) => raw"""
-      ${p}b0 AS (SELECT q_id, dst, d2 FROM $carried)"""
+      ${p}b0 AS MATERIALIZED (SELECT q_id, dst, d2 FROM $carried)"""
       case None => raw"""
       ${p}c0 AS (
         SELECT q.q_id, e.dst FROM qs q, $entName e
@@ -5289,7 +5293,7 @@ ${walkCostSql("", 2)}
     }
     val rounds = (1 to hops).map { h =>
       raw"""
-      ${p}e$h AS (
+      ${p}e$h AS MATERIALIZED (
         SELECT b.q_id, gg.dst FROM ${p}b${h - 1} b
         JOIN $gName gg ON gg.src = b.dst
         WHERE gg.dst <> b.q_id),
