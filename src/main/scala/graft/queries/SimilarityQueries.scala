@@ -5192,7 +5192,7 @@ ${walkCostSql("", 2)}
     * corpus). */
   private def seedGraphCtes(liveWhere: String = "TRUE",
       cellofName: String = "cellof", vxName: String = "vx"): String = raw"""
-      seedsc AS (
+      seedsc AS MATERIALIZED (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                CAST(list_dot_product(va.qvec, va.qvec)
                  - 2.0 * list_dot_product(va.qvec, vb.qvec)
@@ -5202,7 +5202,7 @@ ${walkCostSql("", 2)}
         JOIN $vxName va ON va.vec_id = a.vec_id
         JOIN $vxName vb ON vb.vec_id = b.vec_id
         WHERE ($liveWhere)),
-      g AS (
+      g AS MATERIALIZED (
         SELECT src, dst FROM (
           SELECT src, dst,
                  ROW_NUMBER() OVER (PARTITION BY src
@@ -5247,7 +5247,7 @@ ${walkCostSql("", 2)}
     * [[seedGraphCtes]]' `seedsc` — the prune/recall oracles need the
     * ranks, not just the edge set. */
   private val seedgCte: String = raw"""
-      seedg AS (
+      seedg AS MATERIALIZED (
         SELECT src, dst, d2, rnk FROM (
           SELECT src, dst, d2,
                  ROW_NUMBER() OVER (PARTITION BY src
@@ -5310,7 +5310,7 @@ ${walkCostSql("", 2)}
     * predicate over the `a`/`b` endpoint aliases. */
   private def layerSeedCtes(p: String, memberWhere: String,
       cellofName: String = "cellof", vxName: String = "vx"): String = raw"""
-      ${p}sc AS (
+      ${p}sc AS MATERIALIZED (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                CAST(list_dot_product(va.qvec, va.qvec)
                  - 2.0 * list_dot_product(va.qvec, vb.qvec)
@@ -5320,7 +5320,7 @@ ${walkCostSql("", 2)}
         JOIN $vxName va ON va.vec_id = a.vec_id
         JOIN $vxName vb ON vb.vec_id = b.vec_id
         WHERE ($memberWhere)),
-      ${p}g AS (
+      ${p}g AS MATERIALIZED (
         SELECT src, dst FROM (
           SELECT src, dst,
                  ROW_NUMBER() OVER (PARTITION BY src
@@ -5338,19 +5338,19 @@ ${walkCostSql("", 2)}
     * every endpoint descends from seed edges). */
   private def descentCtes(p: String, memberWhere: String): String = raw"""
 ${layerSeedCtes(p, memberWhere)},
-      ${p}u1 AS (
+      ${p}u1 AS MATERIALIZED (
         SELECT src, dst FROM ${p}g
         UNION
         SELECT dst AS src, src AS dst FROM ${p}g),
-      ${p}h1 AS (
+      ${p}h1 AS MATERIALIZED (
         SELECT u1.src, u2.dst
         FROM ${p}u1 u1 JOIN ${p}u1 u2 ON u2.src = u1.dst
         WHERE u1.src <> u2.dst),
-      ${p}c1 AS (
+      ${p}c1 AS MATERIALIZED (
         SELECT src, dst FROM ${p}g
         UNION
         SELECT src, dst FROM ${p}h1),
-      ${p}r1 AS (
+      ${p}r1 AS MATERIALIZED (
         SELECT c.src, c.dst,
                CAST(list_dot_product(va.qvec, va.qvec)
                  - 2.0 * list_dot_product(va.qvec, vb.qvec)
@@ -5358,26 +5358,26 @@ ${layerSeedCtes(p, memberWhere)},
         FROM ${p}c1 c
         JOIN vx va ON va.vec_id = c.src
         JOIN vx vb ON vb.vec_id = c.dst),
-      ${p}g1 AS (
+      ${p}g1 AS MATERIALIZED (
         SELECT src, dst FROM (
           SELECT src, dst,
                  ROW_NUMBER() OVER (PARTITION BY src
                    ORDER BY d2 ASC, dst ASC) AS rnk
           FROM ${p}r1)
         WHERE rnk <= 5),
-      ${p}u2 AS (
+      ${p}u2 AS MATERIALIZED (
         SELECT src, dst FROM ${p}g1
         UNION
         SELECT dst AS src, src AS dst FROM ${p}g1),
-      ${p}h2 AS (
+      ${p}h2 AS MATERIALIZED (
         SELECT u1.src, u2.dst
         FROM ${p}u2 u1 JOIN ${p}u2 u2 ON u2.src = u1.dst
         WHERE u1.src <> u2.dst),
-      ${p}c2 AS (
+      ${p}c2 AS MATERIALIZED (
         SELECT src, dst FROM ${p}g1
         UNION
         SELECT src, dst FROM ${p}h2),
-      ${p}r2 AS (
+      ${p}r2 AS MATERIALIZED (
         SELECT c.src, c.dst,
                CAST(list_dot_product(va.qvec, va.qvec)
                  - 2.0 * list_dot_product(va.qvec, vb.qvec)
@@ -8828,7 +8828,7 @@ ${rngKeptCtes(5, 1, 1, gName = "r2gr", vxName = "vx2", p = "r2k")}
     * per-layer prune replays consume (q310/q311's inline copies
     * predate the helper and are frozen). */
   private def layerRankedCte(p: String): String = raw"""
-      ${p}gr AS (
+      ${p}gr AS MATERIALIZED (
         SELECT src, dst, d2, rnk FROM (
           SELECT src, dst, d2,
                  ROW_NUMBER() OVER (PARTITION BY src
