@@ -1335,6 +1335,57 @@ object Similarity {
     rePruned.unionByName(passthrough)
   }
 
+  /** O(deleted) maintenance of the PRUNED serving graph under
+    * tombstones — the q268 purge composed with a re-prune of ONLY the
+    * sources the purge re-elected: deletion never changes a surviving
+    * vector, so a source's pruned rows can change only if its RANK
+    * LIST changed, and [[purgeKnnGraph]] changes rank lists exactly
+    * for the sources adjacent to a deleted dst (the affected set —
+    * here the changed set is not a conservative superset but the
+    * EXACT re-election set, simpler than the upsert's because the
+    * vector table only shrinks). Every other live source's stored
+    * pruned rows pass through verbatim; a stored pruned row with a
+    * dead dst cannot reach the passthrough because pruned ⊆ stored
+    * makes its src adjacent-to-deleted. ≡ the full re-prune of the
+    * purged graph (the gate oracle). [[graphSearchMasked]] serves the
+    * gap until this runs — mask NOW, rewrite nightly. Same stored-
+    * table preconditions as [[upsertPrunedKnnSeed]]. */
+  def purgePrunedKnnGraph(storedGraph: DataFrame,
+      storedPruned: DataFrame, storedIndex: DataFrame,
+      tombstones: DataFrame, k: Int, alphaNum: Long = 1L,
+      alphaDen: Long = 1L): DataFrame = {
+    pruneParamsChecked(k, alphaNum, alphaDen)
+    val dead = tombstones.select(col("vec_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    // checkpoint the deep purge∘re-elect tree (the standing rule)
+    val purged = graft.util.CacheScope.registerCheckpointed(
+      purgeKnnGraph(storedGraph, storedIndex, tombstones, k)
+        .localCheckpoint())
+    val changed = storedGraph
+      .join(broadcast(dead.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_semi")
+      .select(col("src")).distinct()
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .transform(graft.util.CacheScope.persist)
+    val vecs = storedIndex.select(col("vec_id"), col("qvec"))
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+    // internal greedy, no max-rank probe: purgeKnnGraph(k) built the
+    // graph, so rnk ≤ k by construction
+    val gChanged = purged
+      .join(broadcast(changed), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, vecs), k,
+      alphaNum, alphaDen)
+    val passthrough = storedPruned
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(changed), Seq("src"), "left_anti")
+    rePruned.unionByName(passthrough)
+  }
+
   /** Per-LAYER RNG/α pruning for the layered (HNSW-shape) graph —
     * HNSW applies its select-neighbors heuristic PER LAYER, and the
     * prune is a per-source function WITHIN a layer (layers share

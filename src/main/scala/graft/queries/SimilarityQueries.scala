@@ -9175,6 +9175,46 @@ ${layeredCostSql("cost", "t", Seq("m", "w"), 1)}
       ORDER BY h.q_id
     """))
 
+  // --------------------------------------------------------------- q318
+  // O(deleted) PRUNED-graph PURGE — the rewrite verb behind q313's
+  // mask, closing the pruned column's delete cell with a worked gate:
+  // deletion never changes a surviving vector, so only the sources
+  // the q268 purge re-elected (adjacent to a deleted dst) re-prune;
+  // every other live source's STORED pruned rows pass through
+  // verbatim (a pruned row with a dead dst cannot reach the
+  // passthrough — pruned ⊆ stored makes its src adjacent). Oracle =
+  // the full greedy over the full survivor rebuild (q268's
+  // restriction + q306's chain).
+  private val q318 = Q(
+    "q318_pruned_graph_purge",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val storedIndex = graft.queries.SimFixtures.flatIndex(s, dir)
+      val storedGraph = graft.queries.SimFixtures.flatGraph(s, dir)
+      val storedPruned = graft.queries.SimFixtures.prunedFlat(s, dir)
+      graft.operators.Similarity.purgePrunedKnnGraph(storedGraph,
+          storedPruned, storedIndex,
+          e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
+          k = 5)
+        .orderBy(col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes("a.vec_id % 5 <> 0 AND b.vec_id % 5 <> 0")},
+${seedgCte},
+${rngKeptCtes(5, 1, 1)}
+      SELECT src, dst, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM kept5)
+      ORDER BY src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -9185,5 +9225,5 @@ ${layeredCostSql("cost", "t", Seq("m", "w"), 1)}
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
     q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313,
-    q314, q315, q316, q317)
+    q314, q315, q316, q317, q318)
 }

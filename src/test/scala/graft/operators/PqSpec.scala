@@ -1513,6 +1513,24 @@ class PqSpec extends SparkSpec {
     // (most sources pass through verbatim — the O(changed) case)
     check(col("vec_id") % 7 === 0, "multi-cell")
     check(col("vec_id") === 7, "single-id")
+    // PURGE: incremental ≡ the full re-prune of the purged graph —
+    // deletion never changes a surviving vector, so only the
+    // re-elected (adjacent-to-deleted) sources re-prune
+    def checkPurge(pred: org.apache.spark.sql.Column, label: String): Unit = {
+      val tombs = emb.filter(pred).select("vec_id")
+      val incP = Similarity.purgePrunedKnnGraph(g, pruned, idx, tombs, 5)
+        .orderBy("src", "rnk").collect().toSeq
+      val fullP = Similarity.pruneGraphRng(
+          Similarity.purgeKnnGraph(g, idx, tombs, 5),
+          emb.filter(!pred), "vec_id", "embedding", 5)
+        .orderBy("src", "rnk").collect().toSeq
+      assert(incP == fullP,
+        s"$label: incremental pruned purge diverged from the full re-prune")
+      assert(incP.forall(r => r.getLong(0) % 5 != 0 || label != "multi-cell"),
+        s"$label: a deleted source survived the pruned purge")
+    }
+    checkPurge(col("vec_id") % 5 === 0, "multi-cell")
+    checkPurge(col("vec_id") === 10, "single-id")
   }
 
   test("multi-vector lifecycle verbs ride the multi-row machinery unchanged") {
