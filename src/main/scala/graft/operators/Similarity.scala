@@ -1164,22 +1164,33 @@ object Similarity {
     * id-keyed joins against the vector table in the whole operator
     * (the per-iteration form would re-shuffle the corpus-sized
     * vector table 2(k−1) times). α-independent, so a sweep builds it
-    * once and reuses it across every α (the ADVICE factoring). */
-  private def rngPairTable(g: DataFrame, quantized: DataFrame): DataFrame = {
+    * once and reuses it across every α (the ADVICE factoring).
+    *
+    * `keys` is the greedy's GROUP key — `src` for a flat graph,
+    * `(layer, src)` for a layered one: the greedy is per-group
+    * sequential (a group's kept set reads only its own rank list and
+    * the pair distances among its ≤k neighbors), so a layered prune
+    * is the SAME one-shuffle fold with layer joined into the key —
+    * one pair table and one group shuffle for ALL layers, instead of
+    * a per-layer chain each re-paying both (the round-17 q311
+    * unification). */
+  private def rngPairTable(g: DataFrame, quantized: DataFrame,
+      keys: Seq[String] = Seq("src")): DataFrame = {
+    val kc = keys.map(col)
     val vecs = quantized
       .select(col("vec_id"), col("qvec"),
         dot(col("qvec"), col("qvec")).as("__n"))
-    g.select(col("src"), col("dst"), col("d2"), col("rnk"))
-      .join(g.select(col("src"), col("dst").as("__w"),
-        col("rnk").as("__wrnk")), Seq("src"))
+    g.select(kc ++ Seq(col("dst"), col("d2"), col("rnk")): _*)
+      .join(g.select(kc ++ Seq(col("dst").as("__w"),
+        col("rnk").as("__wrnk")): _*), keys)
       .filter(col("__wrnk") < col("rnk"))
       .join(vecs.select(col("vec_id").as("__w"),
         col("qvec").as("__wv"), col("__n").as("__wn")), Seq("__w"))
       .join(vecs.select(col("vec_id").as("dst"),
         col("qvec").as("__dv"), col("__n").as("__dn")), Seq("dst"))
-      .select(col("src"), col("dst"), col("d2"), col("rnk"),
+      .select(kc ++ Seq(col("dst"), col("d2"), col("rnk"),
         col("__w"), gridDist2(col("__wn"), col("__wv"),
-          col("__dn"), col("__dv")).as("__wd2"))
+          col("__dn"), col("__dv")).as("__wd2")): _*)
       .transform(graft.util.CacheScope.persist)
   }
 
@@ -1197,29 +1208,46 @@ object Similarity {
     * suite the fold form more than halved the prune families'
     * wall-clock, and at scale it shuffles the edge table ONCE instead
     * of k times. Kept order = rank order = (d2, dst) order, so the
-    * output rank is the fold position — no re-rank window needed. */
+    * output rank is the fold position — no re-rank window needed.
+    *
+    * Ranks past k TRUNCATE here (the `rnk <= k` filter) — the defined
+    * behavior for internal call sites that skip the fail-loud probe
+    * because their input comes from a k-bounded builder two lines up
+    * (the ADVICE guard: without the filter a stored graph built with
+    * a larger k would keep-and-consult the extra ranks, a silently
+    * mixed discipline; probed entry points pay a no-op filter). */
   private def rngGreedy(g: DataFrame, pairD2: DataFrame, k: Int,
-      alphaNum: Long, alphaDen: Long): DataFrame =
-    rngFold(rngFoldInput(g, pairD2), alphaNum, alphaDen)
+      alphaNum: Long, alphaDen: Long,
+      keys: Seq[String] = Seq("src")): DataFrame =
+    rngFold(rngFoldInput(g.filter(col("rnk") <= k), pairD2, keys),
+      alphaNum, alphaDen, keys)
 
-  /** The fold's α-INDEPENDENT input: per source, the rank-sorted
-    * neighbor list with each neighbor's earlier-rank pair distances
-    * nested in-row — built once, folded per α (the sweep's shared
-    * artifact; one src-keyed shuffle). */
-  private def rngFoldInput(g: DataFrame, pairD2: DataFrame): DataFrame = {
-    val covers = pairD2.groupBy(col("src"), col("dst"))
+  /** The fold's α-INDEPENDENT input: per group (`keys` — src, or
+    * (layer, src)), the rank-sorted neighbor list with each
+    * neighbor's earlier-rank pair distances nested in-row — built
+    * once, folded per α (the sweep's shared artifact; one group-keyed
+    * shuffle). The comparator breaks rank ties by dst so a
+    * rank-degenerate input still folds deterministically (ranks are
+    * dense by construction from every builder, but a stored table is
+    * a trust boundary — the ADVICE determinism guard). */
+  private def rngFoldInput(g: DataFrame, pairD2: DataFrame,
+      keys: Seq[String] = Seq("src")): DataFrame = {
+    val kc = keys.map(col)
+    val covers = pairD2.groupBy(kc :+ col("dst"): _*)
       .agg(collect_list(struct(col("__w").as("w"),
         col("__wd2").as("wd2"))).as("__covers"))
-    g.join(covers, Seq("src", "dst"), "left")
-      .select(col("src"), struct(col("rnk"), col("dst"), col("d2"),
+    g.join(covers, keys :+ "dst", "left")
+      .select(kc :+ struct(col("rnk"), col("dst"), col("d2"),
         coalesce(col("__covers"),
           expr("cast(array() as array<struct<w: bigint, wd2: bigint>>)"))
-          .as("covers")).as("__e"))
-      .groupBy(col("src"))
+          .as("covers")).as("__e"): _*)
+      .groupBy(kc: _*)
       .agg(expr(raw"""
         array_sort(collect_list(__e),
           (a, b) -> CASE WHEN a.rnk < b.rnk THEN -1
                          WHEN a.rnk > b.rnk THEN 1
+                         WHEN a.dst < b.dst THEN -1
+                         WHEN a.dst > b.dst THEN 1
                          ELSE 0 END)""").as("__es"))
   }
 
@@ -1227,9 +1255,10 @@ object Similarity {
     * accumulator; an edge survives iff no already-kept earlier-rank
     * neighbor α-covers it. Map-only over [[rngFoldInput]]. */
   private def rngFold(perSrc: DataFrame, alphaNum: Long,
-      alphaDen: Long): DataFrame =
+      alphaDen: Long, keys: Seq[String] = Seq("src")): DataFrame = {
+    val kc = keys.map(col)
     perSrc
-      .select(col("src"), expr(raw"""
+      .select(kc :+ expr(raw"""
         aggregate(__es,
           cast(array() as array<struct<dst: bigint, d2: bigint>>),
           (acc, e) -> CASE WHEN NOT exists(e.covers,
@@ -1237,12 +1266,12 @@ object Similarity {
                                AND $alphaNum * c.wd2 < $alphaDen * e.d2)
                       THEN array_append(acc,
                              named_struct('dst', e.dst, 'd2', e.d2))
-                      ELSE acc END)""").as("__kept"))
-      .select(col("src"),
-        posexplode(col("__kept")).as(Seq("__p", "__k")))
-      .select(col("src"), col("__k.dst").as("dst"),
+                      ELSE acc END)""").as("__kept"): _*)
+      .select(kc :+ posexplode(col("__kept")).as(Seq("__p", "__k")): _*)
+      .select(kc ++ Seq(col("__k.dst").as("dst"),
         col("__k.d2").as("d2"),
-        (col("__p") + 1).cast("int").as("rnk"))
+        (col("__p") + 1).cast("int").as("rnk")): _*)
+  }
 
   /** O(changed) maintenance of the PRUNED serving graph — the answer
     * to "do I re-prune the world after an upsert?": NO, because the
@@ -1386,31 +1415,132 @@ object Similarity {
     rePruned.unionByName(passthrough)
   }
 
+  /** O(changed) maintenance of the PRUNED LAYERED serving graph —
+    * [[upsertPrunedKnnSeed]] where HNSW actually lives, as ONE fold
+    * pass instead of a chain per layer: promotion is a pure function
+    * of the id (append-stable), so each layer's member set is closed
+    * under restatement and the flat verb's argument applies per layer
+    * — but the re-prune greedy is per-(layer, src) sequential, so the
+    * layers JOIN THE FOLD KEY instead of mapping the flat verb per
+    * layer. One [[upsertLayeredKnnSeed]] checkpoint (was one per
+    * layer), one per-layer changed-source superset stacked into a
+    * (layer, src) frame, ONE pair table + ONE group shuffle for every
+    * layer's re-prune, verbatim passthrough per (layer, src). The
+    * changed superset per layer is the flat verb's, over that layer's
+    * member slices: restated member ids ∪ member sources adjacent to
+    * a restated dst ∪ member occupants of every batch-touched cell
+    * under the old or new assignment. `storedIndex`/`batchIndex` are
+    * FULL-corpus [[graft.operators.Ivf.flatIndex]] rows (layer slices
+    * are id-arithmetic scan filters, the [[appendLayeredKnnSeed]]
+    * convention); the post-upsert vector table is shared across
+    * layers — a layer's pair joins touch only its own vertices.
+    * ≡ the full per-layer re-prune of the restated rebuild (the gate
+    * oracle); same stored-table α/coverage preconditions as
+    * [[upsertPrunedKnnSeed]]. */
+  def upsertPrunedLayeredKnnSeed(storedLayered: DataFrame,
+      storedPrunedLayered: DataFrame, storedIndex: DataFrame,
+      batchIndex: DataFrame, k: Int, maxLayer: Int,
+      alphaNum: Long = 1L, alphaDen: Long = 1L): DataFrame = {
+    pruneParamsChecked(k, alphaNum, alphaDen)
+    require(maxLayer >= 0,
+      s"upsertPrunedLayeredKnnSeed: maxLayer must be >= 0, got $maxLayer")
+    val ids = batchIndex.select(col("vec_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    // ONE checkpoint of the whole layered upsert tree (the standing
+    // checkpoint-the-deep-input rule; the per-layer form paid three)
+    val upserted = graft.util.CacheScope.registerCheckpointed(
+      upsertLayeredKnnSeed(storedLayered, storedIndex, batchIndex, k,
+        maxLayer).localCheckpoint())
+    val changed = (0 to maxLayer).map { l =>
+      val member = col("vec_id") % lit(1L << l) === 0
+      val idsL = ids.filter(member)
+      val adj = storedLayered.filter(col("layer") === l)
+        .join(broadcast(idsL.select(col("vec_id").as("dst"))),
+          Seq("dst"), "left_semi")
+        .select(col("src"))
+      val cells = storedIndex.filter(member)
+        .join(broadcast(idsL), Seq("vec_id"), "left_semi")
+        .select(col("cid"))
+        .unionByName(batchIndex.filter(member).select(col("cid")))
+        .distinct()
+      val members = storedIndex.filter(member)
+        .join(broadcast(cells), Seq("cid"), "left_semi")
+        .select(col("vec_id").as("src"))
+      idsL.select(col("vec_id").as("src"))
+        .unionByName(adj).unionByName(members).distinct()
+        .withColumn("layer", lit(l))
+    }.reduce(_.unionByName(_))
+      .select(col("layer").cast("int").as("layer"), col("src"))
+      .transform(graft.util.CacheScope.persist)
+    val vecs = storedIndex.select(col("vec_id"), col("qvec"))
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .unionByName(batchIndex.select(col("vec_id"), col("qvec")))
+    val keys = Seq("layer", "src")
+    // internal greedy: rnk ≤ k by construction (upsertLayeredKnnSeed
+    // above), so no probe — rngGreedy's truncation filter defines it
+    val gChanged = upserted
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+      .join(broadcast(changed), keys, "left_semi")
+      .transform(graft.util.CacheScope.persist)
+    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, vecs,
+      keys), k, alphaNum, alphaDen, keys)
+    val passthrough = storedPrunedLayered
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+      .join(broadcast(changed), keys, "left_anti")
+    rePruned.unionByName(passthrough)
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+  }
+
   /** Per-LAYER RNG/α pruning for the layered (HNSW-shape) graph —
     * HNSW applies its select-neighbors heuristic PER LAYER, and the
     * prune is a per-source function WITHIN a layer (layers share
-    * nothing but the vectors), so the layered form is exactly
-    * [[pruneGraphRng]] mapped over the layer slices under one shared
-    * quantized-vector table. Upper layers are geometrically small, so
-    * the added work is the usual layered geometric series. Output:
-    * (layer, src, dst, d2, rnk) — [[layeredGraphSearch]] walks it
-    * unchanged. */
+    * nothing but the vectors), so layer joins src in the fold's GROUP
+    * KEY and the whole layered prune is ONE (layer, src)-keyed
+    * shuffle over one shared pair table — the per-layer-chain form
+    * paid a pair-table build plus a src shuffle PER layer for the
+    * same per-group greedy (the round-17 unification; measured on the
+    * gate suite it cut the layered build and upsert families'
+    * wall-clock). Upper layers are geometrically small, so their key
+    * groups add the usual geometric series. Output: (layer, src, dst,
+    * d2, rnk) — [[layeredGraphSearch]] walks it unchanged. */
   def pruneLayeredGraphRng(layeredGraph: DataFrame, base: DataFrame,
       idCol: String, vecCol: String, k: Int, maxLayer: Int,
       alphaNum: Long = 1L, alphaDen: Long = 1L): DataFrame = {
-    require(maxLayer >= 0,
-      s"pruneLayeredGraphRng: maxLayer must be >= 0, got $maxLayer")
+    val g = layeredPruneInputChecked(layeredGraph, k, maxLayer,
+      alphaNum, alphaDen)
     val vecs = Ivf.quantized(base, idCol, vecCol)
-      .transform(graft.util.CacheScope.persist)
-    (0 to maxLayer).map { l =>
-      pruneGraphRngQuantized(
-        layeredGraph.filter(col("layer") === l)
-          .select(col("src"), col("dst"), col("d2"), col("rnk")),
-        vecs, k, alphaNum, alphaDen)
-        .withColumn("layer", lit(l))
-    }.reduce(_.unionByName(_))
+    val keys = Seq("layer", "src")
+    rngGreedy(g, rngPairTable(g, vecs, keys), k, alphaNum, alphaDen,
+        keys)
       .select(col("layer").cast("int").as("layer"), col("src"),
         col("dst"), col("d2"), col("rnk"))
+  }
+
+  /** [[pruneInputChecked]] for the layered family: one persisted
+    * (layer, src, dst, d2, rnk) projection over layers 0..maxLayer
+    * and ONE bounded max-rank probe for the whole table (the
+    * per-layer form paid the probe's action per layer). */
+  private def layeredPruneInputChecked(layeredGraph: DataFrame, k: Int,
+      maxLayer: Int, alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(maxLayer >= 0,
+      s"pruneLayeredGraphRng: maxLayer must be >= 0, got $maxLayer")
+    pruneParamsChecked(k, alphaNum, alphaDen)
+    val g = layeredGraph.filter(col("layer").between(0, maxLayer))
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    val maxRnk = g.agg(max(col("rnk"))).head()
+    if (!maxRnk.isNullAt(0)) {
+      val m = maxRnk.get(0).asInstanceOf[Number].intValue
+      require(m <= k,
+        s"pruneLayeredGraphRng: graph max rnk $m > k=$k — ranks past " +
+          "k would be silently dropped (neither kept nor consulted " +
+          "as covers); pass the k the graph was built with")
+    }
+    g
   }
 
   /** [[pruneGraphRng]] across a WHOLE α sweep — the q240/q271 tuning
@@ -1463,27 +1593,138 @@ object Similarity {
     * can differ by layer (upper layers are sparse long-range scaffolds
     * — over-pruning there severs the only cross-cell waypoints; the
     * base layer holds the local structure that tolerates aggressive
-    * pruning). One shared quantized-vector scan; per layer the
-    * α-independent pair table builds once and every α reuses it.
+    * pruning). ONE (layer, src)-keyed fold input shared across ALL
+    * layers AND αs (the round-17 unification — the per-layer form
+    * re-paid the pair table and the group shuffle per layer); each
+    * sweep point is then a map-only fold plus a layer-keyed census.
+    * A layer the graph lacks still reports its row (n_srcs 0 — the
+    * per-layer-aggregate contract), via the bounded layer spine.
     * Output: (layer, a_num, a_den, n_edges, n_srcs, max_degree) — the
     * per-layer kept-edge census an operator reads the knee from
     * before committing per-layer α levels to the stored graph. */
   def pruneLayeredSweep(layeredGraph: DataFrame, base: DataFrame,
       idCol: String, vecCol: String, k: Int, maxLayer: Int,
       alphas: Seq[(Long, Long)]): DataFrame = {
-    require(maxLayer >= 0,
-      s"pruneLayeredSweep: maxLayer must be >= 0, got $maxLayer")
+    require(alphas.nonEmpty, "pruneLayeredSweep: need at least one alpha")
+    alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
+    val g = layeredPruneInputChecked(layeredGraph, k, maxLayer,
+      alphas.head._1, alphas.head._2)
     val vecs = Ivf.quantized(base, idCol, vecCol)
+    val keys = Seq("layer", "src")
+    val perSrc = rngFoldInput(g, rngPairTable(g, vecs, keys), keys)
       .transform(graft.util.CacheScope.persist)
-    (0 to maxLayer).map { l =>
-      pruneSweepQuantized(
-        layeredGraph.filter(col("layer") === l)
-          .select(col("src"), col("dst"), col("d2"), col("rnk")),
-        vecs, k, alphas)
-        .withColumn("layer", lit(l))
+    val spark = layeredGraph.sparkSession
+    val spine = spark.range(0, maxLayer + 1L)
+      .select(col("id").cast("int").as("layer"))
+    alphas.map { case (num, den) =>
+      val census = rngFold(perSrc, num, den, keys)
+        .groupBy(col("layer"), col("src")).agg(count(lit(1)).as("__d"))
+        .groupBy(col("layer"))
+        .agg(sum(col("__d")).as("n_edges"),
+          count(lit(1)).as("n_srcs"),
+          max(col("__d")).as("max_degree"))
+      spine.join(census, Seq("layer"), "left")
+        .select(col("layer"), lit(num).as("a_num"),
+          lit(den).as("a_den"), col("n_edges"),
+          coalesce(col("n_srcs"), lit(0L)).as("n_srcs"),
+          col("max_degree"))
     }.reduce(_.unionByName(_))
       .select(col("layer").cast("int").as("layer"), col("a_num"),
         col("a_den"), col("n_edges"), col("n_srcs"), col("max_degree"))
+  }
+
+  /** RECALL-per-α over the flat prune sweep — the half of the
+    * DiskANN/RobustPrune tuning curve [[pruneSweep]]'s edge census
+    * cannot show: an operator picks a prune level by what it does to
+    * SERVED RECALL at a fixed walk budget, next to what it saves in
+    * distance evaluations, so each sweep point here prunes, WALKS the
+    * pruned graph at the given (entryK, beam, hops) budget, and reads
+    * [[graphRecallCost]]'s recall/cost pair aggregated over the query
+    * panel. The α-independent fold input builds ONCE (one pair table,
+    * one group shuffle — the [[pruneSweepQuantized]] factoring); each
+    * α is then a map-only fold plus the walk, and the walk itself is
+    * the bounded serve plan (|Q|·beam frames, never corpus-shaped).
+    * `exact` is the shared baseline result set. Output one row per α:
+    * (a_num, a_den, n_queries, hits_total, recall_micro_mean,
+    * evals_total, frontier_total). */
+  def pruneRecallSweep(graph: DataFrame, base: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame,
+      exact: DataFrame, k: Int, alphas: Seq[(Long, Long)], entryK: Int,
+      beam: Int, hops: Int, topK: Int): DataFrame = {
+    require(alphas.nonEmpty, "pruneRecallSweep: need at least one alpha")
+    require(entryK >= 1 && beam >= 1 && hops >= 0 && topK >= 1,
+      s"pruneRecallSweep: entryK=$entryK, beam=$beam, topK=$topK " +
+        s"must be >= 1 (hops=$hops >= 0)")
+    require(topK <= beam,
+      s"pruneRecallSweep: topK=$topK > beam=$beam — the serve rank " +
+        "runs over the beam-capped frame")
+    alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
+    val g = pruneInputChecked(graph, k, alphas.head._1, alphas.head._2)
+    val perSrc = rngFoldInput(g,
+        rngPairTable(g, Ivf.quantized(base, idCol, vecCol)))
+      .transform(graft.util.CacheScope.persist)
+    val exactP = exact.transform(graft.util.CacheScope.persist)
+    alphas.map { case (num, den) =>
+      graphRecallCost(rngFold(perSrc, num, den), base, queries, idCol,
+          vecCol, exactP, k, entryK, beam, hops, topK)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("hits_total"),
+          sum(col("dist_evals")).as("evals_total"),
+          sum(col("frontier")).as("frontier_total"))
+        .select(lit(num).as("a_num"), lit(den).as("a_den"),
+          col("n_queries"), col("hits_total"),
+          expr(s"hits_total * 1000000 DIV ($k * n_queries)")
+            .as("recall_micro_mean"),
+          col("evals_total"), col("frontier_total"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[pruneRecallSweep]] on the LAYERED axis — recall-per-α for the
+    * per-layer prune, read off the DESCENT the pruned table actually
+    * serves: each α prunes every layer in the ONE (layer, src)-keyed
+    * fold (shared fold input across layers AND αs), then
+    * [[layeredRecallCost]] walks the whole per-α pruned stack at the
+    * fixed (entryK, beam, hopsPerLayer) budget. One row per α — the
+    * descent spans all layers, so the tuning knee here is the
+    * TABLE-level α (the per-(layer, α) EDGE census stays
+    * [[pruneLayeredSweep]]'s job; together they are the DiskANN curve
+    * on both axes). Output: (a_num, a_den, n_queries, hits_total,
+    * recall_micro_mean, evals_total, frontier_total). */
+  def pruneLayeredRecallSweep(layeredGraph: DataFrame, base: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame,
+      exact: DataFrame, k: Int, maxLayer: Int,
+      alphas: Seq[(Long, Long)], entryK: Int, beam: Int,
+      hopsPerLayer: Int, topK: Int): DataFrame = {
+    require(alphas.nonEmpty,
+      "pruneLayeredRecallSweep: need at least one alpha")
+    require(entryK >= 1 && beam >= 1 && hopsPerLayer >= 0 && topK >= 1,
+      s"pruneLayeredRecallSweep: entryK=$entryK, beam=$beam, " +
+        s"topK=$topK must be >= 1 (hopsPerLayer=$hopsPerLayer >= 0)")
+    require(topK <= beam,
+      s"pruneLayeredRecallSweep: topK=$topK > beam=$beam — the serve " +
+        "rank runs over the beam-capped frame")
+    alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
+    val g = layeredPruneInputChecked(layeredGraph, k, maxLayer,
+      alphas.head._1, alphas.head._2)
+    val keys = Seq("layer", "src")
+    val perSrc = rngFoldInput(g,
+        rngPairTable(g, Ivf.quantized(base, idCol, vecCol), keys), keys)
+      .transform(graft.util.CacheScope.persist)
+    val exactP = exact.transform(graft.util.CacheScope.persist)
+    alphas.map { case (num, den) =>
+      layeredRecallCost(rngFold(perSrc, num, den, keys), base, queries,
+          idCol, vecCol, exactP, k, maxLayer, entryK, beam,
+          hopsPerLayer, topK)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("hits_total"),
+          sum(col("dist_evals")).as("evals_total"),
+          sum(col("frontier")).as("frontier_total"))
+        .select(lit(num).as("a_num"), lit(den).as("a_den"),
+          col("n_queries"), col("hits_total"),
+          expr(s"hits_total * 1000000 DIV ($k * n_queries)")
+            .as("recall_micro_mean"),
+          col("evals_total"), col("frontier_total"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Vertex PURGE with affected-neighbor RE-ELECTION — the q227

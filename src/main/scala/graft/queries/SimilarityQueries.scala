@@ -8707,13 +8707,15 @@ ${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")}
 
   // --------------------------------------------------------------- q311
   // O(changed) LAYERED pruned-graph upsert — q309's maintenance verb
-  // where HNSW actually lives: per layer (promotion is a pure
-  // function of the id, so a layer's member set is closed under
-  // restatement and the flat verb applies to each slice — stored
-  // layer graph, stored layer prune, member-restricted index and
-  // batch). Each layer re-prunes only its changed-source superset and
-  // passes its other sources' stored pruned rows through verbatim;
-  // upper layers are geometrically small. Runs on the FINE-geometry
+  // where HNSW actually lives: promotion is a pure function of the
+  // id, so a layer's member set is closed under restatement and the
+  // flat verb's argument applies per layer — and since the re-prune
+  // greedy is per-(layer, src) sequential, ALL layers run as ONE
+  // (layer, src)-keyed fold over one shared pair table (one upsert
+  // checkpoint, one group shuffle — the round-17 unification; the
+  // per-layer chain paid all three per layer). Each (layer, src) in
+  // the changed superset re-prunes; every other source's stored
+  // pruned rows pass through verbatim. Runs on the FINE-geometry
   // (64-cell) fixture family with the sparse %307 batch — q309's
   // gate-hygiene rationale per layer (this was the suite's heaviest
   // query at the 8-cell geometry, where the superset degenerated to
@@ -8728,25 +8730,16 @@ ${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")}
       val idx = graft.queries.SimFixtures.flatIndexF(s, dir)
       val lg0 = graft.queries.SimFixtures.layeredSeedF(s, dir)
       val lp0 = graft.queries.SimFixtures.prunedLayeredF(s, dir)
-      // pinned: three layers × the upsert's several batch reads (the
-      // q309 pin rationale, multiplied by the layer count)
+      // pinned: the upsert's several batch reads (ids, per-layer cell
+      // derivations, the post-upsert vector union — the q309 pin
+      // rationale)
       val batchIndex = graft.util.CacheScope.persist(
         graft.operators.Ivf.flatIndex(coarse,
           e.filter(col("vec_id") % 307 === 0)
             .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
           "vec_id", "embedding", Nil))
-      (0 to 2).map { l =>
-        val member = col("vec_id") % (1L << l) === 0
-        graft.operators.Similarity.upsertPrunedKnnSeed(
-            lg0.filter(col("layer") === l)
-              .select(col("src"), col("dst"), col("d2"), col("rnk")),
-            lp0.filter(col("layer") === l)
-              .select(col("src"), col("dst"), col("d2"), col("rnk")),
-            idx.filter(member), batchIndex.filter(member), k = 5)
-          .withColumn("layer", lit(l))
-      }.reduce(_.unionByName(_))
-        .select(col("layer").cast("int").as("layer"), col("src"),
-          col("dst"), col("d2"), col("rnk"))
+      graft.operators.Similarity.upsertPrunedLayeredKnnSeed(lg0, lp0,
+          idx, batchIndex, k = 5, maxLayer = 2)
         .orderBy(col("layer"), col("src"), col("rnk"))
     },
     Some(raw"""
@@ -9215,6 +9208,395 @@ ${rngKeptCtes(5, 1, 1)}
       ORDER BY src, rnk
     """))
 
+  // --------------------------------------------------------------- q319
+  // RECALL-per-α over the FLAT prune sweep — the half of the DiskANN
+  // tuning curve q308's edge census cannot show: an operator commits
+  // a prune level by what it does to SERVED recall at a fixed walk
+  // budget next to what it saves in distance evaluations, so each
+  // sweep point prunes (map-only fold over the ONE shared pair
+  // table), walks the pruned graph at q307's exact (entryK=2, beam=5,
+  // hops=2) budget, and reports the aggregated recall/cost pair. Read
+  // with q308 the two gates are the full curve: edges kept AND recall
+  // bought, per α. Oracle replays all three greedy chains and all
+  // three walks.
+  private val q319 = Q(
+    "q319_pruned_recall_alpha_sweep",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val g = graft.queries.SimFixtures.flatGraph(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
+        "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+      graft.operators.Similarity.pruneRecallSweep(g, e, "vec_id",
+          "embedding", q, exact, k = 5,
+          alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)), entryK = 2,
+          beam = 5, hops = 2, topK = 5)
+        .orderBy(col("a_num"), col("a_den"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${seedGraphCtes()},
+${seedgCte},
+${rngKeptCtes(5, 1, 1, p = "ka")},
+${rngKeptCtes(5, 2, 3, p = "kb")},
+${rngKeptCtes(5, 3, 2, p = "kc")},
+      pga AS (SELECT src, dst FROM ka5),
+      pgb AS (SELECT src, dst FROM kb5),
+      pgc AS (SELECT src, dst FROM kc5),
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("a", 2, 5, gName = "pga")},
+${walkCtes("b", 2, 5, gName = "pgb")},
+${walkCtes("c", 2, 5, gName = "pgc")},
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      awalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM ab2)
+        WHERE rnk <= 5),
+      bwalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM bb2)
+        WHERE rnk <= 5),
+      cwalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM cb2)
+        WHERE rnk <= 5),
+      ahits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN awalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+      bhits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN bwalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+      chits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN cwalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+${walkCostSql("a", 2)},
+${walkCostSql("b", 2)},
+${walkCostSql("c", 2)},
+      rows_ AS (
+        SELECT 1 AS a_num, 1 AS a_den,
+               (SELECT COUNT(*) FROM ahits) AS n_queries,
+               (SELECT SUM(n_hits) FROM ahits) AS hits_total,
+               (SELECT SUM(dist_evals) FROM acost) AS evals_total,
+               (SELECT SUM(frontier) FROM acost) AS frontier_total
+        UNION ALL
+        SELECT 2, 3,
+               (SELECT COUNT(*) FROM bhits),
+               (SELECT SUM(n_hits) FROM bhits),
+               (SELECT SUM(dist_evals) FROM bcost),
+               (SELECT SUM(frontier) FROM bcost)
+        UNION ALL
+        SELECT 3, 2,
+               (SELECT COUNT(*) FROM chits),
+               (SELECT SUM(n_hits) FROM chits),
+               (SELECT SUM(dist_evals) FROM ccost),
+               (SELECT SUM(frontier) FROM ccost))
+      SELECT CAST(a_num AS BIGINT) AS a_num,
+             CAST(a_den AS BIGINT) AS a_den,
+             CAST(n_queries AS BIGINT) AS n_queries,
+             CAST(hits_total AS BIGINT) AS hits_total,
+             CAST(hits_total * 1000000 // (5 * n_queries) AS BIGINT)
+               AS recall_micro_mean,
+             CAST(evals_total AS BIGINT) AS evals_total,
+             CAST(frontier_total AS BIGINT) AS frontier_total
+      FROM rows_
+      ORDER BY a_num, a_den
+    """))
+
+  // --------------------------------------------------------------- q320
+  // RECALL-per-α over the LAYERED prune sweep — q319's curve where
+  // the pruned table actually serves (the q312 descent): each α
+  // prunes EVERY layer in the one (layer, src)-keyed fold (fold input
+  // shared across layers and αs), then the full descent walks the
+  // per-α pruned stack at q317's exact (entryK=2, beam=5,
+  // hopsPerLayer=1) budget. One row per α — the descent spans all
+  // layers, so this knee picks the TABLE-level α while q315's
+  // per-(layer, α) edge census attributes it by layer. Oracle replays
+  // all nine per-layer greedy chains and all three chained descents.
+  private val q320 = Q(
+    "q320_layered_recall_alpha_sweep",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
+        "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+      graft.operators.Similarity.pruneLayeredRecallSweep(lg, e,
+          "vec_id", "embedding", q, exact, k = 5, maxLayer = 2,
+          alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)), entryK = 2,
+          beam = 5, hopsPerLayer = 1, topK = 5)
+        .orderBy(col("a_num"), col("a_den"))
+    },
+    Some {
+      val chains = (0 to 2).flatMap { l =>
+        Seq(("a", 1L, 1L), ("b", 2L, 3L), ("c", 3L, 2L)).map {
+          case (t, n, d) =>
+            rngKeptCtes(5, n, d, gName = s"l${l}gr", p = s"l${l}k$t")
+        }
+      }.mkString(",")
+      val kms = (0 to 2).flatMap { l =>
+        Seq("a", "b", "c").map { t =>
+          s"""l${l}k${t}m AS MATERIALIZED (SELECT src, dst FROM l${l}k${t}5)"""
+        }
+      }.mkString(",\n      ")
+      val walks = Seq("a", "b", "c").map { t =>
+        raw"""
+${walkCtes(s"${t}t", 1, 5, gName = s"l2k${t}m")},
+${walkCtes(s"${t}m", 1, 5, gName = s"l1k${t}m", init = Some(s"${t}tb1"))},
+${walkCtes(s"${t}w", 1, 5, gName = s"l0k${t}m", init = Some(s"${t}mb1"))}"""
+      }.mkString(",")
+      val hits = Seq("a", "b", "c").map { t =>
+        raw"""
+      ${t}hits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN (
+          SELECT q_id, dst AS n_id FROM (
+            SELECT q_id, dst,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY d2 ASC, dst ASC) AS rnk
+            FROM ${t}wb1)
+          WHERE rnk <= 5) w
+          ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id)"""
+      }.mkString(",")
+      val costs = Seq("a", "b", "c").map { t =>
+        layeredCostSql(s"${t}cost", s"${t}t", Seq(s"${t}m", s"${t}w"), 1)
+      }.mkString(",")
+      val rows = Seq(("a", 1, 1), ("b", 2, 3), ("c", 3, 2)).map {
+        case (t, n, d) =>
+          s"""SELECT $n AS a_num, $d AS a_den,
+               (SELECT COUNT(*) FROM ${t}hits) AS n_queries,
+               (SELECT SUM(n_hits) FROM ${t}hits) AS hits_total,
+               (SELECT SUM(dist_evals) FROM ${t}cost) AS evals_total,
+               (SELECT SUM(frontier) FROM ${t}cost) AS frontier_total"""
+      }.mkString("\n        UNION ALL\n        ")
+      raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+${layerRankedCte("l0")},
+${layerRankedCte("l1")},
+${layerRankedCte("l2")},
+$chains,
+      $kms,
+      ent AS (SELECT vec_id AS dst FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+$walks,
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+$hits,
+$costs,
+      rows_ AS (
+        $rows)
+      SELECT CAST(a_num AS BIGINT) AS a_num,
+             CAST(a_den AS BIGINT) AS a_den,
+             CAST(n_queries AS BIGINT) AS n_queries,
+             CAST(hits_total AS BIGINT) AS hits_total,
+             CAST(hits_total * 1000000 // (5 * n_queries) AS BIGINT)
+               AS recall_micro_mean,
+             CAST(evals_total AS BIGINT) AS evals_total,
+             CAST(frontier_total AS BIGINT) AS frontier_total
+      FROM rows_
+      ORDER BY a_num, a_den
+    """
+    })
+
+  // --------------------------------------------------------------- q321
+  // (beam, hopsPerLayer, maxLayer) SWEEP over the STORED PRUNED
+  // layered table — q286's tuning frontier AFTER committing a prune
+  // level: thinner out-edges change the frontier economics (each hop
+  // re-offers fewer clique repeats), so the (beam, hops) knee an
+  // operator tuned on the unpruned graph MOVES, and the serving
+  // artifact a deployment actually walks (SimFixtures.prunedLayered)
+  // needs its own committed curve. Same three points as q286 — the
+  // layered baseline, the flat point at EQUAL hop budget, the wider
+  // beam — so the q286-vs-q321 row diff is the prune's effect on the
+  // whole frontier, not one operating point. Oracle = the per-layer
+  // greedy replay, then q286's walk chains over the kept edges.
+  private val q321 = Q(
+    "q321_pruned_layered_beam_sweep",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lp = graft.queries.SimFixtures.prunedLayered(s, dir)
+        .transform(graft.util.CacheScope.persist)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
+          "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+        .transform(graft.util.CacheScope.persist)
+      Seq((5, 1, 2), (5, 3, 0), (8, 1, 2)).map { case (beam, hpl, ml) =>
+        graft.operators.Similarity.layeredRecallCost(lp, e, q,
+            "vec_id", "embedding", exact, 5, maxLayer = ml, entryK = 2,
+            beam = beam, hopsPerLayer = hpl, topK = 5)
+          .withColumn("beam", lit(beam))
+          .withColumn("hops_per_layer", lit(hpl))
+          .withColumn("max_layer", lit(ml))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("beam"), col("hops_per_layer"), col("max_layer"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("hits_total"),
+          sum(col("dist_evals")).as("evals_total"),
+          sum(col("frontier")).as("frontier_total"))
+        .withColumn("recall_micro_mean",
+          expr("hits_total * 1000000 DIV (5 * n_queries)"))
+        .orderBy(col("beam"), col("hops_per_layer"), col("max_layer"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+${layerRankedCte("l0")},
+${layerRankedCte("l1")},
+${layerRankedCte("l2")},
+${rngKeptCtes(5, 1, 1, gName = "l0gr", p = "l0k")},
+${rngKeptCtes(5, 1, 1, gName = "l1gr", p = "l1k")},
+${rngKeptCtes(5, 1, 1, gName = "l2gr", p = "l2k")},
+      l0km AS MATERIALIZED (SELECT src, dst FROM l0k5),
+      l1km AS MATERIALIZED (SELECT src, dst FROM l1k5),
+      l2km AS MATERIALIZED (SELECT src, dst FROM l2k5),
+      ent4 AS (SELECT vec_id AS dst FROM embeddings
+               WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      ent1 AS (SELECT vec_id AS dst FROM embeddings
+               ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("at", 1, 5, gName = "l2km", entName = "ent4")},
+${walkCtes("am", 1, 5, gName = "l1km", init = Some("atb1"))},
+${walkCtes("aw", 1, 5, gName = "l0km", init = Some("amb1"))},
+${walkCtes("f", 3, 5, gName = "l0km", entName = "ent1")},
+${walkCtes("xt", 1, 8, gName = "l2km", entName = "ent4")},
+${walkCtes("xm", 1, 8, gName = "l1km", init = Some("xtb1"))},
+${walkCtes("xw", 1, 8, gName = "l0km", init = Some("xmb1"))},
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      awalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM awb1)
+        WHERE rnk <= 5),
+      fwalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM fb3)
+        WHERE rnk <= 5),
+      xwalk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM xwb1)
+        WHERE rnk <= 5),
+      ahits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN awalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+      fhits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN fwalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+      xhits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits FROM exact e
+        LEFT JOIN xwalk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+${layeredCostSql("acost", "at", Seq("am", "aw"), 1)},
+${walkCostSql("f", 3)},
+${layeredCostSql("xcost", "xt", Seq("xm", "xw"), 1)},
+      rows_ AS (
+        SELECT CAST(5 AS INTEGER) AS beam,
+               CAST(1 AS INTEGER) AS hops_per_layer,
+               CAST(2 AS INTEGER) AS max_layer,
+               (SELECT COUNT(*) FROM ahits) AS n_queries,
+               (SELECT SUM(n_hits) FROM ahits) AS hits_total,
+               (SELECT SUM(dist_evals) FROM acost) AS evals_total,
+               (SELECT SUM(frontier) FROM acost) AS frontier_total
+        UNION ALL
+        SELECT CAST(5 AS INTEGER), CAST(3 AS INTEGER),
+               CAST(0 AS INTEGER),
+               (SELECT COUNT(*) FROM fhits),
+               (SELECT SUM(n_hits) FROM fhits),
+               (SELECT SUM(dist_evals) FROM fcost),
+               (SELECT SUM(frontier) FROM fcost)
+        UNION ALL
+        SELECT CAST(8 AS INTEGER), CAST(1 AS INTEGER),
+               CAST(2 AS INTEGER),
+               (SELECT COUNT(*) FROM xhits),
+               (SELECT SUM(n_hits) FROM xhits),
+               (SELECT SUM(dist_evals) FROM xcost),
+               (SELECT SUM(frontier) FROM xcost))
+      SELECT beam, hops_per_layer, max_layer,
+             CAST(n_queries AS BIGINT) AS n_queries,
+             CAST(hits_total AS BIGINT) AS hits_total,
+             CAST(evals_total AS BIGINT) AS evals_total,
+             CAST(frontier_total AS BIGINT) AS frontier_total,
+             CAST(hits_total * 1000000 // (5 * n_queries) AS BIGINT)
+               AS recall_micro_mean
+      FROM rows_
+      ORDER BY beam, hops_per_layer, max_layer
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -9225,5 +9607,5 @@ ${rngKeptCtes(5, 1, 1)}
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
     q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313,
-    q314, q315, q316, q317, q318)
+    q314, q315, q316, q317, q318, q319, q320, q321)
 }
