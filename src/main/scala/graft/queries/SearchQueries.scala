@@ -1022,6 +1022,178 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
+  // --------------------------------------------------------------- q322
+  // CROSS-PILLAR RAG composition — the whole deployment under ONE
+  // hash gate: curation VERDICTS (exact-dedup losers ∪ quality
+  // failures ∪ docs sharing a 3-gram with the benchmark slice ∪ the
+  // benchmark docs themselves — q16/q24/q219's verdicts, each
+  // individually gated) become index TOMBSTONES (one O(verdict)
+  // semi-join purges the stored flat ANN index AND restricts the BM25
+  // corpus — its df/avgdl/n_docs statistics recompute over SURVIVORS,
+  // the detail a filter-at-rank-time shortcut gets wrong), and the
+  // HYBRID serve fuses the lexical and routed-vector rankings through
+  // RRF (q242's fusion). Every seam is a previously-gated verb; this
+  // gate proves they COMPOSE — the q200/q247 one-hash discipline
+  // spanning both pillars. Scale shape: verdicts are
+  // incidence-proportional sets (never corpus² — the shingle join is
+  // df-bucketed, the dedup keep-set a hash groupBy), the purge is one
+  // semi-join on the stored index scan, and both rankings are O(topN)
+  // into a bounded fusion.
+  private val q322 = Q(
+    "q322_rag_curation_hybrid_serve",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val bench = graft.operators.Dedup.explodedShingles(
+          docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", 3)
+        .select(col("sh")).distinct()
+      val contaminated = graft.operators.Dedup.explodedShingles(
+          docs.filter(col("doc_id") % 25 =!= 0), "doc_id", "text", 3)
+        .join(broadcast(bench), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val qualityPass = docs
+        .withColumn("__w", graft.operators.Dedup.words(col("text")))
+        .filter(graft.operators.TextAnalysis.qualityMicro(col("text"),
+          col("__w")) >= 600000L)
+        .select(col("doc_id"))
+      // the verdict set, pinned: BOTH pillars read it (BM25 corpus
+      // restriction + index purge)
+      val live = docs.select(col("doc_id"))
+        .filter(col("doc_id") % 25 =!= 0)
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(qualityPass, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .transform(graft.util.CacheScope.persist)
+      val text = Search.bm25Search(
+        docs.join(live, Seq("doc_id"), "left_semi"), "doc_id", "text",
+        terms = Seq("spark", "vector", "hash"), topN = 20)
+      val purgedIdx = graft.queries.SimFixtures.flatIndex(s, dir)
+        .join(live.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+      val vec = graft.operators.Ivf.filteredSearch(
+          graft.queries.SimFixtures.coarse(s, dir), purgedIdx,
+          e.filter(col("vec_id") === 7), "vec_id", "embedding",
+          lit(true), nprobe = 8, topK = 20)
+        .select(col("n_id").as("doc_id"), col("rnk"))
+      Search.rrfFuse(
+          Seq(text.select(col("doc_id"), col("rnk")), vec),
+          "doc_id", kRrf = 60, topN = 10)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+      qb AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                 AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS BIGINT) AS n_digit,
+               ${TextQueries.scoreSql("en")} AS s_en
+        FROM (SELECT doc_id, text, $wordsSql AS w FROM documents)),
+      qq AS (
+        SELECT doc_id,
+               CAST(ROUND(ROUND(
+                 0.4 * least(n_chars / 500.0, 1.0)
+               + 0.2 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * (1.0 - least((n_digit / greatest(n_chars, 1.0)) * 10.0, 1.0))
+               + 0.2 * least((s_en / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0),
+                 6) * 1000000) AS BIGINT) AS qm
+        FROM qb),
+      cnorm AS (
+        SELECT doc_id, $wordsSql AS w FROM documents),
+      cshingle AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sgram
+        FROM cnorm, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3),
+      cbench AS (SELECT DISTINCT sgram FROM cshingle WHERE doc_id % 25 = 0),
+      cbad AS (
+        SELECT DISTINCT c.doc_id FROM cshingle c JOIN cbench USING (sgram)
+        WHERE c.doc_id % 25 <> 0),
+      live AS (
+        SELECT d.doc_id FROM documents d
+        JOIN keepers k USING (doc_id)
+        JOIN qq USING (doc_id)
+        WHERE qq.qm >= 600000
+          AND d.doc_id % 25 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM cbad)),
+      toks AS (
+        SELECT d.doc_id, UNNEST($wordsSql) AS token
+        FROM documents d JOIN live USING (doc_id)),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      navg AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token IN ('spark', 'vector', 'hash')
+        GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      parts AS (
+        SELECT t.doc_id,
+               ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (0.25 + 0.75 * d.dl / n.avgdl)) AS part
+        FROM tf t
+        JOIN dfreq f USING (token)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN navg n),
+      bmscored AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS score
+        FROM parts GROUP BY doc_id),
+      bm AS (
+        SELECT doc_id, rnk FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rnk
+          FROM bmscored)
+        WHERE rnk <= 20),
+      vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+      vr AS (
+        SELECT doc_id, rnk FROM (
+          SELECT n.vec_id AS doc_id,
+                 ROW_NUMBER() OVER (ORDER BY
+                     list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id = 7 AND n.vec_id <> 7
+            AND n.vec_id IN (SELECT doc_id FROM live))
+        WHERE rnk <= 20),
+      u AS (
+        SELECT doc_id, rnk FROM bm
+        UNION ALL
+        SELECT doc_id, rnk FROM vr),
+      f AS (
+        SELECT doc_id, SUM(1000000 // (60 + rnk)) AS rrf_micro,
+               COUNT(*) AS n_lists
+        FROM u GROUP BY doc_id)
+      SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+             CAST(n_lists AS BIGINT) AS n_lists,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT doc_id, rrf_micro, n_lists,
+               ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+                 AS rnk
+        FROM f)
+      WHERE rnk <= 10
+      ORDER BY rnk
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
-    q232, q242, q243, q244, q245, q253, q254, q258, q259, q262, q300)
+    q232, q242, q243, q244, q245, q253, q254, q258, q259, q262, q300,
+    q322)
 }

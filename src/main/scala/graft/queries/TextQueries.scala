@@ -18,7 +18,7 @@ object TextQueries extends QueryPack {
   private def occSql(word: String): String =
     s"CAST(len(list_filter(w, x -> x = '$word')) AS BIGINT)"
 
-  private def scoreSql(lang: String): String =
+  private[queries] def scoreSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(occSql).mkString("(", " + ", ")")
 
   private val wordsSql =
