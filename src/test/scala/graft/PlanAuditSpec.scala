@@ -345,7 +345,25 @@ class PlanAuditSpec extends SparkSpec {
       // q317 = q285's descent fans over the stored pruned layered
       // table + the ≤8-row probing-all exact baseline; the audit join
       // is O(queries·k), the cost counts partial-combining aggregates
-      "q317_pruned_layered_recall_cost")
+      "q317_pruned_layered_recall_cost",
+      // q319 = three q307-class walks (bounded query panel × entryK
+      // entries, per-hop broadcast beam state) over the per-α folds of
+      // ONE shared pair table + the ≤8-row probing-all baseline; the
+      // folds themselves are k-bounded id-keyed joins with no fan
+      "q319_pruned_recall_alpha_sweep",
+      // q320 = three q317-class descents over the per-α layered folds
+      // (shared fold input) + the probing-all baseline — same bounded
+      // fans per α
+      "q320_layered_recall_alpha_sweep",
+      // q321 = q286's three sweep-point descents over the STORED
+      // pruned layered table + the probing-all baseline; the table
+      // swap adds nothing
+      "q321_pruned_layered_beam_sweep",
+      // q322 fans q106's 1-row (n_docs, avgdl) BM25 total and
+      // filteredSearch's ≤8-row probing-all coarse probe (q242's
+      // classes); the verdict joins are id/shingle-keyed semi/anti
+      // joins, the fusion O(topN)
+      "q322_rag_curation_hybrid_serve")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -402,6 +402,7 @@ class ShuffleMetricsSpec extends SparkSpec {
     // re-shuffles per consumer
     val sdir = java.nio.file.Files
       .createTempDirectory("graft_shuffle_pruned").toString
+    try {
     operators.Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
       .write.parquet(s"$sdir/idx")
     val idx = spark.read.parquet(s"$sdir/idx")
@@ -446,6 +447,17 @@ class ShuffleMetricsSpec extends SparkSpec {
     assert(three < 2 * one,
       s"3-α sweep shuffled $three ≥ 2× the single-α sweep's $one — " +
         "the shared fold input is not being reused")
+    } finally {
+      // the sibling tests' hygiene: release every frame the operators'
+      // CacheScope pinned during the four measured runs, and remove
+      // the stored-table temp dir
+      spark.catalog.clearCache()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(sdir))
+    }
   }
 
   test("frame dedup election shuffles digests, never payloads") {

@@ -1518,6 +1518,7 @@ class PqSpec extends SparkSpec {
     // re-elected (adjacent-to-deleted) sources re-prune
     def checkPurge(pred: org.apache.spark.sql.Column, label: String): Unit = {
       val tombs = emb.filter(pred).select("vec_id")
+      val tombIds = tombs.collect().map(_.getLong(0)).toSet
       val incP = Similarity.purgePrunedKnnGraph(g, pruned, idx, tombs, 5)
         .orderBy("src", "rnk").collect().toSeq
       val fullP = Similarity.pruneGraphRng(
@@ -1526,11 +1527,110 @@ class PqSpec extends SparkSpec {
         .orderBy("src", "rnk").collect().toSeq
       assert(incP == fullP,
         s"$label: incremental pruned purge diverged from the full re-prune")
-      assert(incP.forall(r => r.getLong(0) % 5 != 0 || label != "multi-cell"),
+      // assert the tombstoned ids directly per lane — the earlier
+      // %5-specific form was vacuously true for the single-id lane
+      assert(incP.forall(r => !tombIds.contains(r.getLong(0))),
         s"$label: a deleted source survived the pruned purge")
+      assert(incP.forall(r => !tombIds.contains(r.getLong(1))),
+        s"$label: a deleted dst survived the pruned purge")
     }
     checkPurge(col("vec_id") % 5 === 0, "multi-cell")
     checkPurge(col("vec_id") === 10, "single-id")
+  }
+
+  test("layered pruned upsert: one-fold verb ≡ full per-layer re-prune; keyed fold ≡ per-layer prune") {
+    val s = spark
+    import s.implicits._
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val idx = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val lg = Similarity.layeredKnnGraphWith(coarse, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 2)
+    val lp = Similarity.pruneLayeredGraphRng(lg, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 2)
+    // the unified (layer, src)-keyed fold ≡ the per-layer flat prune
+    // (the round-17 q311 unification's correctness pin)
+    val perLayer = (0 to 2).flatMap { l =>
+      Similarity.pruneGraphRng(
+          lg.filter(col("layer") === l)
+            .select(col("src"), col("dst"), col("d2"), col("rnk")),
+          emb, "vec_id", "embedding", k = 5)
+        .withColumn("layer", lit(l))
+        .select(col("layer").cast("int").as("layer"), col("src"),
+          col("dst"), col("d2"), col("rnk"))
+        .orderBy("src", "rnk").collect().toSeq
+    }
+    assert(lp.orderBy("layer", "src", "rnk").collect().toSeq == perLayer,
+      "keyed-fold layered prune diverged from the per-layer prune")
+    // the one-fold upsert verb ≡ the full per-layer re-prune of the
+    // restated rebuild (the q311 oracle's claim, spec-pinned)
+    val batch = Ivf.flatIndex(coarse,
+      emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      "vec_id", "embedding", Nil)
+    val restated = emb.select(col("vec_id"),
+      when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    val inc = Similarity.upsertPrunedLayeredKnnSeed(lg, lp, idx, batch,
+        k = 5, maxLayer = 2)
+      .orderBy("layer", "src", "rnk").collect().toSeq
+    val full = Similarity.pruneLayeredGraphRng(
+        Similarity.upsertLayeredKnnSeed(lg, idx, batch, k = 5,
+          maxLayer = 2),
+        restated, "vec_id", "embedding", k = 5, maxLayer = 2)
+      .orderBy("layer", "src", "rnk").collect().toSeq
+    assert(inc == full,
+      "layered pruned upsert diverged from the full per-layer re-prune")
+  }
+
+  test("recall-per-alpha sweep rows ≡ the aggregated single-alpha audits (flat and layered)") {
+    val s = spark
+    import s.implicits._
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val idx = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Ivf.filteredSearch(coarse, idx, q, "vec_id",
+      "embedding", lit(true), nprobe = 8, topK = 5)
+    def aggregated(audit: org.apache.spark.sql.DataFrame, n: Long,
+        d: Long) =
+      audit.agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("hits_total"),
+          sum(col("dist_evals")).as("evals_total"),
+          sum(col("frontier")).as("frontier_total"))
+        .select(lit(n).as("a_num"), lit(d).as("a_den"),
+          col("n_queries"), col("hits_total"),
+          expr("hits_total * 1000000 DIV (5 * n_queries)")
+            .as("recall_micro_mean"),
+          col("evals_total"), col("frontier_total"))
+        .collect().toSeq
+    val alphas = Seq((1L, 1L), (3L, 2L))
+    val g = Similarity.knnGraphSeed(coarse, emb, "vec_id", "embedding", 5)
+    val flatSweep = Similarity.pruneRecallSweep(g, emb, "vec_id",
+        "embedding", q, exact, k = 5, alphas, entryK = 2, beam = 5,
+        hops = 2, topK = 5)
+      .orderBy("a_num", "a_den").collect().toSeq
+    val flatSingle = alphas.flatMap { case (n, d) =>
+      aggregated(Similarity.graphRecallCost(
+        Similarity.pruneGraphRng(g, emb, "vec_id", "embedding", 5, n, d),
+        emb, q, "vec_id", "embedding", exact, 5, entryK = 2, beam = 5,
+        hops = 2, topK = 5), n, d)
+    }
+    assert(flatSweep == flatSingle,
+      "flat recall sweep diverged from the single-alpha audits")
+    val lg = Similarity.layeredKnnGraphWith(coarse, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 1)
+    val laySweep = Similarity.pruneLayeredRecallSweep(lg, emb,
+        "vec_id", "embedding", q, exact, k = 5, maxLayer = 1, alphas,
+        entryK = 2, beam = 5, hopsPerLayer = 1, topK = 5)
+      .orderBy("a_num", "a_den").collect().toSeq
+    val laySingle = alphas.flatMap { case (n, d) =>
+      aggregated(Similarity.layeredRecallCost(
+        Similarity.pruneLayeredGraphRng(lg, emb, "vec_id", "embedding",
+          5, maxLayer = 1, n, d),
+        emb, q, "vec_id", "embedding", exact, 5, maxLayer = 1,
+        entryK = 2, beam = 5, hopsPerLayer = 1, topK = 5), n, d)
+    }
+    assert(laySweep == laySingle,
+      "layered recall sweep diverged from the single-alpha audits")
   }
 
   test("multi-vector lifecycle verbs ride the multi-row machinery unchanged") {
