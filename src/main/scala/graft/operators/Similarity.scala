@@ -1823,14 +1823,32 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, maxLayer: Int): DataFrame = {
     require(k >= 1 && maxLayer >= 0,
       s"layeredKnnGraph: k=$k must be >= 1, maxLayer=$maxLayer >= 0")
-    (0 to maxLayer).map { l =>
-      knnGraphSeed(coarse,
-          embeddings.filter(col(idCol) % lit(1L << l) === 0),
-          idCol, vecCol, k)
-        .withColumn("layer", lit(l))
-    }.reduce(_.unionByName(_))
+    // ONE (layer, cid)-keyed self-join over the layer-fanned index +
+    // ONE (layer, src) election window — the per-layer form paid the
+    // full seed chain (index build, cell join, rank exchange) per
+    // layer for key-disjoint work (the round-17 unification; ≡ by
+    // per-group disjointness, spec-pinned). Geometric fan ≤ 2× rows.
+    val idx = layeredIndexFan(
+        Ivf.flatIndex(coarse, embeddings, idCol, vecCol, Nil), maxLayer)
+      .withColumn("__n2", dot(col("qvec"), col("qvec")))
+      .transform(graft.util.CacheScope.persist)
+    val a = idx.select(col("layer"), col("vec_id").as("src"),
+      col("cid"), col("qvec").as("__sv"), col("__n2").as("__sn"))
+    val b = idx.select(col("layer"), col("vec_id").as("dst"),
+      col("cid"), col("qvec").as("__dv"), col("__n2").as("__dn"))
+    val w = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    a.join(b, Seq("layer", "cid"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("d2", gridDist2(col("__sn"), col("__sv"),
+        col("__dn"), col("__dv")))
+      // drop the vectors BEFORE the rank exchange (the flatIndex
+      // lesson — the window input is Σ layer-cell² rows)
+      .select(col("layer"), col("src"), col("dst"), col("d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
       .select(col("layer"), col("src"), col("dst"), col("d2"),
-        col("rnk"))
+        col("rnk").cast("int").as("rnk"))
   }
 
   /** LAYERED build + NN-DESCENT refinement — [[knnGraph]]'s multi-round
@@ -2069,43 +2087,113 @@ object Similarity {
       batchIndex, k, maxLayer)
   }
 
-  /** O(new) APPEND for the stored LAYERED graph — [[appendKnnSeed]]
-    * applied per layer: the deterministic promotion rule (id ≡ 0 mod
-    * 2^ℓ) is APPEND-STABLE (an arriving id's layers are a pure
-    * function of the id, so no stored vertex ever changes layer — the
-    * property HNSW's random level draw also has, here replayable), so
-    * layer ℓ absorbs exactly the batch rows divisible by 2^ℓ and
-    * every layer's merge is the gated [[appendKnnSeed]] contract:
-    * new vertices score their grown cell, touched-cell members
-    * re-elect, untouched bags pass through bit-identical. A layer the
-    * batch misses passes through whole. `storedIndex`/`batchIndex`
-    * are full-corpus [[graft.operators.Ivf.flatIndex]] rows — the
-    * layer slices are id-arithmetic filters on the scan. Output ≡ the
-    * full [[layeredKnnGraph]] rebuild over history ∪ batch. */
+  /** The layered families' index FAN: each full-corpus flat-index row
+    * replicated to the layers the promotion rule (id ≡ 0 mod 2^ℓ)
+    * puts it in — an in-row generator over ONE index scan (geometric
+    * fan ≤ 2× rows), so every layered maintenance verb can run its
+    * joins and windows ONCE with `layer` in the key instead of a
+    * chain of member-filtered scans per layer (the round-17
+    * unification — same argument as the (layer, src)-keyed prune
+    * fold: all per-layer work is key-disjoint). */
+  private def layeredIndexFan(index: DataFrame, maxLayer: Int): DataFrame =
+    index.select(col("vec_id"), col("cid"), col("qvec"))
+      .withColumn("layer", explode(expr(
+        s"filter(sequence(0, $maxLayer), l -> vec_id % shiftleft(1L, l) = 0)")))
+
+  /** The layered graph projection every layered maintenance verb
+    * reads: layers 0..maxLayer, layer normalized to int. */
+  private def layeredGraphSlice(storedLayered: DataFrame,
+      maxLayer: Int): DataFrame =
+    storedLayered.filter(col("layer").between(0, maxLayer))
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+
+  /** O(new) APPEND for the stored LAYERED graph — [[appendKnnSeed]]'s
+    * contract per layer (the deterministic promotion rule is
+    * APPEND-STABLE: an arriving id's layers are a pure function of
+    * the id, so no stored vertex ever changes layer — the property
+    * HNSW's random level draw also has, here replayable; layer ℓ
+    * absorbs exactly the batch rows divisible by 2^ℓ, new vertices
+    * score their grown cell, touched-cell members re-elect, untouched
+    * bags pass through bit-identical, a layer the batch misses passes
+    * through whole), executed as ONE (layer, cid)-keyed merge over
+    * the [[layeredIndexFan]] with ONE (layer, src) election window —
+    * the per-layer-chain form paid every join, window, and exchange
+    * per layer for key-disjoint work (the round-17 unification; ≡ by
+    * the same per-group argument as the prune fold, spec-pinned).
+    * `storedIndex`/`batchIndex` are full-corpus [[graft.operators.Ivf
+    * .flatIndex]] rows. Output ≡ the full [[layeredKnnGraph]] rebuild
+    * over history ∪ batch. */
   def appendLayeredKnnSeed(storedLayered: DataFrame,
       storedIndex: DataFrame, batchIndex: DataFrame, k: Int,
       maxLayer: Int): DataFrame = {
     require(k >= 1 && maxLayer >= 0,
       s"appendLayeredKnnSeed: k=$k must be >= 1, maxLayer=$maxLayer >= 0")
-    (0 to maxLayer).map { l =>
-      appendKnnSeed(
-          storedLayered.filter(col("layer") === l)
-            .select(col("src"), col("dst"), col("d2"), col("rnk")),
-          storedIndex.filter(col("vec_id") % lit(1L << l) === 0),
-          batchIndex.filter(col("vec_id") % lit(1L << l) === 0), k)
-        .withColumn("layer", lit(l))
-    }.reduce(_.unionByName(_))
+    val sg = layeredGraphSlice(storedLayered, maxLayer)
+      .transform(graft.util.CacheScope.persist)
+    val si = layeredIndexFan(storedIndex, maxLayer)
+      .transform(graft.util.CacheScope.persist)
+    val bL = layeredIndexFan(batchIndex, maxLayer)
+      .transform(graft.util.CacheScope.persist)
+    val b = bL.select(col("layer"), col("vec_id").as("dst"),
+      col("cid"), col("qvec").as("__dv"),
+      dot(col("qvec"), col("qvec")).as("__dn"))
+    val full = si.select(col("layer"), col("vec_id").as("dst"),
+        col("cid"), col("qvec").as("__dv"),
+        dot(col("qvec"), col("qvec")).as("__dn"))
+      .unionByName(b)
+    val w = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    def sq(df: DataFrame): DataFrame = df
+      .filter(col("src") =!= col("dst"))
+      .withColumn("d2", gridDist2(col("__sn"), col("__sv"),
+        col("__dn"), col("__dv")))
+      .select(col("layer"), col("src"), col("dst"), col("d2"))
+    // new vertices: exact top-k within the grown cell, per layer
+    val newEdges = sq(bL.select(col("layer"),
+        col("vec_id").as("src"), col("cid"), col("qvec").as("__sv"),
+        dot(col("qvec"), col("qvec")).as("__sn"))
+      .join(full, Seq("layer", "cid")))
+    // old vertices in touched (layer, cell)s: stored top-k ∪ batch
+    // cell-mates
+    val touched = si
+      .join(b.select(col("layer"), col("cid")).distinct(),
+        Seq("layer", "cid"), "left_semi")
+      .select(col("layer"), col("vec_id").as("src"), col("cid"),
+        col("qvec").as("__sv"),
+        dot(col("qvec"), col("qvec")).as("__sn"))
+      .transform(graft.util.CacheScope.persist)
+    val vsBatch = sq(touched.join(b, Seq("layer", "cid")))
+    val reElect = sg
+      .join(touched.select(col("layer"), col("src")),
+        Seq("layer", "src"), "left_semi")
+      .select(col("layer"), col("src"), col("dst"), col("d2"))
+      .unionByName(vsBatch)
+    // untouched rows keep their STORED ranks verbatim
+    val passthrough = sg
+      .join(touched.select(col("layer"), col("src")),
+        Seq("layer", "src"), "left_anti")
       .select(col("layer"), col("src"), col("dst"), col("d2"),
         col("rnk"))
+    reElect.unionByName(newEdges)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("layer"), col("src"), col("dst"), col("d2"),
+        col("rnk").cast("int").as("rnk"))
+      .unionByName(passthrough)
   }
 
-  /** Vertex PURGE for the stored LAYERED graph — [[purgeKnnGraph]]
-    * applied per layer: a tombstoned id leaves every layer it was
+  /** Vertex PURGE for the stored LAYERED graph — [[purgeKnnGraph]]'s
+    * contract per layer (a tombstoned id leaves every layer it was
     * promoted to, each layer re-electing only ITS affected survivors
-    * from that layer's cell members (upper layers are sparser, so
-    * their re-elections touch fewer vertices — the geometric series
-    * again). Tombstone ids absent from a layer no-op there. Output ≡
-    * the full [[layeredKnnGraph]] rebuild over the survivors. */
+    * from that layer's cell members; tombstone ids absent from a
+    * layer no-op there), executed as ONE (layer, cid)-keyed
+    * re-election over the [[layeredIndexFan]] with ONE (layer, src)
+    * window — the per-layer-chain form paid every join and exchange
+    * per layer (the round-17 unification, ≡ by per-group disjointness,
+    * spec-pinned). Upper layers are sparser, so their fan rows form
+    * the usual geometric series. Output ≡ the full [[layeredKnnGraph]]
+    * rebuild over the survivors. */
   def purgeLayeredKnnGraph(storedLayered: DataFrame,
       storedIndex: DataFrame, tombstones: DataFrame, k: Int,
       maxLayer: Int): DataFrame = {
@@ -2113,16 +2201,46 @@ object Similarity {
       s"purgeLayeredKnnGraph: k=$k must be >= 1, maxLayer=$maxLayer >= 0")
     val dead = tombstones.select(col("vec_id")).distinct()
       .transform(graft.util.CacheScope.persist)
-    (0 to maxLayer).map { l =>
-      purgeKnnGraph(
-          storedLayered.filter(col("layer") === l)
-            .select(col("src"), col("dst"), col("d2"), col("rnk")),
-          storedIndex.filter(col("vec_id") % lit(1L << l) === 0),
-          dead, k)
-        .withColumn("layer", lit(l))
-    }.reduce(_.unionByName(_))
+    val sg = layeredGraphSlice(storedLayered, maxLayer)
+      .transform(graft.util.CacheScope.persist)
+    val live = layeredIndexFan(storedIndex, maxLayer)
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .transform(graft.util.CacheScope.persist)
+    // survivors that lost an edge, per layer: adjacent to a deleted
+    // dst — O(deleted · reverse-degree) (layer, src) pairs
+    val affected = sg
+      .join(broadcast(dead.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_semi")
+      .select(col("layer"), col("src")).distinct()
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .transform(graft.util.CacheScope.persist)
+    val a = live
+      .join(affected.select(col("layer"),
+        col("src").as("vec_id")), Seq("layer", "vec_id"), "left_semi")
+      .select(col("layer"), col("vec_id").as("src"), col("cid"),
+        col("qvec").as("__sv"),
+        dot(col("qvec"), col("qvec")).as("__sn"))
+    val bSide = live.select(col("layer"), col("vec_id").as("dst"),
+      col("cid"), col("qvec").as("__dv"),
+      dot(col("qvec"), col("qvec")).as("__dn"))
+    val w = Window.partitionBy(col("layer"), col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    val reElect = a.join(bSide, Seq("layer", "cid"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("d2", gridDist2(col("__sn"), col("__sv"),
+        col("__dn"), col("__dv")))
+      .select(col("layer"), col("src"), col("dst"), col("d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
       .select(col("layer"), col("src"), col("dst"), col("d2"),
-        col("rnk"))
+        col("rnk").cast("int").as("rnk"))
+    // untouched live vertices keep their STORED rows verbatim
+    val passthrough = sg
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(affected, Seq("layer", "src"), "left_anti")
+    reElect.unionByName(passthrough)
   }
 
   /** Graph UPSERT — the q231 composition on the graph pillar, closing

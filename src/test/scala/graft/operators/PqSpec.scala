@@ -1538,6 +1538,58 @@ class PqSpec extends SparkSpec {
     checkPurge(col("vec_id") === 10, "single-id")
   }
 
+  test("layer-fanned build/append/purge ≡ the per-layer flat verbs") {
+    // the round-17 unification's correctness pin: ONE (layer, ·)-keyed
+    // pass over the layer-fanned index ≡ mapping the flat verb over
+    // member-filtered slices (per-group disjointness — layers share
+    // nothing but the vectors)
+    val s = spark
+    import s.implicits._
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val idx = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val lg = Similarity.layeredKnnGraphWith(coarse, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 2)
+    def member(l: Int) = col("vec_id") % (1L << l) === 0
+    val buildPerLayer = (0 to 2).flatMap { l =>
+      Similarity.knnGraphSeed(coarse, emb.filter(member(l)), "vec_id",
+          "embedding", 5)
+        .orderBy("src", "rnk").collect().toSeq.map((l, _))
+    }
+    assert(lg.orderBy("layer", "src", "rnk").collect().toSeq
+        .map(r => (r.getInt(0), org.apache.spark.sql.Row(r.get(1),
+          r.get(2), r.get(3), r.get(4)))) == buildPerLayer,
+      "layer-fanned build diverged from the per-layer seeds")
+    val batch = Ivf.flatIndex(coarse,
+      emb.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      "vec_id", "embedding", Nil)
+    val appPerLayer = (0 to 2).flatMap { l =>
+      Similarity.appendKnnSeed(
+          lg.filter(col("layer") === l)
+            .select(col("src"), col("dst"), col("d2"), col("rnk")),
+          idx.filter(member(l)), batch.filter(member(l)), 5)
+        .orderBy("src", "rnk").collect().toSeq.map((l, _))
+    }
+    assert(Similarity.appendLayeredKnnSeed(lg, idx, batch, 5, 2)
+        .orderBy("layer", "src", "rnk").collect().toSeq
+        .map(r => (r.getInt(0), org.apache.spark.sql.Row(r.get(1),
+          r.get(2), r.get(3), r.get(4)))) == appPerLayer,
+      "layer-fanned append diverged from the per-layer appends")
+    val tombs = emb.filter(col("vec_id") % 9 === 0).select("vec_id")
+    val purgePerLayer = (0 to 2).flatMap { l =>
+      Similarity.purgeKnnGraph(
+          lg.filter(col("layer") === l)
+            .select(col("src"), col("dst"), col("d2"), col("rnk")),
+          idx.filter(member(l)), tombs, 5)
+        .orderBy("src", "rnk").collect().toSeq.map((l, _))
+    }
+    assert(Similarity.purgeLayeredKnnGraph(lg, idx, tombs, 5, 2)
+        .orderBy("layer", "src", "rnk").collect().toSeq
+        .map(r => (r.getInt(0), org.apache.spark.sql.Row(r.get(1),
+          r.get(2), r.get(3), r.get(4)))) == purgePerLayer,
+      "layer-fanned purge diverged from the per-layer purges")
+  }
+
   test("layered pruned upsert: one-fold verb ≡ full per-layer re-prune; keyed fold ≡ per-layer prune") {
     val s = spark
     import s.implicits._
