@@ -842,9 +842,23 @@ object Similarity {
   private final case class GraphWalk(best: DataFrame,
       scored: Seq[DataFrame], beams: Seq[DataFrame])
 
+  /** `nVariants > 1` walks a WHOLE SWEEP in one pass: the graph
+    * carries an int `__v` column (0..nVariants−1, e.g. one value per
+    * prune α), every query fans across the variant spine, the
+    * expansion joins edges on (__v, src), and the beam window
+    * partitions by (q_id, __v) — so N sweep points cost ONE chain of
+    * hops (one checkpoint, one expansion join, one score, one rank
+    * exchange per hop) instead of N chains, and the corpus-sized
+    * frames (the quantized base, the edge scan) are touched once.
+    * Per-(q_id, __v) isolation makes the variant walk ≡ N independent
+    * walks (spec-pinned through the sweep-vs-single-α equivalence).
+    * With the default nVariants = 1 the `__v` machinery vanishes. */
   private def graphWalk(graph: DataFrame, base: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, entryK: Int,
-      beam: Int, hops: Int, keepHops: Boolean): GraphWalk = {
+      beam: Int, hops: Int, keepHops: Boolean,
+      nVariants: Int = 1): GraphWalk = {
+    val vCols = if (nVariants > 1) Seq(col("__v")) else Nil
+    val vKey = if (nVariants > 1) Seq("__v") else Nil
     val baseQ = Ivf.quantized(base, idCol, vecCol)
       .withColumn("__n2", dot(col("qvec"), col("qvec")))
       .transform(graft.util.CacheScope.persist)
@@ -854,7 +868,7 @@ object Similarity {
     // pinned: every hop's expansion reads the edge table — against a
     // stored table this is a cheap rescan, but an in-plan graph (the
     // fixture shape) would otherwise REBUILD per hop
-    val edges = graph.select(col("src"), col("dst"))
+    val edges = graph.select(vCols ++ Seq(col("src"), col("dst")): _*)
       .transform(graft.util.CacheScope.persist)
     def score(cand: DataFrame): DataFrame =
       baseQ.select(col("vec_id").as("dst"), col("qvec").as("__dv"),
@@ -863,17 +877,23 @@ object Similarity {
         .join(broadcast(qp), Seq("q_id"))
         .withColumn("d2", gridDist2(col("__qn"), col("__qv"),
           col("__dn"), col("__dv")))
-        .select(col("q_id"), col("dst"), col("d2"))
+        .select((col("q_id") +: vCols) ++ Seq(col("dst"), col("d2")): _*)
     def keep(scored: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("q_id"))
+      val w = Window.partitionBy(col("q_id") +: vCols: _*)
         .orderBy(col("d2").asc, col("dst").asc)
       scored.withColumn("__rnk", row_number().over(w))
         .filter(col("__rnk") <= n).drop("__rnk")
     }
     val entries = base.select(col(idCol).as("dst"))
       .orderBy(col("dst").asc).limit(entryK)
+    val qSpine =
+      if (nVariants > 1)
+        qp.select(col("q_id")).crossJoin(broadcast(
+          graph.sparkSession.range(nVariants)
+            .select(col("id").cast("int").as("__v"))))
+      else qp.select(col("q_id"))
     val s0 = score(
-      qp.select(col("q_id")).crossJoin(broadcast(entries))
+      qSpine.crossJoin(broadcast(entries))
         .filter(col("dst") =!= col("q_id")))
     var best = keep(s0, beam)
     val scoredAcc = scala.collection.mutable.ListBuffer(s0)
@@ -898,11 +918,11 @@ object Similarity {
         lastCheckpoint = Some(cp)
       }
       val exp = edges
-        .join(broadcast(cp.select(col("q_id"),
-          col("dst").as("src"))), Seq("src"))
-        .select(col("q_id"), col("dst"))
+        .join(broadcast(cp.select((col("q_id") +: vCols)
+          :+ col("dst").as("src"): _*)), vKey :+ "src")
+        .select((col("q_id") +: vCols) :+ col("dst"): _*)
         .filter(col("dst") =!= col("q_id"))
-      val cand = cp.select(col("q_id"), col("dst"))
+      val cand = cp.select((col("q_id") +: vCols) :+ col("dst"): _*)
         .unionByName(exp).distinct()
       val sh = score(cand)
       if (keepHops) scoredAcc += sh
@@ -912,14 +932,17 @@ object Similarity {
     GraphWalk(best, scoredAcc.toSeq, beamAcc.toSeq)
   }
 
-  /** (q_id, dst, d2) → the suite's (q_id, n_id, d2, rnk ≤ topK). */
-  private def rankWalk(scored: DataFrame, topK: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
+  /** (q_id[, __v], dst, d2) → the suite's (q_id[, __v], n_id, d2,
+    * rnk ≤ topK); `keys` is the rank partition — (q_id, __v) for a
+    * variant walk. */
+  private def rankWalk(scored: DataFrame, topK: Int,
+      keys: Seq[String] = Seq("q_id")): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("d2").asc, col("dst").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("dst").as("n_id"), col("d2"),
-        col("rnk").cast("int").as("rnk"))
+      .select(keys.map(col) ++ Seq(col("dst").as("n_id"), col("d2"),
+        col("rnk").cast("int").as("rnk")): _*)
   }
 
   /** Everything the walk EVALUATED, deduped — d2 is deterministic per
@@ -1663,14 +1686,60 @@ object Similarity {
     val perSrc = rngFoldInput(g,
         rngPairTable(g, Ivf.quantized(base, idCol, vecCol)))
       .transform(graft.util.CacheScope.persist)
+    // every α's pruned edges stack under a variant key and the WHOLE
+    // sweep walks ONCE (the variant walk — one hop chain, one scan of
+    // the quantized corpus, instead of a chain per α)
+    val pruned = alphas.zipWithIndex.map { case ((num, den), i) =>
+      rngFold(perSrc, num, den).withColumn("__v", lit(i))
+    }.reduce(_.unionByName(_))
     val exactP = exact.transform(graft.util.CacheScope.persist)
-    alphas.map { case (num, den) =>
-      graphRecallCost(rngFold(perSrc, num, den), base, queries, idCol,
-          vecCol, exactP, k, entryK, beam, hops, topK)
-        .agg(count(lit(1)).as("n_queries"),
-          sum(col("n_hits")).as("hits_total"),
-          sum(col("dist_evals")).as("evals_total"),
-          sum(col("frontier")).as("frontier_total"))
+    sweepRecallCost(
+      graphWalk(pruned, base, queries, idCol, vecCol, entryK, beam,
+        hops, keepHops = true, nVariants = alphas.size),
+      exactP, k, topK, alphas)
+  }
+
+  /** Per-variant recall/cost aggregation for a variant walk — the
+    * shared tail of the recall-per-α sweeps: hits from the
+    * (q_id, __v)-ranked serve result against the shared exact
+    * baseline, eval/frontier totals from the hop frames restricted to
+    * the baseline's query spine (exactly [[graphRecallCost]]'s
+    * inner-join semantics, summed), one output row per α. */
+  private def sweepRecallCost(walk: GraphWalk, exact: DataFrame,
+      k: Int, topK: Int, alphas: Seq[(Long, Long)]): DataFrame = {
+    val qids = exact.select(col("q_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    val hits = rankWalk(walk.best, topK, Seq("q_id", "__v"))
+      .join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+        "left_semi")
+      .groupBy(col("__v")).agg(count(lit(1)).as("hits_total"))
+    def totals(dfs: Seq[DataFrame], as: String): DataFrame =
+      dfs.map(_.join(broadcast(qids), Seq("q_id"), "left_semi")
+          .groupBy(col("__v")).agg(count(lit(1)).as("__n")))
+        .reduce(_.unionByName(_))
+        .groupBy(col("__v")).agg(sum(col("__n")).as(as))
+    val spine = exact.sparkSession.range(alphas.size)
+      .select(col("id").cast("int").as("__v"))
+    val frontier =
+      if (walk.beams.isEmpty) spine.withColumn("frontier_total", lit(0L))
+      else spine
+        .join(totals(walk.scored.drop(1), "__later"), Seq("__v"), "left")
+        .join(totals(walk.beams, "__beams"), Seq("__v"), "left")
+        .select(col("__v"), (coalesce(col("__later"), lit(0L))
+          - coalesce(col("__beams"), lit(0L))).as("frontier_total"))
+    val nq = qids.agg(count(lit(1)).as("n_queries"))
+    val agg = spine
+      .join(hits, Seq("__v"), "left")
+      .join(totals(walk.scored, "evals_total"), Seq("__v"), "left")
+      .join(frontier, Seq("__v"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("__v"),
+        coalesce(col("hits_total"), lit(0L)).as("hits_total"),
+        coalesce(col("evals_total"), lit(0L)).as("evals_total"),
+        col("frontier_total"), col("n_queries"))
+      .transform(graft.util.CacheScope.persist)
+    alphas.zipWithIndex.map { case ((num, den), i) =>
+      agg.filter(col("__v") === i)
         .select(lit(num).as("a_num"), lit(den).as("a_den"),
           col("n_queries"), col("hits_total"),
           expr(s"hits_total * 1000000 DIV ($k * n_queries)")
@@ -1710,21 +1779,17 @@ object Similarity {
     val perSrc = rngFoldInput(g,
         rngPairTable(g, Ivf.quantized(base, idCol, vecCol), keys), keys)
       .transform(graft.util.CacheScope.persist)
-    val exactP = exact.transform(graft.util.CacheScope.persist)
-    alphas.map { case (num, den) =>
-      layeredRecallCost(rngFold(perSrc, num, den, keys), base, queries,
-          idCol, vecCol, exactP, k, maxLayer, entryK, beam,
-          hopsPerLayer, topK)
-        .agg(count(lit(1)).as("n_queries"),
-          sum(col("n_hits")).as("hits_total"),
-          sum(col("dist_evals")).as("evals_total"),
-          sum(col("frontier")).as("frontier_total"))
-        .select(lit(num).as("a_num"), lit(den).as("a_den"),
-          col("n_queries"), col("hits_total"),
-          expr(s"hits_total * 1000000 DIV ($k * n_queries)")
-            .as("recall_micro_mean"),
-          col("evals_total"), col("frontier_total"))
+    // every α's pruned stack under a variant key, ONE descent for the
+    // whole sweep (the variant walk)
+    val pruned = alphas.zipWithIndex.map { case ((num, den), i) =>
+      rngFold(perSrc, num, den, keys).withColumn("__v", lit(i))
     }.reduce(_.unionByName(_))
+    val exactP = exact.transform(graft.util.CacheScope.persist)
+    sweepRecallCost(
+      layeredWalk(pruned, base, queries, idCol, vecCol, maxLayer,
+        entryK, beam, hopsPerLayer, keepHops = true,
+        nVariants = alphas.size),
+      exactP, k, topK, alphas)
   }
 
   /** Vertex PURGE with affected-neighbor RE-ELECTION — the q227
@@ -1901,17 +1966,24 @@ object Similarity {
     * the base scan; checkpoint-rotated). With maxLayer = 0 this IS
     * [[graphSearch]] (spec-pinned). Output: (q_id, n_id, d2,
     * rnk ≤ topK). */
+  /** `nVariants` follows the [[graphWalk]] contract: the layered
+    * table carries `__v`, every query fans across the variant spine,
+    * per-layer expansion joins on (__v, src), and the beam window
+    * partitions by (q_id, __v) — N sweep points, ONE descent. */
   private def layeredWalk(layeredGraph: DataFrame, base: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, maxLayer: Int,
       entryK: Int, beam: Int, hopsPerLayer: Int,
-      keepHops: Boolean): GraphWalk = {
+      keepHops: Boolean, nVariants: Int = 1): GraphWalk = {
+    val vCols = if (nVariants > 1) Seq(col("__v")) else Nil
+    val vKey = if (nVariants > 1) Seq("__v") else Nil
     val baseQ = Ivf.quantized(base, idCol, vecCol)
       .withColumn("__n2", dot(col("qvec"), col("qvec")))
       .transform(graft.util.CacheScope.persist)
     val qp = queries.select(col(idCol).as("q_id"),
         Ivf.quantize(col(vecCol)).as("__qv"))
       .withColumn("__qn", dot(col("__qv"), col("__qv")))
-    val lg = layeredGraph.select(col("layer"), col("src"), col("dst"))
+    val lg = layeredGraph.select(vCols ++ Seq(col("layer"), col("src"),
+        col("dst")): _*)
       .transform(graft.util.CacheScope.persist)
     def score(cand: DataFrame): DataFrame =
       baseQ.select(col("vec_id").as("dst"), col("qvec").as("__dv"),
@@ -1920,9 +1992,9 @@ object Similarity {
         .join(broadcast(qp), Seq("q_id"))
         .withColumn("d2", gridDist2(col("__qn"), col("__qv"),
           col("__dn"), col("__dv")))
-        .select(col("q_id"), col("dst"), col("d2"))
+        .select((col("q_id") +: vCols) ++ Seq(col("dst"), col("d2")): _*)
     def keep(scored: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("q_id"))
+      val w = Window.partitionBy(col("q_id") +: vCols: _*)
         .orderBy(col("d2").asc, col("dst").asc)
       scored.withColumn("__rnk", row_number().over(w))
         .filter(col("__rnk") <= n).drop("__rnk")
@@ -1940,8 +2012,14 @@ object Similarity {
       s"layeredWalk: top layer $maxLayer has no members (no id ≡ 0 " +
         s"mod ${1L << maxLayer} in the corpus) — maxLayer exceeds the " +
         "built graph's promotion range")
+    val qSpine =
+      if (nVariants > 1)
+        qp.select(col("q_id")).crossJoin(broadcast(
+          layeredGraph.sparkSession.range(nVariants)
+            .select(col("id").cast("int").as("__v"))))
+      else qp.select(col("q_id"))
     val s0 = score(
-      qp.select(col("q_id")).crossJoin(broadcast(entries))
+      qSpine.crossJoin(broadcast(entries))
         .filter(col("dst") =!= col("q_id")))
     var best = keep(s0, beam)
     val scoredAcc = scala.collection.mutable.ListBuffer(s0)
@@ -1962,12 +2040,12 @@ object Similarity {
         lastCheckpoint = Some(cp)
       }
       val exp = lg.filter(col("layer") === l)
-        .select(col("src"), col("dst"))
-        .join(broadcast(cp.select(col("q_id"),
-          col("dst").as("src"))), Seq("src"))
-        .select(col("q_id"), col("dst"))
+        .select(vCols ++ Seq(col("src"), col("dst")): _*)
+        .join(broadcast(cp.select((col("q_id") +: vCols)
+          :+ col("dst").as("src"): _*)), vKey :+ "src")
+        .select((col("q_id") +: vCols) :+ col("dst"): _*)
         .filter(col("dst") =!= col("q_id"))
-      val cand = cp.select(col("q_id"), col("dst"))
+      val cand = cp.select((col("q_id") +: vCols) :+ col("dst"): _*)
         .unionByName(exp).distinct()
       val sh = score(cand)
       if (keepHops) scoredAcc += sh
