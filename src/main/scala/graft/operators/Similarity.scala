@@ -749,22 +749,37 @@ object Similarity {
     * and the final per-vertex top-k window. No broadcast of anything
     * corpus-sized, no cross join. Output: (src, dst, d2, rnk ≤ k). */
   def nnDescentRound(embeddings: DataFrame, edges: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    nnDescentRoundKeyed(embeddings, edges, idCol, vecCol, k, Nil)
+
+  /** [[nnDescentRound]] with extra GROUP KEY columns riding the edge
+    * frame — `Seq("layer")` runs every layer's descent round in ONE
+    * pass (undirected set, neighbor-of-neighbor hop, rescore, and the
+    * top-k window all keyed by (layer, src); the hop join on
+    * (layer, __mid) never crosses layers) — the per-layer chain paid
+    * each exchange per layer for key-disjoint work. */
+  private def nnDescentRoundKeyed(embeddings: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String, k: Int,
+      keys: Seq[String]): DataFrame = {
     require(k >= 1, s"nnDescentRound: k must be >= 1, got $k")
-    val e = edges.select(col("src"), col("dst"))
+    val kc = keys.map(col)
+    val e = edges.select(kc ++ Seq(col("src"), col("dst")): _*)
     val und = e.unionByName(
-        e.select(col("dst").as("src"), col("src").as("dst")))
+        e.select(kc ++ Seq(col("dst").as("src"),
+          col("src").as("dst")): _*))
       .distinct()
       .transform(graft.util.CacheScope.persist)
-    val hop = und.select(col("src"), col("dst").as("__mid"))
-      .join(und.select(col("src").as("__mid"), col("dst")), Seq("__mid"))
+    val hop = und.select(kc ++ Seq(col("src"),
+        col("dst").as("__mid")): _*)
+      .join(und.select(kc ++ Seq(col("src").as("__mid"),
+        col("dst")): _*), keys :+ "__mid")
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
+      .select(kc ++ Seq(col("src"), col("dst")): _*)
     val cand = e.unionByName(hop).distinct()
     val baseQ = Ivf.quantized(embeddings, idCol, vecCol)
       .withColumn("__n2", dot(col("qvec"), col("qvec")))
       .transform(graft.util.CacheScope.persist)
-    val w = Window.partitionBy(col("src"))
+    val w = Window.partitionBy(kc :+ col("src"): _*)
       .orderBy(col("d2").asc, col("dst").asc)
     cand
       .join(baseQ.select(col("vec_id").as("src"),
@@ -774,11 +789,11 @@ object Similarity {
       .withColumn("d2", gridDist2(col("__sn"), col("__sv"),
         col("__dn"), col("__dv")))
       // vectors off before the rank exchange (the knnGraphSeed note)
-      .select(col("src"), col("dst"), col("d2"))
+      .select(kc ++ Seq(col("src"), col("dst"), col("d2")): _*)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("src"), col("dst"), col("d2"),
-        col("rnk").cast("int").as("rnk"))
+      .select(kc ++ Seq(col("src"), col("dst"), col("d2"),
+        col("rnk").cast("int").as("rnk")): _*)
   }
 
   /** Seed + `rounds` NN-descent refinements — the whole kNN-graph
@@ -1934,22 +1949,25 @@ object Similarity {
         s"maxLayer=$maxLayer >= 0, rounds=$rounds >= 0")
     val coarse = Ivf.centroids(embeddings, idCol, vecCol, numCoarse,
       coarseIterations)
-    (0 to maxLayer).map { l =>
-      val members = embeddings.filter(col(idCol) % lit(1L << l) === 0)
-      var g = knnGraphSeed(coarse, members, idCol, vecCol, k)
-      var lastCheckpoint: Option[DataFrame] = None
-      for (_ <- 1 to rounds) {
-        val cp = g.localCheckpoint()
-        lastCheckpoint.foreach(
-          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
-        lastCheckpoint = Some(cp)
-        g = nnDescentRound(members, cp, idCol, vecCol, k)
-      }
-      lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
-      g.withColumn("layer", lit(l))
-    }.reduce(_.unionByName(_))
-      .select(col("layer"), col("src"), col("dst"), col("d2"),
-        col("rnk"))
+    // ONE layer-keyed seed pass, then ONE layer-keyed descent round
+    // per refinement round (rounds checkpoints total, not
+    // rounds × layers — the round-17 unification; the hop join on
+    // (layer, __mid) keeps every neighborhood within its layer, so
+    // this ≡ the per-layer chains, spec-pinned)
+    var g = layeredKnnGraphWith(coarse, embeddings, idCol, vecCol, k,
+      maxLayer)
+    var lastCheckpoint: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val cp = g.localCheckpoint()
+      lastCheckpoint.foreach(
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
+      lastCheckpoint = Some(cp)
+      g = nnDescentRoundKeyed(embeddings, cp, idCol, vecCol, k,
+        Seq("layer"))
+    }
+    lastCheckpoint.foreach(graft.util.CacheScope.registerCheckpointed)
+    g.select(col("layer"), col("src"), col("dst"), col("d2"),
+      col("rnk"))
   }
 
   /** DESCENDING beam search over a [[layeredKnnGraph]] — the HNSW

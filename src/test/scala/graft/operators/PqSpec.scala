@@ -1588,6 +1588,24 @@ class PqSpec extends SparkSpec {
         .map(r => (r.getInt(0), org.apache.spark.sql.Row(r.get(1),
           r.get(2), r.get(3), r.get(4)))) == purgePerLayer,
       "layer-fanned purge diverged from the per-layer purges")
+    // layer-keyed descent rounds ≡ per-layer nnDescentRound chains
+    // (the hop join on (layer, __mid) never crosses layers)
+    val refPerLayer = (0 to 2).flatMap { l =>
+      val members = emb.filter(member(l))
+      var gl = Similarity.knnGraphSeed(coarse, members, "vec_id",
+        "embedding", 5)
+      for (_ <- 1 to 2)
+        gl = Similarity.nnDescentRound(members, gl, "vec_id",
+          "embedding", 5)
+      gl.orderBy("src", "rnk").collect().toSeq.map((l, _))
+    }
+    assert(Similarity.layeredKnnGraphRefined(emb, "vec_id", "embedding",
+        numCoarse = 8, coarseIterations = 2, k = 5, maxLayer = 2,
+        rounds = 2)
+        .orderBy("layer", "src", "rnk").collect().toSeq
+        .map(r => (r.getInt(0), org.apache.spark.sql.Row(r.get(1),
+          r.get(2), r.get(3), r.get(4)))) == refPerLayer,
+      "layer-keyed descent diverged from the per-layer descents")
   }
 
   test("layered pruned upsert: one-fold verb ≡ full per-layer re-prune; keyed fold ≡ per-layer prune") {
