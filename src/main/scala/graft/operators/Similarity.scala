@@ -1722,9 +1722,18 @@ object Similarity {
     * inner-join semantics, summed), one output row per α. */
   private def sweepRecallCost(walk: GraphWalk, exact: DataFrame,
       k: Int, topK: Int, alphas: Seq[(Long, Long)]): DataFrame = {
+    // the audit reads every hop's scored frame two to three times
+    // (serve rank + eval totals + frontier's later-hops sum); each
+    // frame is bounded (|Q|·nV·hop-fan rows), so one eager
+    // localCheckpoint per frame replaces every re-evaluation of its
+    // score join with an RDD scan (the walk's own rotation argument,
+    // extended to the audit tail)
+    val scoredCp = walk.scored.map(df =>
+      graft.util.CacheScope.registerCheckpointed(df.localCheckpoint()))
+    val auditWalk = GraphWalk(walk.best, scoredCp, walk.beams)
     val qids = exact.select(col("q_id")).distinct()
       .transform(graft.util.CacheScope.persist)
-    val hits = rankWalk(walk.best, topK, Seq("q_id", "__v"))
+    val hits = rankWalk(auditWalk.best, topK, Seq("q_id", "__v"))
       .join(exact.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
         "left_semi")
       .groupBy(col("__v")).agg(count(lit(1)).as("hits_total"))
@@ -1736,16 +1745,18 @@ object Similarity {
     val spine = exact.sparkSession.range(alphas.size)
       .select(col("id").cast("int").as("__v"))
     val frontier =
-      if (walk.beams.isEmpty) spine.withColumn("frontier_total", lit(0L))
+      if (auditWalk.beams.isEmpty)
+        spine.withColumn("frontier_total", lit(0L))
       else spine
-        .join(totals(walk.scored.drop(1), "__later"), Seq("__v"), "left")
-        .join(totals(walk.beams, "__beams"), Seq("__v"), "left")
+        .join(totals(auditWalk.scored.drop(1), "__later"), Seq("__v"),
+          "left")
+        .join(totals(auditWalk.beams, "__beams"), Seq("__v"), "left")
         .select(col("__v"), (coalesce(col("__later"), lit(0L))
           - coalesce(col("__beams"), lit(0L))).as("frontier_total"))
     val nq = qids.agg(count(lit(1)).as("n_queries"))
     val agg = spine
       .join(hits, Seq("__v"), "left")
-      .join(totals(walk.scored, "evals_total"), Seq("__v"), "left")
+      .join(totals(auditWalk.scored, "evals_total"), Seq("__v"), "left")
       .join(frontier, Seq("__v"), "left")
       .crossJoin(broadcast(nq))
       .select(col("__v"),
