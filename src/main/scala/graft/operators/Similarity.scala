@@ -1293,7 +1293,16 @@ object Similarity {
     * accumulator; an edge survives iff no already-kept earlier-rank
     * neighbor α-covers it. Map-only over [[rngFoldInput]]. */
   private def rngFold(perSrc: DataFrame, alphaNum: Long,
-      alphaDen: Long, keys: Seq[String] = Seq("src")): DataFrame = {
+      alphaDen: Long, keys: Seq[String] = Seq("src")): DataFrame =
+    rngFoldExpr(perSrc, alphaNum.toString, alphaDen.toString, keys)
+
+  /** [[rngFold]] with the α num/den as SQL SNIPPETS instead of
+    * constants — the snippets may reference the fold row's key
+    * columns (the per-layer α commit indexes a plan-literal array by
+    * `layer`), so a MIXED-α build costs exactly the uniform build:
+    * same one group shuffle, same map-only fold. */
+  private def rngFoldExpr(perSrc: DataFrame, numSql: String,
+      denSql: String, keys: Seq[String] = Seq("src")): DataFrame = {
     val kc = keys.map(col)
     perSrc
       .select(kc :+ expr(raw"""
@@ -1301,7 +1310,7 @@ object Similarity {
           cast(array() as array<struct<dst: bigint, d2: bigint>>),
           (acc, e) -> CASE WHEN NOT exists(e.covers,
                              c -> exists(acc, a -> a.dst = c.w)
-                               AND $alphaNum * c.wd2 < $alphaDen * e.d2)
+                               AND ($numSql) * c.wd2 < ($denSql) * e.d2)
                       THEN array_append(acc,
                              named_struct('dst', e.dst, 'd2', e.d2))
                       ELSE acc END)""").as("__kept"): _*)
@@ -1309,6 +1318,40 @@ object Similarity {
       .select(kc ++ Seq(col("__k.dst").as("dst"),
         col("__k.d2").as("d2"),
         (col("__p") + 1).cast("int").as("rnk")): _*)
+  }
+
+  /** The per-layer α COMMIT — the build an operator runs AFTER
+    * reading q315/q320's tuning curves: a DIFFERENT prune level per
+    * layer (`alphas(ℓ)` = layer ℓ's committed rational;
+    * maxLayer = alphas.size − 1), because the right α differs by
+    * layer — the base layer's dense local structure tolerates
+    * aggressive pruning while the sparse upper scaffolds' few edges
+    * are each load-bearing (the HNSW/DiskANN deployment shape). The
+    * per-layer α lands as a plan-literal array indexed by the fold
+    * row's `layer`, so the mixed build is the SAME one
+    * (layer, src)-keyed fold as the uniform [[pruneLayeredGraphRng]]
+    * — one pair table, one group shuffle, map-only fold; with all
+    * entries equal it reproduces the uniform build bit-for-bit
+    * (spec-pinned). Output: (layer, src, dst, d2, rnk). */
+  def pruneLayeredGraphRngPerLayer(layeredGraph: DataFrame,
+      base: DataFrame, idCol: String, vecCol: String, k: Int,
+      alphas: Seq[(Long, Long)]): DataFrame = {
+    require(alphas.nonEmpty,
+      "pruneLayeredGraphRngPerLayer: need one alpha per layer")
+    alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
+    val maxLayer = alphas.size - 1
+    val g = layeredPruneInputChecked(layeredGraph, k, maxLayer,
+      alphas.head._1, alphas.head._2)
+    val keys = Seq("layer", "src")
+    val nums = alphas.map(_._1).mkString(", ")
+    val dens = alphas.map(_._2).mkString(", ")
+    rngFoldExpr(
+      rngFoldInput(g.filter(col("rnk") <= k),
+        rngPairTable(g, Ivf.quantized(base, idCol, vecCol), keys), keys),
+      s"element_at(array($nums), layer + 1)",
+      s"element_at(array($dens), layer + 1)", keys)
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
   }
 
   /** O(changed) maintenance of the PRUNED serving graph — the answer

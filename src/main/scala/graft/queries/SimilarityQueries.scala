@@ -9597,6 +9597,62 @@ ${layeredCostSql("xcost", "xt", Seq("xm", "xw"), 1)},
       ORDER BY beam, hops_per_layer, max_layer
     """))
 
+  // --------------------------------------------------------------- q323
+  // Per-layer α COMMIT — the build that CONSUMES q315/q320's tuning
+  // curves: a deployment reads the per-(layer, α) census and the
+  // recall knee, then commits a DIFFERENT prune level per layer —
+  // aggressive on the dense base layer (αDen/αNum = 3/2), classic RNG
+  // on the middle, conservative on the sparse top scaffold (2/3 —
+  // its few long-range edges are each load-bearing). The mixed build
+  // is the SAME one (layer, src)-keyed fold as the uniform q310 (the
+  // α lands as a plan-literal array indexed by the row's layer), so
+  // committing per-layer levels costs nothing over the uniform build.
+  // Oracle replays the three greedy chains, each at its layer's α.
+  private val q323 = Q(
+    "q323_mixed_alpha_layered_prune",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
+      graft.operators.Similarity.pruneLayeredGraphRngPerLayer(lg, e,
+          "vec_id", "embedding", k = 5,
+          alphas = Seq((2L, 3L), (1L, 1L), (3L, 2L)))
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+${layerRankedCte("l0")},
+${layerRankedCte("l1")},
+${layerRankedCte("l2")},
+${rngKeptCtes(5, 2, 3, gName = "l0gr", p = "l0k")},
+${rngKeptCtes(5, 1, 1, gName = "l1gr", p = "l1k")},
+${rngKeptCtes(5, 3, 2, gName = "l2gr", p = "l2k")}
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM l0k5
+        UNION ALL
+        SELECT 1, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM l1k5
+        UNION ALL
+        SELECT 2, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM l2k5)
+      ORDER BY layer, src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -9607,5 +9663,5 @@ ${layeredCostSql("xcost", "xt", Seq("xm", "xw"), 1)},
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
     q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313,
-    q314, q315, q316, q317, q318, q319, q320, q321)
+    q314, q315, q316, q317, q318, q319, q320, q321, q323)
 }

@@ -1631,6 +1631,28 @@ class PqSpec extends SparkSpec {
     }
     assert(lp.orderBy("layer", "src", "rnk").collect().toSeq == perLayer,
       "keyed-fold layered prune diverged from the per-layer prune")
+    // per-layer α commit: uniform entries ≡ the uniform build; mixed
+    // entries ≡ the per-layer flat prunes at each layer's α
+    assert(Similarity.pruneLayeredGraphRngPerLayer(lg, emb, "vec_id",
+        "embedding", k = 5, alphas = Seq((1L, 1L), (1L, 1L), (1L, 1L)))
+        .orderBy("layer", "src", "rnk").collect().toSeq ==
+      lp.orderBy("layer", "src", "rnk").collect().toSeq,
+      "uniform per-layer commit diverged from the uniform build")
+    val mixed = Seq((2L, 3L), (1L, 1L), (3L, 2L))
+    val mixedPerLayer = (0 to 2).flatMap { l =>
+      Similarity.pruneGraphRng(
+          lg.filter(col("layer") === l)
+            .select(col("src"), col("dst"), col("d2"), col("rnk")),
+          emb, "vec_id", "embedding", k = 5, mixed(l)._1, mixed(l)._2)
+        .withColumn("layer", lit(l))
+        .select(col("layer").cast("int").as("layer"), col("src"),
+          col("dst"), col("d2"), col("rnk"))
+        .orderBy("src", "rnk").collect().toSeq
+    }
+    assert(Similarity.pruneLayeredGraphRngPerLayer(lg, emb, "vec_id",
+        "embedding", k = 5, mixed)
+        .orderBy("layer", "src", "rnk").collect().toSeq == mixedPerLayer,
+      "mixed per-layer commit diverged from the per-layer prunes")
     // the one-fold upsert verb ≡ the full per-layer re-prune of the
     // restated rebuild (the q311 oracle's claim, spec-pinned)
     val batch = Ivf.flatIndex(coarse,
