@@ -1962,10 +1962,15 @@ object Similarity {
     // full seed chain (index build, cell join, rank exchange) per
     // layer for key-disjoint work (the round-17 unification; ≡ by
     // per-group disjointness, spec-pinned). Geometric fan ≤ 2× rows.
+    // NOT persisted: caching the fan pins an InMemoryRelation on both
+    // join sides, which forces a sort-merge join with the FULL pair
+    // table through the rank exchange (measured 12× the per-layer
+    // chains' shuffle at spec scale); unpersisted, AQE broadcasts the
+    // dst side and the partial WindowGroupLimit cuts the exchange to
+    // ~Σ n_ℓ·k rows — the knnGraphSeed shape, fanned
     val idx = layeredIndexFan(
         Ivf.flatIndex(coarse, embeddings, idCol, vecCol, Nil), maxLayer)
       .withColumn("__n2", dot(col("qvec"), col("qvec")))
-      .transform(graft.util.CacheScope.persist)
     val a = idx.select(col("layer"), col("vec_id").as("src"),
       col("cid"), col("qvec").as("__sv"), col("__n2").as("__sn"))
     val b = idx.select(col("layer"), col("vec_id").as("dst"),

@@ -460,6 +460,37 @@ class ShuffleMetricsSpec extends SparkSpec {
     }
   }
 
+  test("layer fan: the layered build shuffles the geometric series, not layers × base") {
+    // the layeredIndexFan claim measured RELATIVELY: the one fanned
+    // pass must not move more than the three per-layer chains it
+    // replaced (both measured here, so AQE's run-to-run broadcast
+    // decisions cancel). This is the regression that resurfaces if
+    // the fan gets pinned — a cached fan forces a sort-merge join
+    // with the FULL pair table through the rank exchange (measured
+    // 12× the chains at this scale when the fan was persisted).
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val coarse = operators.Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+      .persist()
+    try {
+      coarse.count()
+      val chains = shuffleRecords {
+        (0 to 2).map { l =>
+          operators.Similarity.knnGraphSeed(coarse,
+            emb.filter(col("vec_id") % (1L << l) === 0), "vec_id",
+            "embedding", 5)
+        }.reduce(_.unionByName(_)).count(); ()
+      }
+      val fanned = shuffleRecords {
+        operators.Similarity.layeredKnnGraphWith(coarse, emb, "vec_id",
+          "embedding", 5, maxLayer = 2).count(); ()
+      }
+      assert(fanned <= chains * 3 / 2,
+        s"fanned layered build shuffled $fanned > 1.5× the per-layer " +
+          s"chains' $chains — the fan regressed (pinned fan / lost " +
+          "WindowGroupLimit pushdown)")
+    } finally { coarse.unpersist(); spark.catalog.clearCache() }
+  }
+
   test("frame dedup election shuffles digests, never payloads") {
     // the q210 scale claim: the keep-first window keys on the frame
     // DIGEST and the payload is projected away BEFORE the exchange —
