@@ -2287,9 +2287,7 @@ object Similarity {
     val sg = layeredGraphSlice(storedLayered, maxLayer)
       .transform(graft.util.CacheScope.persist)
     val si = layeredIndexFan(storedIndex, maxLayer)
-      .transform(graft.util.CacheScope.persist)
     val bL = layeredIndexFan(batchIndex, maxLayer)
-      .transform(graft.util.CacheScope.persist)
     val b = bL.select(col("layer"), col("vec_id").as("dst"),
       col("cid"), col("qvec").as("__dv"),
       dot(col("qvec"), col("qvec")).as("__dn"))
@@ -2360,7 +2358,6 @@ object Similarity {
       .transform(graft.util.CacheScope.persist)
     val live = layeredIndexFan(storedIndex, maxLayer)
       .join(broadcast(dead), Seq("vec_id"), "left_anti")
-      .transform(graft.util.CacheScope.persist)
     // survivors that lost an edge, per layer: adjacent to a deleted
     // dst — O(deleted · reverse-degree) (layer, src) pairs
     val affected = sg
