@@ -1674,6 +1674,41 @@ class PqSpec extends SparkSpec {
       "layered pruned upsert diverged from the full per-layer re-prune")
   }
 
+  test("rank-degenerate stored graph folds deterministically (dst tiebreak); oversized k raises") {
+    // the ADVICE determinism guard: every builder emits dense ranks,
+    // but a stored table is a trust boundary — a graph with DUPLICATE
+    // ranks per src must fold in (rnk, dst) order, not collection
+    // order. Equal-rank edges generate no cover pairs (the pair table
+    // is strict wrnk < rnk), so BOTH survive — what the tiebreak pins
+    // is the OUTPUT RANK: fold position must be (rnk, dst) order on
+    // every run, not whatever collect_list happened to produce.
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (10L, Array(0f, 0f)), (20L, Array(1f, 0f)),
+      (30L, Array(1.1f, 0f))).toDF("vec_id", "embedding")
+    val degenerate = Seq(
+      (10L, 20L, 1000000000000L, 1), (10L, 30L, 1210000000000L, 1))
+      .toDF("src", "dst", "d2", "rnk")
+    val runs = (1 to 3).map { _ =>
+      Similarity.pruneGraphRng(
+          degenerate.repartition(4), base, "vec_id", "embedding", k = 2)
+        .orderBy("src", "rnk").collect().toSeq
+    }
+    assert(runs.distinct.size == 1,
+      s"rank-degenerate fold was nondeterministic: ${runs.distinct}")
+    assert(runs.head.map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        == Seq((10L, 20L, 1), (10L, 30L, 2)),
+      s"tiebreak order wrong: ${runs.head} — equal ranks must fold " +
+        "in dst order")
+    // ranks past k raise through the fail-loud probe, not truncate
+    val over = Seq((10L, 20L, 1L, 3)).toDF("src", "dst", "d2", "rnk")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pruneGraphRng(over, base, "vec_id", "embedding", k = 2)
+    }
+    assert(e.getMessage.contains("max rnk"), s"wrong failure: ${e.getMessage}")
+  }
+
   test("recall-per-alpha sweep rows ≡ the aggregated single-alpha audits (flat and layered)") {
     val s = spark
     import s.implicits._
