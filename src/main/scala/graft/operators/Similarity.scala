@@ -1765,6 +1765,25 @@ object Similarity {
     * inner-join semantics, summed), one output row per α. */
   private def sweepRecallCost(walk: GraphWalk, exact: DataFrame,
       k: Int, topK: Int, alphas: Seq[(Long, Long)]): DataFrame = {
+    val agg = variantRecallCostAgg(walk, exact, topK, alphas.size)
+    alphas.zipWithIndex.map { case ((num, den), i) =>
+      agg.filter(col("__v") === i)
+        .select(lit(num).as("a_num"), lit(den).as("a_den"),
+          col("n_queries"), col("hits_total"),
+          expr(s"hits_total * 1000000 DIV ($k * n_queries)")
+            .as("recall_micro_mean"),
+          col("evals_total"), col("frontier_total"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The shared per-variant audit tail: one persisted (__v,
+    * hits_total, evals_total, frontier_total, n_queries) row per
+    * sweep point, with [[graphRecallCost]]'s exact inner-join
+    * semantics summed — hits from the (q_id, __v)-ranked serve
+    * result against the shared exact baseline, eval/frontier totals
+    * from the hop frames restricted to the baseline's query spine. */
+  private def variantRecallCostAgg(walk: GraphWalk, exact: DataFrame,
+      topK: Int, nVariants: Int): DataFrame = {
     // the audit reads every hop's scored frame two to three times
     // (serve rank + eval totals + frontier's later-hops sum); each
     // frame is bounded (|Q|·nV·hop-fan rows), so one eager
@@ -1785,7 +1804,7 @@ object Similarity {
           .groupBy(col("__v")).agg(count(lit(1)).as("__n")))
         .reduce(_.unionByName(_))
         .groupBy(col("__v")).agg(sum(col("__n")).as(as))
-    val spine = exact.sparkSession.range(alphas.size)
+    val spine = exact.sparkSession.range(nVariants)
       .select(col("id").cast("int").as("__v"))
     val frontier =
       if (auditWalk.beams.isEmpty)
@@ -1797,7 +1816,7 @@ object Similarity {
         .select(col("__v"), (coalesce(col("__later"), lit(0L))
           - coalesce(col("__beams"), lit(0L))).as("frontier_total"))
     val nq = qids.agg(count(lit(1)).as("n_queries"))
-    val agg = spine
+    spine
       .join(hits, Seq("__v"), "left")
       .join(totals(auditWalk.scored, "evals_total"), Seq("__v"), "left")
       .join(frontier, Seq("__v"), "left")
@@ -1807,14 +1826,6 @@ object Similarity {
         coalesce(col("evals_total"), lit(0L)).as("evals_total"),
         col("frontier_total"), col("n_queries"))
       .transform(graft.util.CacheScope.persist)
-    alphas.zipWithIndex.map { case ((num, den), i) =>
-      agg.filter(col("__v") === i)
-        .select(lit(num).as("a_num"), lit(den).as("a_den"),
-          col("n_queries"), col("hits_total"),
-          expr(s"hits_total * 1000000 DIV ($k * n_queries)")
-            .as("recall_micro_mean"),
-          col("evals_total"), col("frontier_total"))
-    }.reduce(_.unionByName(_))
   }
 
   /** [[pruneRecallSweep]] on the LAYERED axis — recall-per-α for the
@@ -1859,6 +1870,136 @@ object Similarity {
         entryK, beam, hopsPerLayer, keepHops = true,
         nVariants = alphas.size),
       exactP, k, topK, alphas)
+  }
+
+  /** A whole EQUAL-BUDGET (beam, hopsPerLayer, maxLayer) sweep from
+    * ONE descent — q286's frontier as a single pass over the stored
+    * layered table: every sweep point spends the same total hop
+    * budget (that is what makes the frontier comparable), so the
+    * points differ only in their ENTRY SET, their per-hop LAYER
+    * SCHEDULE, and their BEAM CAP — all of which key by variant: the
+    * edge table fans once through a bounded (layer → (__v, hop))
+    * spine, entries carry __v, and the keep window's cap is a
+    * per-variant CASE. One hop chain (one checkpoint, one expansion
+    * join, one score, one rank exchange per hop) walks every point;
+    * the corpus-sized frames are touched once. Per-(q_id, __v)
+    * isolation makes it ≡ one [[layeredRecallCost]] per point
+    * (spec-pinned). Output one row per point: (beam, hops_per_layer,
+    * max_layer, n_queries, hits_total, evals_total, frontier_total,
+    * recall_micro_mean). */
+  def layeredBeamSweepRecallCost(layeredGraph: DataFrame,
+      base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, exact: DataFrame, k: Int,
+      points: Seq[(Int, Int, Int)], entryK: Int, topK: Int): DataFrame = {
+    require(points.nonEmpty, "layeredBeamSweepRecallCost: need points")
+    points.foreach { case (beam, hpl, ml) =>
+      require(beam >= 1 && hpl >= 1 && ml >= 0,
+        s"layeredBeamSweepRecallCost: beam=$beam, hopsPerLayer=$hpl " +
+          s"must be >= 1 (maxLayer=$ml >= 0)")
+      require(topK <= beam,
+        s"layeredBeamSweepRecallCost: topK=$topK > beam=$beam")
+    }
+    require(topK >= 1 && entryK >= 1,
+      s"layeredBeamSweepRecallCost: topK=$topK, entryK=$entryK >= 1")
+    val budgets = points.map { case (_, hpl, ml) => (ml + 1) * hpl }
+    require(budgets.distinct.size == 1,
+      s"layeredBeamSweepRecallCost: points must spend EQUAL total " +
+        s"hops (the comparable-frontier contract), got $budgets")
+    val walk = scheduledLayeredWalk(layeredGraph, base, queries, idCol,
+      vecCol, points, entryK, budgets.head)
+    val agg = variantRecallCostAgg(walk, exact, topK, points.size)
+    points.zipWithIndex.map { case ((beam, hpl, ml), i) =>
+      agg.filter(col("__v") === i)
+        .select(lit(beam).as("beam"), lit(hpl).as("hops_per_layer"),
+          lit(ml).as("max_layer"), col("n_queries"), col("hits_total"),
+          col("evals_total"), col("frontier_total"),
+          expr(s"hits_total * 1000000 DIV ($k * n_queries)")
+            .as("recall_micro_mean"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The hop-SCHEDULED variant walk behind
+    * [[layeredBeamSweepRecallCost]]: variant i's hop h expands layer
+    * maxLayer_i − (h−1) / hopsPerLayer_i edges (the descent schedule
+    * flattened), its entry set is its own top layer's smallest-id
+    * members, and its beam cap is its own — all variant-keyed, one
+    * chain of `hops` hops. Always keepHops (this walk exists for the
+    * audit). */
+  private def scheduledLayeredWalk(layeredGraph: DataFrame,
+      base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, points: Seq[(Int, Int, Int)], entryK: Int,
+      hops: Int): GraphWalk = {
+    val spark = layeredGraph.sparkSession
+    import spark.implicits._
+    val baseQ = Ivf.quantized(base, idCol, vecCol)
+      .withColumn("__n2", dot(col("qvec"), col("qvec")))
+      .transform(graft.util.CacheScope.persist)
+    val qp = queries.select(col(idCol).as("q_id"),
+        Ivf.quantize(col(vecCol)).as("__qv"))
+      .withColumn("__qn", dot(col("__qv"), col("__qv")))
+    // the (layer → (__v, hop)) schedule spine: bounded (V·H rows),
+    // fans the stored edge scan ONCE instead of per point
+    val schedule = points.zipWithIndex.flatMap {
+      case ((_, hpl, ml), i) =>
+        (1 to hops).map(h => (ml - (h - 1) / hpl, i, h))
+    }.toDF("layer", "__v", "__hop")
+    val edges = layeredGraph.select(col("layer"), col("src"), col("dst"))
+      .join(broadcast(schedule), Seq("layer"))
+      .select(col("__v"), col("__hop"), col("src"), col("dst"))
+      .transform(graft.util.CacheScope.persist)
+    // per-variant entry sets (each point's own top layer; the
+    // fail-loud empty-top-layer probe per DISTINCT top layer)
+    points.map(_._3).distinct.foreach { ml =>
+      require(base.filter(col(idCol) % lit(1L << ml) === 0)
+          .take(1).nonEmpty,
+        s"layeredBeamSweepRecallCost: top layer $ml has no members " +
+          s"(no id ≡ 0 mod ${1L << ml} in the corpus)")
+    }
+    val entries = points.zipWithIndex.map { case ((_, _, ml), i) =>
+      base.filter(col(idCol) % lit(1L << ml) === 0)
+        .select(col(idCol).as("dst"))
+        .orderBy(col("dst").asc).limit(entryK)
+        .withColumn("__v", lit(i))
+    }.reduce(_.unionByName(_))
+    val beamCase = points.zipWithIndex.map { case ((beam, _, _), i) =>
+      s"WHEN $i THEN $beam"
+    }.mkString("CASE __v ", " ", " END")
+    def score(cand: DataFrame): DataFrame =
+      baseQ.select(col("vec_id").as("dst"), col("qvec").as("__dv"),
+          col("__n2").as("__dn"))
+        .join(broadcast(cand), Seq("dst"))
+        .join(broadcast(qp), Seq("q_id"))
+        .withColumn("d2", gridDist2(col("__qn"), col("__qv"),
+          col("__dn"), col("__dv")))
+        .select(col("q_id"), col("__v"), col("dst"), col("d2"))
+    def keep(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id"), col("__v"))
+        .orderBy(col("d2").asc, col("dst").asc)
+      scored.withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") <= expr(beamCase)).drop("__rnk")
+    }
+    val s0 = score(
+      qp.select(col("q_id")).crossJoin(broadcast(entries))
+        .filter(col("dst") =!= col("q_id")))
+    var best = keep(s0)
+    val scoredAcc = scala.collection.mutable.ListBuffer(s0)
+    val beamAcc = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (h <- 1 to hops) {
+      val cp = best.localCheckpoint()
+      graft.util.CacheScope.registerCheckpointed(cp)
+      beamAcc += cp
+      val exp = edges.filter(col("__hop") === h)
+        .join(broadcast(cp.select(col("q_id"), col("__v"),
+          col("dst").as("src"))), Seq("__v", "src"))
+        .select(col("q_id"), col("__v"), col("dst"))
+        .filter(col("dst") =!= col("q_id"))
+      val cand = cp.select(col("q_id"), col("__v"), col("dst"))
+        .unionByName(exp).distinct()
+      val sh = score(cand)
+      scoredAcc += sh
+      best = keep(sh)
+    }
+    GraphWalk(best, scoredAcc.toSeq, beamAcc.toSeq)
   }
 
   /** Vertex PURGE with affected-neighbor RE-ELECTION — the q227

@@ -6844,21 +6844,13 @@ ${layeredCostSql("cost", "t", Seq("m", "w"), 1)}
       val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
           "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
         .transform(graft.util.CacheScope.persist)
-      Seq((5, 1, 2), (5, 3, 0), (8, 1, 2)).map { case (beam, hpl, ml) =>
-        graft.operators.Similarity.layeredRecallCost(lg, e, q,
-            "vec_id", "embedding", exact, 5, maxLayer = ml, entryK = 2,
-            beam = beam, hopsPerLayer = hpl, topK = 5)
-          .withColumn("beam", lit(beam))
-          .withColumn("hops_per_layer", lit(hpl))
-          .withColumn("max_layer", lit(ml))
-      }.reduce(_.unionByName(_))
-        .groupBy(col("beam"), col("hops_per_layer"), col("max_layer"))
-        .agg(count(lit(1)).as("n_queries"),
-          sum(col("n_hits")).as("hits_total"),
-          sum(col("dist_evals")).as("evals_total"),
-          sum(col("frontier")).as("frontier_total"))
-        .withColumn("recall_micro_mean",
-          expr("hits_total * 1000000 DIV (5 * n_queries)"))
+      // the whole equal-budget frontier from ONE scheduled descent
+      // (round 17): entry set, per-hop layer schedule, and beam cap
+      // all key by sweep point — was one full walk chain per point
+      graft.operators.Similarity.layeredBeamSweepRecallCost(lg, e, q,
+          "vec_id", "embedding", exact, 5,
+          points = Seq((5, 1, 2), (5, 3, 0), (8, 1, 2)), entryK = 2,
+          topK = 5)
         .orderBy(col("beam"), col("hops_per_layer"), col("max_layer"))
     },
     Some(raw"""
@@ -9470,21 +9462,13 @@ $costs,
       val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
           "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
         .transform(graft.util.CacheScope.persist)
-      Seq((5, 1, 2), (5, 3, 0), (8, 1, 2)).map { case (beam, hpl, ml) =>
-        graft.operators.Similarity.layeredRecallCost(lp, e, q,
-            "vec_id", "embedding", exact, 5, maxLayer = ml, entryK = 2,
-            beam = beam, hopsPerLayer = hpl, topK = 5)
-          .withColumn("beam", lit(beam))
-          .withColumn("hops_per_layer", lit(hpl))
-          .withColumn("max_layer", lit(ml))
-      }.reduce(_.unionByName(_))
-        .groupBy(col("beam"), col("hops_per_layer"), col("max_layer"))
-        .agg(count(lit(1)).as("n_queries"),
-          sum(col("n_hits")).as("hits_total"),
-          sum(col("dist_evals")).as("evals_total"),
-          sum(col("frontier")).as("frontier_total"))
-        .withColumn("recall_micro_mean",
-          expr("hits_total * 1000000 DIV (5 * n_queries)"))
+      // the whole equal-budget frontier from ONE scheduled descent
+      // (round 17): entry set, per-hop layer schedule, and beam cap
+      // all key by sweep point — was one full walk chain per point
+      graft.operators.Similarity.layeredBeamSweepRecallCost(lp, e, q,
+          "vec_id", "embedding", exact, 5,
+          points = Seq((5, 1, 2), (5, 3, 0), (8, 1, 2)), entryK = 2,
+          topK = 5)
         .orderBy(col("beam"), col("hops_per_layer"), col("max_layer"))
     },
     Some(raw"""

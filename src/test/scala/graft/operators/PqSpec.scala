@@ -1758,6 +1758,37 @@ class PqSpec extends SparkSpec {
     }
     assert(laySweep == laySingle,
       "layered recall sweep diverged from the single-alpha audits")
+    // the SCHEDULED one-pass beam sweep ≡ one layeredRecallCost per
+    // point (heterogeneous entry/schedule/beam, equal hop budget)
+    val points = Seq((5, 1, 1), (5, 2, 0), (8, 1, 1))
+    val sched = Similarity.layeredBeamSweepRecallCost(lg, emb,
+        q, "vec_id", "embedding", exact, 5, points, entryK = 2,
+        topK = 5)
+      .orderBy("beam", "hops_per_layer", "max_layer").collect().toSeq
+    val perPoint = points.map { case (beam, hpl, ml) =>
+      Similarity.layeredRecallCost(lg, emb, q, "vec_id", "embedding",
+          exact, 5, maxLayer = ml, entryK = 2, beam = beam,
+          hopsPerLayer = hpl, topK = 5)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("hits_total"),
+          sum(col("dist_evals")).as("evals_total"),
+          sum(col("frontier")).as("frontier_total"))
+        .select(lit(beam).as("beam"), lit(hpl).as("hops_per_layer"),
+          lit(ml).as("max_layer"), col("n_queries"), col("hits_total"),
+          col("evals_total"), col("frontier_total"),
+          expr("hits_total * 1000000 DIV (5 * n_queries)")
+            .as("recall_micro_mean"))
+        .collect().head
+    }.sortBy(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(sched == perPoint,
+      "scheduled beam sweep diverged from the per-point audits")
+    // unequal hop budgets are refused, not silently incomparable
+    val eErr = intercept[IllegalArgumentException] {
+      Similarity.layeredBeamSweepRecallCost(lg, emb, q, "vec_id",
+        "embedding", exact, 5, Seq((5, 1, 1), (5, 1, 0)), 2, 5)
+    }
+    assert(eErr.getMessage.contains("EQUAL total hops"),
+      s"wrong failure: ${eErr.getMessage}")
   }
 
   test("multi-vector lifecycle verbs ride the multi-row machinery unchanged") {
