@@ -6836,8 +6836,9 @@ ${layeredCostSql("cost", "t", Seq("m", "w"), 1)}
     "q286_layered_beam_sweep",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
+      // unpinned: the scheduled walk persists its own fanned edge
+      // frame, so the stored table is scanned once
       val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
-        .transform(graft.util.CacheScope.persist)
       val coarse = graft.queries.SimFixtures.coarse(s, dir)
       val idx = graft.queries.SimFixtures.flatIndex(s, dir)
       val q = e.filter(col("vec_id") < 10)
@@ -9454,8 +9455,9 @@ $costs,
     "q321_pruned_layered_beam_sweep",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
+      // unpinned: the scheduled walk persists its own fanned edge
+      // frame, so the stored table is scanned once
       val lp = graft.queries.SimFixtures.prunedLayered(s, dir)
-        .transform(graft.util.CacheScope.persist)
       val coarse = graft.queries.SimFixtures.coarse(s, dir)
       val idx = graft.queries.SimFixtures.flatIndex(s, dir)
       val q = e.filter(col("vec_id") < 10)
