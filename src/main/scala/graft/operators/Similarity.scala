@@ -1714,6 +1714,34 @@ object Similarity {
         col("a_den"), col("n_edges"), col("n_srcs"), col("max_degree"))
   }
 
+  /** The α-INDEPENDENT prune-tuning CACHE, as a STORED build
+    * artifact: per source (flat form), the rank-sorted neighbor list
+    * with every earlier-rank pair distance nested in-row — everything
+    * any α's greedy can ever consult, k-bounded per source
+    * (O(n·k) rows, O(k²) structs each). A deployment tuning a prune
+    * level builds this ONCE next to the graph (it is the expensive
+    * half of every sweep: the two corpus-vector joins + the group
+    * shuffle) and folds every α and every re-tune from the parquet —
+    * the [[pruneSweepQuantized]] factoring promoted to a stored
+    * table. Probes the fail-loud max-rank contract at build time;
+    * the `*From` sweeps trust the cache (the stored-table contract,
+    * like the upsert's α). Schema: (src, __es). */
+  def pruneFoldCache(graph: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val g = pruneInputChecked(graph, k, 1L, 1L)
+    rngFoldInput(g, rngPairTable(g, Ivf.quantized(base, idCol, vecCol)))
+  }
+
+  /** [[pruneFoldCache]] for the LAYERED table — one (layer, src)-keyed
+    * cache for every layer and every α. Schema: (layer, src, __es). */
+  def pruneLayeredFoldCache(layeredGraph: DataFrame, base: DataFrame,
+      idCol: String, vecCol: String, k: Int, maxLayer: Int): DataFrame = {
+    val g = layeredPruneInputChecked(layeredGraph, k, maxLayer, 1L, 1L)
+    val keys = Seq("layer", "src")
+    rngFoldInput(g, rngPairTable(g,
+      Ivf.quantized(base, idCol, vecCol), keys), keys)
+  }
+
   /** RECALL-per-α over the flat prune sweep — the half of the
     * DiskANN/RobustPrune tuning curve [[pruneSweep]]'s edge census
     * cannot show: an operator picks a prune level by what it does to
@@ -1741,9 +1769,31 @@ object Similarity {
         "runs over the beam-capped frame")
     alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
     val g = pruneInputChecked(graph, k, alphas.head._1, alphas.head._2)
-    val perSrc = rngFoldInput(g,
-        rngPairTable(g, Ivf.quantized(base, idCol, vecCol)))
-      .transform(graft.util.CacheScope.persist)
+    pruneRecallSweepFrom(
+      rngFoldInput(g, rngPairTable(g,
+        Ivf.quantized(base, idCol, vecCol))),
+      base, idCol, vecCol, queries, exact, k, alphas, entryK, beam,
+      hops, topK)
+  }
+
+  /** [[pruneRecallSweep]] served from a STORED [[pruneFoldCache]] —
+    * the deployment shape: the cache's two corpus-vector joins and
+    * group shuffle were paid at build time, so the whole sweep is a
+    * map-only fold per α over the parquet scan plus ONE variant walk.
+    * Trusts the cache's build-time max-rank probe (stored-table
+    * contract). */
+  def pruneRecallSweepFrom(foldCache: DataFrame, base: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame,
+      exact: DataFrame, k: Int, alphas: Seq[(Long, Long)], entryK: Int,
+      beam: Int, hops: Int, topK: Int): DataFrame = {
+    require(alphas.nonEmpty, "pruneRecallSweepFrom: need an alpha")
+    require(entryK >= 1 && beam >= 1 && hops >= 0 && topK >= 1,
+      s"pruneRecallSweepFrom: entryK=$entryK, beam=$beam, topK=$topK " +
+        s"must be >= 1 (hops=$hops >= 0)")
+    require(topK <= beam,
+      s"pruneRecallSweepFrom: topK=$topK > beam=$beam")
+    alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
+    val perSrc = foldCache.transform(graft.util.CacheScope.persist)
     // every α's pruned edges stack under a variant key and the WHOLE
     // sweep walks ONCE (the variant walk — one hop chain, one scan of
     // the quantized corpus, instead of a chain per α)
@@ -1856,9 +1906,32 @@ object Similarity {
     val g = layeredPruneInputChecked(layeredGraph, k, maxLayer,
       alphas.head._1, alphas.head._2)
     val keys = Seq("layer", "src")
-    val perSrc = rngFoldInput(g,
-        rngPairTable(g, Ivf.quantized(base, idCol, vecCol), keys), keys)
-      .transform(graft.util.CacheScope.persist)
+    pruneLayeredRecallSweepFrom(
+      rngFoldInput(g, rngPairTable(g,
+        Ivf.quantized(base, idCol, vecCol), keys), keys),
+      base, idCol, vecCol, queries, exact, k, maxLayer, alphas,
+      entryK, beam, hopsPerLayer, topK)
+  }
+
+  /** [[pruneLayeredRecallSweep]] served from a STORED
+    * [[pruneLayeredFoldCache]] — map-only folds per α over the
+    * parquet scan + ONE variant descent. */
+  def pruneLayeredRecallSweepFrom(foldCache: DataFrame,
+      base: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, exact: DataFrame, k: Int, maxLayer: Int,
+      alphas: Seq[(Long, Long)], entryK: Int, beam: Int,
+      hopsPerLayer: Int, topK: Int): DataFrame = {
+    require(alphas.nonEmpty, "pruneLayeredRecallSweepFrom: need an alpha")
+    require(entryK >= 1 && beam >= 1 && hopsPerLayer >= 0 && topK >= 1,
+      s"pruneLayeredRecallSweepFrom: entryK=$entryK, beam=$beam, " +
+        s"topK=$topK must be >= 1 (hopsPerLayer=$hopsPerLayer >= 0)")
+    require(topK <= beam,
+      s"pruneLayeredRecallSweepFrom: topK=$topK > beam=$beam")
+    require(maxLayer >= 0,
+      s"pruneLayeredRecallSweepFrom: maxLayer=$maxLayer >= 0")
+    alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
+    val keys = Seq("layer", "src")
+    val perSrc = foldCache.transform(graft.util.CacheScope.persist)
     // every α's pruned stack under a variant key, ONE descent for the
     // whole sweep (the variant walk)
     val pruned = alphas.zipWithIndex.map { case ((num, den), i) =>

@@ -114,6 +114,25 @@ private[queries] object SimFixtures {
         k = 5, maxLayer = 2)
     }
 
+  /** The stored α-INDEPENDENT prune-tuning caches (k = 5) — the
+    * expensive half of every recall-per-α sweep (two corpus-vector
+    * joins + the group shuffle), built once next to the graphs the
+    * way a deployment tuning a prune level would, and folded from
+    * parquet by every sweep point (`Similarity.pruneFoldCache`
+    * scaladoc). */
+  def foldCacheFlat(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "prune_fold_cache_flat_k5") {
+      graft.operators.Similarity.pruneFoldCache(flatGraph(s, dir),
+        emb(s, dir), "vec_id", "embedding", k = 5)
+    }
+
+  def foldCacheLayered(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "prune_fold_cache_layered_k5") {
+      graft.operators.Similarity.pruneLayeredFoldCache(
+        layeredSeed(s, dir), emb(s, dir), "vec_id", "embedding",
+        k = 5, maxLayer = 2)
+    }
+
   // ---- FINE-geometry (64-cell) fixture family — the pruned-graph
   // UPSERT gates' tables. At the suite's 8-cell geometry any
   // non-trivial batch touches EVERY cell, so the upserts' conservative

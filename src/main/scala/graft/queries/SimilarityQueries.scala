@@ -9216,14 +9216,17 @@ ${rngKeptCtes(5, 1, 1)}
     "q319_pruned_recall_alpha_sweep",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val g = graft.queries.SimFixtures.flatGraph(s, dir)
       val coarse = graft.queries.SimFixtures.coarse(s, dir)
       val idx = graft.queries.SimFixtures.flatIndex(s, dir)
       val q = e.filter(col("vec_id") < 10)
       val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
         "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
-      graft.operators.Similarity.pruneRecallSweep(g, e, "vec_id",
-          "embedding", q, exact, k = 5,
+      // the sweep serves from the STORED fold cache (the tuning
+      // artifact a deployment persists next to the graph) — every α
+      // is a map-only fold over the parquet scan + one variant walk
+      graft.operators.Similarity.pruneRecallSweepFrom(
+          graft.queries.SimFixtures.foldCacheFlat(s, dir), e,
+          "vec_id", "embedding", q, exact, k = 5,
           alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)), entryK = 2,
           beam = 5, hops = 2, topK = 5)
         .orderBy(col("a_num"), col("a_den"))
@@ -9338,13 +9341,14 @@ ${walkCostSql("c", 2)},
     "q320_layered_recall_alpha_sweep",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
       val coarse = graft.queries.SimFixtures.coarse(s, dir)
       val idx = graft.queries.SimFixtures.flatIndex(s, dir)
       val q = e.filter(col("vec_id") < 10)
       val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
         "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
-      graft.operators.Similarity.pruneLayeredRecallSweep(lg, e,
+      // served from the STORED layered fold cache (see q319)
+      graft.operators.Similarity.pruneLayeredRecallSweepFrom(
+          graft.queries.SimFixtures.foldCacheLayered(s, dir), e,
           "vec_id", "embedding", q, exact, k = 5, maxLayer = 2,
           alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)), entryK = 2,
           beam = 5, hopsPerLayer = 1, topK = 5)

@@ -1758,6 +1758,28 @@ class PqSpec extends SparkSpec {
     }
     assert(laySweep == laySingle,
       "layered recall sweep diverged from the single-alpha audits")
+    // STORED fold cache ≡ in-plan: the tuning cache survives a
+    // parquet round-trip (nested covers column included) and the
+    // From-sweep over it reproduces the in-plan sweep bit-for-bit
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft_foldcache").toString
+    try {
+      Similarity.pruneFoldCache(g, emb, "vec_id", "embedding", 5)
+        .write.parquet(s"$cdir/flat")
+      val fromStored = Similarity.pruneRecallSweepFrom(
+          spark.read.parquet(s"$cdir/flat"), emb, "vec_id",
+          "embedding", q, exact, 5, alphas, entryK = 2, beam = 5,
+          hops = 2, topK = 5)
+        .orderBy("a_num", "a_den").collect().toSeq
+      assert(fromStored == flatSweep,
+        "stored fold cache diverged from the in-plan sweep")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(cdir))
+    }
     // the SCHEDULED one-pass beam sweep ≡ one layeredRecallCost per
     // point (heterogeneous entry/schedule/beam, equal hop budget)
     val points = Seq((5, 1, 1), (5, 2, 0), (8, 1, 1))
