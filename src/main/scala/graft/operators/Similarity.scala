@@ -1669,6 +1669,58 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** [[pruneSweep]]'s census served from a STORED [[pruneFoldCache]]
+    * — the whole α census from map-only folds over the parquet scan
+    * (no corpus access at all: the cache already nests every
+    * consultable pair distance). */
+  def pruneSweepFrom(foldCache: DataFrame, k: Int,
+      alphas: Seq[(Long, Long)]): DataFrame = {
+    require(alphas.nonEmpty, "pruneSweepFrom: need at least one alpha")
+    alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
+    val perSrc = foldCache.transform(graft.util.CacheScope.persist)
+    alphas.map { case (num, den) =>
+      rngFold(perSrc, num, den)
+        .groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .agg(sum(col("__d")).as("n_edges"),
+          count(lit(1)).as("n_srcs"),
+          max(col("__d")).as("max_degree"))
+        .select(lit(num).as("a_num"), lit(den).as("a_den"),
+          col("n_edges"), col("n_srcs"), col("max_degree"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[pruneLayeredSweep]]'s per-(layer, α) census from a STORED
+    * [[pruneLayeredFoldCache]]. `maxLayer` spans the layer spine (a
+    * layer the cache lacks still reports its row — the per-layer
+    * aggregate contract). */
+  def pruneLayeredSweepFrom(foldCache: DataFrame, k: Int,
+      maxLayer: Int, alphas: Seq[(Long, Long)]): DataFrame = {
+    require(alphas.nonEmpty,
+      "pruneLayeredSweepFrom: need at least one alpha")
+    require(maxLayer >= 0,
+      s"pruneLayeredSweepFrom: maxLayer must be >= 0, got $maxLayer")
+    alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
+    val keys = Seq("layer", "src")
+    val perSrc = foldCache.transform(graft.util.CacheScope.persist)
+    val spine = foldCache.sparkSession.range(0, maxLayer + 1L)
+      .select(col("id").cast("int").as("layer"))
+    alphas.map { case (num, den) =>
+      val census = rngFold(perSrc, num, den, keys)
+        .groupBy(col("layer"), col("src")).agg(count(lit(1)).as("__d"))
+        .groupBy(col("layer"))
+        .agg(sum(col("__d")).as("n_edges"),
+          count(lit(1)).as("n_srcs"),
+          max(col("__d")).as("max_degree"))
+      spine.join(census, Seq("layer"), "left")
+        .select(col("layer"), lit(num).as("a_num"),
+          lit(den).as("a_den"), col("n_edges"),
+          coalesce(col("n_srcs"), lit(0L)).as("n_srcs"),
+          col("max_degree"))
+    }.reduce(_.unionByName(_))
+      .select(col("layer").cast("int").as("layer"), col("a_num"),
+        col("a_den"), col("n_edges"), col("n_srcs"), col("max_degree"))
+  }
+
   /** [[pruneSweep]] PER LAYER — where HNSW's efConstruction/α trade
     * actually lives: select-neighbors runs per layer, and the right α
     * can differ by layer (upper layers are sparse long-range scaffolds

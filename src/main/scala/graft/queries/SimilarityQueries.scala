@@ -8504,10 +8504,11 @@ ${walkCostSql("", 2)}
   private val q308 = Q(
     "q308_prune_alpha_sweep",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val g = graft.queries.SimFixtures.flatGraph(s, dir)
-      graft.operators.Similarity.pruneSweep(g, e, "vec_id", "embedding",
-          k = 5, alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+      // census from the STORED fold cache — no corpus access at all
+      // (the cache nests every consultable pair distance)
+      graft.operators.Similarity.pruneSweepFrom(
+          graft.queries.SimFixtures.foldCacheFlat(s, dir), k = 5,
+          alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)))
         .orderBy(col("a_num"), col("a_den"))
     },
     Some(raw"""
@@ -8988,11 +8989,10 @@ ${walkCtes("", 2, 5, gName = "pg")},
   private val q315 = Q(
     "q315_layered_prune_alpha_sweep",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
-      graft.operators.Similarity.pruneLayeredSweep(lg, e, "vec_id",
-          "embedding", k = 5, maxLayer = 2,
-          alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+      // per-(layer, α) census from the STORED layered fold cache
+      graft.operators.Similarity.pruneLayeredSweepFrom(
+          graft.queries.SimFixtures.foldCacheLayered(s, dir), k = 5,
+          maxLayer = 2, alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)))
         .orderBy(col("layer"), col("a_num"), col("a_den"))
     },
     Some {

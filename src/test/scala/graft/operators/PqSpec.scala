@@ -1453,6 +1453,25 @@ class PqSpec extends SparkSpec {
     }
     assert(layeredCensus == perLayer,
       "layered sweep diverged from the per-layer flat sweep")
+    // the census From-variants over the (in-plan) fold caches ≡ the
+    // graph-input sweeps (the stored-cache serving contract; the
+    // parquet round-trip itself is pinned in the recall-sweep lane)
+    assert(Similarity.pruneLayeredSweepFrom(
+        Similarity.pruneLayeredFoldCache(lg1, emb, "vec_id",
+          "embedding", 5, 1), 5, 1, sweepAlphas)
+        .orderBy("layer", "a_num", "a_den").collect().toSeq ==
+      layeredCensus,
+      "cache-served layered census diverged from the graph-input sweep")
+    val flatG = lg1.filter(col("layer") === 0)
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+    assert(Similarity.pruneSweepFrom(
+        Similarity.pruneFoldCache(flatG, emb, "vec_id", "embedding", 5),
+        5, sweepAlphas)
+        .orderBy("a_num", "a_den").collect().toSeq ==
+      Similarity.pruneSweep(flatG, emb, "vec_id", "embedding", 5,
+          sweepAlphas)
+        .orderBy("a_num", "a_den").collect().toSeq,
+      "cache-served flat census diverged from the graph-input sweep")
   }
 
   test("layered upsert: incremental ≡ full rebuild on a multi-cell batch") {
