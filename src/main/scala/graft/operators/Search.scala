@@ -620,4 +620,37 @@ object Search {
       .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)))
       .select(col(idCol), col("rrf_micro"), col("n_lists"), col("rnk"))
   }
+
+  /** [[rrfFuse]] PER GROUP — fuse a whole QUERY PANEL in one pass:
+    * rankings carry the group keys (e.g. `q_id`) next to (idCol,
+    * rnk), the fused aggregate groups by (keys, idCol), and the final
+    * rank window partitions by the keys — so N queries fuse in ONE
+    * keyed exchange instead of N single-query fusions (and the window
+    * is per-group, never the single-partition global sort
+    * [[rrfFuse]]'s bounded-by-limit form is allowed). A list that has
+    * no rows for some group contributes nothing there (the RRF
+    * convention, per group). Output: (keys…, idCol, rrf_micro,
+    * n_lists, rnk ≤ topN). */
+  def rrfFuseBy(rankings: Seq[DataFrame], keys: Seq[String],
+      idCol: String, kRrf: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "rrfFuseBy needs at least one ranking")
+    require(keys.nonEmpty, "rrfFuseBy needs at least one group key")
+    require(kRrf >= 0, s"kRrf must be non-negative, got $kRrf")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val kc = keys.map(col)
+    val u = rankings
+      .map(_.select(kc ++ Seq(col(idCol),
+        col("rnk").cast("long").as("__r")): _*))
+      .reduce(_.unionByName(_))
+    val ord = Seq(col("rrf_micro").desc, col(idCol).asc)
+    u.withColumn("__c", expr(s"1000000 DIV ($kRrf + __r)"))
+      .groupBy(kc :+ col(idCol): _*)
+      .agg(sum(col("__c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(kc: _*).orderBy(ord: _*)))
+      .filter(col("rnk") <= topN)
+      .select(kc ++ Seq(col(idCol), col("rrf_micro"), col("n_lists"),
+        col("rnk").cast("int").as("rnk")): _*)
+  }
 }

@@ -1267,13 +1267,19 @@ object Similarity {
     * shuffle). The comparator breaks rank ties by dst so a
     * rank-degenerate input still folds deterministically (ranks are
     * dense by construction from every builder, but a stored table is
-    * a trust boundary — the ADVICE determinism guard). */
+    * a trust boundary — the ADVICE determinism guard). The nested
+    * covers list sorts by (w, wd2) — collect_list order is
+    * partition-arrival nondeterministic, and the fold cache is now a
+    * STORED artifact whose O(changed) refresh is pinned incremental ≡
+    * rebuild BIT-FOR-BIT (plus the q252 manifest fingerprints it), so
+    * the row content itself must be deterministic; the fold's exists()
+    * never cared about order, so semantics are unchanged. */
   private def rngFoldInput(g: DataFrame, pairD2: DataFrame,
       keys: Seq[String] = Seq("src")): DataFrame = {
     val kc = keys.map(col)
     val covers = pairD2.groupBy(kc :+ col("dst"): _*)
-      .agg(collect_list(struct(col("__w").as("w"),
-        col("__wd2").as("wd2"))).as("__covers"))
+      .agg(array_sort(collect_list(struct(col("__w").as("w"),
+        col("__wd2").as("wd2")))).as("__covers"))
     g.join(covers, keys :+ "dst", "left")
       .select(kc :+ struct(col("rnk"), col("dst"), col("d2"),
         coalesce(col("__covers"),
@@ -1340,6 +1346,21 @@ object Similarity {
       "pruneLayeredGraphRngPerLayer: need one alpha per layer")
     alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
     val maxLayer = alphas.size - 1
+    // bounded 1-row probe (the max-rnk probe's action class, on the
+    // UNFILTERED input): maxLayer here is INFERRED from alphas.size,
+    // and layeredPruneInputChecked filters to 0..maxLayer — without
+    // this probe a graph with more layers than supplied αs would
+    // silently DROP its top layers from the pruned output (the ADVICE
+    // fail-loud rule)
+    val topRow = layeredGraph.agg(max(col("layer"))).head()
+    if (!topRow.isNullAt(0)) {
+      val top = topRow.get(0).asInstanceOf[Number].intValue
+      require(top <= maxLayer,
+        s"pruneLayeredGraphRngPerLayer: graph has layers up to $top " +
+          s"but only ${alphas.size} alphas were supplied (layers 0.." +
+          s"$maxLayer) — layers above would be silently dropped; pass " +
+          "one alpha per layer")
+    }
     val g = layeredPruneInputChecked(layeredGraph, k, maxLayer,
       alphas.head._1, alphas.head._2)
     val keys = Seq("layer", "src")
@@ -1389,25 +1410,63 @@ object Similarity {
       batchIndex: DataFrame, k: Int, alphaNum: Long = 1L,
       alphaDen: Long = 1L): DataFrame = {
     require(k >= 1, s"upsertPrunedKnnSeed: k must be >= 1, got $k")
+    pruneParamsChecked(k, alphaNum, alphaDen)
+    val m = upsertChangedFlat(storedGraph, storedIndex, batchIndex, k)
+    // internal greedy, NO max-rank probe: the graph comes from
+    // upsertKnnSeed(k), so rnk ≤ k holds by construction — the
+    // probe's action would re-pay the semi-join for a precondition
+    // this verb itself establishes
+    val gChanged = m.graph
+      .join(broadcast(m.changed), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, m.vecs),
+      k, alphaNum, alphaDen)
+    val passthrough = storedPruned
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .join(broadcast(m.changed), Seq("src"), "left_anti")
+    rePruned.unionByName(passthrough)
+  }
+
+  /** The per-source derived state a changed-set maintenance pass
+    * needs: the maintained (checkpointed) graph, the changed-source
+    * frame (src, or (layer, src)), and the post-maintenance quantized
+    * vector table. Shared by the pruned-graph verbs and the
+    * fold-cache refresh verbs — BOTH maintain a table that is a pure
+    * per-source function of (rank list, neighbor vectors), so the
+    * same changed superset serves both. */
+  private final case class MaintChanged(graph: DataFrame,
+      changed: DataFrame, vecs: DataFrame)
+
+  /** The flat UPSERT changed-source superset, factored from
+    * [[upsertPrunedKnnSeed]] (the round-18 fold-cache refresh reuses
+    * it verbatim — same inputs, same argument):
+    *
+    * CHECKPOINT (not persist) on the upserted graph: truncates the
+    * purge∘append tree to an RDD scan so every downstream plan
+    * compiles small. Measured BOTH ways twice: with the round-based
+    * greedy (one action per rank) removal cost 13→178 s; with the
+    * action-free fold greedy a lazy form STILL cost 7→18 s on the
+    * layered gate — the upsert tree is deep enough that even a few
+    * downstream actions re-pay its analysis, and a persist would not
+    * stop that. The rule survives the greedy redesign: checkpoint the
+    * deep input, not persist it.
+    *
+    * The changed-source superset, from the same inputs the upsert
+    * reads: restated/new ids; sources whose stored list contains a
+    * restated dst (their d2s moved); members of every batch-touched
+    * cell under the OLD assignment (storedIndex rows of batch ids) or
+    * the NEW one (batchIndex rows) — the append's re-election set.
+    * The post-upsert vector table = live stored rows ∪ the batch rows
+    * (both already quantized flat-index rows — no corpus re-scan). */
+  private def upsertChangedFlat(storedGraph: DataFrame,
+      storedIndex: DataFrame, batchIndex: DataFrame,
+      k: Int): MaintChanged = {
     val ids = batchIndex.select(col("vec_id")).distinct()
       .transform(graft.util.CacheScope.persist)
-    // CHECKPOINT (not persist): truncates the purge∘append tree to an
-    // RDD scan so every downstream plan compiles small. Measured BOTH
-    // ways twice: with the round-based greedy (one action per rank)
-    // removal cost 13→178 s; with the action-free fold greedy a lazy
-    // form STILL cost 7→18 s on the layered gate — the upsert tree is
-    // deep enough that even a few downstream actions (persist
-    // materializations, the final collect) re-pay its analysis, and a
-    // persist would not stop that. The rule survives the greedy
-    // redesign: checkpoint the deep input, not persist it.
     val upserted = graft.util.CacheScope.registerCheckpointed(
       upsertKnnSeed(storedGraph, storedIndex, batchIndex, k)
         .localCheckpoint())
-    // the changed-source superset, from the same inputs the upsert
-    // reads: restated/new ids; sources whose stored list contains a
-    // restated dst (their d2s moved); members of every batch-touched
-    // cell under the OLD assignment (storedIndex rows of batch ids)
-    // or the NEW one (batchIndex rows) — the append's re-election set
     val adj = storedGraph
       .join(broadcast(ids.select(col("vec_id").as("dst"))), Seq("dst"),
         "left_semi")
@@ -1423,26 +1482,10 @@ object Similarity {
     val changed = ids.select(col("vec_id").as("src"))
       .unionByName(adj).unionByName(members).distinct()
       .transform(graft.util.CacheScope.persist)
-    // post-upsert vector table = live stored rows ∪ the batch rows
-    // (both already quantized flat-index rows — no corpus re-scan)
     val vecs = storedIndex.select(col("vec_id"), col("qvec"))
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
       .unionByName(batchIndex.select(col("vec_id"), col("qvec")))
-    // internal greedy, NO max-rank probe: the graph comes from
-    // upsertKnnSeed(k) two lines up, so rnk ≤ k holds by construction
-    // — the probe's action would re-pay the semi-join per layer for a
-    // precondition this verb itself establishes
-    pruneParamsChecked(k, alphaNum, alphaDen)
-    val gChanged = upserted
-      .join(broadcast(changed), Seq("src"), "left_semi")
-      .select(col("src"), col("dst"), col("d2"), col("rnk"))
-      .transform(graft.util.CacheScope.persist)
-    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, vecs), k,
-      alphaNum, alphaDen)
-    val passthrough = storedPruned
-      .select(col("src"), col("dst"), col("d2"), col("rnk"))
-      .join(broadcast(changed), Seq("src"), "left_anti")
-    rePruned.unionByName(passthrough)
+    MaintChanged(upserted, changed, vecs)
   }
 
   /** O(deleted) maintenance of the PRUNED serving graph under
@@ -1465,9 +1508,37 @@ object Similarity {
       tombstones: DataFrame, k: Int, alphaNum: Long = 1L,
       alphaDen: Long = 1L): DataFrame = {
     pruneParamsChecked(k, alphaNum, alphaDen)
+    val (dead, m) = purgeChangedFlat(storedGraph, storedIndex,
+      tombstones, k)
+    // internal greedy, no max-rank probe: purgeKnnGraph(k) built the
+    // graph, so rnk ≤ k by construction
+    val gChanged = m.graph
+      .join(broadcast(m.changed), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, m.vecs),
+      k, alphaNum, alphaDen)
+    val passthrough = storedPruned
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(m.changed), Seq("src"), "left_anti")
+    rePruned.unionByName(passthrough)
+  }
+
+  /** The flat PURGE changed set, factored from [[purgePrunedKnnGraph]]
+    * (the fold-cache refresh reuses it): here the changed set is not a
+    * conservative superset but the EXACT re-election set — deletion
+    * never changes a surviving vector, so a survivor's per-source rows
+    * can change only if its rank list changed, and [[purgeKnnGraph]]
+    * changes rank lists exactly for the sources adjacent to a deleted
+    * dst. Checkpoints the deep purge∘re-elect tree (the standing
+    * rule). Returns (dead ids, [[MaintChanged]]). */
+  private def purgeChangedFlat(storedGraph: DataFrame,
+      storedIndex: DataFrame, tombstones: DataFrame,
+      k: Int): (DataFrame, MaintChanged) = {
     val dead = tombstones.select(col("vec_id")).distinct()
       .transform(graft.util.CacheScope.persist)
-    // checkpoint the deep purge∘re-elect tree (the standing rule)
     val purged = graft.util.CacheScope.registerCheckpointed(
       purgeKnnGraph(storedGraph, storedIndex, tombstones, k)
         .localCheckpoint())
@@ -1480,20 +1551,7 @@ object Similarity {
       .transform(graft.util.CacheScope.persist)
     val vecs = storedIndex.select(col("vec_id"), col("qvec"))
       .join(broadcast(dead), Seq("vec_id"), "left_anti")
-    // internal greedy, no max-rank probe: purgeKnnGraph(k) built the
-    // graph, so rnk ≤ k by construction
-    val gChanged = purged
-      .join(broadcast(changed), Seq("src"), "left_semi")
-      .select(col("src"), col("dst"), col("d2"), col("rnk"))
-      .transform(graft.util.CacheScope.persist)
-    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, vecs), k,
-      alphaNum, alphaDen)
-    val passthrough = storedPruned
-      .select(col("src"), col("dst"), col("d2"), col("rnk"))
-      .join(broadcast(dead.select(col("vec_id").as("src"))),
-        Seq("src"), "left_anti")
-      .join(broadcast(changed), Seq("src"), "left_anti")
-    rePruned.unionByName(passthrough)
+    (dead, MaintChanged(purged, changed, vecs))
   }
 
   /** O(changed) maintenance of the PRUNED LAYERED serving graph —
@@ -1525,10 +1583,39 @@ object Similarity {
     pruneParamsChecked(k, alphaNum, alphaDen)
     require(maxLayer >= 0,
       s"upsertPrunedLayeredKnnSeed: maxLayer must be >= 0, got $maxLayer")
+    val m = upsertChangedLayered(storedLayered, storedIndex,
+      batchIndex, k, maxLayer)
+    val keys = Seq("layer", "src")
+    // internal greedy: rnk ≤ k by construction (upsertLayeredKnnSeed
+    // inside the changed-set derivation), so no probe — rngGreedy's
+    // truncation filter defines it
+    val gChanged = m.graph
+      .join(broadcast(m.changed), keys, "left_semi")
+      .transform(graft.util.CacheScope.persist)
+    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, m.vecs,
+      keys), k, alphaNum, alphaDen, keys)
+    val passthrough = storedPrunedLayered
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+      .join(broadcast(m.changed), keys, "left_anti")
+    rePruned.unionByName(passthrough)
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+  }
+
+  /** The LAYERED upsert changed set, factored from
+    * [[upsertPrunedLayeredKnnSeed]] (the layered fold-cache refresh
+    * reuses it): ONE checkpoint of the whole layered upsert tree (the
+    * standing checkpoint-the-deep-input rule; the per-layer form paid
+    * three), the per-layer changed-source superset stacked into a
+    * (layer, src) frame — the flat verb's superset over each layer's
+    * member slices — and the shared post-upsert vector table.
+    * `graph` comes back projected to (layer:int, src, dst, d2, rnk). */
+  private def upsertChangedLayered(storedLayered: DataFrame,
+      storedIndex: DataFrame, batchIndex: DataFrame, k: Int,
+      maxLayer: Int): MaintChanged = {
     val ids = batchIndex.select(col("vec_id")).distinct()
       .transform(graft.util.CacheScope.persist)
-    // ONE checkpoint of the whole layered upsert tree (the standing
-    // checkpoint-the-deep-input rule; the per-layer form paid three)
     val upserted = graft.util.CacheScope.registerCheckpointed(
       upsertLayeredKnnSeed(storedLayered, storedIndex, batchIndex, k,
         maxLayer).localCheckpoint())
@@ -1556,23 +1643,10 @@ object Similarity {
     val vecs = storedIndex.select(col("vec_id"), col("qvec"))
       .join(broadcast(ids), Seq("vec_id"), "left_anti")
       .unionByName(batchIndex.select(col("vec_id"), col("qvec")))
-    val keys = Seq("layer", "src")
-    // internal greedy: rnk ≤ k by construction (upsertLayeredKnnSeed
-    // above), so no probe — rngGreedy's truncation filter defines it
-    val gChanged = upserted
-      .select(col("layer").cast("int").as("layer"), col("src"),
-        col("dst"), col("d2"), col("rnk"))
-      .join(broadcast(changed), keys, "left_semi")
-      .transform(graft.util.CacheScope.persist)
-    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, vecs,
-      keys), k, alphaNum, alphaDen, keys)
-    val passthrough = storedPrunedLayered
-      .select(col("layer").cast("int").as("layer"), col("src"),
-        col("dst"), col("d2"), col("rnk"))
-      .join(broadcast(changed), keys, "left_anti")
-    rePruned.unionByName(passthrough)
-      .select(col("layer").cast("int").as("layer"), col("src"),
-        col("dst"), col("d2"), col("rnk"))
+    MaintChanged(
+      upserted.select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk")),
+      changed, vecs)
   }
 
   /** Per-LAYER RNG/α pruning for the layered (HNSW-shape) graph —
@@ -1677,7 +1751,7 @@ object Similarity {
       alphas: Seq[(Long, Long)]): DataFrame = {
     require(alphas.nonEmpty, "pruneSweepFrom: need at least one alpha")
     alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
-    val perSrc = foldCache.transform(graft.util.CacheScope.persist)
+    val perSrc = foldCacheChecked(foldCache, k, None, "pruneSweepFrom")
     alphas.map { case (num, den) =>
       rngFold(perSrc, num, den)
         .groupBy(col("src")).agg(count(lit(1)).as("__d"))
@@ -1701,7 +1775,8 @@ object Similarity {
       s"pruneLayeredSweepFrom: maxLayer must be >= 0, got $maxLayer")
     alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
     val keys = Seq("layer", "src")
-    val perSrc = foldCache.transform(graft.util.CacheScope.persist)
+    val perSrc = foldCacheChecked(foldCache, k, Some(maxLayer),
+      "pruneLayeredSweepFrom")
     val spine = foldCache.sparkSession.range(0, maxLayer + 1L)
       .select(col("id").cast("int").as("layer"))
     alphas.map { case (num, den) =>
@@ -1775,23 +1850,261 @@ object Similarity {
     * half of every sweep: the two corpus-vector joins + the group
     * shuffle) and folds every α and every re-tune from the parquet —
     * the [[pruneSweepQuantized]] factoring promoted to a stored
-    * table. Probes the fail-loud max-rank contract at build time;
-    * the `*From` sweeps trust the cache (the stored-table contract,
-    * like the upsert's α). Schema: (src, __es). */
+    * table. Probes the fail-loud max-rank contract at build time; the
+    * `*From` sweeps cross-check the in-row `__k` metadata (the ADVICE
+    * fail-loud rule — a cache built with a different k must raise,
+    * not serve its own k's census under the caller's label).
+    * Schema: (src, __es, __k). */
   def pruneFoldCache(graph: DataFrame, base: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val g = pruneInputChecked(graph, k, 1L, 1L)
     rngFoldInput(g, rngPairTable(g, Ivf.quantized(base, idCol, vecCol)))
+      .withColumn("__k", lit(k))
   }
 
   /** [[pruneFoldCache]] for the LAYERED table — one (layer, src)-keyed
-    * cache for every layer and every α. Schema: (layer, src, __es). */
+    * cache for every layer and every α, carrying BOTH build parameters
+    * in-row (`__k`, `__max_layer`) for the `*From` cross-check.
+    * Schema: (layer, src, __es, __k, __max_layer). */
   def pruneLayeredFoldCache(layeredGraph: DataFrame, base: DataFrame,
       idCol: String, vecCol: String, k: Int, maxLayer: Int): DataFrame = {
     val g = layeredPruneInputChecked(layeredGraph, k, maxLayer, 1L, 1L)
     val keys = Seq("layer", "src")
     rngFoldInput(g, rngPairTable(g,
-      Ivf.quantized(base, idCol, vecCol), keys), keys)
+        Ivf.quantized(base, idCol, vecCol), keys), keys)
+      .withColumn("__k", lit(k))
+      .withColumn("__max_layer", lit(maxLayer))
+  }
+
+  /** Stored-cache metadata gate shared by the four `*From` sweeps (the
+    * ADVICE fail-loud rule): the cache's in-row `__k` (and
+    * `__max_layer`, layered form) must agree with the caller's — the
+    * fold itself never consults k, so a cache built with a different k
+    * would otherwise silently yield ITS OWN k's census/recall labeled
+    * with the caller's k, the confidently-wrong-tuning-curve failure
+    * mode. Persists the cache first so the bounded 1-row min/max probe
+    * (the max-rnk probe's action class) warms the same cache every
+    * fold then reads; an EMPTY cache passes vacuously (nothing to
+    * mislabel). `maxLayer` checks ≤ the built range — layers above the
+    * build would silently vanish from a sweep; a sub-range sweep reads
+    * a correct prefix. The refresh verbs pass `exactLayers = true`:
+    * a refresh at a SHALLOWER maxLayer than the build would pass the
+    * deeper layers through STALE (its changed set never covers them),
+    * so there equality is the contract. Returns the persisted frame. */
+  private def foldCacheChecked(foldCache: DataFrame, k: Int,
+      maxLayer: Option[Int], verb: String,
+      exactLayers: Boolean = false): DataFrame = {
+    require(foldCache.columns.contains("__k"),
+      s"$verb: fold cache lacks the __k metadata column — build it " +
+        "with pruneFoldCache/pruneLayeredFoldCache (a cache without " +
+        "its build k cannot be cross-checked and could silently " +
+        "serve another k's numbers)")
+    require(maxLayer.isEmpty ||
+        foldCache.columns.contains("__max_layer"),
+      s"$verb: layered fold cache lacks the __max_layer metadata " +
+        "column — build it with pruneLayeredFoldCache")
+    val perSrc = foldCache.transform(graft.util.CacheScope.persist)
+    val aggs = Seq(min(col("__k")).as("klo"), max(col("__k")).as("khi")) ++
+      (if (maxLayer.isDefined)
+         Seq(min(col("__max_layer")).as("mlo"),
+           max(col("__max_layer")).as("mhi"))
+       else Nil)
+    val row = perSrc.agg(aggs.head, aggs.drop(1): _*).head()
+    if (!row.isNullAt(0)) {
+      val klo = row.get(0).asInstanceOf[Number].intValue
+      val khi = row.get(1).asInstanceOf[Number].intValue
+      require(klo == khi,
+        s"$verb: fold cache mixes build ks $klo..$khi — a merged " +
+          "cache must come from one build discipline; rebuild")
+      require(klo == k,
+        s"$verb: fold cache was built with k=$klo but the sweep was " +
+          s"asked for k=$k — pass the cache's k or rebuild it")
+      maxLayer.foreach { ml =>
+        val mlo = row.get(2).asInstanceOf[Number].intValue
+        val mhi = row.get(3).asInstanceOf[Number].intValue
+        require(mlo == mhi,
+          s"$verb: fold cache mixes build maxLayers $mlo..$mhi — " +
+            "rebuild")
+        if (exactLayers)
+          require(ml == mlo,
+            s"$verb: maxLayer=$ml but the cache was built with " +
+              s"maxLayer=$mlo — a refresh must cover every built " +
+              "layer or the uncovered ones pass through stale")
+        else
+          require(ml <= mlo,
+            s"$verb: maxLayer=$ml exceeds the cache's built " +
+              s"maxLayer=$mlo — layers above the build would silently " +
+              "vanish from the sweep; rebuild the cache deeper")
+      }
+    }
+    perSrc
+  }
+
+  /** O(changed) REFRESH of the stored [[pruneFoldCache]] after a
+    * graph UPSERT — the round-18 lifecycle verb for the tuning cache:
+    * the cache is a STORED serving artifact (the recall/census sweeps
+    * fold it with NO corpus access), and without this verb a graph
+    * upsert silently strands it stale — a stale cache produces a
+    * confidently WRONG tuning curve, the worst failure mode a tuning
+    * artifact has. A cache row is a pure per-source function of the
+    * source's rank list and its neighbors' vectors — exactly the
+    * property the pruned-table maintenance verbs exploit — so the
+    * SAME changed-source superset applies ([[upsertChangedFlat]],
+    * shared code): changed sources' fold-input rows recompute over
+    * the post-upsert vectors (one pair build + one group shuffle,
+    * both batch-proportional), every other source's stored row passes
+    * through verbatim. ≡ the full [[pruneFoldCache]] rebuild of the
+    * upserted graph BIT-FOR-BIT (covers sort deterministically;
+    * spec-pinned, and the gate serves a census from the refreshed
+    * cache against the full-replay oracle). Same stored-table
+    * k/coverage preconditions as [[upsertPrunedKnnSeed]]; the
+    * cache's own `__k` cross-checks against the caller's. */
+  def upsertPruneFoldCache(storedGraph: DataFrame,
+      storedCache: DataFrame, storedIndex: DataFrame,
+      batchIndex: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"upsertPruneFoldCache: k must be >= 1, got $k")
+    val cache = foldCacheChecked(storedCache, k, None,
+      "upsertPruneFoldCache")
+    val m = upsertChangedFlat(storedGraph, storedIndex, batchIndex, k)
+    val gChanged = m.graph
+      .join(broadcast(m.changed), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    val recomputed = rngFoldInput(gChanged,
+        rngPairTable(gChanged, m.vecs))
+      .withColumn("__k", lit(k))
+    val passthrough = cache
+      .select(col("src"), col("__es"), col("__k"))
+      .join(broadcast(m.changed), Seq("src"), "left_anti")
+    recomputed.unionByName(passthrough)
+  }
+
+  /** [[upsertPruneFoldCache]]'s DELETE direction — compose with
+    * [[purgePrunedKnnGraph]]: dead sources' cache rows drop, the
+    * EXACT re-election set (sources adjacent to a deleted dst —
+    * [[purgeChangedFlat]], shared code) recomputes over the survivor
+    * vectors, everyone else passes through verbatim. ≡ the full
+    * rebuild over the purged graph bit-for-bit. */
+  def purgePruneFoldCache(storedGraph: DataFrame,
+      storedCache: DataFrame, storedIndex: DataFrame,
+      tombstones: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"purgePruneFoldCache: k must be >= 1, got $k")
+    val cache = foldCacheChecked(storedCache, k, None,
+      "purgePruneFoldCache")
+    val (dead, m) = purgeChangedFlat(storedGraph, storedIndex,
+      tombstones, k)
+    val gChanged = m.graph
+      .join(broadcast(m.changed), Seq("src"), "left_semi")
+      .select(col("src"), col("dst"), col("d2"), col("rnk"))
+      .transform(graft.util.CacheScope.persist)
+    val recomputed = rngFoldInput(gChanged,
+        rngPairTable(gChanged, m.vecs))
+      .withColumn("__k", lit(k))
+    val passthrough = cache
+      .select(col("src"), col("__es"), col("__k"))
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(m.changed), Seq("src"), "left_anti")
+    recomputed.unionByName(passthrough)
+  }
+
+  /** [[upsertPruneFoldCache]] for the LAYERED cache — ONE
+    * (layer, src)-keyed recompute over the shared changed frame
+    * ([[upsertChangedLayered]], the q311 unification's machinery):
+    * one upsert checkpoint, one pair table, one group shuffle for
+    * every layer's refresh, verbatim passthrough per (layer, src).
+    * `maxLayer` must equal the cache's build (exactLayers — a
+    * shallower refresh would strand the deeper layers stale). ≡ the
+    * full [[pruneLayeredFoldCache]] rebuild bit-for-bit. */
+  def upsertPruneLayeredFoldCache(storedLayered: DataFrame,
+      storedCache: DataFrame, storedIndex: DataFrame,
+      batchIndex: DataFrame, k: Int, maxLayer: Int): DataFrame = {
+    require(k >= 1 && maxLayer >= 0,
+      s"upsertPruneLayeredFoldCache: k=$k must be >= 1, " +
+        s"maxLayer=$maxLayer >= 0")
+    val cache = foldCacheChecked(storedCache, k, Some(maxLayer),
+      "upsertPruneLayeredFoldCache", exactLayers = true)
+    val m = upsertChangedLayered(storedLayered, storedIndex,
+      batchIndex, k, maxLayer)
+    val keys = Seq("layer", "src")
+    val gChanged = m.graph
+      .join(broadcast(m.changed), keys, "left_semi")
+      .transform(graft.util.CacheScope.persist)
+    val recomputed = rngFoldInput(gChanged,
+        rngPairTable(gChanged, m.vecs, keys), keys)
+      .withColumn("__k", lit(k))
+      .withColumn("__max_layer", lit(maxLayer))
+    val passthrough = cache
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("__es"), col("__k"), col("__max_layer"))
+      .join(broadcast(m.changed), keys, "left_anti")
+    recomputed
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("__es"), col("__k"), col("__max_layer"))
+      .unionByName(passthrough)
+  }
+
+  /** [[purgePruneFoldCache]] for the LAYERED cache — dead (layer,
+    * src) rows drop, each layer's exact re-election set recomputes in
+    * the one keyed pass ([[purgeChangedLayered]]), everyone else
+    * passes through. ≡ the full rebuild over the purged layered
+    * graph bit-for-bit. */
+  def purgePruneLayeredFoldCache(storedLayered: DataFrame,
+      storedCache: DataFrame, storedIndex: DataFrame,
+      tombstones: DataFrame, k: Int, maxLayer: Int): DataFrame = {
+    require(k >= 1 && maxLayer >= 0,
+      s"purgePruneLayeredFoldCache: k=$k must be >= 1, " +
+        s"maxLayer=$maxLayer >= 0")
+    val cache = foldCacheChecked(storedCache, k, Some(maxLayer),
+      "purgePruneLayeredFoldCache", exactLayers = true)
+    val (dead, m) = purgeChangedLayered(storedLayered, storedIndex,
+      tombstones, k, maxLayer)
+    val keys = Seq("layer", "src")
+    val gChanged = m.graph
+      .join(broadcast(m.changed), keys, "left_semi")
+      .transform(graft.util.CacheScope.persist)
+    val recomputed = rngFoldInput(gChanged,
+        rngPairTable(gChanged, m.vecs, keys), keys)
+      .withColumn("__k", lit(k))
+      .withColumn("__max_layer", lit(maxLayer))
+    val passthrough = cache
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("__es"), col("__k"), col("__max_layer"))
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(m.changed), keys, "left_anti")
+    recomputed
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("__es"), col("__k"), col("__max_layer"))
+      .unionByName(passthrough)
+  }
+
+  /** The LAYERED purge changed set — [[purgeChangedFlat]] with layer
+    * in the key: the exact re-election set per layer ((layer, src)
+    * pairs adjacent to a deleted dst, survivors only), over ONE
+    * [[purgeLayeredKnnGraph]] checkpoint and the shared survivor
+    * vector table. */
+  private def purgeChangedLayered(storedLayered: DataFrame,
+      storedIndex: DataFrame, tombstones: DataFrame, k: Int,
+      maxLayer: Int): (DataFrame, MaintChanged) = {
+    val dead = tombstones.select(col("vec_id")).distinct()
+      .transform(graft.util.CacheScope.persist)
+    val purged = graft.util.CacheScope.registerCheckpointed(
+      purgeLayeredKnnGraph(storedLayered, storedIndex, tombstones, k,
+        maxLayer).localCheckpoint())
+    val changed = layeredGraphSlice(storedLayered, maxLayer)
+      .join(broadcast(dead.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_semi")
+      .select(col("layer"), col("src")).distinct()
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .transform(graft.util.CacheScope.persist)
+    val vecs = storedIndex.select(col("vec_id"), col("qvec"))
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+    (dead, MaintChanged(
+      purged.select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk")),
+      changed, vecs))
   }
 
   /** RECALL-per-α over the flat prune sweep — the half of the
@@ -1823,7 +2136,8 @@ object Similarity {
     val g = pruneInputChecked(graph, k, alphas.head._1, alphas.head._2)
     pruneRecallSweepFrom(
       rngFoldInput(g, rngPairTable(g,
-        Ivf.quantized(base, idCol, vecCol))),
+        Ivf.quantized(base, idCol, vecCol)))
+        .withColumn("__k", lit(k)),
       base, idCol, vecCol, queries, exact, k, alphas, entryK, beam,
       hops, topK)
   }
@@ -1845,7 +2159,8 @@ object Similarity {
     require(topK <= beam,
       s"pruneRecallSweepFrom: topK=$topK > beam=$beam")
     alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
-    val perSrc = foldCache.transform(graft.util.CacheScope.persist)
+    val perSrc = foldCacheChecked(foldCache, k, None,
+      "pruneRecallSweepFrom")
     // every α's pruned edges stack under a variant key and the WHOLE
     // sweep walks ONCE (the variant walk — one hop chain, one scan of
     // the quantized corpus, instead of a chain per α)
@@ -1867,7 +2182,17 @@ object Similarity {
     * inner-join semantics, summed), one output row per α. */
   private def sweepRecallCost(walk: GraphWalk, exact: DataFrame,
       k: Int, topK: Int, alphas: Seq[(Long, Long)]): DataFrame = {
-    val agg = variantRecallCostAgg(walk, exact, topK, alphas.size)
+    // a SINGLE-α sweep's walk carries no __v (graphWalk/layeredWalk
+    // collapse the variant machinery at nVariants = 1) but the audit
+    // tail always keys by it — stamp the one variant in (the ADVICE
+    // single-alpha fix; before this, alphas.size == 1 threw an
+    // unresolved-column AnalysisException the requires permitted)
+    val vWalk =
+      if (walk.best.columns.contains("__v")) walk
+      else GraphWalk(walk.best.withColumn("__v", lit(0)),
+        walk.scored.map(_.withColumn("__v", lit(0))),
+        walk.beams.map(_.withColumn("__v", lit(0))))
+    val agg = variantRecallCostAgg(vWalk, exact, topK, alphas.size)
     alphas.zipWithIndex.map { case ((num, den), i) =>
       agg.filter(col("__v") === i)
         .select(lit(num).as("a_num"), lit(den).as("a_den"),
@@ -1960,7 +2285,9 @@ object Similarity {
     val keys = Seq("layer", "src")
     pruneLayeredRecallSweepFrom(
       rngFoldInput(g, rngPairTable(g,
-        Ivf.quantized(base, idCol, vecCol), keys), keys),
+        Ivf.quantized(base, idCol, vecCol), keys), keys)
+        .withColumn("__k", lit(k))
+        .withColumn("__max_layer", lit(maxLayer)),
       base, idCol, vecCol, queries, exact, k, maxLayer, alphas,
       entryK, beam, hopsPerLayer, topK)
   }
@@ -1983,7 +2310,8 @@ object Similarity {
       s"pruneLayeredRecallSweepFrom: maxLayer=$maxLayer >= 0")
     alphas.foreach { case (num, den) => pruneParamsChecked(k, num, den) }
     val keys = Seq("layer", "src")
-    val perSrc = foldCache.transform(graft.util.CacheScope.persist)
+    val perSrc = foldCacheChecked(foldCache, k, Some(maxLayer),
+      "pruneLayeredRecallSweepFrom")
     // every α's pruned stack under a variant key, ONE descent for the
     // whole sweep (the variant walk)
     val pruned = alphas.zipWithIndex.map { case ((num, den), i) =>

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryPack, Tables}
 import graft.operators.Search
@@ -1039,51 +1040,41 @@ object SearchQueries extends QueryPack {
   // df-bucketed, the dedup keep-set a hash groupBy), the purge is one
   // semi-join on the stored index scan, and both rankings are O(topN)
   // into a bounded fusion.
-  private val q322 = Q(
-    "q322_rag_curation_hybrid_serve",
-    (s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val e = Tables(s, dir, "embeddings")
-      val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"))
-      val bench = graft.operators.Dedup.explodedShingles(
-          docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", 3)
-        .select(col("sh")).distinct()
-      val contaminated = graft.operators.Dedup.explodedShingles(
-          docs.filter(col("doc_id") % 25 =!= 0), "doc_id", "text", 3)
-        .join(broadcast(bench), Seq("sh"), "left_semi")
-        .select(col("doc_id")).distinct()
-      val qualityPass = docs
-        .withColumn("__w", graft.operators.Dedup.words(col("text")))
-        .filter(graft.operators.TextAnalysis.qualityMicro(col("text"),
-          col("__w")) >= 600000L)
-        .select(col("doc_id"))
-      // the verdict set, pinned: BOTH pillars read it (BM25 corpus
-      // restriction + index purge)
-      val live = docs.select(col("doc_id"))
-        .filter(col("doc_id") % 25 =!= 0)
-        .join(keep, Seq("doc_id"), "left_semi")
-        .join(qualityPass, Seq("doc_id"), "left_semi")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .transform(graft.util.CacheScope.persist)
-      val text = Search.bm25Search(
-        docs.join(live, Seq("doc_id"), "left_semi"), "doc_id", "text",
-        terms = Seq("spark", "vector", "hash"), topN = 20)
-      val purgedIdx = graft.queries.SimFixtures.flatIndex(s, dir)
-        .join(live.select(col("doc_id").as("vec_id")), Seq("vec_id"),
-          "left_semi")
-      val vec = graft.operators.Ivf.filteredSearch(
-          graft.queries.SimFixtures.coarse(s, dir), purgedIdx,
-          e.filter(col("vec_id") === 7), "vec_id", "embedding",
-          lit(true), nprobe = 8, topK = 20)
-        .select(col("n_id").as("doc_id"), col("rnk"))
-      Search.rrfFuse(
-          Seq(text.select(col("doc_id"), col("rnk")), vec),
-          "doc_id", kRrf = 60, topN = 10)
-        .orderBy(col("rnk"))
-    },
-    Some(s"""
-      WITH keepers AS (
+  /** The shared curation VERDICT set (q322/q328): exact-dedup losers
+    * ∪ quality failures ∪ docs sharing a 3-gram with the benchmark
+    * slice ∪ the benchmark docs themselves — each verdict an
+    * individually-gated verb (q16/q24/q219), composed and pinned
+    * because BOTH serving pillars read it (index tombstones + BM25
+    * corpus restriction). Returns the SURVIVOR (doc_id) frame,
+    * persisted. */
+  private def curatedLive(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val bench = graft.operators.Dedup.explodedShingles(
+        docs.filter(col("doc_id") % 25 === 0), "doc_id", "text", 3)
+      .select(col("sh")).distinct()
+    val contaminated = graft.operators.Dedup.explodedShingles(
+        docs.filter(col("doc_id") % 25 =!= 0), "doc_id", "text", 3)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val qualityPass = docs
+      .withColumn("__w", graft.operators.Dedup.words(col("text")))
+      .filter(graft.operators.TextAnalysis.qualityMicro(col("text"),
+        col("__w")) >= 600000L)
+      .select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .filter(col("doc_id") % 25 =!= 0)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(qualityPass, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .transform(graft.util.CacheScope.persist)
+  }
+
+  /** The verdict CTEs' DuckDB twin (q322/q328's shared oracle
+    * prefix): keepers/qq/cbad → `live` (survivor doc_ids). */
+  private def curatedLiveSql: String = s"""
+      keepers AS (
         SELECT MIN(doc_id) AS doc_id FROM documents
         GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
       qb AS (
@@ -1123,7 +1114,14 @@ object SearchQueries extends QueryPack {
         JOIN qq USING (doc_id)
         WHERE qq.qm >= 600000
           AND d.doc_id % 25 <> 0
-          AND d.doc_id NOT IN (SELECT doc_id FROM cbad)),
+          AND d.doc_id NOT IN (SELECT doc_id FROM cbad))"""
+
+  /** The survivor-stats BM25 CTEs (q322/q328's shared oracle middle):
+    * toks/dl/navg/tf/dfreq/parts over `live` → `bm` (doc_id,
+    * rnk ≤ 20) for the given terms. */
+  private def survivorBm25Sql(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""
       toks AS (
         SELECT d.doc_id, UNNEST($wordsSql) AS token
         FROM documents d JOIN live USING (doc_id)),
@@ -1135,7 +1133,7 @@ object SearchQueries extends QueryPack {
         FROM dl),
       tf AS (
         SELECT doc_id, token, COUNT(*) AS tf
-        FROM toks WHERE token IN ('spark', 'vector', 'hash')
+        FROM toks WHERE token IN ($inList)
         GROUP BY doc_id, token),
       dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
       parts AS (
@@ -1156,7 +1154,37 @@ object SearchQueries extends QueryPack {
                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
                    AS rnk
           FROM bmscored)
-        WHERE rnk <= 20),
+        WHERE rnk <= 20)"""
+  }
+
+  private val q322 = Q(
+    "q322_rag_curation_hybrid_serve",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      // the verdict set, pinned: BOTH pillars read it (BM25 corpus
+      // restriction + index purge)
+      val live = curatedLive(s, dir)
+      val text = Search.bm25Search(
+        docs.join(live, Seq("doc_id"), "left_semi"), "doc_id", "text",
+        terms = Seq("spark", "vector", "hash"), topN = 20)
+      val purgedIdx = graft.queries.SimFixtures.flatIndex(s, dir)
+        .join(live.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+      val vec = graft.operators.Ivf.filteredSearch(
+          graft.queries.SimFixtures.coarse(s, dir), purgedIdx,
+          e.filter(col("vec_id") === 7), "vec_id", "embedding",
+          lit(true), nprobe = 8, topK = 20)
+        .select(col("n_id").as("doc_id"), col("rnk"))
+      Search.rrfFuse(
+          Seq(text.select(col("doc_id"), col("rnk")), vec),
+          "doc_id", kRrf = 60, topN = 10)
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH
+$curatedLiveSql,
+${survivorBm25Sql(Seq("spark", "vector", "hash"))},
       vx AS (
         SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
@@ -1193,7 +1221,103 @@ object SearchQueries extends QueryPack {
       ORDER BY rnk
     """))
 
+  // --------------------------------------------------------------- q328
+  // CROSS-PILLAR RAG on the GRAPH serving pillar — q322's composition
+  // moved to the pillar whose tombstone-mask semantics are the subtle
+  // ones, over a WIDER query panel (vec_id < 5, was one query):
+  // curation verdicts (q322's exact set, shared code) become WALK
+  // tombstones — graphSearchMasked routes THROUGH dead vertices (on a
+  // pruned graph each surviving waypoint is often the only path, so
+  // masking traversal would disconnect it) and masks at rank time
+  // over the bounded evaluated-candidate union, k back-filling from
+  // live candidates — while the BM25 corpus restricts to survivors
+  // with df/avgdl/n_docs recomputed (the q322 detail a
+  // filter-at-rank-time shortcut gets wrong), and the whole panel
+  // fuses per query in ONE keyed RRF pass (Search.rrfFuseBy — N
+  // queries, one exchange, never N single-query fusions). Scale
+  // shape: tombstones are verdict-proportional, the walk state
+  // |Q|·beam broadcast rows, the fusion O(|Q|·topN). Oracle = the
+  // verdict CTEs + survivor BM25 + the q313-class masked walk replay
+  // + the per-query fusion.
+  private val q328 = Q(
+    "q328_rag_graph_masked_serve",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val live = curatedLive(s, dir)
+      val text = Search.bm25Search(
+        docs.join(live, Seq("doc_id"), "left_semi"), "doc_id", "text",
+        terms = Seq("spark", "vector", "hash"), topN = 20)
+      // verdict → tombstone: every indexed id the curation did NOT
+      // keep (O(verdict) — the same set the q322 purge removes)
+      val dead = e.select(col("vec_id"))
+        .join(live.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
+      val qPanel = e.filter(col("vec_id") < 5)
+      val vec = graft.operators.Similarity.graphSearchMasked(
+          graft.queries.SimFixtures.prunedFlat(s, dir), e, qPanel,
+          "vec_id", "embedding", dead, entryK = 2, beam = 5, hops = 2,
+          topK = 20)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rnk"))
+      // the lexical ranking is panel-invariant (fixed terms): fan the
+      // bounded topN list across the query spine, then fuse per q_id
+      val textQ = text.select(col("doc_id"), col("rnk"))
+        .crossJoin(broadcast(qPanel.select(col("vec_id").as("q_id"))))
+        .select(col("q_id"), col("doc_id"), col("rnk"))
+      Search.rrfFuseBy(Seq(textQ, vec), Seq("q_id"), "doc_id",
+          kRrf = 60, topN = 10)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH
+$curatedLiveSql,
+${survivorBm25Sql(Seq("spark", "vector", "hash"))},
+      vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${SimilarityQueries.coarseCtes()},
+${SimilarityQueries.seedGraphCtes()},
+${SimilarityQueries.seedgCte},
+${SimilarityQueries.rngKeptCtes(5, 1, 1)},
+      pg AS (SELECT src, dst FROM kept5),
+      ent AS (SELECT vec_id AS dst FROM embeddings ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 5),
+${SimilarityQueries.walkCtes("", 2, 5, gName = "pg")},
+      wseen AS (
+        ${SimilarityQueries.seenSql("", 2)}),
+      vkeep AS (
+        SELECT sn.q_id, sn.dst, sn.d2 FROM wseen sn
+        JOIN live l ON l.doc_id = sn.dst),
+      vwalk AS (
+        SELECT q_id, dst AS doc_id, rnk FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM vkeep)
+        WHERE rnk <= 20),
+      fu AS (
+        SELECT q.q_id, b.doc_id, b.rnk
+        FROM bm b CROSS JOIN (SELECT q_id FROM qs) q
+        UNION ALL
+        SELECT q_id, doc_id, rnk FROM vwalk),
+      ff AS (
+        SELECT q_id, doc_id, SUM(1000000 // (60 + rnk)) AS rrf_micro,
+               COUNT(*) AS n_lists
+        FROM fu GROUP BY q_id, doc_id)
+      SELECT q_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+             CAST(n_lists AS BIGINT) AS n_lists,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT q_id, doc_id, rrf_micro, n_lists,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY rrf_micro DESC, doc_id ASC) AS rnk
+        FROM ff)
+      WHERE rnk <= 10
+      ORDER BY q_id, rnk
+    """))
+
   def all: Seq[Q] = Seq(q92, q93, q106, q147, q222, q225, q227, q228,
     q232, q242, q243, q244, q245, q253, q254, q258, q259, q262, q300,
-    q322)
+    q322, q328)
 }

@@ -133,6 +133,19 @@ private[queries] object SimFixtures {
         k = 5, maxLayer = 2)
     }
 
+  /** The stored MIXED per-layer α pruned table — the q323 COMMIT
+    * promoted to a serving artifact (aggressive 3/2-cover base,
+    * classic RNG middle, conservative 2/3 top scaffold — the levels
+    * the q315/q320 tuning curves picked): the table the mixed-α serve
+    * and audit gates (q326/q327) walk, proving the committed artifact
+    * actually serves, not just builds. */
+  def prunedLayeredMixed(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "pruned_layered_k5_mixed") {
+      graft.operators.Similarity.pruneLayeredGraphRngPerLayer(
+        layeredSeed(s, dir), emb(s, dir), "vec_id", "embedding",
+        k = 5, alphas = Seq((2L, 3L), (1L, 1L), (3L, 2L)))
+    }
+
   // ---- FINE-geometry (64-cell) fixture family — the pruned-graph
   // UPSERT gates' tables. At the suite's 8-cell geometry any
   // non-trivial batch touches EVERY cell, so the upserts' conservative
@@ -176,6 +189,16 @@ private[queries] object SimFixtures {
       graft.operators.Similarity.pruneLayeredGraphRng(
         layeredSeedF(s, dir), emb(s, dir), "vec_id", "embedding",
         k = 5, maxLayer = 2)
+    }
+
+  /** Fine-geometry flat fold cache — the q324 refresh gate's stored
+    * input (the upsert refresh rides the 64-cell family for the same
+    * gate-hygiene reason as q309: at 8 cells the changed superset
+    * degenerates to the whole corpus). */
+  def foldCacheFlatF(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "prune_fold_cache_flat_k5_64") {
+      graft.operators.Similarity.pruneFoldCache(flatGraphF(s, dir),
+        emb(s, dir), "vec_id", "embedding", k = 5)
     }
 
   /** Attributed flat index (label rides the row — q235's at-source

@@ -888,7 +888,7 @@ object SimilarityQueries extends QueryPack {
     * Lloyd arithmetic cannot drift across oracles (used by
     * q197/q198/q202; the q36/q110/q185/q186/q189 copies predate the
     * helper and are frozen). */
-  private def coarseCtes(trainWhere: String = "TRUE",
+  private[queries] def coarseCtes(trainWhere: String = "TRUE",
       cells: Int = 8): String = raw"""
       vxt AS (SELECT * FROM vx WHERE $trainWhere),
       co0 AS (SELECT vec_id AS cid, qvec AS cent FROM vxt
@@ -4209,7 +4209,38 @@ ${coarseCtes()},
         ("pruned_layered",
           graft.queries.SimFixtures.prunedLayered(s, dir),
           concat_ws("|", col("layer"), col("src"), col("dst"),
-            col("d2"), col("rnk")))))
+            col("d2"), col("rnk"))),
+        // the MIXED-α committed table (q323's artifact, served by
+        // q326/q327) — every stored serve table is fingerprinted
+        ("pruned_layered_mixed",
+          graft.queries.SimFixtures.prunedLayeredMixed(s, dir),
+          concat_ws("|", col("layer"), col("src"), col("dst"),
+            col("d2"), col("rnk"))),
+        // the α-independent prune-tuning CACHES (the round-17 stored
+        // artifacts that q308/q315/q319/q320 serve curves from, now
+        // with the round-18 refresh lifecycle): fingerprint the
+        // CANONICAL exploded rows — each neighbor entry with its
+        // covers list rendered in sorted (w, wd2) order, so the
+        // checksum is pure content (partition/merge-invariant like
+        // every manifest row) and a stale or dropped cache row
+        // surfaces BEFORE it bends a tuning curve
+        ("fold_cache", graft.queries.SimFixtures.foldCacheFlat(s, dir)
+            .select(col("src"), explode(col("__es")).as("e"))
+            .select(col("src"), col("e.rnk").as("rnk"),
+              col("e.dst").as("dst"), col("e.d2").as("d2"),
+              expr("array_join(transform(array_sort(e.covers), " +
+                "c -> concat(c.w, ':', c.wd2)), ',')").as("cov")),
+          concat_ws("|", col("src"), col("rnk"), col("dst"), col("d2"),
+            col("cov"))),
+        ("fold_cache_layered",
+          graft.queries.SimFixtures.foldCacheLayered(s, dir)
+            .select(col("layer"), col("src"), explode(col("__es")).as("e"))
+            .select(col("layer"), col("src"), col("e.rnk").as("rnk"),
+              col("e.dst").as("dst"), col("e.d2").as("d2"),
+              expr("array_join(transform(array_sort(e.covers), " +
+                "c -> concat(c.w, ':', c.wd2)), ',')").as("cov")),
+          concat_ws("|", col("layer"), col("src"), col("rnk"),
+            col("dst"), col("d2"), col("cov")))))
         .orderBy(col("table_name"))
     },
     Some(raw"""
@@ -4360,14 +4391,76 @@ ${rngKeptCtes(5, 1, 1, gName = "z2gr", p = "z2k")},
                  ('0x' || substr(md5(layer || '|' || src || '|' || dst
                    || '|' || d2 || '|' || rnk), 1, 15))::BIGINT), 0)
                  AS checksum
-        FROM plall)
+        FROM plall),
+${rngKeptCtes(5, 2, 3, p = "y0k")},
+${rngKeptCtes(5, 3, 2, gName = "z2gr", p = "y2k")},
+      plmix AS (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM y0k5
+        UNION ALL
+        SELECT 1, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM z1k5
+        UNION ALL
+        SELECT 2, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM y2k5),
+      mplm AS (
+        SELECT 'pruned_layered_mixed' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(layer || '|' || src || '|' || dst
+                   || '|' || d2 || '|' || rnk), 1, 15))::BIGINT), 0)
+                 AS checksum
+        FROM plmix),
+      lallm AS MATERIALIZED (SELECT * FROM lall),
+      fclpair AS MATERIALIZED (
+        SELECT g.layer, g.src, g.dst, w.dst AS w,
+               CAST(list_dot_product(vw.qvec, vw.qvec)
+                 - 2.0 * list_dot_product(vw.qvec, vd.qvec)
+                 + list_dot_product(vd.qvec, vd.qvec) AS BIGINT) AS wd2
+        FROM lallm g
+        JOIN lallm w ON w.layer = g.layer AND w.src = g.src
+                    AND w.rnk < g.rnk
+        JOIN vx vw ON vw.vec_id = w.dst
+        JOIN vx vd ON vd.vec_id = g.dst),
+      fclcov AS (
+        SELECT layer, src, dst,
+               string_agg(w || ':' || wd2, ','
+                 ORDER BY w ASC, wd2 ASC) AS cov
+        FROM fclpair GROUP BY layer, src, dst),
+      fclrows AS MATERIALIZED (
+        SELECT g.layer, g.src, g.rnk, g.dst, g.d2,
+               COALESCE(c.cov, '') AS cov
+        FROM lallm g
+        LEFT JOIN fclcov c ON c.layer = g.layer AND c.src = g.src
+                          AND c.dst = g.dst),
+      mfcf AS (
+        SELECT 'fold_cache' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(src || '|' || rnk || '|' || dst
+                   || '|' || d2 || '|' || cov), 1, 15))::BIGINT), 0)
+                 AS checksum
+        FROM fclrows WHERE layer = 0),
+      mfcl AS (
+        SELECT 'fold_cache_layered' AS table_name, COUNT(*) AS n_rows,
+               COALESCE(bit_xor(
+                 ('0x' || substr(md5(layer || '|' || src || '|' || rnk
+                   || '|' || dst || '|' || d2 || '|' || cov),
+                   1, 15))::BIGINT), 0) AS checksum
+        FROM fclrows)
       SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
              CAST(checksum AS BIGINT) AS checksum
       FROM (SELECT * FROM ma UNION ALL SELECT * FROM mbag
             UNION ALL SELECT * FROM mb
             UNION ALL SELECT * FROM mc UNION ALL SELECT * FROM mg
             UNION ALL SELECT * FROM ml UNION ALL SELECT * FROM mp
-            UNION ALL SELECT * FROM mgp UNION ALL SELECT * FROM mlp)
+            UNION ALL SELECT * FROM mgp UNION ALL SELECT * FROM mlp
+            UNION ALL SELECT * FROM mplm UNION ALL SELECT * FROM mfcf
+            UNION ALL SELECT * FROM mfcl)
       ORDER BY table_name
     """))
 
@@ -5190,7 +5283,7 @@ ${walkCostSql("", 2)}
     * helper and are frozen. `liveWhere` is a full predicate over the
     * `a`/`b` endpoint aliases (the purge-rebuild oracle's surviving
     * corpus). */
-  private def seedGraphCtes(liveWhere: String = "TRUE",
+  private[queries] def seedGraphCtes(liveWhere: String = "TRUE",
       cellofName: String = "cellof", vxName: String = "vx"): String = raw"""
       seedsc AS MATERIALIZED (
         SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -5219,7 +5312,7 @@ ${walkCostSql("", 2)}
     * NOT EXISTS), so an inlined chain re-evaluates exponentially when
     * a downstream audit references several frames (q317 read minutes;
     * materialized it reads seconds — result-identical, verified). */
-  private def rngKeptCtes(k: Int, aNum: Long, aDen: Long,
+  private[queries] def rngKeptCtes(k: Int, aNum: Long, aDen: Long,
       gName: String = "seedg", vxName: String = "vx",
       p: String = "kept"): String = {
     val first = raw"""
@@ -5246,7 +5339,7 @@ ${walkCostSql("", 2)}
   /** Ranked seed-graph CTE (src, dst, d2, rnk ≤ 5) over
     * [[seedGraphCtes]]' `seedsc` — the prune/recall oracles need the
     * ranks, not just the edge set. */
-  private val seedgCte: String = raw"""
+  private[queries] val seedgCte: String = raw"""
       seedg AS MATERIALIZED (
         SELECT src, dst, d2, rnk FROM (
           SELECT src, dst, d2,
@@ -5264,7 +5357,7 @@ ${walkCostSql("", 2)}
     * form, where a lower layer's walk starts from the layer above's
     * final beam. The q264/q266 inline copies predate the helper and
     * are frozen. */
-  private def walkCtes(p: String, hops: Int, beam: Int,
+  private[queries] def walkCtes(p: String, hops: Int, beam: Int,
       gName: String = "g", init: Option[String] = None,
       entName: String = "ent"): String = {
     def scored(h: Int) = raw"""
@@ -5389,7 +5482,7 @@ ${layerSeedCtes(p, memberWhere)},
   /** Everything the walk EVALUATED: the distinct union of every hop's
     * scored frame — d2 is deterministic per (q_id, dst), so UNION
     * dedupes exactly (the seen-union the masked/filtered verbs rank). */
-  private def seenSql(p: String, hops: Int): String =
+  private[queries] def seenSql(p: String, hops: Int): String =
     (0 to hops).map(h => s"SELECT q_id, dst, d2 FROM ${p}s$h")
       .mkString("\n        UNION\n        ")
 
@@ -9643,6 +9736,310 @@ ${rngKeptCtes(5, 3, 2, gName = "l2gr", p = "l2k")}
       ORDER BY layer, src, rnk
     """))
 
+  // --------------------------------------------------------------- q324
+  // O(changed) FOLD-CACHE refresh after a graph UPSERT — the round-18
+  // lifecycle verb for the stored tuning cache: q308/q319 serve their
+  // curves from the cache with NO corpus access, so a graph upsert
+  // that strands it stale produces a confidently WRONG tuning curve
+  // (the worst failure mode a tuning artifact has). A cache row is a
+  // pure per-source function of (rank list, neighbor vectors) —
+  // exactly the pruned-table property — so the refresh reuses the
+  // q309 changed-source superset verbatim (shared code): changed
+  // sources' fold-input rows recompute over the post-upsert vectors,
+  // every other row passes through verbatim. The gate REFRESHES the
+  // stored fine-geometry cache under the q309 batch, then serves the
+  // full α census from the refreshed cache — so the oracle (the
+  // census of the full restated rebuild, replayed greedy-by-greedy)
+  // catches any stale or mis-refreshed row that could bend a curve.
+  // Incremental ≡ rebuild is ALSO spec-pinned bit-for-bit (PqSpec).
+  private val q324 = Q(
+    "q324_fold_cache_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarseF(s, dir)
+      val storedIndex = graft.queries.SimFixtures.flatIndexF(s, dir)
+      val storedGraph = graft.queries.SimFixtures.flatGraphF(s, dir)
+      val storedCache = graft.queries.SimFixtures.foldCacheFlatF(s, dir)
+      // pinned: the refresh's ids/cells/vecs derivations re-read the
+      // batch index (the q309 pin rationale)
+      val batchIndex = graft.util.CacheScope.persist(
+        graft.operators.Ivf.flatIndex(coarse,
+          e.filter(col("vec_id") % 307 === 0)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+          "vec_id", "embedding", Nil))
+      graft.operators.Similarity.pruneSweepFrom(
+          graft.operators.Similarity.upsertPruneFoldCache(storedGraph,
+            storedCache, storedIndex, batchIndex, k = 5),
+          k = 5, alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+        .orderBy(col("a_num"), col("a_den"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes(cells = 64)},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 307 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+      seedsc2 AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               CAST(list_dot_product(va.qvec, va.qvec)
+                 - 2.0 * list_dot_product(va.qvec, vb.qvec)
+                 + list_dot_product(vb.qvec, vb.qvec) AS BIGINT) AS d2
+        FROM cellof2 a
+        JOIN cellof2 b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN vx2 va ON va.vec_id = a.vec_id
+        JOIN vx2 vb ON vb.vec_id = b.vec_id),
+      seedg AS MATERIALIZED (
+        SELECT src, dst, d2, rnk FROM (
+          SELECT src, dst, d2,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM seedsc2)
+        WHERE rnk <= 5),
+${rngKeptCtes(5, 1, 1, vxName = "vx2", p = "ka")},
+${rngKeptCtes(5, 2, 3, vxName = "vx2", p = "kb")},
+${rngKeptCtes(5, 3, 2, vxName = "vx2", p = "kc")},
+      dega AS (SELECT src, COUNT(*) AS d FROM ka5 GROUP BY src),
+      degb AS (SELECT src, COUNT(*) AS d FROM kb5 GROUP BY src),
+      degc AS (SELECT src, COUNT(*) AS d FROM kc5 GROUP BY src),
+      stats AS (
+        SELECT 1 AS a_num, 1 AS a_den, SUM(d) AS n_edges,
+               COUNT(*) AS n_srcs, MAX(d) AS max_degree
+        FROM dega
+        UNION ALL
+        SELECT 2, 3, SUM(d), COUNT(*), MAX(d) FROM degb
+        UNION ALL
+        SELECT 3, 2, SUM(d), COUNT(*), MAX(d) FROM degc)
+      SELECT CAST(a_num AS BIGINT) AS a_num,
+             CAST(a_den AS BIGINT) AS a_den,
+             CAST(n_edges AS BIGINT) AS n_edges,
+             CAST(n_srcs AS BIGINT) AS n_srcs,
+             CAST(max_degree AS BIGINT) AS max_degree
+      FROM stats
+      ORDER BY a_num, a_den
+    """))
+
+  // --------------------------------------------------------------- q325
+  // LAYERED fold-cache refresh under PURGE — q324's delete direction
+  // where the cache actually serves the descent curves (q315/q320):
+  // tombstones drop their (layer, src) rows, each layer's EXACT
+  // re-election set (sources adjacent to a deleted dst — deletion
+  // never changes a surviving vector, so nothing else can move)
+  // recomputes in ONE (layer, src)-keyed pass over one pair table,
+  // every other row passes through verbatim. Serves the per-(layer,
+  // α) census from the refreshed cache; oracle = the full survivor
+  // rebuild's nine greedy chains censused (q318's survivor-corpus
+  // discipline × q315's census tail).
+  private val q325 = Q(
+    "q325_layered_fold_cache_purge",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
+      val cache = graft.queries.SimFixtures.foldCacheLayered(s, dir)
+      graft.operators.Similarity.pruneLayeredSweepFrom(
+          graft.operators.Similarity.purgePruneLayeredFoldCache(lg,
+            cache, idx,
+            e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
+            k = 5, maxLayer = 2),
+          k = 5, maxLayer = 2,
+          alphas = Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+        .orderBy(col("layer"), col("a_num"), col("a_den"))
+    },
+    Some {
+      val live = "a.vec_id % 5 <> 0 AND b.vec_id % 5 <> 0"
+      val chains = (0 to 2).flatMap { l =>
+        Seq(("a", 1L, 1L), ("b", 2L, 3L), ("c", 3L, 2L)).map {
+          case (t, n, d) =>
+            rngKeptCtes(5, n, d, gName = s"p${l}gr", p = s"p${l}k$t")
+        }
+      }.mkString(",")
+      val census = (0 to 2).flatMap { l =>
+        Seq(("a", 1, 1), ("b", 2, 3), ("c", 3, 2)).map { case (t, n, d) =>
+          s"""SELECT $l AS layer, $n AS a_num, $d AS a_den,
+               SUM(dd) AS n_edges, COUNT(*) AS n_srcs,
+               MAX(dd) AS max_degree
+        FROM (SELECT src, COUNT(*) AS dd FROM p${l}k${t}5 GROUP BY src)"""
+        }
+      }.mkString("\n        UNION ALL\n        ")
+      raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("p0", live)},
+${layerSeedCtes("p1", s"a.vec_id % 2 = 0 AND b.vec_id % 2 = 0 AND $live")},
+${layerSeedCtes("p2", s"a.vec_id % 4 = 0 AND b.vec_id % 4 = 0 AND $live")},
+${layerRankedCte("p0")},
+${layerRankedCte("p1")},
+${layerRankedCte("p2")},
+$chains,
+      stats AS (
+        $census)
+      SELECT CAST(layer AS INTEGER) AS layer,
+             CAST(a_num AS BIGINT) AS a_num,
+             CAST(a_den AS BIGINT) AS a_den,
+             CAST(n_edges AS BIGINT) AS n_edges,
+             CAST(n_srcs AS BIGINT) AS n_srcs,
+             CAST(max_degree AS BIGINT) AS max_degree
+      FROM stats
+      ORDER BY layer, a_num, a_den
+    """
+    })
+
+  // --------------------------------------------------------------- q326
+  // SERVE over the MIXED-α committed table — the consumer q323 was
+  // missing: q323 gated the mixed per-layer BUILD, but nothing read
+  // the committed artifact, so "mixed prune levels at the uniform
+  // build's cost" was proven while "the mixed table serves correctly"
+  // was not. This gate runs q312's exact descent (entryK=2, beam=5,
+  // hopsPerLayer=1) over the STORED mixed table
+  // (SimFixtures.prunedLayeredMixed — aggressive base, classic
+  // middle, conservative scaffold), so the q312-vs-q326 row diff is
+  // the committed mix's measured effect on the served result. Oracle
+  // = the per-layer greedy replay AT EACH LAYER'S α + the chained
+  // descent over the kept edges.
+  private val q326 = Q(
+    "q326_mixed_alpha_layered_search",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lp = graft.queries.SimFixtures.prunedLayeredMixed(s, dir)
+      graft.operators.Similarity.layeredGraphSearch(lp, e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          maxLayer = 2, entryK = 2, beam = 5, hopsPerLayer = 1,
+          topK = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+${layerRankedCte("l0")},
+${layerRankedCte("l1")},
+${layerRankedCte("l2")},
+${rngKeptCtes(5, 2, 3, gName = "l0gr", p = "l0k")},
+${rngKeptCtes(5, 1, 1, gName = "l1gr", p = "l1k")},
+${rngKeptCtes(5, 3, 2, gName = "l2gr", p = "l2k")},
+      ent AS (SELECT vec_id AS dst FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("t", 1, 5, gName = "l2k5")},
+${walkCtes("m", 1, 5, gName = "l1k5", init = Some("tb1"))},
+${walkCtes("w", 1, 5, gName = "l0k5", init = Some("mb1"))}
+      SELECT q_id, dst AS n_id, d2, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT q_id, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM wb1)
+      WHERE rnk <= 5
+      ORDER BY q_id, rnk
+    """))
+
+  // --------------------------------------------------------------- q327
+  // RECALL/COST audit over the MIXED-α committed table — q326's value
+  // half, and the CONSUMER-SIDE verification of the q320 tuning
+  // curve: q317 reads the uniform α=1/1 table's recall/cost at this
+  // exact budget, so the q317-vs-q327 row diff is what the committed
+  // per-layer mix actually bought (the aggressive base's eval cut)
+  // and what it cost (any recall loss) — measured on the descent the
+  // table serves, not inferred from the build census. Oracle = the
+  // mixed per-layer greedy replay + the chained walk + frame counts.
+  private val q327 = Q(
+    "q327_mixed_alpha_recall_cost",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val lp = graft.queries.SimFixtures.prunedLayeredMixed(s, dir)
+      val coarse = graft.queries.SimFixtures.coarse(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.operators.Ivf.filteredSearch(coarse, idx, q,
+        "vec_id", "embedding", lit(true), nprobe = 8, topK = 5)
+      graft.operators.Similarity.layeredRecallCost(lp, e, q, "vec_id",
+          "embedding", exact, 5, maxLayer = 2, entryK = 2, beam = 5,
+          hopsPerLayer = 1, topK = 5)
+        .orderBy(col("q_id"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("l0", "TRUE")},
+${layerSeedCtes("l1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0")},
+${layerSeedCtes("l2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0")},
+${layerRankedCte("l0")},
+${layerRankedCte("l1")},
+${layerRankedCte("l2")},
+${rngKeptCtes(5, 2, 3, gName = "l0gr", p = "l0k")},
+${rngKeptCtes(5, 1, 1, gName = "l1gr", p = "l1k")},
+${rngKeptCtes(5, 3, 2, gName = "l2gr", p = "l2k")},
+      -- MATERIALIZED: the cost block references every chained walk
+      -- frame (the q317 DuckDB-inlining rationale)
+      l0km AS MATERIALIZED (SELECT src, dst FROM l0k5),
+      l1km AS MATERIALIZED (SELECT src, dst FROM l1k5),
+      l2km AS MATERIALIZED (SELECT src, dst FROM l2k5),
+      ent AS (SELECT vec_id AS dst FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 2),
+      qs AS (SELECT vec_id AS q_id, qvec FROM vx WHERE vec_id < 10),
+${walkCtes("t", 1, 5, gName = "l2km")},
+${walkCtes("m", 1, 5, gName = "l1km", init = Some("tb1"))},
+${walkCtes("w", 1, 5, gName = "l0km", init = Some("mb1"))},
+      walk AS (
+        SELECT q_id, dst AS n_id FROM (
+          SELECT q_id, dst,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY d2 ASC, dst ASC) AS rnk
+          FROM wb1)
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT q_id, n_id FROM (
+          SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.qvec, q.qvec)
+                     - 2.0 * list_dot_product(q.qvec, n.qvec)
+                     + list_dot_product(n.qvec, n.qvec) ASC,
+                   n.vec_id ASC) AS rnk
+          FROM vx q, vx n
+          WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      hits AS (
+        SELECT e.q_id, COUNT(w.n_id) AS n_hits
+        FROM exact e
+        LEFT JOIN walk w ON w.q_id = e.q_id AND w.n_id = e.n_id
+        GROUP BY e.q_id),
+${layeredCostSql("cost", "t", Seq("m", "w"), 1)}
+      SELECT h.q_id, CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 1000000 // 5 AS BIGINT) AS recall_micro,
+             c.dist_evals, c.frontier
+      FROM hits h JOIN cost c ON c.q_id = h.q_id
+      ORDER BY h.q_id
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -9653,5 +10050,6 @@ ${rngKeptCtes(5, 3, 2, gName = "l2gr", p = "l2k")}
     q280, q281, q282, q283, q284, q285, q286, q287, q288, q289, q290,
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
     q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313,
-    q314, q315, q316, q317, q318, q319, q320, q321, q323)
+    q314, q315, q316, q317, q318, q319, q320, q321, q323, q324, q325,
+    q326, q327)
 }
