@@ -363,7 +363,22 @@ class PlanAuditSpec extends SparkSpec {
       // filteredSearch's ≤8-row probing-all coarse probe (q242's
       // classes); the verdict joins are id/shingle-keyed semi/anti
       // joins, the fusion O(topN)
-      "q322_rag_curation_hybrid_serve")
+      "q322_rag_curation_hybrid_serve",
+      // q324 = q309's upsert fans (the batch flatIndex's ≤64-row
+      // coarse assignment); the cache refresh and the census folds
+      // are id/cell-keyed joins + map-only folds with no fan
+      "q324_fold_cache_upsert",
+      // q326/q327 = q312/q317's descent fans over the STORED mixed-α
+      // table (bounded query panel × entryK entries, per-hop
+      // broadcast beam state; q327 adds the ≤8-row probing-all
+      // baseline); the table swap adds nothing
+      "q326_mixed_alpha_layered_search",
+      "q327_mixed_alpha_recall_cost",
+      // q328 = q313's masked-walk fans (bounded panel × entryK,
+      // per-hop broadcast beam state) + the 1-row BM25 stats fan +
+      // the ≤20-row lexical list fanned across the 5-query spine;
+      // the verdict joins are id/shingle-keyed, the fusion O(|Q|·topN)
+      "q328_rag_graph_masked_serve")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

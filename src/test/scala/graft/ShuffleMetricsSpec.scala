@@ -446,11 +446,79 @@ class ShuffleMetricsSpec extends SparkSpec {
     }
     assert(three < 2 * one,
       s"3-α sweep shuffled $three ≥ 2× the single-α sweep's $one — " +
-        "the shared fold input is not being reused")
+        "the fold input is not being reused")
     } finally {
       // the sibling tests' hygiene: release every frame the operators'
       // CacheScope pinned during the four measured runs, and remove
       // the stored-table temp dir
+      spark.catalog.clearCache()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(sdir))
+    }
+  }
+
+  test("fold-cache refresh: O(changed) moves less than the full cache rebuild") {
+    // BOTH broadcast knobs off for BOTH measured runs: at spec scale
+    // AQE broadcasts the full rebuild's corpus-sized pair joins away
+    // (zero shuffle records), hiding exactly the volume the
+    // O(changed) claim is about, while the incremental path's real
+    // exchanges (changed-set distincts, checkpoint) still count — the
+    // measured-both-ways recipe. The verbs' own broadcast() hints
+    // (batch-proportional sides) still apply, which is the contract.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val autoK = "spark.sql.autoBroadcastJoinThreshold"
+    val adaptK = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevAuto = scala.util.Try(spark.conf.get(autoK)).toOption
+      .filter(_ != null)
+    val prevAdapt = scala.util.Try(spark.conf.get(adaptK)).toOption
+      .filter(_ != null)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_shuffle_cache").toString
+    try {
+      val coarse = operators.Ivf.centroids(emb, "vec_id", "embedding",
+        8, 2)
+      operators.Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+        .write.parquet(s"$sdir/idx")
+      val idx = spark.read.parquet(s"$sdir/idx")
+      operators.Similarity.knnGraphSeed(coarse, emb, "vec_id",
+        "embedding", 5).write.parquet(s"$sdir/g")
+      val g = spark.read.parquet(s"$sdir/g")
+      operators.Similarity.pruneFoldCache(g, emb, "vec_id",
+        "embedding", 5).write.parquet(s"$sdir/cache")
+      val cache = spark.read.parquet(s"$sdir/cache")
+      val batch = operators.Ivf.flatIndex(coarse,
+        emb.filter(col("vec_id") === 7)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      // aggregate over the nested column so the optimizer cannot
+      // elide the fold content (the count()-guts-the-join gotcha)
+      def drain(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.agg(sum(expr("size(__es)"))).collect(); ()
+      }
+      val full = shuffleRecords {
+        drain(operators.Similarity.pruneFoldCache(
+          operators.Similarity.upsertKnnSeed(g, idx, batch, 5),
+          emb.select(col("vec_id"),
+            when(col("vec_id") === 7, reverse(col("embedding")))
+              .otherwise(col("embedding")).as("embedding")),
+          "vec_id", "embedding", 5))
+      }
+      val inc = shuffleRecords {
+        drain(operators.Similarity.upsertPruneFoldCache(g, cache, idx,
+          batch, 5))
+      }
+      assert(inc < full,
+        s"incremental cache refresh shuffled $inc ≥ full rebuild's $full")
+    } finally {
+      prevAuto.fold(spark.conf.unset(autoK))(v =>
+        spark.conf.set(autoK, v))
+      prevAdapt.fold(spark.conf.unset(adaptK))(v =>
+        spark.conf.set(adaptK, v))
       spark.catalog.clearCache()
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))

@@ -2346,4 +2346,169 @@ class PqSpec extends SparkSpec {
         .orderBy("src", "rnk").collect().toSeq,
       "single-layer refined build diverged from the flat knnGraph")
   }
+
+  test("fold-cache refresh: incremental ≡ full rebuild bit-for-bit (upsert+purge, flat+layered)") {
+    // the round-18 lifecycle claim: a cache row is a pure per-source
+    // function of (rank list, neighbor vectors), so the pruned-table
+    // changed supersets transfer — and with the sorted covers the
+    // refreshed rows must equal the full rebuild EXACTLY, nested
+    // column included
+    val s = spark
+    import s.implicits._
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val idx = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val g = Similarity.knnGraphSeed(coarse, emb, "vec_id", "embedding", 5)
+    val lg = Similarity.layeredKnnGraphWith(coarse, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 2)
+    val sdir = tmpDir("graft_foldcache_refresh")
+    try {
+      // STORED-table shape (the verbs' contract)
+      Similarity.pruneFoldCache(g, emb, "vec_id", "embedding", 5)
+        .write.parquet(s"$sdir/flat")
+      Similarity.pruneLayeredFoldCache(lg, emb, "vec_id", "embedding",
+        5, 2).write.parquet(s"$sdir/layered")
+      val cFlat = spark.read.parquet(s"$sdir/flat")
+      val cLay = spark.read.parquet(s"$sdir/layered")
+      val batch = Ivf.flatIndex(coarse,
+        emb.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", Nil)
+      val restated = emb.select(col("vec_id"),
+        when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val tombs = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+      val survivors = emb.filter(col("vec_id") % 5 =!= 0)
+      // flat upsert
+      assert(Similarity.upsertPruneFoldCache(g, cFlat, idx, batch, 5)
+          .orderBy("src").collect().toSeq ==
+        Similarity.pruneFoldCache(
+            Similarity.upsertKnnSeed(g, idx, batch, 5), restated,
+            "vec_id", "embedding", 5)
+          .orderBy("src").collect().toSeq,
+        "flat upsert refresh diverged from the full cache rebuild")
+      // flat purge
+      assert(Similarity.purgePruneFoldCache(g, cFlat, idx, tombs, 5)
+          .orderBy("src").collect().toSeq ==
+        Similarity.pruneFoldCache(
+            Similarity.purgeKnnGraph(g, idx, tombs, 5), survivors,
+            "vec_id", "embedding", 5)
+          .orderBy("src").collect().toSeq,
+        "flat purge refresh diverged from the full cache rebuild")
+      // layered upsert
+      assert(Similarity.upsertPruneLayeredFoldCache(lg, cLay, idx,
+            batch, 5, 2)
+          .orderBy("layer", "src").collect().toSeq ==
+        Similarity.pruneLayeredFoldCache(
+            Similarity.upsertLayeredKnnSeed(lg, idx, batch, 5, 2),
+            restated, "vec_id", "embedding", 5, 2)
+          .orderBy("layer", "src").collect().toSeq,
+        "layered upsert refresh diverged from the full cache rebuild")
+      // layered purge
+      assert(Similarity.purgePruneLayeredFoldCache(lg, cLay, idx,
+            tombs, 5, 2)
+          .orderBy("layer", "src").collect().toSeq ==
+        Similarity.pruneLayeredFoldCache(
+            Similarity.purgeLayeredKnnGraph(lg, idx, tombs, 5, 2),
+            survivors, "vec_id", "embedding", 5, 2)
+          .orderBy("layer", "src").collect().toSeq,
+        "layered purge refresh diverged from the full cache rebuild")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(sdir))
+    }
+  }
+
+  test("fold-cache metadata gates: wrong k, missing columns, shallow refresh all raise") {
+    val s = spark
+    import s.implicits._
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val idx = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val g = Similarity.knnGraphSeed(coarse, emb, "vec_id", "embedding", 5)
+    val lg = Similarity.layeredKnnGraphWith(coarse, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 2)
+    val cFlat = Similarity.pruneFoldCache(g, emb, "vec_id",
+      "embedding", 5)
+    val cLay = Similarity.pruneLayeredFoldCache(lg, emb, "vec_id",
+      "embedding", 5, 2)
+    // a cache built with k=5 served at k=4 would fold ITS OWN k's
+    // census under the caller's label — the ADVICE silent-mislabel
+    // hazard, now fail-loud
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pruneSweepFrom(cFlat, 4, Seq((1L, 1L)))
+    }
+    assert(e1.getMessage.contains("built with k=5"),
+      s"wrong failure: ${e1.getMessage}")
+    // a cache without the metadata column cannot be cross-checked
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pruneSweepFrom(cFlat.drop("__k"), 5, Seq((1L, 1L)))
+    }
+    assert(e2.getMessage.contains("__k"), s"wrong failure: ${e2.getMessage}")
+    // a layered sweep past the built range would silently vanish its
+    // top layers
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pruneLayeredSweepFrom(cLay, 5, 3, Seq((1L, 1L)))
+    }
+    assert(e3.getMessage.contains("exceeds the cache's built"),
+      s"wrong failure: ${e3.getMessage}")
+    // a SHALLOWER refresh would strand the deeper layers stale —
+    // exactLayers on the refresh verbs
+    val batch = Ivf.flatIndex(coarse,
+      emb.filter(col("vec_id") === 7)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      "vec_id", "embedding", Nil)
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.upsertPruneLayeredFoldCache(lg, cLay, idx, batch, 5, 1)
+    }
+    assert(e4.getMessage.contains("must cover every built layer"),
+      s"wrong failure: ${e4.getMessage}")
+    // the per-layer α commit probes the graph's real layer count: a
+    // 3-layer graph with 2 αs must raise, not silently drop layer 2
+    val e5 = intercept[IllegalArgumentException] {
+      Similarity.pruneLayeredGraphRngPerLayer(lg, emb, "vec_id",
+        "embedding", k = 5, alphas = Seq((1L, 1L), (1L, 1L)))
+    }
+    assert(e5.getMessage.contains("layers up to 2"),
+      s"wrong failure: ${e5.getMessage}")
+  }
+
+  test("single-alpha recall sweep runs and equals the matching multi-alpha row") {
+    // the ADVICE latent crash: graphWalk/layeredWalk emit no __v at
+    // nVariants = 1 but the audit tail keys by it — a single-α sweep
+    // must work AND agree with the same α's row in a variant sweep
+    // (per-(q_id, __v) isolation)
+    val s = spark
+    import s.implicits._
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val idx = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val g = Similarity.knnGraphSeed(coarse, emb, "vec_id", "embedding", 5)
+    val lg = Similarity.layeredKnnGraphWith(coarse, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 1)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Ivf.filteredSearch(coarse, idx, q, "vec_id",
+      "embedding", lit(true), nprobe = 8, topK = 5)
+    val multiF = Similarity.pruneRecallSweep(g, emb, "vec_id",
+        "embedding", q, exact, 5, Seq((1L, 1L), (3L, 2L)), entryK = 2,
+        beam = 5, hops = 2, topK = 5)
+      .filter(col("a_num") === 3).collect().toSeq
+    val singleF = Similarity.pruneRecallSweep(g, emb, "vec_id",
+        "embedding", q, exact, 5, Seq((3L, 2L)), entryK = 2, beam = 5,
+        hops = 2, topK = 5)
+      .collect().toSeq
+    assert(singleF == multiF,
+      s"single-α flat sweep diverged: $singleF vs $multiF")
+    val multiL = Similarity.pruneLayeredRecallSweep(lg, emb, "vec_id",
+        "embedding", q, exact, 5, maxLayer = 1,
+        Seq((1L, 1L), (3L, 2L)), entryK = 2, beam = 5,
+        hopsPerLayer = 1, topK = 5)
+      .filter(col("a_num") === 3).collect().toSeq
+    val singleL = Similarity.pruneLayeredRecallSweep(lg, emb, "vec_id",
+        "embedding", q, exact, 5, maxLayer = 1, Seq((3L, 2L)),
+        entryK = 2, beam = 5, hopsPerLayer = 1, topK = 5)
+      .collect().toSeq
+    assert(singleL == multiL,
+      s"single-α layered sweep diverged: $singleL vs $multiL")
+  }
 }
