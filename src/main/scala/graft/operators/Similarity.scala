@@ -1352,15 +1352,8 @@ object Similarity {
     // this probe a graph with more layers than supplied αs would
     // silently DROP its top layers from the pruned output (the ADVICE
     // fail-loud rule)
-    val topRow = layeredGraph.agg(max(col("layer"))).head()
-    if (!topRow.isNullAt(0)) {
-      val top = topRow.get(0).asInstanceOf[Number].intValue
-      require(top <= maxLayer,
-        s"pruneLayeredGraphRngPerLayer: graph has layers up to $top " +
-          s"but only ${alphas.size} alphas were supplied (layers 0.." +
-          s"$maxLayer) — layers above would be silently dropped; pass " +
-          "one alpha per layer")
-    }
+    layerCountProbed(layeredGraph, maxLayer,
+      "pruneLayeredGraphRngPerLayer", alphas.size)
     val g = layeredPruneInputChecked(layeredGraph, k, maxLayer,
       alphas.head._1, alphas.head._2)
     val keys = Seq("layer", "src")
@@ -1599,6 +1592,148 @@ object Similarity {
         col("dst"), col("d2"), col("rnk"))
       .join(broadcast(m.changed), keys, "left_anti")
     rePruned.unionByName(passthrough)
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+  }
+
+  /** O(deleted) maintenance of the PRUNED LAYERED serving graph —
+    * the delete direction q311's upsert left open (the flat table has
+    * [[purgePrunedKnnGraph]]; before this verb the layered table's
+    * only remedy after deletes was mask-forever or a full re-prune):
+    * [[purgeLayeredKnnGraph]] composed with a re-prune of ONLY the
+    * (layer, src) pairs it re-elected — deletion never changes a
+    * surviving vector, so per layer the changed set is the EXACT
+    * adjacency set ([[purgeChangedLayered]], the same derivation the
+    * layered fold-cache purge-refresh shares), folded for ALL layers
+    * in ONE (layer, src)-keyed pass over one pair table. Every other
+    * live (layer, src)'s stored pruned rows pass through verbatim (a
+    * pruned row with a dead dst cannot reach the passthrough —
+    * pruned ⊆ stored makes its src adjacent in that layer). ≡ the
+    * full per-layer re-prune of the purged rebuild (the gate oracle);
+    * same stored-table α/coverage preconditions as
+    * [[upsertPrunedLayeredKnnSeed]]. */
+  def purgePrunedLayeredKnnGraph(storedLayered: DataFrame,
+      storedPrunedLayered: DataFrame, storedIndex: DataFrame,
+      tombstones: DataFrame, k: Int, maxLayer: Int,
+      alphaNum: Long = 1L, alphaDen: Long = 1L): DataFrame = {
+    pruneParamsChecked(k, alphaNum, alphaDen)
+    require(maxLayer >= 0,
+      s"purgePrunedLayeredKnnGraph: maxLayer must be >= 0, got $maxLayer")
+    val (dead, m) = purgeChangedLayered(storedLayered, storedIndex,
+      tombstones, k, maxLayer)
+    val keys = Seq("layer", "src")
+    // internal greedy: rnk ≤ k by construction (purgeLayeredKnnGraph
+    // inside the changed-set derivation), so no probe
+    val gChanged = m.graph
+      .join(broadcast(m.changed), keys, "left_semi")
+      .transform(graft.util.CacheScope.persist)
+    val rePruned = rngGreedy(gChanged, rngPairTable(gChanged, m.vecs,
+      keys), k, alphaNum, alphaDen, keys)
+    val passthrough = storedPrunedLayered
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(m.changed), keys, "left_anti")
+    rePruned.unionByName(passthrough)
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+  }
+
+  /** The per-layer α SQL snippets for a keyed fold: layer ℓ's α lands
+    * as a plan-literal array indexed by the fold row's `layer` (the
+    * q323 mechanism — a MIXED-α pass costs exactly the uniform one). */
+  private def perLayerAlphaSql(
+      alphas: Seq[(Long, Long)]): (String, String) =
+    (s"element_at(array(${alphas.map(_._1).mkString(", ")}), layer + 1)",
+      s"element_at(array(${alphas.map(_._2).mkString(", ")}), layer + 1)")
+
+  /** [[upsertPrunedLayeredKnnSeed]] for a MIXED-α committed table —
+    * the maintenance verb the q323/q326/q327 artifact needs (without
+    * it, the first restatement after committing per-layer prune
+    * levels forces a full rebuild — exactly the gap the uniform table
+    * closed in round 16): the SAME one (layer, src)-keyed fold, with
+    * each changed row's re-prune folding at ITS layer's committed α
+    * ([[perLayerAlphaSql]] plan literals), verbatim passthrough
+    * elsewhere. `alphas(ℓ)` must be the levels `storedPrunedLayered`
+    * was committed with (the stored-table α precondition, per layer);
+    * maxLayer = alphas.size − 1, and the stored graph's real layer
+    * count is probed fail-loud (the q323 rule). With all entries
+    * equal this IS [[upsertPrunedLayeredKnnSeed]] (spec-pinned). */
+  def upsertPrunedLayeredKnnSeedPerLayer(storedLayered: DataFrame,
+      storedPrunedLayered: DataFrame, storedIndex: DataFrame,
+      batchIndex: DataFrame, k: Int,
+      alphas: Seq[(Long, Long)]): DataFrame = {
+    require(alphas.nonEmpty,
+      "upsertPrunedLayeredKnnSeedPerLayer: need one alpha per layer")
+    alphas.foreach { case (n, d) => pruneParamsChecked(k, n, d) }
+    val maxLayer = alphas.size - 1
+    layerCountProbed(storedLayered, maxLayer,
+      "upsertPrunedLayeredKnnSeedPerLayer", alphas.size)
+    val m = upsertChangedLayered(storedLayered, storedIndex,
+      batchIndex, k, maxLayer)
+    perLayerRePruneWithPassthrough(m, storedPrunedLayered, None, k,
+      alphas)
+  }
+
+  /** [[purgePrunedLayeredKnnGraph]] at MIXED per-layer αs — the
+    * delete direction for the committed table. */
+  def purgePrunedLayeredKnnGraphPerLayer(storedLayered: DataFrame,
+      storedPrunedLayered: DataFrame, storedIndex: DataFrame,
+      tombstones: DataFrame, k: Int,
+      alphas: Seq[(Long, Long)]): DataFrame = {
+    require(alphas.nonEmpty,
+      "purgePrunedLayeredKnnGraphPerLayer: need one alpha per layer")
+    alphas.foreach { case (n, d) => pruneParamsChecked(k, n, d) }
+    val maxLayer = alphas.size - 1
+    layerCountProbed(storedLayered, maxLayer,
+      "purgePrunedLayeredKnnGraphPerLayer", alphas.size)
+    val (dead, m) = purgeChangedLayered(storedLayered, storedIndex,
+      tombstones, k, maxLayer)
+    perLayerRePruneWithPassthrough(m, storedPrunedLayered, Some(dead),
+      k, alphas)
+  }
+
+  /** Bounded 1-row max-layer probe (the q323 fail-loud rule shared by
+    * the per-layer maintenance verbs): a stored graph with more
+    * layers than supplied αs must raise, not silently drop them. */
+  private def layerCountProbed(layeredGraph: DataFrame, maxLayer: Int,
+      verb: String, nAlphas: Int): Unit = {
+    val topRow = layeredGraph.agg(max(col("layer"))).head()
+    if (!topRow.isNullAt(0)) {
+      val top = topRow.get(0).asInstanceOf[Number].intValue
+      require(top <= maxLayer,
+        s"$verb: graph has layers up to $top but only $nAlphas " +
+          s"alphas were supplied (layers 0..$maxLayer) — layers above " +
+          "would be silently dropped; pass one alpha per layer")
+    }
+  }
+
+  /** The shared re-prune + passthrough tail of the per-layer-α
+    * maintenance verbs: changed (layer, src) rows fold at their
+    * layer's α, dead sources (purge direction) drop, everyone else
+    * passes through verbatim. */
+  private def perLayerRePruneWithPassthrough(m: MaintChanged,
+      storedPrunedLayered: DataFrame, dead: Option[DataFrame], k: Int,
+      alphas: Seq[(Long, Long)]): DataFrame = {
+    val keys = Seq("layer", "src")
+    val gChanged = m.graph
+      .join(broadcast(m.changed), keys, "left_semi")
+      .transform(graft.util.CacheScope.persist)
+    val (nums, dens) = perLayerAlphaSql(alphas)
+    val rePruned = rngFoldExpr(
+      rngFoldInput(gChanged.filter(col("rnk") <= k),
+        rngPairTable(gChanged, m.vecs, keys), keys), nums, dens, keys)
+    val stored = storedPrunedLayered
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk"))
+    val live = dead.fold(stored)(d =>
+      stored.join(broadcast(d.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti"))
+    rePruned
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("dst"), col("d2"), col("rnk").cast("int").as("rnk"))
+      .unionByName(live.join(broadcast(m.changed), keys, "left_anti"))
       .select(col("layer").cast("int").as("layer"), col("src"),
         col("dst"), col("d2"), col("rnk"))
   }

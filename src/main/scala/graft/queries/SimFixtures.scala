@@ -191,6 +191,17 @@ private[queries] object SimFixtures {
         k = 5, maxLayer = 2)
     }
 
+  /** Fine-geometry MIXED-α pruned layered table — the q330 mixed
+    * maintenance gate's stored input (same 64-cell gate-hygiene
+    * rationale as q311; same committed per-layer levels as
+    * [[prunedLayeredMixed]]). */
+  def prunedLayeredMixedF(s: SparkSession, dir: String): DataFrame =
+    stored(s, dir, "pruned_layered_k5_mixed_64") {
+      graft.operators.Similarity.pruneLayeredGraphRngPerLayer(
+        layeredSeedF(s, dir), emb(s, dir), "vec_id", "embedding",
+        k = 5, alphas = Seq((2L, 3L), (1L, 1L), (3L, 2L)))
+    }
+
   /** Fine-geometry flat fold cache — the q324 refresh gate's stored
     * input (the upsert refresh rides the 64-cell family for the same
     * gate-hygiene reason as q309: at 8 cells the changed superset

@@ -10040,6 +10040,155 @@ ${layeredCostSql("cost", "t", Seq("m", "w"), 1)}
       ORDER BY h.q_id
     """))
 
+  // --------------------------------------------------------------- q329
+  // O(deleted) PRUNED-LAYERED purge — the delete direction q311's
+  // upsert left open (the flat pruned table has had q318 since round
+  // 16; the LAYERED serving table — where HNSW actually lives — could
+  // until now only mask-forever or full-rebuild after deletes):
+  // purgeLayeredKnnGraph composed with a re-prune of ONLY the
+  // (layer, src) pairs it re-elected, all layers in ONE keyed fold
+  // over one pair table (deletion never changes a surviving vector,
+  // so per layer the changed set is the EXACT adjacency set — the
+  // q318 argument with layer in the key). Every other live row passes
+  // through verbatim. Oracle = the full per-layer greedy over the
+  // full survivor rebuild (q318's survivor-corpus discipline × q310's
+  // per-layer chains).
+  private val q329 = Q(
+    "q329_pruned_layered_purge",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val idx = graft.queries.SimFixtures.flatIndex(s, dir)
+      val lg = graft.queries.SimFixtures.layeredSeed(s, dir)
+      val lp = graft.queries.SimFixtures.prunedLayered(s, dir)
+      graft.operators.Similarity.purgePrunedLayeredKnnGraph(lg, lp,
+          idx, e.filter(col("vec_id") % 5 === 0).select(col("vec_id")),
+          k = 5, maxLayer = 2)
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some {
+      val live = "a.vec_id % 5 <> 0 AND b.vec_id % 5 <> 0"
+      raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes()},
+${layerSeedCtes("p0", live)},
+${layerSeedCtes("p1", s"a.vec_id % 2 = 0 AND b.vec_id % 2 = 0 AND $live")},
+${layerSeedCtes("p2", s"a.vec_id % 4 = 0 AND b.vec_id % 4 = 0 AND $live")},
+${layerRankedCte("p0")},
+${layerRankedCte("p1")},
+${layerRankedCte("p2")},
+${rngKeptCtes(5, 1, 1, gName = "p0gr", p = "p0k")},
+${rngKeptCtes(5, 1, 1, gName = "p1gr", p = "p1k")},
+${rngKeptCtes(5, 1, 1, gName = "p2gr", p = "p2k")}
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM p0k5
+        UNION ALL
+        SELECT 1, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM p1k5
+        UNION ALL
+        SELECT 2, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM p2k5)
+      ORDER BY layer, src, rnk
+    """
+    })
+
+  // --------------------------------------------------------------- q330
+  // MIXED-α LAYERED upsert — the maintenance verb the q323 committed
+  // artifact was missing (q326/q327 proved the mixed table SERVES;
+  // without this verb its first restatement forces a full rebuild —
+  // the exact gap the uniform table closed in round 16): the same ONE
+  // (layer, src)-keyed fold as q311, with each changed row's re-prune
+  // folding at ITS layer's committed α (the q323 plan-literal array
+  // indexed by the fold row's layer — mixed maintenance at the
+  // uniform verb's cost). Fine geometry + sparse %307 batch (the
+  // q309/q311 gate-hygiene rationale); stored table =
+  // SimFixtures.prunedLayeredMixedF. Oracle = the full per-layer
+  // re-prune of the restated rebuild, each layer at its α.
+  private val q330 = Q(
+    "q330_mixed_alpha_layered_upsert",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val coarse = graft.queries.SimFixtures.coarseF(s, dir)
+      val idx = graft.queries.SimFixtures.flatIndexF(s, dir)
+      val lg0 = graft.queries.SimFixtures.layeredSeedF(s, dir)
+      val lp0 = graft.queries.SimFixtures.prunedLayeredMixedF(s, dir)
+      val batchIndex = graft.util.CacheScope.persist(
+        graft.operators.Ivf.flatIndex(coarse,
+          e.filter(col("vec_id") % 307 === 0)
+            .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+          "vec_id", "embedding", Nil))
+      graft.operators.Similarity.upsertPrunedLayeredKnnSeedPerLayer(
+          lg0, lp0, idx, batchIndex, k = 5,
+          alphas = Seq((2L, 3L), (1L, 1L), (3L, 2L)))
+        .orderBy(col("layer"), col("src"), col("rnk"))
+    },
+    Some(raw"""
+      WITH vx AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS qvec
+        FROM embeddings),
+${coarseCtes(cells = 64)},
+      vx2 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 307 = 0
+                    THEN list_transform(generate_series(1, 64),
+                           i -> qvec[65 - i])
+                    ELSE qvec END AS qvec
+        FROM vx),
+      cellof2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cid ASC) AS rn
+          FROM (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.qvec, v.qvec)
+                   - 2.0 * list_dot_product(v.qvec, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS d2
+            FROM vx2 v, co2 c))
+        WHERE rn = 1),
+${layerSeedCtes("r0", "TRUE", cellofName = "cellof2", vxName = "vx2")},
+${layerSeedCtes("r1", "a.vec_id % 2 = 0 AND b.vec_id % 2 = 0",
+      cellofName = "cellof2", vxName = "vx2")},
+${layerSeedCtes("r2", "a.vec_id % 4 = 0 AND b.vec_id % 4 = 0",
+      cellofName = "cellof2", vxName = "vx2")},
+${layerRankedCte("r0")},
+${layerRankedCte("r1")},
+${layerRankedCte("r2")},
+${rngKeptCtes(5, 2, 3, gName = "r0gr", vxName = "vx2", p = "r0k")},
+${rngKeptCtes(5, 1, 1, gName = "r1gr", vxName = "vx2", p = "r1k")},
+${rngKeptCtes(5, 3, 2, gName = "r2gr", vxName = "vx2", p = "r2k")}
+      SELECT CAST(layer AS INTEGER) AS layer, src, dst, d2,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT 0 AS layer, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC) AS rnk
+        FROM r0k5
+        UNION ALL
+        SELECT 1, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM r1k5
+        UNION ALL
+        SELECT 2, src, dst, d2,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY d2 ASC, dst ASC)
+        FROM r2k5)
+      ORDER BY layer, src, rnk
+    """))
+
   def all: Seq[Q] = Seq(q20, q21, q22, q36, q104, q110, q118, q133, q138,
     q162, q173, q184, q185, q186, q189, q194, q195, q197, q198, q199,
     q201, q202, q203, q204, q205, q207, q208, q209, q211, q212, q216,
@@ -10051,5 +10200,5 @@ ${layeredCostSql("cost", "t", Seq("m", "w"), 1)}
     q291, q292, q293, q294, q295, q296, q297, q298, q299, q301, q302,
     q303, q304, q305, q306, q307, q308, q309, q310, q311, q312, q313,
     q314, q315, q316, q317, q318, q319, q320, q321, q323, q324, q325,
-    q326, q327)
+    q326, q327, q329, q330)
 }

@@ -378,7 +378,11 @@ class PlanAuditSpec extends SparkSpec {
       // per-hop broadcast beam state) + the 1-row BM25 stats fan +
       // the ≤20-row lexical list fanned across the 5-query spine;
       // the verdict joins are id/shingle-keyed, the fusion O(|Q|·topN)
-      "q328_rag_graph_masked_serve")
+      "q328_rag_graph_masked_serve",
+      // q330 = q311's upsert fans (the batch flatIndex's ≤64-row
+      // coarse assignment); the mixed-α re-prune is the same keyed
+      // fold with plan-literal α arrays — no new fan
+      "q330_mixed_alpha_layered_upsert")
       // q120 left this list in round 8: its 1-row corpus total now rides
       // a scalar subquery instead of a cross join, so no BNLJ to except
 

@@ -2347,6 +2347,79 @@ class PqSpec extends SparkSpec {
       "single-layer refined build diverged from the flat knnGraph")
   }
 
+  test("layered pruned purge + per-layer-α maintenance ≡ the full per-layer re-prunes") {
+    val s = spark
+    import s.implicits._
+    val coarse = Ivf.centroids(emb, "vec_id", "embedding", 8, 2)
+    val idx = Ivf.flatIndex(coarse, emb, "vec_id", "embedding", Nil)
+    val lg = Similarity.layeredKnnGraphWith(coarse, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 2)
+    val lp = Similarity.pruneLayeredGraphRng(lg, emb, "vec_id",
+      "embedding", k = 5, maxLayer = 2)
+    val tombs = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val tombIds = tombs.collect().map(_.getLong(0)).toSet
+    val survivors = emb.filter(col("vec_id") % 5 =!= 0)
+    // uniform layered purge ≡ the full per-layer re-prune of the
+    // purged rebuild (the q329 oracle's claim)
+    val incP = Similarity.purgePrunedLayeredKnnGraph(lg, lp, idx,
+        tombs, k = 5, maxLayer = 2)
+      .orderBy("layer", "src", "rnk").collect().toSeq
+    val fullP = Similarity.pruneLayeredGraphRng(
+        Similarity.purgeLayeredKnnGraph(lg, idx, tombs, 5, 2),
+        survivors, "vec_id", "embedding", k = 5, maxLayer = 2)
+      .orderBy("layer", "src", "rnk").collect().toSeq
+    assert(incP == fullP,
+      "layered pruned purge diverged from the full per-layer re-prune")
+    assert(incP.forall(r => !tombIds.contains(r.getLong(1))),
+      "a deleted source survived the layered pruned purge")
+    assert(incP.forall(r => !tombIds.contains(r.getLong(2))),
+      "a deleted dst survived the layered pruned purge")
+    // per-layer-α maintenance on the MIXED committed table
+    val mixed = Seq((2L, 3L), (1L, 1L), (3L, 2L))
+    val lpm = Similarity.pruneLayeredGraphRngPerLayer(lg, emb,
+      "vec_id", "embedding", k = 5, mixed)
+    val batch = Ivf.flatIndex(coarse,
+      emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      "vec_id", "embedding", Nil)
+    val restated = emb.select(col("vec_id"),
+      when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+    assert(Similarity.upsertPrunedLayeredKnnSeedPerLayer(lg, lpm, idx,
+        batch, k = 5, mixed)
+        .orderBy("layer", "src", "rnk").collect().toSeq ==
+      Similarity.pruneLayeredGraphRngPerLayer(
+          Similarity.upsertLayeredKnnSeed(lg, idx, batch, 5, 2),
+          restated, "vec_id", "embedding", k = 5, mixed)
+        .orderBy("layer", "src", "rnk").collect().toSeq,
+      "mixed-α upsert diverged from the full per-layer re-prune")
+    assert(Similarity.purgePrunedLayeredKnnGraphPerLayer(lg, lpm, idx,
+        tombs, k = 5, mixed)
+        .orderBy("layer", "src", "rnk").collect().toSeq ==
+      Similarity.pruneLayeredGraphRngPerLayer(
+          Similarity.purgeLayeredKnnGraph(lg, idx, tombs, 5, 2),
+          survivors, "vec_id", "embedding", k = 5, mixed)
+        .orderBy("layer", "src", "rnk").collect().toSeq,
+      "mixed-α purge diverged from the full per-layer re-prune")
+    // uniform entries ≡ the uniform verb (the q323 equivalence,
+    // restated on the maintenance axis)
+    val ones = Seq((1L, 1L), (1L, 1L), (1L, 1L))
+    assert(Similarity.upsertPrunedLayeredKnnSeedPerLayer(lg, lp, idx,
+        batch, k = 5, ones)
+        .orderBy("layer", "src", "rnk").collect().toSeq ==
+      Similarity.upsertPrunedLayeredKnnSeed(lg, lp, idx, batch, k = 5,
+          maxLayer = 2)
+        .orderBy("layer", "src", "rnk").collect().toSeq,
+      "uniform per-layer upsert diverged from the uniform verb")
+    // layer-count fail-loud: a 3-layer graph with 2 αs must raise
+    val e = intercept[IllegalArgumentException] {
+      Similarity.upsertPrunedLayeredKnnSeedPerLayer(lg, lpm, idx,
+        batch, k = 5, Seq((1L, 1L), (1L, 1L)))
+    }
+    assert(e.getMessage.contains("layers up to 2"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("fold-cache refresh: incremental ≡ full rebuild bit-for-bit (upsert+purge, flat+layered)") {
     // the round-18 lifecycle claim: a cache row is a pure per-source
     // function of (rank list, neighbor vectors), so the pruned-table
