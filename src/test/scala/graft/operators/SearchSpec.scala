@@ -222,6 +222,40 @@ class SearchSpec extends SparkSpec {
     assert(top2.length == 2 && top2.map(_.getLong(0)).toSeq == Seq(2L, 1L))
   }
 
+  test("rrfFuseBy: one keyed pass ≡ rrfFuse per group; absent-group lists contribute nothing") {
+    val s = spark
+    import s.implicits._
+    // two query groups with different winners: text list fans across
+    // both, vector list differs per group (the q328 shape)
+    val text = Seq((10L, 1L, 1), (10L, 2L, 2), (11L, 1L, 1),
+      (11L, 2L, 2)).toDF("q_id", "id", "rnk")
+    val vec = Seq((10L, 2L, 1), (10L, 4L, 2), (11L, 5L, 1))
+      .toDF("q_id", "id", "rnk")
+    val fused = Search.rrfFuseBy(Seq(text, vec), Seq("q_id"), "id",
+        kRrf = 60, topN = 10)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    // ≡ the single-group verb run per q_id on the sliced lists
+    val perGroup = Seq(10L, 11L).flatMap { q =>
+      Search.rrfFuse(
+          Seq(text.filter(col("q_id") === q).drop("q_id"),
+            vec.filter(col("q_id") === q).drop("q_id")),
+          "id", kRrf = 60, topN = 10)
+        .collect()
+        .map(r => (q, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3)))
+    }
+    assert(fused == perGroup,
+      s"keyed fusion diverged from per-group rrfFuse:\n$fused\nvs\n$perGroup")
+    // group 11 has no vector rows for id 2 — it stays single-list
+    assert(fused.exists { case (q, id, _, n, _) =>
+      q == 11L && id == 2L && n == 1L })
+    // group 10's both-list doc outranks every single-list doc
+    assert(fused.collect {
+      case (10L, id, _, _, rnk) if rnk == 1 => id }.head == 2L)
+  }
+
   test("bestSnippet: hit-anchored window, earliest tie wins, tail clamps") {
     val s = spark
     import s.implicits._
