@@ -1066,10 +1066,10 @@ object Dedup {
     * reaches an exchange.
     *
     * The selection is IN-ROW (shingle → hash → window-argmin are
-    * `transform`/`aggregate` lambdas over the hash array) and
+    * `transform`/`filter` lambdas over the hash array) and
     * map-side: the only rows emitted are the selected (doc_id, pos,
     * fp) fingerprints. The hash array MATERIALIZES behind a
-    * CacheScope barrier before the argmin lambdas touch it — binding
+    * CacheScope barrier before the selection lambdas touch it — binding
     * it to a column is NOT enough, CollapseProject inlines straight
     * through into the lambda body, and every `element_at(__kh, p)`
     * then re-splits and re-hashes the whole document (measured: one
@@ -1077,32 +1077,71 @@ object Dedup {
     * is sub-second). The persisted frame carries hashes only
     * (~8 B/word, CacheScope-freed). Documents shorter than `windowW`
     * shingles keep their global minimum (one fingerprint) — the
-    * standard short-doc degenerate case. */
+    * standard short-doc degenerate case.
+    *
+    * Selection form (r18 optimization — bit-identical output, guide
+    * §1.2 "per-task work"): instead of materializing every window's
+    * rightmost argmin (an `aggregate` allocating a struct per window
+    * step, then `array_distinct` over the winner structs — O(m·w)
+    * struct churn per doc, all interpreted since higher-order
+    * functions never enter whole-stage codegen), each position p
+    * decides IN PLACE whether SOME window elects it, from two local
+    * probes: the nearest previous strictly-smaller hash and the
+    * nearest next smaller-or-equal hash within w−1 positions. p wins
+    * window j iff j reaches past neither probe, so a qualifying j
+    * exists iff max(1, p−w+1, prevLt+1) ≤ min(p, m−w+1 floor-capped,
+    * nextLe−w). That is ≤ 2(w−1) `element_at` comparisons per
+    * position, no allocation, no distinct — and the result set is
+    * exactly the argmin winners (ties break rightmost both ways:
+    * strict `<` backward, `≤` forward). The explode is `explode_outer`
+    * DELIBERATELY: with a plain explode, InferFiltersFromGenerate
+    * manufactures a `size(sel) > 0` predicate and PushDownPredicates
+    * clones the whole O(m·w) selection expression into it, doubling
+    * the fold (measured in q166's plan: the fold appeared in both
+    * Filter and Project). The `size(__kh) >= 1` guard above the
+    * explode makes the selected array provably non-empty (every
+    * non-empty hash array elects at least window 1's winner), so
+    * outer ≡ inner here and no null row can emerge. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int, windowW: Int): DataFrame = {
     require(windowW >= 1, s"windowW=$windowW must be >= 1")
+    val w = windowW
+    val selExpr =
+      if (w == 1) "sequence(1, size(__kh))"
+      else {
+        // prevLt+1: smallest backward offset o with kh[p-o] < kh[p]
+        // wins ⇒ the window floor is (p-o)+1; no such o ⇒ floor 1.
+        val prevCases = (1 until w).map { o =>
+          s"WHEN p > $o AND element_at(__kh, p - $o) < " +
+            s"element_at(__kh, p) THEN p - ${o - 1}"
+        }.mkString(" ")
+        // nextLe−w: smallest forward offset o with kh[p+o] <= kh[p]
+        // caps the window start at (p+o)−w; no such o ⇒ unconstrained.
+        val nextCases = (1 until w).map { o =>
+          s"WHEN p + $o <= size(__kh) AND element_at(__kh, p + $o) <= " +
+            s"element_at(__kh, p) THEN p + $o - $w"
+        }.mkString(" ")
+        s"""filter(sequence(1, size(__kh)), p ->
+          greatest(1, p - ${w - 1}, CASE $prevCases ELSE 1 END)
+          <= least(p, greatest(size(__kh) - ${w - 1}, 1),
+                   CASE $nextCases ELSE 2147483647 END))"""
+      }
     docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
-      .filter(size(col("__w")) >= k)
       .withColumn("__sh", wordShingles(col("__w"), k))
       .select(col("doc_id"), expr(
         "transform(__sh, x -> " +
           "CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
         .as("__kh"))
       .transform(graft.util.CacheScope.persist)
-      .withColumn("__sel", expr(s"""
-        array_distinct(transform(
-          sequence(1, greatest(size(__kh) - $windowW + 1, 1)), j ->
-            aggregate(
-              sequence(j, least(j + $windowW - 1, size(__kh))),
-              named_struct('h', CAST(9223372036854775807 AS BIGINT),
-                           'p', 0),
-              (acc, p) -> IF(element_at(__kh, p) <= acc.h,
-                named_struct('h', element_at(__kh, p), 'p', p),
-                acc))))"""))
-      .select(col("doc_id"), explode(col("__sel")).as("s"))
-      .select(col("doc_id"), col("s.p").cast("long").as("pos"),
-        col("s.h").as("fp"))
+      // the short-doc cut moved ABOVE the barrier (reads the cached
+      // array's size) — below it, PushDownPredicates duplicated the
+      // whole split+normalize chain into the fill scan's Filter
+      .filter(size(col("__kh")) >= 1)
+      .select(col("doc_id"), col("__kh"),
+        explode_outer(expr(selExpr)).as("__p"))
+      .select(col("doc_id"), col("__p").cast("long").as("pos"),
+        expr("element_at(__kh, __p)").as("fp"))
   }
 
   /** Candidate near-dup pairs over the WINNOWED index: docs sharing at

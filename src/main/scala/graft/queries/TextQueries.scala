@@ -1291,9 +1291,14 @@ object TextQueries extends QueryPack {
       val keep = graft.operators.Dedup.exact(docs, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val survivors = docs.join(keep, Seq("doc_id"), "left_semi")
+      // persisted (r18, guide §2.4/§5): kept_text is the whole
+      // redact chain (cut join + in-row lambda + concat) — without
+      // the barrier, PushDownPredicates clones it into the pushed
+      // quality filter and the row chain evaluates twice per doc
       val redacted = graft.operators.Dedup.redactAllSpans(survivors,
           "doc_id", "text", k = 5, minSpan = 12, maxDf = 2, minDf = 3)
         .select(col("doc_id"), col("kept_text"))
+        .transform(graft.util.CacheScope.persist)
       val gated = redacted
         .withColumn("__w", graft.operators.Dedup.words(col("kept_text")))
         .withColumn("q_micro",
@@ -1450,13 +1455,21 @@ object TextQueries extends QueryPack {
       val keep = graft.operators.Dedup.exact(corpus0, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       val survivors = corpus0.join(keep, Seq("doc_id"), "left_semi")
+      // both stage outputs persisted (r18, guide §2.4/§5): `redacted`
+      // feeds TWO consumers inside redactContamination (the winnow
+      // fingerprint fill and the cut join's text side) — unpersisted,
+      // the whole q187 redact chain ran twice; `decon` feeds the
+      // quality gate, whose pushed filter would otherwise clone the
+      // decontam cut chain into a second per-row evaluation
       val redacted = graft.operators.Dedup.redactAllSpans(survivors,
           "doc_id", "text", k = 5, minSpan = 12, maxDf = 2, minDf = 3)
         .select(col("doc_id"), col("kept_text").as("text"))
+        .transform(graft.util.CacheScope.persist)
       val decon = graft.operators.Decontam.redactContamination(redacted,
           bench, "doc_id", "text", k = 3, windowW = 4, minShared = 2,
           maxGap = 7, minSpan = 3)
         .select(col("doc_id"), col("kept_text"))
+        .transform(graft.util.CacheScope.persist)
       val gated = decon
         .withColumn("__w", graft.operators.Dedup.words(col("kept_text")))
         .withColumn("q_micro",

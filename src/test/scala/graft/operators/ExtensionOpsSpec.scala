@@ -93,6 +93,62 @@ class DedupSpec extends SparkSpec {
     assert(!inc.contains((13L, 11L)) && !inc.contains((11L, 13L)), inc)
   }
 
+  test("winnow selection ≡ per-window rightmost-argmin reference (ties, short docs, repeats)") {
+    // Pins the r18 probe-based selection (prev-strictly-smaller /
+    // next-smaller-or-equal window-existence test) against the
+    // original materialize-every-window form it replaced, on inputs
+    // chosen to stress every edge: in-doc repeated shingles (hash
+    // TIES — rightmost must win), docs shorter than the window
+    // (global-min degenerate case), docs exactly at the window size,
+    // and a deterministic pseudo-random corpus.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(421)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val gen = (n: Int) => (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val docs = (
+      Seq(
+        (1L, "x y z x y z x y z x y z"),          // pure repetition: maximal ties
+        (2L, "one two three"),                     // m = 1 shingle (k=3)
+        (3L, "one two three four"),                // m = 2 < w
+        (4L, "one two three four five six"),       // m = w exactly
+        (5L, "p q r p q r s p q r p q r"),         // repeats + break
+        (6L, "just two")                           // too short: no shingle
+      ) ++ (7L to 40L).map(i => (i, gen(3 + rnd.nextInt(30))))
+    ).toDF("doc_id", "text")
+    for (w <- Seq(1, 2, 4, 7)) {
+      val got = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // reference: the pre-r18 expression — every window's rightmost
+      // argmin via aggregate, deduped
+      val ref = docs
+        .select(col("doc_id"), Dedup.words(col("text")).as("__w"))
+        .filter(size(col("__w")) >= 3)
+        .withColumn("__sh", Dedup.wordShingles(col("__w"), 3))
+        .select(col("doc_id"), expr(
+          "transform(__sh, x -> " +
+            "CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT))")
+          .as("__kh"))
+        .withColumn("__sel", expr(s"""
+          array_distinct(transform(
+            sequence(1, greatest(size(__kh) - $w + 1, 1)), j ->
+              aggregate(
+                sequence(j, least(j + $w - 1, size(__kh))),
+                named_struct('h', CAST(9223372036854775807 AS BIGINT),
+                             'p', 0),
+                (acc, p) -> IF(element_at(__kh, p) <= acc.h,
+                  named_struct('h', element_at(__kh, p), 'p', p),
+                  acc))))"""))
+        .select(col("doc_id"), explode(col("__sel")).as("s"))
+        .select(col("doc_id"), col("s.p").cast("long").as("pos"),
+          col("s.h").as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == ref,
+        s"w=$w: probe selection ≠ window-argmin reference\n" +
+          s" only-new=${got -- ref}\n only-ref=${ref -- got}")
+    }
+  }
+
   test("winnowing: subset of the shingle index, sparser, guarantee holds") {
     val s = spark
     import s.implicits._
