@@ -91,6 +91,20 @@ object Graph {
     // a code edit.
     val hintRanks: DataFrame => DataFrame =
       if (nNodes <= broadcastMaxNodes) df => broadcast(df) else identity
+    // nodes with NO in-edges read exactly the teleport base every
+    // iteration (the old form's left join + coalesce(0) said the same
+    // thing row by row) — that set is LOOP-INVARIANT, so it is derived
+    // once here and unioned into each iteration's ranks, deleting a
+    // per-iteration O(nodes) join + its exchange from the loop body
+    // (r18 optimization; bit-identical — sums of integers are
+    // order-independent — GraphSpec pins it against the join form on a
+    // directed graph with a source node). Undirected edge lists make
+    // this frame EMPTY and the union branch a no-op scan.
+    val noInRanks = deg.select(col("node"))
+      .join(e.select(col("dst")).distinct(),
+        col("node") === col("dst"), "left_anti")
+      .select(col("node"), lit(base).as("rank_fp"))
+      .transform(graft.util.CacheScope.persist)
     var ranks = deg.select(col("node"), lit(r0).as("rank_fp"))
     var lastCheckpoint: Option[DataFrame] = None
     for (i <- 1 to iterations) {
@@ -98,17 +112,15 @@ object Graph {
         .join(eDeg, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("rank_fp DIV deg")).as("in_sum"))
-      // undirected graphs have in-degree ≥ 1 everywhere; the left join
-      // + coalesce(0) keeps directed graphs with rank sinks correct too.
-      // contribs is NOT broadcast: it would force an eager broadcast
-      // job per iteration (measured slower), while the shuffled left
-      // join pipelines into the next round's broadcast build.
-      ranks = deg.select(col("node"))
-        .join(contribs, col("node") === col("dst"), "left")
-        .select(col("node"),
+      // in_sum is never null for a dst that received a contribution,
+      // and every other node is in noInRanks — the union IS the old
+      // left join's row set
+      ranks = contribs
+        .select(col("dst").as("node"),
           (lit(base) +
-            expr(s"($dampPct * coalesce(in_sum, 0L)) DIV 100"))
+            expr(s"($dampPct * in_sum) DIV 100"))
             .as("rank_fp"))
+        .unionByName(noInRanks)
       // truncate lineage every few rounds, not every round: each
       // checkpoint is an extra eager job, and a 4-deep join chain is
       // well within planner comfort — only unbounded growth (the q66

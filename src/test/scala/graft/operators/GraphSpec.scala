@@ -66,6 +66,46 @@ class GraphSpec extends SparkSpec {
       s"expected at most the live checkpoint to stay registered, got $extra")
   }
 
+  test("pagerank: directed graph with a rank source ≡ per-iteration left-join reference") {
+    // Pins the r18 loop-invariant no-in-edge union against the
+    // original deg-LEFT-JOIN-contribs form it replaced, on the shape
+    // where they could diverge: a DIRECTED graph with a node that has
+    // out-edges but no in-edges (node 0 — it must hold exactly the
+    // teleport base every iteration).
+    val s = spark
+    import s.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val iters = 3
+    val got = Graph.pageRank(edges, iterations = iters)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // reference: the pre-r18 loop body, inlined
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    val eDeg = e.join(deg, e("src") === deg("node"))
+      .select(col("src"), col("dst"), col("deg"))
+    val n = deg.count()
+    val base = 15L * Graph.Fp / (100L * n)
+    var ranks = deg.select(col("node"), lit(Graph.Fp / n).as("rank_fp"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(eDeg, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank_fp DIV deg")).as("in_sum"))
+      ranks = deg.select(col("node"))
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(in_sum, 0L)) DIV 100"))
+            .as("rank_fp"))
+    }
+    val ref = ranks.orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ref, s"union form ≠ left-join reference\n got=$got\n ref=$ref")
+    // and the source node holds exactly the base
+    assert(got.head == ((0L, base)), s"source node drifted: ${got.head}")
+  }
+
   test("pagerank: invariant to input partitioning (integer-exact)") {
     val edges = Graph.bipartiteEdges(lineitem, "l_partkey", "l_suppkey")
     val a = Graph.pageRank(edges, iterations = 2)
