@@ -173,8 +173,16 @@ object Sampling {
     * Input must carry `__range`; returns (input + `__cum`, the
     * per-range subtotal frame for callers that also need the corpus
     * total without another pass). */
-  private def rangedCumSum(withRange: DataFrame, orderCols: Seq[Column],
+  private def rangedCumSum(withRange0: DataFrame, orderCols: Seq[Column],
       tokensCol: String): (DataFrame, DataFrame) = {
+    // the input feeds BOTH passes of the distributed prefix sum (the
+    // per-range subtotal aggregate and the ranked main pass) — without
+    // a barrier the caller's whole upstream chain evaluates twice, and
+    // a pushed-down consumer filter clones it a third time (r18: q226's
+    // plan carried six copies of the quality+split chain through the
+    // budget → split → manifest composition). Scoped persist: the
+    // chain runs once, both passes read the cache.
+    val withRange = graft.util.CacheScope.persist(withRange0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__range"))
       .orderBy(orderCols: _*)
@@ -454,9 +462,11 @@ object Sampling {
           lit(-1L)))                           // null keys sort first
         .drop("__mm")
     } else {
+      // spark_partition_id is nondeterministic, so this frame MUST
+      // materialize before fanning into the two prefix-sum passes —
+      // rangedCumSum's input barrier (r18) is that materialization
       df.repartitionByRange(NumRanges, oc.asc)
         .withColumn("__range", spark_partition_id().cast("long"))
-        .transform(graft.util.CacheScope.persist)
     }
     val (cum, _) = rangedCumSum(withRange, Seq(oc.asc), tokensCol)
     // integer DIV, not floor(double /): token offsets are exact longs
