@@ -112,6 +112,12 @@ object TextAnalysis {
     * scratch). In-row pair expansion, partial-combining count. */
   private def pairCensus(syms: DataFrame): DataFrame =
     syms
+      // barrier (r18): the length filter sits between the caller's
+      // symbol extraction and this scan — unpersisted, pushdown clones
+      // the whole regexp extraction into the Filter and the corpus
+      // symbolizes twice (the winnowFingerprints pathology; the pair
+      // transform below is cheap per row, the extraction is not)
+      .transform(graft.util.CacheScope.persist)
       .filter(size(col("__syms")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(__syms) - 2), " +
