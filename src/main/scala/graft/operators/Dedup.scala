@@ -359,9 +359,14 @@ object Dedup {
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
       .distinct()
+    // persist: the frame feeds BOTH sides of the pair join plus the
+    // per-doc counts (the proposeVerify/containmentPairs discipline) —
+    // unpersisted, the split+shingle chain evaluated up to 4× and the
+    // explode's size() guard cloned it into a pushed Filter (r18)
     val sh = explodedShingles(
-      docs.join(candDocs, Seq(idCol), "left_semi"), idCol, textCol,
-      shingleK)
+        docs.join(candDocs, Seq(idCol), "left_semi"), idCol, textCol,
+        shingleK)
+      .transform(graft.util.CacheScope.persist)
     val exact = ngramJaccardOnShingles(sh, pairs)
     val sa = sigs.select(col("doc_id").as("doc_a") +:
       (0 until numHashes).map(h => col(s"h$h").as(s"__a$h")): _*)
