@@ -1320,7 +1320,16 @@ object Similarity {
                       THEN array_append(acc,
                              named_struct('dst', e.dst, 'd2', e.d2))
                       ELSE acc END)""").as("__kept"): _*)
-      .select(kc :+ posexplode(col("__kept")).as(Seq("__p", "__k")): _*)
+      // posexplode_outer, NOT posexplode: the plain generate lets
+      // InferFiltersFromGenerate manufacture `size(__kept) > 0` and
+      // PushDownPredicates clone the WHOLE greedy fold into that
+      // Filter — every prune/upsert/sweep paid the fold twice (r18).
+      // __kept is never empty (the rank-1 edge always survives: the
+      // accumulator starts empty, so nothing can cover it), so outer
+      // ≡ inner; the null guard reads the generate OUTPUT — a cheap
+      // attribute test that cannot be pushed through the fold.
+      .select(kc :+ posexplode_outer(col("__kept")).as(Seq("__p", "__k")): _*)
+      .filter(col("__p").isNotNull)
       .select(kc ++ Seq(col("__k.dst").as("dst"),
         col("__k.d2").as("d2"),
         (col("__p") + 1).cast("int").as("rnk")): _*)
