@@ -134,13 +134,28 @@ object Bench {
         .mkString("{", ",", "}")
       f"""{"metric":"total","unit":"sec","sf":"$sfTag","queries":$qs,"value":$total%.3f}"""
     }
+    // ≤1800 fallback chain: the full qNN->sec map (3 then 2 decimals),
+    // then — new in r19 — a values-only array at 1 decimal, keys
+    // implied by the sorted qNN order (= this line's query order; ~1.4
+    // KB for 330 queries, so per-query data finally fits the driver's
+    // 2000-char stdout window after seven dark rounds), then total-only
+    // as the last resort. The r18 verdict asked for exactly this array
+    // form; full-resolution per-query numbers stay in BENCH_DETAIL.json.
+    def renderArr: String = {
+      val ts = results.map { case (_, v) => f"$v%.1f" }.mkString("[", ",", "]")
+      f"""{"metric":"total","unit":"sec","sf":"$sfTag","t":$ts,"value":$total%.3f}"""
+    }
     val line = {
       val l3 = render(3)
       if (l3.length <= 1800) l3
       else {
         val l2 = render(2)
         if (l2.length <= 1800) l2
-        else f"""{"metric":"total","unit":"sec","sf":"$sfTag","value":$total%.3f}"""
+        else {
+          val la = renderArr
+          if (la.length <= 1800) la
+          else f"""{"metric":"total","unit":"sec","sf":"$sfTag","value":$total%.3f}"""
+        }
       }
     }
     // full-suite runs only: a SPARK_GRAFT_ONLY subset run is a local
