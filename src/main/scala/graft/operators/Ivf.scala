@@ -156,7 +156,16 @@ object Ivf {
       .select(col("vec_id").as("cid"), col("qvec").as("cent"))
     for (_ <- 0 until iterations)
       cents = recompute(assign(vectors, cents))
-    cents.transform(graft.util.CacheScope.persist)
+    // EAGER localCheckpoint, not persist (r19): the codebook is k rows
+    // (the bounded driver-action class), but its PLAN is the whole
+    // k-means chain — scan + 2·(cross-fan + argmin agg + recompute) —
+    // and every consumer embeds that subtree (probe selection, base
+    // assignment, residual builds), so each downstream analysis pass
+    // and every AQE per-stage re-optimization re-walks it. Truncating
+    // to an RDD leaf costs one tiny job here and shrinks every
+    // downstream plan; the cache-reuse benefit of persist is kept
+    // (checkpoint blocks serve all consumers).
+    graft.util.CacheScope.registerCheckpointed(cents.localCheckpoint())
   }
 
   /** Occupancy census of `vectors` against a FIXED codebook: one

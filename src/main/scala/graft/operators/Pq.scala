@@ -163,7 +163,15 @@ object Pq {
         cbs = cp
       }
     }
-    cbs.transform(graft.util.CacheScope.persist)
+    // EAGER localCheckpoint, not persist (r19, the Ivf.centroids
+    // rationale): k·m rows whose plan is the joint Lloyd chain —
+    // truncate it to an RDD leaf so the many downstream consumers
+    // (assign passes, ADC maps, error scoring) re-plan a leaf, not
+    // the chain, on every analysis and AQE stage update.
+    val out = graft.util.CacheScope.registerCheckpointed(
+      cbs.localCheckpoint())
+    lastCheckpoint.foreach(Bridge.unpersistCheckpoint)
+    out
   }
 
   /** Fold per-(vec, sub) assignments into the stored code row.
@@ -644,8 +652,18 @@ object Pq {
       .select(col("vec_id").as("q_id"), col("cid"), col("cent"),
         col("qvec"))
       .transform(graft.util.CacheScope.persist)
-    // per-(query, probed cell) residual → per-subspace lookup table
-    val qd = probes
+    // per-(query, probed cell) residual → ONE lookup-map row per
+    // (q_id, ccell), broadcast once (r19; previously m sequential
+    // broadcast hash joins — one per subspace — each a separate
+    // exchange + broadcast build over the candidate frame). Key =
+    // sub·2^32 + pqcid, the adcSearch packing: pqcids are seed vec
+    // ids, raise_error-bounded to [0, 2^32) at the codebook choke
+    // point, so the low half cannot collide across subspaces. Every
+    // candidate's (q_id, ccell) is a probe pair by construction and
+    // every code is a cbs cid, so the join and the map lookups are
+    // total — row set identical to the per-subspace join form, and
+    // the ADC sum folds s = 0..m−1 left-to-right exactly as before.
+    val qtab = probes
       .select(col("q_id"), col("cid").as("ccell"),
         zip_with(col("qvec").cast("array<double>"), col("cent"),
           (x, c) => floor(x - c)).as("qvec"))
@@ -655,29 +673,25 @@ object Pq {
         expr(s"slice(qvec, sub * (size(qvec) DIV $m) + 1, " +
           s"size(qvec) DIV $m)").as("svec"))
       .join(broadcast(cbs), Seq("sub"))
-      .select(col("q_id"), col("ccell"), col("sub"),
-        col("cid").as("pqcid"), dist2(col("svec"), col("cent")).as("d2"))
-      .transform(graft.util.CacheScope.persist)
+      .select(col("q_id"), col("ccell"),
+        (col("sub").cast("long") * lit(1L << 32) + col("cid")).as("key"),
+        dist2(col("svec"), col("cent")).as("d2"))
+      .groupBy(col("q_id"), col("ccell"))
+      .agg(map_from_arrays(collect_list(col("key")),
+        collect_list(col("d2"))).as("dmap"))
     val cand = probes.select(col("q_id"), col("cid"))
       .join(storedCodes.select(col("vec_id"), col("cid"), col("codes")),
         Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cid").as("ccell"), col("vec_id"),
         col("codes"))
-    var scored = cand
-    for (s <- 0 until m)
-      scored = scored.join(
-        broadcast(qd.filter(col("sub") === s)
-          .select(col("q_id").as("__q"), col("ccell").as("__c"),
-            col("pqcid").as("__p"), col("d2").as(s"__d$s"))),
-        col("q_id") === col("__q") && col("ccell") === col("__c") &&
-          element_at(col("codes"), s + 1) === col("__p"))
-        .drop("__q", "__c", "__p")
-    val adc = (0 until m).map(s => col(s"__d$s")).reduce(_ + _)
+    val lookup = (s: Int) => element_at(col("dmap"),
+      lit(s.toLong * (1L << 32)) + element_at(col("codes"), s + 1))
+    val adc = (0 until m).map(lookup).reduce(_ + _) // fixed s order
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("adc_d2").asc, col("vec_id").asc)
-    scored
+    cand.join(broadcast(qtab), Seq("q_id", "ccell"))
       .withColumn("adc_d2", adc)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)

@@ -916,18 +916,24 @@ object Similarity {
     // each hop reads the previous beam TWICE (expansion + candidate
     // union), so a lazy chain DOUBLES the plan per hop — 10 hops is a
     // ~2¹⁰-node tree whose mere rendering OOMs. The beam is |Q|·beam
-    // rows: an eager localCheckpoint per hop is near-free and keeps
-    // plan depth constant (the trainCodebooks rotation discipline).
+    // rows: an eager localCheckpoint EVERY OTHER hop (r19; was every
+    // hop) keeps plan depth bounded at ≤2 hop layers while halving
+    // the per-descent eager-job count — each checkpoint is a serial
+    // driver action plus an AQE replan, and at the gate SF those
+    // dominate the walk (profiled: job-covered ≪ wall). Off-hop beam
+    // frames stay lazy over the last checkpoint; ReuseExchange
+    // dedupes their doubled subtree inside the next action.
     // Superseded checkpoints release eagerly UNLESS the caller keeps
     // the per-hop frames — a localCheckpoint cannot recompute after
     // release, and the seen-union/cost frames read every hop.
     var lastCheckpoint: Option[DataFrame] = None
-    for (_ <- 1 to hops) {
-      val cp = best.localCheckpoint()
+    for (h <- 1 to hops) {
+      val doCp = h % 2 == 1
+      val cp = if (doCp) best.localCheckpoint() else best
       if (keepHops) {
-        graft.util.CacheScope.registerCheckpointed(cp)
+        if (doCp) graft.util.CacheScope.registerCheckpointed(cp)
         beamAcc += cp
-      } else {
+      } else if (doCp) {
         lastCheckpoint.foreach(
           org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
         lastCheckpoint = Some(cp)
@@ -2581,9 +2587,14 @@ object Similarity {
     var best = keep(s0)
     val scoredAcc = scala.collection.mutable.ListBuffer(s0)
     val beamAcc = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // r19 cadence: checkpoint every other hop (the graphWalk rotation
+    // discipline — halves the eager per-hop jobs, plan depth ≤2 hops)
     for (h <- 1 to hops) {
-      val cp = best.localCheckpoint()
-      graft.util.CacheScope.registerCheckpointed(cp)
+      val cp = if (h % 2 == 1) {
+        val c = best.localCheckpoint()
+        graft.util.CacheScope.registerCheckpointed(c)
+        c
+      } else best
       beamAcc += cp
       val exp = edges.filter(col("__hop") === h)
         .join(broadcast(cp.select(col("q_id"), col("__v"),
@@ -2839,17 +2850,20 @@ object Similarity {
     var best = keep(s0, beam)
     val scoredAcc = scala.collection.mutable.ListBuffer(s0)
     val beamAcc = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    // the graphSearch rotation discipline: checkpoint per hop, release
-    // superseded eagerly — plan depth stays constant over the whole
-    // (maxLayer+1)·hopsPerLayer descent (keepHops retains them all,
-    // exactly the graphWalk contract)
+    // the graphWalk rotation discipline (r19 cadence: checkpoint every
+    // OTHER hop, release superseded eagerly — plan depth bounded at ≤2
+    // hop layers, half the eager jobs; keepHops retains the
+    // checkpointed ones, off-hop frames stay lazy over them)
     var lastCheckpoint: Option[DataFrame] = None
+    var hIdx = 0
     for (l <- maxLayer to 0 by -1; _ <- 1 to hopsPerLayer) {
-      val cp = best.localCheckpoint()
+      hIdx += 1
+      val doCp = hIdx % 2 == 1
+      val cp = if (doCp) best.localCheckpoint() else best
       if (keepHops) {
-        graft.util.CacheScope.registerCheckpointed(cp)
+        if (doCp) graft.util.CacheScope.registerCheckpointed(cp)
         beamAcc += cp
-      } else {
+      } else if (doCp) {
         lastCheckpoint.foreach(
           org.apache.spark.sql.graft.Bridge.unpersistCheckpoint)
         lastCheckpoint = Some(cp)

@@ -1295,10 +1295,12 @@ object TextQueries extends QueryPack {
       // redact chain (cut join + in-row lambda + concat) — without
       // the barrier, PushDownPredicates clones it into the pushed
       // quality filter and the row chain evaluates twice per doc
-      val redacted = graft.operators.Dedup.redactAllSpans(survivors,
-          "doc_id", "text", k = 5, minSpan = 12, maxDf = 2, minDf = 3)
-        .select(col("doc_id"), col("kept_text"))
-        .transform(graft.util.CacheScope.persist)
+      // r19: eager localCheckpoint (see q200) — truncates the redact
+      // chain out of the quality/budget tail's plans
+      val redacted = graft.util.CacheScope.checkpoint(
+        graft.operators.Dedup.redactAllSpans(survivors,
+            "doc_id", "text", k = 5, minSpan = 12, maxDf = 2, minDf = 3)
+          .select(col("doc_id"), col("kept_text")))
       val gated = redacted
         .withColumn("__w", graft.operators.Dedup.words(col("kept_text")))
         .withColumn("q_micro",
@@ -1461,15 +1463,21 @@ object TextQueries extends QueryPack {
       // the whole q187 redact chain ran twice; `decon` feeds the
       // quality gate, whose pushed filter would otherwise clone the
       // decontam cut chain into a second per-row evaluation
-      val redacted = graft.operators.Dedup.redactAllSpans(survivors,
-          "doc_id", "text", k = 5, minSpan = 12, maxDf = 2, minDf = 3)
-        .select(col("doc_id"), col("kept_text").as("text"))
-        .transform(graft.util.CacheScope.persist)
-      val decon = graft.operators.Decontam.redactContamination(redacted,
-          bench, "doc_id", "text", k = 3, windowW = 4, minShared = 2,
-          maxGap = 7, minSpan = 3)
-        .select(col("doc_id"), col("kept_text"))
-        .transform(graft.util.CacheScope.persist)
+      // r19: eager localCheckpoint, not persist — the redact chain is
+      // the plan-size driver here (the r18 plan was still 2353 lines
+      // after the persists, because InMemoryRelation keeps the full
+      // subtree in every consumer's analysis and AQE replan);
+      // truncating to an RDD leaf cuts the downstream decontam/quality
+      // plans to the composed stages actually being planned
+      val redacted = graft.util.CacheScope.checkpoint(
+        graft.operators.Dedup.redactAllSpans(survivors,
+            "doc_id", "text", k = 5, minSpan = 12, maxDf = 2, minDf = 3)
+          .select(col("doc_id"), col("kept_text").as("text")))
+      val decon = graft.util.CacheScope.checkpoint(
+        graft.operators.Decontam.redactContamination(redacted,
+            bench, "doc_id", "text", k = 3, windowW = 4, minShared = 2,
+            maxGap = 7, minSpan = 3)
+          .select(col("doc_id"), col("kept_text")))
       val gated = decon
         .withColumn("__w", graft.operators.Dedup.words(col("kept_text")))
         .withColumn("q_micro",

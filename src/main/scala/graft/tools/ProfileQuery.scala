@@ -16,14 +16,20 @@ object ProfileQuery {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    var b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
-      .getOrCreate()
+    sys.env.get("PROFILE_EXTRA_CONF").foreach { s =>
+      s.split(';').filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split('=')
+        b = b.config(k, v)
+      }
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("documents", "embeddings").foreach { t =>
@@ -77,9 +83,44 @@ object ProfileQuery {
         }
       }
       spark.sparkContext.addSparkListener(listener)
+      org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
+      // poor-man's driver profiler: sample the query thread's stack
+      // every 10 ms, bucket by the deepest "interesting" frame
+      val qThread = Thread.currentThread()
+      val hist = mutable.Map.empty[String, Int].withDefaultValue(0)
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val st = qThread.getStackTrace
+          val bucket = st.collectFirst {
+            case f if f.getClassName.contains("janino") ||
+              f.getClassName.contains("CodeGenerator") => "codegen"
+            case f if f.getClassName.contains("catalyst.analysis") =>
+              "analysis"
+            case f if f.getClassName.contains("catalyst.optimizer") =>
+              "optimizer"
+            case f if f.getClassName.contains("adaptive") => "aqe"
+            case f if f.getClassName.contains("catalyst.plans") ||
+              f.getClassName.contains("catalyst.trees") => "plan-tree"
+            case f if f.getClassName.contains("execution.exchange") ||
+              f.getClassName.contains("ThreadUtils") ||
+              f.getClassName.contains("awaitResult") => "await-jobs"
+            case f if f.getClassName.startsWith("org.apache.spark") =>
+              f.getClassName.split('.').takeRight(2).mkString(".")
+          }.getOrElse(st.headOption.map(_.getClassName).getOrElse("?"))
+          hist.synchronized { hist(bucket) += 1 }
+          Thread.sleep(10)
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
       val t = once()
-      // listener bus is async; drain before reading
-      spark.sparkContext.listenerBus.waitUntilEmpty(10000)
+      sampling = false
+      sampler.join(500)
+      val ruleTime = org.apache.spark.sql.catalyst.rules.RuleExecutor
+        .dumpTimeSpent()
+      // listener bus is async; give it a moment to drain
+      Thread.sleep(1500)
       spark.sparkContext.removeSparkListener(listener)
 
       val jobSpans = jobs.filter(_.end > 0).map(j => (j.start, j.end))
@@ -100,6 +141,16 @@ object ProfileQuery {
         println(f"  job ${j.id}%4d ${(j.end - j.start) / 1e3}%6.2f s  " +
           j.desc.take(90))
       }
+      val totalRuleNs = "(?m)^Total time: (\\d+)".r
+        .findFirstMatchIn(ruleTime).map(_.group(1).toLong).getOrElse(0L)
+      println(f"  catalyst-rule-time=${totalRuleNs / 1e9}%.2f s")
+      println("  -- driver-thread sample buckets (10ms each) --")
+      hist.toSeq.sortBy(-_._2).take(12).foreach { case (b, n) =>
+        println(f"  ${n * 0.01}%6.2f s  $b")
+      }
+      println("  -- top rules --")
+      ruleTime.linesIterator.drop(3).take(10).foreach(l =>
+        println("  " + l.take(110)))
       println("  -- top stages by wall --")
       stages.sortBy(-_.wallMs).take(15).foreach { s =>
         println(f"  stage ${s.id}%5d ${s.wallMs / 1e3}%6.2f s " +

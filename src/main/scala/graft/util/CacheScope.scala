@@ -54,6 +54,19 @@ object CacheScope {
     df
   }
 
+  /** EAGER localCheckpoint registered for scope cleanup — [[persist]]
+    * for reused frames whose LINEAGE is itself the cost: a persisted
+    * frame's InMemoryRelation still carries the full logical subtree
+    * into every consumer's analysis/optimization pass (and every AQE
+    * per-stage re-optimization re-walks it), while a checkpoint is an
+    * RDD-scan leaf. Use for frames that are (a) reused, (b) always
+    * fully consumed, and (c) carry a deep build chain — the
+    * materialization cost is the same as persist's first use; what's
+    * bought is every downstream plan shrinking to the leaf. */
+  def checkpoint(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    registerCheckpointed(df.localCheckpoint())
+
   /** Run `body`, then release every frame registered (persisted or
     * checkpointed) during it. The action consuming the frames must
     * happen INSIDE the body — after the scope closes the plans still
