@@ -925,13 +925,17 @@ object Similarity {
     // dedupes their doubled subtree inside the next action.
     // Superseded checkpoints release eagerly UNLESS the caller keeps
     // the per-hop frames — a localCheckpoint cannot recompute after
-    // release, and the seen-union/cost frames read every hop.
+    // release, and the seen-union/cost frames read every hop. keepHops
+    // walks checkpoint EVERY hop (measured r19: the audit tails
+    // re-read every beam/scored frame, so a lazy off-hop beam is
+    // recomputed once per consumer and the cadence win inverts —
+    // q281/q282/q320 +20–35%); plain serves take the cadence.
     var lastCheckpoint: Option[DataFrame] = None
     for (h <- 1 to hops) {
-      val doCp = h % 2 == 1
+      val doCp = keepHops || h % 2 == 1
       val cp = if (doCp) best.localCheckpoint() else best
       if (keepHops) {
-        if (doCp) graft.util.CacheScope.registerCheckpointed(cp)
+        graft.util.CacheScope.registerCheckpointed(cp)
         beamAcc += cp
       } else if (doCp) {
         lastCheckpoint.foreach(
@@ -2587,14 +2591,11 @@ object Similarity {
     var best = keep(s0)
     val scoredAcc = scala.collection.mutable.ListBuffer(s0)
     val beamAcc = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    // r19 cadence: checkpoint every other hop (the graphWalk rotation
-    // discipline — halves the eager per-hop jobs, plan depth ≤2 hops)
+    // per-hop checkpoints: this walk always keeps its hop frames for
+    // the audit tail, which re-reads every one (the keepHops rule)
     for (h <- 1 to hops) {
-      val cp = if (h % 2 == 1) {
-        val c = best.localCheckpoint()
-        graft.util.CacheScope.registerCheckpointed(c)
-        c
-      } else best
+      val cp = best.localCheckpoint()
+      graft.util.CacheScope.registerCheckpointed(cp)
       beamAcc += cp
       val exp = edges.filter(col("__hop") === h)
         .join(broadcast(cp.select(col("q_id"), col("__v"),
@@ -2858,10 +2859,10 @@ object Similarity {
     var hIdx = 0
     for (l <- maxLayer to 0 by -1; _ <- 1 to hopsPerLayer) {
       hIdx += 1
-      val doCp = hIdx % 2 == 1
+      val doCp = keepHops || hIdx % 2 == 1
       val cp = if (doCp) best.localCheckpoint() else best
       if (keepHops) {
-        if (doCp) graft.util.CacheScope.registerCheckpointed(cp)
+        graft.util.CacheScope.registerCheckpointed(cp)
         beamAcc += cp
       } else if (doCp) {
         lastCheckpoint.foreach(
